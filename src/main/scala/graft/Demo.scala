@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.DfSql
+import graft.api.DfSql.SqlOps
+import graft.catalog.DataSource
+
+/** End-to-end demo of the dfsql facade: catalog + commands + dialect +
+  * one-shot API + df.sql accessor. Run: sbt "runMain graft.Demo" */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("graft_demo")
+    val csv = dir.resolve("people.csv")
+    Files.writeString(csv,
+      "name,age,city\nAda,36,London\nGrace,45,Washington\nAlan,41,London\n")
+
+    val ds = new DataSource(spark, dir.toString)
+    println("[demo] " + ds.query(s"CREATE TABLE ($csv)"))
+    println("[demo] SHOW TABLES:")
+    ds.query("SHOW TABLES") match {
+      case graft.catalog.QueryResult.Frame(df) => df.show(false)
+      case other => println(other)
+    }
+
+    // dfsql dialect: LIKE is an anchored regex, ^ is power
+    ds.queryDF(
+      "SELECT name, age ^ 2 AS age_sq FROM people WHERE name LIKE 'A.*' ORDER BY name")
+      .show(false)
+
+    // one-shot API over in-memory frames
+    val people = ds.table("people")
+    DfSql.sqlQuery(
+      "SELECT city, count(*) AS n FROM p GROUP BY city ORDER BY n DESC",
+      "p" -> people).show(false)
+
+    // df.sql accessor with implicit FROM
+    people.sql("SELECT name WHERE age > 40 ORDER BY name").show(false)
+
+    // error paths surface as DfsqlException subclasses with clean messages
+    try ds.queryDF("SELECT * FROM nope")
+    catch { case e: Exception => println(s"[demo] expected error: ${e.getMessage.linesIterator.next()}") }
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+import graft.DfsqlException
+import graft.sql.Dialect
+
+/** One-shot functional entry points mirroring the reference's
+  * `sql_query(sql, **dataframes)` (reference: dfsql/__init__.py:12-36) and
+  * the `df.sql("SELECT …")` accessor (reference: dfsql/extensions.py:10-68).
+  *
+  * Unlike the reference — which round-trips every DataFrame through a temp
+  * CSV — incoming DataFrames are registered directly as temp views: there
+  * is no driver-side materialization, so the query plans (and their
+  * pushdowns) stay fully distributed.
+  */
+object DfSql {
+
+  /** Run `sql` against the given name→DataFrame bindings. Mirrors the
+    * reference's validations: at least one table; every binding must be
+    * referenced in the SQL text. Views are dropped in `finally`. */
+  def sqlQuery(sql: String, tables: (String, DataFrame)*): DataFrame = {
+    if (tables.isEmpty)
+      throw new DfsqlException(
+        "Wrong from_tables value. Expected a non-empty set of table name -> DataFrame bindings.")
+    tables.foreach { case (name, _) =>
+      if (!sql.contains(name))
+        throw new DfsqlException(
+          s"Table $name found in from_tables, but not in the SQL query.")
+    }
+    val spark = tables.head._2.sparkSession
+    val registered = tables.map(_._1)
+    try {
+      tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      spark.sql(Dialect.lower(sql))
+    } finally {
+      registered.foreach(spark.catalog.dropTempView(_))
+    }
+  }
+
+  /** `df.sql("SELECT a WHERE b > 1")` — implicit-FROM accessor. The frame
+    * is bound as table `temp` and every FROM-less SELECT gets
+    * `from temp` spliced in (Dialect.addImplicitFrom). */
+  implicit class SqlOps(private val df: DataFrame) {
+    def sql(query: String): DataFrame = {
+      val withFrom = Dialect.addImplicitFrom(query, "temp")
+      sqlQuery(withFrom, "temp" -> df)
+    }
+  }
+}

@@ -1,0 +1,248 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.{CommandException, QueryExecutionException}
+import graft.commands.Commands
+import graft.sql.Dialect
+
+/** One registered table: a named, lazily-read file (reference:
+  * dfsql/table.py:51-72 FileTable). Format comes from the extension;
+  * CSV reads use header + schema inference to mirror pandas.read_csv
+  * (reference: dfsql/table.py:7-10 convert_dtypes). */
+final case class FileTable(name: String, fpath: String) {
+  def format: String = fpath.split('.').last.toLowerCase
+
+  def fetch(spark: SparkSession): DataFrame = format match {
+    case "csv" | "tsv" =>
+      spark.read
+        .option("header", "true").option("inferSchema", "true")
+        .option("sep", if (format == "tsv") "\t" else ",")
+        .csv(fpath)
+    case "parquet" =>
+      // TIMESTAMP(NANOS) columns (events.parquet) are unreadable by default;
+      // surface them as int64 nanos rather than failing the whole catalog.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(fpath)
+    case "json" => spark.read.json(fpath)
+    case other =>
+      throw new QueryExecutionException(s"Unsupported table format .$other for $fpath")
+  }
+}
+
+/** Table-load cache policy (reference: dfsql/cache.py). With Spark the
+  * "load" is a lazy plan, so MemoryCache maps to `persist()` of the scan. */
+sealed trait TableCache {
+  def get(spark: SparkSession, t: FileTable): DataFrame
+  def clear(): Unit
+}
+/** reference: cache.py:12 DoNothingCache — re-plan every access. */
+final class DoNothingCache extends TableCache {
+  def get(spark: SparkSession, t: FileTable): DataFrame = t.fetch(spark)
+  def clear(): Unit = ()
+}
+/** reference: cache.py:16-27 MemoryCache (lru_cache) — persist + memoize. */
+final class MemoryCache extends TableCache {
+  private val loaded = mutable.Map[String, DataFrame]()
+  def get(spark: SparkSession, t: FileTable): DataFrame =
+    loaded.getOrElseUpdate(t.fpath, t.fetch(spark).persist())
+  def clear(): Unit = { loaded.values.foreach(_.unpersist()); loaded.clear() }
+}
+
+/** The dfsql catalog facade over a SparkSession (reference:
+  * dfsql/data_sources/base_data_source.py class DataSource).
+  *
+  * Holds named file-backed tables with JSON metadata persistence
+  * (`datasource_tables.json`, format-compatible with the reference:
+  * base_data_source.py:118-146), a table cache, a custom-function
+  * registry, and the query entry point (command sniff → dialect lowering
+  * → spark.sql → Catalyst).
+  */
+class DataSource(
+    val spark: SparkSession,
+    val metadataDir: String,
+    val caseSensitive: Boolean = true,
+    initialCache: TableCache = new MemoryCache) {
+
+  private val tables = mutable.LinkedHashMap[String, FileTable]()
+  private var cache: TableCache = initialCache
+  private val customFnNames = mutable.ArrayBuffer[String]()
+
+  Files.createDirectories(Paths.get(metadataDir))
+  loadMetadata()
+
+  private def norm(name: String): String =
+    if (caseSensitive) name else name.toLowerCase
+
+  // ---- catalog surface (base_data_source.py:89-162) ----
+
+  def tableNames: Seq[String] = tables.values.map(_.name).toSeq
+
+  def contains(name: String): Boolean = tables.contains(norm(name))
+
+  def addTable(t: FileTable): Unit = {
+    if (tables.contains(norm(t.name)))
+      throw new QueryExecutionException(
+        s"Table ${t.name} already exists in data source, use DROP TABLE to " +
+          "remove it if you want to recreate it.")
+    t.fetch(spark) // validates readability, like FileTable.from_file
+    tables(norm(t.name)) = t
+    saveMetadata()
+  }
+
+  def addTableFromFile(path: String): Unit = {
+    val base = Paths.get(path).getFileName.toString
+    val name = base.split('.').dropRight(1).mkString(".")
+    addTable(FileTable(name, path))
+  }
+
+  def dropTable(name: String): Unit = {
+    if (!tables.contains(norm(name)))
+      throw new QueryExecutionException(s"Unknown table $name")
+    tables.remove(norm(name))
+    saveMetadata()
+  }
+
+  def tableMeta(name: String): FileTable = tables.get(norm(name)) match {
+    case Some(t) => t
+    case None => throw new QueryExecutionException(s"Unknown table $name")
+  }
+
+  def table(name: String): DataFrame = tables.get(norm(name)) match {
+    case Some(t) => cache.get(spark, t)
+    case None => throw new QueryExecutionException(s"Unknown table $name")
+  }
+
+  def setCache(c: TableCache): Unit = { cache.clear(); cache = c }
+
+  // ---- metadata persistence (base_data_source.py:118-146) ----
+  // File format matches the reference: {name: {"type":"FileTable",
+  // "name":…, "fpath":…}} in <metadataDir>/datasource_tables.json.
+
+  private def metaPath = Paths.get(metadataDir, "datasource_tables.json")
+
+  def saveMetadata(): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    tables.values.foreach { t =>
+      val node = root.putObject(t.name)
+      node.put("type", "FileTable")
+      node.put("name", t.name)
+      node.put("fpath", t.fpath)
+    }
+    Files.writeString(metaPath, mapper.writeValueAsString(root))
+  }
+
+  def loadMetadata(): Unit = {
+    if (!Files.exists(metaPath)) return
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(metaPath))
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val t = FileTable(e.getValue.get("name").asText(), e.getValue.get("fpath").asText())
+      tables(norm(t.name)) = t
+    }
+  }
+
+  def clearMetadata(): Unit = Files.deleteIfExists(metaPath)
+
+  // ---- custom functions (base_data_source.py:151-152, functions.py:293-303)
+
+  /** Register a scalar UDF; shadows a built-in of the same name, as the
+    * reference registry does (base_data_source.py:194-197). */
+  def registerFunction[A: TypeTag, R: TypeTag](name: String, f: A => R): Unit = {
+    spark.udf.register(name, f)
+    customFnNames += name
+  }
+  def registerFunction2[A: TypeTag, B: TypeTag, R: TypeTag](
+      name: String, f: (A, B) => R): Unit = {
+    spark.udf.register(name, f)
+    customFnNames += name
+  }
+
+  /** Register a custom aggregate (reference AggregateFunction subclasses →
+    * Spark Aggregator, SURVEY.md §2.7). */
+  def registerAggregate[IN: TypeTag, BUF, OUT](
+      name: String, agg: Aggregator[IN, BUF, OUT]): Unit = {
+    spark.udf.register(name, udaf(agg))
+    customFnNames += name
+  }
+
+  def customFunctionNames: Seq[String] = customFnNames.toSeq
+
+  // ---- query entry point (base_data_source.py:164-171) ----
+
+  /** Command sniff first (3 regex commands), else dialect-lower and hand
+    * to Catalyst. Returns a QueryResult; use queryDF when a DataFrame is
+    * expected. */
+  def query(sql: String, reduceOutput: Boolean = false): QueryResult = {
+    Commands.tryParse(sql) match {
+      case Some(cmd) => cmd.execute(this)
+      case None =>
+        val lowered = Dialect.lower(sql)
+        tables.values.foreach { t =>
+          cache.get(spark, t).createOrReplaceTempView(t.name)
+        }
+        val df = spark.sql(lowered)
+        if (reduceOutput) QueryResult.reduce(df) else QueryResult.Frame(df)
+    }
+  }
+
+  /** query() for SELECTs: always a DataFrame. */
+  def queryDF(sql: String): DataFrame = query(sql) match {
+    case QueryResult.Frame(df) => df
+    case other =>
+      throw new CommandException(s"Query did not produce a DataFrame: $other")
+  }
+}
+
+object DataSource {
+  /** Register every spreadsheet/parquet file in a directory (reference:
+    * base_data_source.py:103-116 from_dir — CSV only there; we accept
+    * csv/tsv/parquet/json). */
+  def fromDir(
+      spark: SparkSession, metadataDir: String, filesDir: String,
+      caseSensitive: Boolean = true): DataSource = {
+    val ds = new DataSource(spark, metadataDir, caseSensitive)
+    val dir = Paths.get(filesDir)
+    val exts = Set("csv", "tsv", "parquet", "json")
+    val files = Files.list(dir).iterator()
+    val added = mutable.ArrayBuffer[String]()
+    files.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (exts.contains(n.split('.').last.toLowerCase)) added += p.toString
+    }
+    added.sorted.foreach(ds.addTableFromFile)
+    if (ds.tableNames.isEmpty)
+      throw new QueryExecutionException(
+        s"Directory $filesDir does not contain any spreadsheet files")
+    ds
+  }
+}
+
+/** Result of DataSource.query — the reference returns 'OK' | DataFrame |
+  * Series | scalar depending on the statement and reduce_output
+  * (base_data_source.py:455-461). */
+sealed trait QueryResult
+object QueryResult {
+  /** Command acknowledgements ('OK'). */
+  case object Ok extends QueryResult
+  final case class Frame(df: DataFrame) extends QueryResult
+  /** 1×1 result reduced to a scalar (reduce_output=True). */
+  final case class Scalar(value: Any) extends QueryResult
+
+  def reduce(df: DataFrame): QueryResult = {
+    if (df.columns.length == 1) {
+      val first2 = df.take(2)
+      if (first2.length == 1) return Scalar(first2(0).get(0))
+    }
+    Frame(df)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.api
+
+import graft.{DfsqlException, SparkSpec}
+import graft.api.DfSql.SqlOps
+
+class DfSqlSpec extends SparkSpec {
+
+  private lazy val li = graft.Tables.load(spark, sf0001, "lineitem")
+  private lazy val cust = graft.Tables.load(spark, sf0001, "customer")
+
+  test("sqlQuery joins two passed DataFrames") {
+    val out = DfSql.sqlQuery(
+      "SELECT count(*) AS n FROM li JOIN cust ON li.l_orderkey % 150 = cust.c_custkey",
+      "li" -> li, "cust" -> cust)
+    assert(out.head.getLong(0) > 0)
+  }
+
+  test("sqlQuery rejects bindings missing from the SQL text") {
+    assertThrows[DfsqlException] {
+      DfSql.sqlQuery("SELECT 1", "unused_table" -> li)
+    }
+  }
+
+  test("sqlQuery rejects an empty binding set") {
+    assertThrows[DfsqlException](DfSql.sqlQuery("SELECT 1"))
+  }
+
+  test("df.sql with implicit FROM") {
+    val n = li.sql("SELECT count(*) AS n").head.getLong(0)
+    assert(n === li.count())
+  }
+
+  test("df.sql with WHERE and aggregation") {
+    val out = li.sql(
+      "SELECT l_returnflag, count(*) AS n WHERE l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag")
+    assert(out.columns.toSeq === Seq("l_returnflag", "n"))
+    assert(out.count() === 3)
+  }
+
+  test("df.sql nested IN subquery gets both FROMs injected") {
+    val out = li.sql(
+      "SELECT l_orderkey WHERE l_orderkey IN (SELECT l_orderkey WHERE l_quantity > 49)")
+    assert(out.count() > 0)
+  }
+
+  test("temp view is cleaned up after sqlQuery") {
+    DfSql.sqlQuery("SELECT count(*) AS n FROM cleanup_check",
+      "cleanup_check" -> li)
+    assert(!spark.catalog.tableExists("cleanup_check"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import graft.{QueryExecutionException, SparkSpec}
+
+class DataSourceSpec extends SparkSpec {
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft_test_meta")
+
+  /** 9-row titanic-style CSV fixture (FIXTURES.md §1). */
+  private def titanicCsv(dir: Path): String = {
+    val p = dir.resolve("titanic.csv")
+    Files.writeString(p,
+      """passenger_id,survived,p_class,name,sex,age,fare
+        |1,0,3,"Braund, Mr. Owen Harris",male,22,7.25
+        |2,1,1,"Cumings, Mrs. John Bradley",female,38,71.2833
+        |3,1,3,"Heikkinen, Miss. Laina",female,26,7.925
+        |4,1,1,"Futrelle, Mrs. Jacques Heath",female,35,53.1
+        |5,0,3,"Allen, Mr. William Henry",male,35,8.05
+        |6,0,3,"Moran, Mr. James",male,,8.4583
+        |7,0,1,"McCarthy, Mr. Timothy J",male,54,51.8625
+        |8,0,3,"Palsson, Master. Gosta Leonard",male,2,21.075
+        |9,1,3,"Johnson, Mrs. Oscar W",female,27,11.1333
+        |""".stripMargin)
+    p.toString
+  }
+
+  test("add/drop/contains + duplicate-add errors") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    assert(ds.contains("titanic"))
+    assertThrows[QueryExecutionException](ds.addTableFromFile(titanicCsv(dir)))
+    ds.dropTable("titanic")
+    assert(!ds.contains("titanic"))
+    assertThrows[QueryExecutionException](ds.dropTable("titanic"))
+  }
+
+  test("metadata persists across DataSource instances (datasource_tables.json)") {
+    val dir = tmpDir()
+    val csv = titanicCsv(dir)
+    val ds1 = new DataSource(spark, dir.toString)
+    ds1.addTableFromFile(csv)
+    // same format as the reference: {name: {type,name,fpath}}
+    val json = Files.readString(dir.resolve("datasource_tables.json"))
+    assert(json.contains("\"type\":\"FileTable\"") && json.contains("\"fpath\""))
+    val ds2 = new DataSource(spark, dir.toString)
+    assert(ds2.contains("titanic"))
+    assert(ds2.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 9L)
+  }
+
+  test("case-insensitive mode resolves any-cased table names") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString, caseSensitive = false)
+    ds.addTableFromFile(titanicCsv(dir))
+    assert(ds.contains("TITANIC"))
+    assert(ds.table("TiTaNiC").count() === 9)
+  }
+
+  test("query end-to-end: WHERE + GROUP BY over CSV with inferred schema") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    val out = ds.queryDF(
+      "SELECT sex, count(*) AS n FROM titanic GROUP BY sex ORDER BY sex")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("female", 4L), ("male", 5L)))
+  }
+
+  test("dfsql LIKE dialect works through query()") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    val out = ds.queryDF(
+      "SELECT name FROM titanic WHERE name LIKE '.*Owen.*' ORDER BY name")
+    assert(out.count() === 1)
+  }
+
+  test("reduce_output: 1x1 result becomes a scalar") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    ds.query("SELECT count(*) AS n FROM titanic", reduceOutput = true) match {
+      case QueryResult.Scalar(v) => assert(v === 9L)
+      case other => fail(s"expected Scalar, got $other")
+    }
+  }
+
+  test("commands: CREATE TABLE / SHOW TABLES / DROP TABLE round-trip") {
+    val dir = tmpDir()
+    val csv = titanicCsv(dir)
+    val ds = new DataSource(spark, dir.toString)
+    assert(ds.query(s"CREATE TABLE ($csv)") === QueryResult.Ok)
+    ds.query("SHOW TABLES") match {
+      case QueryResult.Frame(df) =>
+        val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+        assert(rows.toSeq === Seq(("titanic", csv)))
+      case other => fail(s"expected Frame, got $other")
+    }
+    assert(ds.query("DROP TABLE titanic") === QueryResult.Ok)
+    assert(!ds.contains("titanic"))
+  }
+
+  test("fromDir registers every readable file") {
+    val meta = tmpDir()
+    val data = tmpDir()
+    titanicCsv(data)
+    val ds = DataSource.fromDir(spark, meta.toString, data.toString)
+    assert(ds.tableNames === Seq("titanic"))
+  }
+
+  test("custom scalar function is callable from SQL") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    ds.registerFunction[Double, Double]("double_fare", _ * 2)
+    val out = ds.queryDF(
+      "SELECT passenger_id, double_fare(fare) AS f2 FROM titanic WHERE passenger_id = 1")
+    assert(out.head.getDouble(1) === 14.5)
+  }
+}
