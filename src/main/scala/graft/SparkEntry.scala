@@ -14,7 +14,11 @@ object SparkEntry {
   /** All registered query groups, in display order. */
   private def groups: Seq[graft.queries.Q] =
     graft.queries.ParityQueries.all ++
-      graft.queries.FacadeQueries.all
+      graft.queries.FacadeQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.DedupQueries.all ++
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

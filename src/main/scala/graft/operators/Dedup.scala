@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication for LLM-data pipelines, all built on
+  * shuffle-friendly primitives (groupBy / equi-join on derived keys —
+  * never a cross join), so every variant survives a 100 TB corpus:
+  *
+  *   - exact: hash-groupBy on a content fingerprint;
+  *   - byKey: groupBy on chosen columns, keep min id;
+  *   - MinHash+LSH: shingle → k minhashes → banded signatures →
+  *     bucket equi-join → candidate pairs → signature-estimated Jaccard;
+  *   - SimHash: 64-bit bit-vote fingerprint, banded for pair generation;
+  *   - n-gram Jaccard: exact, via shingle inverted-index join with a
+  *     document-frequency cap on hot shingles (the standard skew guard).
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row id per distinct canonical content.
+    * `fp` is any fingerprint column (md5, canonical md5, rolling hash). */
+  def exactGroups(docs: DataFrame, fp: Column): DataFrame =
+    docs.groupBy(fp.as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("fp"))
+
+  /** Dedup by key columns: survivors only (lowest doc_id per key). */
+  def byKey(docs: DataFrame, keys: Seq[String]): DataFrame =
+    docs.groupBy(keys.map(col): _*)
+      .agg(min(col("doc_id")).as("keep_id"))
+      .orderBy(keys.map(col) :+ col("keep_id"): _*)
+
+  // ---- MinHash + LSH ----
+
+  /** (doc_id, minhash array of length k) via k seeded xxhash64 draws over
+    * distinct word 3-gram shingles. One explode + one groupBy — two
+    * shuffles total regardless of corpus size. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), shingleN)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs via banded LSH over the minhash signature,
+    * scored by the signature-match fraction (Jaccard estimator).
+    * bands×rows must equal k. The band bucket join is an equi-join on
+    * (band index, band hash) — no cross product anywhere. */
+  def minhashPairs(
+      docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), bool => bool)).cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per document: per-word xxhash64, each bit votes ±1,
+    * fingerprint bit set where the vote sum is positive. Single
+    * explode+groupBy; the 64 bit-sums are one wide aggregate. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+    }
+    words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: 4 bands of 16 bits — any shared band is a
+    * candidate (catches all pairs with Hamming distance ≤ 3 for sure, most
+    * up to ~8); exact Hamming distance filters candidates. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- exact n-gram Jaccard ----
+
+  /** Exact Jaccard similarity pairs over distinct word n-gram shingles,
+    * via an inverted-index equi-join. `maxDf` drops shingles appearing in
+    * more than that many documents — the skew guard that keeps the join
+    * from exploding on boilerplate shingles at scale. */
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), n)).as("sh"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val filtered = ex.join(
+      ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("sh")),
+      Seq("sh"))
+    val a = filtered.select(col("sh"), col("doc_id").as("id_a"))
+    val b = filtered.select(col("sh"), col("doc_id").as("id_b"))
+    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns next to typed metadata, and per-item decode/feature-extraction
+  * runs partition-wise over an iterator (the Scala analog of
+  * `mapInPandas`: one JVM-side pass per partition, batch-shaped, no
+  * driver collection).
+  *
+  * The actual codec step is STUBBED — image/audio libraries are not in
+  * this container — with a deterministic fake decoder; everything around
+  * it (schema, partitioning, batch iteration, output shape) is the real
+  * pipeline a decoder would drop into.
+  */
+object Multimodal {
+
+  /** A media row: payload + sidecar metadata. */
+  final case class MediaItem(
+      media_id: Long, kind: String, payload: Array[Byte], source: String)
+
+  /** Extracted features per media item (what a real decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int, feat: Array[Float])
+
+  /** STUB decoder: deterministic pseudo-features derived from payload
+    * bytes. A real implementation replaces only this function (e.g. JNI
+    * image decode → resize → embed); the signature is the contract. */
+  def stubDecode(item: MediaItem): MediaFeatures = {
+    val bytes = item.payload
+    val n = bytes.length
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    val width = 64 + math.floorMod(h, 512).toInt
+    val height = 64 + math.floorMod(h >> 16, 512).toInt
+    val frames = if (item.kind == "video") 1 + math.floorMod(h >> 32, 30).toInt else 1
+    val feat = Array.tabulate(8)(j =>
+      math.floorMod(h >> j, 1000).toFloat / 1000f)
+    MediaFeatures(item.media_id, item.kind, n, width, height, frames, feat)
+  }
+
+  /** Build a media table from the documents corpus: the text bytes stand
+    * in for an image/audio payload (binary column), kind cycles through
+    * modalities. Partitioned by media_id — the layout a 100 TB media lake
+    * would use (payloads near their metadata, no wide shuffle). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("source"))
+
+  /** Partition-wise feature extraction (mapPartitions — the batch shape:
+    * one decoder instance per partition, streamed iterator, no collect). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      // a real decoder would init its native context once here
+      it.map(stubDecode)
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: exact, O(|Q|·N) — the baseline, fine when
+  *     the query set is small (a broadcast join against the corpus);
+  *   - LSH (random hyperplane signatures) with multi-probe: the scale
+  *     path — signatures bucket the corpus so a query touches only its
+  *     probe buckets; at 100 TB this is a shuffle on (bucket) instead of a
+  *     cross join.
+  *
+  * Cosine is computed as a *sequential left fold* (functions.aggregate) in
+  * doubles — bitwise identical to the DuckDB oracle's list_sum over
+  * list_transform, which is what makes the brute-force query
+  * hash-matchable.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dotFold(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    dotFold(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Exact top-k neighbours for a small query set, ranked per query.
+    * The query side is broadcast — the corpus is never shuffled. */
+  def bruteForceKnn(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim in [-1,1), from a
+    * fixed-seed generator. Driver-side literals — tiny. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bit LSH signature of an embedding under the given planes. */
+  def signature(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(
+        zip_with(emb, planeCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via multi-probe LSH: each query probes its own
+    * bucket plus all buckets at Hamming distance 1 (nBits+1 probes),
+    * then ranks candidates by exact cosine. Misses are possible — that is
+    * the approximation contract; recall rises with probes/tables. */
+  def annLsh(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(nBits, dim = 64, seed = seed)
+    val sigCorpus = corpus
+      .select(col("vec_id"), col("embedding"),
+        signature(col("embedding"), planes).as("sig"))
+    val probes = (0L +: (0 until nBits).map(i => 1L << i)).map(lit(_))
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        signature(col("embedding"), planes).as("q_sig"))
+      .withColumn("mask", explode(array(probes: _*)))
+      .withColumn("probe_sig", expr("q_sig ^ mask"))
+    val candidates = sigCorpus
+      .join(broadcast(q), col("sig") === col("probe_sig") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucket join (single table,
+    * exact-signature collision) then exact cosine ≥ threshold. At scale
+    * the bucket join replaces the O(N²) cross join; recall is tuned by
+    * nBits (fewer bits → bigger buckets → higher recall, more compute). */
+  def embeddingNearDupes(
+      corpus: DataFrame, threshold: Double,
+      nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim = 64, seed = seed)
+    val sig = corpus.select(col("vec_id"), col("embedding"),
+      signature(col("embedding"), planes).as("sig"))
+    val a = sig.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
+    val b = sig.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** IVF-style coarse quantization: centroids from an aggregation over a
+    * deterministic coarse key, queries probe the nearest `nProbe`
+    * centroids, search restricted to those cells. Demonstrates the
+    * partition-pruning pattern (cells = partitions at scale). */
+  def ivfSearch(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cell assignment: coarse LSH signature with 4 bits = 16 cells
+    val planes = hyperplanes(4, 64, seed = 7L)
+    val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
+    val centroids = cells.groupBy(col("cell"))
+      .agg(array((0 until 64).map(i =>
+        avg(col("embedding").getItem(i).cast("double"))): _*).as("centroid"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = q.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probeCells = probed.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nProbe).select(col("q_id"), col("q_emb"), col("cell"))
+    val candidates = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

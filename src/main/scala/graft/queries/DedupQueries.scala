@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Deduplication operators over the documents table. The synthetic corpus
+  * plants ~5% near-duplicate pairs (word-level perturbations), so the
+  * fuzzy variants return real matches; exact variants demonstrate the
+  * mechanism (the corpus has no byte-identical texts).
+  */
+object DedupQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup on the canonical (sorted-token) fingerprint
+    Q("d36_dedup_exact", Some(
+      """SELECT md5(array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' ')) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+      (s, d) => Dedup.exactGroups(docs(s, d),
+        TextFunctions.canonicalFingerprint(col("text")))),
+
+    // dedup by key columns (keep lowest doc_id per (lang, source))
+    Q("d37_dedup_bykey", Some(
+      """SELECT lang, source, min(doc_id) AS keep_id FROM documents
+        |GROUP BY lang, source ORDER BY lang, source, keep_id""".stripMargin),
+      (s, d) => Dedup.byKey(docs(s, d), Seq("lang", "source"))),
+
+    // MinHash + banded LSH candidate pairs (xxhash64 → no DuckDB oracle;
+    // exactness covered by the ngram-jaccard oracle + specs)
+    Q("d38_minhash_lsh", None,
+      (s, d) => Dedup.minhashPairs(docs(s, d), threshold = 0.5)),
+
+    // SimHash near-dup pairs (bit-vote fingerprint, banded). Hamming ≤ 3:
+    // unweighted simhash over a shared small vocabulary sits near the
+    // false-positive cliff by ~6 bits, so the cut stays tight.
+    Q("d39_simhash", None,
+      (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
+
+    // exact n-gram Jaccard pairs — fully SQL-expressible, oracled
+    Q("d40_ngram_jaccard", Some(
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 100),
+        |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       inter / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
+        maxDf = 100))
+  )
+}

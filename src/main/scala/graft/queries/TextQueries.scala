@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expressions.RollingHash
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table. Every oracle mirrors
+  * the Spark expression step for step (same regexes, same fold order) so
+  * results hash-match bitwise.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  val all: Seq[Q] = Seq(
+
+    // token / char / punctuation statistics
+    Q("t31_text_stats", Some(
+      """SELECT doc_id,
+        |       length(text) AS n_chars_calc,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d).select(col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_bpeish"),
+        punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))),
+
+    // n-gram-marker language ID (mechanism demo; corpus is EN-vocab)
+    Q("t32_langid", Some(
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(' '||text||' ', ' the '))+len(regexp_extract_all(' '||text||' ', ' and ')) AS s_en,
+        |    len(regexp_extract_all(' '||text||' ', ' le '))+len(regexp_extract_all(' '||text||' ', ' et ')) AS s_fr,
+        |    len(regexp_extract_all(' '||text||' ', ' el '))+len(regexp_extract_all(' '||text||' ', ' y ')) AS s_es,
+        |    len(regexp_extract_all(' '||text||' ', ' der '))+len(regexp_extract_all(' '||text||' ', ' und ')) AS s_de,
+        |    len(regexp_extract_all(' '||text||' ', ' de '))+len(regexp_extract_all(' '||text||' ', ' he ')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+        |       WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+        |       WHEN s_zh = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // quality scoring: length/stopword/punctuation heuristics
+    Q("t33_quality", Some(
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio,
+        |  round(
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |        / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+        |    6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // content fingerprints: exact md5 + order-insensitive canonical md5
+    Q("t34_fingerprint", Some(
+      """SELECT doc_id, md5(text) AS fp,
+        |       md5(array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' ')) AS canon_fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        canonicalFingerprint(col("text")).as("canon_fp"))
+        .orderBy(col("doc_id"))),
+
+    // rolling-hash fingerprint — custom codegen'd Catalyst Expression;
+    // not expressible in DuckDB → rows-only check, exactness spec-tested
+    Q("t35_rolling_hash", None,
+      (s, d) => docs(s, d).select(col("doc_id"),
+        RollingHash(col("text")).as("roll_fp"))
+        .orderBy(col("doc_id")))
+  )
+}

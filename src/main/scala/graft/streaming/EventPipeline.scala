@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming pipelines over the events table. Every transform
+  * is defined against a DataFrame so the same code runs in batch (tests,
+  * backfills) and as a streaming query (readStream → writeStream) —
+  * Spark's unified-API contract.
+  *
+  * The reference engine has no streaming surface at all (SURVEY.md §2.8);
+  * this is north-star extension territory: watermarked windowed
+  * aggregation, native session windows, and custom keyed state via
+  * mapGroupsWithState.
+  */
+object EventPipeline {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(
+      user_id: Long, n_events: Long, total_value: Double)
+
+  /** Watermarked tumbling-window counts per event type. On a stream this
+    * emits append-mode finalized windows; in batch it is a plain window
+    * aggregation. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Native session windows: activity sessions per user closed by a
+    * 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for state machines session_window can't express. */
+  def runningTotals(spark: SparkSession, events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a streaming source over an events directory into the windowed
+    * rollup and a memory sink; returns the started query. Caller stops
+    * it. (Parquet streaming source needs an explicit schema.) */
+  def startWindowedQuery(
+      spark: SparkSession, eventsDir: String, queryName: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    windowedCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}

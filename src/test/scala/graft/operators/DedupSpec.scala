@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.load(spark, sf0001, "documents")
+
+  /** tiny corpus with one exact dup, one near-dup, and distinct docs */
+  private lazy val planted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely different words about spark catalyst optimizer and shuffle plans"),
+    (4L, "another unrelated document mentioning parquet files and column pruning only")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses byte-identical documents") {
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val groups = Dedup.exactGroups(planted, fp).collect()
+    assert(groups.length === 4) // 0 and 1 merge
+    val dupGroup = groups.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 0L) // keeps min doc_id
+  }
+
+  test("minhashPairs finds planted near-dup and skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(planted, threshold = 0.4, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup certainly
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
+  }
+
+  test("minhash est_jaccard is 1.0 for identical documents") {
+    val r = Dedup.minhashPairs(planted, threshold = 0.4).collect()
+      .find(x => x.getLong(0) == 0L && x.getLong(1) == 1L).get
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0, unrelated far apart") {
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(( 0L, 1L)) === 0)
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on planted docs") {
+    val pairs = Dedup.ngramJaccardPairs(planted, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 2L)) > 0.6 && pairs((0L, 2L)) < 1.0)
+  }
+
+  test("minhash LSH on the real corpus finds the exact-jaccard pair set") {
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(lsh) || lsh == exact,
+      s"LSH missed pairs: ${exact -- lsh}")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables.load(spark, sf0001, "documents")
+
+  test("mediaTable carries payload as binary with typed metadata") {
+    val media = Multimodal.mediaTable(docs)
+    val schema = media.schema.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") === "binary")
+    assert(schema("kind") === "string")
+    assert(media.count() === docs.count())
+  }
+
+  test("extractFeatures is deterministic and row-preserving") {
+    val media = Multimodal.mediaTable(docs)
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(f1.length === docs.count())
+    assert(f1.map(x => (x.media_id, x.width, x.height)).toSeq ===
+      f2.map(x => (x.media_id, x.width, x.height)).toSeq)
+  }
+
+  test("stub decode emits video frame counts only for video kind") {
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.filter(_.kind != "video").forall(_.n_frames === 1))
+    assert(feats.filter(_.kind == "video").exists(_.n_frames > 1))
+  }
+
+  test("feature vectors have the contracted shape") {
+    val media = Multimodal.mediaTable(docs).limit(10)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.forall(_.feat.length === 8))
+    assert(feats.forall(f => f.feat.forall(v => v >= 0f && v < 1f)))
+  }
+}

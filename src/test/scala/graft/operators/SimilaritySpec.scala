@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(64)(r.nextFloat() * 2 - 1)
+  }
+  private def jitter(v: Array[Float], eps: Float): Array[Float] =
+    v.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) eps else 0f) }
+
+  private lazy val planted = {
+    val base = vec(1)
+    Seq(
+      (0L, base),
+      (1L, jitter(base, 0.01f)), // near-duplicate of 0
+      (2L, vec(2)), (3L, vec(3)), (4L, vec(4)), (5L, vec(5)),
+      (6L, vec(6)), (7L, vec(7)), (8L, vec(8)), (9L, vec(9))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine of identical vectors is ~1, self-consistent fold") {
+    val df = planted.filter($"vec_id" === 0)
+      .select(Similarity.cosine($"embedding", $"embedding").as("c"))
+    assert(math.abs(df.head.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceKnn ranks the planted near-duplicate first") {
+    val res = Similarity.bruteForceKnn(
+      planted, planted.filter($"vec_id" === 0), k = 3).collect()
+    assert(res.head.getLong(1) === 1L) // rank 1 = the jittered copy
+    assert(res.head.getDouble(2) > 0.99)
+  }
+
+  test("embeddingNearDupes finds the planted pair via LSH buckets") {
+    val pairs = Similarity.embeddingNearDupes(planted, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("annLsh top-1 matches brute force for the planted near-dup") {
+    val ann = Similarity.annLsh(
+      planted, planted.filter($"vec_id" === 0), k = 3)
+    val top = ann.collect().head
+    assert(top.getLong(1) === 1L)
+  }
+
+  test("ivfSearch returns ranked candidates with exact cosines") {
+    val res = Similarity.ivfSearch(
+      planted, planted.filter($"vec_id" === 0), k = 3, nProbe = 2).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getInt(3)).toSeq === (1 to res.length))
+  }
+
+  test("signature is deterministic across invocations") {
+    val planes = Similarity.hyperplanes(8, 64)
+    val s1 = planted.select(Similarity.signature($"embedding", planes).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = planted.select(Similarity.signature($"embedding", planes).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2)
+  }
+}
