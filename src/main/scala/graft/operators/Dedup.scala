@@ -19,6 +19,22 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Spread a compact document table across the cluster before a
+    * row-amplifying explode. A small parquet arrives as one input split;
+    * without this, shingling runs on a single core no matter how many
+    * executors exist. (At 100 TB inputs are already parallel, but the
+    * guard is cheap relative to the explode it precedes.) */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+
+  /** (doc_id, shingle) exploded table. Tokenizes into a materialized
+    * column first — see TextFunctions.shinglesFromTokens for why. */
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh"))
+
   /** Exact dedup: one surviving row id per distinct canonical content.
     * `fp` is any fingerprint column (md5, canonical md5, rolling hash). */
   def exactGroups(docs: DataFrame, fp: Column): DataFrame =
@@ -38,8 +54,7 @@ object Dedup {
     * distinct word 3-gram shingles. One explode + one groupBy — two
     * shuffles total regardless of corpus size. */
   def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(col("text"), shingleN)).as("sh"))
+    val sh = shingleTable(docs, shingleN)
     val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -54,7 +69,11 @@ object Dedup {
       docs: DataFrame, threshold: Double = 0.5,
       k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k)
+    // materialize once: the signature table feeds both sides of the
+    // bucket self-join, and lazy evaluation would recompute the whole
+    // shingle+groupBy pipeline per branch (measured 2× cost). On a
+    // long-lived cluster job use persist()/checkpoint() instead.
+    val sigs = minhashSignatures(docs, k).localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
@@ -79,7 +98,7 @@ object Dedup {
     * fingerprint bit set where the vote sum is positive. Single
     * explode+groupBy; the 64 bit-sums are one wide aggregate. */
   def simhash(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"),
+    val words = spread(docs).select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val votes = (0 until 64).map { i =>
@@ -97,7 +116,7 @@ object Dedup {
     * candidate (catches all pairs with Hamming distance ≤ 3 for sure, most
     * up to ~8); exact Hamming distance filters candidates. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(docs)
+    val sh = simhash(docs).localCheckpoint() // reused by both join sides
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -124,8 +143,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(col("text"), n)).as("sh"))
+    // materialize the exploded shingle table once — it feeds four
+    // branches (doc sizes, shingle DF, and both join sides); recomputing
+    // the explode per branch dominated the whole operator (measured 4×).
+    val ex = shingleTable(docs, n).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val filtered = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))

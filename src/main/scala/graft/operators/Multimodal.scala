@@ -47,7 +47,9 @@ object Multimodal {
     * modalities. Partitioned by media_id — the layout a 100 TB media lake
     * would use (payloads near their metadata, no wide shuffle). */
   def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
+    // repartition: a decode stage is CPU-bound per item; a single-split
+    // input would otherwise pin the whole decode on one core
+    docs.repartition(col("doc_id")).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),

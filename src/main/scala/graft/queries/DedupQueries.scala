@@ -52,7 +52,7 @@ object DedupQueries {
         |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
-        |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 100),
+        |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
         |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -65,7 +65,10 @@ object DedupQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+      // maxDf=20: the inverted-index join costs Σ df² per shingle, so the
+      // DF cap is the whole ballgame at scale — 20 here ≈ 0.4% of the
+      // sf0.1 corpus, the usual boilerplate-shingle cutoff.
       (s, d) => Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
-        maxDf = 100))
+        maxDf = 20))
   )
 }
