@@ -16,6 +16,7 @@ object Demo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // injects rolling_hash & co.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,6 +46,10 @@ object Demo {
 
     // df.sql accessor with implicit FROM
     people.sql("SELECT name WHERE age > 40 ORDER BY name").show(false)
+
+    // custom Catalyst function injected via SparkSessionExtensions
+    spark.sql("SELECT name, rolling_hash(name) AS fp FROM people ORDER BY name")
+      .show(false)
 
     // error paths surface as DfsqlException subclasses with clean messages
     try ds.queryDF("SELECT * FROM nope")

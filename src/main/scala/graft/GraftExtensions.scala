@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: injects graft's custom Catalyst
+  * functions into every session built with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * This is the idiomatic deployment path on a shared cluster — the
+  * functions exist before any catalog or facade object is constructed,
+  * so plain `spark.sql("SELECT rolling_hash(text) …")` works everywhere.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[expressions.RollingHash].getName, "rolling_hash"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          expressions.RollingHash(exprs.head)))
+  }
+}

@@ -32,10 +32,24 @@ object DfSql {
     val registered = tables.map(_._1)
     try {
       tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-      spark.sql(Dialect.lower(sql))
+      graft.sql.JoinNaming.disambiguate(spark.sql(Dialect.lower(sql)))
     } finally {
       registered.foreach(spark.catalog.dropTempView(_))
     }
+  }
+
+  /** sqlQuery with reference-style custom scalar functions registered for
+    * the duration of the session (reference: __init__.py custom_functions
+    * kwarg; registration shadows same-named built-ins). */
+  def sqlQueryWith(
+      sql: String,
+      customFunctions: Map[String, org.apache.spark.sql.expressions.UserDefinedFunction],
+      tables: (String, DataFrame)*): DataFrame = {
+    if (tables.nonEmpty) {
+      val spark = tables.head._2.sparkSession
+      customFunctions.foreach { case (name, f) => spark.udf.register(name, f) }
+    }
+    sqlQuery(sql, tables: _*)
   }
 
   /** `df.sql("SELECT a WHERE b > 1")` — implicit-FROM accessor. The frame

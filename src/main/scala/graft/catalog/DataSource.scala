@@ -190,7 +190,15 @@ class DataSource(
         tables.values.foreach { t =>
           cache.get(spark, t).createOrReplaceTempView(t.name)
         }
-        val df = spark.sql(lowered)
+        val df =
+          try graft.sql.JoinNaming.disambiguate(spark.sql(lowered))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "TABLE_OR_VIEW_NOT_FOUND" =>
+              // reference error contract (base_data_source.py:177-178)
+              throw new QueryExecutionException(
+                s"Unknown table ${e.messageParameters.getOrElse("relationName", "?")}")
+          }
         if (reduceOutput) QueryResult.reduce(df) else QueryResult.Frame(df)
     }
   }
@@ -204,6 +212,16 @@ class DataSource(
 }
 
 object DataSource {
+  /** Wipe any existing metadata in the directory and start fresh
+    * (reference: base_data_source.py:92-97 create_new/clear_metadata). */
+  def createNew(
+      spark: SparkSession, metadataDir: String,
+      caseSensitive: Boolean = true): DataSource = {
+    Files.createDirectories(Paths.get(metadataDir))
+    Files.deleteIfExists(Paths.get(metadataDir, "datasource_tables.json"))
+    new DataSource(spark, metadataDir, caseSensitive)
+  }
+
   /** Register every spreadsheet/parquet file in a directory (reference:
     * base_data_source.py:103-116 from_dir — CSV only there; we accept
     * csv/tsv/parquet/json). */
