@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single most recent right row with
+  * the same key and `rightTs <= leftTs` — the canonical time-series
+  * enrichment operator Spark lacks natively.
+  *
+  * Implementation is the scale-correct union-window pattern, NOT a range
+  * join: tag both sides, union, and run one `last(value, ignoreNulls)`
+  * window per enriched column over (key, ts). Cost is a single shuffle on
+  * the key plus a per-partition sort — O(n log n) regardless of how many
+  * right rows precede each left row, where a naive `leftTs >= rightTs`
+  * theta-join degenerates to a broadcast nested loop (quadratic and
+  * broadcast-bound). Rows at exactly equal timestamps resolve
+  * right-before-left (inclusive as-of).
+  */
+object AsOfJoin {
+
+  /** @param valueCols right columns to carry, as (rightName, outputName);
+    *                   output names must not collide with left columns. */
+  def asOfLeft(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      valueCols: Seq[(String, String)]): DataFrame = {
+    val l = left
+      .withColumn("__asof_ts", col(leftTs))
+      .withColumn("__asof_side", lit(0))
+    val r = right.select(
+      Seq(col(key), col(rightTs).as("__asof_ts"), lit(1).as("__asof_side")) ++
+        valueCols.map { case (rc, out) => col(rc).as(out) }: _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts → inclusive semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__asof_ts").asc, col("__asof_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { case (df, (_, out)) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__asof_side") === 0)
+      .drop("__asof_ts", "__asof_side")
+  }
+}

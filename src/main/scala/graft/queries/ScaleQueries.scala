@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Skew}
+
+/** Scale-pattern operators: as-of join (union-window, not range join),
+  * salted aggregation/join (skew mitigation, result-identical to naive
+  * forms — the oracles assert it), rollup, pivot, and a genuinely
+  * STREAMING query whose append-mode output is oracled against the batch
+  * watermark formula.
+  */
+object ScaleQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // structured streaming, under the correctness gate: run the events
+    // file through readStream → watermark → 5-min windows → memory sink;
+    // append mode emits exactly the windows closed by the final watermark
+    // (max event time - 10 min), which the DuckDB oracle reproduces.
+    Q("q51_stream_windows", Some(
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |b AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
+        |             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT b.w_start, b.event_type, b.n, b.total_value FROM b, wm
+        |WHERE b.w_start + INTERVAL 5 MINUTE <= wm.w
+        |ORDER BY w_start, event_type""".stripMargin),
+      (s, d) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft_stream_q51")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        val name = "graft_stream_q51"
+        val q = graft.streaming.EventPipeline.startWindowedQuery(
+          s, stage.toString, name)
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("w_start"), col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("w_start"), col("event_type"))
+      }),
+
+    // ROLLUP with subtotal rows labeled 'ALL'
+    Q("q46_rollup", Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"))),
+
+    // PIVOT linestatus into columns
+    Q("q47_pivot", Some(
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .orderBy(col("l_returnflag"))),
+
+    // as-of join: each purchase enriched with the user's latest prior click
+    Q("q48_asof_join", Some(
+      """SELECT p.event_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        AsOfJoin.asOfLeft(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("event_id" -> "click_id"))
+          .select(col("event_id"), col("user_id"), col("click_id"))
+          .orderBy(col("event_id"))
+      }),
+
+    // salted two-phase aggregation — identical result to plain GROUP BY
+    Q("q49_salted_agg", Some(
+      """SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        Skew.saltedSum(li, Seq("l_suppkey"),
+          col("l_extendedprice").cast("decimal(18,2)"), as = "total",
+          saltExpr = xxhash64(col("l_orderkey"), col("l_linenumber")),
+          salts = 16)
+          .orderBy(col("l_suppkey"))
+      }),
+
+    // salted join — identical result to the plain equi-join
+    Q("q50_salted_join", Some(
+      """SELECT s_name, count(*) AS n,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val sup = Tables.load(s, d, "supplier")
+        Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey",
+          saltExpr = xxhash64(col("l_orderkey"), col("l_linenumber")), salts = 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("total"))
+          .orderBy(col("s_name"))
+      })
+  )
+}

@@ -32,7 +32,10 @@ object EventPipeline {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal sum: exact and partition-order-independent, so streaming
+      // output hash-matches the batch oracle
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
