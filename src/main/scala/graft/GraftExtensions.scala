@@ -20,5 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[expressions.RollingHash].getName, "rolling_hash"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           expressions.RollingHash(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[expressions.KMinValues].getName, "kmv_distinct"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          expressions.KMinValues(exprs.head).toAggregateExpression()))
   }
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** TPC-H-shaped headline queries plus SQL-surface extensions (CTE,
+  * correlated EXISTS/NOT EXISTS, date functions) — the throughput
+  * reference shapes. Deterministic-decimal rules as everywhere; averages
+  * over 2-dp prices are expressed as CAST(sum_decimal AS DOUBLE)/count
+  * (exact numerator → identical IEEE division in both engines).
+  */
+object TpchQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1: pricing summary report
+    Q("q52_tpch_q1", Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS sum_disc_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val disc = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        val charge = disc * (lit(1) + col("l_tax")).cast("decimal(8,2)")
+        li.filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+            sum(disc).as("sum_disc_price"),
+            sum(charge).as("sum_charge"),
+            avg(col("l_quantity")).as("avg_qty"),
+            (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+              .as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      }),
+
+    // TPC-H Q3 shape: shipping priority (o_orderpriority stands in)
+    Q("q53_tpch_q3", Some(
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, d) => {
+        val rev = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.load(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(Tables.load(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(rev).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // TPC-H Q5 shape: local supplier volume by nation within a region
+    Q("q54_tpch_q5", Some(
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      (s, d) => {
+        val rev = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        Tables.load(s, d, "customer")
+          .join(Tables.load(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(Tables.load(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(sum(rev).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
+    // CTE (WITH clause) — order-count histogram
+    Q("q55_cte", Some(
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT n, count(*) AS n_custs FROM per_cust GROUP BY n ORDER BY n""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """WITH per_cust AS (
+            |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+            |SELECT n, count(*) AS n_custs FROM per_cust GROUP BY n ORDER BY n""".stripMargin)
+      }),
+
+    // correlated EXISTS → left-semi (beyond the reference's uncorrelated fence)
+    Q("q56_exists", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT c_custkey, c_name FROM customer
+            |WHERE EXISTS (SELECT 1 FROM orders
+            |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // correlated NOT EXISTS → left-anti
+    Q("q57_not_exists", Some(
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |                  AND l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT p_partkey, p_name FROM part
+            |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+            |                  AND l_quantity > 49)
+            |ORDER BY p_partkey""".stripMargin)
+      }),
+
+    // approximate distinct via the custom KMV TypedImperativeAggregate
+    // (sketch ≠ DuckDB's approx algorithm → rows-only; accuracy and
+    // determinism are spec-tested against exact counts)
+    Q("q59_kmv_distinct", None,
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          graft.expressions.KMinValues(col("l_partkey"), 256).as("approx_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    // date/time functions over order dates
+    Q("q58_date_functions", Some(
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |       count(*) AS n,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+        |ORDER BY y, m""".stripMargin),
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+        .orderBy(col("y"), col("m")))
+  )
+}
