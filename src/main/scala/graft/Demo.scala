@@ -47,6 +47,11 @@ object Demo {
     // df.sql accessor with implicit FROM
     people.sql("SELECT name WHERE age > 40 ORDER BY name").show(false)
 
+    // CTAS extension: materialize a query result as a new catalog table
+    println("[demo] CTAS: " + ds.query(
+      "CREATE TABLE londoners AS SELECT name, age FROM people WHERE city = 'London'"))
+    ds.queryDF("SELECT * FROM londoners ORDER BY name").show(false)
+
     // custom Catalyst function injected via SparkSessionExtensions
     spark.sql("SELECT name, rolling_hash(name) AS fp FROM people ORDER BY name")
       .show(false)

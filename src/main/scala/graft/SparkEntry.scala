@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.ScaleQueries.all ++
-      graft.queries.TpchQueries.all
+      graft.queries.TpchQueries.all ++
+      graft.queries.SurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

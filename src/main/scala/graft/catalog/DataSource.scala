@@ -190,6 +190,11 @@ class DataSource(
         tables.values.foreach { t =>
           cache.get(spark, t).createOrReplaceTempView(t.name)
         }
+        // honor the reference's case-sensitivity flag for COLUMN lookup
+        // too (utils.py:87-167): Spark's conf is session-global, so pin
+        // it for the analysis of this statement and restore after.
+        val prevCase = spark.conf.getOption("spark.sql.caseSensitive")
+        spark.conf.set("spark.sql.caseSensitive", caseSensitive)
         val df =
           try graft.sql.JoinNaming.disambiguate(spark.sql(lowered))
           catch {
@@ -198,6 +203,11 @@ class DataSource(
               // reference error contract (base_data_source.py:177-178)
               throw new QueryExecutionException(
                 s"Unknown table ${e.messageParameters.getOrElse("relationName", "?")}")
+          } finally {
+            prevCase match {
+              case Some(v) => spark.conf.set("spark.sql.caseSensitive", v)
+              case None => spark.conf.unset("spark.sql.caseSensitive")
+            }
           }
         if (reduceOutput) QueryResult.reduce(df) else QueryResult.Frame(df)
     }

@@ -40,11 +40,26 @@ object Commands {
       ds.tableMeta(name).fpath
   }
 
+  /** CREATE TABLE <name> AS SELECT … — extension beyond the reference's
+    * three commands: materializes the SELECT to parquet under the
+    * DataSource's metadata dir and registers it as a new table. */
+  final case class CreateTableAs(name: String, select: String) extends Command {
+    def execute(ds: DataSource): QueryResult = {
+      val df = ds.queryDF(select)
+      val path = java.nio.file.Paths.get(ds.metadataDir, s"$name.parquet")
+      df.coalesce(1).write.mode("errorifexists").parquet(path.toString)
+      ds.addTable(graft.catalog.FileTable(name, path.toString))
+      QueryResult.Ok
+    }
+  }
+
   private val createRe = """^CREATE TABLE \((\S+)?\);?$""".r
+  private val ctasRe = """(?is)^CREATE TABLE (\w+) AS (SELECT .+?);?$""".r
   private val dropRe = """^DROP TABLE (\S+);?$""".r
   private val showRe = """^SHOW TABLES\s*;?$""".r
 
   def tryParse(sql: String): Option[Command] = sql match {
+    case ctasRe(name, select) => Some(CreateTableAs(name, select))
     case createRe(arg) =>
       if (arg == null)
         throw new CommandException("First argument must be a file path, got instead: null.")

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Function-surface suite: JSON extraction, window functions, string and
+  * math libraries, conditionals, interval arithmetic, array functions,
+  * grouping sets — all oracled. Determinism notes: transcendentals other
+  * than sqrt (correctly-rounded by IEEE) are avoided; float→string
+  * formatting is never part of an oracle projection.
+  */
+object SurfaceQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // JSON extraction from the events.props string column
+    Q("q60_json", Some(
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => Tables.load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_num"))
+        .orderBy(col("event_id"))),
+
+    // window-function suite: rank, lag/lead, running aggregates
+    Q("q61_window_suite", Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank()       OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  lag(o_totalprice)  OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            count(lit(1)).over(wr).as("running_n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(wr)
+              .as("running_total"))
+          .orderBy(col("o_custkey"), col("rnk"))
+      }),
+
+    // string-function suite
+    Q("q62_string_suite", Some(
+      """SELECT c_custkey,
+        |  substr(c_name, 10, 5) AS sub5,
+        |  replace(c_name, 'Customer', 'C') AS repl,
+        |  lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
+        |  reverse(c_mktsegment) AS rev,
+        |  strpos(c_name, '9') AS pos9,
+        |  length(trim('  ' || c_mktsegment || ' ')) AS trimmed_len
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.load(s, d, "customer")
+        .select(col("c_custkey"),
+          substring(col("c_name"), 10, 5).as("sub5"),
+          regexp_replace(col("c_name"), "Customer", "C").as("repl"),
+          lpad(col("c_custkey").cast("string"), 6, "0").as("padded"),
+          reverse(col("c_mktsegment")).as("rev"),
+          instr(col("c_name"), "9").as("pos9"),
+          length(trim(concat(lit("  "), col("c_mktsegment"), lit(" "))))
+            .as("trimmed_len"))
+        .orderBy(col("c_custkey"))),
+
+    // conditional suite: CASE, coalesce∘nullif, least/greatest
+    Q("q63_conditional", Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+        |  least(o_totalprice, 250000.0) AS capped,
+        |  greatest(o_totalprice, 50000.0) AS floored
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_label"),
+          least(col("o_totalprice"), lit(250000.0)).as("capped"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("floored"))
+        .orderBy(col("o_orderkey"))),
+
+    // math suite (sqrt is correctly-rounded IEEE; exp/ln avoided)
+    Q("q64_math", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_partkey - 1000) AS a_abs,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS a_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS a_floor,
+        |  round(l_extendedprice / 7, 2) AS a_round,
+        |  sqrt(l_quantity) AS a_sqrt,
+        |  power(l_linenumber, 3) AS a_pow
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_partkey") - 1000).as("a_abs"),
+          ceil(col("l_extendedprice") / 1000).as("a_ceil"),
+          floor(col("l_extendedprice") / 1000).as("a_floor"),
+          round(col("l_extendedprice") / 7, 2).as("a_round"),
+          sqrt(col("l_quantity")).as("a_sqrt"),
+          pow(col("l_linenumber"), 3).as("a_pow"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // interval arithmetic + calendar truncation
+    Q("q65_interval", Some(
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"),
+          date_trunc("quarter", col("o_orderdate")).as("q_start"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey"))),
+
+    // array functions over embeddings (no float→string formatting)
+    Q("q66_array_functions", Some(
+      """SELECT vec_id,
+        |  len(embedding) AS n_dims,
+        |  embedding[1] AS first_dim,
+        |  list_max(embedding) AS amax,
+        |  list_min(embedding) AS amin
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, d) => Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          element_at(col("embedding"), 1).as("first_dim"),
+          array_max(col("embedding")).as("amax"),
+          array_min(col("embedding")).as("amin"))
+        .orderBy(col("vec_id"))),
+
+    // GROUPING SETS beyond plain rollup
+    Q("q67_grouping_sets", Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+            |       coalesce(l_linestatus, 'ALL') AS status,
+            |       count(*) AS n, sum(l_quantity) AS sum_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY flag, status""".stripMargin)
+      })
+  )
+}

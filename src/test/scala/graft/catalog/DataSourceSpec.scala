@@ -110,6 +110,32 @@ class DataSourceSpec extends SparkSpec {
     assert(ds.tableNames === Seq("titanic"))
   }
 
+  test("CTAS materializes and registers a new table") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    assert(ds.query(
+      "CREATE TABLE survivors AS SELECT name, fare FROM titanic WHERE survived = 1")
+      === QueryResult.Ok)
+    assert(ds.contains("survivors"))
+    assert(ds.queryDF("SELECT count(*) AS n FROM survivors").head.getLong(0) === 4L)
+    // persisted: a fresh DataSource over the same metadata dir sees it
+    val ds2 = new DataSource(spark, dir.toString)
+    assert(ds2.queryDF("SELECT count(*) AS n FROM survivors").head.getLong(0) === 4L)
+  }
+
+  test("case-insensitive mode applies to column lookup; sensitive mode rejects") {
+    val dir = tmpDir()
+    val insensitive = new DataSource(spark, dir.toString, caseSensitive = false)
+    insensitive.addTableFromFile(titanicCsv(dir))
+    assert(insensitive.queryDF("SELECT PASSENGER_ID FROM titanic").count() === 9)
+    val dir2 = tmpDir()
+    val sensitive = new DataSource(spark, dir2.toString) // reference default
+    sensitive.addTableFromFile(titanicCsv(dir2))
+    assertThrows[Exception](
+      sensitive.queryDF("SELECT PASSENGER_ID FROM titanic").collect())
+  }
+
   test("custom scalar function is callable from SQL") {
     val dir = tmpDir()
     val ds = new DataSource(spark, dir.toString)
