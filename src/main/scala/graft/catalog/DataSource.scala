@@ -209,6 +209,15 @@ class DataSource(
               case None => spark.conf.unset("spark.sql.caseSensitive")
             }
           }
+        // reference contract: duplicate output names are an error
+        // (base_data_source.py:331-332); JoinNaming already qualified
+        // join collisions, so dups here mean genuinely duplicate aliases.
+        val names = df.columns
+        if (names.distinct.length != names.length) {
+          val dup = names.diff(names.distinct).head
+          throw new QueryExecutionException(
+            s"Duplicate column name in output: $dup")
+        }
         if (reduceOutput) QueryResult.reduce(df) else QueryResult.Frame(df)
     }
   }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 /** KMV (k-minimum-values) distinct-count sketch as a mergeable
   * TypedImperativeAggregate.
   *
-  * Classic bottom-k estimator: keep the k smallest 64-bit hashes of the
+  * Classic bottom-k estimator (Bar-Yossef et al., "Counting distinct
+  * elements in a data stream", RANDOM 2002; Beyer et al., SIGMOD 2007 for
+  * the (k-1)/x unbiased form): keep the k smallest 64-bit hashes of the
   * values; if the k-th smallest hash, mapped to (0,1), is x, the distinct
   * count is ≈ (k-1)/x. Fully mergeable (union, re-truncate to k) → Spark
   * runs it as partial + final aggregation with map-side combine, exactly

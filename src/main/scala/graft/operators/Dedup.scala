@@ -12,8 +12,12 @@ import graft.functions.TextFunctions
   *   - exact: hash-groupBy on a content fingerprint;
   *   - byKey: groupBy on chosen columns, keep min id;
   *   - MinHash+LSH: shingle → k minhashes → banded signatures →
-  *     bucket equi-join → candidate pairs → signature-estimated Jaccard;
-  *   - SimHash: 64-bit bit-vote fingerprint, banded for pair generation;
+  *     bucket equi-join → candidate pairs → signature-estimated Jaccard
+  *     (Broder, "On the resemblance and containment of documents", 1997;
+  *     banding analysis per Leskovec/Rajaraman/Ullman, MMDS ch. 3);
+  *   - SimHash: 64-bit bit-vote fingerprint, banded for pair generation
+  *     (Charikar, "Similarity estimation techniques from rounding
+  *     algorithms", STOC 2002);
   *   - n-gram Jaccard: exact, via shingle inverted-index join with a
   *     document-frequency cap on hot shingles (the standard skew guard).
   */

@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *   - brute-force cosine top-k: exact, O(|Q|·N) — the baseline, fine when
   *     the query set is small (a broadcast join against the corpus);
-  *   - LSH (random hyperplane signatures) with multi-probe: the scale
-  *     path — signatures bucket the corpus so a query touches only its
+  *   - LSH (random hyperplane signatures, Charikar STOC 2002; multi-probe
+  *     per Lv et al., VLDB 2007) and IVF-style coarse quantization
+  *     (Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+  *     search", TPAMI 2011 — the coarse-quantizer half): the scale paths —
+  *     signatures/cells bucket the corpus so a query touches only its
   *     probe buckets; at 100 TB this is a shuffle on (bucket) instead of a
   *     cross join.
   *

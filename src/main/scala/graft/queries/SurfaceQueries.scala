@@ -151,6 +151,39 @@ object SurfaceQueries {
           array_min(col("embedding")).as("amin"))
         .orderBy(col("vec_id"))),
 
+    // session windows under the oracle: Spark's native session_window vs
+    // the classic gaps-and-islands SQL (lag + cumulative break count).
+    // Timestamps project only at second granularity: floor-to-second is
+    // exact under Spark's ns→µs truncation (µs divides s), so values
+    // match DuckDB's full-ns arithmetic. The break condition uses >= gap
+    // to mirror session_window's exclusive end.
+    Q("q68_sessionize", Some(
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS s_start_sec,
+        |       count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start_sec""".stripMargin),
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .select(col("user_id"),
+          date_trunc("second", col("session_window.start")).as("s_start_sec"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("s_start_sec"))),
+
     // GROUPING SETS beyond plain rollup
     Q("q67_grouping_sets", Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -30,13 +30,9 @@ object JoinNaming {
       if (dups(a.name) && a.qualifier.nonEmpty) s"${a.qualifier.last}.${a.name}"
       else a.name
     }
-    // safety: force uniqueness even for pathological self-joins
-    val seen = scala.collection.mutable.Map[String, Int]()
-    val unique = proposed.map { n =>
-      val k = seen.getOrElse(n, 0)
-      seen(n) = k + 1
-      if (k == 0) n else s"$n#$k"
-    }
-    df.toDF(unique: _*)
+    // names that stay duplicated (same alias joined with itself, or
+    // genuinely duplicate output aliases) are left as-is — the caller's
+    // duplicate-name check turns them into the reference's error
+    df.toDF(proposed: _*)
   }
 }

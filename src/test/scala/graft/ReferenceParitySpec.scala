@@ -192,6 +192,13 @@ class ReferenceParitySpec extends SparkSpec {
     assert(e.getMessage.contains("Unknown table"))
   }
 
+  test("duplicate output aliases raise (test duplicate-name contract)") {
+    val (ds, _) = fixture()
+    val e = intercept[QueryExecutionException](
+      ds.queryDF("SELECT fare AS x, age AS x FROM titanic"))
+    assert(e.getMessage.contains("Duplicate column name"))
+  }
+
   test("arithmetic with ^ as power (test_operations)") {
     val (ds, _) = fixture()
     val out = ds.queryDF(
