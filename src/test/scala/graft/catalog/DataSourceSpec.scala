@@ -110,6 +110,17 @@ class DataSourceSpec extends SparkSpec {
     assert(ds.tableNames === Seq("titanic"))
   }
 
+  test("fromDir over the full testdata dir: all 10 parquet tables queryable") {
+    val meta = tmpDir()
+    val ds = DataSource.fromDir(spark, meta.toString, "/root/testdata/sf0.001")
+    assert(ds.tableNames.toSet === graft.Tables.all.toSet)
+    val out = ds.queryDF(
+      """SELECT n_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin)
+    assert(out.count() === 3)
+  }
+
   test("CTAS materializes and registers a new table") {
     val dir = tmpDir()
     val ds = new DataSource(spark, dir.toString)
