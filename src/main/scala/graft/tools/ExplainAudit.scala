@@ -36,29 +36,12 @@ object ExplainAudit {
       val bhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).length
       val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).length
       val smj = "\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).length
-      val codegenIds = countCodegen(df.queryExecution.executedPlan)
+      val codegenIds = PlanInspect.nodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
       val exch = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
       println(f"[audit] $name%-22s scans=$scans cols=${readSchemas.mkString("/")}%-12s " +
         f"pushed=$pushed%-5s bcast=${bhj + bnlj} smj=$smj shuffles=$exch codegenSpans=$codegenIds")
     }
     spark.stop()
-  }
-
-  /** Count WholeStageCodegen spans in the FINAL plan, descending through
-    * AQE wrappers (their children hide behind executedPlan, so a plain
-    * collect() misses them). */
-  private def countCodegen(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-    import org.apache.spark.sql.execution.WholeStageCodegenExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val self = p match {
-      case _: WholeStageCodegenExec => 1
-      case _ => 0
-    }
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    self + kids.map(countCodegen).sum
   }
 }

@@ -113,12 +113,19 @@ class DataSourceSpec extends SparkSpec {
   test("fromDir over the full testdata dir: all 10 parquet tables queryable") {
     val meta = tmpDir()
     val ds = DataSource.fromDir(spark, meta.toString, "/root/testdata/sf0.001")
-    assert(ds.tableNames.toSet === graft.Tables.all.toSet)
-    val out = ds.queryDF(
-      """SELECT n_name, count(*) AS n FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin)
-    assert(out.count() === 3)
+    try {
+      assert(ds.tableNames.toSet === graft.Tables.all.toSet)
+      val out = ds.queryDF(
+        """SELECT n_name, count(*) AS n FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin)
+      assert(out.count() === 3)
+    } finally {
+      // unpersist: Spark's cache manager substitutes InMemoryRelation into
+      // ANY other plan over the same files (shared session), which would
+      // silently defeat the pushdown/pruning plan specs
+      ds.setCache(new DoNothingCache)
+    }
   }
 
   test("CTAS materializes and registers a new table") {

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-property regression guards: the scale properties observed in the
+  * perf audit, pinned as tests so a refactor can't silently lose a
+  * pushdown, a broadcast, or a top-k short-circuit.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("q02 filter reaches the parquet scan (PushedFilters)") {
+    val plan = PlanInspect.formatted(run("q02_filter"))
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q01 projection prunes the scan to 5 of 11 lineitem columns") {
+    val plan = PlanInspect.formatted(run("q01_projection"))
+    val cols = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).get.group(1).count(_ == ':')
+    assert(cols === 5, plan)
+  }
+
+  test("q08 ORDER BY+LIMIT+OFFSET compiles to TakeOrderedAndProject (no global sort)") {
+    val names = PlanInspect.nodeNames(run("q08_order_limit_offset"))
+    assert(names.exists(_.contains("TakeOrderedAndProject")), names)
+    assert(!names.exists(_.contains("ShuffleExchange")), names)
+  }
+
+  test("q09 dim join broadcasts the customer side") {
+    val names = PlanInspect.nodeNames(run("q09_join_inner"))
+    assert(names.exists(_.contains("BroadcastHashJoin")), names)
+  }
+
+  test("q12 full-outer join correctly avoids broadcast (sort-merge)") {
+    val names = PlanInspect.nodeNames(run("q12_join_full"))
+    assert(names.exists(_.contains("SortMergeJoin")), names)
+  }
+
+  test("t35 custom RollingHash stays inside WholeStageCodegen") {
+    val nodes = PlanInspect.executedNodes(run("t35_rolling_hash"))
+    val inCodegen = nodes.exists { n =>
+      n.getClass.getSimpleName.contains("WholeStageCodegen") &&
+        n.toString.contains("rolling_hash")
+    }
+    assert(inCodegen, nodes.map(_.getClass.getSimpleName))
+  }
+
+  test("partitioned write → partition-pruned read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.Tables.load(spark, sf0001, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = PlanInspect.formatted(df)
+    // pruned at planning time: only the purchase partition is read
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+    assert(df.count() > 0)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh metastore doesn't know about locations left by prior JVMs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    graft.Tables.load(spark, sf0001, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.Tables.load(spark, sf0001, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // disable auto-broadcast: at test scale Catalyst would broadcast the
+    // tiny table and hide the property under test (bucketed co-location)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val names = PlanInspect.nodeNames(joined)
+      assert(names.exists(_.contains("SortMergeJoin")), names)
+      // the join inputs come straight from bucketed scans — the only
+      // exchange allowed is the post-join aggregation shuffle
+      val exchanges = names.count(_.contains("ShuffleExchange"))
+      assert(exchanges <= 1, s"expected ≤1 exchange (post-join agg), got: $names")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
