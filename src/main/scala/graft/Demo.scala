@@ -47,6 +47,13 @@ object Demo {
     // df.sql accessor with implicit FROM
     people.sql("SELECT name WHERE age > 40 ORDER BY name").show(false)
 
+    // join output naming + chained df.sql over the dotted labels
+    val selfJoin = DfSql.sqlQuery(
+      "SELECT * FROM p1 JOIN p2 ON p1.city = p2.city",
+      "p1" -> people, "p2" -> people)
+    println("[demo] join columns: " + selfJoin.columns.mkString(", "))
+    selfJoin.sql("SELECT p1.name, p2.name WHERE p1.name != p2.name").show(false)
+
     // CTAS extension: materialize a query result as a new catalog table
     println("[demo] CTAS: " + ds.query(
       "CREATE TABLE londoners AS SELECT name, age FROM people WHERE city = 'London'"))

@@ -57,7 +57,11 @@ object DfSql {
     * `from temp` spliced in (Dialect.addImplicitFrom). */
   implicit class SqlOps(private val df: DataFrame) {
     def sql(query: String): DataFrame = {
-      val withFrom = Dialect.addImplicitFrom(query, "temp")
+      // literal dotted columns (join output naming) stay addressable
+      // without manual backticks, as in the reference
+      val dotted = df.columns.filter(_.contains(".")).toSet
+      val withFrom = Dialect.addImplicitFrom(
+        Dialect.backtickDottedColumns(query, dotted), "temp")
       sqlQuery(withFrom, "temp" -> df)
     }
   }

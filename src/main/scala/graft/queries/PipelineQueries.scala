@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Composed pipelines and set operations. q69 is the "training-data prep"
+  * composition: quality-score → filter → canonical dedup (keep lowest
+  * doc_id) → per-survivor stats — the chain a real corpus build runs,
+  * expressed by composing the library operators, and fully oracled.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // end-to-end corpus-prep pipeline (oracle mirrors each stage)
+    Q("q69_prep_pipeline", Some(
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4
+        |      + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |          / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+        |      6) AS quality,
+        |    md5(array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' ')) AS canon_fp
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |survivors AS (
+        |  SELECT canon_fp, min(doc_id) AS doc_id FROM kept GROUP BY canon_fp)
+        |SELECT k.doc_id, k.lang, k.n_tokens, k.quality
+        |FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
+      (s, d) => {
+        val scored = Tables.load(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"),
+          canonicalFingerprint(col("text")).as("canon_fp"))
+        val kept = scored.filter(col("quality") >= 0.5)
+        val survivors = kept.groupBy(col("canon_fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        kept.join(survivors, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // fuzzy variant: additionally drop the higher-id member of every
+    // MinHash-LSH near-dup pair (xxhash64 → rows-only check; the subset
+    // relation vs q69 is spec-tested)
+    Q("q70_prep_fuzzy", None,
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dupIds = Dedup.minhashPairs(docs, threshold = 0.5)
+          .select(col("id_b").as("doc_id"))
+        val scored = docs.select(
+          col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+        scored.filter(col("quality") >= 0.5)
+          .join(dupIds, Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      }),
+
+    // set operations beyond UNION ALL
+    Q("q71_intersect", Some(
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin),
+      (s, d) => Tables.load(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(Tables.load(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))),
+
+    Q("q72_except", Some(
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Tables.load(s, d, "customer").select(col("c_custkey"))
+        .except(Tables.load(s, d, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey")))
+  )
+}

@@ -185,6 +185,31 @@ object Dialect {
     case _ => false
   }
 
+  /** Backtick-quote occurrences of known LITERAL dotted column names
+    * (`t1.sex` produced by JoinNaming) so a chained query over a join
+    * result can address them the way the reference does
+    * (base_data_source.py:200-226 tries the joined label first). Operates
+    * on the token stream: Word '.' Word triples matching a known name
+    * collapse into one backticked identifier. */
+  def backtickDottedColumns(sql: String, dottedNames: Set[String]): String = {
+    if (dottedNames.isEmpty) return sql
+    val toks = tokenize(sql)
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(a) if i + 2 < toks.length && toks(i + 1) == Sym(".") =>
+          toks(i + 2) match {
+            case Word(b) if dottedNames.contains(s"$a.$b") =>
+              out += Tick(s"`$a.$b`"); i += 3
+            case _ => out += toks(i); i += 1
+          }
+        case t => out += t; i += 1
+      }
+    }
+    render(out.result())
+  }
+
   /** Splice ` from <table> ` into every SELECT that lacks a FROM — the
     * `df.sql("SELECT x WHERE …")` accessor semantics (reference:
     * dfsql/extensions.py:15-62). Same contract as the reference scanner:

@@ -43,6 +43,17 @@ class DfSqlSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("df.sql addresses literal dotted columns from a join result") {
+    val joined = graft.api.DfSql.sqlQuery(
+      "SELECT * FROM a JOIN b ON a.c_custkey = b.c_custkey",
+      "a" -> cust, "b" -> cust)
+    val renamed = graft.sql.JoinNaming.disambiguate(joined)
+    assert(renamed.columns.contains("a.c_name"))
+    val out = renamed.sql("SELECT a.c_name WHERE a.c_custkey < 5 ORDER BY a.c_name")
+    assert(out.columns.toSeq === Seq("a.c_name"))
+    assert(out.count() === 5)
+  }
+
   test("temp view is cleaned up after sqlQuery") {
     DfSql.sqlQuery("SELECT count(*) AS n FROM cleanup_check",
       "cleanup_check" -> li)
