@@ -63,6 +63,16 @@ object Demo {
     spark.sql("SELECT name, rolling_hash(name) AS fp FROM people ORDER BY name")
       .show(false)
 
+    // reduce_output parity + cache accounting
+    println("[demo] scalar: " + DfSql.sqlQueryReduced(
+      "SELECT count(*) AS n FROM p", "p" -> people))
+    val cache = new graft.catalog.MemoryCache
+    val ds2 = new DataSource(spark, Files.createTempDirectory("graft_demo2").toString,
+      initialCache = cache)
+    ds2.addTableFromFile(csv.toString)
+    ds2.table("people"); ds2.table("people"); ds2.table("people")
+    println("[demo] cache (hits, misses, size): " + cache.info)
+
     // error paths surface as DfsqlException subclasses with clean messages
     try ds.queryDF("SELECT * FROM nope")
     catch { case e: Exception => println(s"[demo] expected error: ${e.getMessage.linesIterator.next()}") }

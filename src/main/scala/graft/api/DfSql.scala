@@ -38,6 +38,13 @@ object DfSql {
     }
   }
 
+  /** sqlQuery with the reference's reduce_output=True semantics: a 1×1
+    * result comes back as a Scalar (reference: __init__.py:12,
+    * base_data_source.py:455-461). */
+  def sqlQueryReduced(
+      sql: String, tables: (String, DataFrame)*): graft.catalog.QueryResult =
+    graft.catalog.QueryResult.reduce(sqlQuery(sql, tables: _*))
+
   /** sqlQuery with reference-style custom scalar functions registered for
     * the duration of the session (reference: __init__.py custom_functions
     * kwarg; registration shadows same-named built-ins). */

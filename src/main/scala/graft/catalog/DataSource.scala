@@ -47,12 +47,30 @@ final class DoNothingCache extends TableCache {
   def get(spark: SparkSession, t: FileTable): DataFrame = t.fetch(spark)
   def clear(): Unit = ()
 }
-/** reference: cache.py:16-27 MemoryCache (lru_cache) — persist + memoize. */
+/** reference: cache.py:16-27 MemoryCache (lru_cache) — persist + memoize.
+  * Tracks hits/misses like functools.lru_cache.cache_info()
+  * (reference tests/test_cache.py asserts on those counters). */
 final class MemoryCache extends TableCache {
   private val loaded = mutable.Map[String, DataFrame]()
-  def get(spark: SparkSession, t: FileTable): DataFrame =
-    loaded.getOrElseUpdate(t.fpath, t.fetch(spark).persist())
-  def clear(): Unit = { loaded.values.foreach(_.unpersist()); loaded.clear() }
+  private var hitCount = 0L
+  private var missCount = 0L
+  def get(spark: SparkSession, t: FileTable): DataFrame = synchronized {
+    loaded.get(t.fpath) match {
+      case Some(df) => hitCount += 1; df
+      case None =>
+        missCount += 1
+        val df = t.fetch(spark).persist()
+        loaded(t.fpath) = df
+        df
+    }
+  }
+  def clear(): Unit = synchronized {
+    loaded.values.foreach(_.unpersist())
+    loaded.clear()
+    hitCount = 0; missCount = 0
+  }
+  /** (hits, misses, currentSize) — the cache_info() analog. */
+  def info: (Long, Long, Int) = synchronized((hitCount, missCount, loaded.size))
 }
 
 /** The dfsql catalog facade over a SparkSession (reference:

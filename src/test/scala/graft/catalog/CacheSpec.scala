@@ -1,0 +1,60 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Port of the reference cache accounting tests (tests/test_cache.py:
+  * hit/miss/size via cache_info). */
+class CacheSpec extends SparkSpec {
+
+  private def fixture(): (DataSource, MemoryCache) = {
+    val dir = Files.createTempDirectory("graft_cache")
+    val csv = dir.resolve("t.csv")
+    Files.writeString(csv, "a,b\n1,x\n2,y\n")
+    val cache = new MemoryCache
+    val ds = new DataSource(spark, dir.toString, initialCache = cache)
+    ds.addTableFromFile(csv.toString)
+    (ds, cache)
+  }
+
+  test("first access misses, repeats hit (test_cache_hits)") {
+    val (ds, cache) = fixture()
+    ds.table("t").count()
+    val (h1, m1, s1) = cache.info
+    assert(m1 === 1 && s1 === 1)
+    ds.table("t").count()
+    ds.table("t").count()
+    val (h2, m2, _) = cache.info
+    assert(h2 === h1 + 2 && m2 === m1)
+  }
+
+  test("clear resets counters and unpersists (test_cache_clear)") {
+    val (ds, cache) = fixture()
+    val df = ds.table("t")
+    df.count()
+    assert(df.storageLevel.useMemory) // persisted by the cache
+    cache.clear()
+    assert(cache.info === ((0L, 0L, 0)))
+    assert(!df.storageLevel.useMemory) // unpersisted
+  }
+
+  test("DoNothingCache never memoizes (DoNothingCache parity)") {
+    val dir = Files.createTempDirectory("graft_cache2")
+    val csv = dir.resolve("t.csv")
+    Files.writeString(csv, "a\n1\n")
+    val ds = new DataSource(spark, dir.toString,
+      initialCache = new DoNothingCache)
+    ds.addTableFromFile(csv.toString)
+    assert(!ds.table("t").storageLevel.useMemory)
+  }
+
+  test("sqlQueryReduced returns a scalar for 1x1 results") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    graft.api.DfSql.sqlQueryReduced(
+      "SELECT count(*) AS n FROM li", "li" -> li) match {
+      case QueryResult.Scalar(v) => assert(v.asInstanceOf[Long] > 0)
+      case other => fail(s"expected Scalar, got $other")
+    }
+  }
+}
