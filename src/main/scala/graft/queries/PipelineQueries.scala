@@ -78,6 +78,42 @@ object PipelineQueries {
         .intersect(Tables.load(s, d, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy(col("nk"))),
 
+    // int8 embedding quantization (4x storage cut; double arithmetic
+    // with explicit casts makes it bitwise-oracled)
+    Q("q73_quantize_i8", Some(
+      """SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |  CAST(CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0.0 THEN 0
+        |       ELSE round(CAST(embedding[1] AS DOUBLE)
+        |            / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) * 127) END AS TINYINT) AS q1
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        Tables.load(s, d, "embeddings").select(
+          col("vec_id"),
+          VectorFunctions.quantScale(col("embedding")).as("scale"),
+          element_at(VectorFunctions.quantizeI8(col("embedding")), 1).as("q1"))
+          .orderBy(col("vec_id"))
+      }),
+
+    // streaming dedup: dropDuplicatesWithinWatermark over the event
+    // stream; the emitted KEY SET is deterministic (first-arrival rows
+    // are not, so only keys are projected) and equals batch DISTINCT
+    Q("q74_stream_dedup", Some(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin),
+      (s, d) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        val name = "graft_stream_dedup"
+        val q = graft.streaming.EventPipeline.startDedupQuery(s, stage.toString, name)
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).distinct() // memory sink may replay on retries
+          .orderBy(col("user_id"), col("event_type"))
+      }),
+
     Q("q72_except", Some(
       """SELECT c_custkey FROM customer
         |EXCEPT

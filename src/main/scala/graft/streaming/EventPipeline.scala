@@ -68,11 +68,21 @@ object EventPipeline {
       }
   }
 
+  /** Streaming exact dedup: first arrival per key wins, with state
+    * expiring at the watermark — the streaming face of the dedup suite
+    * (bounded state, unlike a batch distinct over an infinite stream). */
+  def streamingDedupKeys(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Wire a streaming source over an events directory into the windowed
     * rollup and a memory sink; returns the started query. Caller stops
     * it. (Parquet streaming source needs an explicit schema.) */
-  def startWindowedQuery(
-      spark: SparkSession, eventsDir: String, queryName: String) = {
+  /** Streaming source over an events parquet directory (schema must be
+    * explicit for file streams; nanos ts arrives as int64 → µs). */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -81,13 +91,22 @@ object EventPipeline {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    windowedCounts(stream)
-      .writeStream
+  }
+
+  private def toMemorySink(df: DataFrame, queryName: String) =
+    df.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(queryName)
       .start()
-  }
+
+  def startWindowedQuery(
+      spark: SparkSession, eventsDir: String, queryName: String) =
+    toMemorySink(windowedCounts(eventsStream(spark, eventsDir)), queryName)
+
+  def startDedupQuery(
+      spark: SparkSession, eventsDir: String, queryName: String) =
+    toMemorySink(streamingDedupKeys(eventsStream(spark, eventsDir)), queryName)
 }

@@ -31,6 +31,22 @@ class EventPipelineSpec extends SparkSpec {
     assert(byUser === expect)
   }
 
+  test("streaming dedup emits exactly the batch-distinct key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_spec")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventPipeline.startDedupQuery(spark, dir.toString, "sdedup_spec")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT user_id, event_type FROM sdedup_spec")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = events.select($"user_id", $"event_type").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("end-to-end streaming: parquet source → watermark window → memory sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     // stage the events file into a clean source dir (other tables would
