@@ -78,6 +78,22 @@ class ReferenceParitySpec extends SparkSpec {
     assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((3, 6L)))
   }
 
+  test("HAVING can reference SELECT aliases (reference: HAVING on post-projection)") {
+    val (ds, _) = fixture()
+    val out = ds.queryDF(
+      "SELECT p_class, avg(fare) AS af FROM titanic GROUP BY p_class HAVING af > 20 ORDER BY p_class")
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("IN value list (test_select_in)") {
+    val (ds, _) = fixture()
+    val out = ds.queryDF(
+      "SELECT passenger_id FROM titanic WHERE embarked IN ('C', 'Q') ORDER BY passenger_id")
+      .collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(2, 6))
+  }
+
   test("inner join renames collided columns to alias.col (test_inner_join)") {
     val (ds, dir) = fixture()
     Files.copy(dir.resolve("titanic.csv"), dir.resolve("titanic2.csv"))
