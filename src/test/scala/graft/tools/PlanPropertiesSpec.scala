@@ -61,6 +61,55 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("AQE splits the skewed partition of a hot-key join") {
+    // thresholds at floor values: test-scale shuffle sizes are a few
+    // hundred KB, far below the production 256MB default — the spec
+    // demonstrates the MECHANISM (AQE splitting a skewed partition into
+    // PartialReducerPartitionSpec reads), not production tuning
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      import spark.implicits._
+      // one key carries ~97% of the rows
+      val fact = spark.range(0, 300000)
+        .select(when($"id" < 290000, 0L).otherwise($"id").as("k"),
+          // incompressible payload: size estimates, not row counts, drive
+          // skew detection
+          md5(concat($"id".cast("string"), lit("x"))).as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k2"), ($"id" * 2).as("w"))
+      // global agg after the join: a groupBy(k) would demand the join's
+      // partitioning and make AQE skip the skew split as not worthwhile
+      val joined = fact.join(dim, $"k" === $"k2").agg(count(lit(1)).as("n"))
+      val nodes = PlanInspect.executedNodes(joined)
+      import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+      import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+      val skewHandled = nodes.exists {
+        case r: AQEShuffleReadExec =>
+          r.partitionSpecs.exists(_.isInstanceOf[PartialReducerPartitionSpec])
+        case _ => false
+      }
+      assert(skewHandled, nodes.map(_.getClass.getSimpleName))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("facade queries keep parquet pushdown through temp views") {
+    val meta = java.nio.file.Files.createTempDirectory("graft_plan_meta")
+    val ds = new graft.catalog.DataSource(spark, meta.toString,
+      initialCache = new graft.catalog.DoNothingCache)
+    ds.addTable(graft.catalog.FileTable("lineitem", s"$sf0001/lineitem.parquet"))
+    val df = ds.queryDF("SELECT l_orderkey FROM lineitem WHERE l_quantity > 45")
+    val plan = PlanInspect.formatted(df)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
