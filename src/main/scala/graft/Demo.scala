@@ -63,6 +63,11 @@ object Demo {
     spark.sql("SELECT name, rolling_hash(name) AS fp FROM people ORDER BY name")
       .show(false)
 
+    // writer facade: persist a result as a partitioned catalog table
+    ds.saveTable("by_city", people, partitionBy = Seq("city"))
+    ds.queryDF("SELECT city, count(*) AS n FROM by_city GROUP BY city ORDER BY city")
+      .show(false)
+
     // reduce_output parity + cache accounting
     println("[demo] scalar: " + DfSql.sqlQueryReduced(
       "SELECT count(*) AS n FROM p", "p" -> people))

@@ -139,6 +139,30 @@ class DataSource(
 
   def setCache(c: TableCache): Unit = { cache.clear(); cache = c }
 
+  /** Persist a DataFrame as a new catalog table under the metadata dir
+    * (the writer face of the catalog; CTAS routes through here
+    * conceptually). Partition columns become directory partitions —
+    * the layout partition-pruned reads rely on at scale. */
+  def saveTable(
+      name: String, df: DataFrame, format: String = "parquet",
+      partitionBy: Seq[String] = Nil): Unit = {
+    if (tables.contains(norm(name)))
+      throw new QueryExecutionException(
+        s"Table $name already exists in data source, use DROP TABLE to " +
+          "remove it if you want to recreate it.")
+    val path = Paths.get(metadataDir, s"$name.$format").toString
+    val writer = df.write.mode("errorifexists")
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    format match {
+      case "csv" => partitioned.option("header", "true").csv(path)
+      case "json" => partitioned.json(path)
+      case _ => partitioned.parquet(path)
+    }
+    tables(norm(name)) = FileTable(name, path)
+    saveMetadata()
+  }
+
   // ---- metadata persistence (base_data_source.py:118-146) ----
   // File format matches the reference: {name: {"type":"FileTable",
   // "name":…, "fpath":…}} in <metadataDir>/datasource_tables.json.

@@ -67,6 +67,14 @@ object Dialect {
         val start = i
         while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
         out += Word(sql.substring(start, i))
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // bracketed comment (incl. /*+ hints */) — keep verbatim
+        val end = sql.indexOf("*/", i + 2)
+        val stop = if (end < 0) n else end + 2
+        out += Sym(sql.substring(i, stop))
+        i = stop
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        i = sql.indexOf('\n', i) match { case -1 => n; case nl => nl }
       } else {
         multiSyms.find(ms => sql.startsWith(ms, i)) match {
           case Some(ms) => out += Sym(ms); i += ms.length

@@ -154,6 +154,51 @@ class DataSourceSpec extends SparkSpec {
       sensitive.queryDF("SELECT PASSENGER_ID FROM titanic").collect())
   }
 
+  test("saveTable round-trips parquet, csv, and partitioned layouts") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    val survivors = ds.table("titanic").filter("survived = 1")
+    ds.saveTable("surv_parquet", survivors)
+    ds.saveTable("surv_csv", survivors, format = "csv")
+    ds.saveTable("surv_part", survivors, partitionBy = Seq("sex"))
+    assert(ds.queryDF("SELECT count(*) AS n FROM surv_parquet").head.getLong(0) === 4)
+    assert(ds.queryDF("SELECT count(*) AS n FROM surv_csv").head.getLong(0) === 4)
+    assert(ds.queryDF("SELECT count(*) AS n FROM surv_part WHERE sex = 'female'")
+      .head.getLong(0) === 4)
+    // persisted across instances
+    assert(new DataSource(spark, dir.toString).contains("surv_parquet"))
+  }
+
+  test("JSON file tables register and query") {
+    val dir = tmpDir()
+    val j = dir.resolve("logs.json")
+    Files.writeString(j,
+      """{"level":"info","n":1}
+        |{"level":"warn","n":2}
+        |{"level":"info","n":3}
+        |""".stripMargin)
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(j.toString)
+    val out = ds.queryDF(
+      "SELECT level, sum(n) AS total FROM logs GROUP BY level ORDER BY level")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("info", 4L), ("warn", 2L)))
+  }
+
+  test("broadcast hints pass through the facade to the planner") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString,
+      initialCache = new DoNothingCache)
+    ds.addTable(FileTable("orders", "/root/testdata/sf0.001/orders.parquet"))
+    ds.addTable(FileTable("customer", "/root/testdata/sf0.001/customer.parquet"))
+    val df = ds.queryDF(
+      """SELECT /*+ BROADCAST(customer) */ o_orderkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)
+    val names = graft.tools.PlanInspect.nodeNames(df)
+    assert(names.exists(_.contains("BroadcastHashJoin")), names)
+  }
+
   test("custom scalar function is callable from SQL") {
     val dir = tmpDir()
     val ds = new DataSource(spark, dir.toString)
