@@ -19,12 +19,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[expressions.RollingHash].getName, "rolling_hash"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          expressions.RollingHash(exprs.head)))
+          exprs match {
+            case Seq(e) => expressions.RollingHash(e)
+            case other => throw new graft.QueryExecutionException(
+              s"rolling_hash expects 1 argument, got ${other.length}")
+          }))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[expressions.KMinValues].getName, "kmv_distinct"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          expressions.KMinValues(exprs.head).toAggregateExpression()))
+          exprs match {
+            case Seq(e) =>
+              expressions.KMinValues(e).toAggregateExpression()
+            case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+              expressions.KMinValues(e, k).toAggregateExpression()
+            case other => throw new graft.QueryExecutionException(
+              "kmv_distinct expects (column[, k-int-literal]), got " +
+                s"${other.length} args")
+          }))
   }
 }

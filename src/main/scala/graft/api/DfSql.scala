@@ -29,12 +29,25 @@ object DfSql {
           s"Table $name found in from_tables, but not in the SQL query.")
     }
     val spark = tables.head._2.sparkSession
-    val registered = tables.map(_._1)
+    // snapshot any pre-existing temp views sharing a binding name, so the
+    // call doesn't clobber session state (the view's analyzed plan
+    // survives the drop and can be re-registered)
+    val shadowed = tables.flatMap { case (name, _) =>
+      val isTempView =
+        try spark.catalog.getTable(name).isTemporary
+        catch { case _: Exception => false } // absent or non-temp: nothing to restore
+      if (isTempView) {
+        val prior = spark.table(name)
+        prior.queryExecution.analyzed // force analysis before we replace it
+        Some(name -> prior)
+      } else None
+    }
     try {
       tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
       graft.sql.JoinNaming.disambiguate(spark.sql(Dialect.lower(sql)))
     } finally {
-      registered.foreach(spark.catalog.dropTempView(_))
+      tables.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+      shadowed.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     }
   }
 

@@ -41,6 +41,8 @@ final case class FileTable(name: String, fpath: String) {
 sealed trait TableCache {
   def get(spark: SparkSession, t: FileTable): DataFrame
   def clear(): Unit
+  /** Drop one path's entry (table dropped / its file overwritten). */
+  def invalidate(fpath: String): Unit = ()
 }
 /** reference: cache.py:12 DoNothingCache — re-plan every access. */
 final class DoNothingCache extends TableCache {
@@ -68,6 +70,9 @@ final class MemoryCache extends TableCache {
     loaded.values.foreach(_.unpersist())
     loaded.clear()
     hitCount = 0; missCount = 0
+  }
+  override def invalidate(fpath: String): Unit = synchronized {
+    loaded.remove(fpath).foreach(_.unpersist())
   }
   /** (hits, misses, currentSize) — the cache_info() analog. */
   def info: (Long, Long, Int) = synchronized((hitCount, missCount, loaded.size))
@@ -109,10 +114,16 @@ class DataSource(
       throw new QueryExecutionException(
         s"Table ${t.name} already exists in data source, use DROP TABLE to " +
           "remove it if you want to recreate it.")
-    t.fetch(spark) // validates readability, like FileTable.from_file
+    registerView(t) // validates readability, like FileTable.from_file
     tables(norm(t.name)) = t
     saveMetadata()
   }
+
+  /** Temp views register once per add/load — not per statement, which
+    * would re-read schemas (a full CSV scan under inferSchema) for every
+    * catalog table on every query. */
+  private def registerView(t: FileTable): Unit =
+    cache.get(spark, t).createOrReplaceTempView(t.name)
 
   def addTableFromFile(path: String): Unit = {
     val base = Paths.get(path).getFileName.toString
@@ -121,9 +132,12 @@ class DataSource(
   }
 
   def dropTable(name: String): Unit = {
-    if (!tables.contains(norm(name)))
-      throw new QueryExecutionException(s"Unknown table $name")
-    tables.remove(norm(name))
+    tables.remove(norm(name)) match {
+      case Some(t) =>
+        spark.catalog.dropTempView(t.name)
+        cache.invalidate(t.fpath) // a later same-path table must re-read
+      case None => throw new QueryExecutionException(s"Unknown table $name")
+    }
     saveMetadata()
   }
 
@@ -137,7 +151,11 @@ class DataSource(
     case None => throw new QueryExecutionException(s"Unknown table $name")
   }
 
-  def setCache(c: TableCache): Unit = { cache.clear(); cache = c }
+  def setCache(c: TableCache): Unit = {
+    cache.clear()
+    cache = c
+    tables.values.foreach(registerView) // views follow the new policy
+  }
 
   /** Persist a DataFrame as a new catalog table under the metadata dir
     * (the writer face of the catalog; CTAS routes through here
@@ -151,7 +169,10 @@ class DataSource(
         s"Table $name already exists in data source, use DROP TABLE to " +
           "remove it if you want to recreate it.")
     val path = Paths.get(metadataDir, s"$name.$format").toString
-    val writer = df.write.mode("errorifexists")
+    // overwrite: the name-collision check above protects registered
+    // tables; anything already at this managed path is an orphan from a
+    // dropped table and must not block re-creation
+    val writer = df.write.mode("overwrite")
     val partitioned =
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     format match {
@@ -159,7 +180,10 @@ class DataSource(
       case "json" => partitioned.json(path)
       case _ => partitioned.parquet(path)
     }
-    tables(norm(name)) = FileTable(name, path)
+    val t = FileTable(name, path)
+    tables(norm(name)) = t
+    cache.invalidate(path) // the path's content just changed
+    registerView(t)
     saveMetadata()
   }
 
@@ -190,6 +214,7 @@ class DataSource(
       val e = it.next()
       val t = FileTable(e.getValue.get("name").asText(), e.getValue.get("fpath").asText())
       tables(norm(t.name)) = t
+      registerView(t)
     }
   }
 
@@ -229,9 +254,6 @@ class DataSource(
       case Some(cmd) => cmd.execute(this)
       case None =>
         val lowered = Dialect.lower(sql)
-        tables.values.foreach { t =>
-          cache.get(spark, t).createOrReplaceTempView(t.name)
-        }
         // honor the reference's case-sensitivity flag for COLUMN lookup
         // too (utils.py:87-167): Spark's conf is session-global, so pin
         // it for the analysis of this statement and restore after.

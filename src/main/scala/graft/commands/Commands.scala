@@ -45,10 +45,9 @@ object Commands {
     * DataSource's metadata dir and registers it as a new table. */
   final case class CreateTableAs(name: String, select: String) extends Command {
     def execute(ds: DataSource): QueryResult = {
-      val df = ds.queryDF(select)
-      val path = java.nio.file.Paths.get(ds.metadataDir, s"$name.parquet")
-      df.coalesce(1).write.mode("errorifexists").parquet(path.toString)
-      ds.addTable(graft.catalog.FileTable(name, path.toString))
+      // saveTable checks the name BEFORE writing — writing first would
+      // leave an orphan file that blocks every retry of the CTAS
+      ds.saveTable(name, ds.queryDF(select))
       QueryResult.Ok
     }
   }

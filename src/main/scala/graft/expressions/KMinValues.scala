@@ -41,6 +41,9 @@ case class KMinValues(
 
   override def update(
       buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    // NULLs contribute nothing, matching COUNT(DISTINCT) — XxHash64 would
+    // otherwise hash every null row to the seed constant (+1 distinct)
+    if (child.eval(input) == null) return buf
     val h = hasher.eval(input).asInstanceOf[Long]
     buf += h
     while (buf.size > k) buf -= buf.last

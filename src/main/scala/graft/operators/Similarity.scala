@@ -59,8 +59,12 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bit LSH signature of an embedding under the given planes. */
+  /** Sign-bit LSH signature of an embedding under the given planes.
+    * The plane dimension MUST match the embedding dimension: zip_with
+    * pads a mismatch with nulls, the dot fold turns null, and every
+    * vector silently lands in bucket 0 — size(emb) is asserted below. */
   def signature(emb: Column, planes: Array[Array[Double]]): Column = {
+    val dimOk = size(emb) === planes.head.length
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
       val dot = aggregate(
@@ -68,7 +72,10 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(!dimOk, raise_error(concat(
+      lit(s"LSH plane dim ${planes.head.length} != embedding dim "),
+      size(emb).cast("string"))))
+      .otherwise(bits.reduce(_ + _))
   }
 
   /** Approximate top-k via multi-probe LSH: each query probes its own
@@ -77,9 +84,9 @@ object Similarity {
     * the approximation contract; recall rises with probes/tables. */
   def annLsh(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 8, seed: Long = 42L): DataFrame = {
+      nBits: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = hyperplanes(nBits, dim = 64, seed = seed)
+    val planes = hyperplanes(nBits, dim, seed = seed)
     val sigCorpus = corpus
       .select(col("vec_id"), col("embedding"),
         signature(col("embedding"), planes).as("sig"))
@@ -108,8 +115,8 @@ object Similarity {
     * nBits (fewer bits → bigger buckets → higher recall, more compute). */
   def embeddingNearDupes(
       corpus: DataFrame, threshold: Double,
-      nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nBits, dim = 64, seed = seed)
+      nBits: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed = seed)
     val sig = corpus.select(col("vec_id"), col("embedding"),
       signature(col("embedding"), planes).as("sig"))
     val a = sig.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
@@ -126,13 +133,14 @@ object Similarity {
     * centroids, search restricted to those cells. Demonstrates the
     * partition-pruning pattern (cells = partitions at scale). */
   def ivfSearch(
-      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
+      dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cell assignment: coarse LSH signature with 4 bits = 16 cells
-    val planes = hyperplanes(4, 64, seed = 7L)
+    val planes = hyperplanes(4, dim, seed = 7L)
     val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
     val centroids = cells.groupBy(col("cell"))
-      .agg(array((0 until 64).map(i =>
+      .agg(array((0 until dim).map(i =>
         avg(col("embedding").getItem(i).cast("double"))): _*).as("centroid"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = q.join(broadcast(centroids))

@@ -258,7 +258,10 @@ object Dialect {
     }
     val sb = new StringBuilder
     var last = 0
-    for (pos <- inserts) {
+    // positions are discovered in SELECT-occurrence order, which is NOT
+    // ascending when an inner subquery's insert point (its closing paren)
+    // precedes the outer query's (its WHERE) — stitch in text order
+    for (pos <- inserts.sorted) {
       sb.append(normalized.substring(last, pos)).append(s" from $tableName ")
       last = pos
     }

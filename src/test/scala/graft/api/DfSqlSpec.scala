@@ -59,4 +59,13 @@ class DfSqlSpec extends SparkSpec {
       "cleanup_check" -> li)
     assert(!spark.catalog.tableExists("cleanup_check"))
   }
+
+  test("regression: a pre-existing temp view sharing a binding name survives") {
+    cust.limit(3).createOrReplaceTempView("shared_name")
+    DfSql.sqlQuery("SELECT count(*) AS n FROM shared_name", "shared_name" -> li)
+    // the user's original view is still there with its original contents
+    assert(spark.catalog.tableExists("shared_name"))
+    assert(spark.table("shared_name").count() === 3)
+    spark.catalog.dropTempView("shared_name")
+  }
 }

@@ -142,6 +142,20 @@ class DataSourceSpec extends SparkSpec {
     assert(ds2.queryDF("SELECT count(*) AS n FROM survivors").head.getLong(0) === 4L)
   }
 
+  test("regression: CTAS collision fails cleanly and DROP+retry succeeds") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    // name collision must fail BEFORE anything is written
+    assertThrows[QueryExecutionException](
+      ds.query("CREATE TABLE titanic AS SELECT * FROM titanic"))
+    assert(ds.query("CREATE TABLE t2 AS SELECT name FROM titanic") === QueryResult.Ok)
+    ds.dropTable("t2")
+    // same-name CTAS after DROP must succeed (no orphan-file block)
+    assert(ds.query("CREATE TABLE t2 AS SELECT sex FROM titanic") === QueryResult.Ok)
+    assert(ds.queryDF("SELECT * FROM t2").columns.toSeq === Seq("sex"))
+  }
+
   test("case-insensitive mode applies to column lookup; sensitive mode rejects") {
     val dir = tmpDir()
     val insensitive = new DataSource(spark, dir.toString, caseSensitive = false)

@@ -28,6 +28,35 @@ class KMinValuesSpec extends SparkSpec {
     assert(e1 === e2) // merge-order independence: bottom-k union is commutative
   }
 
+  test("regression: NULLs contribute nothing, matching COUNT(DISTINCT)") {
+    val df = (1 to 10).map(i => (i, if (i % 2 == 0) null else s"v${i % 3}"))
+      .toDF("id", "s")
+    val got = df.agg(
+      countDistinct($"s").as("exact"),
+      KMinValues($"s", 64).as("est")).head
+    assert(got.getDouble(1) === got.getLong(0).toDouble) // exact below k
+  }
+
+  test("regression: SQL kmv_distinct(col, k) honors the k argument") {
+    // inject the extension functions into the shared session's registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct",
+      exprs => exprs match {
+        case Seq(e) => KMinValues(e).toAggregateExpression()
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KMinValues(e, k).toAggregateExpression()
+        case other => throw new graft.QueryExecutionException(
+          s"kmv_distinct arity ${other.length}")
+      },
+      "built-in")
+    (1 to 1000).toDF("v").createOrReplaceTempView("kmv_in")
+    val k16 = spark.sql("SELECT kmv_distinct(v, 16) FROM kmv_in").head.getDouble(0)
+    val k512 = spark.sql("SELECT kmv_distinct(v, 512) FROM kmv_in").head.getDouble(0)
+    // k=512 > 1000? no: 512 < 1000 → sketch estimate; k=16 much coarser
+    assert(math.abs(k512 - 1000) / 1000.0 < math.abs(k16 - 1000) / 1000.0 + 0.3)
+    assert(k16 !== k512) // the k argument actually took effect
+  }
+
   test("KMV per-group estimates track exact counts") {
     val li = graft.Tables.load(spark, sf001, "lineitem")
     val rows = li.groupBy($"l_returnflag")

@@ -94,6 +94,12 @@ class DialectSpec extends AnyFunSuite {
       "SELECT a from temp WHERE b IN ( SELECT c from temp WHERE d > 1 )")
   }
 
+  test("regression: inner subquery ending before outer insert point (unsorted positions crash)") {
+    // inner SELECT's insert point (its `)`) precedes the outer's (WHERE)
+    assert(addImplicitFrom("SELECT (SELECT max(a)) m WHERE b > 0", "temp") ===
+      "SELECT ( SELECT max ( a ) from temp ) m from temp WHERE b > 0")
+  }
+
   test("insert lands before unbalanced close-paren of an enclosing query") {
     assert(addImplicitFrom("SELECT x FROM (SELECT a WHERE b = 1) q", "temp") ===
       "SELECT x FROM ( SELECT a from temp WHERE b = 1 ) q")
