@@ -164,6 +164,9 @@ class DataSource(
   def saveTable(
       name: String, df: DataFrame, format: String = "parquet",
       partitionBy: Seq[String] = Nil): Unit = {
+    if (!Set("csv", "json", "parquet").contains(format))
+      throw new QueryExecutionException(
+        s"Unsupported table format .$format (csv, json, parquet)")
     if (tables.contains(norm(name)))
       throw new QueryExecutionException(
         s"Table $name already exists in data source, use DROP TABLE to " +
@@ -214,7 +217,15 @@ class DataSource(
       val e = it.next()
       val t = FileTable(e.getValue.get("name").asText(), e.getValue.get("fpath").asText())
       tables(norm(t.name)) = t
-      registerView(t)
+      // best-effort: a stale/unreadable file must not make the whole
+      // catalog unconstructable — the entry stays (so DROP TABLE can
+      // remove it); first access reports the real error
+      try registerView(t)
+      catch {
+        case e: Exception => System.err.println(
+          s"[graft] warning: table ${t.name} (${t.fpath}) failed to load: " +
+            e.getMessage.linesIterator.next())
+      }
     }
   }
 
@@ -254,6 +265,17 @@ class DataSource(
       case Some(cmd) => cmd.execute(this)
       case None =>
         val lowered = Dialect.lower(sql)
+        // (re-)register views for the tables THIS statement references:
+        // restores isolation between DataSources sharing a session (each
+        // statement sees its own catalog's bindings) and DoNothingCache's
+        // re-plan-every-access contract, without the old cost of
+        // re-registering every catalog table on every query.
+        val words = Dialect.tokenize(sql).collect {
+          case Dialect.Word(w) => w.toLowerCase
+        }.toSet
+        tables.values.foreach { t =>
+          if (words.contains(t.name.toLowerCase)) registerView(t)
+        }
         // honor the reference's case-sensitivity flag for COLUMN lookup
         // too (utils.py:87-167): Spark's conf is session-global, so pin
         // it for the analysis of this statement and restore after.
@@ -273,15 +295,7 @@ class DataSource(
               case None => spark.conf.unset("spark.sql.caseSensitive")
             }
           }
-        // reference contract: duplicate output names are an error
-        // (base_data_source.py:331-332); JoinNaming already qualified
-        // join collisions, so dups here mean genuinely duplicate aliases.
-        val names = df.columns
-        if (names.distinct.length != names.length) {
-          val dup = names.diff(names.distinct).head
-          throw new QueryExecutionException(
-            s"Duplicate column name in output: $dup")
-        }
+        // duplicate-output-name detection lives in JoinNaming.disambiguate
         if (reduceOutput) QueryResult.reduce(df) else QueryResult.Frame(df)
     }
   }

@@ -103,12 +103,9 @@ object PipelineQueries {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
       (s, d) => {
-        val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          stage.resolve("events.parquet"))
         val name = "graft_stream_dedup"
-        val q = graft.streaming.EventPipeline.startDedupQuery(s, stage.toString, name)
+        val q = graft.streaming.EventPipeline.startDedupQuery(
+          s, graft.queries.Staging.eventsDir(d), name)
         try q.processAllAvailable() finally q.stop()
         s.table(name).distinct() // memory sink may replay on retries
           .orderBy(col("user_id"), col("event_type"))

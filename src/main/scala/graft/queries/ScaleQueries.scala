@@ -28,13 +28,9 @@ object ScaleQueries {
         |WHERE b.w_start + INTERVAL 5 MINUTE <= wm.w
         |ORDER BY w_start, event_type""".stripMargin),
       (s, d) => {
-        val stage = java.nio.file.Files.createTempDirectory("graft_stream_q51")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          stage.resolve("events.parquet"))
         val name = "graft_stream_q51"
         val q = graft.streaming.EventPipeline.startWindowedQuery(
-          s, stage.toString, name)
+          s, graft.queries.Staging.eventsDir(d), name)
         try q.processAllAvailable() finally q.stop()
         s.table(name)
           .select(col("w_start"), col("event_type"), col("n"), col("total_value"))

@@ -30,9 +30,14 @@ object JoinNaming {
       if (dups(a.name) && a.qualifier.nonEmpty) s"${a.qualifier.last}.${a.name}"
       else a.name
     }
-    // names that stay duplicated (same alias joined with itself, or
-    // genuinely duplicate output aliases) are left as-is — the caller's
-    // duplicate-name check turns them into the reference's error
+    // names still duplicated after qualification (same alias joined with
+    // itself, or genuinely duplicate output aliases) are the reference's
+    // duplicate-name error (base_data_source.py:331-332) — raised HERE so
+    // every facade path (DataSource.query, DfSql.sqlQuery, df.sql) agrees
+    val stillDup = proposed.diff(proposed.distinct)
+    if (stillDup.nonEmpty)
+      throw new graft.QueryExecutionException(
+        s"Duplicate column name in output: ${stillDup.head}")
     df.toDF(proposed: _*)
   }
 }

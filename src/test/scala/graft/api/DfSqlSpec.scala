@@ -60,6 +60,12 @@ class DfSqlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("cleanup_check"))
   }
 
+  test("regression: duplicate output aliases error on the sqlQuery path too") {
+    assertThrows[graft.QueryExecutionException] {
+      DfSql.sqlQuery("SELECT l_orderkey AS x, l_partkey AS x FROM li", "li" -> li)
+    }
+  }
+
   test("regression: a pre-existing temp view sharing a binding name survives") {
     cust.limit(3).createOrReplaceTempView("shared_name")
     DfSql.sqlQuery("SELECT count(*) AS n FROM shared_name", "shared_name" -> li)

@@ -213,6 +213,45 @@ class DataSourceSpec extends SparkSpec {
     assert(names.exists(_.contains("BroadcastHashJoin")), names)
   }
 
+  test("regression: two DataSources on one session stay isolated per statement") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    titanicCsv(dirA)
+    Files.writeString(dirB.resolve("titanic.csv"), "passenger_id\n100\n101\n")
+    val dsA = new DataSource(spark, dirA.toString)
+    dsA.addTableFromFile(dirA.resolve("titanic.csv").toString)
+    val dsB = new DataSource(spark, dirB.toString)
+    dsB.addTableFromFile(dirB.resolve("titanic.csv").toString)
+    // each catalog's statement sees ITS table despite the shared name
+    assert(dsA.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 9L)
+    assert(dsB.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 2L)
+    assert(dsA.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 9L)
+  }
+
+  test("regression: unsupported saveTable format fails before any mutation") {
+    val dir = tmpDir()
+    val ds = new DataSource(spark, dir.toString)
+    ds.addTableFromFile(titanicCsv(dir))
+    assertThrows[QueryExecutionException](
+      ds.saveTable("t_orc", ds.table("titanic"), format = "orc"))
+    assert(!ds.contains("t_orc"))
+    assert(!Files.exists(dir.resolve("t_orc.orc")))
+  }
+
+  test("regression: a stale metadata entry doesn't block catalog construction") {
+    val dir = tmpDir()
+    val csv = titanicCsv(dir)
+    val ghost = dir.resolve("ghost.csv")
+    Files.writeString(ghost, "a\n1\n")
+    val ds1 = new DataSource(spark, dir.toString)
+    ds1.addTableFromFile(csv)
+    ds1.addTableFromFile(ghost.toString)
+    Files.delete(ghost)
+    val ds2 = new DataSource(spark, dir.toString) // must not throw
+    assert(ds2.contains("ghost"))
+    ds2.dropTable("ghost") // repairable
+    assert(ds2.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 9L)
+  }
+
   test("custom scalar function is callable from SQL") {
     val dir = tmpDir()
     val ds = new DataSource(spark, dir.toString)
