@@ -92,6 +92,31 @@ object TextQueries {
     Q("t35_rolling_hash", None,
       (s, d) => docs(s, d).select(col("doc_id"),
         RollingHash(col("text")).as("roll_fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // corpus-wide frequent tokens: explode → groupBy → top-k.
+    // The 100 TB shape: partial counts map-side, TakeOrdered caps the
+    // driver result at k — no full sort, no collect of the long tail.
+    Q("t36_token_topk", Some(
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin),
+      (s, d) => docs(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20)),
+
+    // document length histogram, 100-char buckets capped at 10
+    // (width_bucket is absent in DuckDB 1.0, so plain arithmetic)
+    Q("t37_len_histogram", Some(
+      """SELECT CAST(least(floor(length(text) / 100.0), 9) AS INT) + 1 AS bucket,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, d) => docs(s, d)
+        .select((least(floor(length(col("text")) / 100.0), lit(9)).cast("int") + 1)
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")))
   )
 }
