@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // anchored literal-prefix RLIKE (the dfsql LIKE lowering) →
+    // StartsWith/EqualTo, which data sources can push down
+    ext.injectOptimizerRule(_ => graft.rules.AnchoredRegexToPrefix)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

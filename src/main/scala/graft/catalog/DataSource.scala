@@ -98,6 +98,11 @@ class DataSource(
   private val customFnNames = mutable.ArrayBuffer[String]()
 
   Files.createDirectories(Paths.get(metadataDir))
+  // sessions not built withExtensions still get the dialect's pushdown
+  // rewrite (anchored-prefix RLIKE → StartsWith) via runtime injection
+  if (!spark.experimental.extraOptimizations.contains(graft.rules.AnchoredRegexToPrefix))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.rules.AnchoredRegexToPrefix
   loadMetadata()
 
   private def norm(name: String): String =

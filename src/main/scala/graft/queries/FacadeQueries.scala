@@ -84,6 +84,19 @@ object FacadeQueries {
             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
       }),
 
+    // dialect LIKE with a literal prefix: the AnchoredRegexToPrefix
+    // optimizer rule turns the anchored RLIKE into StartsWith, which
+    // parquet pushes down (StringStartsWith) — semantics unchanged,
+    // asserted by this oracle and by the plan spec
+    Q("q78_like_prefix", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE regexp_matches(c_name, '^(?:Customer#00000001.*)')
+        |ORDER BY c_custkey""".stripMargin),
+      (s, d) => ds(s, d).queryDF(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_name LIKE 'Customer#00000001.*'
+          |ORDER BY c_custkey""".stripMargin)),
+
     // custom aggregate (Aggregator) through the registry
     Q("q30_custom_agg", Some(
       """SELECT l_suppkey,
