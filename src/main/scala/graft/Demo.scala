@@ -67,6 +67,9 @@ object Demo {
     ds.saveTable("by_city", people, partitionBy = Seq("city"))
     ds.queryDF("SELECT city, count(*) AS n FROM by_city GROUP BY city ORDER BY city")
       .show(false)
+    ds.saveTable("people_orc", people, format = "orc")
+    println("[demo] orc rows: " +
+      ds.queryDF("SELECT count(*) AS n FROM people_orc").head.getLong(0))
 
     // reduce_output parity + cache accounting
     println("[demo] scalar: " + DfSql.sqlQueryReduced(

@@ -30,6 +30,7 @@ final case class FileTable(name: String, fpath: String) {
       // surface them as int64 nanos rather than failing the whole catalog.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(fpath)
+    case "orc" => spark.read.orc(fpath)
     case "json" => spark.read.json(fpath)
     case other =>
       throw new QueryExecutionException(s"Unsupported table format .$other for $fpath")
@@ -169,9 +170,9 @@ class DataSource(
   def saveTable(
       name: String, df: DataFrame, format: String = "parquet",
       partitionBy: Seq[String] = Nil): Unit = {
-    if (!Set("csv", "json", "parquet").contains(format))
+    if (!Set("csv", "json", "parquet", "orc").contains(format))
       throw new QueryExecutionException(
-        s"Unsupported table format .$format (csv, json, parquet)")
+        s"Unsupported table format .$format (csv, json, parquet, orc)")
     if (tables.contains(norm(name)))
       throw new QueryExecutionException(
         s"Table $name already exists in data source, use DROP TABLE to " +
@@ -186,6 +187,7 @@ class DataSource(
     format match {
       case "csv" => partitioned.option("header", "true").csv(path)
       case "json" => partitioned.json(path)
+      case "orc" => partitioned.orc(path)
       case _ => partitioned.parquet(path)
     }
     val t = FileTable(name, path)
@@ -332,7 +334,7 @@ object DataSource {
       caseSensitive: Boolean = true): DataSource = {
     val ds = new DataSource(spark, metadataDir, caseSensitive)
     val dir = Paths.get(filesDir)
-    val exts = Set("csv", "tsv", "parquet", "json")
+    val exts = Set("csv", "tsv", "parquet", "json", "orc")
     val files = Files.list(dir).iterator()
     val added = mutable.ArrayBuffer[String]()
     files.forEachRemaining { p =>

@@ -184,6 +184,21 @@ object SurfaceQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("s_start_sec"))),
 
+    // exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont: same sort + linear-interpolation formula)
+    Q("q79_percentiles", Some(
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
     // GROUPING SETS beyond plain rollup
     Q("q67_grouping_sets", Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -80,6 +80,11 @@ object EventPipeline {
   /** Wire a streaming source over an events directory into the windowed
     * rollup and a memory sink; returns the started query. Caller stops
     * it. (Parquet streaming source needs an explicit schema.) */
+  /** Stream-static enrichment: each event joined with a static dimension
+    * (broadcast per micro-batch — the standard lookup-join; no state). */
+  def enriched(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col(dimKey), "left")
+
   /** Streaming source over an events parquet directory (schema must be
     * explicit for file streams; nanos ts arrives as int64 → µs). */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {

@@ -175,9 +175,11 @@ class DataSourceSpec extends SparkSpec {
     val survivors = ds.table("titanic").filter("survived = 1")
     ds.saveTable("surv_parquet", survivors)
     ds.saveTable("surv_csv", survivors, format = "csv")
+    ds.saveTable("surv_orc", survivors, format = "orc")
     ds.saveTable("surv_part", survivors, partitionBy = Seq("sex"))
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_parquet").head.getLong(0) === 4)
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_csv").head.getLong(0) === 4)
+    assert(ds.queryDF("SELECT count(*) AS n FROM surv_orc").head.getLong(0) === 4)
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_part WHERE sex = 'female'")
       .head.getLong(0) === 4)
     // persisted across instances
@@ -232,9 +234,9 @@ class DataSourceSpec extends SparkSpec {
     val ds = new DataSource(spark, dir.toString)
     ds.addTableFromFile(titanicCsv(dir))
     assertThrows[QueryExecutionException](
-      ds.saveTable("t_orc", ds.table("titanic"), format = "orc"))
-    assert(!ds.contains("t_orc"))
-    assert(!Files.exists(dir.resolve("t_orc.orc")))
+      ds.saveTable("t_avro", ds.table("titanic"), format = "avro"))
+    assert(!ds.contains("t_avro"))
+    assert(!Files.exists(dir.resolve("t_avro.avro")))
   }
 
   test("regression: a stale metadata entry doesn't block catalog construction") {

@@ -47,6 +47,32 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val dim = graft.Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val stream = EventPipeline.eventsStream(spark, dir.toString)
+    val q = EventPipeline.enriched(stream, dim, "c_custkey")
+      .select($"event_id", $"c_mktsegment")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_spec").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT count(*) AS n, count(c_mktsegment) AS matched FROM enrich_spec").head
+      val batch = EventPipeline.enriched(events, dim, "c_custkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.count($"c_mktsegment")).head
+      assert(streamed.getLong(0) === batch.getLong(0))
+      assert(streamed.getLong(1) === batch.getLong(1))
+      assert(streamed.getLong(1) > 0) // some users exist in the dim
+    } finally q.stop()
+  }
+
   test("end-to-end streaming: parquet source → watermark window → memory sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     // stage the events file into a clean source dir (other tables would
