@@ -111,6 +111,28 @@ object PipelineQueries {
           .orderBy(col("user_id"), col("event_type"))
       }),
 
+    // stream-static enrichment under the gate: the event stream left-
+    // joined against broadcast customer segments; the emitted (event_id,
+    // segment) set equals the batch left join, which is the oracle
+    Q("q80_stream_enrich", Some(
+      """SELECT e.event_id, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val name = "graft_stream_enrich"
+        val dim = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = graft.streaming.EventPipeline.eventsStream(
+          s, graft.queries.Staging.eventsDir(d))
+        val q = graft.streaming.EventPipeline.enriched(stream, dim, "c_custkey")
+          .select(col("event_id"), col("c_mktsegment"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).distinct() // memory sink may replay on retries
+          .orderBy(col("event_id"))
+      }),
+
     Q("q72_except", Some(
       """SELECT c_custkey FROM customer
         |EXCEPT

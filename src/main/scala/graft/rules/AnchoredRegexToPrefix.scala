@@ -1,6 +1,6 @@
 package graft.rules
 
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, RLike, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{Literal, RLike, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
@@ -17,33 +17,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * At 100 TB that is the difference between scanning the corpus and
   * skipping most of it.
   *
-  * `^(?:L)`    → StartsWith(col, L)   (re.match is prefix-anchored only)
-  * `^(?:L.*)`  → StartsWith(col, L)
-  * `^(?:L$)`   → col = L
-  * anything containing other metacharacters is left untouched.
+  * `^(?:L)`   → StartsWith(col, L)   (re.match is prefix-anchored only)
+  * `^(?:L.*)` → StartsWith(col, L)
+  * Anything else is left untouched — including `^(?:L$)`: regex `$`
+  * also matches before a final line terminator, so EqualTo would drop
+  * rows whose value ends in `\n` (prefix forms have no such subtlety).
   */
 object AnchoredRegexToPrefix extends Rule[LogicalPlan] {
 
   private val meta = "\\.[](){}*+?|^$".toSet
 
-  /** The literal prefix of an anchored pattern, if it is exactly one. */
-  private[rules] def literalForm(pattern: String): Option[(String, Boolean)] = {
+  /** The literal prefix of an anchored prefix pattern, if it is one. */
+  private[rules] def literalForm(pattern: String): Option[String] = {
     if (!(pattern.startsWith("^(?:") && pattern.endsWith(")"))) return None
     var body = pattern.substring(4, pattern.length - 1)
-    val exact = body.endsWith("$")
-    if (exact) body = body.dropRight(1)
-    val prefixOnly = body.endsWith(".*")
-    if (prefixOnly) body = body.dropRight(2)
-    if (exact && prefixOnly) return None // `L.*$` is not a pure prefix test
-    if (body.exists(meta.contains)) None else Some((body, exact))
+    if (body.endsWith(".*")) body = body.dropRight(2)
+    if (body.exists(meta.contains)) None else Some(body)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case r @ RLike(left, Literal(p: UTF8String, StringType)) =>
         literalForm(p.toString) match {
-          case Some((lit, true)) => EqualTo(left, Literal(lit))
-          case Some((lit, false)) => StartsWith(left, Literal(lit))
+          case Some(lit) => StartsWith(left, Literal(lit))
           case None => r
         }
     }

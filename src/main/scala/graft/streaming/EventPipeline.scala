@@ -77,13 +77,12 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
-  /** Wire a streaming source over an events directory into the windowed
-    * rollup and a memory sink; returns the started query. Caller stops
-    * it. (Parquet streaming source needs an explicit schema.) */
   /** Stream-static enrichment: each event joined with a static dimension
-    * (broadcast per micro-batch — the standard lookup-join; no state). */
+    * (broadcast per micro-batch — the standard lookup-join; no state).
+    * Columns are qualified per input so a dimension whose key is also
+    * named user_id resolves unambiguously. */
   def enriched(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col("user_id") === col(dimKey), "left")
+    events.join(broadcast(dim), events("user_id") === dim(dimKey), "left")
 
   /** Streaming source over an events parquet directory (schema must be
     * explicit for file streams; nanos ts arrives as int64 → µs). */

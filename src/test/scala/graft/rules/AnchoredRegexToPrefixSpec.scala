@@ -10,9 +10,10 @@ import graft.catalog.{DataSource, DoNothingCache, FileTable}
 class AnchoredRegexToPrefixSpec extends SparkSpec {
 
   test("literalForm classifies patterns") {
-    assert(AnchoredRegexToPrefix.literalForm("^(?:abc)") === Some(("abc", false)))
-    assert(AnchoredRegexToPrefix.literalForm("^(?:abc.*)") === Some(("abc", false)))
-    assert(AnchoredRegexToPrefix.literalForm("^(?:abc$)") === Some(("abc", true)))
+    assert(AnchoredRegexToPrefix.literalForm("^(?:abc)") === Some("abc"))
+    assert(AnchoredRegexToPrefix.literalForm("^(?:abc.*)") === Some("abc"))
+    // `$` also matches before a trailing \n — must stay on the regex path
+    assert(AnchoredRegexToPrefix.literalForm("^(?:abc$)") === None)
     assert(AnchoredRegexToPrefix.literalForm("^(?:a.c)") === None)
     assert(AnchoredRegexToPrefix.literalForm("^(?:Customer#0*1)") === None)
     assert(AnchoredRegexToPrefix.literalForm("abc") === None)
