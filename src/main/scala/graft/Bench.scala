@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Representative subset reported per-query in the summary line.
+    * The driver captures only the TAIL of stdout (2000 chars in round 1,
+    * which truncated an all-queries dict and made the line unparseable),
+    * so the JSON line must stay comfortably under that window. The
+    * "value" total still covers every registered query.
+    */
+  private val headline: Seq[String] = Seq(
+    "q01_projection", "q03_agg_group", "q09_join_inner",
+    "q13_from_subquery", "q15_scalar_subquery", "q22_flagship",
+    "q24_window_topk", "q26_dialect", "q46_rollup", "q48_asof_join",
+    "q50_salted_join", "q52_tpch_q1", "q53_tpch_q3", "q54_tpch_q5",
+    "q61_window_suite", "q68_sessionize", "q74_stream_dedup",
+    "q80_stream_enrich", "d36_dedup_exact", "d38_minhash_lsh",
+    "s41_knn_brute", "s43_knn_ivf", "t32_langid", "t36_token_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,10 +46,15 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    Console.out.flush()
     spark.stop()
   }
 }

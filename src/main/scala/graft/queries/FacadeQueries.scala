@@ -100,7 +100,7 @@ object FacadeQueries {
     // custom aggregate (Aggregator) through the registry
     Q("q30_custom_agg", Some(
       """SELECT l_suppkey,
-        |       sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS qty_sumsq
+        |       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sumsq
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
       (s, d) => {
         val source = ds(s, d)

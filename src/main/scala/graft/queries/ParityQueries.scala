@@ -17,7 +17,12 @@ final case class Q(
   * Determinism rules for oracle hash-matching (DuckDB vs Spark):
   *   - every query ends in a total ORDER BY (unique tiebreak column);
   *   - sums over non-integral doubles go through DECIMAL casts (exact,
-  *     order-independent — a double sum's value depends on partition order);
+  *     order-independent — a double sum's value depends on partition order)
+  *     and the FINAL decimal value is cast to DOUBLE on both sides: the
+  *     round-1 driver artifact showed DuckDB results surface in pandas as
+  *     float64 while Spark parquet decimals stay Decimal, so a stringified
+  *     compare sees '6105.7' vs '6105.70' and hash-mismatches any decimal
+  *     output column (CORRECTNESS_r01.json q13/q16/q25/q49/q50/q58/q61);
   *   - single-row double arithmetic (a*b, 1-x, a/b) is bitwise identical in
   *     any IEEE-754 engine, so projections need no special handling;
   *   - l_quantity is integral-valued, so plain sum/avg over it is exact.
@@ -63,7 +68,7 @@ object ParityQueries {
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
         |       avg(l_quantity) AS avg_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price,
         |       count(*) AS count_order
@@ -74,7 +79,7 @@ object ParityQueries {
         .agg(
           sum($"l_quantity").as("sum_qty"),
           avg($"l_quantity").as("avg_qty"),
-          sum(dec($"l_extendedprice")).as("sum_base"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base"),
           min($"l_extendedprice").as("min_price"),
           max($"l_extendedprice").as("max_price"),
           count(lit(1)).as("count_order"))
@@ -181,7 +186,7 @@ object ParityQueries {
 
     // ---- FROM (subquery) derived table (base_data_source.py:509-520) ----
     Q("q13_from_subquery", Some(
-      """SELECT o_custkey, total FROM
+      """SELECT o_custkey, CAST(total AS DOUBLE) AS total FROM
         |  (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |   FROM orders GROUP BY o_custkey) t
         |WHERE total > 1500000 ORDER BY o_custkey""".stripMargin),
@@ -189,7 +194,7 @@ object ParityQueries {
         .groupBy($"o_custkey")
         .agg(sum(dec($"o_totalprice")).as("total"))
         .filter($"total" > 1500000)
-        .select($"o_custkey", $"total")
+        .select($"o_custkey", $"total".cast("double").as("total"))
         .orderBy($"o_custkey")),
 
     // ---- WHERE x IN (subquery) → left-semi join (base_data_source.py:233-241) ----
@@ -222,13 +227,13 @@ object ParityQueries {
       """SELECT l_orderkey, l_linenumber,
         |       CAST(l_quantity AS INTEGER) AS qty_int,
         |       CAST(l_orderkey AS VARCHAR) AS key_str,
-        |       CAST(l_discount AS DECIMAL(4,2)) AS disc_dec
+        |       CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc_dec
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
       (s, d) => T(s, d, "lineitem")
         .select($"l_orderkey", $"l_linenumber",
           $"l_quantity".cast("int").as("qty_int"),
           $"l_orderkey".cast("string").as("key_str"),
-          $"l_discount".cast("decimal(4,2)").as("disc_dec"))
+          $"l_discount".cast("decimal(4,2)").cast("double").as("disc_dec"))
         .orderBy($"l_orderkey", $"l_linenumber")),
 
     // ---- lower/upper/concat (functions.py:253-275) ----
@@ -275,11 +280,11 @@ object ParityQueries {
     // ---- GROUP BY scalar expression (base_data_source.py:528-539) ----
     Q("q20_groupby_expr", Some(
       """SELECT lower(c_mktsegment) AS seg, count(*) AS n,
-        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         |FROM customer GROUP BY lower(c_mktsegment) ORDER BY seg""".stripMargin),
       (s, d) => T(s, d, "customer")
         .groupBy(lower($"c_mktsegment").as("seg"))
-        .agg(count(lit(1)).as("n"), sum(dec($"c_acctbal")).as("bal"))
+        .agg(count(lit(1)).as("n"), sum(dec($"c_acctbal")).cast("double").as("bal"))
         .orderBy($"seg")),
 
     // ---- IS NULL / IS NOT NULL (functions.py:75-102) ----
@@ -300,7 +305,7 @@ object ParityQueries {
     // ---- flagship: 3-way join + agg + HAVING + ORDER + LIMIT ----
     Q("q22_flagship", Some(
       """SELECT c_custkey, c_name,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -344,12 +349,13 @@ object ParityQueries {
     // ---- time-bucketed aggregation over the events table (extension) ----
     Q("q25_events_hourly", Some(
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY h, event_type""".stripMargin),
       (s, d) => T(s, d, "events")
         .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
-        .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy($"h", $"event_type"))
   )
 
@@ -362,7 +368,8 @@ object ParityQueries {
       .join(T(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .filter($"o_orderstatus" === "F")
       .groupBy($"c_custkey", $"c_name")
-      .agg(sum(rev).as("revenue"), countDistinct($"o_orderkey").as("n_orders"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
       .filter($"n_orders" > 1)
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(10)

@@ -24,7 +24,8 @@ object ScaleQueries {
         |b AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
         |             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
         |      FROM events GROUP BY 1, 2)
-        |SELECT b.w_start, b.event_type, b.n, b.total_value FROM b, wm
+        |SELECT b.w_start, b.event_type, b.n,
+        |       CAST(b.total_value AS DOUBLE) AS total_value FROM b, wm
         |WHERE b.w_start + INTERVAL 5 MINUTE <= wm.w
         |ORDER BY w_start, event_type""".stripMargin),
       (s, d) => {
@@ -33,7 +34,8 @@ object ScaleQueries {
           s, graft.queries.Staging.eventsDir(d), name)
         try q.processAllAvailable() finally q.stop()
         s.table(name)
-          .select(col("w_start"), col("event_type"), col("n"), col("total_value"))
+          .select(col("w_start"), col("event_type"), col("n"),
+            col("total_value").cast("double").as("total_value"))
           .orderBy(col("w_start"), col("event_type"))
       }),
 
@@ -84,7 +86,8 @@ object ScaleQueries {
 
     // salted two-phase aggregation — identical result to plain GROUP BY
     Q("q49_salted_agg", Some(
-      """SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+      """SELECT l_suppkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
       (s, d) => {
         val li = Tables.load(s, d, "lineitem")
@@ -92,13 +95,14 @@ object ScaleQueries {
           col("l_extendedprice").cast("decimal(18,2)"), as = "total",
           saltExpr = xxhash64(col("l_orderkey"), col("l_linenumber")),
           salts = 16)
+          .withColumn("total", col("total").cast("double"))
           .orderBy(col("l_suppkey"))
       }),
 
     // salted join — identical result to the plain equi-join
     Q("q50_salted_join", Some(
       """SELECT s_name, count(*) AS n,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin),
       (s, d) => {
@@ -108,7 +112,7 @@ object ScaleQueries {
           saltExpr = xxhash64(col("l_orderkey"), col("l_linenumber")), salts = 8)
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("total"))
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
           .orderBy(col("s_name"))
       })
   )

@@ -35,9 +35,9 @@ object SurfaceQueries {
         |  lead(o_totalprice) OVER w AS next_price,
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, rnk""".stripMargin),
@@ -54,7 +54,7 @@ object SurfaceQueries {
             lead(col("o_totalprice"), 1).over(w).as("next_price"),
             count(lit(1)).over(wr).as("running_n"),
             sum(col("o_totalprice").cast("decimal(18,2)")).over(wr)
-              .as("running_total"))
+              .cast("double").as("running_total"))
           .orderBy(col("o_custkey"), col("rnk"))
       }),
 
@@ -172,13 +172,13 @@ object SurfaceQueries {
         |  FROM e)
         |SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS s_start_sec,
         |       count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, s_start_sec""".stripMargin),
       (s, d) => Tables.load(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .select(col("user_id"),
           date_trunc("second", col("session_window.start")).as("s_start_sec"),
           col("n_events"), col("total_value"))

@@ -20,9 +20,9 @@ object TpchQueries {
     Q("q52_tpch_q1", Some(
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS sum_charge,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
         |  avg(l_quantity) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
@@ -39,9 +39,9 @@ object TpchQueries {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-            sum(disc).as("sum_disc_price"),
-            sum(charge).as("sum_charge"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(disc).cast("double").as("sum_disc_price"),
+            sum(charge).cast("double").as("sum_charge"),
             avg(col("l_quantity")).as("avg_qty"),
             (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
               .as("avg_price"),
@@ -52,7 +52,7 @@ object TpchQueries {
     // TPC-H Q3 shape: shipping priority (o_orderpriority stands in)
     Q("q53_tpch_q3", Some(
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |              JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -69,7 +69,7 @@ object TpchQueries {
           .join(Tables.load(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
           .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(sum(rev).as("revenue"))
+          .agg(sum(rev).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       }),
@@ -77,7 +77,7 @@ object TpchQueries {
     // TPC-H Q5 shape: local supplier volume by nation within a region
     Q("q54_tpch_q5", Some(
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -101,7 +101,7 @@ object TpchQueries {
             col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name") === "ASIA")
           .groupBy(col("n_name"))
-          .agg(sum(rev).as("revenue"))
+          .agg(sum(rev).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       }),
 
@@ -162,13 +162,14 @@ object TpchQueries {
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |       count(*) AS n,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
         |ORDER BY y, m""".stripMargin),
       (s, d) => Tables.load(s, d, "orders")
         .groupBy(year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("y"), col("m")))
   )
 }
