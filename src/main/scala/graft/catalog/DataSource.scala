@@ -277,8 +277,11 @@ class DataSource(
         // statement sees its own catalog's bindings) and DoNothingCache's
         // re-plan-every-access contract, without the old cost of
         // re-registering every catalog table on every query.
+        // backticked references (`lineitem`) count too — Tick tokens are
+        // stripped of their quotes so they hit the same name set.
         val words = Dialect.tokenize(sql).collect {
           case Dialect.Word(w) => w.toLowerCase
+          case Dialect.Tick(w) => w.stripPrefix("`").stripSuffix("`").toLowerCase
         }.toSet
         tables.values.foreach { t =>
           if (words.contains(t.name.toLowerCase)) registerView(t)

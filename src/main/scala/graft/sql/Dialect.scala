@@ -43,8 +43,13 @@ object Dialect {
         while (i < n && !done) {
           val ch = sql(i)
           sb.append(ch)
-          // doubled quote = escaped quote inside the literal
-          if (ch == quote) {
+          // backslash escapes the next character (Spark's non-ANSI default
+          // honors \' inside literals — without this, 'it\'s' would end the
+          // literal early and later rewrites could fire inside its content)
+          if (ch == '\\' && i + 1 < n) {
+            sb.append(sql(i + 1)); i += 1
+          } else if (ch == quote) {
+            // doubled quote = escaped quote inside the literal
             if (i + 1 < n && sql(i + 1) == quote) { sb.append(quote); i += 1 }
             else done = true
           }
@@ -182,12 +187,42 @@ object Dialect {
     "bool" -> "BOOLEAN", "boolean" -> "BOOLEAN",
     "datetime" -> "TIMESTAMP", "datetime64" -> "TIMESTAMP")
 
-  private[sql] def mapCastNames(toks: Vector[Tok]): Vector[Tok] =
-    toks.zipWithIndex.map {
-      case (Word(t), i) if castNames.contains(t.toLowerCase) &&
-        i > 0 && isAs(toks(i - 1)) => Word(castNames(t.toLowerCase))
-      case (tok, _) => tok
+  /** Maps pandas type names only when the `AS <name>` sits directly inside
+    * a CAST(...) call — a plain column alias that happens to be named like
+    * a pandas type (SELECT trim(text) AS text) must stay untouched. The
+    * reference maps type names only in TypeCast AST nodes
+    * (base_data_source.py execute_type_cast), so this mirrors that scope.
+    * Tracked with a per-paren stack: each '(' pushes whether it belongs to
+    * a CAST; the mapping fires only when the innermost open paren is a
+    * CAST's (type sub-parens like DECIMAL(4,2) close before the AS).
+    */
+  private[sql] def mapCastNames(toks: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var stack = List.empty[Boolean]
+    var prev: Option[Tok] = None
+    for (i <- toks.indices) {
+      val tok = toks(i)
+      tok match {
+        case Sym("(") =>
+          val isCast = prev.exists {
+            case Word(w) => w.equalsIgnoreCase("cast") ||
+              w.equalsIgnoreCase("try_cast")
+            case _ => false
+          }
+          stack = isCast :: stack
+          out += tok
+        case Sym(")") =>
+          if (stack.nonEmpty) stack = stack.tail
+          out += tok
+        case Word(t) if castNames.contains(t.toLowerCase) &&
+          prev.exists(isAs) && stack.headOption.contains(true) =>
+          out += Word(castNames(t.toLowerCase))
+        case _ => out += tok
+      }
+      prev = Some(tok)
     }
+    out.result()
+  }
   private def isAs(t: Tok): Boolean = t match {
     case Word(w) => w.equalsIgnoreCase("as")
     case _ => false

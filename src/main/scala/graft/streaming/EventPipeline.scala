@@ -79,10 +79,13 @@ object EventPipeline {
 
   /** Stream-static enrichment: each event joined with a static dimension
     * (broadcast per micro-batch — the standard lookup-join; no state).
-    * Columns are qualified per input so a dimension whose key is also
-    * named user_id resolves unambiguously. */
+    * The dimension's key column is dropped after the join: if it shares a
+    * name with an event column (e.g. user_id), keeping both would leave a
+    * duplicate, unaddressable name downstream (AMBIGUOUS_REFERENCE on any
+    * later col("user_id") — the condition JoinNaming exists to prevent). */
   def enriched(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim(dimKey), "left")
+      .drop(dim(dimKey))
 
   /** Streaming source over an events parquet directory (schema must be
     * explicit for file streams; nanos ts arrives as int64 → µs). */

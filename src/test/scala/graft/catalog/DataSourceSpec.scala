@@ -227,6 +227,9 @@ class DataSourceSpec extends SparkSpec {
     assert(dsA.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 9L)
     assert(dsB.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 2L)
     assert(dsA.queryDF("SELECT count(*) AS n FROM titanic").head.getLong(0) === 9L)
+    // backticked references re-register too — without Tick collection dsB
+    // would silently read dsA's still-registered view
+    assert(dsB.queryDF("SELECT count(*) AS n FROM `titanic`").head.getLong(0) === 2L)
   }
 
   test("regression: unsupported saveTable format fails before any mutation") {

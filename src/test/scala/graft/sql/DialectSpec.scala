@@ -73,6 +73,28 @@ class DialectSpec extends AnyFunSuite {
       "SELECT CAST ( x AS DECIMAL ( 4 , 2 ) ) FROM t")
   }
 
+  test("a plain alias named like a pandas type is NOT rewritten") {
+    // documents really has a column named text; SELECT trim(text) AS text
+    // must come back with column text, not STRING
+    assert(lower("SELECT trim(text) AS text FROM documents") ===
+      "SELECT trim ( text ) AS text FROM documents")
+    assert(lower("SELECT a AS int, CAST(b AS int) AS c FROM t") ===
+      "SELECT a AS int , CAST ( b AS BIGINT ) AS c FROM t")
+  }
+
+  test("cast mapping still fires in nested expressions inside CAST") {
+    assert(lower("SELECT CAST(f(x, 1) AS float64) FROM t") ===
+      "SELECT CAST ( f ( x , 1 ) AS DOUBLE ) FROM t")
+  }
+
+  test("backslash-escaped quote does not end a string literal") {
+    val toks = tokenize("""SELECT 'it\'s' AS s FROM t""")
+    assert(toks.contains(Str("""'it\'s'""")))
+    // and rewrites never fire inside the literal's content
+    assert(lower("""SELECT 'a LIKE b \' x ^ 2' AS s FROM t""") ===
+      """SELECT 'a LIKE b \' x ^ 2' AS s FROM t""")
+  }
+
   // ---- implicit FROM injection (df.sql accessor) ----
   test("FROM-less SELECT gets from temp") {
     assert(addImplicitFrom("SELECT passenger_id", "temp") ===

@@ -73,6 +73,16 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("regression: enrichment against a dim keyed user_id leaves no duplicate column") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dim = events.select($"user_id", $"event_type".as("seg")).distinct()
+    val out = EventPipeline.enriched(events, dim, "user_id")
+    // the dim's key column is dropped, so downstream col("user_id")
+    // resolves (was AMBIGUOUS_REFERENCE with two bare user_id columns)
+    assert(out.columns.count(_ == "user_id") === 1)
+    assert(out.select(col("user_id")).agg(count(lit(1))).head.getLong(0) > 0)
+  }
+
   test("end-to-end streaming: parquet source → watermark window → memory sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     // stage the events file into a clean source dir (other tables would
