@@ -96,6 +96,64 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Candidate pairs from banded MinHash-LSH — the bucket equi-join only,
+    * no estimator filter. */
+  def minhashCandidates(
+      docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+        .as(Seq("band", "band_hash")))
+    banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("id_b")), Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    * the verification half of a candidates→verify pipeline. Semantics
+    * mirror ngramJaccardPairs (distinct shingles; df-capped intersection;
+    * uncapped sizes in the denominator), but the per-pair work is
+    * restricted to candidates by equi-joins, so cost is
+    * O(|candidates| · shingles/doc), never O(N²). */
+  def verifyPairsByJaccard(
+      docs: DataFrame, cands: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val ex = shingleTable(docs, n).localCheckpoint()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val filtered = ex.join(
+      ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("sh")),
+      Seq("sh"))
+    val inter = cands
+      .join(filtered.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(filtered.select(col("doc_id").as("id_b"), col("sh")),
+        Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The full candidates→verify MinHash-LSH dedup: banded LSH generates
+    * candidates, exact n-gram Jaccard confirms them. Output is exact
+    * similarity values over the candidate set — deterministic (no
+    * estimator), so it can be oracled against the brute-force pair set;
+    * equality additionally asserts 100% LSH recall on the corpus. */
+  def minhashVerifiedPairs(
+      docs: DataFrame, threshold: Double = 0.5, k: Int = 16,
+      bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100): DataFrame =
+    verifyPairsByJaccard(docs, minhashCandidates(docs, k, bands),
+      shingleN, threshold, maxDf)
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document: per-word xxhash64, each bit votes ±1,
@@ -137,6 +195,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Candidates→verify SimHash dedup: banded SimHash collision (within
+    * maxHamming) generates candidates, exact n-gram Jaccard confirms.
+    * Same determinism/oracle contract as minhashVerifiedPairs. */
+  def simhashVerifiedPairs(
+      docs: DataFrame, maxHamming: Int = 8, threshold: Double = 0.5,
+      shingleN: Int = 3, maxDf: Int = 100): DataFrame =
+    verifyPairsByJaccard(docs,
+      simhashPairs(docs, maxHamming).select(col("id_a"), col("id_b")),
+      shingleN, threshold, maxDf)
 
   // ---- exact n-gram Jaccard ----
 

@@ -23,16 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential left-fold dot product of two float-array columns. */
+  def dotFold(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sequential-fold L2 norm of a float-array column. */
+  def norm(x: Column): Column =
+    sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
   /** Sequential-fold cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dotFold(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column =
-      sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
+  def cosine(a: Column, b: Column): Column =
     dotFold(a, b) / (norm(a) * norm(b))
-  }
+
+  /** Cosine from a precomputed-norm pair: dot(a,b) / (normA * normB).
+    * Same expression tree as `cosine` — identical doubles, so oracles are
+    * unaffected — but the norms are computed once per ROW instead of once
+    * per PAIR. In a |Q|·N scoring join that deletes 2 of the 3 per-pair
+    * array folds (the corpus row's norm was being re-folded per query). */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotFold(a, b) / (normA * normB)
 
   /** Exact top-k neighbours for a small query set, ranked per query.
     * The query side is broadcast — the corpus is never shuffled. */
@@ -40,11 +51,14 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(
-      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
     val scored = corpus
+      .withColumn("c_norm", norm(col("embedding")))
       .join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -89,18 +103,21 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed = seed)
     val sigCorpus = corpus
       .select(col("vec_id"), col("embedding"),
-        signature(col("embedding"), planes).as("sig"))
+        signature(col("embedding"), planes).as("sig"),
+        norm(col("embedding")).as("c_norm"))
     val probes = (0L +: (0 until nBits).map(i => 1L << i)).map(lit(_))
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        signature(col("embedding"), planes).as("q_sig"))
+        signature(col("embedding"), planes).as("q_sig"),
+        norm(col("embedding")).as("q_norm"))
       .withColumn("mask", explode(array(probes: _*)))
       .withColumn("probe_sig", expr("q_sig ^ mask"))
     val candidates = sigCorpus
       .join(broadcast(q), col("sig") === col("probe_sig") &&
         col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_norm"), col("c_norm")).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -118,12 +135,16 @@ object Similarity {
       nBits: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed = seed)
     val sig = corpus.select(col("vec_id"), col("embedding"),
-      signature(col("embedding"), planes).as("sig"))
-    val a = sig.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
-    val b = sig.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
+      signature(col("embedding"), planes).as("sig"),
+      norm(col("embedding")).as("nrm"))
+    val a = sig.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("sig"), col("nrm").as("nrm_a"))
+    val b = sig.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("sig"), col("nrm").as("nrm_b"))
     a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        cosinePre(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -149,10 +170,14 @@ object Similarity {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
     val probeCells = probed.withColumn("r", row_number().over(wq))
       .filter(col("r") <= nProbe).select(col("q_id"), col("q_emb"), col("cell"))
-    val candidates = cells.join(broadcast(probeCells), Seq("cell"))
+    val candidates = cells
+      .withColumn("c_norm", norm(col("embedding")))
+      .join(broadcast(probeCells.withColumn("q_norm", norm(col("q_emb")))),
+        Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_norm"), col("c_norm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -32,10 +32,15 @@ object DedupQueries {
         |GROUP BY lang, source ORDER BY lang, source, keep_id""".stripMargin),
       (s, d) => Dedup.byKey(docs(s, d), Seq("lang", "source"))),
 
-    // MinHash + banded LSH candidate pairs (xxhash64 → no DuckDB oracle;
-    // exactness covered by the ngram-jaccard oracle + specs)
-    Q("d38_minhash_lsh", None,
-      (s, d) => Dedup.minhashPairs(docs(s, d), threshold = 0.5)),
+    // MinHash + banded LSH in the canonical candidates→verify shape:
+    // the bucket join proposes pairs, exact n-gram Jaccard confirms them.
+    // Verification makes the output deterministic (no estimator), so it
+    // takes the same brute-force oracle as d40 — and the hash match
+    // additionally ASSERTS 100% LSH recall on the gate corpus (verified
+    // at sf0.01 and sf0.1, 25/25 and 256/256 pairs; tools.RecallCheck).
+    Q("d38_minhash_lsh", Some(ngramJaccardOracle),
+      (s, d) => Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5,
+        maxDf = 20)),
 
     // SimHash near-dup pairs (bit-vote fingerprint, banded). Hamming ≤ 3:
     // unweighted simhash over a shared small vocabulary sits near the
@@ -44,8 +49,20 @@ object DedupQueries {
       (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
 
     // exact n-gram Jaccard pairs — fully SQL-expressible, oracled
-    Q("d40_ngram_jaccard", Some(
-      """WITH ex AS (
+    Q("d40_ngram_jaccard", Some(ngramJaccardOracle),
+      // maxDf=20: the inverted-index join costs Σ df² per shingle, so the
+      // DF cap is the whole ballgame at scale — 20 here ≈ 0.4% of the
+      // sf0.1 corpus, the usual boilerplate-shingle cutoff.
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
+        maxDf = 20))
+  )
+
+  /** Brute-force 3-gram Jaccard pair set at threshold 0.5 with the df≤20
+    * skew cap — the shared oracle for d40 (same algorithm) and d38
+    * (candidates→verify LSH, where equality also asserts recall).
+    * `lazy` because `all` above initializes first (object init order). */
+  private lazy val ngramJaccardOracle: String =
+    """WITH ex AS (
         |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
         |    SELECT doc_id,
         |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
@@ -64,11 +81,5 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin),
-      // maxDf=20: the inverted-index join costs Σ df² per shingle, so the
-      // DF cap is the whole ballgame at scale — 20 here ≈ 0.4% of the
-      // sf0.1 corpus, the usual boilerplate-shingle cutoff.
-      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
-        maxDf = 20))
-  )
+        |ORDER BY id_a, id_b""".stripMargin
 }

@@ -29,13 +29,43 @@ object MultimodalQueries {
         sha2(col("text"), 256).as("payload_sha"))
         .orderBy(col("media_id"))),
 
-    // partition-wise stub decode → feature rows (mapPartitions plumbing)
-    Q("m45_media_features", None,
+    // partition-wise stub decode → feature rows (mapPartitions plumbing).
+    // Oracled: the stub decoder is a deterministic base-31 byte hash, so
+    // DuckDB replays it in HUGEINT (wrap mod 2^64); height and n_frames
+    // need the SIGNED arithmetic-shift semantics of the JVM (>> then
+    // floorMod), reconstructed via re-sign + floor-division + floorMod.
+    // ASCII corpus ⇒ ord(char) == payload byte (asserted, see t35).
+    Q("m45_media_features", Some(
+      """WITH h AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    length(text) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(text)+1),
+        |                       i -> CAST(ord(text[i]) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN hu - CAST('18446744073709551616' AS HUGEINT)
+        |                 ELSE hu END AS hs
+        |  FROM h)
+        |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(64 + hu % 512 AS BIGINT) AS width,
+        |  CAST(64 + (hu // 65536) % 512 AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'video'
+        |    THEN 1 + ((((hs - ((hs % 4294967296 + 4294967296) % 4294967296)) // 4294967296) % 30 + 30) % 30)
+        |    ELSE 1 END AS BIGINT) AS n_frames
+        |FROM s ORDER BY media_id""".stripMargin),
       (s, d) => Multimodal.extractFeatures(s,
         Multimodal.mediaTable(docs(s, d)))
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("n_frames"))
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
         .orderBy(col("media_id")))
   )
 }

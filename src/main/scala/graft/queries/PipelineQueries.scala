@@ -52,12 +52,48 @@ object PipelineQueries {
       }),
 
     // fuzzy variant: additionally drop the higher-id member of every
-    // MinHash-LSH near-dup pair (xxhash64 → rows-only check; the subset
-    // relation vs q69 is spec-tested)
-    Q("q70_prep_fuzzy", None,
+    // near-dup pair. Uses the candidates→verify MinHash (exact Jaccard on
+    // LSH candidates), whose pair set equals the brute-force set on the
+    // gate corpora (tools.RecallCheck) — so the oracle expresses the dup
+    // set as the exact-Jaccard pair SQL.
+    Q("q70_prep_fuzzy", Some(
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
+        |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4
+        |      + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |          / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+        |      6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens, quality FROM scored
+        |WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dups)
+        |ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val dupIds = Dedup.minhashPairs(docs, threshold = 0.5)
+        val dupIds = Dedup.minhashVerifiedPairs(docs, threshold = 0.5,
+          maxDf = 20)
           .select(col("id_b").as("doc_id"))
         val scored = docs.select(
           col("doc_id"), col("lang"),

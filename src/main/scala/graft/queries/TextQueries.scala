@@ -87,9 +87,25 @@ object TextQueries {
         canonicalFingerprint(col("text")).as("canon_fp"))
         .orderBy(col("doc_id"))),
 
-    // rolling-hash fingerprint — custom codegen'd Catalyst Expression;
-    // not expressible in DuckDB → rows-only check, exactness spec-tested
-    Q("t35_rolling_hash", None,
+    // rolling-hash fingerprint — custom codegen'd Catalyst Expression.
+    // Oracled: DuckDB replays the polynomial fold in HUGEINT with an
+    // explicit mod-2^64 wrap, then re-signs into BIGINT. ord(char) ==
+    // UTF-8 byte only for ASCII, which this corpus is (asserted: zero
+    // rows with octet_length <> length at both gate SFs).
+    Q("t35_rolling_hash", Some(
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE h END AS BIGINT) AS roll_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(text)+1),
+        |                       i -> CAST(ord(text[i]) AS HUGEINT))),
+        |      (acc, x) -> (acc * 1000003 + x) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
       (s, d) => docs(s, d).select(col("doc_id"),
         RollingHash(col("text")).as("roll_fp"))
         .orderBy(col("doc_id"))),

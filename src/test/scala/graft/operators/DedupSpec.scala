@@ -63,4 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(lsh) || lsh == exact,
       s"LSH missed pairs: ${exact -- lsh}")
   }
+
+  test("candidates→verify minhash equals the brute-force pair set, with exact values") {
+    val verified = Dedup.minhashVerifiedPairs(docs, threshold = 0.5, maxDf = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxDf = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    assert(verified === exact) // same pairs AND same exact jaccard values
+  }
+
+  test("simhash verified pairs are a subset of brute force with exact values") {
+    val verified = Dedup.simhashVerifiedPairs(docs, maxHamming = 8, maxDf = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxDf = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.keySet.subsetOf(exact.keySet))
+    verified.foreach { case (k, v) => assert(v === exact(k)) }
+  }
 }
