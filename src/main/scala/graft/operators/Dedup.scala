@@ -174,6 +174,31 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Weighted SimHash: like simhash, but each token's ±1 bit votes are
+    * scaled by its in-document term frequency (the weighting in Manku/
+    * Jain/Das Sarma, "Detecting near-duplicates for web crawling",
+    * WWW 2007 — feature weights; tf is the document-local choice). Heavy
+    * tokens dominate the fingerprint, so boilerplate-light edits move
+    * fewer bits than under the unweighted vote. Same two-shuffle shape:
+    * explode → (doc, token) tf aggregate → 64 weighted bit-sums. */
+  def simhashWeighted(docs: DataFrame): DataFrame = {
+    val tf = spread(docs).select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$i")
+    }
+    tf.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Near-dup pairs by SimHash: 4 bands of 16 bits — any shared band is a
     * candidate (catches all pairs with Hamming distance ≤ 3 for sure, most
     * up to ~8); exact Hamming distance filters candidates. */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: all (left, right) pairs with
+  * `right.ts ∈ [left.ts - lookback, left.ts]` — every match, unlike
+  * AsOfJoin which keeps only the latest one.
+  *
+  * A time-range predicate alone has no equi-key, so naive execution is a
+  * cross join — O(|L|·|R|) shuffled everywhere, dead at scale. The classic
+  * fix (Flink's interval join, DuckDB's IEJoin sidesteps it differently)
+  * is BUCKETING: quantize time into `lookback`-sized bins; a left row in
+  * bin b can only match right rows in bins {b-1, b}, so emitting each left
+  * row into those two bins turns the range predicate into an equi-join on
+  * the bin id, followed by the exact range filter. Cost: one 2× row
+  * duplication on the (usually smaller) probe side and a hash shuffle on
+  * (bin [, keys]) — linear, partitionable, AQE-skew-splittable.
+  *
+  * Optional equi-keys compose with the bin (key, bin) so co-occurring
+  * streams with keys shuffle by key too.
+  */
+object RangeJoin {
+
+  /** All pairs where `right.tsCol` is within `[left.tsCol - lookbackSec,
+    * left.tsCol]`, optionally also equal on `keys`. Columns from both
+    * sides survive with the given prefixes. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      tsCol: String, lookbackSec: Long, keys: Seq[String] = Nil,
+      leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val binOf: Column => Column = ts => floor(unix_timestamp(ts) / lookbackSec)
+
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) =>
+        if (keys.contains(c)) d else d.withColumnRenamed(c, s"$p$c"))
+
+    // left probes its own bin and the previous one (range spans ≤ 2 bins)
+    val l = prefixed(left, leftPrefix)
+      .withColumn("bin",
+        explode(array(binOf(col(s"$leftPrefix$tsCol")) - 1,
+          binOf(col(s"$leftPrefix$tsCol")))))
+    val r = prefixed(right, rightPrefix)
+      .withColumn("bin", binOf(col(s"$rightPrefix$tsCol")))
+    l.join(r, Seq("bin") ++ keys)
+      .filter(col(s"$rightPrefix$tsCol") >= col(s"$leftPrefix$tsCol")
+        - expr(s"INTERVAL $lookbackSec SECOND") &&
+        col(s"$rightPrefix$tsCol") <= col(s"$leftPrefix$tsCol"))
+      .drop("bin")
+  }
+}

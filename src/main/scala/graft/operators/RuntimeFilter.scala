@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit runtime-filter (semi-join reduction) for big⋈small joins.
+  *
+  * At 100 TB the dominant join cost is shuffling the big side; rows that
+  * can never match still pay the full scan→shuffle price. The standard
+  * fix is a runtime filter: build a compact membership sketch of the
+  * small side's keys, broadcast it, and drop non-matching big-side rows
+  * BEFORE the shuffle. Spark 4's AQE can inject these automatically
+  * (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator makes
+  * the pattern explicit and controllable — e.g. to filter at the scan of
+  * a pre-joined staging table, or when statistics defeat the planner.
+  *
+  * The sketch is built DISTRIBUTED by `DataFrame.stat.bloomFilter`
+  * (internally a BloomFilterAggregate — only the ~1 MB bitset reaches the
+  * driver, never rows) and shipped as a broadcast variable. False
+  * positives are fine: the join afterwards is still exact; the filter
+  * only prunes guaranteed non-matches.
+  */
+object RuntimeFilter {
+
+  /** `large ⋈ small` equi-join with a bloom prefilter on the large side.
+    * `expectedKeys`/`fpp` size the sketch (1M keys @ 3% ≈ 900 KB). */
+  def bloomJoin(
+      large: DataFrame, small: DataFrame,
+      largeKey: String, smallKey: String,
+      joinType: String = "inner",
+      expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bc = large.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    large.filter(mightContain(col(largeKey)))
+      .join(small, col(largeKey) === col(smallKey), joinType)
+  }
+
+  /** The bloom prefilter alone (for semi-join reduction ahead of an
+    * aggregation or a later join). Superset of the true semi-join by the
+    * sketch's false-positive rate. */
+  def bloomPrefilter(
+      large: DataFrame, small: DataFrame,
+      largeKey: String, smallKey: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bc = large.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    large.filter(mightContain(col(largeKey)))
+  }
+}

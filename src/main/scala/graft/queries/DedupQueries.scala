@@ -48,6 +48,12 @@ object DedupQueries {
     Q("d39_simhash", None,
       (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
 
+    // tf-weighted SimHash fingerprints (xxhash64 bit votes → rows-only;
+    // the weighting semantics are spec-tested on planted documents)
+    Q("d42_simhash_weighted", None,
+      (s, d) => Dedup.simhashWeighted(docs(s, d))
+        .orderBy(col("doc_id"))),
+
     // exact n-gram Jaccard pairs — fully SQL-expressible, oracled
     Q("d40_ngram_jaccard", Some(ngramJaccardOracle),
       // maxDf=20: the inverted-index join costs Σ df² per shingle, so the

@@ -169,6 +169,46 @@ object PipelineQueries {
           .orderBy(col("event_id"))
       }),
 
+    // stream-stream inner join under the gate: watermarked purchases ⋈
+    // watermarked clicks within a 10-minute lookback per user; the
+    // append-mode pair set equals the batch interval join (the oracle)
+    Q("q83_stream_stream_join", Some(
+      """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p_id, c_id""".stripMargin),
+      (s, d) => {
+        val name = "graft_stream_join"
+        val q = graft.streaming.EventPipeline.startStreamJoinQuery(
+          s, graft.queries.Staging.eventsDir(d), name)
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).distinct() // memory sink may replay on retries
+          .orderBy(col("p_id"), col("c_id"))
+      }),
+
+    // foreachBatch sink: micro-batches land as batchId-keyed parquet
+    // (idempotent overwrite); reading the written files back and
+    // re-aggregating must reproduce the batch hourly counts — a sink
+    // ROUND-TRIP under the oracle, not just a query
+    Q("q84_foreach_batch", Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin),
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_fes").toString
+        val q = graft.streaming.EventPipeline.startForeachBatchQuery(
+          s, graft.queries.Staging.eventsDir(d), out)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$out/batch_*")
+          .groupBy(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+            col("event_type"))
+          .agg(sum(col("n")).as("n"))
+          .orderBy(col("h"), col("event_type"))
+      }),
+
     Q("q72_except", Some(
       """SELECT c_custkey FROM customer
         |EXCEPT

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, RangeJoin, RuntimeFilter, Skew}
 
 /** Scale-pattern operators: as-of join (union-window, not range join),
   * salted aggregation/join (skew mitigation, result-identical to naive
@@ -82,6 +82,49 @@ object ScaleQueries {
           valueCols = Seq("event_id" -> "click_id"))
           .select(col("event_id"), col("user_id"), col("click_id"))
           .orderBy(col("event_id"))
+      }),
+
+    // interval (range) join via time-bucketing: every click within the 5
+    // minutes before each purchase, same user. The bin equi-join replaces
+    // the cross join a bare range predicate would cost (operator doc);
+    // DuckDB executes the same semantics natively (IEJoin), which is the
+    // oracle.
+    Q("q81_range_join", Some(
+      """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p_id, c_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        RangeJoin.intervalJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          tsCol = "ts", lookbackSec = 300, keys = Seq("user_id"))
+          .select(col("l_event_id").as("p_id"), col("user_id"),
+            col("r_event_id").as("c_id"))
+          .orderBy(col("p_id"), col("c_id"))
+      }),
+
+    // bloom runtime-filter join: the big side is pruned by a distributed
+    // bloom sketch of the small side's keys BEFORE the join shuffle.
+    // False positives only cost work — the join stays exact, which is
+    // what the plain-join oracle asserts.
+    Q("q82_bloom_join", Some(
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val big = Tables.load(s, d, "lineitem")
+        val small = Tables.load(s, d, "orders")
+          .filter(col("o_totalprice") > 400000)
+        RuntimeFilter.bloomJoin(big, small, "l_orderkey", "o_orderkey",
+          expectedKeys = 100000L)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
       }),
 
     // salted two-phase aggregation — identical result to plain GROUP BY

@@ -87,6 +87,29 @@ object EventPipeline {
     events.join(broadcast(dim), events("user_id") === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Stream-stream inner join: purchases matched to the clicks that
+    * preceded them by at most `lookbackMin` minutes, per user. Both sides
+    * are watermarked so the state store can evict: a click older than the
+    * purchase watermark minus the lookback can never match again and is
+    * dropped — the bounded-state contract that makes the join run forever.
+    * In append mode the emitted pairs equal the batch interval join, which
+    * is the oracle. */
+  def purchaseClickJoin(events: DataFrame, lookbackMin: Int = 10): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTE") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("c_id"))
+  }
+
   /** Streaming source over an events parquet directory (schema must be
     * explicit for file streams; nanos ts arrives as int64 → µs). */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
@@ -116,4 +139,28 @@ object EventPipeline {
   def startDedupQuery(
       spark: SparkSession, eventsDir: String, queryName: String) =
     toMemorySink(streamingDedupKeys(eventsStream(spark, eventsDir)), queryName)
+
+  def startStreamJoinQuery(
+      spark: SparkSession, eventsDir: String, queryName: String) =
+    toMemorySink(purchaseClickJoin(eventsStream(spark, eventsDir)), queryName)
+
+  /** foreachBatch sink: the escape hatch for sinks Structured Streaming
+    * has no connector for (JDBC upserts, multi-table fan-out, …). Each
+    * micro-batch arrives as a plain DataFrame; writing it to a
+    * batchId-keyed path keeps retries idempotent (same batch → same path,
+    * overwrite). Here each batch lands as hourly-aggregated parquet. */
+  def startForeachBatchQuery(
+      spark: SparkSession, eventsDir: String, outDir: String) =
+    eventsStream(spark, eventsDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(date_trunc("hour", col("ts")).as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .start()
 }

@@ -73,6 +73,23 @@ class DedupSpec extends SparkSpec {
     assert(verified === exact) // same pairs AND same exact jaccard values
   }
 
+  test("weighted simhash: identical docs collide; tf outvotes a rare token") {
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (0L, "alpha alpha alpha alpha alpha alpha alpha alpha beta"),
+      (1L, "alpha alpha alpha alpha alpha alpha alpha alpha beta"),
+      (2L, "alpha alpha alpha alpha alpha alpha alpha alpha gamma"),
+      (3L, "alpha beta beta beta beta beta beta beta beta")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhashWeighted(docs).collect()
+      .map { case Row(id: Long, h: Long) => id -> h }.toMap
+    assert(sh(0L) === sh(1L)) // identical docs → identical fingerprint
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // 0 vs 2 share the dominant alpha mass (1-token edit);
+    // 0 vs 3 inverts the tf balance — must be at least as far
+    assert(hamming(sh(0L), sh(2L)) <= hamming(sh(0L), sh(3L)))
+  }
+
   test("simhash verified pairs are a subset of brute force with exact values") {
     val verified = Dedup.simhashVerifiedPairs(docs, maxHamming = 8, maxDf = 20)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -83,6 +83,43 @@ class EventPipelineSpec extends SparkSpec {
     assert(out.select(col("user_id")).agg(count(lit(1))).head.getLong(0) > 0)
   }
 
+  test("stream-stream join emits exactly the batch interval-join pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventPipeline.startStreamJoinQuery(spark, dir.toString, "ssj_spec")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_spec").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val batch = EventPipeline.purchaseClickJoin(events)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink round-trip reproduces the batch hourly counts") {
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    val q = EventPipeline.startForeachBatchQuery(spark, dir.toString, out)
+    try q.processAllAvailable() finally q.stop()
+    val roundTrip = spark.read.parquet(s"$out/batch_*")
+      .groupBy(col("h"), col("event_type")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(roundTrip === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("end-to-end streaming: parquet source → watermark window → memory sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     // stage the events file into a clean source dir (other tables would
