@@ -57,8 +57,13 @@ object Dedup {
   /** (doc_id, minhash array of length k) via k seeded xxhash64 draws over
     * distinct word 3-gram shingles. One explode + one groupBy — two
     * shuffles total regardless of corpus size. */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = shingleTable(docs, shingleN)
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame =
+    signaturesFromShingles(shingleTable(docs, shingleN), k)
+
+  /** Signatures from an already-materialized (doc_id, sh) table — lets a
+    * candidates→verify pipeline share ONE shingle explode between the
+    * signature build and the exact-Jaccard verification. */
+  private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -99,13 +104,19 @@ object Dedup {
   /** Candidate pairs from banded MinHash-LSH — the bucket equi-join only,
     * no estimator filter. */
   def minhashCandidates(
-      docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+      docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    candidatesFromSignatures(minhashSignatures(docs, k), k, bands)
+
+  private def candidatesFromSignatures(
+      sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    // checkpoint: the banded table feeds both sides of the bucket
+    // self-join — without it the whole signature pipeline runs twice
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "band_hash")))
+      .localCheckpoint()
     banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band", "band_hash"))
@@ -122,8 +133,13 @@ object Dedup {
     * O(|candidates| · shingles/doc), never O(N²). */
   def verifyPairsByJaccard(
       docs: DataFrame, cands: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    val ex = shingleTable(docs, n).localCheckpoint()
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame =
+    verifyFromShingles(shingleTable(docs, n).localCheckpoint(), cands,
+      threshold, maxDf)
+
+  private def verifyFromShingles(
+      ex: DataFrame, cands: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val filtered = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -150,9 +166,14 @@ object Dedup {
     * equality additionally asserts 100% LSH recall on the corpus. */
   def minhashVerifiedPairs(
       docs: DataFrame, threshold: Double = 0.5, k: Int = 16,
-      bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100): DataFrame =
-    verifyPairsByJaccard(docs, minhashCandidates(docs, k, bands),
-      shingleN, threshold, maxDf)
+      bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100): DataFrame = {
+    // ONE shingle explode shared by the signature build and the exact
+    // verification (they were two separate explode+checkpoint pipelines;
+    // sharing halves the operator's heavy stage)
+    val ex = shingleTable(docs, shingleN).localCheckpoint()
+    val cands = candidatesFromSignatures(signaturesFromShingles(ex, k), k, bands)
+    verifyFromShingles(ex, cands, threshold, maxDf)
+  }
 
   // ---- SimHash ----
 
