@@ -46,7 +46,10 @@ object Bench {
       }
       name -> times.min
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
+    // would print 12,345 and break the driver's JSON parse
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
       .mkString("{", ",", "}")

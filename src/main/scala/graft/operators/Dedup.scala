@@ -101,12 +101,8 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Candidate pairs from banded MinHash-LSH — the bucket equi-join only,
+  /** Candidate pairs from banded signatures — the bucket equi-join only,
     * no estimator filter. */
-  def minhashCandidates(
-      docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
-    candidatesFromSignatures(minhashSignatures(docs, k), k, bands)
-
   private def candidatesFromSignatures(
       sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands

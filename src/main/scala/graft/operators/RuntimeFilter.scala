@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Explicit runtime-filter (semi-join reduction) for big⋈small joins.
   *
@@ -22,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
+  /** Join types for which pruning non-matching LARGE rows preserves the
+    * result. Outer-on-the-large-side types (left/full) and left_anti
+    * must keep those rows, so the prefilter would corrupt them. */
+  private val safeJoinTypes =
+    Set("inner", "left_semi", "leftsemi", "right", "right_outer", "cross")
+
   /** `large ⋈ small` equi-join with a bloom prefilter on the large side.
     * `expectedKeys`/`fpp` size the sketch (1M keys @ 3% ≈ 900 KB). */
   def bloomJoin(
@@ -29,11 +36,10 @@ object RuntimeFilter {
       largeKey: String, smallKey: String,
       joinType: String = "inner",
       expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
-    val bc = large.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    large.filter(mightContain(col(largeKey)))
+    require(safeJoinTypes.contains(joinType.toLowerCase),
+      s"bloomJoin supports ${safeJoinTypes.mkString("/")} — a '$joinType' " +
+        "join must keep non-matching large-side rows, which the prefilter drops")
+    bloomPrefilter(large, small, largeKey, smallKey, expectedKeys, fpp)
       .join(small, col(largeKey) === col(smallKey), joinType)
   }
 
@@ -44,10 +50,17 @@ object RuntimeFilter {
       large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    // the udf is Long-typed; a non-integral key column would be silently
+    // cast to null and every row dropped — reject it up front
+    for ((df, k) <- Seq((large, largeKey), (small, smallKey))) {
+      val dt = df.schema(k).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"bloom filter key '$k' must be integral, got $dt")
+    }
+    val bf = small.stat.bloomFilter(col(smallKey).cast("long"), expectedKeys, fpp)
     val bc = large.sparkSession.sparkContext.broadcast(bf)
     val mightContain =
       udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    large.filter(mightContain(col(largeKey)))
+    large.filter(mightContain(col(largeKey).cast("long")))
   }
 }

@@ -54,6 +54,15 @@ object DedupQueries {
       (s, d) => Dedup.simhashWeighted(docs(s, d))
         .orderBy(col("doc_id"))),
 
+    // SimHash candidates→exact-verify. Deterministic values, but NOT
+    // oracle-equal to the brute pair set: 4×16 banding provably misses
+    // high-Hamming near-dups (23/25 at sf0.01 even at h=16 —
+    // tools.RecallCheck), so this stays rows-only; the subset-with-exact-
+    // values relation is spec-tested.
+    Q("d43_simhash_verified", None,
+      (s, d) => Dedup.simhashVerifiedPairs(docs(s, d), maxHamming = 8,
+        maxDf = 20)),
+
     // exact n-gram Jaccard pairs — fully SQL-expressible, oracled
     Q("d40_ngram_jaccard", Some(ngramJaccardOracle),
       // maxDf=20: the inverted-index join costs Σ df² per shingle, so the

@@ -172,11 +172,13 @@ object PipelineQueries {
     // stream-stream inner join under the gate: watermarked purchases ⋈
     // watermarked clicks within a 10-minute lookback per user; the
     // append-mode pair set equals the batch interval join (the oracle)
+    // CAST(ts AS TIMESTAMP): compare at µs like Spark (CLAUDE.md rule 2)
     Q("q83_stream_stream_join", Some(
       """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
-        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY p_id, c_id""".stripMargin),
       (s, d) => {
@@ -197,8 +199,8 @@ object PipelineQueries {
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin),
       (s, d) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_fes").toString
+        val out = graft.queries.Staging.sinkDir(
+          "feb_" + d.replaceAll("[^A-Za-z0-9]", "_"))
         val q = graft.streaming.EventPipeline.startForeachBatchQuery(
           s, graft.queries.Staging.eventsDir(d), out)
         try q.processAllAvailable() finally q.stop()

@@ -69,8 +69,10 @@ object ScaleQueries {
     // as-of join: each purchase enriched with the user's latest prior click
     Q("q48_asof_join", Some(
       """SELECT p.event_id, p.user_id, c.event_id AS click_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin),
       (s, d) => {
@@ -89,11 +91,15 @@ object ScaleQueries {
     // the cross join a bare range predicate would cost (operator doc);
     // DuckDB executes the same semantics natively (IEJoin), which is the
     // oracle.
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs — Spark evaluates
+    // the range predicate at µs, so a same-µs pair differing only in
+    // sub-µs ns must compare equal on BOTH sides (CLAUDE.md rule 2)
     Q("q81_range_join", Some(
       """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
-        | AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY p_id, c_id""".stripMargin),
       (s, d) => {

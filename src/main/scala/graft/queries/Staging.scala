@@ -9,12 +9,22 @@ import java.nio.file.{Files, Paths}
   * instead of leaking a parquet copy per call. */
 object Staging {
   private val staged = scala.collection.concurrent.TrieMap[String, String]()
+  private val sinkDirs = scala.collection.concurrent.TrieMap[String, String]()
 
   def eventsDir(sfDir: String): String = staged.getOrElseUpdate(sfDir, {
     val dir = Files.createTempDirectory("graft_events_stage")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
     dir.toFile.deleteOnExit()
     dir.resolve("events.parquet").toFile.deleteOnExit()
+    dir.toString
+  })
+
+  /** Per-JVM output dir for a named sink query (foreachBatch etc.) —
+    * reused across invocations (batchId-keyed writes are idempotent
+    * overwrites), so Bench's repeated runs don't leak a dir per call. */
+  def sinkDir(key: String): String = sinkDirs.getOrElseUpdate(key, {
+    val dir = Files.createTempDirectory(s"graft_sink_$key")
+    dir.toFile.deleteOnExit()
     dir.toString
   })
 }

@@ -23,6 +23,16 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("unsafe join types and non-integral keys are rejected up front") {
+    // left outer would need the pruned rows back — must not run silently
+    assertThrows[IllegalArgumentException](
+      RuntimeFilter.bloomJoin(li, dim, "l_orderkey", "o_orderkey",
+        joinType = "left"))
+    // a string key would be cast to null inside the udf → empty result
+    assertThrows[IllegalArgumentException](
+      RuntimeFilter.bloomPrefilter(li, dim, "l_returnflag", "o_orderkey"))
+  }
+
   test("bloomPrefilter keeps every true match (no false negatives)") {
     val trueKeys = li.join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
       .select($"l_orderkey").distinct()
