@@ -18,13 +18,21 @@ object FacadeQueries {
 
   /** Build a DataSource whose catalog is the sfDir parquet tables.
     * DoNothingCache: persist() would pile cached copies across bench runs.
-    */
-  private def ds(s: SparkSession, dir: String): DataSource = {
-    val meta = Files.createTempDirectory("graft_ds_meta").toString
-    val d = new DataSource(s, meta, initialCache = new DoNothingCache)
-    Tables.all.foreach(n => d.addTable(graft.catalog.FileTable(n, s"$dir/$n.parquet")))
-    d
-  }
+    * Cached per (session, dir): a fresh instance per query invocation was
+    * a temp metadata dir + 10 table registrations (each a validating
+    * read) per call — ~0.3 s of pure setup on every facade query, and a
+    * leaked directory per Bench/Verify invocation. Custom function
+    * registration below overwrites idempotently, so reuse is safe. */
+  private val cached =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataSource]()
+  private def ds(s: SparkSession, dir: String): DataSource =
+    cached.getOrElseUpdate((s, dir), {
+      val meta = Files.createTempDirectory("graft_ds_meta")
+      meta.toFile.deleteOnExit()
+      val d = new DataSource(s, meta.toString, initialCache = new DoNothingCache)
+      Tables.all.foreach(n => d.addTable(graft.catalog.FileTable(n, s"$dir/$n.parquet")))
+      d
+    })
 
   /** Sum of squares — a reference-style custom AggregateFunction
     * (SURVEY.md §2.7) as a Spark Aggregator. */
