@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a training-data pipeline runs after
+  * filtering/dedup: sampling, splitting, and sequence packing. All three
+  * are DETERMINISTIC BY CONSTRUCTION — they derive decisions from a
+  * multiplicative hash of the row id, not from rand() — which is what
+  * makes a 100 TB corpus build reproducible run-to-run (and lets every
+  * one of them sit under the DuckDB differential oracle).
+  *
+  * The hash is `(id * 104729) mod buckets` (a prime multiplier; products
+  * stay < 2^57 for id < 2^40, so the arithmetic is exact in both 64-bit
+  * engines — no wraparound semantics to replicate). It is uniform enough
+  * for percentage bucketing; it is NOT a cryptographic or adversarial
+  * hash.
+  */
+object Sampling {
+
+  val HashPrime = 104729L
+
+  /** Deterministic bucket in [0, buckets) from a long id column. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(id * lit(HashPrime), lit(buckets.toLong))
+
+  /** Stratified sample: keep a per-stratum percentage of rows, decided by
+    * the id hash (e.g. 50% of 'en' docs, 10% of everything else). The
+    * map is applied via a CASE expression — no shuffle at all; the sample
+    * is a pure filter that composes with pushdown. */
+  def stratifiedSample(
+      df: DataFrame, id: String, stratum: String,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (value, p)) => when(col(stratum) === value, p).otherwise(acc)
+    }
+    df.filter(hashBucket(col(id), 100) < pct)
+  }
+
+  /** Deterministic train/val/test split labels: buckets [0,train) →
+    * train, [train, train+valPct) → val, rest → test. A row's split never
+    * changes when the corpus grows — the property batch re-runs need. */
+  def hashSplit(
+      df: DataFrame, id: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(id), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Sequence packing: assign documents to fixed-capacity token bins,
+    * in id order within each group — bin = floor(running_tokens_before /
+    * capacity). This is the shuffle-friendly approximation of greedy
+    * first-fit packing (exact first-fit is inherently sequential): one
+    * window over (group, id), no driver loop. Bins can overflow by at
+    * most one document — the standard streaming-packing tradeoff. */
+  def packBins(
+      df: DataFrame, id: String, group: String, tokenCol: String,
+      capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / capacity))
+  }
+}

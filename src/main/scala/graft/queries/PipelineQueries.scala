@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Composed pipelines and set operations. q69 is the "training-data prep"
   * composition: quality-score → filter → canonical dedup (keep lowest
@@ -103,6 +103,56 @@ object PipelineQueries {
           .join(dupIds, Seq("doc_id"), "left_anti")
           .orderBy(col("doc_id"))
       }),
+
+    // stratified deterministic sampling: 50% of en docs, 10% otherwise,
+    // decided by (doc_id*104729)%100 — a pure filter (no shuffle, no
+    // rand()), reproducible run-to-run, exactly mirrored in SQL
+    Q("q85_sample_stratified", Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 104729) % 100 <
+        |      CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => Sampling.stratifiedSample(
+        Tables.load(s, d, "documents"), id = "doc_id", stratum = "lang",
+        pctByStratum = Map("en" -> 50), defaultPct = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic train/val/test split: 80/10/10 by id hash; a row's
+    // split never changes when the corpus grows
+    Q("q86_split", Some(
+      """SELECT split, lang, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN (doc_id * 104729) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 104729) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+      (s, d) => Sampling.hashSplit(
+        Tables.load(s, d, "documents"), id = "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
+
+    // sequence packing into 2048-token bins per language (running-sum
+    // window — the parallel approximation of greedy first-fit)
+    Q("q87_pack_bins", Some(
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+        |    AS BIGINT) AS bin
+        |FROM (SELECT doc_id, lang,
+        |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => Sampling.packBins(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        id = "doc_id", group = "lang", tokenCol = "n_tokens",
+        capacity = 2048)
+        .orderBy(col("doc_id"))),
 
     // set operations beyond UNION ALL
     Q("q71_intersect", Some(

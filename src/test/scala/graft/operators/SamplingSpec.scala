@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.load(spark, sf0001, "documents")
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 10)
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 10)
+    val ids1 = s1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === s2.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    val total = docs.filter($"lang" === "en").count().toDouble
+    val kept = s1.filter($"lang" === "en").count().toDouble
+    assert(kept / total > 0.3 && kept / total < 0.7) // ~50% of en
+  }
+
+  test("hash split is a partition: every row gets exactly one stable label") {
+    val split = Sampling.hashSplit(docs, "doc_id")
+    assert(split.count() === docs.count())
+    val counts = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val")) // 80 vs 10 pct
+    // growing the corpus must not move an existing row's split
+    val grown = Sampling.hashSplit(docs.limit(100), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    val full = split.collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    grown.foreach { case (id, lbl) => assert(full(id) === lbl) }
+  }
+
+  test("packBins never overflows capacity by more than one document") {
+    val withTok = docs.select($"doc_id", $"lang",
+      graft.functions.TextFunctions.tokenCount($"text")
+        .cast("bigint").as("n_tokens"))
+    val packed = Sampling.packBins(withTok, "doc_id", "lang", "n_tokens", 512)
+    val binTotals = packed.groupBy($"lang", $"bin")
+      .agg(sum($"n_tokens").as("toks"), max($"n_tokens").as("biggest"))
+      .collect()
+    binTotals.foreach { r =>
+      // a bin holds < capacity before its last doc was added
+      assert(r.getLong(2) < 512 + r.getLong(3),
+        s"bin ${r.get(0)}/${r.get(1)} total ${r.getLong(2)}")
+    }
+    assert(binTotals.length > 1) // corpus actually spans multiple bins
+  }
+}
