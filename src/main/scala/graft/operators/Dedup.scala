@@ -248,6 +248,54 @@ object Dedup {
       simhashPairs(docs, maxHamming).select(col("id_a"), col("id_b")),
       shingleN, threshold, maxDf)
 
+  // ---- duplicate clustering ----
+
+  /** Connected components over an undirected pair list (id_a < id_b):
+    * every document labeled with the smallest id reachable through the
+    * near-dup relation — the dedup endgame (pairs → clusters → keep one
+    * survivor per cluster). Transitive closure matters: A~B and B~C must
+    * collapse A,B,C together even when A~C was never emitted.
+    *
+    * Distributed min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels (one equi-join + one
+    * groupBy per round); rounds needed = graph diameter, which for
+    * near-dup clusters is tiny. The driver loop only ships ONE aggregate
+    * (sum of labels, monotonically non-increasing) per round to detect
+    * the fixpoint — no row data ever reaches the driver. (The same loop
+    * at web scale is GraphX's / the large-star-small-star algorithm's
+    * shape — Kiveris et al., "Connected components in MapReduce and
+    * beyond", SoCC 2014.)
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // feeds every round; don't recompute the pairs
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = Long.MaxValue
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        .select(col("src").as("id"), col("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val s = updated.agg(sum(col("label"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = updated
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- exact n-gram Jaccard ----
 
   /** Exact Jaccard similarity pairs over distinct word n-gram shingles,

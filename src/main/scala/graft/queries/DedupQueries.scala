@@ -69,32 +69,63 @@ object DedupQueries {
       // DF cap is the whole ballgame at scale — 20 here ≈ 0.4% of the
       // sf0.1 corpus, the usual boilerplate-shingle cutoff.
       (s, d) => Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
-        maxDf = 20))
+        maxDf = 20)),
+
+    // duplicate CLUSTERS: connected components over the verified pair
+    // set (transitive closure — A~B~C collapses even without an A~C
+    // pair). Spark runs distributed min-label propagation; the oracle
+    // replays reachability with a recursive CTE.
+    Q("d44_dup_clusters", Some(
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin),
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
+        .orderBy(col("doc_id")))
   )
 
-  /** Brute-force 3-gram Jaccard pair set at threshold 0.5 with the df≤20
-    * skew cap — the shared oracle for d40 (same algorithm) and d38
-    * (candidates→verify LSH, where equality also asserts recall).
+  /** The shared CTE chain computing exact 3-gram Jaccard intersections
+    * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed). */
+  private lazy val ngramPairCtes: String =
+    """ex AS (
+      |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
+      |    SELECT doc_id,
+      |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
+      |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Brute-force 3-gram Jaccard pair set at threshold 0.5 — the shared
+    * oracle for d40 (same algorithm) and d38 (candidates→verify LSH,
+    * where equality also asserts recall).
     * `lazy` because `all` above initializes first (object init order). */
   private lazy val ngramJaccardOracle: String =
-    """WITH ex AS (
-        |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
-        |    SELECT doc_id,
-        |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
-        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
-        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
-        |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
-        |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |       inter / (sa.sz + sb.sz - inter) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH $ngramPairCtes
+       |SELECT id_a, id_b,
+       |       inter / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 }

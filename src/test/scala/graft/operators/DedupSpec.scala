@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpec {
       s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("connectedComponents collapses transitive chains to the min id") {
+    // chain 0-1-2-3 (no shortcut edges) + separate pair 10-11
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("candidates→verify minhash equals the brute-force pair set, with exact values") {
     val verified = Dedup.minhashVerifiedPairs(docs, threshold = 0.5, maxDf = 20)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

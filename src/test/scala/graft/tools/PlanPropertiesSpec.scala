@@ -50,6 +50,27 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(inCodegen, nodes.map(_.getClass.getSimpleName))
   }
 
+  test("q81 range join runs as an equi-join on the bin — no nested-loop/cartesian") {
+    val names = PlanInspect.nodeNames(run("q81_range_join"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+    assert(names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), names)
+  }
+
+  test("q82 bloom prefilter runs before the join (Filter under the join's large side)") {
+    val plan = PlanInspect.formatted(run("q82_bloom_join"))
+    // the udf filter must appear, and the scan must still push the dim's
+    // o_totalprice predicate — the prefilter composes with pushdown
+    assert(plan.contains("UDF"), plan)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q85 stratified sample is a pure filter — no shuffle in the plan") {
+    val names = PlanInspect.nodeNames(run("q85_sample_stratified"))
+    // one exchange allowed for the final ORDER BY; the sample itself adds none
+    assert(names.count(_.contains("Exchange")) <= 1, names)
+  }
+
   test("partitioned write → partition-pruned read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.Tables.load(spark, sf0001, "events")
