@@ -296,6 +296,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark-contamination check — the decontamination step every
+    * training-corpus build runs: how much of each document's shingle set
+    * appears in a benchmark/eval set's shingles? The benchmark side is a
+    * distinct shingle set (tiny — broadcast by Catalyst); the corpus side
+    * is the same inverted-index shape as the dedup family, so cost stays
+    * one explode + one equi-join at any corpus size. */
+  def contaminationCheck(
+      docs: DataFrame, benchIds: Seq[Long], n: Int = 3): DataFrame = {
+    val ex = shingleTable(docs, n).localCheckpoint()
+    val isBench = col("doc_id").isInCollection(benchIds)
+    val bench = ex.filter(isBench).select(col("sh")).distinct()
+    val corpus = ex.filter(!isBench)
+    val sizes = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpus.join(bench, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double")).as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- exact n-gram Jaccard ----
 
   /** Exact Jaccard similarity pairs over distinct word n-gram shingles,

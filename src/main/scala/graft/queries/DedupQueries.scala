@@ -95,8 +95,35 @@ object DedupQueries {
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin),
       (s, d) => Dedup.connectedComponents(
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // benchmark-contamination check (decontamination): per-document
+    // overlap of 3-gram shingles against the shingle set of docs 0-4
+    // (standing in for an eval set)
+    Q("d45_contamination", Some(
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+        |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id IN (0,1,2,3,4)),
+        |corpus AS (SELECT * FROM ex WHERE doc_id NOT IN (0,1,2,3,4)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |ov AS (SELECT c.doc_id, count(*) AS n_overlap
+        |       FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+        |SELECT s.doc_id, s.n_shingles,
+        |       coalesce(ov.n_overlap, 0) AS n_overlap,
+        |       CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+        |         / CAST(s.n_shingles AS DOUBLE) AS rate
+        |FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
+      (s, d) => Dedup.contaminationCheck(docs(s, d), benchIds))
   )
+
+  /** Benchmark docs for the contamination check: ids 0–4 stand in for an
+    * eval set. */
+  private val benchIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** The shared CTE chain computing exact 3-gram Jaccard intersections
     * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed). */

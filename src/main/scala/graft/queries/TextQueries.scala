@@ -123,6 +123,49 @@ object TextQueries {
         .orderBy(col("n").desc, col("w"))
         .limit(20)),
 
+    // TF-IDF-weighted top term per document. The idf is the RATIONAL
+    // form (N+1)/(df+1) — deliberately no ln(): log implementations can
+    // differ in the last ulp across engines, while the rational form is
+    // two exact int→double conversions and one division, bit-identical
+    // everywhere; ranking order is unchanged (ln is monotone).
+    Q("t38_tfidf", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |         tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, w, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, w) AS rn
+        |  FROM scored)
+        |SELECT doc_id, w AS top_term, score FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val tf = toks.groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("w"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs(s, d).count()
+        val scored = tf.join(dfreq, Seq("w"))
+          .withColumn("score",
+            col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("w").as("top_term"), col("score"))
+          .orderBy(col("doc_id"))
+      }),
+
     // document length histogram, 100-char buckets capped at 10
     // (width_bucket is absent in DuckDB 1.0, so plain arithmetic)
     Q("t37_len_histogram", Some(

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
       s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("contaminationCheck: full overlap for a copy, zero for disjoint text") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // bench
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (2L, "iota kappa lambda mu nu xi omicron pi rho sigma") // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationCheck(corpus, benchIds = Seq(0L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._2 === 1.0) // every shingle of the copy is contaminated
+    assert(out(2L) === ((0L, 0.0))) // disjoint text: zero overlap
+    assert(!out.contains(0L)) // bench docs are excluded from the report
+  }
+
   test("connectedComponents collapses transitive chains to the min id") {
     // chain 0-1-2-3 (no shortcut edges) + separate pair 10-11
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
