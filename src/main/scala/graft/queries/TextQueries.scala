@@ -166,6 +166,36 @@ object TextQueries {
           .orderBy(col("doc_id"))
       }),
 
+    // context-window chunking: split every document into 96-token chunks
+    // on a 64-token stride (32-token overlap) — the standard pre-training
+    // windowing step. One explode of the start offsets per doc; the
+    // chunk slice stays a column expression (no UDF).
+    Q("t39_chunking", Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, greatest(len(w), 1), 64)) AS start
+        |  FROM t)
+        |SELECT doc_id, start // 64 AS chunk_id,
+        |       array_to_string(w[start+1:start+96], ' ') AS chunk,
+        |       len(w[start+1:start+96]) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+        toks
+          .withColumn("start", explode(sequence(lit(0),
+            greatest(size(col("w")) - 1, lit(0)), lit(64))))
+          .select(col("doc_id"),
+            (col("start") / 64).cast("bigint").as("chunk_id"),
+            array_join(slice(col("w"), col("start") + 1, lit(96)), " ").as("chunk"),
+            size(slice(col("w"), col("start") + 1, lit(96))).cast("bigint")
+              .as("n_tokens"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      }),
+
     // document length histogram, 100-char buckets capped at 10
     // (width_bucket is absent in DuckDB 1.0, so plain arithmetic)
     Q("t37_len_histogram", Some(
