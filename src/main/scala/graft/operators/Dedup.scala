@@ -266,7 +266,7 @@ object Dedup {
     * shape — Kiveris et al., "Connected components in MapReduce and
     * beyond", SoCC 2014.)
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -274,7 +274,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var prevSum = Long.MaxValue
+    // convergence metric: sum of labels, monotonically non-increasing.
+    // Summed as DECIMAL(38,0): a LONG sum overflows (ANSI exception) once
+    // ids·nodes pass 2^63 — e.g. 2^40-range ids on a ~10M-node graph.
+    var prevSum: java.math.BigDecimal = null
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -287,12 +290,22 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val s = updated.agg(sum(col("label"))).head.getLong(0)
+      // coalesce: sum over an empty frame is null (zero pairs → done)
+      val s = updated
+        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .head.getDecimal(0)
       converged = s == prevSum
       prevSum = s
       labels = updated
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "a component's diameter exceeds the bound; raise maxRounds " +
+          "(rounds are cheap once clusters stabilize) rather than " +
+          "accepting silently split clusters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -101,39 +101,48 @@ object DedupQueries {
     // overlap of 3-gram shingles against the shingle set of docs 0-4
     // (standing in for an eval set)
     Q("d45_contamination", Some(
-      """WITH ex AS (
-        |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
-        |    SELECT doc_id,
-        |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
-        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
-        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
-        |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id IN (0,1,2,3,4)),
-        |corpus AS (SELECT * FROM ex WHERE doc_id NOT IN (0,1,2,3,4)),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
-        |ov AS (SELECT c.doc_id, count(*) AS n_overlap
-        |       FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
-        |SELECT s.doc_id, s.n_shingles,
-        |       coalesce(ov.n_overlap, 0) AS n_overlap,
-        |       CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
-        |         / CAST(s.n_shingles AS DOUBLE) AS rate
-        |FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
-        |ORDER BY s.doc_id""".stripMargin),
+      s"""WITH $ngramShingleCte,
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id IN ($benchIdsSql)),
+         |corpus AS (SELECT * FROM ex WHERE doc_id NOT IN ($benchIdsSql)),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+         |ov AS (SELECT c.doc_id, count(*) AS n_overlap
+         |       FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+         |SELECT s.doc_id, s.n_shingles,
+         |       coalesce(ov.n_overlap, 0) AS n_overlap,
+         |       CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+         |         / CAST(s.n_shingles AS DOUBLE) AS rate
+         |FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+         |ORDER BY s.doc_id""".stripMargin),
       (s, d) => Dedup.contaminationCheck(docs(s, d), benchIds))
   )
 
   /** Benchmark docs for the contamination check: ids 0–4 stand in for an
-    * eval set. */
-  private val benchIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+    * eval set. Interpolated into the d45 oracle — one definition drives
+    * both engines. */
+  // lazy like every val `all` forces during its own init (object
+  // init order: `all` runs first, and a forward-referenced plain val
+  // would still be null — the q-object NPE class of bug)
+  private lazy val benchIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private lazy val benchIdsSql: String = benchIds.mkString(",")
 
-  /** The shared CTE chain computing exact 3-gram Jaccard intersections
-    * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed). */
-  private lazy val ngramPairCtes: String =
+  /** (doc_id, distinct 3-gram shingle) — the DuckDB mirror of
+    * Dedup.shingleTable. The shingle is built by list-SLICING
+    * (`w[i:i+2]`, truncating like Spark's `slice`), not positional
+    * indexing: a sub-3-token document must yield its one partial shingle
+    * on both engines, where `w[i+2]` would turn the whole string NULL
+    * and silently drop the document from DuckDB's side. */
+  private lazy val ngramShingleCte: String =
     """ex AS (
       |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
       |    SELECT doc_id,
       |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
-      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
-      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+      |                     i -> array_to_string(w[i:i+2], ' ')) AS sh_list
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)))""".stripMargin
+
+  /** The shared CTE chain computing exact 3-gram Jaccard intersections
+    * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed). */
+  private lazy val ngramPairCtes: String =
+    s"""$ngramShingleCte,
       |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
       |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
       |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),

@@ -28,7 +28,14 @@ object FacadeQueries {
   private def ds(s: SparkSession, dir: String): DataSource =
     cached.getOrElseUpdate((s, dir), {
       val meta = Files.createTempDirectory("graft_ds_meta")
-      meta.toFile.deleteOnExit()
+      // deleteOnExit alone is a no-op for a NON-EMPTY dir (the DataSource
+      // writes metadata into it) — a shutdown hook deletes recursively
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(meta.toFile)
+      }
       val d = new DataSource(s, meta.toString, initialCache = new DoNothingCache)
       Tables.all.foreach(n => d.addTable(graft.catalog.FileTable(n, s"$dir/$n.parquet")))
       d

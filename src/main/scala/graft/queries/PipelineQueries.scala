@@ -61,7 +61,7 @@ object PipelineQueries {
         |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
         |    SELECT doc_id,
         |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
-        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_list
+        |                     i -> array_to_string(w[i:i+2], ' ')) AS sh_list
         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
         |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),

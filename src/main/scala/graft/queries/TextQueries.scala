@@ -148,8 +148,13 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // repartition before the row-amplifying explode (rule 6), and
+        // materialize once — the exploded tokens feed BOTH the tf and the
+        // df aggregations (rule 5: shared subtree, or pay the explode 2×)
         val toks = docs(s, d)
+          .repartition(col("doc_id"))
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .localCheckpoint()
         val tf = toks.groupBy(col("doc_id"), col("w"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = toks.groupBy(col("w"))

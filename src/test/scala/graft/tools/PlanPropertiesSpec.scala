@@ -59,10 +59,13 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("q82 bloom prefilter runs before the join (Filter under the join's large side)") {
     val plan = PlanInspect.formatted(run("q82_bloom_join"))
-    // the udf filter must appear, and the scan must still push the dim's
-    // o_totalprice predicate — the prefilter composes with pushdown
+    // the udf filter must appear, and specifically the DIM scan must
+    // still push its o_totalprice predicate — the prefilter composes
+    // with pushdown (a generic any-scan PushedFilters check would stay
+    // green on the fact side's join-key filters alone)
     assert(plan.contains("UDF"), plan)
-    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+    assert("PushedFilters: \\[[^\\]]*o_totalprice".r.findFirstIn(plan).isDefined,
+      plan)
   }
 
   test("q85 stratified sample is a pure filter — no shuffle in the plan") {
