@@ -15,8 +15,11 @@ object Bench {
     "q24_window_topk", "q26_dialect", "q46_rollup", "q48_asof_join",
     "q50_salted_join", "q52_tpch_q1", "q53_tpch_q3", "q54_tpch_q5",
     "q61_window_suite", "q68_sessionize", "q74_stream_dedup",
-    "q80_stream_enrich", "d36_dedup_exact", "d38_minhash_lsh",
-    "s41_knn_brute", "s43_knn_ivf", "t32_langid", "t36_token_topk")
+    "q80_stream_enrich", "q81_range_join", "q82_bloom_join",
+    "q83_stream_stream_join", "q85_sample_stratified", "q87_pack_bins",
+    "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
+    "d45_contamination", "s41_knn_brute", "s43_knn_ivf",
+    "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
