@@ -44,7 +44,18 @@ object DfSql {
     }
     try {
       tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-      graft.sql.JoinNaming.disambiguate(spark.sql(Dialect.lower(sql)))
+      graft.sql.JoinNaming.disambiguate(
+        try spark.sql(Dialect.lower(sql))
+        catch {
+          // reference error contract (test_interface.py
+          // test_error_wrong_table_name): an unbound table raises the
+          // library's own exception, and the call is retryable after the
+          // failure (the finally below restores session state)
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "TABLE_OR_VIEW_NOT_FOUND" =>
+            throw new DfsqlException(
+              s"Unknown table ${e.messageParameters.getOrElse("relationName", "?")}")
+        })
     } finally {
       tables.foreach { case (name, _) => spark.catalog.dropTempView(name) }
       shadowed.foreach { case (name, df) => df.createOrReplaceTempView(name) }

@@ -25,6 +25,38 @@ class DfSqlSpec extends SparkSpec {
     assertThrows[DfsqlException](DfSql.sqlQuery("SELECT 1"))
   }
 
+  test("unbound table raises DfsqlException, and a retry succeeds (test_error_wrong_table_name)") {
+    // reference: sql_query(sql, wrong_table=df) fails twice over — the
+    // binding isn't referenced AND the referenced table isn't bound;
+    // binding correctly afterwards must work (no stale session state)
+    assertThrows[DfsqlException] {
+      DfSql.sqlQuery("SELECT l_orderkey FROM whatever_table", "wrong_table" -> li)
+    }
+    val ok = DfSql.sqlQuery(
+      "SELECT l_orderkey FROM whatever_table", "whatever_table" -> li)
+    assert(ok.columns.toSeq === Seq("l_orderkey"))
+    assert(ok.count() === li.count())
+  }
+
+  test("extra unreferenced bindings are rejected (test_error_extra_tables)") {
+    assertThrows[DfsqlException] {
+      DfSql.sqlQuery("SELECT l_orderkey FROM whatever_table",
+        "whatever_table" -> li, "extra_table" -> cust)
+    }
+  }
+
+  test("backticked caps columns and function-shaped aliases (test_caps_column_names_dataframe)") {
+    import spark.implicits._
+    val df = Seq((2, "2021-02-27", 3626L), (2, "2021-02-28", 5012L))
+      .toDF("ROUTE", "DATE", "RIDES")
+    val out = DfSql.sqlQuery(
+      """SELECT `DATE` AS __timestamp, AVG(`RIDES`) AS `AVG(RIDES)`
+        |FROM tab GROUP BY `DATE` ORDER BY __timestamp""".stripMargin,
+      "tab" -> df)
+    assert(out.columns.toSeq === Seq("__timestamp", "AVG(RIDES)"))
+    assert(out.collect().map(_.getDouble(1)).toSeq === Seq(3626.0, 5012.0))
+  }
+
   test("df.sql with implicit FROM") {
     val n = li.sql("SELECT count(*) AS n").head.getLong(0)
     assert(n === li.count())
