@@ -51,19 +51,31 @@ final class DoNothingCache extends TableCache {
   def clear(): Unit = ()
 }
 /** reference: cache.py:16-27 MemoryCache (lru_cache) — persist + memoize.
-  * Tracks hits/misses like functools.lru_cache.cache_info()
-  * (reference tests/test_cache.py asserts on those counters). */
-final class MemoryCache extends TableCache {
-  private val loaded = mutable.Map[String, DataFrame]()
+  * Tracks hits/misses like functools.lru_cache.cache_info() (reference
+  * tests/test_cache.py asserts on those counters) and honors lru_cache's
+  * `maxsize`: beyond it, the least-recently-USED entry is unpersisted and
+  * evicted (LinkedHashMap in access order via remove+reinsert on hit). */
+final class MemoryCache(maxsize: Option[Int] = None) extends TableCache {
+  private val loaded = mutable.LinkedHashMap[String, DataFrame]()
   private var hitCount = 0L
   private var missCount = 0L
   def get(spark: SparkSession, t: FileTable): DataFrame = synchronized {
-    loaded.get(t.fpath) match {
-      case Some(df) => hitCount += 1; df
+    loaded.remove(t.fpath) match {
+      case Some(df) =>
+        hitCount += 1
+        loaded(t.fpath) = df // reinsert at the tail = most recently used
+        df
       case None =>
         missCount += 1
         val df = t.fetch(spark).persist()
         loaded(t.fpath) = df
+        maxsize.foreach { m =>
+          while (loaded.size > m) {
+            val (oldPath, oldDf) = loaded.head
+            oldDf.unpersist()
+            loaded.remove(oldPath)
+          }
+        }
         df
     }
   }

@@ -39,6 +39,24 @@ class CacheSpec extends SparkSpec {
     assert(!df.storageLevel.useMemory) // unpersisted
   }
 
+  test("maxsize evicts the least-recently-used entry (test_maxsize)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_max")
+    val cache = new MemoryCache(maxsize = Some(1))
+    def table(n: String) = {
+      val p = dir.resolve(s"$n.csv")
+      java.nio.file.Files.writeString(p, "a\n1\n2\n")
+      FileTable(n, p.toString)
+    }
+    val (t1, t2) = (table("t1"), table("t2"))
+    cache.get(spark, t1) // miss, size 1
+    cache.get(spark, t2) // miss, t1 evicted
+    assert(cache.info === ((0L, 2L, 1)))
+    cache.get(spark, t2) // hit (still resident)
+    cache.get(spark, t1) // miss again — was evicted
+    assert(cache.info === ((1L, 3L, 1)))
+    cache.clear()
+  }
+
   test("DoNothingCache never memoizes (DoNothingCache parity)") {
     val dir = Files.createTempDirectory("graft_cache2")
     val csv = dir.resolve("t.csv")
