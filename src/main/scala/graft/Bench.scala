@@ -22,6 +22,10 @@ object Bench {
     "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking")
 
   def main(args: Array[String]): Unit = {
+    // fail fast on a renamed/unregistered headline query — flatMap below
+    // would otherwise silently drop it from the driver-parsed line
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"headline names not registered: $missing")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -191,24 +191,25 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Weighted SimHash: like simhash, but each token's ±1 bit votes are
-    * scaled by its in-document term frequency (the weighting in Manku/
-    * Jain/Das Sarma, "Detecting near-duplicates for web crawling",
-    * WWW 2007 — feature weights; tf is the document-local choice). Heavy
-    * tokens dominate the fingerprint, so boilerplate-light edits move
-    * fewer bits than under the unweighted vote. Same two-shuffle shape:
-    * explode → (doc, token) tf aggregate → 64 weighted bit-sums. */
-  def simhashWeighted(docs: DataFrame): DataFrame = {
-    val tf = spread(docs).select(col("doc_id"),
+  /** Set-SimHash: each DISTINCT token votes ±1 exactly once, however
+    * often it repeats. The occurrence-voting `simhash` above is
+    * implicitly tf-weighted (a token's occurrences each vote, so its
+    * vote mass IS its tf — which is why an explicit ±tf vote over
+    * (doc, token) groups would be the identical function, not a
+    * variant). The set form is the genuinely different weighting
+    * (Manku/Jain/Das Sarma, WWW 2007, with weight(w)=1): token spam or
+    * repeated boilerplate cannot dominate the fingerprint, so two docs
+    * with the same vocabulary collide regardless of repetition counts.
+    * Same two-shuffle shape, with a distinct before the bit-sums. */
+  def simhashSet(docs: DataFrame): DataFrame = {
+    val words = spread(docs).select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+      .distinct()
       .withColumn("h", xxhash64(col("w")))
     val votes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$i")
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
     }
-    tf.groupBy(col("doc_id"))
+    words.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(i =>

@@ -45,7 +45,14 @@ object RuntimeFilter {
 
   /** The bloom prefilter alone (for semi-join reduction ahead of an
     * aggregation or a later join). Superset of the true semi-join by the
-    * sketch's false-positive rate. */
+    * sketch's false-positive rate.
+    *
+    * Broadcast lifecycle: the sketch must outlive the RETURNED frame
+    * (plans are lazy), so it is not destroyed here; Spark's
+    * ContextCleaner reclaims the broadcast once the frame (whose udf
+    * closure holds the only reference) becomes garbage. Callers looping
+    * over many prefilters should reuse the returned frame rather than
+    * rebuilding it per use. */
   def bloomPrefilter(
       large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String,

@@ -48,10 +48,11 @@ object DedupQueries {
     Q("d39_simhash", None,
       (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
 
-    // tf-weighted SimHash fingerprints (xxhash64 bit votes → rows-only;
-    // the weighting semantics are spec-tested on planted documents)
-    Q("d42_simhash_weighted", None,
-      (s, d) => Dedup.simhashWeighted(docs(s, d))
+    // set-SimHash fingerprints: distinct tokens vote once — repetition-
+    // robust, unlike the tf-implicit occurrence voting of d39 (xxhash64
+    // bit votes → rows-only; semantics spec-tested on planted documents)
+    Q("d42_simhash_set", None,
+      (s, d) => Dedup.simhashSet(docs(s, d))
         .orderBy(col("doc_id"))),
 
     // SimHash candidates→exact-verify. Deterministic values, but NOT
@@ -130,18 +131,24 @@ object DedupQueries {
     * (`w[i:i+2]`, truncating like Spark's `slice`), not positional
     * indexing: a sub-3-token document must yield its one partial shingle
     * on both engines, where `w[i+2]` would turn the whole string NULL
-    * and silently drop the document from DuckDB's side. */
-  private lazy val ngramShingleCte: String =
+    * and silently drop the document from DuckDB's side. The trailing
+    * `sh <> ''` mirrors Spark's length>0 shingle filter — an empty/
+    * whitespace-only document tokenizes to [''] and must vanish from
+    * BOTH engines, not just Spark. private[queries]: q70's prep
+    * pipeline interpolates the same CTEs (one definition, two oracles). */
+  private[queries] lazy val ngramShingleCte: String =
     """ex AS (
-      |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
-      |    SELECT doc_id,
-      |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
-      |                     i -> array_to_string(w[i:i+2], ' ')) AS sh_list
-      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)))""".stripMargin
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
+      |      SELECT doc_id,
+      |        list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+      |                       i -> array_to_string(w[i:i+2], ' ')) AS sh_list
+      |      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)))
+      |  WHERE sh <> '')""".stripMargin
 
   /** The shared CTE chain computing exact 3-gram Jaccard intersections
     * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed). */
-  private lazy val ngramPairCtes: String =
+  private[queries] lazy val ngramPairCtes: String =
     s"""$ngramShingleCte,
       |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
       |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),

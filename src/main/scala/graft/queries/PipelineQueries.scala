@@ -57,20 +57,10 @@ object PipelineQueries {
     // gate corpora (tools.RecallCheck) — so the oracle expresses the dup
     // set as the exact-Jaccard pair SQL.
     Q("q70_prep_fuzzy", Some(
-      """WITH ex AS (
-        |  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
-        |    SELECT doc_id,
-        |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
-        |                     i -> array_to_string(w[i:i+2], ' ')) AS sh_list
-        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
-        |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
-        |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |dups AS (
+      // concatenation, not s-interpolation: the raw string below needs
+      // its \s regex escapes left unprocessed
+      "WITH " + DedupQueries.ngramPairCtes + ",\n" +
+      """|dups AS (
         |  SELECT DISTINCT id_b AS doc_id FROM inter
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b

@@ -21,10 +21,18 @@ object Staging {
 
   /** Per-JVM output dir for a named sink query (foreachBatch etc.) —
     * reused across invocations (batchId-keyed writes are idempotent
-    * overwrites), so Bench's repeated runs don't leak a dir per call. */
+    * overwrites), so Bench's repeated runs don't leak a dir per call.
+    * Cleanup is a recursive shutdown hook: the sink FILLS the directory
+    * with batch_N parquet, and deleteOnExit is a no-op on non-empty
+    * dirs. */
   def sinkDir(key: String): String = sinkDirs.getOrElseUpdate(key, {
     val dir = Files.createTempDirectory(s"graft_sink_$key")
-    dir.toFile.deleteOnExit()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
     dir.toString
   })
 }

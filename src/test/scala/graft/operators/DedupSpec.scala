@@ -96,21 +96,23 @@ class DedupSpec extends SparkSpec {
     assert(verified === exact) // same pairs AND same exact jaccard values
   }
 
-  test("weighted simhash: identical docs collide; tf outvotes a rare token") {
+  test("set-simhash ignores repetition where occurrence-simhash is dominated by it") {
     import org.apache.spark.sql.Row
     val docs = Seq(
-      (0L, "alpha alpha alpha alpha alpha alpha alpha alpha beta"),
-      (1L, "alpha alpha alpha alpha alpha alpha alpha alpha beta"),
-      (2L, "alpha alpha alpha alpha alpha alpha alpha alpha gamma"),
-      (3L, "alpha beta beta beta beta beta beta beta beta")
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha alpha alpha alpha alpha alpha beta gamma"), // same SET
+      (2L, "alpha beta gamma") // identical to 0
     ).toDF("doc_id", "text")
-    val sh = Dedup.simhashWeighted(docs).collect()
+    def fp(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map { case Row(id: Long, h: Long) => id -> h }.toMap
-    assert(sh(0L) === sh(1L)) // identical docs → identical fingerprint
-    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    // 0 vs 2 share the dominant alpha mass (1-token edit);
-    // 0 vs 3 inverts the tf balance — must be at least as far
-    assert(hamming(sh(0L), sh(2L)) <= hamming(sh(0L), sh(3L)))
+    val set = fp(Dedup.simhashSet(docs))
+    val occ = fp(Dedup.simhash(docs))
+    assert(set(0L) === set(2L) && occ(0L) === occ(2L)) // identical docs
+    // the discriminating case: same vocabulary, wildly different tf —
+    // the set fingerprint is identical, the occurrence one is not
+    // (alpha's 7 votes drag every one of its bits positive)
+    assert(set(0L) === set(1L))
+    assert(occ(0L) !== occ(1L))
   }
 
   test("simhash verified pairs are a subset of brute force with exact values") {
