@@ -98,6 +98,63 @@ object DedupQueries {
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
         .orderBy(col("doc_id"))),
 
+    // survivor selection: per duplicate cluster keep the highest-QUALITY
+    // member (not the lowest id) — the policy real corpus builds use.
+    // Composes connectedComponents with the quality score; one window
+    // over (cluster_id) picks the survivor.
+    Q("d46_cluster_survivors",
+      Some("WITH RECURSIVE " + ngramPairCtes + ",\n" +
+        """|pairs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+           |edges AS (
+           |  SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |walk(id, lbl) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d),
+           |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           |       FROM walk GROUP BY id),
+           |scored AS (
+           |  SELECT doc_id,
+           |    round(
+           |      least(length(text) / 500.0, 1.0) * 0.4
+           |      + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           |            x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+           |          / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
+           |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           |          / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+           |      6) AS quality
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT cc.cluster_id, cc.doc_id, s.quality,
+           |         row_number() OVER (PARTITION BY cc.cluster_id
+           |                            ORDER BY s.quality DESC, cc.doc_id) AS rn,
+           |         count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+           |  FROM cc JOIN scored s ON s.doc_id = cc.doc_id)
+           |SELECT cluster_id, doc_id AS keep_id, quality, n_members
+           |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cc = Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
+        val scored = docs(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        val wc = Window.partitionBy(col("cluster_id"))
+        cc.join(scored, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members", count(lit(1)).over(wc))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keep_id"),
+            col("quality"), col("n_members"))
+          .orderBy(col("cluster_id"))
+      }),
+
     // benchmark-contamination check (decontamination): per-document
     // overlap of 3-gram shingles against the shingle set of docs 0-4
     // (standing in for an eval set)
