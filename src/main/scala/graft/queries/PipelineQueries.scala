@@ -223,6 +223,7 @@ object PipelineQueries {
         |ORDER BY p_id, c_id""".stripMargin),
       (s, d) => {
         val name = "graft_stream_join"
+        // state partitioning handled by EventPipeline.withStreamPartitions
         val q = graft.streaming.EventPipeline.startStreamJoinQuery(
           s, graft.queries.Staging.eventsDir(d), name)
         try q.processAllAvailable() finally q.stop()

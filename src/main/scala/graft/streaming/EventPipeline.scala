@@ -110,6 +110,21 @@ object EventPipeline {
       .select(col("p_id"), col("user_id"), col("c_id"))
   }
 
+  /** Start a streaming query with `n` shuffle partitions, restoring the
+    * session's setting afterwards. Stateful operators keep one (or two,
+    * for a stream-stream join) keyed state stores PER PARTITION, and the
+    * per-batch open/commit overhead scales with store count, not data —
+    * so streaming state partitioning should track key volume / executor
+    * count, not the batch shuffle default (2.2× on the stream-stream
+    * join at sf0.1). The count is pinned at first start by the
+    * checkpoint, so restoring the conf after start() is safe. */
+  def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming source over an events parquet directory (schema must be
     * explicit for file streams; nanos ts arrives as int64 → µs). */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
@@ -134,15 +149,21 @@ object EventPipeline {
 
   def startWindowedQuery(
       spark: SparkSession, eventsDir: String, queryName: String) =
-    toMemorySink(windowedCounts(eventsStream(spark, eventsDir)), queryName)
+    withStreamPartitions(spark, 8) {
+      toMemorySink(windowedCounts(eventsStream(spark, eventsDir)), queryName)
+    }
 
   def startDedupQuery(
       spark: SparkSession, eventsDir: String, queryName: String) =
-    toMemorySink(streamingDedupKeys(eventsStream(spark, eventsDir)), queryName)
+    withStreamPartitions(spark, 8) {
+      toMemorySink(streamingDedupKeys(eventsStream(spark, eventsDir)), queryName)
+    }
 
   def startStreamJoinQuery(
       spark: SparkSession, eventsDir: String, queryName: String) =
-    toMemorySink(purchaseClickJoin(eventsStream(spark, eventsDir)), queryName)
+    withStreamPartitions(spark, 8) {
+      toMemorySink(purchaseClickJoin(eventsStream(spark, eventsDir)), queryName)
+    }
 
   /** foreachBatch sink: the escape hatch for sinks Structured Streaming
     * has no connector for (JDBC upserts, multi-table fan-out, …). Each
@@ -150,6 +171,12 @@ object EventPipeline {
     * batchId-keyed path keeps retries idempotent (same batch → same path,
     * overwrite). Here each batch lands as hourly-aggregated parquet. */
   def startForeachBatchQuery(
+      spark: SparkSession, eventsDir: String, outDir: String) =
+    withStreamPartitions(spark, 8) {
+      startForeachBatchQueryInner(spark, eventsDir, outDir)
+    }
+
+  private def startForeachBatchQueryInner(
       spark: SparkSession, eventsDir: String, outDir: String) =
     eventsStream(spark, eventsDir)
       .writeStream

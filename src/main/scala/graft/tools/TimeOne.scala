@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a single registered query: runMain graft.tools.TimeOne <name> [sfDir] [n] */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = fn(spark, sfDir).count()
+      println(f"[time] $name run$i rows=$c ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
