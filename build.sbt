@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONLY the tail of stdout and needs Bench's JSON as the
+// bare final line. Forked run output must bypass sbt's [info] logger, and
+// the trailing "[success] Total time: ..." line must be suppressed —
+// both rounds 1 and 2 lost the bench gate to these wrappers.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

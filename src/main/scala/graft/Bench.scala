@@ -45,10 +45,20 @@ object Bench {
     // run-to-run from JIT/page-cache/codegen-cache state; the minimum is
     // the standard steady-state estimator and stays honest (every run
     // includes the query's full planning + execution).
+    // A query that throws must NOT benchmark as "fast and fine": round 2's
+    // q84 failure was swallowed here and only visible as a stack trace in
+    // the log. Failures are collected, reported in the JSON, and fail the
+    // process.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"[bench] FAILED $name: $t")
+            t.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -61,10 +71,17 @@ object Bench {
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size}$failedField,"queries":$qs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing: the JSON must be the literal last line of
+    // stdout (the driver parses only the tail), so no shutdown chatter may
+    // follow it.
+    try spark.stop() catch { case _: Throwable => }
     println(line)
     Console.out.flush()
-    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType}
 
 /** Explicit runtime-filter (semi-join reduction) for big⋈small joins.
   *
@@ -47,17 +49,22 @@ object RuntimeFilter {
     * aggregation or a later join). Superset of the true semi-join by the
     * sketch's false-positive rate.
     *
-    * Broadcast lifecycle: the sketch must outlive the RETURNED frame
-    * (plans are lazy), so it is not destroyed here; Spark's
-    * ContextCleaner reclaims the broadcast once the frame (whose udf
-    * closure holds the only reference) becomes garbage. Callers looping
-    * over many prefilters should reuse the returned frame rather than
-    * rebuilding it per use. */
+    * The probe is Spark's native `BloomFilterMightContain` expression —
+    * the same one AQE's injected runtime filters use — not a Scala UDF:
+    * it participates in whole-stage codegen (the filter stays inside the
+    * scan's codegen span instead of materializing rows to call a closure)
+    * and deserializes the sketch once per task. The serialized sketch
+    * rides in the plan as a BinaryType literal, exactly like the
+    * scalar-subquery result in Spark's own InjectRuntimeFilter rewrite.
+    * Probe/build consistency: `stat.bloomFilter` inserts the raw long
+    * (putLong) and BloomFilterMightContain calls mightContainLong on the
+    * raw value expression — neither side re-hashes, so the sketch built
+    * here is probed in the same key space. */
   def bloomPrefilter(
       large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    // the udf is Long-typed; a non-integral key column would be silently
+    // the probe is Long-typed; a non-integral key column would be silently
     // cast to null and every row dropped — reject it up front
     for ((df, k) <- Seq((large, largeKey), (small, smallKey))) {
       val dt = df.schema(k).dataType
@@ -65,9 +72,14 @@ object RuntimeFilter {
         s"bloom filter key '$k' must be integral, got $dt")
     }
     val bf = small.stat.bloomFilter(col(smallKey).cast("long"), expectedKeys, fpp)
-    val bc = large.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    large.filter(mightContain(col(largeKey).cast("long")))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = CatalystBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      CatalystBridge.expression(col(largeKey).cast("long"))))
+    large.filter(probe)
   }
 }

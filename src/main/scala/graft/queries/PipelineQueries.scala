@@ -245,7 +245,16 @@ object PipelineQueries {
         val q = graft.streaming.EventPipeline.startForeachBatchQuery(
           s, graft.queries.Staging.eventsDir(d), out)
         try q.processAllAvailable() finally q.stop()
-        s.read.parquet(s"$out/batch_*")
+        // List concrete batch dirs rather than globbing: a glob over an
+        // unexpectedly-empty dir throws an opaque PATH_NOT_FOUND (seen once
+        // in the r02 bench); an explicit empty check is diagnosable.
+        val batches = Option(new java.io.File(out).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+          .map(_.getAbsolutePath).sorted
+        require(batches.nonEmpty,
+          s"q84: foreachBatch stream produced no batch_* dirs under $out")
+        s.read.parquet(batches.toIndexedSeq: _*)
           .groupBy(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
             col("event_type"))
           .agg(sum(col("n")).as("n"))

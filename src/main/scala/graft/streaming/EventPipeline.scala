@@ -95,14 +95,19 @@ object EventPipeline {
     * In append mode the emitted pairs equal the batch interval join, which
     * is the oracle. */
   def purchaseClickJoin(events: DataFrame, lookbackMin: Int = 10): DataFrame = {
+    // The watermark delay must cover the lookback: a click watermarked
+    // tighter than lookbackMin would have its state evicted while a
+    // purchase inside the window could still arrive, silently dropping
+    // pairs in multi-batch streams.
+    val wm = s"$lookbackMin minutes"
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", "10 minutes")
+      .withWatermark("p_ts", wm)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
+      .withWatermark("c_ts", wm)
     purchases.join(clicks,
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTE") &&
@@ -171,10 +176,23 @@ object EventPipeline {
     * batchId-keyed path keeps retries idempotent (same batch → same path,
     * overwrite). Here each batch lands as hourly-aggregated parquet. */
   def startForeachBatchQuery(
-      spark: SparkSession, eventsDir: String, outDir: String) =
+      spark: SparkSession, eventsDir: String, outDir: String) = {
+    // Each start is a fresh no-checkpoint stream, so batch numbering
+    // restarts at 0: stale batch_N dirs from a previous invocation that
+    // produced MORE batches would survive the per-batch overwrite and
+    // double-count on read-back. Purge them up front.
+    val stale = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    stale.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
     withStreamPartitions(spark, 8) {
       startForeachBatchQueryInner(spark, eventsDir, outDir)
     }
+  }
 
   private def startForeachBatchQueryInner(
       spark: SparkSession, eventsDir: String, outDir: String) =

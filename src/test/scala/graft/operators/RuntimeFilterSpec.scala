@@ -33,6 +33,15 @@ class RuntimeFilterSpec extends SparkSpec {
       RuntimeFilter.bloomPrefilter(li, dim, "l_returnflag", "o_orderkey"))
   }
 
+  test("bloom probe is the native codegen expression, not a Scala UDF") {
+    val df = RuntimeFilter.bloomPrefilter(li, dim, "l_orderkey", "o_orderkey",
+      expectedKeys = 10000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"UDF probe found in plan:\n$plan")
+    assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "native BloomFilterMightContain missing from optimized plan")
+  }
+
   test("bloomPrefilter keeps every true match (no false negatives)") {
     val trueKeys = li.join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
       .select($"l_orderkey").distinct()

@@ -120,6 +120,38 @@ class EventPipelineSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("q84 registered query is re-runnable in one session (bench runs it twice)") {
+    // r02's bench hit a read-back failure on a repeated in-JVM invocation;
+    // this pins the fixed lifecycle: same session, same Staging dirs, twice.
+    val fn = graft.SparkEntry.queries("q84_foreach_batch")
+    val first = fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    val second = fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(first === second)
+    assert(first.nonEmpty)
+  }
+
+  test("startForeachBatchQuery purges stale batch_* dirs from earlier runs") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb_purge")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_purge_out")
+    // simulate a leftover batch from a prior run that produced more
+    // batches than this one will (fresh stream restarts numbering at 0)
+    spark.range(3).selectExpr("timestamp'2020-01-01' as h",
+      "'stale' as event_type", "id as n")
+      .write.parquet(s"$out/batch_97")
+    val q = EventPipeline.startForeachBatchQuery(spark, dir.toString, out.toString)
+    try q.processAllAvailable() finally q.stop()
+    val names = Option(out.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch_")).map(_.getName).toSet
+    assert(!names.contains("batch_97"), s"stale dir survived: $names")
+    assert(names.nonEmpty)
+    assert(spark.read.parquet(names.map(n => s"$out/$n").toSeq: _*)
+      .filter(col("event_type") === "stale").count() === 0)
+  }
+
   test("end-to-end streaming: parquet source → watermark window → memory sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     // stage the events file into a clean source dir (other tables would
