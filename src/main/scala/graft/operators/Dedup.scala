@@ -173,13 +173,23 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per document: per-word xxhash64, each bit votes ±1,
+  /** Word-hash selector for the SimHash family. Production default is
+    * xxhash64 (well-mixed, codegen'd). `oracleHash = true` swaps in the
+    * RollingHash polynomial fold — weaker mixing, but DuckDB can replay
+    * it exactly in HUGEINT (same replay as the t35 fingerprint oracle),
+    * which makes the WHOLE SimHash pipeline — votes, fingerprint,
+    * banding, Hamming cut — hash-checkable against SQL. The banding and
+    * vote logic is identical either way; only the per-word hash differs. */
+  private def wordHash(w: org.apache.spark.sql.Column, oracleHash: Boolean) =
+    if (oracleHash) graft.expressions.RollingHash(w) else xxhash64(w)
+
+  /** 64-bit SimHash per document: per-word hash, each bit votes ±1,
     * fingerprint bit set where the vote sum is positive. Single
     * explode+groupBy; the 64 bit-sums are one wide aggregate. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame, oracleHash: Boolean = false): DataFrame = {
     val words = spread(docs).select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", wordHash(col("w"), oracleHash))
     val votes = (0 until 64).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
     }
@@ -201,11 +211,11 @@ object Dedup {
     * repeated boilerplate cannot dominate the fingerprint, so two docs
     * with the same vocabulary collide regardless of repetition counts.
     * Same two-shuffle shape, with a distinct before the bit-sums. */
-  def simhashSet(docs: DataFrame): DataFrame = {
+  def simhashSet(docs: DataFrame, oracleHash: Boolean = false): DataFrame = {
     val words = spread(docs).select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
       .distinct()
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", wordHash(col("w"), oracleHash))
     val votes = (0 until 64).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
     }
@@ -220,8 +230,10 @@ object Dedup {
   /** Near-dup pairs by SimHash: 4 bands of 16 bits — any shared band is a
     * candidate (catches all pairs with Hamming distance ≤ 3 for sure, most
     * up to ~8); exact Hamming distance filters candidates. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(docs).localCheckpoint() // reused by both join sides
+  def simhashPairs(
+      docs: DataFrame, maxHamming: Int = 8,
+      oracleHash: Boolean = false): DataFrame = {
+    val sh = simhash(docs, oracleHash).localCheckpoint() // reused by both join sides
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -233,7 +245,9 @@ object Dedup {
     a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        // long, not int: no non-int64 integer may reach a final oracled
+        // schema (driver compare rule)
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
@@ -244,9 +258,10 @@ object Dedup {
     * Same determinism/oracle contract as minhashVerifiedPairs. */
   def simhashVerifiedPairs(
       docs: DataFrame, maxHamming: Int = 8, threshold: Double = 0.5,
-      shingleN: Int = 3, maxDf: Int = 100): DataFrame =
+      shingleN: Int = 3, maxDf: Int = 100,
+      oracleHash: Boolean = false): DataFrame =
     verifyPairsByJaccard(docs,
-      simhashPairs(docs, maxHamming).select(col("id_a"), col("id_b")),
+      simhashPairs(docs, maxHamming, oracleHash).select(col("id_a"), col("id_b")),
       shingleN, threshold, maxDf)
 
   // ---- duplicate clustering ----

@@ -45,24 +45,28 @@ object DedupQueries {
     // SimHash near-dup pairs (bit-vote fingerprint, banded). Hamming ≤ 3:
     // unweighted simhash over a shared small vocabulary sits near the
     // false-positive cliff by ~6 bits, so the cut stays tight.
-    Q("d39_simhash", None,
-      (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
+    // Gate queries run oracleHash mode: the per-word rolling-hash
+    // polynomial replays in DuckDB HUGEINT (same replay as t35), so the
+    // full pipeline — votes, fingerprint, banding, Hamming cut — is
+    // hash-checked; the xxhash64 production default stays spec-tested.
+    Q("d39_simhash", Some(simhashPairsOracle),
+      (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3,
+        oracleHash = true)),
 
     // set-SimHash fingerprints: distinct tokens vote once — repetition-
-    // robust, unlike the tf-implicit occurrence voting of d39 (xxhash64
-    // bit votes → rows-only; semantics spec-tested on planted documents)
-    Q("d42_simhash_set", None,
-      (s, d) => Dedup.simhashSet(docs(s, d))
+    // robust, unlike the tf-implicit occurrence voting of d39
+    Q("d42_simhash_set", Some(simhashSetOracle),
+      (s, d) => Dedup.simhashSet(docs(s, d), oracleHash = true)
         .orderBy(col("doc_id"))),
 
-    // SimHash candidates→exact-verify. Deterministic values, but NOT
-    // oracle-equal to the brute pair set: 4×16 banding provably misses
-    // high-Hamming near-dups (23/25 at sf0.01 even at h=16 —
-    // tools.RecallCheck), so this stays rows-only; the subset-with-exact-
-    // values relation is spec-tested.
-    Q("d43_simhash_verified", None,
+    // SimHash candidates→exact-verify. The oracle replays the ACTUAL
+    // semantics — banded candidate generation (hamming ≤ 8) then exact
+    // n-gram Jaccard ≥ 0.5 over the candidates — not the brute pair set
+    // (4×16 banding provably misses high-Hamming near-dups, so brute
+    // equality would be wrong to assert).
+    Q("d43_simhash_verified", Some(simhashVerifiedOracle),
       (s, d) => Dedup.simhashVerifiedPairs(docs(s, d), maxHamming = 8,
-        maxDf = 20)),
+        maxDf = 20, oracleHash = true)),
 
     // exact n-gram Jaccard pairs — fully SQL-expressible, oracled
     Q("d40_ngram_jaccard", Some(ngramJaccardOracle),
@@ -228,4 +232,104 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- SimHash oracle replay (generated SQL) ----
+  //
+  // DuckDB has no xxhash64, so oracle-mode SimHash hashes each word with
+  // the same polynomial fold the t35 rolling-hash oracle replays:
+  // h ← h·1000003 + byte (mod 2^64), carried as HUGEINT. The 64 bit-votes
+  // and the fingerprint re-assembly are generated term-by-term below —
+  // one Scala definition emits both engines' bit arithmetic, so the two
+  // sides cannot drift.
+
+  private lazy val hugeMod = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private lazy val hugeSign = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
+  private def pow2(i: Int): String = s"CAST('${BigInt(1) << i}' AS HUGEINT)"
+
+  /** Per-word rolling hash as HUGEINT in [0, 2^64). ord(char) == UTF-8
+    * byte only for ASCII — the corpus is (asserted at both gate SFs for
+    * t35). */
+  private lazy val wordHashSql: String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(range(1, length(w)+1),
+       |                       i -> CAST(ord(w[i]) AS HUGEINT))),
+       |      (acc, x) -> (acc * 1000003 + x) % $hugeMod)""".stripMargin
+
+  /** CTE chain ending in `fp(doc_id, hu)`: the unsigned 64-bit SimHash
+    * fingerprint. `distinctWords` selects set-SimHash (each distinct
+    * token votes once) vs occurrence voting. */
+  private def simhashFpCtes(distinctWords: Boolean): String = {
+    val voteCols = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h // ${pow2(i)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n         ")
+    val fpTerms = (0 until 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${pow2(i)} ELSE CAST(0 AS HUGEINT) END")
+      .mkString("\n       + ")
+    val sel = if (distinctWords) "SELECT DISTINCT doc_id, w" else "SELECT doc_id, w"
+    s"""words AS (
+       |  $sel FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)),
+       |hashed AS (SELECT doc_id, $wordHashSql AS h FROM words),
+       |votes AS (SELECT doc_id,
+       |         $voteCols
+       |       FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, ($fpTerms) AS hu FROM votes)""".stripMargin
+  }
+
+  /** Sign-wrap a HUGEINT fingerprint into the BIGINT Spark emits. */
+  private def signWrap(hu: String): String =
+    s"CAST(CASE WHEN $hu >= $hugeSign THEN $hu - $hugeMod ELSE $hu END AS BIGINT)"
+
+  /** CTE `banded(doc_id, sh, b0..b3)`: signed fingerprint + the four
+    * 16-bit bands (extracted in the unsigned HUGEINT domain — BIGINT >>
+    * would arithmetic-shift the sign bit into bands). */
+  private def simhashBandedCte: String = {
+    val bands = (0 until 4).map(b =>
+      s"(hu // ${pow2(16 * b)}) % 65536 AS b$b").mkString(", ")
+    s"""banded AS (SELECT doc_id, ${signWrap("hu")} AS sh, $bands FROM fp)"""
+  }
+
+  private def bandMatch = "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)"
+
+  /** d39: banded candidate pairs with exact Hamming ≤ 3 (occurrence
+    * voting). A pair sharing several bands appears once (the Spark side
+    * dedups with DISTINCT; the OR-join here yields one row per pair). */
+  private lazy val simhashPairsOracle: String =
+    s"""WITH ${simhashFpCtes(distinctWords = false)},
+       |$simhashBandedCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.doc_id < b.doc_id AND $bandMatch
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** d42: per-document set-SimHash fingerprints. */
+  private lazy val simhashSetOracle: String =
+    s"""WITH ${simhashFpCtes(distinctWords = true)}
+       |SELECT doc_id, ${signWrap("hu")} AS simhash
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** d43: banded SimHash candidates (Hamming ≤ 8) verified by exact
+    * 3-gram Jaccard ≥ 0.5 under the df ≤ 20 cap — the candidates→verify
+    * semantics replayed end to end. */
+  private lazy val simhashVerifiedOracle: String =
+    s"""WITH ${simhashFpCtes(distinctWords = false)},
+       |$simhashBandedCte,
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.doc_id < b.doc_id AND $bandMatch
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+       |$ngramPairCtes
+       |SELECT i.id_a, i.id_b,
+       |       inter / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter i
+       |JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+       |JOIN sizes sa ON sa.doc_id = i.id_a
+       |JOIN sizes sb ON sb.doc_id = i.id_b
+       |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+       |ORDER BY i.id_a, i.id_b""".stripMargin
 }
