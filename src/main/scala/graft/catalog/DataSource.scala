@@ -374,11 +374,21 @@ object QueryResult {
   final case class Frame(df: DataFrame) extends QueryResult
   /** 1×1 result reduced to a scalar (reduce_output=True). */
   final case class Scalar(value: Any) extends QueryResult
+  /** Single-column result reduced to the pandas-Series analog
+    * (base_data_source.py:458-459): the column keeps its name (Series
+    * .name, asserted by tests/test_extensions.py:38-47) while the values
+    * stay DISTRIBUTED as a one-column frame — collecting them eagerly
+    * would be a driver-side materialization of arbitrarily many rows. */
+  final case class Col(name: String, df: DataFrame) extends QueryResult {
+    /** Series.values analog for callers that do want the local array. */
+    def values: Array[Any] = df.collect().map(_.get(0))
+  }
 
   def reduce(df: DataFrame): QueryResult = {
     if (df.columns.length == 1) {
       val first2 = df.take(2)
       if (first2.length == 1) return Scalar(first2(0).get(0))
+      return Col(df.columns.head, df)
     }
     Frame(df)
   }

@@ -25,7 +25,11 @@ object FacadeQueries {
     * registration below overwrites idempotently, so reuse is safe. */
   private val cached =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataSource]()
-  private def ds(s: SparkSession, dir: String): DataSource =
+  private def ds(s: SparkSession, dir: String): DataSource = {
+    // evict entries for stopped sessions on lookup — long test runs create
+    // many sessions, and retaining their DataSource/metadata for the JVM
+    // lifetime is a slow leak
+    cached.keys.filter(_._1.sparkContext.isStopped).foreach(cached.remove)
     cached.getOrElseUpdate((s, dir), {
       val meta = Files.createTempDirectory("graft_ds_meta")
       // deleteOnExit alone is a no-op for a NON-EMPTY dir (the DataSource
@@ -40,6 +44,7 @@ object FacadeQueries {
       Tables.all.foreach(n => d.addTable(graft.catalog.FileTable(n, s"$dir/$n.parquet")))
       d
     })
+  }
 
   /** Sum of squares — a reference-style custom AggregateFunction
     * (SURVEY.md §2.7) as a Spark Aggregator. */

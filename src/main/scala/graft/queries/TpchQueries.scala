@@ -158,6 +158,21 @@ object TpchQueries {
           graft.expressions.KMinValues(col("l_partkey"), 256).as("approx_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // KMV in its EXACT regime: below the sketch size (k=256) the bottom-k
+    // buffer holds every distinct hash, so the result equals
+    // COUNT(DISTINCT) — nationkey has 25 values at every SF. This oracles
+    // the full TypedImperativeAggregate lifecycle (partial update /
+    // shuffle serialize / merge / final eval); q59 exercises the
+    // estimation regime under spec.
+    Q("q88_kmv_exact", Some(
+      """SELECT c_mktsegment,
+        |       CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => Tables.load(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.expressions.KMinValues(col("c_nationkey"), 256).as("n_nations"))
+        .orderBy(col("c_mktsegment"))),
+
     // date/time functions over order dates
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,

@@ -152,6 +152,26 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("single-column result reduces to a named Col (test_df_sql_reduce_output)") {
+    val (ds, _) = fixture()
+    // reference: shape (n, 1) → pandas Series keeping the column name;
+    // shape (1, 1) → bare scalar; reduce_output=False → plain frame
+    ds.query("SELECT passenger_id FROM titanic", reduceOutput = true) match {
+      case c: QueryResult.Col =>
+        assert(c.name === "passenger_id")
+        assert(c.values.length === ds.queryDF("SELECT passenger_id FROM titanic").count())
+      case other => fail(s"expected Col, got $other")
+    }
+    ds.query("SELECT passenger_id FROM titanic LIMIT 1", reduceOutput = true) match {
+      case QueryResult.Scalar(v) => assert(v !== null)
+      case other => fail(s"expected scalar, got $other")
+    }
+    ds.query("SELECT passenger_id FROM titanic") match {
+      case QueryResult.Frame(_) => ()
+      case other => fail(s"expected frame, got $other")
+    }
+  }
+
   test("order by multiple keys asc/desc (test_order_by)") {
     val (ds, _) = fixture()
     val out = ds.queryDF(

@@ -42,8 +42,8 @@ class DedupSpec extends SparkSpec {
 
   test("simhashPairs: identical docs at hamming 0, unrelated far apart") {
     val pairs = Dedup.simhashPairs(planted, maxHamming = 3).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-    assert(pairs(( 0L, 1L)) === 0)
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs(( 0L, 1L)) === 0L)
     assert(!pairs.contains((3L, 4L)))
   }
 

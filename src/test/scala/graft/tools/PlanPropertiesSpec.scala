@@ -59,11 +59,13 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("q82 bloom prefilter runs before the join (Filter under the join's large side)") {
     val plan = PlanInspect.formatted(run("q82_bloom_join"))
-    // the udf filter must appear, and specifically the DIM scan must
-    // still push its o_totalprice predicate — the prefilter composes
-    // with pushdown (a generic any-scan PushedFilters check would stay
-    // green on the fact side's join-key filters alone)
-    assert(plan.contains("UDF"), plan)
+    // the probe must be the native codegen expression (no UDF anywhere —
+    // a ScalaUDF would break whole-stage codegen at the scan), and the
+    // DIM scan must still push its o_totalprice predicate — the prefilter
+    // composes with pushdown (a generic any-scan PushedFilters check
+    // would stay green on the fact side's join-key filters alone)
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), plan)
     assert("PushedFilters: \\[[^\\]]*o_totalprice".r.findFirstIn(plan).isDefined,
       plan)
   }
