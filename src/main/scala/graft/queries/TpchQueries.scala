@@ -89,17 +89,31 @@ object TpchQueries {
       (s, d) => {
         val rev = dec(col("l_extendedprice")) *
           (lit(1) - col("l_discount")).cast("decimal(8,2)")
-        Tables.load(s, d, "customer")
-          .join(Tables.load(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-          .join(Tables.load(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.load(s, d, "supplier"),
-            col("l_suppkey") === col("s_suppkey") &&
-              col("c_nationkey") === col("s_nationkey"))
-          .join(broadcast(Tables.load(s, d, "nation")),
-            col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.load(s, d, "region")),
+        // The region predicate is the query's only selectivity (1/5), so
+        // apply it BEFORE the big joins, not after: restrict customer and
+        // supplier through the broadcast nation⋈region dimension first,
+        // then run orders⋈customer and the dominant lineitem⋈orders
+        // shuffle on the reduced inputs. Left-deep declaration order IS
+        // the executed order (no CBO join reorder), so declaring the
+        // filter last made every shuffle 5× wider than needed.
+        val asia = Tables.load(s, d, "nation")
+          .join(Tables.load(s, d, "region"),
             col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = Tables.load(s, d, "customer")
+          .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val supp = Tables.load(s, d, "supplier")
+          .join(broadcast(asia.select(col("n_nationkey").as("sn_key"))),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("s_nationkey"))
+        Tables.load(s, d, "orders")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(supp,
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("n_name"))
           .agg(sum(rev).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
