@@ -19,7 +19,8 @@ object Bench {
     "q83_stream_stream_join", "q85_sample_stratified", "q87_pack_bins",
     "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
     "d45_contamination", "s41_knn_brute", "s43_knn_ivf",
-    "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking")
+    "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking",
+    "t41_repetition", "t42_gopher_filters", "q90_domain_mix")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for LLM training-data pipelines: the
+  * document-level quality gates, repetition statistics, deterministic
+  * global shuffle, and domain-mixing steps that sit between raw ingest
+  * and dedup/tokenization in a web-scale build (the filter families
+  * popularized by C4 — Raffel '20 — and the Gopher rules — Rae '21).
+  *
+  * Everything is a narrow column computation or a (doc_id, gram)-keyed
+  * aggregation: no cross joins, no driver-side state, deterministic
+  * everywhere (hash order instead of rand()), so results are replayable
+  * and the shapes survive a 1000-executor scale-up unchanged.
+  */
+object Curation {
+
+  // ---- repetition metrics (Gopher-style) ----
+
+  /** Duplicate-word fraction per document: 1 − |distinct|/|all| — a pure
+    * array computation, no explode. */
+  def dupWordFrac(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double"), 6)
+  }
+
+  /** Per-document repetition metrics: word count, duplicate-word
+    * fraction, the most frequent word and its mass, and the most
+    * frequent word-bigram's mass. Ties break lexicographically so the
+    * result is deterministic on both engines.
+    *
+    * Shape at scale: one explode → groupBy(doc, gram) → per-doc window
+    * max. The explode amplifies by words-per-doc (bounded), the groupBy
+    * combines map-side, and the window partitions by doc_id — no skew
+    * beyond the longest single document. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val spreadDocs = docs.repartition(col("doc_id"))
+    val words = spreadDocs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    // (doc, word) counts → per-doc top word (count desc, word asc)
+    val wordCounts = words
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val topWord = wordCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_word"), col("c").as("top_word_n"))
+    // word bigrams via sliding pairs over the token array
+    val bigrams = words.select(col("doc_id"),
+      explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(x, i) -> concat(x, ' ', toks[i + 1]))")).as("g"))
+    val topBigram = bigrams
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("c").as("top_bigram_n"))
+    spreadDocs
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+        dupWordFrac(col("text")).as("dup_word_frac"))
+      .join(topWord, Seq("doc_id"))
+      // left: a single-token document has no bigrams at all
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_word"),
+        round(col("top_word_n").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          greatest(col("n_words") - 1, lit(1)), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Gopher-style quality gate ----
+
+  /** Per-document quality-filter verdict: the word-count, mean-word-
+    * length, stopword and repetition gates of the Gopher rules, each
+    * surfaced as its own flag plus the combined keep decision — a
+    * pipeline wants the per-rule breakdown for filter-rate monitoring,
+    * not just the survivors. Pure column arithmetic: stays in one
+    * codegen stage, composes with parquet pushdown. */
+  def gopherFilters(
+      docs: DataFrame,
+      minWords: Int = 25, maxWords: Int = 200,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 12.0,
+      minStopFrac: Double = 0.02, maxDupFrac: Double = 0.55): DataFrame = {
+    val nWords = TextFunctions.tokenCount(col("text")).cast("long")
+    val meanLen = round(TextFunctions.meanTokenLen(col("text")), 6)
+    val stopFrac = round(TextFunctions.stopwordRatio(col("text")), 6)
+    val dupFrac = dupWordFrac(col("text"))
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      stopFrac.as("stop_frac"), dupFrac.as("dup_word_frac"),
+      (nWords >= minWords && nWords <= maxWords).as("len_ok"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("mean_len_ok"),
+      (stopFrac >= minStopFrac).as("stop_ok"),
+      (dupFrac <= maxDupFrac).as("rep_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("mean_len_ok") && col("stop_ok") && col("rep_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- PII redaction (C4-style) ----
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses with typed
+    * placeholder tags. Character classes only (no lookaround), so the
+    * patterns mean the same thing to Java regex and RE2-family engines —
+    * the portability constraint every cross-engine pipeline has. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Count of PII matches per kind (email, phone, ip) for filter-rate
+    * monitoring. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(emailRe)).cast("long"),
+    "n_phone" -> regexp_count(text, lit(phoneRe)).cast("long"),
+    "n_ip" -> regexp_count(text, lit(ipRe)).cast("long"))
+
+  // ---- deterministic corpus shuffle ----
+
+  /** Global pseudorandom order without rand(): sort by md5(seed:doc_id).
+    * Deterministic across runs and engines, uniform enough to break any
+    * ingest-order correlation before sequence packing / epoch slicing.
+    * At scale this is exactly one range-partitioned sort — the same cost
+    * as any global ORDER BY — and the key is reproducible from the row
+    * itself, so a re-run (or a resumed job) lands every document in the
+    * same position. */
+  def corpusShuffle(docs: DataFrame, seed: String = "s0"): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(":", lit(seed), col("doc_id"))).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  // ---- domain mixing ----
+
+  /** Down-sample each source domain to a per-domain cap, choosing
+    * survivors in deterministic hash order (so the SAME documents
+    * survive on every run — resampling must be reproducible for a
+    * training corpus). One window over source; the caps ride along as a
+    * broadcast map literal, not a join. */
+  def domainMix(
+      docs: DataFrame, caps: Map[String, Int], defaultCap: Int): DataFrame = {
+    val capCol = caps.foldLeft(lit(defaultCap)) { case (acc, (src, n)) =>
+      when(col("source") === src, lit(n)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"),
+      md5(concat_ws(":", lit("mix"), col("doc_id"))).as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= capCol)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+}

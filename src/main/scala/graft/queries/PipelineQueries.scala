@@ -144,6 +144,31 @@ object PipelineQueries {
         capacity = 2048)
         .orderBy(col("doc_id"))),
 
+    // deterministic global corpus shuffle: ORDER BY md5(seed:doc_id) —
+    // reproducible pseudorandom order with no rand(), one range sort
+    Q("q89_corpus_shuffle", Some(
+      """SELECT doc_id, md5('s0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.corpusShuffle(
+        Tables.load(s, d, "documents"))),
+
+    // domain mixing: down-sample each source to a target cap, survivors
+    // chosen in deterministic hash order (reproducible resampling)
+    Q("q90_domain_mix", Some(
+      """WITH h AS (
+        |  SELECT doc_id, source, md5('mix:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CASE WHEN source = 'src0' THEN 5
+        |                 WHEN source = 'src1' THEN 10 ELSE 15 END
+        |ORDER BY source, doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.domainMix(
+        Tables.load(s, d, "documents"),
+        caps = Map("src0" -> 5, "src1" -> 10), defaultCap = 15)),
+
     // set operations beyond UNION ALL
     Q("q71_intersect", Some(
       """SELECT c_nationkey AS nk FROM customer

@@ -211,6 +211,83 @@ object TextQueries {
         .select((least(floor(length(col("text")) / 100.0), lit(9)).cast("int") + 1)
           .as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // C4-style PII redaction: emails/phones/IPv4 swapped for typed tags,
+    // plus per-kind match counts for filter-rate monitoring. The corpus
+    // contains no PII (redacted == text, counts 0) — the oracle still
+    // replays every regex, and planted-text semantics are spec-tested.
+    Q("t40_pii_redact", Some(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d).select(
+        Seq(col("doc_id"),
+          graft.operators.Curation.piiRedact(col("text")).as("redacted")) ++
+          graft.operators.Curation.piiCounts(col("text"))
+            .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition metrics: duplicate-word mass and the most
+    // frequent word/bigram share per document
+    Q("t41_repetition", Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |         round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac
+        |  FROM t),
+        |wc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(w) AS g FROM t) GROUP BY 1, 2),
+        |tw AS (SELECT doc_id, g AS top_word, c AS top_word_n,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |       FROM wc),
+        |bc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(w)),
+        |                 i -> w[i] || ' ' || w[i+1])) AS g
+        |             FROM t) GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, c AS top_bigram_n,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |       FROM bc)
+        |SELECT b.doc_id, b.n_words, b.dup_word_frac, tw.top_word,
+        |       round(tw.top_word_n * 1.0 / b.n_words, 6) AS top_word_frac,
+        |       round(coalesce(tb.top_bigram_n, 0) * 1.0 / greatest(b.n_words - 1, 1), 6)
+        |         AS top_bigram_frac
+        |FROM base b
+        |JOIN tw ON tw.doc_id = b.doc_id AND tw.rn = 1
+        |LEFT JOIN tb ON tb.doc_id = b.doc_id AND tb.rn = 1
+        |ORDER BY b.doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.repetitionMetrics(docs(s, d))),
+
+    // Gopher-style quality gate: per-rule flags + combined keep verdict
+    Q("t42_gopher_filters", Some(
+      """WITH s AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS mean_word_len,
+        |  round(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+        |        / len(w), 6) AS stop_frac,
+        |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, stop_frac, dup_word_frac,
+        |  n_words >= 25 AND n_words <= 200 AS len_ok,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 12.0 AS mean_len_ok,
+        |  stop_frac >= 0.02 AS stop_ok,
+        |  dup_word_frac <= 0.55 AS rep_ok,
+        |  (n_words >= 25 AND n_words <= 200)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 12.0)
+        |    AND stop_frac >= 0.02 AND dup_word_frac <= 0.55 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.gopherFilters(docs(s, d)))
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (0L, "alpha beta gamma alpha alpha", "en", "srcA"),
+    (1L, "one two three four five six", "en", "srcA"),
+    (2L, "solo", "en", "srcB"),
+    (3L, "x y x y x y x y", "en", "srcB")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("repetitionMetrics: top word/bigram shares and duplicate fraction") {
+    val m = Curation.repetitionMetrics(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: 5 words, alpha ×3 → top_word alpha 0.6; distinct 3/5 → dup 0.4
+    assert(m(0L).getString(3) === "alpha")
+    assert(m(0L).getDouble(4) === 0.6)
+    assert(m(0L).getDouble(2) === 0.4)
+    // doc 1: all unique → dup 0, every word count 1 → lexicographic min
+    assert(m(1L).getDouble(2) === 0.0)
+    assert(m(1L).getString(3) === "five")
+    // doc 2: single token → no bigrams → top_bigram_frac 0
+    assert(m(2L).getDouble(5) === 0.0)
+    // doc 3: "x y" bigram dominates: 4 of 7 bigrams
+    assert(m(3L).getDouble(5) === math.round(4.0 / 7.0 * 1e6) / 1e6)
+  }
+
+  test("gopherFilters: per-rule flags compose into keep") {
+    val rows = Curation.gopherFilters(planted, minWords = 5, maxWords = 10,
+      minStopFrac = 0.0, maxDupFrac = 0.3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows(0L).getBoolean(8)) // dup 0.4 > 0.3 → rep_ok false
+    assert(rows(1L).getBoolean(9))  // 6 unique words → keep
+    assert(!rows(2L).getBoolean(5)) // 1 word < 5 → len_ok false
+    assert(!rows(3L).getBoolean(9)) // dup 0.75 → dropped
+  }
+
+  test("piiRedact replaces emails, phones, and IPs; counts match") {
+    val df = Seq(
+      (0L, "contact me at jo.doe+x@mail.example.org or 555-123-4567"),
+      (1L, "server 10.0.255.7 and 192.168.1.1 are up"),
+      (2L, "clean text, nothing to redact")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      Seq(col("doc_id"), Curation.piiRedact(col("text")).as("r")) ++
+        Curation.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) === "contact me at <EMAIL> or <PHONE>")
+    assert((out(0L).getLong(2), out(0L).getLong(3), out(0L).getLong(4)) === ((1L, 1L, 0L)))
+    assert(out(1L).getString(1) === "server <IP> and <IP> are up")
+    assert(out(1L).getLong(4) === 2L)
+    assert(out(2L).getString(1) === "clean text, nothing to redact")
+  }
+
+  test("corpusShuffle is deterministic and a permutation") {
+    val a = Curation.corpusShuffle(planted).collect().map(_.getLong(0)).toSeq
+    val b = Curation.corpusShuffle(planted).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a.sorted === Seq(0L, 1L, 2L, 3L))
+    // a different seed gives a different (but still deterministic) order
+    val c = Curation.corpusShuffle(planted, seed = "s1").collect()
+      .map(_.getLong(0)).toSeq
+    assert(c.sorted === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("domainMix caps per source deterministically") {
+    val out = Curation.domainMix(planted, caps = Map("srcA" -> 1), defaultCap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "srcA") === 1)
+    assert(out.count(_._2 == "srcB") === 2)
+    val again = Curation.domainMix(planted, caps = Map("srcA" -> 1), defaultCap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === again.toSeq)
+  }
+}
