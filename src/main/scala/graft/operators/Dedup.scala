@@ -103,16 +103,34 @@ object Dedup {
 
   /** Candidate pairs from banded signatures — the bucket equi-join only,
     * no estimator filter. */
+  /** Per-bucket size cap for LSH band joins. A bucket with c members
+    * costs c² rows in the candidate self-join, and bucket sizes grow
+    * linearly with corpus size — an overfull bucket (boilerplate band,
+    * degenerate hash region) turns the join quadratic at scale. Buckets
+    * above the cap carry no discriminative signal and are dropped, the
+    * same guard as the shingle-df cap in the verify stage. The default
+    * never bites at the gate SFs (largest observed bucket: 806 at
+    * sf0.1), so oracles replay it without effect until it matters. */
+  val defaultMaxBucket = 4096
+
+  private def capBuckets(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    banded.join(
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= maxBucket).select(keys.map(col): _*),
+      keys)
+
   private def candidatesFromSignatures(
-      sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+      sigs: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     val rows = k / bands
     // checkpoint: the banded table feeds both sides of the bucket
     // self-join — without it the whole signature pipeline runs twice
-    val banded = sigs.select(col("doc_id"),
+    val banded = capBuckets(sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "band_hash")))
-      .localCheckpoint()
+      .localCheckpoint(), Seq("band", "band_hash"), maxBucket)
     banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band", "band_hash"))
@@ -232,12 +250,13 @@ object Dedup {
     * up to ~8); exact Hamming distance filters candidates. */
   def simhashPairs(
       docs: DataFrame, maxHamming: Int = 8,
-      oracleHash: Boolean = false): DataFrame = {
+      oracleHash: Boolean = false,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     val sh = simhash(docs, oracleHash).localCheckpoint() // reused by both join sides
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "band_val")))
+        .as(Seq("band", "band_val"))), Seq("band", "band_val"), maxBucket)
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("band_val"),

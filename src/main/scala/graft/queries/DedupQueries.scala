@@ -282,27 +282,31 @@ object DedupQueries {
   private def signWrap(hu: String): String =
     s"CAST(CASE WHEN $hu >= $hugeSign THEN $hu - $hugeMod ELSE $hu END AS BIGINT)"
 
-  /** CTE `banded(doc_id, sh, b0..b3)`: signed fingerprint + the four
-    * 16-bit bands (extracted in the unsigned HUGEINT domain — BIGINT >>
-    * would arithmetic-shift the sign bit into bands). */
-  private def simhashBandedCte: String = {
-    val bands = (0 until 4).map(b =>
-      s"(hu // ${pow2(16 * b)}) % 65536 AS b$b").mkString(", ")
-    s"""banded AS (SELECT doc_id, ${signWrap("hu")} AS sh, $bands FROM fp)"""
+  /** CTE chain `bandex`→`bfil`: the exploded (doc_id, sh, band,
+    * band_val) table with the overfull-bucket cap applied, mirroring
+    * Dedup.capBuckets (bands extracted in the unsigned HUGEINT domain —
+    * BIGINT >> would arithmetic-shift the sign bit into bands). */
+  private def simhashBandCtes: String = {
+    val arms = (0 until 4).map(b =>
+      s"SELECT doc_id, ${signWrap("hu")} AS sh, $b AS b, " +
+        s"(hu // ${pow2(16 * b)}) % 65536 AS bv FROM fp")
+      .mkString("\n  UNION ALL ")
+    s"""bandex AS (
+       |  $arms),
+       |bkeep AS (SELECT b, bv FROM bandex GROUP BY b, bv
+       |          HAVING count(*) <= ${graft.operators.Dedup.defaultMaxBucket}),
+       |bfil AS (SELECT bandex.* FROM bandex JOIN bkeep USING (b, bv))""".stripMargin
   }
 
-  private def bandMatch = "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)"
-
   /** d39: banded candidate pairs with exact Hamming ≤ 3 (occurrence
-    * voting). A pair sharing several bands appears once (the Spark side
-    * dedups with DISTINCT; the OR-join here yields one row per pair). */
+    * voting). DISTINCT: a pair sharing several bands must appear once. */
   private lazy val simhashPairsOracle: String =
     s"""WITH ${simhashFpCtes(distinctWords = false)},
-       |$simhashBandedCte
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |$simhashBandCtes
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-       |FROM banded a JOIN banded b
-       |  ON a.doc_id < b.doc_id AND $bandMatch
+       |FROM bfil a JOIN bfil b
+       |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -317,11 +321,11 @@ object DedupQueries {
     * semantics replayed end to end. */
   private lazy val simhashVerifiedOracle: String =
     s"""WITH ${simhashFpCtes(distinctWords = false)},
-       |$simhashBandedCte,
+       |$simhashBandCtes,
        |cand AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
-       |    ON a.doc_id < b.doc_id AND $bandMatch
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bfil a JOIN bfil b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.sh, b.sh)) <= 8),
        |$ngramPairCtes
        |SELECT i.id_a, i.id_b,

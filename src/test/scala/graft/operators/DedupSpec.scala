@@ -47,6 +47,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("simhashPairs drops overfull band buckets (skew guard)") {
+    // cap=1: every bucket that could yield a candidate has >= 2 members,
+    // so ALL buckets are dropped and no pairs survive — the quadratic
+    // blowup a boilerplate band would cause is bounded by construction
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 8, maxBucket = 1)
+    assert(pairs.count() === 0)
+    // a cap that never bites leaves the pair set unchanged
+    val capped = Dedup.simhashPairs(planted, maxHamming = 3, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = Dedup.simhashPairs(planted, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === default)
+  }
+
   test("ngramJaccardPairs computes exact jaccard on planted docs") {
     val pairs = Dedup.ngramJaccardPairs(planted, threshold = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
