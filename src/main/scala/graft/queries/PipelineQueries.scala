@@ -169,6 +169,27 @@ object PipelineQueries {
         Tables.load(s, d, "documents"),
         caps = Map("src0" -> 5, "src1" -> 10), defaultCap = 15)),
 
+    // custom keyed state with multi-row emission: flatMapGroupsWithState
+    // running ledger — every event with its user's cumulative count and
+    // value (cents-exact). The oracle replays it as a cumulative window,
+    // closing the one operator class (arbitrary stateful processing)
+    // that previously had no oracled query.
+    Q("q91_running_ledger", Some(
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS running_n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.EventPipeline.runningLedger(s,
+          Tables.load(s, d, "events").as[graft.streaming.EventPipeline.Event])
+          .toDF().orderBy(col("event_id"))
+      }),
+
     // set operations beyond UNION ALL
     Q("q71_intersect", Some(
       """SELECT c_nationkey AS nk FROM customer

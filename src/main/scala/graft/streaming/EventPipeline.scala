@@ -68,6 +68,37 @@ object EventPipeline {
       }
   }
 
+  final case class LedgerEntry(
+      event_id: Long, user_id: Long, running_n: Long, running_value: Double)
+
+  /** Per-event running ledger via flatMapGroupsWithState: every event is
+    * emitted with its user's cumulative count and value so far — the
+    * one-row-in/N-rows-out custom-state shape mapGroupsWithState can't
+    * express. Events are processed in event_id order inside each group
+    * (the group iterator has no order guarantee), and value accumulates
+    * in integer CENTS in the state, so the running sums are exact and
+    * replayable: a double fold would make the output depend on rounding
+    * history, and a cumulative-window SQL mirror could sum in a
+    * different association order. State per user is two longs. */
+  def runningLedger(
+      spark: SparkSession, events: Dataset[Event]): Dataset[LedgerEntry] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          val out = batch.toIndexedSeq.sortBy(_.event_id).map { e =>
+            n += 1
+            cents += math.round(e.value * 100)
+            LedgerEntry(e.event_id, userId, n, cents.toDouble / 100.0)
+          }
+          state.update((n, cents))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: first arrival per key wins, with state
     * expiring at the watermark — the streaming face of the dedup suite
     * (bounded state, unlike a batch distinct over an infinite stream). */

@@ -31,6 +31,29 @@ class EventPipelineSpec extends SparkSpec {
     assert(byUser === expect)
   }
 
+  test("runningLedger emits one row per event with exact cumulative sums") {
+    val ds = events.as[EventPipeline.Event]
+    val out = EventPipeline.runningLedger(spark, ds).collect()
+    assert(out.length === events.count())
+    // last entry per user equals the plain per-user aggregate
+    val lastByUser = out.groupBy(_.user_id)
+      .map { case (u, es) => u -> es.maxBy(_.running_n) }
+    val expect = events.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    lastByUser.foreach { case (u, e) =>
+      assert(e.running_n === expect(u)._1)
+      assert(math.round(e.running_value * 100) === expect(u)._2)
+    }
+    // running_n within a user is 1..n in event_id order
+    val oneUser = out.filter(_.user_id == out.head.user_id).sortBy(_.event_id)
+    assert(oneUser.map(_.running_n).toSeq === (1L to oneUser.length).toSeq)
+  }
+
   test("streaming dedup emits exactly the batch-distinct key set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_spec")
     java.nio.file.Files.copy(
