@@ -54,6 +54,29 @@ class EventPipelineSpec extends SparkSpec {
     assert(oneUser.map(_.running_n).toSeq === (1L to oneUser.length).toSeq)
   }
 
+  test("runningLedger streams: memory-sink rows equal the batch ledger") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventPipeline.eventsStream(spark, dir.toString)
+      .as[EventPipeline.Event]
+    val q = EventPipeline.withStreamPartitions(spark, 8) {
+      EventPipeline.runningLedger(spark, stream)
+        .toDF().writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ledger_spec").start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ledger_spec").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventPipeline.runningLedger(spark,
+      events.as[EventPipeline.Event]).collect()
+      .map(e => (e.event_id, e.running_n, e.running_value)).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup emits exactly the batch-distinct key set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_spec")
     java.nio.file.Files.copy(
