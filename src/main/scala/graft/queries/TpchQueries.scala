@@ -187,6 +187,23 @@ object TpchQueries {
         .agg(graft.expressions.KMinValues(col("c_nationkey"), 256).as("n_nations"))
         .orderBy(col("c_mktsegment"))),
 
+    // bucketed co-located join: both sides written bucketed by the join
+    // key once, so the join itself runs with NO exchange on either side
+    // (asserted by BucketingSpec) — the pay-the-shuffle-once layout for
+    // recurring big joins. Results equal the plain join, which is the
+    // oracle.
+    Q("q92_bucketed_join", Some(
+      """SELECT o_orderpriority,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => graft.operators.Bucketing
+        .bucketedJoin(s, d, "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
     // date/time functions over order dates
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
