@@ -45,6 +45,10 @@ object Bucketing {
       val path = dir.toString
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       graft.Tables.load(spark, sfDir, name)
+        // parallelize the one-time layout write: a single-split input
+        // would otherwise bucket-sort everything in one task (the write
+        // itself never shuffles — each task splits its rows by bucket)
+        .repartition(buckets, org.apache.spark.sql.functions.col(key))
         .write
         .option("path", path)
         .bucketBy(buckets, key)
