@@ -25,15 +25,22 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int, feat: Array[Float])
 
+  /** Deterministic payload hash the stub decoder derives everything
+    * from (base-31 byte fold, 64-bit wrap — replayable in HUGEINT). */
+  def payloadHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
   /** STUB decoder: deterministic pseudo-features derived from payload
     * bytes. A real implementation replaces only this function (e.g. JNI
     * image decode → resize → embed); the signature is the contract. */
   def stubDecode(item: MediaItem): MediaFeatures = {
     val bytes = item.payload
     val n = bytes.length
-    var h = 0L
-    var i = 0
-    while (i < n) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    val h = payloadHash(bytes)
     val width = 64 + math.floorMod(h, 512).toInt
     val height = 64 + math.floorMod(h >> 16, 512).toInt
     val frames = if (item.kind == "video") 1 + math.floorMod(h >> 32, 30).toInt else 1
@@ -63,6 +70,35 @@ object Multimodal {
     media.as[MediaItem].mapPartitions { it =>
       // a real decoder would init its native context once here
       it.map(stubDecode)
+    }
+  }
+
+  /** One sampled frame of a video payload. */
+  final case class FrameSample(media_id: Long, frame_idx: Long, frame_fp: Long)
+
+  /** Frame sampling: every `everyK`-th frame of each video payload as its
+    * own row — the row-AMPLIFYING decode shape (one video → many frames),
+    * which is why the media table repartitions before this stage: the
+    * amplification happens inside each partition, never through a
+    * shuffle. Non-video rows emit nothing. The per-frame fingerprint is
+    * derived deterministically from (payload hash, frame index) by the
+    * stub; a real decoder would emit the frame tensor or its embedding
+    * with the identical iterator shape. */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame, everyK: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    media.as[MediaItem].mapPartitions { it =>
+      it.flatMap { item =>
+        if (item.kind != "video") Iterator.empty
+        else {
+          val h = payloadHash(item.payload)
+          val nFrames = 1 + math.floorMod(h >> 32, 30).toInt
+          Iterator.range(0, nFrames, everyK).map { idx =>
+            FrameSample(item.media_id, idx.toLong, h * 1000003L + idx)
+          }
+        }
+      }
     }
   }
 }

@@ -66,6 +66,41 @@ object MultimodalQueries {
           col("width").cast("bigint").as("width"),
           col("height").cast("bigint").as("height"),
           col("n_frames").cast("bigint").as("n_frames"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // frame sampling: every 4th frame of each video payload as its own
+    // row (row-amplifying partition-wise decode). Same HUGEINT replay as
+    // m45 for the frame count; the per-frame fingerprint re-signs
+    // (hu · 1000003 + idx) mod 2^64.
+    Q("m46_frame_sample", Some(
+      """WITH h AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(text)+1),
+        |                       i -> CAST(ord(text[i]) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN hu - CAST('18446744073709551616' AS HUGEINT)
+        |                 ELSE hu END AS hs
+        |  FROM h),
+        |v AS (
+        |  SELECT media_id, hu,
+        |    CAST(1 + ((((hs - ((hs % 4294967296 + 4294967296) % 4294967296)) // 4294967296) % 30 + 30) % 30) AS BIGINT) AS n_frames
+        |  FROM s WHERE kind = 'video'),
+        |f AS (SELECT media_id, hu, unnest(range(0, n_frames, 4)) AS frame_idx FROM v),
+        |fp AS (SELECT media_id, frame_idx,
+        |         (hu * 1000003 + frame_idx) % CAST('18446744073709551616' AS HUGEINT) AS u
+        |       FROM f)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN u - CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE u END AS BIGINT) AS frame_fp
+        |FROM fp ORDER BY media_id, frame_idx""".stripMargin),
+      (s, d) => Multimodal.sampleFrames(s, Multimodal.mediaTable(docs(s, d)))
+        .toDF().orderBy(col("media_id"), col("frame_idx")))
   )
 }

@@ -36,4 +36,24 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.feat.length === 8))
     assert(feats.forall(f => f.feat.forall(v => v >= 0f && v < 1f)))
   }
+
+  test("sampleFrames emits every k-th frame of videos only") {
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    val frames = Multimodal.sampleFrames(spark, media, everyK = 4).collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.media_id)
+    // only video ids appear, with ceil(n_frames / 4) sampled frames each
+    byMedia.foreach { case (id, fs) =>
+      assert(feats(id).kind === "video")
+      val expect = (feats(id).n_frames + 3) / 4
+      assert(fs.length === expect, s"media $id")
+      assert(fs.map(_.frame_idx).sorted.toSeq ===
+        (0 until feats(id).n_frames by 4).map(_.toLong))
+    }
+    // every video with frames is covered
+    assert(byMedia.keySet ===
+      feats.values.filter(_.kind == "video").map(_.media_id).toSet)
+  }
 }
