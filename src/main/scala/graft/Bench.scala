@@ -52,17 +52,20 @@ object Bench {
     // process.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
             failed += name
             System.err.println(s"[bench] FAILED $name: $t")
             t.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        // a throw's elapsed time is not a measurement — reporting it
+        // would make a broken query look fast in the queries map / total
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
     // would print 12,345 and break the driver's JSON parse
@@ -71,7 +74,7 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // -1.0 marks a failed query
     val failedField =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""

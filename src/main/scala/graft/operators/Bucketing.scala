@@ -25,16 +25,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  private val prepared = TrieMap[(SparkSession, String, String, Int), String]()
+  private val prepared = TrieMap[(SparkSession, String, String, String, Int), String]()
 
   /** Write `name` from sfDir bucketed by `key` into `buckets` buckets
     * (idempotent per session: repeated invocations reuse the table).
-    * Returns the catalog table name. */
+    * Returns the catalog table name. The name encodes EVERY layout input
+    * (source dir, key, bucket count): a name keyed on fewer would let a
+    * second sfDir/key recreate the table underneath a live cache entry
+    * and silently serve the wrong rows or the wrong layout. */
   def bucketedTable(
       spark: SparkSession, sfDir: String, name: String,
       key: String, buckets: Int): String = {
-    val tbl = s"graft_${name}_b$buckets"
-    prepared.getOrElseUpdate((spark, sfDir, name, buckets), {
+    // evict stopped sessions on lookup (same leak class as the facade
+    // DataSource cache)
+    prepared.keys.filter(_._1.sparkContext.isStopped).foreach(prepared.remove)
+    val dirTag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tbl = s"graft_${name}_${key}_b${buckets}_$dirTag"
+    prepared.getOrElseUpdate((spark, sfDir, name, key, buckets), {
       val dir = Files.createTempDirectory(s"graft_bucket_$name")
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {

@@ -39,9 +39,13 @@ object Curation {
     * combines map-side, and the window partitions by doc_id — no skew
     * beyond the longest single document. */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val spreadDocs = docs.repartition(col("doc_id"))
-    val words = spreadDocs.select(col("doc_id"),
-      TextFunctions.tokens(col("text")).as("toks"))
+    // ONE tokenize, checkpointed: three plan branches (top word, top
+    // bigram, per-doc stats) read the token table — without the
+    // checkpoint each branch re-scans and re-tokenizes the corpus
+    // (the shared-explode rule from the dedup pipelines)
+    val words = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .localCheckpoint()
     // (doc, word) counts → per-doc top word (count desc, word asc)
     val wordCounts = words
       .select(col("doc_id"), explode(col("toks")).as("w"))
@@ -62,10 +66,11 @@ object Curation {
         Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("c").as("top_bigram_n"))
-    spreadDocs
+    words
       .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
-        dupWordFrac(col("text")).as("dup_word_frac"))
+        size(col("toks")).cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 6).as("dup_word_frac"))
       .join(topWord, Seq("doc_id"))
       // left: a single-token document has no bigrams at all
       .join(topBigram, Seq("doc_id"), "left")

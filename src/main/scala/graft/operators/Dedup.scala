@@ -110,7 +110,12 @@ object Dedup {
     * above the cap carry no discriminative signal and are dropped, the
     * same guard as the shingle-df cap in the verify stage. The default
     * never bites at the gate SFs (largest observed bucket: 806 at
-    * sf0.1), so oracles replay it without effect until it matters. */
+    * sf0.1). Oracle contracts differ per family: the SimHash oracles
+    * (d39/d43) REPLAY the cap via their bkeep CTE; the MinHash oracle
+    * (d38, and d44/d46/q70 built on it) is the uncapped brute-force
+    * Jaccard set, valid only while LSH recall is 100% — the cap is one
+    * more way recall could drop, so any cap/band change must re-run
+    * tools.RecallCheck (verify recipe) before trusting those gates. */
   val defaultMaxBucket = 4096
 
   private def capBuckets(
@@ -124,13 +129,18 @@ object Dedup {
       sigs: DataFrame, k: Int, bands: Int,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val rows = k / bands
-    // checkpoint: the banded table feeds both sides of the bucket
-    // self-join — without it the whole signature pipeline runs twice
+    // checkpoint the CAPPED table: it feeds both sides of the bucket
+    // self-join, and capBuckets itself reads its input twice (count +
+    // semi-join) — checkpointing below the cap would re-run the cap's
+    // shuffle once per join side (rule: shared self-join subtrees are
+    // checkpointed once). The inner checkpoint keeps the signature
+    // pipeline from running twice inside capBuckets.
     val banded = capBuckets(sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "band_hash")))
       .localCheckpoint(), Seq("band", "band_hash"), maxBucket)
+      .localCheckpoint()
     banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band", "band_hash"))
@@ -252,11 +262,16 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 8,
       oracleHash: Boolean = false,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val sh = simhash(docs, oracleHash).localCheckpoint() // reused by both join sides
+    // inner checkpoint: the fingerprint build is read twice by capBuckets
+    // (count + semi-join); outer checkpoint: the capped table feeds both
+    // sides of the candidate self-join (rule 5: checkpoint shared
+    // self-join subtrees once, at the top of the shared tree)
+    val sh = simhash(docs, oracleHash).localCheckpoint()
     val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val"))), Seq("band", "band_val"), maxBucket)
+      .localCheckpoint()
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("band_val"),

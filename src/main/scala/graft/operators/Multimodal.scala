@@ -34,6 +34,10 @@ object Multimodal {
     h
   }
 
+  /** Stub frame count for a video payload hash — the ONE definition both
+    * extractFeatures and sampleFrames (and the m45/m46 oracles) encode. */
+  def videoFrames(h: Long): Int = 1 + math.floorMod(h >> 32, 30).toInt
+
   /** STUB decoder: deterministic pseudo-features derived from payload
     * bytes. A real implementation replaces only this function (e.g. JNI
     * image decode → resize → embed); the signature is the contract. */
@@ -43,7 +47,7 @@ object Multimodal {
     val h = payloadHash(bytes)
     val width = 64 + math.floorMod(h, 512).toInt
     val height = 64 + math.floorMod(h >> 16, 512).toInt
-    val frames = if (item.kind == "video") 1 + math.floorMod(h >> 32, 30).toInt else 1
+    val frames = if (item.kind == "video") videoFrames(h) else 1
     val feat = Array.tabulate(8)(j =>
       math.floorMod(h >> j, 1000).toFloat / 1000f)
     MediaFeatures(item.media_id, item.kind, n, width, height, frames, feat)
@@ -93,7 +97,7 @@ object Multimodal {
         if (item.kind != "video") Iterator.empty
         else {
           val h = payloadHash(item.payload)
-          val nFrames = 1 + math.floorMod(h >> 32, 30).toInt
+          val nFrames = videoFrames(h)
           Iterator.range(0, nFrames, everyK).map { idx =>
             FrameSample(item.media_id, idx.toLong, h * 1000003L + idx)
           }
