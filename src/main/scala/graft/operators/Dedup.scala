@@ -298,6 +298,55 @@ object Dedup {
       simhashPairs(docs, maxHamming, oracleHash).select(col("id_a"), col("id_b")),
       shingleN, threshold, maxDf)
 
+  // ---- incremental (batch-vs-corpus) dedup ----
+
+  /** Daily-ingest dedup: decide, for every document of an incoming
+    * batch, whether it survives against the EXISTING corpus and against
+    * the batch itself. A batch doc is dropped with reason 'corpus_dup'
+    * if it near-duplicates any corpus doc (the corpus is the settled
+    * truth and is never dropped), else 'batch_dup' if it duplicates an
+    * earlier (lower-id) batch doc, else kept as 'unique'.
+    *
+    * Built on the same candidates→verify pair machinery as d38, so the
+    * cost is the pair pipeline plus three equi-joins — the corpus side
+    * never pairs with itself beyond what LSH proposes, and nothing here
+    * is quadratic. At 100 TB the corpus's signatures would be
+    * precomputed and reused across daily batches; the pair stage is the
+    * only part that touches corpus text. */
+  def incrementalDedup(
+      docs: DataFrame, isBatch: Column,
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val pairs = minhashVerifiedPairs(docs, threshold, maxDf = maxDf)
+      .select(col("id_a"), col("id_b"))
+    val flags = docs.select(col("doc_id"), isBatch.as("is_batch"))
+      .localCheckpoint() // read by three join branches below
+    val pf = pairs
+      .join(flags.select(col("doc_id").as("id_a"), col("is_batch").as("a_batch")),
+        Seq("id_a"))
+      .join(flags.select(col("doc_id").as("id_b"), col("is_batch").as("b_batch")),
+        Seq("id_b"))
+      .localCheckpoint() // shared by the two dup-id branches
+    // batch docs duplicating a corpus doc (either pair direction)
+    val corpusDup = pf.filter(col("a_batch") && !col("b_batch"))
+      .select(col("id_a").as("doc_id"))
+      .union(pf.filter(col("b_batch") && !col("a_batch"))
+        .select(col("id_b").as("doc_id")))
+      .distinct().withColumn("corpus_dup", lit(true))
+    // batch docs duplicating an EARLIER batch doc (pairs carry id_a < id_b)
+    val batchDup = pf.filter(col("a_batch") && col("b_batch"))
+      .select(col("id_b").as("doc_id"))
+      .distinct().withColumn("batch_dup", lit(true))
+    flags.filter(col("is_batch")).select(col("doc_id"))
+      .join(corpusDup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("corpus_dup").isNull && col("batch_dup").isNull).as("keep"),
+        when(col("corpus_dup").isNotNull, "corpus_dup")
+          .when(col("batch_dup").isNotNull, "batch_dup")
+          .otherwise("unique").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- duplicate clustering ----
 
   /** Connected components over an undirected pair list (id_a < id_b):

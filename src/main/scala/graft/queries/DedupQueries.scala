@@ -159,6 +159,40 @@ object DedupQueries {
           .orderBy(col("cluster_id"))
       }),
 
+    // incremental (daily-ingest) dedup: docs with id % 10 == 9 play the
+    // incoming batch, the rest the settled corpus; each batch doc is
+    // kept or dropped with a reason (corpus_dup > batch_dup > unique).
+    // Same LSH-pairs-with-brute-oracle contract as d38 (100% recall,
+    // tools.RecallCheck).
+    Q("d47_incremental_dedup", Some(
+      s"""WITH $ngramPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |bflag AS (SELECT doc_id, doc_id % 10 = 9 AS is_batch FROM documents),
+         |pf AS (SELECT p.id_a, p.id_b, fa.is_batch AS a_batch, fb.is_batch AS b_batch
+         |       FROM pairs p JOIN bflag fa ON fa.doc_id = p.id_a
+         |                    JOIN bflag fb ON fb.doc_id = p.id_b),
+         |cd AS (SELECT DISTINCT doc_id FROM (
+         |         SELECT id_a AS doc_id FROM pf WHERE a_batch AND NOT b_batch
+         |         UNION ALL
+         |         SELECT id_b AS doc_id FROM pf WHERE b_batch AND NOT a_batch)),
+         |bd AS (SELECT DISTINCT id_b AS doc_id FROM pf WHERE a_batch AND b_batch)
+         |SELECT f.doc_id,
+         |       cd.doc_id IS NULL AND bd.doc_id IS NULL AS keep,
+         |       CASE WHEN cd.doc_id IS NOT NULL THEN 'corpus_dup'
+         |            WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
+         |            ELSE 'unique' END AS reason
+         |FROM bflag f
+         |LEFT JOIN cd ON cd.doc_id = f.doc_id
+         |LEFT JOIN bd ON bd.doc_id = f.doc_id
+         |WHERE f.is_batch
+         |ORDER BY f.doc_id""".stripMargin),
+      (s, d) => Dedup.incrementalDedup(docs(s, d),
+        col("doc_id") % 10 === 9, threshold = 0.5, maxDf = 20)),
+
     // benchmark-contamination check (decontamination): per-document
     // overlap of 3-gram shingles against the shingle set of docs 0-4
     // (standing in for an eval set)

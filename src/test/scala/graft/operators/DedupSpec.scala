@@ -61,6 +61,28 @@ class DedupSpec extends SparkSpec {
     assert(capped === default)
   }
 
+  test("incrementalDedup drops batch dups of corpus and earlier batch docs") {
+    import spark.implicits._
+    // 0,1 corpus; 2,3,4 batch: 2 copies corpus 0, 4 copies batch 3
+    // (exact copies: jaccard 1.0 ⇒ every LSH band matches, so candidate
+    // generation is guaranteed and the test pins only the keep/reason
+    // logic, not LSH recall at threshold)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "unrelated corpus text about something else entirely here now"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs, col("doc_id") >= 2,
+      threshold = 0.5, maxDf = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out.keySet === Set(2L, 3L, 4L)) // corpus docs never judged
+    assert(out(2L) === ((false, "corpus_dup")))
+    assert(out(3L) === ((true, "unique")))
+    assert(out(4L) === ((false, "batch_dup")))
+  }
+
   test("ngramJaccardPairs computes exact jaccard on planted docs") {
     val pairs = Dedup.ngramJaccardPairs(planted, threshold = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
