@@ -67,6 +67,25 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       col("source"))
 
+  /** Ingest a directory of real media files as a media table via Spark's
+    * binaryFile source: one row per file with the payload as a binary
+    * column (plus path/length metadata), kind derived from the file
+    * extension. This is the on-ramp from an object-store media lake into
+    * the same decode pipeline the synthetic table feeds — at 100 TB the
+    * source parallelizes by file and never materializes payloads on the
+    * driver. `media_id` is the path's 64-bit hash: stable across runs,
+    * no window/zipWithIndex over the whole lake. */
+  def fromBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp)$"), "image")
+          .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(mp4|mkv|webm|avi)$"), "video")
+          .otherwise("binary").as("kind"),
+        col("content").as("payload"),
+        col("path").as("source"))
+
   /** Partition-wise feature extraction (mapPartitions — the batch shape:
     * one decoder instance per partition, streamed iterator, no collect). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
