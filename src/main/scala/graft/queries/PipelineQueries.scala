@@ -190,6 +190,35 @@ object PipelineQueries {
           .toDF().orderBy(col("event_id"))
       }),
 
+    // format round-trips: write documents through the ORC and CSV
+    // sink/source pair, then aggregate the read-back — puts the
+    // non-parquet format surface under the oracle gate instead of
+    // spec-only coverage. The oracle aggregates the original table: a
+    // lossless round-trip is exactly what makes them equal.
+    Q("q93_orc_roundtrip", Some(formatRoundtripOracle),
+      (s, d) => {
+        val p = Staging.sinkDir("orc_" + d.replaceAll("[^A-Za-z0-9]", "_")) +
+          "/docs_orc"
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(p)
+        formatRoundtripAgg(s.read.orc(p))
+      }),
+
+    Q("q94_csv_roundtrip", Some(formatRoundtripOracle),
+      (s, d) => {
+        val p = Staging.sinkDir("csv_" + d.replaceAll("[^A-Za-z0-9]", "_")) +
+          "/docs_csv"
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").option("header", "true").csv(p)
+        // CSV is schemaless — the read must re-assert types, which is
+        // itself the contract worth gating (a drifting schema breaks it)
+        formatRoundtripAgg(s.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+          .option("header", "true").csv(p))
+      }),
+
     // set operations beyond UNION ALL
     Q("q71_intersect", Some(
       """SELECT c_nationkey AS nk FROM customer
@@ -316,4 +345,20 @@ object PipelineQueries {
         .except(Tables.load(s, d, "orders").select(col("o_custkey").as("c_custkey")))
         .orderBy(col("c_custkey")))
   )
+
+  /** Shared aggregation for the format round-trip queries (q93/q94):
+    * per-lang row count and char sum over the read-back frame.
+    * `lazy`/`private` per the object-init rule (11). */
+  private def formatRoundtripAgg(
+      readBack: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    readBack.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  /** The oracle aggregates the ORIGINAL parquet table — round-trip
+    * losslessness is the property under test. */
+  private lazy val formatRoundtripOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }
