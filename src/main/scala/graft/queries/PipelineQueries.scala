@@ -219,6 +219,18 @@ object PipelineQueries {
           .option("header", "true").csv(p))
       }),
 
+    Q("q95_json_roundtrip", Some(formatRoundtripOracle),
+      (s, d) => {
+        val p = Staging.sinkDir("json_" + d.replaceAll("[^A-Za-z0-9]", "_")) +
+          "/docs_json"
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(p)
+        formatRoundtripAgg(s.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+          .json(p))
+      }),
+
     // set operations beyond UNION ALL
     Q("q71_intersect", Some(
       """SELECT c_nationkey AS nk FROM customer
