@@ -17,6 +17,10 @@ run / fork := true
 // both rounds 1 and 2 lost the bench gate to these wrappers.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// exclude it from the unused-key lint so the warning doesn't precede run
+// output
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
