@@ -165,11 +165,22 @@ object Dedup {
       ex: DataFrame, cands: DataFrame,
       threshold: Double, maxDf: Int): DataFrame = {
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint() // read by the bound filter AND the final select
+    // Length bound (AllPairs/PPJoin): J = |∩|/|∪| ≤ min(sz)/max(sz), so
+    // any pair whose size ratio is below the threshold provably cannot
+    // verify — prune it BEFORE paying |cands|·shingles join rows. Pure
+    // optimization: the surviving output set is identical (the computed
+    // jaccard uses df-capped intersections, which only lowers J further).
+    val bounded = cands
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= threshold)
     val filtered = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select(col("sh")),
       Seq("sh"))
-    val inter = cands
+    val inter = bounded.select(col("id_a"), col("id_b"))
       .join(filtered.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
       .join(filtered.select(col("doc_id").as("id_b"), col("sh")),
         Seq("id_b", "sh"))
@@ -282,8 +293,12 @@ object Dedup {
         // long, not int: no non-int64 integer may reach a final oracled
         // schema (driver compare rule)
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: the cut is a cheap codegen'd filter and
+      // hamming is functional on the pair, so filtering first shrinks the
+      // distinct's shuffle by the cut rate (~60% at sf0.1) with an
+      // identical result
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
