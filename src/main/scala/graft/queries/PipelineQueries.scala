@@ -219,6 +219,77 @@ object PipelineQueries {
           .option("header", "true").csv(p))
       }),
 
+    // the capstone composite: the WHOLE corpus-build pipeline as one
+    // query — Gopher quality gate → exact dedup (canonical fingerprint)
+    // → domain mixing (≤10 per source, hash order) → deterministic
+    // shuffle → 2048-token sequence packing. Every stage reuses the
+    // registered operator's exact semantics, and the oracle replays the
+    // chain as CTEs — proof the operators compose into the pipeline a
+    // corpus build actually runs. The final packing window is GLOBAL
+    // (one totally-ordered output stream — inherently one partition);
+    // at 100 TB you pack per shard/group instead, which is exactly q87.
+    Q("q96_corpus_build", Some(
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |         string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS mean_word_len,
+        |  round(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+        |        / len(w), 6) AS stop_frac,
+        |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac
+        |  FROM w),
+        |q AS (SELECT doc_id FROM m
+        |      WHERE n_words >= 25 AND n_words <= 200
+        |        AND mean_word_len >= 3.0 AND mean_word_len <= 12.0
+        |        AND stop_frac >= 0.02 AND dup_word_frac <= 0.55),
+        |fp AS (SELECT w.doc_id, w.source, len(w.w) AS n_tokens,
+        |              md5(array_to_string(list_sort(w.w), ' ')) AS fp
+        |       FROM w JOIN q ON q.doc_id = w.doc_id),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |mix AS (SELECT f.doc_id, f.source, f.n_tokens,
+        |          row_number() OVER (PARTITION BY f.source
+        |            ORDER BY md5('mix:' || CAST(f.doc_id AS VARCHAR)), f.doc_id) AS rn
+        |        FROM fp f JOIN ded ON ded.doc_id = f.doc_id),
+        |sel AS (SELECT doc_id, n_tokens,
+        |          md5('s0:' || CAST(doc_id AS VARCHAR)) AS skey
+        |        FROM mix WHERE rn <= 10)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |    ORDER BY skey, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+        |    AS BIGINT) AS bin
+        |FROM sel ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val quality = graft.operators.Curation.gopherFilters(docs)
+          .filter(col("keep")).select(col("doc_id"))
+        val scoped = docs.join(quality, Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            graft.functions.TextFunctions.canonicalFingerprint(col("text")).as("fp"))
+          .localCheckpoint() // read by the dedup groupBy AND the join back
+        val survivors = scoped.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val mixed = scoped.join(survivors, Seq("doc_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(
+              md5(concat_ws(":", lit("mix"), col("doc_id"))), col("doc_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("doc_id"), col("n_tokens"),
+            md5(concat_ws(":", lit("s0"), col("doc_id"))).as("skey"))
+        val packWin = Window.orderBy(col("skey"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        mixed
+          .select(col("doc_id"), col("n_tokens"),
+            floor(coalesce(sum(col("n_tokens")).over(packWin), lit(0L)) / 2048)
+              .cast("bigint").as("bin"))
+          .orderBy(col("doc_id"))
+      }),
+
     Q("q95_json_roundtrip", Some(formatRoundtripOracle),
       (s, d) => {
         val p = Staging.sinkDir("json_" + d.replaceAll("[^A-Za-z0-9]", "_")) +
