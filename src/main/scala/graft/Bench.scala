@@ -20,7 +20,9 @@ object Bench {
     "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
     "d45_contamination", "s41_knn_brute", "s43_knn_ivf",
     "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking",
-    "t41_repetition", "t42_gopher_filters", "q90_domain_mix")
+    "t41_repetition", "t42_gopher_filters", "q90_domain_mix",
+    "q91_running_ledger", "q92_bucketed_join", "q96_corpus_build",
+    "d47_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below
@@ -51,7 +53,14 @@ object Bench {
     // the log. Failures are collected, reported in the JSON, and fail the
     // process.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // localCheckpoint blocks are reclaimed by the ContextCleaner only
+      // after the driver-side references are GC'd; over 100+ queries the
+      // lag pins enough executor storage to slow later queries. A
+      // periodic nudge keeps the suite's tail honest.
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
