@@ -31,10 +31,17 @@ case class KMinValues(
     child: Expression,
     k: Int = 256,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    oracleHash: Boolean = false)
   extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
 
-  private lazy val hasher = XxHash64(Seq(child), 42L)
+  /** Production default is xxhash64 (well-mixed). `oracleHash = true`
+    * swaps in the RollingHash polynomial over a STRING child — weaker
+    * mixing, but DuckDB replays it exactly in HUGEINT (CLAUDE.md rule
+    * 12), which lets the gate hash-check the full sketch lifecycle in
+    * the ESTIMATE regime: k-min set, k-th value, (k-1)/x eval. */
+  private lazy val hasher: Expression =
+    if (oracleHash) RollingHash(child) else XxHash64(Seq(child), 42L)
 
   override def createAggregationBuffer(): mutable.TreeSet[Long] =
     mutable.TreeSet.empty[Long]
@@ -104,4 +111,10 @@ object KMinValues {
   def apply(c: Column, k: Int): Column =
     CatalystBridge.column(
       KMinValues(CatalystBridge.expression(c), k).toAggregateExpression())
+
+  /** Oracle-mode variant (polynomial hash over a string column). */
+  def oracle(c: Column, k: Int): Column =
+    CatalystBridge.column(
+      KMinValues(CatalystBridge.expression(c), k, oracleHash = true)
+        .toAggregateExpression())
 }

@@ -101,8 +101,6 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Candidate pairs from banded signatures — the bucket equi-join only,
-    * no estimator filter. */
   /** Per-bucket size cap for LSH band joins. A bucket with c members
     * costs c² rows in the candidate self-join, and bucket sizes grow
     * linearly with corpus size — an overfull bucket (boilerplate band,
@@ -125,13 +123,20 @@ object Dedup {
     // self-join needs anyway, so the cap costs one pass over the banded
     // table instead of an extra aggregate + join (which also forced a
     // second localCheckpoint upstream — measured 1.5–2.8× on the
-    // LSH-heavy queries).
+    // LSH-heavy queries). Tradeoff: the window sorts/buffers each bucket
+    // whole in one task before the filter runs, so a degenerate overfull
+    // bucket is spilled in a single task, where a groupBy count would
+    // have combined map-side. Acceptable while buckets stay far under
+    // partition size (largest observed: 806 at sf0.1); if a scale run
+    // regresses here, this is the knob to revisit.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     banded.withColumn("__bc", count(lit(1)).over(w))
       .filter(col("__bc") <= maxBucket)
       .drop("__bc")
   }
 
+  /** Candidate pairs from banded signatures — the bucket equi-join only,
+    * no estimator filter. */
   private def candidatesFromSignatures(
       sigs: DataFrame, k: Int, bands: Int,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
@@ -278,11 +283,11 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 8,
       oracleHash: Boolean = false,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
-    // inner checkpoint: the fingerprint build is read twice by capBuckets
-    // (count + semi-join); outer checkpoint: the capped table feeds both
-    // sides of the candidate self-join (rule 5: checkpoint shared
-    // self-join subtrees once, at the top of the shared tree)
-    val sh = simhash(docs, oracleHash).localCheckpoint()
+    // ONE checkpoint, on the capped table: it feeds both sides of the
+    // candidate self-join (rule 5). The window-based capBuckets reads the
+    // fingerprint build exactly once, so no inner materialization of the
+    // simhash table is needed.
+    val sh = simhash(docs, oracleHash)
     val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))

@@ -152,7 +152,16 @@ object Similarity {
   /** IVF-style coarse quantization: centroids from an aggregation over a
     * deterministic coarse key, queries probe the nearest `nProbe`
     * centroids, search restricted to those cells. Demonstrates the
-    * partition-pruning pattern (cells = partitions at scale). */
+    * partition-pruning pattern (cells = partitions at scale).
+    *
+    * Centroid components are summed in FIXED POINT (floor(x·1e6) as
+    * long) rather than averaged in doubles: an integer sum is
+    * order-independent, so the centroids — and therefore the probe
+    * choice and the final result — are deterministic under any shuffle
+    * schedule AND exactly replayable by the DuckDB oracle. The 1e-6
+    * quantization is orders of magnitude below the coarse quantizer's
+    * own noise floor (cells are 1-bit-per-plane buckets), so it cannot
+    * change which cells are near which queries in any meaningful way. */
   def ivfSearch(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
       dim: Int = 64): DataFrame = {
@@ -160,9 +169,14 @@ object Similarity {
     // cell assignment: coarse LSH signature with 4 bits = 16 cells
     val planes = hyperplanes(4, dim, seed = 7L)
     val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
+    val sums = (0 until dim).map(i =>
+      sum(floor(col("embedding").getItem(i).cast("double") * lit(1e6)))
+        .as(s"s$i"))
     val centroids = cells.groupBy(col("cell"))
-      .agg(array((0 until dim).map(i =>
-        avg(col("embedding").getItem(i).cast("double"))): _*).as("centroid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cell"), array((0 until dim).map(i =>
+        col(s"s$i").cast("double") / col("n").cast("double") / lit(1e6)): _*)
+        .as("centroid"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = q.join(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("cell"),

@@ -276,19 +276,23 @@ object DedupQueries {
   // one Scala definition emits both engines' bit arithmetic, so the two
   // sides cannot drift.
 
-  private lazy val hugeMod = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private[queries] lazy val hugeMod = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
   private lazy val hugeSign = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
   private def pow2(i: Int): String = s"CAST('${BigInt(1) << i}' AS HUGEINT)"
 
-  /** Per-word rolling hash as HUGEINT in [0, 2^64). ord(char) == UTF-8
-    * byte only for ASCII — the corpus is (asserted at both gate SFs for
-    * t35). */
-  private lazy val wordHashSql: String =
+  /** RollingHash polynomial replay over the string column `c` as HUGEINT
+    * in [0, 2^64). ord(char) == UTF-8 byte only for ASCII — true for
+    * every column it is applied to (asserted at both gate SFs for t35).
+    * Shared by the SimHash oracles here and the KMV oracle (q59). */
+  private[queries] def polyHashSql(c: String): String =
     s"""list_reduce(
        |      list_prepend(CAST(0 AS HUGEINT),
-       |        list_transform(range(1, length(w)+1),
-       |                       i -> CAST(ord(w[i]) AS HUGEINT))),
+       |        list_transform(range(1, length($c)+1),
+       |                       i -> CAST(ord($c[i]) AS HUGEINT))),
        |      (acc, x) -> (acc * 1000003 + x) % $hugeMod)""".stripMargin
+
+  /** Per-word rolling hash (the SimHash families hash a column `w`). */
+  private lazy val wordHashSql: String = polyHashSql("w")
 
   /** CTE chain ending in `fp(doc_id, hu)`: the unsigned 64-bit SimHash
     * fingerprint. `distinctWords` selects set-SimHash (each distinct
@@ -313,7 +317,7 @@ object DedupQueries {
   }
 
   /** Sign-wrap a HUGEINT fingerprint into the BIGINT Spark emits. */
-  private def signWrap(hu: String): String =
+  private[queries] def signWrap(hu: String): String =
     s"CAST(CASE WHEN $hu >= $hugeSign THEN $hu - $hugeMod ELSE $hu END AS BIGINT)"
 
   /** CTE chain `bandex`→`bfil`: the exploded (doc_id, sh, band,

@@ -39,8 +39,12 @@ object SimilarityQueries {
       (s, d) => Similarity.bruteForceKnn(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
-    // multi-probe LSH approximate top-k (deterministic planes, seed 42)
-    Q("s42_knn_lsh", None,
+    // multi-probe LSH approximate top-k. Deterministic end to end (the
+    // planes are fixed-seed literals), so the ORACLE REPLAYS THE ACTUAL
+    // APPROXIMATE SEMANTICS — signatures, Hamming-1 probe set, candidate
+    // ranking — with the plane doubles interpolated from the SAME Scala
+    // array the Spark side uses (one definition, two engines, no drift).
+    Q("s42_knn_lsh", Some(knnLshOracle),
       (s, d) => Similarity.annLsh(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
@@ -58,9 +62,103 @@ object SimilarityQueries {
          |ORDER BY id_a, id_b""".stripMargin),
       (s, d) => Similarity.embeddingNearDupes(emb(s, d), threshold = 0.95)),
 
-    // IVF-style coarse-quantized search (centroid probe → cell-local scan)
-    Q("s43_knn_ivf", None,
+    // IVF-style coarse-quantized search (centroid probe → cell-local
+    // scan). The fixed-point centroid sum (Similarity.ivfSearch) makes
+    // the whole pipeline order-independent, so the oracle replays it
+    // exactly: cells, integer centroid sums, probe ranking, cell-local
+    // cosine top-k.
+    Q("s43_knn_ivf", Some(knnIvfOracle),
       (s, d) => Similarity.ivfSearch(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10, nProbe = 2))
   )
+
+  // ---- generated-oracle SQL for the LSH / IVF paths ----
+  //
+  // The hyperplanes are deterministic fixed-seed doubles; interpolating
+  // them as literals into DuckDB SQL (Double.toString round-trips the
+  // exact bit pattern through DuckDB's parser) replays the signature
+  // arithmetic bit-for-bit. All lazy: `all` above initializes first
+  // (object init order — CLAUDE.md rule 11).
+
+  /** DuckDB mirror of Similarity.signature's per-plane dot product:
+    * sequential list fold in doubles against the literal plane. */
+  private def planeDotSql(emb: String, plane: Array[Double]): String =
+    s"""list_sum(list_transform(list_zip($emb, [${plane.mkString(", ")}]),
+       |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+
+  /** DuckDB mirror of Similarity.signature: bit i set where dot_i >= 0. */
+  private def sigSql(emb: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN ${planeDotSql(emb, pl)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n + ", ")")
+
+  private lazy val lshPlanes = Similarity.hyperplanes(8, 64, seed = 42L)
+  private lazy val ivfPlanes = Similarity.hyperplanes(4, 64, seed = 7L)
+
+  /** s42: multi-probe LSH replayed exactly — own bucket + the 8
+    * Hamming-1 buckets, candidates ranked by exact cosine. */
+  private lazy val knnLshOracle: String = {
+    val masks = (0L +: (0 until 8).map(i => 1L << i).toSeq).mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", lshPlanes)} AS sig
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |         ${sigSql("embedding", lshPlanes)} AS q_sig
+       |  FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, q_emb, xor(q_sig, m.m) AS probe_sig
+       |  FROM q CROSS JOIN (SELECT unnest([$masks]) AS m) m),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id,
+       |         ${cosSql("p.q_emb", "c.embedding")} AS cos
+       |  FROM corpus c JOIN probes p
+       |    ON c.sig = p.probe_sig AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** s43: IVF replayed exactly — 16 cells from the coarse planes,
+    * fixed-point integer centroid sums (order-independent, bit-equal to
+    * Spark's), nProbe=2 probe ranking, cell-local exact cosine top-k. */
+  private lazy val knnIvfOracle: String = {
+    val dim = 64
+    val sumCols = (0 until dim).map(i =>
+      s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(",\n         ")
+    val centroid = (0 until dim).map(i =>
+      s"CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE) / 1e6").mkString("[", ", ", "]")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
+       |  FROM embeddings),
+       |csum AS (
+       |  SELECT cell, count(*) AS n,
+       |         $sumCols
+       |  FROM cells GROUP BY cell),
+       |centroids AS (SELECT cell, $centroid AS centroid FROM csum),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT q_id, q_emb, cell, ${cosSql("q_emb", "centroid")} AS ccos
+       |  FROM q CROSS JOIN centroids),
+       |pc AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q_id, q_emb, cell,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS r
+       |    FROM probed)
+       |  WHERE r <= 2),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id, ${cosSql("p.q_emb", "c.embedding")} AS cos
+       |  FROM cells c JOIN pc p ON c.cell = p.cell AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
 }

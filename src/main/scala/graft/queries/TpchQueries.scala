@@ -162,14 +162,19 @@ object TpchQueries {
             |ORDER BY p_partkey""".stripMargin)
       }),
 
-    // approximate distinct via the custom KMV TypedImperativeAggregate
-    // (sketch ≠ DuckDB's approx algorithm → rows-only; accuracy and
-    // determinism are spec-tested against exact counts)
-    Q("q59_kmv_distinct", None,
+    // approximate distinct via the custom KMV TypedImperativeAggregate,
+    // in its ESTIMATE regime (partkey cardinality >> k=256). The gate
+    // runs oracle-mode (RollingHash polynomial over the stringified key,
+    // CLAUDE.md rule 12): DuckDB replays the k-min hash set, the k-th
+    // value and the (k-1)/x eval exactly, so the sketch's full partial/
+    // merge/eval lifecycle is hash-checked in the regime that matters.
+    // The xxhash64 production default stays spec-tested (KmvSpec).
+    Q("q59_kmv_distinct", Some(kmvEstimateOracle),
       (s, d) => Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          graft.expressions.KMinValues(col("l_partkey"), 256).as("approx_parts"))
+          graft.expressions.KMinValues.oracle(
+            col("l_partkey").cast("string"), 256).as("approx_parts"))
         .orderBy(col("l_returnflag"))),
 
     // KMV in its EXACT regime: below the sketch size (k=256) the bottom-k
@@ -218,4 +223,45 @@ object TpchQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("y"), col("m")))
   )
+
+  /** q59's oracle: DuckDB replay of the KMV estimate. Distinct keys →
+    * polynomial hash (HUGEINT, sign-wrapped to the BIGINT domain Spark's
+    * TreeSet orders by) → per-group k smallest → exact KMinValues.eval
+    * arithmetic: below k the sketch is exact; otherwise map the k-th
+    * smallest signed hash onto (0,1) and estimate (k-1)/x. The double
+    * constants are interpolated from the very Long.MinValue/MaxValue
+    * arithmetic the Scala eval performs, so the IEEE division is
+    * identical on both engines. `lazy`: `all` initializes first. */
+  private lazy val kmvEstimateOracle: String = {
+    val k = 256
+    val minD = Long.MinValue.toDouble
+    val rangeD = Long.MaxValue.toDouble - Long.MinValue.toDouble
+    val x = s"((CAST(kth AS DOUBLE) - ($minD)) / $rangeD)"
+    s"""WITH vals AS (
+       |  SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS w
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
+       |hd AS (
+       |  SELECT DISTINCT l_returnflag,
+       |         ${DedupQueries.signWrap(DedupQueries.polyHashSql("w"))} AS h
+       |  FROM vals),
+       |ranked AS (
+       |  SELECT l_returnflag, h,
+       |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+       |         count(*) OVER (PARTITION BY l_returnflag) AS nd
+       |  FROM hd),
+       |sk AS (
+       |  SELECT l_returnflag,
+       |         max(CASE WHEN rn = $k THEN h END) AS kth,
+       |         max(nd) AS nd
+       |  FROM ranked GROUP BY l_returnflag),
+       |ex AS (
+       |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT e.l_returnflag, e.exact_parts,
+       |       CASE WHEN s.nd < $k THEN CAST(s.nd AS DOUBLE)
+       |            WHEN $x <= 0.0 THEN ${k.toDouble}
+       |            ELSE ${(k - 1).toDouble} / $x END AS approx_parts
+       |FROM ex e JOIN sk s USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
 }
