@@ -60,8 +60,7 @@ object Bench {
       // lag pins enough executor storage to slow later queries. A
       // periodic nudge keeps the suite's tail honest.
       sinceGc += 1
-      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
-      val times = (1 to 2).flatMap { _ =>
+      def sample(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
@@ -74,6 +73,25 @@ object Bench {
         // would make a broken query look fast in the queries map / total
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      val first = sample()
+      // the periodic nudge runs BETWEEN a query's samples: the second
+      // sample (usually the min) then measures with reclaimed storage
+      // instead of paying a GC pause mid-run — the between-queries
+      // placement left whichever query followed the nudge artificially
+      // slow, which is exactly the run-to-run flap the min should remove.
+      // Heavy queries (first sample > 1 s — the localCheckpoint-based
+      // dedup pipelines) always get the nudge: how much unreclaimed
+      // checkpoint storage they start under otherwise depends on where
+      // the periodic cadence happens to fall, which made their minute-
+      // to-minute timings flap 1.4–1.8× between identical runs.
+      if (sinceGc >= 16 || first.exists(_ > 1.0)) { sinceGc = 0; System.gc() }
+      var times = (first ++ sample()).toSeq
+      // two samples disagreeing >1.5x means neither is steady-state
+      // (page-cache warm-up, a GC pause, codegen compile landed in one);
+      // a third sample keeps the reported min honest without paying
+      // 3 runs for the ~90% of queries whose two samples already agree
+      if (times.size == 2 && times.max / times.min > 1.5)
+        times ++= sample()
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // Locale.ROOT: f"" uses the default locale — a comma-decimal locale

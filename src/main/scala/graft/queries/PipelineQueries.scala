@@ -274,11 +274,18 @@ object PipelineQueries {
         val survivors = scoped.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
+        // CONTRACT: the pack window below is GLOBAL (unpartitioned →
+        // single task). Its input must stay bounded by the mix cap
+        // applied here — mixCap docs per source, a few hundred rows
+        // total. Any edit that removes/raises this cap materially must
+        // switch the packing to the partitioned Sampling.packBins
+        // (q87) instead of sending an unbounded corpus through one task.
+        val mixCap = 10
         val mixed = scoped.join(survivors, Seq("doc_id"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("source")).orderBy(
               md5(concat_ws(":", lit("mix"), col("doc_id"))), col("doc_id"))))
-          .filter(col("rn") <= 10)
+          .filter(col("rn") <= mixCap)
           .select(col("doc_id"), col("n_tokens"),
             md5(concat_ws(":", lit("s0"), col("doc_id"))).as("skey"))
         val packWin = Window.orderBy(col("skey"), col("doc_id"))

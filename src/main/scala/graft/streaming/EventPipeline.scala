@@ -197,7 +197,14 @@ object EventPipeline {
 
   def startStreamJoinQuery(
       spark: SparkSession, eventsDir: String, queryName: String) =
-    withStreamPartitions(spark, 8) {
+    // 2, not the 8 the single-store queries use: a stream-stream join
+    // keeps TWO state stores per partition (one per side), so its
+    // per-batch floor is twice as steep in partition count, and the gate
+    // corpus keys (hundreds of users) nowhere near saturate even 2.
+    // Measured steady-state at sf0.1: 8 → ~2.6 s, 4 → ~2.2 s, 2 → ~1.9 s.
+    // At real scale this knob tracks key volume/executor count, per the
+    // withStreamPartitions contract below.
+    withStreamPartitions(spark, 2) {
       toMemorySink(purchaseClickJoin(eventsStream(spark, eventsDir)), queryName)
     }
 
