@@ -105,4 +105,15 @@ object TextFunctions {
     * prefer tokenizing into a column first (see shinglesFromTokens). */
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
+
+  /** POSITIONAL n-token windows (with multiplicity, unlike the distinct
+    * shingle set above): window i covers tokens [i, i+n). The substring-
+    * dedup family counts how many of a document's windows repeat, so a
+    * window occurring three times must appear three times. Same
+    * truncating-slice and empty-window semantics as shinglesFromTokens. */
+  def windowsFromTokens(toks: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
 }

@@ -323,6 +323,66 @@ object Dedup {
       simhashPairs(docs, maxHamming, oracleHash).select(col("id_a"), col("id_b")),
       shingleN, threshold, maxDf)
 
+  // ---- substring-span dedup ----
+
+  /** Per-document duplicated-substring statistics — the substring-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022): for every document, how many of
+    * its n-token windows (positional, with multiplicity) also occur
+    * elsewhere in the corpus (any other position, same or different
+    * document)? `dup_frac` near 1 marks boilerplate/templated text that
+    * document-level dedup misses because the surrounding page differs.
+    *
+    * Windows are compared BY 64-BIT HASH, exactly as in the paper's
+    * suffix-automaton practice: grouping the window strings themselves
+    * would ship n-token strings through the shuffle; the hash group is
+    * 8 bytes per window at any corpus size, at the cost of a
+    * negligible-probability hash collision marking a window duplicated.
+    * One explode + two groupBys + one equi-join — every stage keyed,
+    * nothing quadratic. Production hash is xxhash64; oracleHash swaps
+    * the DuckDB-replayable polynomial (CLAUDE.md rule 12). */
+  def duplicatedSpanStats(
+      docs: DataFrame, n: Int = 10, oracleHash: Boolean = false): DataFrame = {
+    val wins = spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.windowsFromTokens(col("toks"), n)).as("win"))
+      .select(col("doc_id"), wordHash(col("win"), oracleHash).as("wh"))
+      .localCheckpoint() // feeds the dup-hash set AND both per-doc counts
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("wh"))
+    val tot = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dup, Seq("wh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    tot.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)).cast("double")
+          / col("n_windows").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document novelty: the fraction of a document's distinct n-gram
+    * shingles whose FIRST corpus occurrence (lowest doc_id) is this
+    * document — the curation-side complement of duplicatedSpanStats. In
+    * an id-ordered crawl this is "how much text did this document add
+    * that we had not already collected?", the signal dedup-aware corpus
+    * growth curves are built from. Same inverted-index shape as the
+    * Jaccard family: one explode, one groupBy for first occurrence, one
+    * equi-join back. */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ex = shingleTable(docs, n).localCheckpoint() // first-id AND per-doc
+    val first = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+    ex.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_id") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- incremental (batch-vs-corpus) dedup ----
 
   /** Daily-ingest dedup: decide, for every document of an incoming

@@ -50,6 +50,32 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Weighted Bernoulli sample: keep a row iff u < baseRate · weight,
+    * where u ∈ [0,1) is a deterministic uniform derived from a salted
+    * 64-bit hash of the row id — per-row weighted coin flips with no
+    * rand(), no shuffle, and exact run-to-run reproducibility. This is
+    * the corpus-mixing primitive for quality-weighted sampling
+    * (keep-probability proportional to a quality score, capped at 1):
+    * a pure filter, so it composes with scan pushdown like
+    * stratifiedSample. Weights above 1/baseRate saturate (always kept) —
+    * true upsampling needs row replication, which is a different
+    * operator on purpose (an explode changes row counts; a sampler must
+    * not). Production hash is xxhash64; `oracleHash` swaps the
+    * DuckDB-replayable RollingHash polynomial, with the hash→[0,1) map
+    * shared with KMinValues.eval (both engines perform the identical
+    * IEEE subtract/divide). */
+  def weightedBernoulli(
+      df: DataFrame, id: Column, weight: Column, baseRate: Double,
+      salt: String, oracleHash: Boolean = false): DataFrame = {
+    val key = concat(lit(salt + ":"), id.cast("string"))
+    val h =
+      if (oracleHash) graft.expressions.RollingHash(key) else xxhash64(key)
+    val u = (h.cast("double") - lit(Long.MinValue.toDouble)) /
+      lit(Long.MaxValue.toDouble - Long.MinValue.toDouble)
+    df.withColumn("sample_u", u)
+      .filter(col("sample_u") < lit(baseRate) * weight)
+  }
+
   /** Sequence packing: assign documents to fixed-capacity token bins,
     * in id order within each group — bin = floor(running_tokens_before /
     * capacity). This is the shuffle-friendly approximation of greedy

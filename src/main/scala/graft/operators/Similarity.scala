@@ -126,22 +126,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: LSH-bucket join (single table,
-    * exact-signature collision) then exact cosine ≥ threshold. At scale
-    * the bucket join replaces the O(N²) cross join; recall is tuned by
-    * nBits (fewer bits → bigger buckets → higher recall, more compute). */
+  /** Embedding near-duplicate pairs: LSH-bucket join (exact-signature
+    * collision in any of `tables` independent hash tables) then exact
+    * cosine ≥ threshold. At scale the bucket join replaces the O(N²)
+    * cross join; recall is tuned by the two standard LSH knobs — fewer
+    * bits per table (bigger buckets) and more tables (more independent
+    * chances to collide), compute rising with both. The signature table
+    * is checkpointed once: it feeds both sides of every per-table
+    * self-join plus the final pair-scoring joins (rule 5). */
   def embeddingNearDupes(
       corpus: DataFrame, threshold: Double,
-      nBits: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed = seed)
-    val sig = corpus.select(col("vec_id"), col("embedding"),
-      signature(col("embedding"), planes).as("sig"),
-      norm(col("embedding")).as("nrm"))
-    val a = sig.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      col("sig"), col("nrm").as("nrm_a"))
-    val b = sig.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("sig"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      nBits: Int = 8, seed: Long = 42L, dim: Int = 64,
+      tables: Int = 1): DataFrame = {
+    val sigCols = (0 until tables).map(t =>
+      signature(col("embedding"), hyperplanes(nBits, dim, seed + t))
+        .as(s"sig$t"))
+    val sig = corpus.select(
+      Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        ++ sigCols: _*)
+      .localCheckpoint()
+    val cands = (0 until tables).map { t =>
+      sig.select(col(s"sig$t").as("s"), col("vec_id").as("id_a"))
+        .join(sig.select(col(s"sig$t").as("s"), col("vec_id").as("id_b")),
+          Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ union _).distinct()
+    cands
+      .join(sig.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(sig.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("emb_a"), col("emb_b"),
           col("nrm_a"), col("nrm_b")).as("cos"))

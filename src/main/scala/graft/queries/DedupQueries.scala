@@ -193,6 +193,20 @@ object DedupQueries {
       (s, d) => Dedup.incrementalDedup(docs(s, d),
         col("doc_id") % 10 === 9, threshold = 0.5, maxDf = 20)),
 
+    // substring-level dedup (Lee et al. ACL 2022): per-document counts of
+    // 10-token windows that occur anywhere else in the corpus. Windows
+    // compare by 64-bit hash (8 bytes/window through the shuffle at any
+    // scale); the gate runs the DuckDB-replayable polynomial hash, with
+    // xxhash64 the production default under spec.
+    Q("d49_substring_spans", Some(substringSpanOracle),
+      (s, d) => Dedup.duplicatedSpanStats(docs(s, d), n = 10,
+        oracleHash = true)),
+
+    // per-document novelty: fraction of a doc's distinct 3-gram shingles
+    // first seen (lowest doc_id) in that doc — the corpus-growth signal
+    Q("d50_novelty", Some(noveltyOracle),
+      (s, d) => Dedup.noveltyScores(docs(s, d), n = 3)),
+
     // benchmark-contamination check (decontamination): per-document
     // overlap of 3-gram shingles against the shingle set of docs 0-4
     // (standing in for an eval set)
@@ -266,6 +280,43 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d49: the positional-window mirror of Dedup.duplicatedSpanStats —
+    * same truncating slice as ngramShingleCte but parametrized to 10
+    * tokens and WITHOUT list_distinct (multiplicity matters), windows
+    * hashed with the replayable polynomial. */
+  private lazy val substringSpanOracle: String = {
+    val n = 10
+    s"""WITH wins AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - $n, 0) + 2),
+       |                   i -> array_to_string(w[i:i+${n - 1}], ' '))) AS sh
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))
+       |  WHERE sh <> ''),
+       |hashed AS (SELECT doc_id, ${signWrap(polyHashSql("sh"))} AS wh FROM wins),
+       |dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) > 1),
+       |tot AS (SELECT doc_id, count(*) AS n_windows FROM hashed GROUP BY doc_id),
+       |dpd AS (SELECT h.doc_id, count(*) AS n_dup_windows
+       |        FROM hashed h JOIN dup USING (wh) GROUP BY h.doc_id)
+       |SELECT t.doc_id, t.n_windows,
+       |       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       |       CAST(coalesce(d.n_dup_windows, 0) AS DOUBLE)
+       |         / CAST(t.n_windows AS DOUBLE) AS dup_frac
+       |FROM tot t LEFT JOIN dpd d USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** d50: first-occurrence novelty over the shared distinct-shingle CTE. */
+  private lazy val noveltyOracle: String =
+    s"""WITH $ngramShingleCte,
+       |first AS (SELECT sh, min(doc_id) AS first_id FROM ex GROUP BY sh)
+       |SELECT e.doc_id, count(*) AS n_shingles,
+       |       count(*) FILTER (f.first_id = e.doc_id) AS n_novel,
+       |       CAST(count(*) FILTER (f.first_id = e.doc_id) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM ex e JOIN first f USING (sh)
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
 
   // ---- SimHash oracle replay (generated SQL) ----
   //

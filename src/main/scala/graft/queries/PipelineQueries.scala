@@ -144,6 +144,20 @@ object PipelineQueries {
         capacity = 2048)
         .orderBy(col("doc_id"))),
 
+    // quality-weighted Bernoulli sample: keep-probability 0.5·quality
+    // per doc, decided by a salted deterministic hash → uniform — the
+    // corpus-mixing primitive for quality-proportional sampling, a pure
+    // filter. Gate runs the replayable polynomial hash (rule 12);
+    // xxhash64 production default under spec (SamplingSpec).
+    Q("q97_weighted_sample", Some(weightedSampleOracle),
+      (s, d) => Sampling.weightedBernoulli(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), qualityScore(col("text")).as("quality")),
+        id = col("doc_id"), weight = col("quality"), baseRate = 0.5,
+        salt = "ws", oracleHash = true)
+        .select(col("doc_id"), col("quality"), col("sample_u"))
+        .orderBy(col("doc_id"))),
+
     // deterministic global corpus shuffle: ORDER BY md5(seed:doc_id) —
     // reproducible pseudorandom order with no rand(), one range sort
     Q("q89_corpus_shuffle", Some(
@@ -451,4 +465,34 @@ object PipelineQueries {
     """SELECT lang, count(*) AS n,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q97: DuckDB replay of the weighted Bernoulli sampler. The quality
+    * CTE is the shared formula (t33/q69); the hash→[0,1) map interpolates
+    * the same Long.MinValue/MaxValue doubles Sampling.weightedBernoulli
+    * computes, so the subtract/divide/compare is the identical IEEE
+    * arithmetic on both engines. */
+  private lazy val weightedSampleOracle: String = {
+    val minD = Long.MinValue.toDouble
+    val rangeD = Long.MaxValue.toDouble - Long.MinValue.toDouble
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    round(
+       |      least(length(text) / 500.0, 1.0) * 0.4
+       |      + least(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |            x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+       |          / len(string_split_regex(trim(text), '\\s+')) * 5.0, 1.0) * 0.4
+       |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |          / CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+       |      6) AS quality,
+       |    'ws:' || CAST(doc_id AS VARCHAR) AS w
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, quality,
+       |         (CAST(${DedupQueries.signWrap(DedupQueries.polyHashSql("w"))} AS DOUBLE)
+       |            - ($minD)) / $rangeD AS sample_u
+       |  FROM scored)
+       |SELECT doc_id, quality, sample_u FROM u
+       |WHERE sample_u < CAST(0.5 AS DOUBLE) * quality
+       |ORDER BY doc_id""".stripMargin
+  }
 }

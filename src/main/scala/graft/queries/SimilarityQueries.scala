@@ -62,6 +62,26 @@ object SimilarityQueries {
          |ORDER BY id_a, id_b""".stripMargin),
       (s, d) => Similarity.embeddingNearDupes(emb(s, d), threshold = 0.95)),
 
+    // semantic dedup (SemDeDup-shaped — Abbas et al. 2023, on the LSH
+    // rather than k-means coarse partitioner): multi-table LSH proposes
+    // candidate pairs, exact cosine >= 0.45 confirms edges, connected
+    // components collapse transitive groups, one survivor (+ size) per
+    // cluster. The oracle replays the ACTUAL approximate semantics —
+    // all four signature tables, the cosine cut, and reachability via a
+    // recursive CTE — so the hash match checks the real pipeline, not a
+    // recall assumption.
+    Q("d48_semantic_dedup", Some(semanticDedupOracle),
+      (s, d) => {
+        val pairs = Similarity.embeddingNearDupes(emb(s, d),
+          threshold = 0.45, nBits = 4, tables = 4)
+        graft.operators.Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")))
+          .groupBy(col("cluster_id"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy(col("cluster_id"))
+      }),
+
     // IVF-style coarse-quantized search (centroid probe → cell-local
     // scan). The fixed-point centroid sum (Similarity.ivfSearch) makes
     // the whole pipeline order-independent, so the oracle replays it
@@ -94,6 +114,42 @@ object SimilarityQueries {
 
   private lazy val lshPlanes = Similarity.hyperplanes(8, 64, seed = 42L)
   private lazy val ivfPlanes = Similarity.hyperplanes(4, 64, seed = 7L)
+
+  /** d48: the full semantic-dedup pipeline replayed — per-table
+    * signatures (seeds 42..45, matching embeddingNearDupes' seed + t),
+    * candidate union, exact-cosine edge cut, recursive-CTE reachability,
+    * survivor per cluster. */
+  private lazy val semanticDedupOracle: String = {
+    val tables = (0 until 4).map(t => Similarity.hyperplanes(4, 64, seed = 42L + t))
+    val sigCols = tables.zipWithIndex.map { case (p, t) =>
+      s"${sigSql("embedding", p)} AS sig$t"
+    }.mkString(",\n  ")
+    val unions = (0 until 4).map(t =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sigs a " +
+        s"JOIN sigs b ON a.sig$t = b.sig$t AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH RECURSIVE sigs AS (
+       |  SELECT vec_id, embedding,
+       |  $sigCols
+       |  FROM embeddings),
+       |cand AS (
+       |  $unions),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.id_a
+       |  JOIN embeddings b ON b.vec_id = c.id_b
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+       |SELECT cluster_id, min(id) AS keep_id, count(*) AS n_members
+       |FROM cc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
 
   /** s42: multi-probe LSH replayed exactly — own bucket + the 8
     * Hamming-1 buckets, candidates ranked by exact cosine. */
