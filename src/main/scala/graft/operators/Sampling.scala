@@ -60,18 +60,25 @@ object Sampling {
     * stratifiedSample. Weights above 1/baseRate saturate (always kept) —
     * true upsampling needs row replication, which is a different
     * operator on purpose (an explode changes row counts; a sampler must
-    * not). Production hash is xxhash64; `oracleHash` swaps the
-    * DuckDB-replayable RollingHash polynomial, with the hash→[0,1) map
-    * shared with KMinValues.eval (both engines perform the identical
-    * IEEE subtract/divide). */
+    * not). Production hash is xxhash64 mapped over the full 64-bit
+    * range; `oracleHash` swaps a DuckDB-replayable derivation — md5 of
+    * the salted key (the q89 corpus-shuffle pattern), first 13 hex
+    * digits as a 52-bit integer, divided by 2^52 — which is exact in a
+    * double on both engines. The RollingHash polynomial is NOT usable
+    * here: it is nearly linear in the id, so consecutive ids land on
+    * adjacent u values and a constant threshold keeps or drops whole
+    * id ranges together (a sampler needs avalanche, which md5 has). */
   def weightedBernoulli(
       df: DataFrame, id: Column, weight: Column, baseRate: Double,
       salt: String, oracleHash: Boolean = false): DataFrame = {
     val key = concat(lit(salt + ":"), id.cast("string"))
-    val h =
-      if (oracleHash) graft.expressions.RollingHash(key) else xxhash64(key)
-    val u = (h.cast("double") - lit(Long.MinValue.toDouble)) /
-      lit(Long.MaxValue.toDouble - Long.MinValue.toDouble)
+    val u =
+      if (oracleHash)
+        conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+          .cast("double") / lit(4503599627370496.0) // 2^52
+      else
+        (xxhash64(key).cast("double") - lit(Long.MinValue.toDouble)) /
+          lit(Long.MaxValue.toDouble - Long.MinValue.toDouble)
     df.withColumn("sample_u", u)
       .filter(col("sample_u") < lit(baseRate) * weight)
   }

@@ -467,13 +467,12 @@ object PipelineQueries {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q97: DuckDB replay of the weighted Bernoulli sampler. The quality
-    * CTE is the shared formula (t33/q69); the hash→[0,1) map interpolates
-    * the same Long.MinValue/MaxValue doubles Sampling.weightedBernoulli
-    * computes, so the subtract/divide/compare is the identical IEEE
-    * arithmetic on both engines. */
+    * CTE is the shared formula (t33/q69); u is the first 13 hex digits
+    * of md5(salted key) — a 52-bit integer, exact in a double — divided
+    * by 2^52, so both engines compute the identical IEEE value. The hex
+    * digits fold through strpos on the hex alphabet (DuckDB has no
+    * hex-string-to-int cast). */
   private lazy val weightedSampleOracle: String = {
-    val minD = Long.MinValue.toDouble
-    val rangeD = Long.MaxValue.toDouble - Long.MinValue.toDouble
     s"""WITH scored AS (
        |  SELECT doc_id,
        |    round(
@@ -488,8 +487,11 @@ object PipelineQueries {
        |  FROM documents),
        |u AS (
        |  SELECT doc_id, quality,
-       |         (CAST(${DedupQueries.signWrap(DedupQueries.polyHashSql("w"))} AS DOUBLE)
-       |            - ($minD)) / $rangeD AS sample_u
+       |         CAST(list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(1, 14),
+       |               i -> CAST(strpos('0123456789abcdef', md5(w)[i]) - 1 AS BIGINT))),
+       |           (acc, x) -> acc * 16 + x) AS DOUBLE) / 4503599627370496.0 AS sample_u
        |  FROM scored)
        |SELECT doc_id, quality, sample_u FROM u
        |WHERE sample_u < CAST(0.5 AS DOUBLE) * quality

@@ -51,6 +51,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sh.toSet === Set("the quick", "quick brown", "brown fox"))
   }
 
+  test("windowsFromTokens keeps position and multiplicity, unlike shingles") {
+    def wins(text: String, n: Int): Seq[String] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextFunctions.windowsFromTokens(
+          TextFunctions.tokens($"t"), n).as("w"))
+        .head.getSeq[String](0)
+    // ordered, overlapping, repeats preserved (shingles dedups these)
+    assert(wins("a b a b a b", 2) ===
+      Seq("a b", "b a", "a b", "b a", "a b"))
+    // short doc: one truncated window (same slice semantics as shingles)
+    assert(wins("a b c", 4) === Seq("a b c"))
+    // empty text yields no windows, not one empty window
+    assert(wins("   ", 3) === Seq.empty)
+  }
+
   test("RollingHash matches a reference Scala implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xff))

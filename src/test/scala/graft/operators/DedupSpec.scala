@@ -132,6 +132,36 @@ class DedupSpec extends SparkSpec {
     assert(verified === exact) // same pairs AND same exact jaccard values
   }
 
+  test("duplicatedSpanStats marks copied and self-repeating text, not unique text") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // exact copy
+      (2L, "x y z x y z x y z"), // every 3-window repeats WITHIN the doc
+      (3L, "completely different words about catalyst optimizer plans")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(corpus, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(0L) === ((8L, 1.0))) // 10 tokens -> 8 windows, all in doc 1 too
+    assert(out(1L)._2 === 1.0)
+    // multiplicity: doc 2's 7 positional windows are 3 distinct strings,
+    // each occurring >1 times -> every OCCURRENCE counts as duplicated
+    assert(out(2L) === ((7L, 1.0)))
+    assert(out(3L)._2 === 0.0) // unique text: nothing repeats anywhere
+  }
+
+  test("noveltyScores credits first occurrence by doc_id order") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // adds nothing
+      (2L, "alpha beta gamma NEW words here") // partially novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(corpus, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(0L) === 1.0) // first doc: every shingle is new
+    assert(out(1L) === 0.0) // exact copy of an earlier doc: nothing new
+    assert(out(2L) > 0.0 && out(2L) < 1.0)
+  }
+
   test("set-simhash ignores repetition where occurrence-simhash is dominated by it") {
     import org.apache.spark.sql.Row
     val docs = Seq(

@@ -39,6 +39,30 @@ class SamplingSpec extends SparkSpec {
     assert(one === full)
   }
 
+  test("weightedBernoulli: deterministic, weight-proportional, saturating") {
+    def kept(weight: org.apache.spark.sql.Column, rate: Double,
+        oracle: Boolean = false): Set[Long] =
+      Sampling.weightedBernoulli(docs, $"doc_id", weight, rate, "spec",
+        oracleHash = oracle)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // zero weight keeps nothing; weight >= 1/rate saturates to everything
+    assert(kept(lit(0.0), 0.5).isEmpty)
+    assert(kept(lit(2.0), 0.5).size === docs.count())
+    // deterministic across runs, and the production/oracle hashes both
+    // land near the expected rate (500 docs, p=0.5 -> +-10% easily)
+    val n = docs.count().toDouble
+    for (oracle <- Seq(false, true)) {
+      val k1 = kept(lit(1.0), 0.5, oracle)
+      assert(k1 === kept(lit(1.0), 0.5, oracle))
+      assert(k1.size / n > 0.4 && k1.size / n < 0.6)
+      // halving the weight halves the kept set, and it nests: the same
+      // row hash decides both cuts, so p=0.25 keeps a subset of p=0.5
+      val k2 = kept(lit(0.5), 0.5, oracle)
+      assert(k2.subsetOf(k1))
+      assert(k2.size / n > 0.15 && k2.size / n < 0.35)
+    }
+  }
+
   test("packBins never overflows capacity by more than one document") {
     val withTok = docs.select($"doc_id", $"lang",
       graft.functions.TextFunctions.tokenCount($"text")

@@ -57,6 +57,23 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(_.getInt(3)).toSeq === (1 to res.length))
   }
 
+  test("multi-table LSH candidates contain every single-table pair") {
+    // table 0 of the 4-table run uses the same seed as the 1-table run,
+    // so its pair set can only grow: more tables = more chances to collide
+    def pairs(tables: Int): Set[(Long, Long)] =
+      Similarity.embeddingNearDupes(planted, threshold = 0.3,
+        nBits = 4, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    assert(one.subsetOf(four))
+    assert(four.contains((0L, 1L))) // the planted near-dup always survives
+    // and every reported pair really clears the exact-cosine threshold
+    Similarity.embeddingNearDupes(planted, threshold = 0.3,
+      nBits = 4, tables = 4)
+      .collect().foreach(r => assert(r.getDouble(2) >= 0.3))
+  }
+
   test("signature is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val s1 = planted.select(Similarity.signature($"embedding", planes).as("s"))
