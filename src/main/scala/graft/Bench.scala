@@ -22,7 +22,8 @@ object Bench {
     "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking",
     "t41_repetition", "t42_gopher_filters", "q90_domain_mix",
     "q91_running_ledger", "q92_bucketed_join", "q96_corpus_build",
-    "d47_incremental_dedup")
+    "d47_incremental_dedup", "d48_semantic_dedup", "d49_substring_spans",
+    "d50_novelty", "d51_span_removal", "q97_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

@@ -362,6 +362,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The removal half of substring-level dedup (Lee et al. ACL 2022):
+    * rewrite each document with every corpus-duplicated n-token span cut
+    * out. A token survives iff NO duplicated window covers its position;
+    * overlapping duplicated windows merge into one removed span for
+    * free, because coverage is per-position. Same hashed-window plumbing
+    * as duplicatedSpanStats, plus one posexplode to keep positions and a
+    * per-document array rebuild at the end — the span arithmetic runs
+    * inside array lambdas on the doc's own row (documents are bounded;
+    * the corpus-sized work stays in the keyed groupBy/join stages).
+    * Within-document repeats count as duplicates, exactly like the
+    * stats operator: boilerplate that repeats inside one page is still
+    * boilerplate. */
+  def removeDuplicatedSpans(
+      docs: DataFrame, n: Int = 10, oracleHash: Boolean = false): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds the window explode AND the final rebuild
+    // windowsFromTokens only drops empty windows (empty doc), so for any
+    // nonempty doc the posexplode position IS the window's start token
+    val wins = toks.select(col("doc_id"),
+        posexplode(TextFunctions.windowsFromTokens(col("toks"), n)))
+      .select(col("doc_id"), col("pos"),
+        wordHash(col("col"), oracleHash).as("wh"))
+      .localCheckpoint() // feeds the dup-hash set AND the per-doc starts
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("wh"))
+    val starts = wins.join(dup, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("dup_starts"), array().cast("array<int>")).as("ds"))
+      .withColumn("kept", filter(col("toks"), (_, pos) =>
+        !exists(col("ds"), s => pos >= s && pos < s + lit(n))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document novelty: the fraction of a document's distinct n-gram
     * shingles whose FIRST corpus occurrence (lowest doc_id) is this
     * document — the curation-side complement of duplicatedSpanStats. In

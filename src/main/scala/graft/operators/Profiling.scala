@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus/table profiling — the data-quality monitoring step of a
+  * training-data pipeline (row counts, null rates, exact cardinalities,
+  * value ranges per column), computed in ONE scan.
+  *
+  * The reference has no profiling surface (its `describe` analog lives
+  * in pandas); this is extension surface sized for 100 TB: all per-
+  * column aggregates ride a single wide aggregation (Spark plans the
+  * multiple COUNT(DISTINCT)s as one Expand + aggregate — one pass over
+  * the data with map-side partials, never k scans for k columns), and
+  * the wide one-row result is stacked to long form driver-side-free
+  * with an explode of column structs.
+  */
+object Profiling {
+
+  /** One row per profiled column: (col_name, n_rows, n_null,
+    * n_distinct, min_val, max_val). min/max are CAST to string so
+    * mixed-type columns share one schema — exact for the string and
+    * integer columns this is aimed at; float columns would hit engine-
+    * specific double formatting (profile those as typed queries
+    * instead). n_distinct is EXACT (count distinct), the profiling
+    * default; sketch-based cardinality at higher scale is the KMV
+    * operator's job (q59/q88). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** The DuckDB replay, generated from the same column list so the two
+    * engines cannot drift: one aggregate CTE, one UNION ALL arm per
+    * column reading from it. */
+  def columnProfileOracleSql(table: String, cols: Seq[String]): String = {
+    val aggExprs = cols.map { c =>
+      s"""count($c) AS ${c}__nn, count(DISTINCT $c) AS ${c}__nd,
+         |    CAST(min($c) AS VARCHAR) AS ${c}__min,
+         |    CAST(max($c) AS VARCHAR) AS ${c}__max""".stripMargin
+    }.mkString(",\n    ")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col_name, n AS n_rows, n - ${c}__nn AS n_null,
+         |  ${c}__nd AS n_distinct, ${c}__min AS min_val, ${c}__max AS max_val
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH agg AS (
+       |  SELECT count(*) AS n,
+       |    $aggExprs
+       |  FROM $table)
+       |$arms
+       |ORDER BY col_name""".stripMargin
+  }
+}

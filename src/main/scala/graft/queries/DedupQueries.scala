@@ -207,6 +207,13 @@ object DedupQueries {
     Q("d50_novelty", Some(noveltyOracle),
       (s, d) => Dedup.noveltyScores(docs(s, d), n = 3)),
 
+    // the removal half of substring dedup: documents rewritten with every
+    // corpus-duplicated 10-token span cut out (token survives iff no
+    // duplicated window covers its position)
+    Q("d51_span_removal", Some(spanRemovalOracle),
+      (s, d) => Dedup.removeDuplicatedSpans(docs(s, d), n = 10,
+        oracleHash = true)),
+
     // benchmark-contamination check (decontamination): per-document
     // overlap of 3-gram shingles against the shingle set of docs 0-4
     // (standing in for an eval set)
@@ -304,6 +311,36 @@ object DedupQueries {
        |         / CAST(t.n_windows AS DOUBLE) AS dup_frac
        |FROM tot t LEFT JOIN dpd d USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** d51: span removal replayed — positional windows (1-based i becomes
+    * the 0-based Spark pos), polynomial window hash, dup set, per-doc
+    * sorted start list, then the same coverage test inside DuckDB's
+    * indexed list_filter (p is 1-based, hence p-1). */
+  private lazy val spanRemovalOracle: String = {
+    val n = 10
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${n - 1}], ' ') AS win
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, greatest(len(w) - $n, 0) + 2)) AS i FROM toks)),
+       |hashed AS (SELECT doc_id, pos, ${signWrap(polyHashSql("win"))} AS wh
+       |           FROM wins WHERE win <> ''),
+       |dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) > 1),
+       |starts AS (SELECT h.doc_id, list_sort(list(h.pos)) AS ds
+       |           FROM hashed h JOIN dup USING (wh) GROUP BY h.doc_id),
+       |clean AS (
+       |  SELECT t.doc_id, t.w,
+       |         list_filter(t.w, (x, p) -> len(list_filter(
+       |           coalesce(s.ds, CAST([] AS BIGINT[])),
+       |           st -> p - 1 >= st AND p - 1 < st + $n)) = 0) AS kept
+       |  FROM toks t LEFT JOIN starts s USING (doc_id))
+       |SELECT doc_id,
+       |       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       |       CAST(len(w) AS BIGINT) AS n_tokens,
+       |       CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+       |FROM clean ORDER BY doc_id""".stripMargin
   }
 
   /** d50: first-occurrence novelty over the shared distinct-shingle CTE. */

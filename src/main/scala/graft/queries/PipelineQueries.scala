@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Profiling, Sampling}
 
 /** Composed pipelines and set operations. q69 is the "training-data prep"
   * composition: quality-score → filter → canonical dedup (keep lowest
@@ -157,6 +157,14 @@ object PipelineQueries {
         salt = "ws", oracleHash = true)
         .select(col("doc_id"), col("quality"), col("sample_u"))
         .orderBy(col("doc_id"))),
+
+    // one-scan table profile (null rates, exact cardinalities, ranges)
+    // over every documents column; oracle SQL generated from the same
+    // column list
+    Q("q98_profile", Some(Profiling.columnProfileOracleSql("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+      (s, d) => Profiling.columnProfile(Tables.load(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
     // deterministic global corpus shuffle: ORDER BY md5(seed:doc_id) —
     // reproducible pseudorandom order with no rand(), one range sort

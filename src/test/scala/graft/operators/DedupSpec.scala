@@ -149,6 +149,23 @@ class DedupSpec extends SparkSpec {
     assert(out(3L)._2 === 0.0) // unique text: nothing repeats anywhere
   }
 
+  test("removeDuplicatedSpans cuts shared runs, keeps the unique frame") {
+    val corpus = Seq(
+      (0L, "one two three four five six seven"), // fully unique
+      (1L, "alpha beta gamma delta epsilon zeta"), // a run doc 2 embeds
+      (2L, "start words alpha beta gamma delta epsilon zeta end words"),
+      (3L, "x y z x y z x y z") // self-repeating boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(0L) === (("one two three four five six seven", 0L)))
+    assert(out(1L) === (("", 6L))) // every window recurs in doc 2
+    // doc 2: the embedded run's overlapping windows merge into ONE
+    // removed span [2,8); the unique frame around it survives
+    assert(out(2L) === (("start words end words", 6L)))
+    assert(out(3L)._1 === "") // within-doc repeats count as duplicates
+  }
+
   test("noveltyScores credits first occurrence by doc_id order") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon"),
