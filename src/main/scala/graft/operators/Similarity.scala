@@ -23,15 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product of two float-array columns. */
+  /** Sequential left-fold dot product of two float-array columns —
+    * the native codegen expression (see expressions.DotFold), which is
+    * arithmetically identical to the HOF `aggregate(zip_with(…))` tree
+    * it replaced but runs as a primitive loop inside whole-stage
+    * codegen instead of interpreted CodegenFallback closures. */
   def dotFold(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.DotFold(x, y)
 
-  /** Sequential-fold L2 norm of a float-array column. */
-  def norm(x: Column): Column =
-    sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** Sequential-fold L2 norm of a float-array column: the same fold on
+    * one array — sqrt(Σ (double)x(i)·(double)x(i)), element order and
+    * widening unchanged from the HOF formulation. */
+  def norm(x: Column): Column = sqrt(dotFold(x, x))
 
   /** Sequential-fold cosine similarity between two float-array columns. */
   def cosine(a: Column, b: Column): Column =
@@ -74,16 +77,14 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature of an embedding under the given planes.
-    * The plane dimension MUST match the embedding dimension: zip_with
-    * pads a mismatch with nulls, the dot fold turns null, and every
-    * vector silently lands in bucket 0 — size(emb) is asserted below. */
+    * The plane dimension MUST match the embedding dimension: the dot
+    * fold turns null on a length mismatch and every vector would
+    * silently land in bucket 0 — size(emb) is asserted below. */
   def signature(emb: Column, planes: Array[Array[Double]]): Column = {
     val dimOk = size(emb) === planes.head.length
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(
-        zip_with(emb, planeCol, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = dotFold(emb, planeCol)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     when(!dimOk, raise_error(concat(
