@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.ScaleQueries.all ++
       graft.queries.TpchQueries.all ++
       graft.queries.SurfaceQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.SnapshotQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

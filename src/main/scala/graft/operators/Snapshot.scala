@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance — the operators a 100 TB corpus needs to stay
+  * *current*: applying a keyed change log to a base snapshot (CDC
+  * upsert/delete merge), building slowly-changing-dimension history
+  * (SCD type 2 validity intervals), and unioning snapshot generations
+  * whose schemas have evolved.
+  *
+  * The reference engine has no mutation surface (its tables are
+  * immutable in-memory frames, reference: dfsql/table.py); these are
+  * extension operators shaped for incremental pipelines, where the
+  * change log is orders of magnitude smaller than the snapshot it
+  * amends.
+  */
+object Snapshot {
+
+  /** Latest-wins CDC merge: apply a change log of upserts ('U') and
+    * delete tombstones ('D') to a base snapshot, both keyed by `key`.
+    *
+    * The log is first reduced to one winning change per key with
+    * `max_by` over the monotone change-sequence column `seq` (a CDC
+    * LSN; `event_id` in the gate query) — an ordinary aggregate, so it
+    * gets map-side partial aggregation and never sorts, unlike a
+    * row_number window. With `seq` unique the winner is deterministic
+    * under any shuffle schedule. The merge itself is ONE full-outer
+    * equi-join on the key:
+    *   - key only in base            -> base row survives  (row_src 'base')
+    *   - winning change is an upsert -> change payload wins (row_src 'upsert';
+    *                                    covers both updates and inserts)
+    *   - winning change is a delete  -> key dropped
+    *
+    * 100 TB shape: the aggregate shuffles only the (small) log; the
+    * join is co-partitioned on the key — against a bucketed base it is
+    * shuffle-free on the snapshot side, and the log side can broadcast
+    * when it fits. Payload columns are everything in `base` except the
+    * key; the log must carry the same payload columns. A null payload
+    * in the winning upsert falls back to the base value (partial-update
+    * semantics, the usual CDC-column-image contract). */
+  def cdcMerge(
+      base: DataFrame, changes: DataFrame,
+      key: String, op: String, seq: String): DataFrame = {
+    val payload = base.columns.filter(_ != key).toSeq
+    require(payload.nonEmpty, "cdcMerge needs at least one payload column")
+    val picked = Seq(col(op).as("__op")) ++ payload.map(c => col(c))
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max_by(struct(picked: _*), col(seq)).as("__ch"))
+      .select(col(key) +: col("__ch.__op").as("__op") +:
+        payload.map(c => col(s"__ch.$c").as(s"__ch_$c")): _*)
+    base.join(latest, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(key) +:
+        payload.map(c => coalesce(col(s"__ch_$c"), col(c)).as(c)) :+
+        when(col("__op").isNull, lit("base")).otherwise(lit("upsert"))
+          .as("row_src"): _*)
+  }
+
+  /** SCD type-2 history: each change row becomes a version with a
+    * validity interval [valid_from, valid_to), valid_to = the next
+    * version's valid_from, null while current. Event time is floored
+    * to whole seconds (cross-engine-safe granularity); ordering within
+    * a key is (floored time, seq) so the version chain is total and
+    * deterministic on both engines regardless of sub-second precision.
+    *
+    * 100 TB shape: one window partitioned by the entity key — per-key
+    * history is bounded (an entity's change count), so partitions stay
+    * small no matter how large the corpus; there is no global sort. */
+  def scd2History(
+      changes: DataFrame, key: String, ts: String, seq: String): DataFrame = {
+    val vf = date_trunc("second", col(ts))
+    val w = Window.partitionBy(col(key)).orderBy(vf, col(seq))
+    changes
+      .withColumn("valid_from", vf)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      // long, not int: no non-int64 integer in a final oracled schema
+      .withColumn("version", row_number().over(w).cast("long"))
+  }
+
+  /** Union snapshot generations with evolved schemas: columns are
+    * aligned by NAME, and columns missing from a generation surface as
+    * nulls (`unionByName(allowMissingColumns)`) — the schema-evolution
+    * contract of long-lived parquet corpora, where position-based UNION
+    * would silently misalign. Output column order: the first
+    * generation's columns, then new columns in first-seen order. */
+  def unionEvolve(generations: Seq[DataFrame]): DataFrame = {
+    require(generations.nonEmpty, "unionEvolve needs at least one input")
+    generations.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

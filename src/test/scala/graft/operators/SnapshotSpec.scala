@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "val")
+
+  test("cdcMerge applies latest-wins upserts, deletes, inserts; keeps untouched rows") {
+    val changes = Seq(
+      (1L, "U", 11.0, 100L), // update, superseded...
+      (1L, "U", 12.0, 200L), // ...by this later seq
+      (2L, "D", 0.0, 150L),  // delete tombstone
+      (4L, "U", 40.0, 300L)  // insert (key not in base)
+    ).toDF("id", "op", "val", "seq")
+    val out = Snapshot.cdcMerge(base, changes, "id", "op", "seq")
+      .orderBy("id")
+      .select("id", "val", "row_src").as[(Long, Double, String)].collect()
+    assert(out === Array(
+      (1L, 12.0, "upsert"), // latest change wins
+      (3L, 30.0, "base"),   // untouched
+      (4L, 40.0, "upsert"))) // inserted; id 2 deleted
+  }
+
+  test("cdcMerge resurrects a deleted key when a later upsert follows the tombstone") {
+    val changes = Seq(
+      (3L, "D", 0.0, 100L),
+      (3L, "U", 33.0, 200L)).toDF("id", "op", "val", "seq")
+    val out = Snapshot.cdcMerge(base, changes, "id", "op", "seq")
+      .filter($"id" === 3L).select("val").as[Double].collect()
+    assert(out === Array(33.0))
+  }
+
+  test("cdcMerge falls back to the base value on a null payload (partial update)") {
+    val changes = Seq((1L, "U", Option.empty[Double], 100L))
+      .toDF("id", "op", "val", "seq")
+    val out = Snapshot.cdcMerge(base, changes, "id", "op", "seq")
+      .filter($"id" === 1L).select("val", "row_src")
+      .as[(Double, String)].collect()
+    assert(out === Array((10.0, "upsert")))
+  }
+
+  test("scd2History chains validity intervals per key; last version open-ended") {
+    val changes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, 2.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 3L, 9.0)
+    ).toDF("k", "ts", "seq", "v")
+    val out = Snapshot.scd2History(changes, "k", "ts", "seq")
+      .orderBy("k", "version")
+      .select("k", "version", "valid_to").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 1L)
+    assert(out(0).getTimestamp(2) ===
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00")) // closed by v2
+    assert(out(1).isNullAt(2))  // current version of key 1
+    assert(out(2).isNullAt(2))  // only version of key 2
+  }
+
+  test("scd2History breaks same-second ties by the sequence column") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val changes = Seq((1L, t, 2L, 20.0), (1L, t, 1L, 10.0))
+      .toDF("k", "ts", "seq", "v")
+    val out = Snapshot.scd2History(changes, "k", "ts", "seq")
+      .orderBy("version").select("seq").as[Long].collect()
+    assert(out === Array(1L, 2L))
+  }
+
+  test("unionEvolve aligns by name and nulls columns missing from a generation") {
+    val g1 = Seq((1L, "a")).toDF("id", "x")
+    val g2 = Seq((2L, "b", 99L)).toDF("id", "x", "y")
+    val out = Snapshot.unionEvolve(Seq(g1, g2)).orderBy("id")
+    assert(out.columns.toSeq === Seq("id", "x", "y"))
+    val rows = out.collect()
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getLong(2) === 99L)
+  }
+}
