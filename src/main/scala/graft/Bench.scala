@@ -23,7 +23,8 @@ object Bench {
     "t41_repetition", "t42_gopher_filters", "q90_domain_mix",
     "q91_running_ledger", "q92_bucketed_join", "q96_corpus_build",
     "d47_incremental_dedup", "d48_semantic_dedup", "d49_substring_spans",
-    "d50_novelty", "d51_span_removal", "q97_weighted_sample")
+    "d50_novelty", "d51_span_removal", "q97_weighted_sample",
+    "q99_cdc_merge", "q100_scd2_history", "s44_knn_rp", "s45_kmeans_step")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

@@ -178,6 +178,25 @@ object Similarity {
     * quantization is orders of magnitude below the coarse quantizer's
     * own noise floor (cells are 1-bit-per-plane buckets), so it cannot
     * change which cells are near which queries in any meaningful way. */
+  /** Fixed-point cell centroids: per-component sums of floor(x·1e6) as
+    * longs (order-independent — see ivfSearch's determinism note), then
+    * one divide back to doubles. Input needs (cell, embedding); output
+    * is (cell, n, centroid). Shared by ivfSearch and kmeansStep — the
+    * arithmetic here is replayed literally by both oracles. */
+  private def fixedPointCentroids(
+      cells: DataFrame, dim: Int,
+      extraAggs: Seq[(Column, String)] = Nil): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(floor(col("embedding").getItem(i).cast("double") * lit(1e6)))
+        .as(s"s$i"))
+    cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sums ++ extraAggs.map { case (c, n) => c.as(n) }): _*)
+      .select(col("cell") +: col("n") +: array((0 until dim).map(i =>
+        col(s"s$i").cast("double") / col("n").cast("double") / lit(1e6)): _*)
+        .as("centroid") +: extraAggs.map(e => col(e._2)): _*)
+  }
+
   def ivfSearch(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
       dim: Int = 64): DataFrame = {
@@ -185,14 +204,7 @@ object Similarity {
     // cell assignment: coarse LSH signature with 4 bits = 16 cells
     val planes = hyperplanes(4, dim, seed = 7L)
     val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
-    val sums = (0 until dim).map(i =>
-      sum(floor(col("embedding").getItem(i).cast("double") * lit(1e6)))
-        .as(s"s$i"))
-    val centroids = cells.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("cell"), array((0 until dim).map(i =>
-        col(s"s$i").cast("double") / col("n").cast("double") / lit(1e6)): _*)
-        .as("centroid"))
+    val centroids = fixedPointCentroids(cells, dim).drop("n")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = q.join(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("cell"),
@@ -212,5 +224,66 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Random projection (Johnson–Lindenstrauss; the dense-Gaussian-row
+    * variant of Achlioptas 2001): map a dim-length embedding to
+    * planes.length dot products against fixed-seed planes. Each output
+    * component is the same sequential fold the cosine path uses, so a
+    * reduced vector is exactly replayable as a DuckDB list literal
+    * expression. Reduction is a per-row map — no shuffle; at 100 TB it
+    * cuts every downstream scoring fold by dim/planes.length. */
+  def randomProject(emb: Column, planes: Array[Array[Double]]): Column =
+    array(planes.map(p => dotFold(emb, array(p.map(lit): _*))): _*)
+
+  /** Exact top-k in randomly-projected space: project corpus and
+    * queries with the same fixed planes, then brute-force cosine over
+    * the reduced vectors — the standard cheap-first-pass ANN (scores
+    * approximate the full-space ranking within the JL distortion
+    * bound). Deterministic end to end, so the oracle replays the actual
+    * approximate semantics. */
+  def knnRandomProjection(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      rDim: Int = 16, seed: Long = 99L, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(rDim, dim, seed)
+    def reduce(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), randomProject(col("embedding"), planes).as("embedding"))
+    bruteForceKnn(reduce(corpus), reduce(queries), k)
+  }
+
+  /** One deterministic Lloyd iteration (k-means step) seeded from the
+    * IVF coarse cells: current centroids = fixed-point centroids of the
+    * signature cells, every vector reassigns to its nearest centroid by
+    * cosine (tiebreak: cell id), and centroids are recomputed over the
+    * new assignment with the same fixed-point sums. Returns one row per
+    * surviving cell: (cell, n, n_moved, centroid).
+    *
+    * Scale shape: centroids are a k-row broadcast; scoring is a per-row
+    * map over k candidates; the argmin is a window keyed by vec_id whose
+    * partitions are exactly k rows (bounded by the centroid count, so it
+    * cannot skew); the recompute is one map-side-combining aggregate.
+    * Iterating = re-calling with the previous assignment as the cell
+    * column; order-independent integer sums make every iteration
+    * reproducible under any shuffle schedule (and DuckDB-replayable). */
+  def kmeansStep(corpus: DataFrame, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(4, dim, seed = 7L)
+    val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
+      .localCheckpoint() // feeds the centroid agg AND the scoring join
+    val centroids = fixedPointCentroids(cells, dim).drop("n")
+    val scored = cells.select(col("vec_id"), col("embedding"),
+        col("cell").as("old_cell"))
+      .join(broadcast(centroids.select(col("cell").as("cand"), col("centroid"))))
+      .select(col("vec_id"), col("embedding"), col("old_cell"), col("cand"),
+        cosine(col("embedding"), col("centroid")).as("ccos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cand"))
+    val assigned = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("old_cell"),
+        col("cand").as("cell"))
+    val moved = sum(when(col("old_cell") =!= col("cell"), 1L).otherwise(0L))
+    fixedPointCentroids(assigned, dim, extraAggs = Seq(moved -> "n_moved"))
+      .select(col("cell"), col("n"), col("n_moved"), col("centroid"))
   }
 }

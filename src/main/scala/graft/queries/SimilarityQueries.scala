@@ -89,7 +89,28 @@ object SimilarityQueries {
     // cosine top-k.
     Q("s43_knn_ivf", Some(knnIvfOracle),
       (s, d) => Similarity.ivfSearch(
-        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10, nProbe = 2))
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10, nProbe = 2)),
+
+    // random-projection first-pass ANN: corpus and queries reduced to 16
+    // dims by fixed-seed JL planes, exact top-k in the reduced space.
+    // Every reduced component is the proven sequential fold, so the
+    // oracle replays the actual reduced-space ranking bitwise.
+    Q("s44_knn_rp", Some(knnRpOracle),
+      (s, d) => Similarity.knnRandomProjection(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
+
+    // one deterministic Lloyd iteration: IVF-cell centroids → cosine
+    // reassignment → fixed-point centroid recompute. The oracle replays
+    // cells, integer sums, the argmax (with its cand-id tiebreak), and
+    // the per-cell move counts; c0/c1 are the first two recomputed
+    // centroid components (scalars — a full list column would hit
+    // pandas' array-vs-list stringification gap in the driver compare).
+    Q("s45_kmeans_step", Some(kmeansStepOracle),
+      (s, d) => Similarity.kmeansStep(emb(s, d))
+        .select(col("cell"), col("n"), col("n_moved"),
+          col("centroid").getItem(0).as("c0"),
+          col("centroid").getItem(1).as("c1"))
+        .orderBy(col("cell")))
   )
 
   // ---- generated-oracle SQL for the LSH / IVF paths ----
@@ -100,10 +121,23 @@ object SimilarityQueries {
   // arithmetic bit-for-bit. All lazy: `all` above initializes first
   // (object init order — CLAUDE.md rule 11).
 
+  /** A double literal DuckDB parses NATIVELY as DOUBLE. A bare decimal
+    * literal (even with ::DOUBLE appended) first becomes DECIMAL(w,s),
+    * whose 16+-digit mantissa no longer fits a 53-bit significand — a
+    * 1-ulp drift that s42's sign-only use masked but s44's value-level
+    * hash match exposed. An exponent suffix switches DuckDB's parser to
+    * the correctly-rounded double path, bit-identical to the Scala
+    * side. Double.toString already emits E-notation for extreme
+    * magnitudes — only suffix when it didn't. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   /** DuckDB mirror of Similarity.signature's per-plane dot product:
     * sequential list fold in doubles against the literal plane. */
   private def planeDotSql(emb: String, plane: Array[Double]): String =
-    s"""list_sum(list_transform(list_zip($emb, [${plane.mkString(", ")}]),
+    s"""list_sum(list_transform(list_zip($emb, [${plane.map(dlit).mkString(", ")}]),
        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
 
   /** DuckDB mirror of Similarity.signature: bit i set where dot_i >= 0. */
@@ -178,16 +212,26 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.fixedPointCentroids' per-component
+    * aggregate: Σ floor(x·1e6) as BIGINT — order-independent, bit-equal
+    * to Spark's. Shared by the s43 and s45 oracles. */
+  private def fpSumColsSql(dim: Int): String =
+    (0 until dim).map(i =>
+      s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(",\n         ")
+
+  /** The divide back to a double centroid list: s_i / n / 1e6. */
+  private def fpCentroidSql(dim: Int): String =
+    (0 until dim).map(i =>
+      s"CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE) / 1e6").mkString("[", ", ", "]")
+
   /** s43: IVF replayed exactly — 16 cells from the coarse planes,
     * fixed-point integer centroid sums (order-independent, bit-equal to
     * Spark's), nProbe=2 probe ranking, cell-local exact cosine top-k. */
   private lazy val knnIvfOracle: String = {
     val dim = 64
-    val sumCols = (0 until dim).map(i =>
-      s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s$i")
-      .mkString(",\n         ")
-    val centroid = (0 until dim).map(i =>
-      s"CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE) / 1e6").mkString("[", ", ", "]")
+    val sumCols = fpSumColsSql(dim)
+    val centroid = fpCentroidSql(dim)
     s"""WITH cells AS (
        |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
        |  FROM embeddings),
@@ -216,5 +260,65 @@ object SimilarityQueries {
        |  FROM cand)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private lazy val rpPlanes = Similarity.hyperplanes(16, 64, seed = 99L)
+
+  /** s44: the reduced vector as a DuckDB list literal expression — one
+    * sequential plane-dot fold per component, from the SAME Scala plane
+    * array the Spark side uses. */
+  private def reducedSql(emb: String): String =
+    rpPlanes.map(p => planeDotSql(emb, p)).mkString("[", ",\n    ", "]")
+
+  /** s44: random-projection KNN replayed exactly — reduce, then the
+    * standard brute-force cosine ranking over the reduced lists. */
+  private lazy val knnRpOracle: String =
+    s"""WITH red AS (
+       |  SELECT vec_id, ${reducedSql("embedding")} AS r
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, r AS q_r FROM red WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, red.vec_id, ${cosSql("q.q_r", "red.r")} AS cos
+       |  FROM red JOIN q ON red.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** s45: the Lloyd step replayed — cells, fixed-point centroids,
+    * cosine argmax with the cand-id tiebreak, per-new-cell recompute
+    * (same integer sums) plus the move count. */
+  private lazy val kmeansStepOracle: String = {
+    val dim = 64
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
+       |  FROM embeddings),
+       |csum AS (
+       |  SELECT cell, count(*) AS n,
+       |         ${fpSumColsSql(dim)}
+       |  FROM cells GROUP BY cell),
+       |centroids AS (SELECT cell, ${fpCentroidSql(dim)} AS centroid FROM csum),
+       |scored AS (
+       |  SELECT c.vec_id, c.embedding, c.cell AS old_cell, ct.cell AS cand,
+       |         ${cosSql("c.embedding", "ct.centroid")} AS ccos
+       |  FROM cells c CROSS JOIN centroids ct),
+       |assigned AS (
+       |  SELECT vec_id, embedding, old_cell, cand AS cell FROM (
+       |    SELECT vec_id, embedding, old_cell, cand, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cand) AS r
+       |    FROM scored)
+       |  WHERE r = 1),
+       |nsum AS (
+       |  SELECT cell, count(*) AS n,
+       |         CAST(sum(CASE WHEN old_cell <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |         ${fpSumColsSql(dim)}
+       |  FROM assigned GROUP BY cell)
+       |SELECT cell, n, n_moved,
+       |       CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS c0,
+       |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS c1
+       |FROM nsum
+       |ORDER BY cell""".stripMargin
   }
 }

@@ -82,4 +82,39 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(s1 === s2)
   }
+
+  test("knnRandomProjection ranks the planted near-dup first in reduced space") {
+    // the 0/1 pair is nearly identical, so even after 64→16 reduction it
+    // must stay each other's top neighbour (JL distortion ≪ the gap)
+    val top = Similarity.knnRandomProjection(
+      planted, planted.filter($"vec_id" === 0L), k = 1).collect()
+    assert(top.length === 1)
+    assert(top(0).getLong(1) === 1L)
+  }
+
+  test("randomProject emits one fold per plane, deterministically") {
+    val planes = Similarity.hyperplanes(16, 64, seed = 99L)
+    val r = planted.select(
+      Similarity.randomProject($"embedding", planes).as("r"))
+      .collect().map(_.getSeq[Double](0))
+    assert(r.forall(_.length === 16))
+    val r2 = planted.select(
+      Similarity.randomProject($"embedding", planes).as("r"))
+      .collect().map(_.getSeq[Double](0))
+    assert(r.map(_.toList).toList === r2.map(_.toList).toList)
+  }
+
+  test("kmeansStep conserves vectors, bounds moves, and is reproducible") {
+    val corpus = graft.Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.kmeansStep(corpus).collect()
+    val n = corpus.count()
+    assert(out.map(_.getLong(1)).sum === n) // every vector lands in a cell
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)) // moved ≤ n
+      assert(r.getSeq[Double](3).length === 64)
+    }
+    val again = Similarity.kmeansStep(corpus).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
