@@ -59,15 +59,21 @@ object Dedup {
     * shuffles total regardless of corpus size. */
   def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame =
     signaturesFromShingles(shingleTable(docs, shingleN), k)
+      .select(col("doc_id"), col("sig"))
 
   /** Signatures from an already-materialized (doc_id, sh) table — lets a
     * candidates→verify pipeline share ONE shingle explode between the
-    * signature build and the exact-Jaccard verification. */
+    * signature build and the exact-Jaccard verification. Also emits the
+    * per-doc shingle-set size `sz` (shingles are distinct per doc, so
+    * count == set size): the verify stage needs exactly that, and
+    * riding this groupBy saves it a second full aggregation over the
+    * exploded table plus a checkpoint. */
   private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
     sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(count(lit(1)).as("sz"), mins: _*)
+      .select(col("doc_id"), col("sz"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Candidate near-dup pairs via banded LSH over the minhash signature,
@@ -173,9 +179,13 @@ object Dedup {
 
   private def verifyFromShingles(
       ex: DataFrame, cands: DataFrame,
-      threshold: Double, maxDf: Int): DataFrame = {
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      .localCheckpoint() // read by the bound filter AND the final select
+      threshold: Double, maxDf: Int,
+      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    // (doc_id, sz): either ride-along output of the signature groupBy
+    // (already materialized — zero extra jobs) or a dedicated aggregate
+    val sizes = precomputedSizes.getOrElse(
+      ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint()) // read by the bound filter AND the final select
     // Length bound (AllPairs/PPJoin): J = |∩|/|∪| ≤ min(sz)/max(sz), so
     // any pair whose size ratio is below the threshold provably cannot
     // verify — prune it BEFORE paying |cands|·shingles join rows. Pure
@@ -214,10 +224,17 @@ object Dedup {
       bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100): DataFrame = {
     // ONE shingle explode shared by the signature build and the exact
     // verification (they were two separate explode+checkpoint pipelines;
-    // sharing halves the operator's heavy stage)
+    // sharing halves the operator's heavy stage). The signature groupBy
+    // carries the per-doc set sizes, so the verify stage's sizes table
+    // is a free projection of the checkpointed signatures instead of a
+    // second aggregation over the exploded table.
     val ex = shingleTable(docs, shingleN).localCheckpoint()
-    val cands = candidatesFromSignatures(signaturesFromShingles(ex, k), k, bands)
-    verifyFromShingles(ex, cands, threshold, maxDf)
+    val sigs = signaturesFromShingles(ex, k)
+      .localCheckpoint() // feeds the candidate stage AND four size joins
+    val cands = candidatesFromSignatures(
+      sigs.select(col("doc_id"), col("sig")), k, bands)
+    verifyFromShingles(ex, cands, threshold, maxDf,
+      precomputedSizes = Some(sigs.select(col("doc_id"), col("sz"))))
   }
 
   // ---- SimHash ----

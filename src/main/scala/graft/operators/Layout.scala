@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CatalystBridge
+
+/** Multi-dimensional layout clustering: z-order (Morton) keys
+  * (Morton 1966; the OPTIMIZE ZORDER pattern of modern lakehouse
+  * writers). Sorting or range-partitioning a table by the interleaved
+  * key before the parquet write co-locates rows that are close in
+  * EVERY keyed dimension, so min/max footer statistics prune file
+  * reads for predicates on ANY of the dimensions — at 100 TB the
+  * difference between scanning a whole table and touching a few files,
+  * bought with one sort at write time.
+  *
+  * All arithmetic is int64 (exact integer quantization, shift/mask
+  * interleave): deterministic under any shuffle schedule and exactly
+  * replayable by the DuckDB oracle (zorderSql emits the same
+  * expressions from the same constants).
+  */
+object Layout {
+
+  private def intDiv(a: Column, b: Column): Column =
+    CatalystBridge.column(IntegralDivide(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Exact quantization of an integral column into [0, 2^bits):
+    * (c - min) * (2^bits - 1) div (max - min), all in int64 — no
+    * doubles, so no rounding divergence anywhere. A constant column
+    * (max == min) maps to 0. Caller guarantees
+    * range * (2^bits - 1) fits int64 (range < ~1.4e14 at 16 bits). */
+  def quantize(c: Column, minV: Column, maxV: Column, bits: Int): Column = {
+    val m = lit((1L << bits) - 1)
+    when(maxV === minV, lit(0L))
+      .otherwise(intDiv((c.cast("long") - minV) * m, maxV - minV))
+  }
+
+  /** Interleave the low `bits` bits of k quantized columns: bit i of
+    * column j lands at position i*k + j. With k=2, bits=16 this is the
+    * classic 32-bit Morton code. Pure shift/mask — codegen-friendly,
+    * no UDF. */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && cols.length * bits <= 63,
+      s"interleave needs k*bits <= 63, got ${cols.length} x $bits")
+    val k = cols.length
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)),
+      i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Append a z-order key column `zkey` over the given integral
+    * dimension columns. Per-dimension min/max come from ONE aggregate
+    * row broadcast to every task (no second shuffle, no driver
+    * round-trip in the plan): the classic two-pass layout write —
+    * bounds pass, then map-side key computation. */
+  def zorderKey(df: DataFrame, dims: Seq[String], bits: Int = 16): DataFrame = {
+    require(dims.nonEmpty, "zorderKey needs at least one dimension")
+    val aggs = dims.flatMap(d => Seq(
+      min(col(d)).cast("long").as(s"__min_$d"),
+      max(col(d)).cast("long").as(s"__max_$d")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val q = dims.map(d =>
+      quantize(col(d), col(s"__min_$d"), col(s"__max_$d"), bits))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zkey", interleave(q, bits))
+      .drop(dims.flatMap(d => Seq(s"__min_$d", s"__max_$d")): _*)
+  }
+
+  /** DuckDB replay of zorderKey over `table`, generated from the SAME
+    * bits/dimension constants (one definition, two engines): a bounds
+    * CTE, exact integer quantization with `//`, and the identical
+    * shift/mask interleave. Returns (select-expression, bounds-CTE)
+    * for embedding in a larger query; the expression references
+    * table alias `t` and bounds alias `b`. */
+  def zorderSql(dims: Seq[String], bits: Int): (String, String) = {
+    val m = (1L << bits) - 1
+    val k = dims.length
+    val boundsCte = "SELECT " + dims.map(d =>
+      s"CAST(min($d) AS BIGINT) AS min_$d, CAST(max($d) AS BIGINT) AS max_$d")
+      .mkString(", ")
+    val qs = dims.map(d =>
+      s"(CASE WHEN b.max_$d = b.min_$d THEN 0 " +
+        s"ELSE (CAST(t.$d AS BIGINT) - b.min_$d) * $m // (b.max_$d - b.min_$d) END)")
+    val terms = for {
+      i <- 0 until bits
+      (q, j) <- qs.zipWithIndex
+    } yield s"((($q >> $i) & 1) << ${i * k + j})"
+    (terms.mkString("(", " | ", ")"), boundsCte)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, RuntimeFilter, Skew}
+import graft.operators.{AsOfJoin, Layout, RangeJoin, RuntimeFilter, Skew}
 
 /** Scale-pattern operators: as-of join (union-window, not range join),
   * salted aggregation/join (skew mitigation, result-identical to naive
@@ -163,6 +163,39 @@ object ScaleQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
           .orderBy(col("s_name"))
-      })
+      }),
+
+    // z-order layout key: exact integer Morton code over two dimensions
+    // (bounds pass → map-side quantize/interleave), summarized per
+    // 2^20-key bucket with both dimensions' spans — the bounded-span
+    // output IS the pruning argument (each bucket touches a small range
+    // of part keys AND supplier keys, so footer min/max stats can skip
+    // it for predicates on either). Oracle generated from the same
+    // bits/dims constants (Layout.zorderSql).
+    Q("q102_zorder_layout", Some(zorderOracle),
+      (s, d) => Layout.zorderKey(
+          Tables.load(s, d, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bits = 16)
+        .groupBy(shiftrightunsigned(col("zkey"), 20).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+        .orderBy(col("zbucket")))
   )
+
+  /** q102: bounds CTE + the generated quantize/interleave expression,
+    * bucketed and spanned exactly as the Spark side. */
+  private lazy val zorderOracle: String = {
+    val (zExpr, boundsCte) = Layout.zorderSql(Seq("l_partkey", "l_suppkey"), 16)
+    s"""WITH b AS ($boundsCte FROM lineitem),
+       |z AS (
+       |  SELECT $zExpr AS zkey, t.l_partkey, t.l_suppkey
+       |  FROM lineitem t CROSS JOIN b)
+       |SELECT zkey >> 20 AS zbucket, count(*) AS n,
+       |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY zkey >> 20
+       |ORDER BY zbucket""".stripMargin
+  }
 }
