@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TpchQueries.all ++
       graft.queries.SurfaceQueries.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.SnapshotQueries.all
+      graft.queries.SnapshotQueries.all ++
+      graft.queries.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

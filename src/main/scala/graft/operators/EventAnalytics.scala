@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics shaped for 100 TB: every operator here is
+  * aggregates + equi-joins on the entity key (map-side partial
+  * aggregation everywhere, no windows over unbounded partitions, no
+  * driver round-trips), and every comparison runs on exact int64
+  * event keys — (whole-second timestamp, sequence id) packed into one
+  * BIGINT — so results are deterministic and cross-engine replayable.
+  *
+  * The reference has no event surface; this is extension surface in the
+  * lineage of warehouse funnel/retention SQL.
+  */
+object EventAnalytics {
+
+  /** Total event order as one BIGINT: epoch-seconds * 1e6 + seq. Whole
+    * seconds are the cross-engine-safe granularity (CLAUDE.md rule 2);
+    * the sequence id breaks sub-second ties deterministically. Caller
+    * guarantees seq < 1e6 per corpus (gate data: event_id < 1e6). */
+  def eventKey(ts: Column, seq: Column): Column =
+    unix_timestamp(date_trunc("second", ts)) * lit(1000000L) + seq
+
+  /** Strict-order funnel: for each entity, step i counts only if it
+    * occurs strictly after the entity's earliest completion of step
+    * i-1. Returns (funnel_depth, n_users): depth d = entities whose
+    * deepest strictly-ordered prefix is steps 1..d.
+    *
+    * Shape: one filtered aggregate per step (min event key), chained by
+    * equi-joins on the entity — step tables shrink monotonically, and
+    * every aggregate combines map-side. No per-entity event arrays, no
+    * sorts. */
+  def funnelDepths(
+      events: DataFrame, entity: String, step: String,
+      key: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelDepths needs at least one step")
+    val base = events.select(col(entity).as("e"), col(step).as("s"),
+      key.as("k"))
+    // t(i): earliest key of step i that follows t(i-1), per entity
+    val first = base.filter(col("s") === steps.head)
+      .groupBy(col("e")).agg(min(col("k")).as("t0"))
+    val stepTables = steps.tail.zipWithIndex.foldLeft(Seq(first)) {
+      case (acc, (st, i)) =>
+        val prev = acc.last
+        acc :+ base.filter(col("s") === st)
+          .join(prev.select(col("e"), col(s"t$i")), Seq("e"))
+          .filter(col("k") > col(s"t$i"))
+          .groupBy(col("e")).agg(min(col("k")).as(s"t${i + 1}"))
+    }
+    // depth per entity = number of chained steps present; entities with
+    // no first step never appear (depth 0 is the complement — callers
+    // that need it subtract from the entity universe)
+    val depths = stepTables.zipWithIndex.map { case (t, i) =>
+      t.select(col("e"), lit(i + 1L).as("d"))
+    }.reduce(_ union _)
+      .groupBy(col("e")).agg(max(col("d")).as("funnel_depth"))
+    depths.groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_depth"))
+  }
+
+  /** Retention cohort matrix: cohort = the entity's first-activity
+    * week, one row per (cohort week, week offset) with the count of
+    * distinct entities active that week. Weeks are date_trunc('week')
+    * boundaries (Monday, both engines); offsets are exact integer
+    * day-diffs div 7. Two aggregates + one equi-join on the entity. */
+  def retentionCohorts(
+      events: DataFrame, entity: String, ts: String): DataFrame = {
+    val wk = date_trunc("week", col(ts))
+    val activity = events.select(col(entity).as("e"), wk.as("w")).distinct()
+    val cohorts = activity.groupBy(col("e")).agg(min(col("w")).as("cohort_week"))
+    activity.join(cohorts, Seq("e"))
+      .groupBy(col("cohort_week"),
+        ((unix_timestamp(col("w")) - unix_timestamp(col("cohort_week")))
+          / lit(604800L)).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Merge a per-key aggregate snapshot with the same aggregate over a
+    * new batch — incremental aggregation maintenance: history is never
+    * rescanned; counts and sums combine because they are commutative
+    * monoids (the map-side-combine property, applied across batches).
+    * Both inputs carry (key, n, total); output the same. */
+  def mergeAggSnapshots(snapshot: DataFrame, batch: DataFrame,
+      key: String): DataFrame = {
+    val b = batch.select(col(key), col("n").as("__bn"),
+      col("total").as("__bt"))
+    snapshot.join(b, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__bn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0L).cast("decimal(18,2)")) +
+          coalesce(col("__bt"), lit(0L).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("total"))
+  }
+
+  /** Mergeable-histogram percentile estimates: values bucket into
+    * fixed-width integer bins (one map-side-combining aggregate — the
+    * 100 TB alternative to a global sort), and each requested quantile
+    * reports its bin's inclusive upper bound — error ≤ binWidth,
+    * deterministic, exactly replayable. `value` must be integral
+    * (cents, bytes, tokens). */
+  def histogramPercentiles(
+      df: DataFrame, value: Column, binWidth: Long,
+      quantiles: Seq[Double]): DataFrame = {
+    val hist = df.select(
+      graft.operators.Layout.quantizeByWidth(value, binWidth).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    // cumulative counts over ~(range/binWidth) bins — the post-process
+    // is tiny relative to the scan, and the window is over bins, not rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val qRows = quantiles.map { q =>
+      cum.filter(col("cum") * lit(100L) >= col("tot") * lit((q * 100).round))
+        .orderBy(col("bin"))
+        .limit(1)
+        .select(lit(q).as("quantile"),
+          ((col("bin") + 1) * binWidth - 1).as("upper_bound"))
+    }
+    qRows.reduce(_ union _).orderBy(col("quantile"))
+  }
+}

@@ -36,6 +36,13 @@ object Layout {
       .otherwise(intDiv((c.cast("long") - minV) * m, maxV - minV))
   }
 
+  /** Fixed-width integer binning: c div width, exact in int64 (the
+    * histogram-sketch quantizer; negative values floor toward the
+    * DuckDB `//` convention only for non-negative inputs — callers
+    * bin non-negative measures: cents, bytes, tokens). */
+  def quantizeByWidth(c: Column, width: Long): Column =
+    intDiv(c.cast("long"), lit(width))
+
   /** Interleave the low `bits` bits of k quantized columns: bit i of
     * column j lands at position i*k + j. With k=2, bits=16 this is the
     * classic 32-bit Morton code. Pure shift/mask — codegen-friendly,

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.EventAnalytics
+
+/** Event-log analytics (operators/EventAnalytics.scala) under the
+  * oracle gate: strict-order funnels, retention cohorts, incremental
+  * aggregate maintenance, and mergeable-histogram percentiles. All
+  * comparisons run on exact int64 event keys (whole-second time ×
+  * sequence id), so every query hash-matches.
+  */
+object AnalyticsQueries {
+
+  private def T(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.load(s, d, n)
+
+  /** DuckDB mirror of EventAnalytics.eventKey. */
+  private val keySql =
+    "CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000 + event_id"
+
+  val all: Seq[Q] = Seq(
+
+    // strict-order funnel signup -> click -> purchase: one filtered
+    // min-aggregate per step, chained on the entity key.
+    // the log is sparsified (1 event in 13) so users genuinely spread
+    // across depths — on the full log every user completes the funnel
+    // and the gate would compare a single row
+    Q("q103_funnel", Some(
+      s"""WITH base AS (
+         |  SELECT user_id AS e, event_type AS s, $keySql AS k FROM events
+         |  WHERE event_id % 13 = 0),
+         |s0 AS (SELECT e, min(k) AS t0 FROM base WHERE s = 'signup' GROUP BY e),
+         |s1 AS (SELECT b.e, min(b.k) AS t1 FROM base b
+         |       JOIN s0 ON b.e = s0.e AND b.k > s0.t0
+         |       WHERE b.s = 'click' GROUP BY b.e),
+         |s2 AS (SELECT b.e, min(b.k) AS t2 FROM base b
+         |       JOIN s1 ON b.e = s1.e AND b.k > s1.t1
+         |       WHERE b.s = 'purchase' GROUP BY b.e),
+         |d AS (SELECT e, CAST(max(d) AS BIGINT) AS funnel_depth FROM (
+         |        SELECT e, 1 AS d FROM s0
+         |        UNION ALL SELECT e, 2 FROM s1
+         |        UNION ALL SELECT e, 3 FROM s2) u GROUP BY e)
+         |SELECT funnel_depth, count(*) AS n_users
+         |FROM d GROUP BY funnel_depth ORDER BY funnel_depth""".stripMargin),
+      (s, d) => {
+        val ev = T(s, d, "events").filter(col("event_id") % 13 === 0)
+        EventAnalytics.funnelDepths(ev, "user_id", "event_type",
+          EventAnalytics.eventKey(col("ts"), col("event_id")),
+          Seq("signup", "click", "purchase"))
+      }),
+
+    // retention cohorts: first-activity week x weekly activity counts
+    Q("q104_retention", Some(
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS e,
+        |         CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events),
+        |coh AS (SELECT e, min(w) AS cohort_week FROM act GROUP BY e)
+        |SELECT c.cohort_week,
+        |       CAST((CAST(epoch(a.w) AS BIGINT) -
+        |             CAST(epoch(c.cohort_week) AS BIGINT)) / 604800 AS BIGINT)
+        |         AS week_offset,
+        |       count(*) AS n_active
+        |FROM act a JOIN coh c ON a.e = c.e
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+      (s, d) => EventAnalytics.retentionCohorts(
+        T(s, d, "events"), "user_id", "ts")),
+
+    // incremental aggregate maintenance: merge the pre-1997 snapshot
+    // with the 1997+ batch; history is never rescanned.
+    Q("q105_agg_merge", Some(
+      """WITH h AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(h.o_custkey, b.o_custkey) AS o_custkey,
+        |       CAST(COALESCE(h.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n,
+        |       CAST(COALESCE(h.total, 0) + COALESCE(b.total, 0) AS DOUBLE) AS total
+        |FROM h FULL OUTER JOIN b ON h.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin),
+      (s, d) => {
+        val cut = "1997-01-01 00:00:00"
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        val orders = T(s, d, "orders")
+        EventAnalytics.mergeAggSnapshots(
+            agg(orders.filter(col("o_orderdate") < lit(cut).cast("timestamp"))),
+            agg(orders.filter(col("o_orderdate") >= lit(cut).cast("timestamp"))),
+            "o_custkey")
+          .select(col("o_custkey"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy(col("o_custkey"))
+      }),
+
+    // mergeable-histogram percentiles over price cents, $100 bins:
+    // the sketch alternative to a global sort, error <= one bin.
+    Q("q106_hist_percentile", Some(
+      """WITH hist AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS bin,
+        |         count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum, sum(c) OVER () AS tot
+        |  FROM hist),
+        |q AS (
+        |  SELECT CAST(0.5 AS DOUBLE) AS quantile, min(bin) AS b FROM cum
+        |  WHERE cum * 100 >= tot * 50
+        |  UNION ALL
+        |  SELECT CAST(0.9 AS DOUBLE), min(bin) FROM cum WHERE cum * 100 >= tot * 90
+        |  UNION ALL
+        |  SELECT CAST(0.99 AS DOUBLE), min(bin) FROM cum WHERE cum * 100 >= tot * 99)
+        |SELECT quantile, (b + 1) * 10000 - 1 AS upper_bound
+        |FROM q ORDER BY quantile""".stripMargin),
+      (s, d) => EventAnalytics.histogramPercentiles(
+        T(s, d, "lineitem"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        binWidth = 10000L, quantiles = Seq(0.5, 0.9, 0.99)))
+  )
+}

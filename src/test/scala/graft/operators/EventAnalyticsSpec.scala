@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnelDepths enforces strict step order per entity") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "purchase", ts("2024-01-01 12:00:00"), 3L),
+      // user 2: purchase BEFORE click -> depth stops at 1
+      (2L, "signup", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "purchase", ts("2024-01-01 11:00:00"), 5L),
+      // user 3: click precedes signup -> that click cannot count
+      (3L, "click", ts("2024-01-01 09:00:00"), 6L),
+      (3L, "signup", ts("2024-01-01 10:00:00"), 7L),
+      // user 4: no signup at all -> absent from the output
+      (4L, "click", ts("2024-01-01 10:00:00"), 8L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.funnelDepths(ev, "user_id", "event_type",
+      EventAnalytics.eventKey($"ts", $"event_id"),
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L)) // depth 1: users 2,3; depth 3: user 1
+  }
+
+  test("funnelDepths requires strictly-after, not same-key") {
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00"), 5L),
+      (1L, "click", ts("2024-01-01 10:00:00"), 4L) // earlier seq, same second
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.funnelDepths(ev, "user_id", "event_type",
+      EventAnalytics.eventKey($"ts", $"event_id"),
+      Seq("signup", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 1L)) // the click sorts before the signup
+  }
+
+  test("retentionCohorts counts distinct actives per (cohort, offset)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 1
+      (1L, ts("2024-01-02 10:00:00")), // same week, still one active
+      (1L, ts("2024-01-08 10:00:00")), // week offset 1
+      (2L, ts("2024-01-01 12:00:00")), // same cohort as user 1
+      (3L, ts("2024-01-08 12:00:00"))  // later cohort, offset 0
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", 0L, 2L), // users 1,2 in week-1 cohort
+      ("2024-01-01 00:00:00.0", 1L, 1L), // user 1 retained
+      ("2024-01-08 00:00:00.0", 0L, 1L))) // user 3's own cohort
+  }
+
+  test("mergeAggSnapshots combines counts and sums across batches") {
+    val snap = Seq((1L, 2L, BigDecimal("10.50")), (2L, 1L, BigDecimal("5.00")))
+      .toDF("k", "n", "total")
+      .select($"k", $"n", $"total".cast("decimal(18,2)").as("total"))
+    val batch = Seq((2L, 3L, BigDecimal("7.25")), (3L, 1L, BigDecimal("1.00")))
+      .toDF("k", "n", "total")
+      .select($"k", $"n", $"total".cast("decimal(18,2)").as("total"))
+    val out = EventAnalytics.mergeAggSnapshots(snap, batch, "k")
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+    assert(out.toSeq === Seq(
+      (1L, 2L, "10.50"), (2L, 4L, "12.25"), (3L, 1L, "1.00")))
+  }
+
+  test("histogramPercentiles reports the bin upper bound at each quantile") {
+    // 100 values 0..99, width 10: bins 0..9 with 10 values each.
+    // q=0.5 -> first bin where cum >= 50 -> bin 4 -> upper bound 49
+    val df = (0L until 100L).toDF("v")
+    val out = EventAnalytics.histogramPercentiles(
+      df, $"v", binWidth = 10L, quantiles = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0.5, 49L), (0.9, 89L), (0.99, 99L)))
+  }
+}
