@@ -80,6 +80,32 @@ object Snapshot {
       .withColumn("version", row_number().over(w).cast("long"))
   }
 
+  /** Row-level diff of two snapshot generations sharing a key and
+    * payload schema: one full-outer equi-join classifying every key as
+    * added / removed / changed / unchanged (changed = any payload
+    * column differs; null-safe compare). The drift-detection companion
+    * to cdcMerge — at 100 TB this is how a pipeline audits what an
+    * incremental merge actually did, without replaying history. */
+  def snapshotDiff(
+      oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    val payload = oldSnap.columns.filter(_ != key).toSeq
+    require(payload == newSnap.columns.filter(_ != key).toSeq,
+      "snapshotDiff needs identical payload columns")
+    val o = oldSnap.select(col(key) +: lit(true).as("__in_old") +:
+      payload.map(c => col(c).as(s"old_$c")): _*)
+    val n = newSnap.select(col(key) +: lit(true).as("__in_new") +:
+      payload.map(c => col(c).as(s"new_$c")): _*)
+    val changed = payload.map(c =>
+      !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key) +:
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")).as("status") +:
+        payload.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Union snapshot generations with evolved schemas: columns are
     * aligned by NAME, and columns missing from a generation surface as
     * nulls (`unionByName(allowMissingColumns)`) — the schema-evolution

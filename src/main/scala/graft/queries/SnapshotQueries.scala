@@ -19,35 +19,96 @@ object SnapshotQueries {
   private def T(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
     Tables.load(s, d, n)
 
+  /** Shared oracle fragments: one definition of the change-log
+    * reduction and the base snapshot, reused by q99 (batch merge),
+    * q107 (streaming merge — same final state), and q108 (diff of the
+    * merge against its base), so the three gates cannot drift. */
+  private val mergeCtes =
+    """latest AS (
+      |  SELECT user_id AS id,
+      |         arg_max(struct_pack(
+      |           op := CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
+      |           val := value), event_id) AS ch
+      |  FROM events GROUP BY user_id),
+      |b AS (SELECT s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS val
+      |      FROM supplier)""".stripMargin
+
+  /** The merged snapshot rows (id, val) from those CTEs. */
+  private val mergedSelect =
+    """SELECT COALESCE(b.id, l.id) AS id,
+      |       COALESCE(l.ch.val, b.val) AS val
+      |FROM b FULL OUTER JOIN latest l ON b.id = l.id
+      |WHERE l.id IS NULL OR l.ch.op <> 'D'""".stripMargin
+
+  /** Spark-side base snapshot + change log, shared by q99/q107/q108. */
+  private def baseSnapshot(s: org.apache.spark.sql.SparkSession, d: String) =
+    T(s, d, "supplier").select(col("s_suppkey").as("id"),
+      col("s_acctbal").cast("double").as("val"))
+  private def changeLog(s: org.apache.spark.sql.SparkSession, d: String) =
+    T(s, d, "events").select(col("user_id").as("id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("value").as("val"), col("event_id"))
+
   val all: Seq[Q] = Seq(
 
     // CDC latest-wins merge: one arg_max-reduced change per key applied
     // to the base snapshot by a single full-outer equi-join.
     Q("q99_cdc_merge", Some(
-      """WITH latest AS (
-        |  SELECT user_id AS id,
-        |         arg_max(struct_pack(
-        |           op := CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
-        |           val := value), event_id) AS ch
-        |  FROM events GROUP BY user_id),
-        |b AS (SELECT s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS val
-        |      FROM supplier)
-        |SELECT COALESCE(b.id, l.id) AS id,
-        |       COALESCE(l.ch.val, b.val) AS val,
-        |       CASE WHEN l.id IS NULL THEN 'base' ELSE 'upsert' END AS row_src
-        |FROM b FULL OUTER JOIN latest l ON b.id = l.id
-        |WHERE l.id IS NULL OR l.ch.op <> 'D'
-        |ORDER BY id""".stripMargin),
+      s"""WITH $mergeCtes
+         |SELECT COALESCE(b.id, l.id) AS id,
+         |       COALESCE(l.ch.val, b.val) AS val,
+         |       CASE WHEN l.id IS NULL THEN 'base' ELSE 'upsert' END AS row_src
+         |FROM b FULL OUTER JOIN latest l ON b.id = l.id
+         |WHERE l.id IS NULL OR l.ch.op <> 'D'
+         |ORDER BY id""".stripMargin),
+      (s, d) => Snapshot.cdcMerge(baseSnapshot(s, d), changeLog(s, d),
+          key = "id", op = "op", seq = "event_id")
+        .orderBy(col("id"))),
+
+    // the SAME merge maintained incrementally by a STREAM: the change
+    // log arrives as three LSN-ordered micro-batches, foreachBatch
+    // folds each into a versioned snapshot, and the final snapshot must
+    // equal the one-shot batch merge — so the oracle IS the batch-merge
+    // SQL. Stream/batch parity for mutation, not just aggregation.
+    Q("q107_stream_cdc_upsert", Some(
+      s"""WITH $mergeCtes
+         |$mergedSelect
+         |ORDER BY id""".stripMargin),
       (s, d) => {
-        val base = T(s, d, "supplier")
-          .select(col("s_suppkey").as("id"),
-            col("s_acctbal").cast("double").as("val"))
-        val changes = T(s, d, "events")
-          .select(col("user_id").as("id"),
-            when(col("event_type") === "error", "D").otherwise("U").as("op"),
-            col("value").as("val"), col("event_id"))
-        Snapshot.cdcMerge(base, changes, key = "id", op = "op", seq = "event_id")
-          .orderBy(col("id"))
+        val chunks = graft.streaming.EventPipeline.cdcChunksDir(s, d)
+        val snapRoot = Staging.sinkDir(
+          "cdc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        val q = graft.streaming.EventPipeline.startCdcUpsertQuery(
+          s, chunks, snapRoot, baseSnapshot(s, d))
+        try q.processAllAvailable() finally q.stop()
+        val snaps = Option(new java.io.File(snapRoot).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+          .sortBy(f => f.getName.stripPrefix("snap_").toInt)
+        require(snaps.nonEmpty,
+          s"q107: CDC stream produced no snap_* dirs under $snapRoot")
+        s.read.parquet(snaps.last.getAbsolutePath).orderBy(col("id"))
+      }),
+
+    // row-level diff of the merged snapshot against its base: what did
+    // the merge actually do to every key.
+    Q("q108_snapshot_diff", Some(
+      s"""WITH $mergeCtes,
+         |m AS ($mergedSelect)
+         |SELECT COALESCE(b.id, m.id) AS id,
+         |       CASE WHEN b.id IS NULL THEN 'added'
+         |            WHEN m.id IS NULL THEN 'removed'
+         |            WHEN b.val IS DISTINCT FROM m.val THEN 'changed'
+         |            ELSE 'unchanged' END AS status,
+         |       b.val AS old_val, m.val AS new_val
+         |FROM b FULL OUTER JOIN m ON b.id = m.id
+         |ORDER BY id""".stripMargin),
+      (s, d) => {
+        val base = baseSnapshot(s, d)
+        val merged = Snapshot.cdcMerge(base, changeLog(s, d),
+            key = "id", op = "op", seq = "event_id")
+          .select(col("id"), col("val"))
+        Snapshot.snapshotDiff(base, merged, "id").orderBy(col("id"))
       }),
 
     // SCD2 history: every change becomes a versioned validity interval;

@@ -163,7 +163,87 @@ object EventPipeline {
 
   /** Streaming source over an events parquet directory (schema must be
     * explicit for file streams; nanos ts arrives as int64 → µs). */
-  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+  /** One-time staging of the events table as three LSN-ordered chunk
+    * files (ascending event_id ranges, ascending mtimes) so the file
+    * source under maxFilesPerTrigger=1 delivers them as three ordered
+    * micro-batches — the shape of a CDC log arriving over time. Range
+    * (not modulo) chunking matters: the cumulative upsert is only
+    * equivalent to the global latest-wins merge when later batches
+    * carry later LSNs. Staging utility, not an operator path — the one
+    * driver-side max() here prices a test fixture, not a query plan. */
+  private val cdcChunkDirs = scala.collection.concurrent.TrieMap[String, String]()
+  def cdcChunksDir(spark: SparkSession, sfDir: String): String =
+    cdcChunkDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdc_chunks")
+      dir.toFile.deleteOnExit()
+      // raw read, NOT Tables.load: the chunks must keep ts as int64
+      // nanos so they match eventsStream's file-source schema (a
+      // converted TIMESTAMP column would be written INT96 and fail the
+      // stream read with a type mismatch)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val lo = i * (mx + 1) / 3
+        val hi = (i + 1) * (mx + 1) / 3
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_cdc_c$i")
+        ev.filter(col("event_id") >= lo && col("event_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"cdc chunk $i produced no parquet part"))
+        val dst = dir.resolve(f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(t0 + i * 2000L)
+        dst.toFile.deleteOnExit()
+      }
+      dir.toString
+    })
+
+  /** Streaming CDC upsert: each micro-batch of the change log folds
+    * into a persistent snapshot via Snapshot.cdcMerge — the lakehouse
+    * MERGE INTO loop expressed with foreachBatch. Snapshots are
+    * batchId-versioned (snap_N built from snap_N-1), so retries of a
+    * batch overwrite their own output and stay idempotent. The final
+    * snapshot equals the one-shot batch merge over the whole log
+    * (q107's oracle IS the batch merge SQL) — the stream/batch parity
+    * contract, same as the running-ledger query. */
+  def startCdcUpsertQuery(
+      spark: SparkSession, chunksDir: String, snapRoot: String,
+      base: DataFrame) = {
+    val stale = Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+    stale.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+    withStreamPartitions(spark, 8) {
+      eventsStream(spark, chunksDir, maxFilesPerTrigger = Some(1))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev =
+            if (batchId == 0) base
+            else spark.read.parquet(s"$snapRoot/snap_${batchId - 1}")
+          val changes = batch.select(col("user_id").as("id"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            col("value").as("val"), col("event_id"))
+          graft.operators.Snapshot
+            .cdcMerge(prev, changes, key = "id", op = "op", seq = "event_id")
+            .select(col("id"), col("val")) // row_src is per-merge, not cumulative
+            .write.mode("overwrite").parquet(s"$snapRoot/snap_$batchId")
+          ()
+        }
+        .start()
+    }
+  }
+
+  def eventsStream(
+      spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -172,7 +252,10 @@ object EventPipeline {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
+    val reader = spark.readStream.schema(schema)
+    val withTrigger = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    withTrigger.parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

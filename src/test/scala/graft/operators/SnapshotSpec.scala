@@ -69,6 +69,24 @@ class SnapshotSpec extends SparkSpec {
     assert(out === Array(1L, 2L))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldS = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "val")
+    val newS = Seq((2L, 21.0), (3L, 30.0), (4L, 40.0)).toDF("id", "val")
+    val out = Snapshot.snapshotDiff(oldS, newS, "id")
+      .orderBy("id")
+      .select("id", "status").as[(Long, String)].collect()
+    assert(out === Array(
+      (1L, "removed"), (2L, "changed"), (3L, "unchanged"), (4L, "added")))
+  }
+
+  test("snapshotDiff compares payloads null-safely") {
+    val oldS = Seq((1L, Option(1.0)), (2L, Option.empty[Double])).toDF("id", "val")
+    val newS = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("id", "val")
+    val out = Snapshot.snapshotDiff(oldS, newS, "id")
+      .orderBy("id").select("status").as[String].collect()
+    assert(out === Array("changed", "unchanged")) // null vs 1.0 differs; null==null doesn't
+  }
+
   test("unionEvolve aligns by name and nulls columns missing from a generation") {
     val g1 = Seq((1L, "a")).toDF("id", "x")
     val g2 = Seq((2L, "b", 99L)).toDF("id", "x", "y")

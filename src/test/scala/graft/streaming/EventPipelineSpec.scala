@@ -166,6 +166,33 @@ class EventPipelineSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming CDC upsert converges to the one-shot batch merge") {
+    import org.apache.spark.sql.functions.{col, when}
+    val chunks = EventPipeline.cdcChunksDir(spark, sf0001)
+    assert(new java.io.File(chunks).listFiles().count(
+      _.getName.endsWith(".parquet")) === 3) // three LSN-ordered batches
+    val base = graft.Tables.load(spark, sf0001, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_acctbal").cast("double").as("val"))
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft_cdc_snap").toString
+    val q = EventPipeline.startCdcUpsertQuery(spark, chunks, snapRoot, base)
+    try q.processAllAvailable() finally q.stop()
+    val snaps = Option(new java.io.File(snapRoot).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .sortBy(f => f.getName.stripPrefix("snap_").toInt)
+    assert(snaps.length === 3) // one versioned snapshot per micro-batch
+    val streamed = spark.read.parquet(snaps.last.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val changes = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as("id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value").as("val"), col("event_id"))
+    val batch = graft.operators.Snapshot
+      .cdcMerge(base, changes, "id", "op", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q84 registered query is re-runnable in one session (bench runs it twice)") {
     // r02's bench hit a read-back failure on a repeated in-JVM invocation;
     // this pins the fixed lifecycle: same session, same Staging dirs, twice.
