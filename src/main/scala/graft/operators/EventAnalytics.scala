@@ -37,9 +37,16 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnelDepths needs at least one step")
     val base = events.select(col(entity).as("e"), col(step).as("s"),
       key.as("k"))
-    // t(i): earliest key of step i that follows t(i-1), per entity
+    // t(i): earliest key of step i that follows t(i-1), per entity.
+    // Each step table is materialized once (rule 5): it feeds BOTH the
+    // next step's chain join and the final depth union — left lazy,
+    // step i's subtree re-scans the event log i+1 times (the audit
+    // showed 6 scans for a 3-step funnel; materialized: one pushed-down
+    // scan per step, and the materialized tables are per-entity
+    // aggregates, bounded by entity count, not log size).
     val first = base.filter(col("s") === steps.head)
       .groupBy(col("e")).agg(min(col("k")).as("t0"))
+      .localCheckpoint()
     val stepTables = steps.tail.zipWithIndex.foldLeft(Seq(first)) {
       case (acc, (st, i)) =>
         val prev = acc.last
@@ -47,6 +54,7 @@ object EventAnalytics {
           .join(prev.select(col("e"), col(s"t$i")), Seq("e"))
           .filter(col("k") > col(s"t$i"))
           .groupBy(col("e")).agg(min(col("k")).as(s"t${i + 1}"))
+          .localCheckpoint()
     }
     // depth per entity = number of chained steps present; entities with
     // no first step never appear (depth 0 is the complement — callers
@@ -68,7 +76,11 @@ object EventAnalytics {
   def retentionCohorts(
       events: DataFrame, entity: String, ts: String): DataFrame = {
     val wk = date_trunc("week", col(ts))
+    // materialized once (rule 5): activity feeds the cohort aggregate
+    // AND the join — and it is (entities x weeks), far smaller than the
+    // event log it distills
     val activity = events.select(col(entity).as("e"), wk.as("w")).distinct()
+      .localCheckpoint()
     val cohorts = activity.groupBy(col("e")).agg(min(col("w")).as("cohort_week"))
     activity.join(cohorts, Seq("e"))
       .groupBy(col("cohort_week"),
@@ -119,6 +131,10 @@ object EventAnalytics {
           .orderBy(col("bin"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      // materialized once (rule 5): every quantile arm reads cum; left
+      // lazy each arm re-runs the FULL scan+histogram (audit showed one
+      // table scan per quantile). cum is bins-sized — tiny.
+      .localCheckpoint()
     val qRows = quantiles.map { q =>
       cum.filter(col("cum") * lit(100L) >= col("tot") * lit((q * 100).round))
         .orderBy(col("bin"))
