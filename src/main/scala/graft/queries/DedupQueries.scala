@@ -230,7 +230,35 @@ object DedupQueries {
          |         / CAST(s.n_shingles AS DOUBLE) AS rate
          |FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
          |ORDER BY s.doc_id""".stripMargin),
-      (s, d) => Dedup.contaminationCheck(docs(s, d), benchIds))
+      (s, d) => Dedup.contaminationCheck(docs(s, d), benchIds)),
+
+    // approximate string join: rare-q-gram candidates (df-capped
+    // inverted index, length filter) verified by exact Levenshtein.
+    // The oracle replays the ACTUAL capped semantics, like d43 — no
+    // recall assumption. Supplier names differ in digit positions, so
+    // near pairs concentrate exactly where the rare grams are.
+    Q("d52_editdist_join", Some(
+      """WITH g AS (
+        |  SELECT s_suppkey AS gid, s_name AS s,
+        |         unnest(list_transform(range(1, length(s_name) - 1),
+        |                i -> substr(s_name, CAST(i AS INT), 3))) AS gram
+        |  FROM supplier),
+        |gd AS (SELECT DISTINCT gid, s, gram FROM g),
+        |rare AS (SELECT gram FROM (
+        |           SELECT gram, count(*) AS df FROM gd GROUP BY gram)
+        |         WHERE df <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.gid AS id_a, b.gid AS id_b, a.s AS sa, b.s AS sb
+        |  FROM gd a JOIN rare r ON a.gram = r.gram
+        |  JOIN gd b ON b.gram = r.gram AND a.gid < b.gid
+        |  WHERE abs(length(a.s) - length(b.s)) <= 2)
+        |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(sa, sb) <= 2
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => graft.operators.StringSim.editDistanceJoin(
+        graft.Tables.load(s, d, "supplier"), "s_suppkey", "s_name",
+        maxDist = 2, q = 3, maxDf = 20))
   )
 
   /** Benchmark docs for the contamination check: ids 0–4 stand in for an
