@@ -136,6 +136,47 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("q99 CDC merge reduces the log with an aggregate, not a window") {
+    val nodes = PlanInspect.nodeNames(run("q99_cdc_merge"))
+    assert(!nodes.exists(_.contains("Window")), nodes) // max_by, map-side combinable
+    assert(nodes.exists(_.contains("Aggregate")), nodes)
+    assert(nodes.exists(_.contains("SortMergeJoin")), nodes) // full outer: SMJ is correct
+  }
+
+  test("q102 z-order bounds row is broadcast — no cartesian product") {
+    val nodes = PlanInspect.nodeNames(run("q102_zorder_layout"))
+    assert(!nodes.exists(_.contains("CartesianProduct")), nodes)
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")), nodes) // 1-row bounds
+  }
+
+  test("s44 reduced-space KNN broadcasts the query side, never the corpus") {
+    // the scoring join is deliberately BroadcastNestedLoop (the pair
+    // predicate vec_id <> q_id is non-equi; brute-force scoring IS a
+    // per-row loop over the broadcast queries) — the property to pin is
+    // that the BROADCAST side exists and the corpus side reaches the
+    // join straight from its scan, unshuffled
+    val df = run("s44_knn_rp")
+    val all = PlanInspect.executedNodes(df)
+    val bnlj = all.find(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.isDefined, all.map(_.getClass.getSimpleName))
+    assert(!all.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+    // the join's whole subtree (corpus scan + broadcast build) holds no
+    // shuffle — every Exchange in the plan belongs to the top-k window
+    val subtree = PlanInspect.nodes(bnlj.get).map(_.getClass.getSimpleName)
+    assert(!subtree.exists(_.contains("ShuffleExchange")), subtree)
+  }
+
+  test("q103 funnel is an aggregate chain — no window operators") {
+    val nodes = PlanInspect.nodeNames(run("q103_funnel"))
+    assert(!nodes.exists(_.contains("Window")), nodes)
+  }
+
+  test("d52 string join stays an equi-join on grams — no cartesian/nested-loop") {
+    val nodes = PlanInspect.nodeNames(run("d52_editdist_join"))
+    assert(!nodes.exists(_.contains("CartesianProduct")), nodes)
+    assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")), nodes)
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
