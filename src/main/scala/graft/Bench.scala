@@ -24,7 +24,9 @@ object Bench {
     "q91_running_ledger", "q92_bucketed_join", "q96_corpus_build",
     "d47_incremental_dedup", "d48_semantic_dedup", "d49_substring_spans",
     "d50_novelty", "d51_span_removal", "q97_weighted_sample",
-    "q99_cdc_merge", "q100_scd2_history", "s44_knn_rp", "s45_kmeans_step")
+    "q99_cdc_merge", "q100_scd2_history", "s44_knn_rp", "s45_kmeans_step",
+    "q102_zorder_layout", "q103_funnel", "q106_hist_percentile",
+    "q107_stream_cdc_upsert", "d52_editdist_join")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

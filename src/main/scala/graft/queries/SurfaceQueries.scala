@@ -216,6 +216,72 @@ object SurfaceQueries {
             |FROM lineitem
             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
             |ORDER BY flag, status""".stripMargin)
-      })
+      }),
+
+    // CUBE: all 2^k grouping combinations (rollup covers the prefix
+    // chain, grouping sets the explicit list — cube completes the family)
+    Q("q109_cube", Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"))),
+
+    // rank-fraction windows: percent_rank ((rank-1)/(n-1)), cume_dist,
+    // ntile — the quantile-binning window family. Exact: the divisions
+    // are small-integer ratios, identical IEEE doubles in both engines.
+    Q("q110_window_ranks", Some(
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist()    OVER w AS cd,
+        |       CAST(ntile(4)  OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      }),
+
+    // conditional/boolean aggregates: count_if, bool_and, bool_or
+    Q("q111_conditional_aggs", Some(
+      """SELECT l_returnflag,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       bool_and(l_quantity > 0)  AS all_positive,
+        |       bool_or(l_discount > 0.05) AS any_discounted
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count_if(col("l_quantity") > 25).as("n_big"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.05).as("any_discounted"))
+        .orderBy(col("l_returnflag"))),
+
+    // ordered string aggregation: deterministic listagg via sort-then-
+    // join (collect_list alone is partition-order-dependent — the
+    // array_sort is what makes this oracle-able)
+    Q("q112_string_agg", Some(
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS members
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+      (s, d) => Tables.load(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("members"))
+        .orderBy(col("n_regionkey")))
   )
 }
