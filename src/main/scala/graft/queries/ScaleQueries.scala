@@ -39,6 +39,36 @@ object ScaleQueries {
           .orderBy(col("w_start"), col("event_type"))
       }),
 
+    // hopping-window streaming aggregation under the gate: 10-minute
+    // windows sliding every 5 — each event lands in exactly two
+    // windows, which the oracle reproduces by unnesting the two bucket
+    // starts; append mode emits windows whose END clears the final
+    // watermark (max ts - 10 min).
+    Q("q113_stream_hopping", Some(
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |e AS (SELECT event_type, value,
+        |             unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+        |                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+        |               AS w_start
+        |      FROM events),
+        |b AS (SELECT w_start, event_type, count(*) AS n,
+        |             sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |      FROM e GROUP BY 1, 2)
+        |SELECT b.w_start, b.event_type, b.n,
+        |       CAST(b.total_value AS DOUBLE) AS total_value FROM b, wm
+        |WHERE b.w_start + INTERVAL 10 MINUTE <= wm.w
+        |ORDER BY w_start, event_type""".stripMargin),
+      (s, d) => {
+        val name = "graft_stream_q113"
+        val q = graft.streaming.EventPipeline.startHoppingQuery(
+          s, graft.queries.Staging.eventsDir(d), name)
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("w_start"), col("event_type"), col("n"),
+            col("total_value").cast("double").as("total_value"))
+          .orderBy(col("w_start"), col("event_type"))
+      }),
+
     // ROLLUP with subtotal rows labeled 'ALL'
     Q("q46_rollup", Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -272,6 +272,26 @@ object EventPipeline {
       toMemorySink(windowedCounts(eventsStream(spark, eventsDir)), queryName)
     }
 
+  /** Hopping (sliding) windows: 10-minute windows every 5 minutes, so
+    * each event contributes to exactly two overlapping windows — the
+    * standard smoothing shape for rate dashboards. Same watermark /
+    * append-mode contract as the tumbling query: a window is emitted
+    * once its END clears the final watermark. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  def startHoppingQuery(
+      spark: SparkSession, eventsDir: String, queryName: String) =
+    withStreamPartitions(spark, 8) {
+      toMemorySink(hoppingCounts(eventsStream(spark, eventsDir)), queryName)
+    }
+
   def startDedupQuery(
       spark: SparkSession, eventsDir: String, queryName: String) =
     withStreamPartitions(spark, 8) {

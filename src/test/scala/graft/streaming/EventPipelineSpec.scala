@@ -166,6 +166,20 @@ class EventPipelineSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("hoppingCounts places every event in exactly two overlapping windows") {
+    import org.apache.spark.sql.functions.sum
+    val out = EventPipeline.hoppingCounts(events)
+    val total = out.agg(sum("n")).head().getLong(0)
+    assert(total === events.count() * 2)
+    // window starts are 5-minute aligned and overlap: consecutive starts
+    // differ by the slide, not the duration
+    val starts = out.select("w_start").distinct().collect()
+      .map(_.getTimestamp(0).getTime).sorted
+    assert(starts.sliding(2).forall {
+      case Array(a, b) => (b - a) % 300000L == 0; case _ => true
+    })
+  }
+
   test("streaming CDC upsert converges to the one-shot batch merge") {
     import org.apache.spark.sql.functions.{col, when}
     val chunks = EventPipeline.cdcChunksDir(spark, sf0001)
