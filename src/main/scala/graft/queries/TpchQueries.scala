@@ -209,6 +209,164 @@ object TpchQueries {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
 
+    // TPC-H Q6: forecasting revenue change — a pure scan+filter+agg, the
+    // canonical pushdown shape: every predicate reaches the parquet scan
+    // (PushedFilters), no join, no shuffle beyond the final 1-row agg.
+    // Discount bounds sit BETWEEN the 0.01 grid points (0.045/0.075), so
+    // a 1-ulp literal difference between engines can't flip membership.
+    Q("q114_tpch_q6", Some(
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount > 0.045 AND l_discount < 0.075
+        |  AND l_quantity < 24""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") > 0.045 && col("l_discount") < 0.075 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * col("l_discount").cast("decimal(8,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q10: returned-item reporting. Scale shape: the fact side is
+    // reduced to customer grain BEFORE the dimension joins — revenue is
+    // pre-aggregated by o_custkey (one shuffle at customer cardinality),
+    // then customer joins that small aggregate and nation is broadcast.
+    // Joining lineitem→customer row-by-row first would shuffle the full
+    // fact table against a key it doesn't need yet.
+    Q("q115_tpch_q10", Some(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      (s, d) => {
+        val rev = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        val ordersQ = Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-07-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val byCust = Tables.load(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), rev.as("rev"))
+          .join(ordersQ, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev")).as("rev_d"))
+        Tables.load(s, d, "customer")
+          .join(byCust, col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("rev_d").cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
+    // TPC-H Q14: promotion effect — broadcast dimension join + conditional
+    // aggregation (two decimal sums in one pass, divided as doubles).
+    Q("q116_tpch_q14", Some(
+      """SELECT
+        |  100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS promo_pct,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin),
+      (s, d) => {
+        val rev = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+          .join(broadcast(Tables.load(s, d, "part")
+            .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100) * sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+              / sum(rev).cast("double")).as("promo_pct"),
+            count(lit(1)).as("n"))
+      }),
+
+    // TPC-H Q18: large-volume customers — the HAVING-on-fact-aggregate
+    // shape. The order-grain aggregate runs FIRST (map-side partial sum,
+    // then one shuffle at order grain); only the few surviving orderkeys
+    // join back to orders/customer, so the dimension joins see a tiny
+    // input instead of the whole fact table.
+    Q("q117_tpch_q18", Some(
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      (s, d) => {
+        val big = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        big.join(Tables.load(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.load(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      }),
+
+    // TPC-H Q19 shape: disjunctive mixed-side predicates. The classic Q19
+    // rewrite is applied by hand: the part side is pre-filtered with the
+    // UNION of the per-disjunct dimension ranges (brand IN + size ≤ 15)
+    // and broadcast; the fact side pre-filters the union of the quantity
+    // ranges; the exact per-branch conjunction runs after the join. The
+    // scan therefore skips everything the disjunction can never accept —
+    // without the rewrite neither side's filter is pushable.
+    Q("q118_tpch_q19", Some(
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin),
+      (s, d) => {
+        val parts = Tables.load(s, d, "part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size").between(1, 15))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val branch =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 30)
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+          .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+          .filter(branch)
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      }),
+
     // date/time functions over order dates
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
