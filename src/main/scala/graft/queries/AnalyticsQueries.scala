@@ -124,5 +124,58 @@ object AnalyticsQueries {
         T(s, d, "lineitem"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
         binWidth = 10000L, quantiles = Seq(0.5, 0.9, 0.99)))
+  ) ++ Seq(
+
+    // time-series gap-fill: sparse per-type hourly readings (value > 90
+    // sparsifies the log so real gaps exist) are densified against a
+    // generated hour spine, then last-observation-carried-forward fills
+    // the gauge. Scale shape: the spine is sequence()-exploded from a
+    // 5-row bounds aggregate (never a driver loop); the LOCF window
+    // partitions by series key, so state is bounded per series; counts
+    // coalesce to 0 while the carried gauge keeps its last double
+    // unchanged (no new arithmetic → hash-safe). Hour floors compose
+    // exactly across engines (CLAUDE.md rule 2).
+    Q("q120_gapfill", Some(
+      """WITH gapped AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_obs,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
+        |  FROM events WHERE value > 90 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(h) AS mn, max(h) AS mx FROM gapped GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |joined AS (
+        |  SELECT s.event_type, s.h, g.n_obs, g.avg_v
+        |  FROM spine s LEFT JOIN gapped g
+        |    ON s.event_type = g.event_type AND s.h = g.h)
+        |SELECT event_type, h, COALESCE(n_obs, 0) AS n_obs,
+        |       (n_obs IS NULL) AS filled,
+        |       last_value(avg_v IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+        |FROM joined
+        |ORDER BY event_type, h""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapped = T(s, d, "events").filter(col("value") > 90)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_obs"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("avg_v"))
+        val spine = gapped.groupBy(col("event_type"))
+          .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+              .as("h"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(gapped, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            col("n_obs").isNull.as("filled"),
+            last(col("avg_v"), ignoreNulls = true).over(w).as("v_locf"))
+          .orderBy(col("event_type"), col("h"))
+      })
   )
 }

@@ -272,6 +272,71 @@ object SurfaceQueries {
           bool_or(col("l_discount") > 0.05).as("any_discounted"))
         .orderBy(col("l_returnflag"))),
 
+    // unpivot/melt: wide measure columns → long (key, measure, value)
+    // rows via the native Unpivot plan (Spark 3.4+ df.unpivot — an
+    // Expand node: per-row fan-out, no shuffle, no join). The oracle is
+    // the portable UNION ALL formulation.
+    Q("q119_unpivot", Some(
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+      (s, d) => Tables.load(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))),
+
+    // moment statistics (variance / stddev / correlation) computed from
+    // EXACT decimal power sums, not the engines' streaming aggregates:
+    // Spark's stddev/corr accumulate doubles in partition order, so their
+    // low bits are nondeterministic under shuffle and can never
+    // hash-match another engine. Σx, Σx², Σxy as decimals are exact and
+    // order-independent; the closed-form combine runs as one identical
+    // IEEE expression on both sides. Same pattern at 100 TB: the power
+    // sums are map-side-combining aggregates, the formula is a per-group
+    // scalar epilogue.
+    Q("q121_moments", Some(
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    sum(l_quantity) AS sy,
+        |    sum(l_quantity * l_quantity) AS syy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_price,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd_price,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val sums = Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(price).cast("double").as("sx"),
+            sum(price * price).cast("double").as("sxx"),
+            sum(col("l_quantity")).as("sy"),
+            sum(col("l_quantity") * col("l_quantity")).as("syy"),
+            sum(price * col("l_quantity").cast("decimal(8,2)"))
+              .cast("double").as("sxy"))
+        val varP = (col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))
+        val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+        sums.select(col("l_returnflag"), col("n"),
+          varP.as("var_price"), sqrt(varP).as("sd_price"),
+          corr.as("corr_price_qty"))
+          .orderBy(col("l_returnflag"))
+      }),
+
     // ordered string aggregation: deterministic listagg via sort-then-
     // join (collect_list alone is partition-order-dependent — the
     // array_sort is what makes this oracle-able)

@@ -211,4 +211,56 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(exchanges <= 1, s"expected ≤1 exchange (post-join agg), got: $names")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q114 TPC-H Q6 pushes every predicate to the scan and never joins") {
+    val plan = PlanInspect.formatted(run("q114_tpch_q6"))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined, plan)
+    assert("PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(plan).isDefined, plan)
+    assert(!PlanInspect.nodeNames(run("q114_tpch_q6")).exists(_.contains("Join")))
+  }
+
+  test("q115 TPC-H Q10 aggregates the fact side before the customer join") {
+    // the revenue aggregate's shuffle must run on o_custkey BELOW the
+    // customer join — i.e. some HashAggregate appears under the join —
+    // and nation must be broadcast
+    val names = PlanInspect.nodeNames(run("q115_tpch_q10"))
+    assert(names.exists(_.contains("BroadcastHashJoin")), names)
+    val plan = PlanInspect.formatted(run("q115_tpch_q10"))
+    val cols = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1).count(_ == ':')).toSeq
+    // lineitem scan pruned to exactly (l_orderkey, l_extendedprice,
+    // l_discount, l_returnflag)
+    assert(cols.contains(4), s"no 4-column pruned scan in: $cols\n$plan")
+  }
+
+  test("q117 TPC-H Q18 top-N is TakeOrderedAndProject, not a global sort") {
+    val names = PlanInspect.nodeNames(run("q117_tpch_q18"))
+    assert(names.exists(_.contains("TakeOrderedAndProject")), names)
+  }
+
+  test("q118 TPC-H Q19 broadcasts the pruned part side; quantity range is pushed") {
+    val plan = PlanInspect.formatted(run("q118_tpch_q19"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q119 unpivot is an Expand — no join, no per-measure rescan") {
+    val names = PlanInspect.nodeNames(run("q119_unpivot"))
+    assert(names.exists(_.contains("Expand")), names)
+    assert(!names.exists(_.contains("Join")), names)
+    // one ordered output exchange; the melt itself adds none
+    assert(names.count(_.contains("ShuffleExchange")) <= 1, names)
+  }
+
+  test("q121 moment stats run as ONE aggregation pass (partial+final), no join") {
+    val names = PlanInspect.nodeNames(run("q121_moments"))
+    assert(names.count(_.contains("HashAggregate")) === 2, names)
+    assert(!names.exists(_.contains("Join")), names)
+  }
+
+  test("q120 gap-fill never degenerates to a cartesian spine join") {
+    val names = PlanInspect.nodeNames(run("q120_gapfill"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
 }
