@@ -26,7 +26,8 @@ object Bench {
     "d50_novelty", "d51_span_removal", "q97_weighted_sample",
     "q99_cdc_merge", "q100_scd2_history", "s44_knn_rp", "s45_kmeans_step",
     "q102_zorder_layout", "q103_funnel", "q106_hist_percentile",
-    "q107_stream_cdc_upsert", "d52_editdist_join")
+    "q107_stream_cdc_upsert", "d52_editdist_join", "s46_pq_adc",
+    "q115_tpch_q10", "q117_tpch_q18", "q120_gapfill")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

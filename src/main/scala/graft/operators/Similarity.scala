@@ -251,6 +251,77 @@ object Similarity {
     bruteForceKnn(reduce(corpus), reduce(queries), k)
   }
 
+  /** Product quantization + asymmetric-distance top-k (Jégou/Douze/
+    * Schmid, TPAMI 2011 — the product-quantizer half; s43 demonstrates
+    * the coarse half). The embedding is split into `m` subspaces; each
+    * subspace gets a data-derived codebook (fixed-point centroids of
+    * 4-bit LSH cells — deterministic, so the whole pipeline is
+    * DuckDB-replayable); every vector is encoded as its per-subspace
+    * nearest centroid by L2 (argmin of |c|² − 2·x·c; |x|² is constant
+    * per subvector). Queries score candidates asymmetrically: exact
+    * query-to-centroid dots per subspace, summed over the code — the
+    * vector itself is never touched at query time.
+    *
+    * Scale shape: the index is the codes table — m small ints per
+    * vector instead of dim floats (16× compression here); codebooks and
+    * the per-query dot tables are tiny broadcasts; encoding is a
+    * per-row map plus a window bounded at 16 rows per (vector,
+    * subspace); scoring shuffles only (q_id, vec_id, code) tuples.
+    * The per-subspace contributions are combined as FOUR single-element
+    * conditional sums added in fixed expression order — a plain
+    * sum(qdot) over 4 doubles would re-associate under shuffle and
+    * break determinism. */
+  def pqAdc(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // slice once, checkpoint once: every subspace's cell/encode/score
+    // path reads from this shared base (rule 5)
+    val base = corpus.select(
+      col("vec_id") +: (0 until m).map(j =>
+        slice(col("embedding"), j * subDim + 1, subDim).as(s"sv$j")): _*)
+      .localCheckpoint()
+    val qBase = queries.select(
+      col("vec_id").as("q_id") +: (0 until m).map(j =>
+        slice(col("embedding"), j * subDim + 1, subDim).as(s"qv$j")): _*)
+    val perSub = (0 until m).map { j =>
+      val planes = hyperplanes(4, subDim, seed = 1000L + j)
+      val cells = base.select(col("vec_id"), col(s"sv$j").as("embedding"))
+        .withColumn("cell", signature(col("embedding"), planes))
+      val cents = fixedPointCentroids(cells, subDim).drop("n")
+      val keyExpr = dotFold(col("centroid"), col("centroid")) -
+        lit(2) * dotFold(col("embedding"), col("centroid"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("key").asc, col("cand"))
+      val enc = cells
+        .join(broadcast(cents.select(col("cell").as("cand"), col("centroid"))))
+        .select(col("vec_id"), col("cand"), keyExpr.as("key"))
+        .withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+        .select(col("vec_id"), lit(j).as("sub"), col("cand").as("code"))
+      val qd = qBase.select(col("q_id"), col(s"qv$j").as("qs"))
+        .join(broadcast(cents))
+        .select(col("q_id"), lit(j).as("qsub"), col("cell"),
+          dotFold(col("qs"), col("centroid")).as("qdot"))
+      (enc, qd)
+    }
+    val codes = perSub.map(_._1).reduce(_ union _)
+    val qd = perSub.map(_._2).reduce(_ union _)
+    val subSums = (0 until m).map(j =>
+      sum(when(col("sub") === j, col("qdot"))).as(s"s$j"))
+    val scored = codes
+      .join(broadcast(qd), col("sub") === col("qsub") &&
+        col("code") === col("cell") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(subSums.head, subSums.tail: _*)
+    val approx = (0 until m).map(j => col(s"s$j")).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), approx.as("approx_dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One deterministic Lloyd iteration (k-means step) seeded from the
     * IVF coarse cells: current centroids = fixed-point centroids of the
     * signature cells, every vector reassigns to its nearest centroid by

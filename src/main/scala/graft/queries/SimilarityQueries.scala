@@ -99,6 +99,16 @@ object SimilarityQueries {
       (s, d) => Similarity.knnRandomProjection(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
+    // product quantization + asymmetric distance: per-subspace codebooks
+    // (fixed-point centroids of 4-bit LSH cells), L2 argmin encoding,
+    // query-to-centroid dot tables summed over the code in fixed
+    // expression order. The oracle replays codebook build, encoding and
+    // ADC scoring exactly — 16× index compression whose approximation is
+    // itself hash-checked.
+    Q("s46_pq_adc", Some(pqAdcOracle),
+      (s, d) => Similarity.pqAdc(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
+
     // one deterministic Lloyd iteration: IVF-cell centroids → cosine
     // reassignment → fixed-point centroid recompute. The oracle replays
     // cells, integer sums, the argmax (with its cand-id tiebreak), and
@@ -286,6 +296,70 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** The dot-product half of cosSql — shared by the PQ oracle. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  /** s46: product quantization replayed end to end. Per subspace j:
+    * the 16-dim slice, its 4-bit LSH cells (seed 1000+j — the same
+    * Scala plane arrays as Similarity.pqAdc), fixed-point centroids,
+    * the L2 argmin encode (|c|² − 2·x·c, cand-id tiebreak), and the
+    * query-to-centroid dot table; then the four single-element CASE
+    * sums added in fixed order. */
+  private lazy val pqAdcOracle: String = {
+    val m = 4; val subDim = 16
+    val perSub = (0 until m).map { j =>
+      val planes = Similarity.hyperplanes(4, subDim, seed = 1000L + j)
+      val lo = j * subDim + 1; val hi = j * subDim + subDim
+      s"""sub$j AS (
+         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+         |cells$j AS (
+         |  SELECT vec_id, embedding, ${sigSql("embedding", planes)} AS cell
+         |  FROM sub$j),
+         |csum$j AS (
+         |  SELECT cell, count(*) AS n, ${fpSumColsSql(subDim)}
+         |  FROM cells$j GROUP BY cell),
+         |cent$j AS (SELECT cell, ${fpCentroidSql(subDim)} AS centroid FROM csum$j),
+         |keyed$j AS (
+         |  SELECT c.vec_id, ct.cell AS cand,
+         |         (${dotSql("ct.centroid", "ct.centroid")}
+         |          - 2 * ${dotSql("c.embedding", "ct.centroid")}) AS dkey
+         |  FROM cells$j c CROSS JOIN cent$j ct),
+         |enc$j AS (
+         |  SELECT vec_id, $j AS sub, cand AS code FROM (
+         |    SELECT vec_id, cand,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dkey ASC, cand) AS r
+         |    FROM keyed$j) WHERE r = 1),
+         |qd$j AS (
+         |  SELECT q.vec_id AS q_id, $j AS sub, ct.cell,
+         |         ${dotSql("q.embedding", "ct.centroid")} AS qdot
+         |  FROM (SELECT vec_id, embedding FROM sub$j WHERE vec_id < 5) q
+         |  CROSS JOIN cent$j ct)""".stripMargin
+    }.mkString(",\n")
+    val codeUnion = (0 until m).map(j => s"SELECT * FROM enc$j").mkString("\n  UNION ALL ")
+    val qdUnion = (0 until m).map(j => s"SELECT * FROM qd$j").mkString("\n  UNION ALL ")
+    val caseSums = (0 until m).map(j =>
+      s"sum(CASE WHEN c.sub = $j THEN q.qdot END) AS s$j").mkString(",\n         ")
+    val approx = (0 until m).map(j => s"s$j").mkString(" + ")
+    s"""WITH $perSub,
+       |codes AS (
+       |  $codeUnion),
+       |qdall AS (
+       |  $qdUnion),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |         $caseSums
+       |  FROM codes c JOIN qdall q
+       |    ON c.sub = q.sub AND c.code = q.cell AND c.vec_id <> q.q_id
+       |  GROUP BY q.q_id, c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ($approx) AS approx_dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ($approx) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, approx_dot, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** s45: the Lloyd step replayed — cells, fixed-point centroids,
     * cosine argmax with the cand-id tiebreak, per-new-cell recompute

