@@ -196,10 +196,23 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") /
         greatest(col("sz_a"), col("sz_b")) >= threshold)
-    val filtered = ex.join(
-      ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("sh")),
-      Seq("sh"))
+      // read twice below (the candidate-doc id set AND the intersection
+      // chain) — without this the entire candidate stage runs twice
+      .localCheckpoint()
+    // df is a CORPUS-WIDE property (one map-side-combined aggregate),
+    // but the intersection only ever reads shingles of docs that appear
+    // in a surviving candidate pair — so restrict ex to those docs with
+    // a semi-join BEFORE the df-cap join. The full exploded table is
+    // then never shuffled by sh (previously its largest shuffle); only
+    // the candidate docs' shingles move. AQE turns the semi-join into a
+    // broadcast when the candidate set is small (the common case).
+    val candIds = bounded.select(col("id_a").as("doc_id"))
+      .union(bounded.select(col("id_b").as("doc_id")))
+      .distinct()
+    val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val filtered = ex.join(candIds, Seq("doc_id"), "left_semi")
+      .join(df, Seq("sh"))
     val inter = bounded.select(col("id_a"), col("id_b"))
       .join(filtered.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
       .join(filtered.select(col("doc_id").as("id_b"), col("sh")),
