@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus/table profiling — the data-quality monitoring step of a
@@ -47,6 +47,51 @@ object Profiling {
     one.select(explode(array(entries: _*)).as("p"))
       .select(col("p.*"))
       .orderBy(col("col_name"))
+  }
+
+  /** Declarative data-quality expectations (Deequ/Great-Expectations-
+    * shaped): each row-level check is a boolean predicate counted in ONE
+    * wide aggregation over the table — k checks never cost k scans.
+    * A row with a NULL predicate counts as a violation (the CASE's ELSE
+    * branch), which is the conservative audit contract. Output one row
+    * per check: (check_name, n_checked, n_violations, passed). */
+  def rowExpectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowExpectations needs at least one check")
+    val aggs = checks.map { case (name, cond) =>
+      sum(when(cond, 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = checks.map { case (name, _) =>
+      struct(lit(name).as("check_name"), col("__n").as("n_checked"),
+        col(s"__v_$name").as("n_violations"),
+        (col(s"__v_$name") === 0L).as("passed"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** Key-uniqueness expectation: violations = rows beyond the first per
+    * key value (count − distinct count). One aggregate, no join. */
+  def uniqueExpectation(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+      countDistinct(keys.head, keys.tail: _*).as("nd"))
+      .select(lit(name).as("check_name"), col("n").as("n_checked"),
+        (col("n") - col("nd")).as("n_violations"),
+        (col("n") === col("nd")).as("passed"))
+
+  /** Referential-integrity expectation: violations = child rows whose
+    * key has no parent (left-anti count). The parent side reduces to its
+    * distinct key before the join, so at scale the anti-join runs
+    * against the key set, not the parent table. */
+  def referentialExpectation(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("nv"))
+    child.agg(count(lit(1)).as("n")).crossJoin(orphans)
+      .select(lit(name).as("check_name"), col("n").as("n_checked"),
+        col("nv").as("n_violations"), (col("nv") === 0L).as("passed"))
   }
 
   /** The DuckDB replay, generated from the same column list so the two

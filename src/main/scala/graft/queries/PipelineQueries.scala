@@ -166,6 +166,43 @@ object PipelineQueries {
       (s, d) => Profiling.columnProfile(Tables.load(s, d, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // declarative data-quality expectations over orders: three row-level
+    // predicates in ONE wide aggregate scan, plus key-uniqueness and
+    // referential-integrity checks. Both engines' predicates come from
+    // the same check list below (one definition, two renderings).
+    Q("q122_expectations", Some(expectationsOracle),
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        val customer = Tables.load(s, d, "customer")
+        Profiling.rowExpectations(orders,
+            expectationChecks.map { case (n, c, _) => (n, c) })
+          .unionByName(Profiling.uniqueExpectation(orders,
+            "orderkey_unique", Seq("o_orderkey")))
+          .unionByName(Profiling.referentialExpectation(orders, "o_custkey",
+            customer, "c_custkey", "custkey_in_customer"))
+          .orderBy(col("check_name"))
+      }),
+
+    // exact distributed heavy hitters over the token stream: per-partition
+    // Misra–Gries summaries propose candidates, an exact recount + the
+    // integer support filter keeps precisely the true heavy hitters — so
+    // the plain exact HAVING query is a valid oracle (see Frequency).
+    Q("q123_heavy_hitters", Some(
+      """SELECT item, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS item
+        |      FROM documents)
+        |GROUP BY item
+        |HAVING count(*) * 1000 > (SELECT count(*) FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS item
+        |  FROM documents))
+        |ORDER BY cnt DESC, item""".stripMargin),
+      (s, d) => graft.operators.Frequency.heavyHitters(s,
+        Tables.load(s, d, "documents")
+          .repartition(32) // row-amplifying explode: spread first (rule 6)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("item")),
+        k = 999)),
+
     // deterministic global corpus shuffle: ORDER BY md5(seed:doc_id) —
     // reproducible pseudorandom order with no rand(), one range sort
     Q("q89_corpus_shuffle", Some(
@@ -466,6 +503,48 @@ object PipelineQueries {
     readBack.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
+
+  /** q122's row-level checks: (name, Spark predicate, DuckDB predicate).
+    * One list renders both engines' arms — names and predicates cannot
+    * drift. NULL predicate = violation on both sides (CASE ELSE branch /
+    * `when().otherwise()`). */
+  private lazy val expectationChecks
+      : Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("date_not_null", col("o_orderdate").isNotNull,
+      "o_orderdate IS NOT NULL"),
+    ("status_known", col("o_orderstatus").isin("O", "F", "P"),
+      "o_orderstatus IN ('O','F','P')"),
+    ("total_positive", col("o_totalprice") > 0, "o_totalprice > 0"))
+
+  /** q122 oracle, generated from [[expectationChecks]]: each row arm is a
+    * one-row aggregate; uniqueness is count−count(DISTINCT); referential
+    * integrity is NOT EXISTS (same NULL semantics as Spark's left-anti —
+    * never NOT IN, which drops to UNKNOWN on NULL keys). HUGEINT sums
+    * cast to BIGINT (rule 1). */
+  private lazy val expectationsOracle: String = {
+    val rowArms = expectationChecks.map { case (name, _, sql) =>
+      s"""SELECT '$name' AS check_name, count(*) AS n_checked,
+         |  CAST(sum(CASE WHEN $sql THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_violations
+         |FROM orders""".stripMargin
+    }
+    val uniqueArm =
+      """SELECT 'orderkey_unique', count(*),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders""".stripMargin
+    val refArm =
+      """SELECT 'custkey_in_customer', count(*),
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT)
+        |FROM orders""".stripMargin
+    (rowArms :+ uniqueArm :+ refArm).mkString(
+      "WITH checks AS (\n", "\nUNION ALL\n", ")\n") +
+      """SELECT check_name, n_checked, n_violations,
+        |  (n_violations = 0) AS passed
+        |FROM checks ORDER BY check_name""".stripMargin
+  }
 
   /** The oracle aggregates the ORIGINAL parquet table — round-trip
     * losslessness is the property under test. */

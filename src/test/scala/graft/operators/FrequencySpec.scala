@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exact reference: plain groupBy + integer support filter. */
+  private def exact(items: Seq[String], k: Int): Set[(String, Long)] = {
+    val n = items.size
+    items.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }
+      .toSet.map { (kv: (String, Long)) => kv }
+  }
+
+  private def run(items: Seq[String], k: Int, parts: Int): Set[(String, Long)] =
+    Frequency.heavyHitters(spark,
+        items.toDF("item").repartition(parts), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("heavyHitters is exact and partition-independent") {
+    // skewed stream: hot ~38%, warm ~24% (above the 1/5 support — the
+    // filter is STRICT, so an exact-boundary count is excluded),
+    // long tail of singletons
+    val items = Seq.fill(400)("hot") ++ Seq.fill(250)("warm") ++
+      (0 until 400).map(i => s"tail$i")
+    val want = exact(items, 4) // support > 1/5 → hot, warm
+    assert(want.map(_._1) === Set("hot", "warm"))
+    for (parts <- Seq(1, 4, 13)) {
+      assert(run(items, 4, parts) === want, s"parts=$parts")
+    }
+  }
+
+  test("heavyHitters returns empty when nothing crosses the support") {
+    val items = (0 until 100).map(i => s"u$i") // all unique
+    assert(run(items, 9, 4) === Set.empty)
+  }
+
+  test("heavyHitters counts are exact, not summary estimates") {
+    val items = Seq.fill(7)("a") ++ Seq.fill(3)("b")
+    // k=1 → support > 1/2: only 'a', with its EXACT count
+    assert(run(items, 1, 3) === Set(("a", 7L)))
+  }
+}

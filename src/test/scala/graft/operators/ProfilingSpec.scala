@@ -29,4 +29,40 @@ class ProfilingSpec extends SparkSpec {
       Profiling.columnProfile(df, Seq.empty)
     }
   }
+
+  test("rowExpectations: one row per check; NULL predicate is a violation") {
+    import org.apache.spark.sql.functions._
+    val out = Profiling.rowExpectations(df, Seq(
+        "id_positive" -> (col("id") > 0),
+        "score_min" -> (col("score") >= 20L))) // NULL for id=2 → violation
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("id_positive") === ((4L, 0L, true)))
+    // score >= 20 fails for 10, 10 and for the NULL row: 3 violations
+    assert(out("score_min") === ((4L, 3L, false)))
+  }
+
+  test("rowExpectations rejects an empty check list") {
+    intercept[IllegalArgumentException] {
+      Profiling.rowExpectations(df, Seq.empty)
+    }
+  }
+
+  test("uniqueExpectation counts rows beyond the first per key") {
+    val r = Profiling.uniqueExpectation(df, "tag_unique", Seq("tag"))
+      .collect().head
+    // tags: a,b,a,NULL → countDistinct skips NULL: 4−2 = 2 violations
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) === ((4L, 2L, false)))
+    val ok = Profiling.uniqueExpectation(df, "id_unique", Seq("id"))
+      .collect().head
+    assert((ok.getLong(2), ok.getBoolean(3)) === ((0L, true)))
+  }
+
+  test("referentialExpectation counts orphan child rows") {
+    val parent = Seq(10L, 30L).toDF("pk")
+    val r = Profiling.referentialExpectation(df, "score", parent, "pk",
+      "score_in_parent").collect().head
+    // child keys 10, NULL, 30, 10 — the NULL never matches → 1 orphan
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) === ((4L, 1L, false)))
+  }
 }
