@@ -69,8 +69,13 @@ object Dedup {
     * riding this groupBy saves it a second full aggregation over the
     * exploded table plus a checkpoint. */
   private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
-    sh.groupBy(col("doc_id"))
+    // One xxhash64 over the shingle STRING, then the k draws re-hash the
+    // resulting 8-byte long — k independent min-hash families at the
+    // cost of one string hash + k long hashes per shingle (hashing the
+    // variable-length string k times dominated this stage's CPU).
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    sh.withColumn("h", xxhash64(col("sh")))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"), mins: _*)
       .select(col("doc_id"), col("sz"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -521,40 +526,67 @@ object Dedup {
     * shape — Kiveris et al., "Connected components in MapReduce and
     * beyond", SoCC 2014.)
     */
+  /** Probe-iteration count of the most recent [[connectedComponents]]
+    * run (2 propagation steps each) — profiling visibility only. */
+  @volatile private[graft] var ccRoundsLastRun: Int = 0
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // Symmetrize in ONE pass over the pair plan (explode of the two
+    // directed copies): a union would read the — possibly expensive,
+    // not-yet-materialized — pair pipeline twice before the checkpoint.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint() // feeds every round; don't recompute the pairs
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed = round 1 fused into one groupBy (no join): every node of a
+    // symmetric edge list appears as src, so min(self, neighbors) here
+    // is exactly the first propagation step.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint()
+    // One min-label propagation step: each node takes the min of its own
+    // label and its neighbors' labels. The own-label arm rides the SAME
+    // groupBy as the neighbor arm (union, then one min) instead of a
+    // separate left-join-back — 2 shuffles per step, not 3, and when the
+    // label side is small AQE turns the dst-join into a broadcast, so
+    // the step costs a single shuffle of the edge list.
+    def step(l: DataFrame): DataFrame =
+      edges.join(l.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src"), col("label"))
+        .union(l.select(col("id").as("src"), col("label")))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
     // convergence metric: sum of labels, monotonically non-increasing.
     // Summed as DECIMAL(38,0): a LONG sum overflows (ANSI exception) once
     // ids·nodes pass 2^63 — e.g. 2^40-range ids on a ~10M-node graph.
-    var prevSum: java.math.BigDecimal = null
+    // Initialized from the (checkpointed, tiny-scan) seed so a seed that
+    // is already the fixpoint — star clusters, the dedup common case —
+    // converges after ONE probe iteration.
+    def labelSum(l: DataFrame): java.math.BigDecimal = l
+      .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)))
+      .head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        .select(col("src").as("id"), col("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      // TWO propagation steps per driver iteration: per-node labels only
+      // ever decrease, so "sum unchanged across the iteration" still
+      // implies no label moved in either step — and the loop pays half
+      // the checkpoints and fixpoint probes (the dominant cost is fixed
+      // per-job overhead once clusters are small).
+      val updated = step(step(labels)).localCheckpoint()
       // coalesce: sum over an empty frame is null (zero pairs → done)
-      val s = updated
-        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)))
-        .head.getDecimal(0)
+      val s = labelSum(updated)
       converged = s == prevSum
       prevSum = s
       labels = updated
       rounds += 1
     }
+    ccRoundsLastRun = rounds
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +

@@ -48,6 +48,39 @@ object Profile {
     time("ngram pairs full") {
       graft.operators.Dedup.ngramJaccardPairs(docs, maxDf = 20).count()
     }
+    val pairs = graft.operators.Dedup
+      .minhashVerifiedPairs(docs, threshold = 0.5, maxDf = 20)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    time("verified pairs (d44 input, checkpointed)") { pairs.count() }
+    time("connected components (d44 CC stage)") {
+      graft.operators.Dedup.connectedComponents(pairs).count()
+    }
+    println(s"[prof] cc probe iterations = ${graft.operators.Dedup.ccRoundsLastRun}")
+    // phase breakdown of the CC loop on the same input
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    time("cc: edges checkpoint") { edges.localCheckpoint().count() }
+    val edgesC = edges.localCheckpoint()
+    val seed = edgesC.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
+    time("cc: seed checkpoint") { seed.localCheckpoint().count() }
+    val seedC = seed.localCheckpoint()
+    time("cc: one sum probe") {
+      seedC.agg(sum(col("label").cast("decimal(38,0)"))).head; 1L
+    }
+    def ccStep(l: org.apache.spark.sql.DataFrame) =
+      edgesC.join(l.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src"), col("label"))
+        .union(l.select(col("id").as("src"), col("label")))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
+    time("cc: one double-step checkpoint") {
+      ccStep(ccStep(seedC)).localCheckpoint().count()
+    }
     spark.stop()
   }
 }
