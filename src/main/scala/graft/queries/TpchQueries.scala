@@ -367,6 +367,272 @@ object TpchQueries {
             count(lit(1)).as("n"))
       }),
 
+    // TPC-H Q7: volume shipping between two nations. Scale shape: the
+    // 2/25-nation restriction is applied to supplier and customer FIRST
+    // through broadcast dimension joins, so the dominant lineitem⋈orders
+    // shuffle runs on a fact side already reduced ~12× by the supplier
+    // cut; the pair disjunction (only ~half the joined rows survive)
+    // filters after both nations are attached.
+    Q("q124_tpch_q7", Some(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      (s, d) => {
+        val rev = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        val nations = Tables.load(s, d, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey"), col("n_name"))
+        val supp = Tables.load(s, d, "supplier")
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables.load(s, d, "customer")
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables.load(s, d, "lineitem")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      }),
+
+    // TPC-H Q8: national market share inside a region's market for one
+    // part type. The part cut (1/6) broadcasts into the fact scan first;
+    // the customer side is restricted to the region through the
+    // broadcast nation⋈region dimension before its shuffle join.
+    Q("q125_tpch_q8", Some(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part     ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region   ON cn.n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin),
+      (s, d) => {
+        val rev = dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast("decimal(8,2)")
+        val europe = Tables.load(s, d, "nation")
+          .join(Tables.load(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("n_nationkey").as("cn_key"))
+        val cust = Tables.load(s, d, "customer")
+          .join(broadcast(europe), col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"))
+        val suppNation = Tables.load(s, d, "supplier")
+          .join(broadcast(Tables.load(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        Tables.load(s, d, "lineitem")
+          .join(broadcast(Tables.load(s, d, "part")
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+              / sum(rev).cast("double")).as("mkt_share"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_year"))
+      }),
+
+    // TPC-H Q13: customer order-count distribution — the filtered LEFT
+    // join + double aggregation shape (customers with zero orders must
+    // survive into the c_count=0 bucket).
+    Q("q126_tpch_q13", Some(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      (s, d) => {
+        val perCust = Tables.load(s, d, "customer").select(col("c_custkey"))
+          .join(Tables.load(s, d, "orders")
+            .filter(col("o_orderstatus") =!= "P")
+            .select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      }),
+
+    // TPC-H Q17: small-quantity-order revenue. The correlated per-part
+    // average is a groupBy at part grain joined back — and it runs over
+    // the fact rows ALREADY semi-joined to the broadcast part cut (the
+    // filter is on part attributes only, so per-part averages over the
+    // reduced set equal the unfiltered ones). The quantity predicate is
+    // integer-rescaled (5·qty < avg) so no 0.2 literal exists to drift.
+    Q("q127_tpch_q17", Some(
+      """WITH pk AS (SELECT p_partkey FROM part
+        |            WHERE p_brand = 'Brand#12' AND p_size < 25),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |       FROM lineitem JOIN pk ON p_partkey = l_partkey),
+        |pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+        |       FROM li GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7
+        |    AS avg_yearly,
+        |  count(*) AS n
+        |FROM li JOIN pa USING (l_partkey)
+        |WHERE 5 * l_quantity < avg_qty""".stripMargin),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .join(broadcast(Tables.load(s, d, "part")
+            .filter(col("p_brand") === "Brand#12" && col("p_size") < 25)
+            .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(perPart, Seq("l_partkey"))
+          .filter(lit(5) * col("l_quantity") < col("avg_qty"))
+          .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7))
+            .as("avg_yearly"),
+            count(lit(1)).as("n"))
+      }),
+
+    // TPC-H Q4 shape: order-priority checking. The reference predicate
+    // (l_commitdate < l_receiptdate) has no column here; "shipped more
+    // than 60 days after ordering" keeps the same correlated-EXISTS-
+    // with-inequality plan (left-semi with a mixed condition).
+    Q("q128_tpch_q4", Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS order_count
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+            |  AND EXISTS (SELECT 1 FROM lineitem
+            |              WHERE l_orderkey = o_orderkey
+            |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      }),
+
+    // TPC-H Q21 shape: suppliers who were the ONLY supplier with a
+    // returned line on a multi-supplier finished order — the double
+    // correlated self-join (EXISTS + NOT EXISTS against the same fact
+    // table) that stresses semi/anti-join planning. The reference's
+    // late-delivery predicate maps to l_returnflag = 'R'.
+    Q("q129_tpch_q21", Some(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT s_name, count(*) AS numwait
+            |FROM supplier
+            |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            |JOIN orders ON o_orderkey = l1.l_orderkey
+            |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            |  AND EXISTS (SELECT 1 FROM lineitem l2
+            |              WHERE l2.l_orderkey = l1.l_orderkey
+            |                AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            |                  WHERE l3.l_orderkey = l1.l_orderkey
+            |                    AND l3.l_suppkey <> l1.l_suppkey
+            |                    AND l3.l_returnflag = 'R')
+            |GROUP BY s_name
+            |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      }),
+
+    // TPC-H Q22 shape: rich customers with no large orders — scalar
+    // subquery threshold + NOT EXISTS anti-join, grouped by nation.
+    // (The reference's "no orders at all" returns zero rows on this
+    // synthetic data, where every customer has orders; "no order over
+    // 250k" keeps the identical plan with a non-empty result.)
+    Q("q130_tpch_q22", Some(
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 250000)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT c_nationkey, count(*) AS numcust,
+            |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            |FROM customer
+            |WHERE c_acctbal > (
+            |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |           / count(*)
+            |    FROM customer WHERE c_acctbal > 0)
+            |  AND NOT EXISTS (SELECT 1 FROM orders
+            |                  WHERE o_custkey = c_custkey
+            |                    AND o_totalprice > 250000)
+            |GROUP BY c_nationkey
+            |ORDER BY c_nationkey""".stripMargin)
+      }),
+
     // date/time functions over order dates
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
