@@ -170,4 +170,33 @@ object Curation {
       .select(col("doc_id"), col("source"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** Temperature-based domain reweighting (the α=0.5 point of the
+    * p_i ∝ n_i^α family — unigram-LM / DoReMi-style smoothing that
+    * up-weights small domains): per-source sampling weights and an
+    * integer token-budget allocation proportional to √n_i.
+    *
+    * Determinism contract: √n on an exact integer is a single
+    * correctly-rounded IEEE op (identical on every engine), and it is
+    * immediately floor-scaled to an int64 (× 10⁶) so ALL downstream
+    * arithmetic — the Σw normalizer, the budget split — is exact
+    * integer math. No double is ever summed, so partial-aggregation
+    * order cannot drift a bit. The per-source share is one final
+    * int÷int double division. Group count = #domains (tiny); one
+    * aggregate over the corpus. */
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    val w = floor(sqrt(col("n").cast("double")) * 1e6).cast("bigint")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"), w.as("w"))
+    val tot = counts.agg(sum(col("w")).as("sw"))
+    counts.crossJoin(tot) // 1-row normalizer; no data skew possible
+      .select(col("source"), col("n"),
+        (col("w").cast("double") / col("sw").cast("double")).as("share"),
+        // integer division (Spark DIV ≡ DuckDB // on positives): `/` on
+        // int64 yields a DOUBLE quotient in both engines, and a floor
+        // of that double can be off by one ulp across engines
+        expr(s"CAST(($budget * w) DIV sw AS BIGINT)").as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -116,4 +116,16 @@ object Snapshot {
     require(generations.nonEmpty, "unionEvolve needs at least one input")
     generations.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Time travel: the snapshot as of change-sequence `upTo` — replay
+    * only the log prefix seq ≤ upTo onto the base. Because the change
+    * log is reduced per key by max_by BEFORE the merge join, the
+    * filter composes with cdcMerge for free: the predicate is pushable
+    * to the log scan (at 100 TB that is a partition-pruned read of an
+    * LSN/date-partitioned log), and nothing about the merge changes.
+    * Same contract as table-format time travel (Iceberg/Delta "VERSION
+    * AS OF"), without a manifest: any historical state is a filter. */
+  def asOf(base: DataFrame, changes: DataFrame,
+      key: String, op: String, seq: String, upTo: Long): DataFrame =
+    cdcMerge(base, changes.filter(col(seq) <= upTo), key, op, seq)
 }

@@ -183,6 +183,43 @@ object PipelineQueries {
           .orderBy(col("check_name"))
       }),
 
+    // one BPE-training merge step: adjacent character pairs ranked by
+    // corpus frequency, counted over the DISTINCT-word frequency table
+    // (sublinear in corpus size), weighted by word count. Both engines
+    // enumerate pairs as substr(word, i, 2) over i ∈ [1, len-1].
+    Q("q132_bpe_step", Some(
+      """WITH wc AS (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(word, CAST(i AS BIGINT), 2) AS pair, cnt
+        |  FROM wc, unnest(range(1, CAST(len(word) AS BIGINT))) AS t(i)
+        |  WHERE len(word) >= 2)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_cnt DESC, pair LIMIT 20""".stripMargin),
+      (s, d) => graft.operators.Vocab.bpeTopMerges(
+        Tables.load(s, d, "documents"), k = 20)),
+
+    // temperature-based domain reweighting (p ∝ √n): per-source share
+    // and integer token-budget allocation. √n is floor-scaled to int64
+    // immediately, so the normalizer and the split are exact integer
+    // math — no double is ever summed (see Curation.temperatureMix).
+    Q("q133_temperature_mix", Some(
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |      FROM c),
+        |t AS (SELECT sum(w) AS sw FROM w)
+        |SELECT source, n,
+        |       CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) AS share,
+        |       CAST((1000000 * w) // sw AS BIGINT) AS alloc_tokens
+        |FROM w, t ORDER BY source""".stripMargin),
+      (s, d) => graft.operators.Curation.temperatureMix(
+        Tables.load(s, d, "documents"), budget = 1000000L)),
+
     // exact distributed heavy hitters over the token stream: per-partition
     // Misra–Gries summaries propose candidates, an exact recount + the
     // integer support filter keeps precisely the true heavy hitters — so

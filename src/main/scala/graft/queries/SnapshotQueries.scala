@@ -23,15 +23,16 @@ object SnapshotQueries {
     * reduction and the base snapshot, reused by q99 (batch merge),
     * q107 (streaming merge — same final state), and q108 (diff of the
     * merge against its base), so the three gates cannot drift. */
-  private val mergeCtes =
-    """latest AS (
-      |  SELECT user_id AS id,
-      |         arg_max(struct_pack(
-      |           op := CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
-      |           val := value), event_id) AS ch
-      |  FROM events GROUP BY user_id),
-      |b AS (SELECT s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS val
-      |      FROM supplier)""".stripMargin
+  private def mergeCtesWhere(logWhere: String): String =
+    s"""latest AS (
+       |  SELECT user_id AS id,
+       |         arg_max(struct_pack(
+       |           op := CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
+       |           val := value), event_id) AS ch
+       |  FROM events $logWhere GROUP BY user_id),
+       |b AS (SELECT s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS val
+       |      FROM supplier)""".stripMargin
+  private val mergeCtes = mergeCtesWhere("")
 
   /** The merged snapshot rows (id, val) from those CTEs. */
   private val mergedSelect =
@@ -89,6 +90,23 @@ object SnapshotQueries {
           s"q107: CDC stream produced no snap_* dirs under $snapRoot")
         s.read.parquet(snaps.last.getAbsolutePath).orderBy(col("id"))
       }),
+
+    // time travel: the snapshot AS OF change-sequence 5000 — the merge
+    // replays only the log prefix (a pushable filter; at 100 TB a
+    // partition-pruned read of an LSN-partitioned log). Same oracle
+    // CTEs with the prefix predicate injected, so the two gates share
+    // one merge definition.
+    Q("q131_time_travel", Some(
+      s"""WITH ${mergeCtesWhere("WHERE event_id <= 5000")}
+         |SELECT COALESCE(b.id, l.id) AS id,
+         |       COALESCE(l.ch.val, b.val) AS val,
+         |       CASE WHEN l.id IS NULL THEN 'base' ELSE 'upsert' END AS row_src
+         |FROM b FULL OUTER JOIN latest l ON b.id = l.id
+         |WHERE l.id IS NULL OR l.ch.op <> 'D'
+         |ORDER BY id""".stripMargin),
+      (s, d) => Snapshot.asOf(baseSnapshot(s, d), changeLog(s, d),
+          key = "id", op = "op", seq = "event_id", upTo = 5000L)
+        .orderBy(col("id"))),
 
     // row-level diff of the merged snapshot against its base: what did
     // the merge actually do to every key.

@@ -77,4 +77,20 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("temperatureMix: sqrt-weighted shares, exact integer allocation") {
+    import spark.implicits._
+    // srcA: 100 docs (w=10e6), srcB: 400 docs (w=20e6) → shares 1/3, 2/3
+    val docs = (Seq.fill(100)("srcA") ++ Seq.fill(400)("srcB"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureMix(docs, budget = 900L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toList
+    assert(out === List(
+      ("srcA", 100L, 1.0 / 3.0, 300L),
+      ("srcB", 400L, 2.0 / 3.0, 600L)))
+    // allocation never exceeds the budget (floor division per source)
+    assert(out.map(_._4).sum <= 900L)
+  }
 }

@@ -87,6 +87,22 @@ class SnapshotSpec extends SparkSpec {
     assert(out === Array("changed", "unchanged")) // null vs 1.0 differs; null==null doesn't
   }
 
+  test("asOf replays only the log prefix seq <= upTo") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "val")
+    val log = Seq(
+      (1L, "U", 11.0, 100L), // applied (seq <= 150)
+      (2L, "D", 0.0, 120L),  // applied: key 2 deleted at 150
+      (1L, "U", 12.0, 200L), // future: must NOT apply
+      (2L, "U", 22.0, 300L)  // future resurrect: must NOT apply
+    ).toDF("id", "op", "val", "event_id")
+    val at150 = Snapshot.asOf(base, log, "id", "op", "event_id", 150L)
+      .orderBy("id").select("id", "val").as[(Long, Double)].collect()
+    assert(at150 === Array((1L, 11.0)))
+    val at300 = Snapshot.asOf(base, log, "id", "op", "event_id", 300L)
+      .orderBy("id").select("id", "val").as[(Long, Double)].collect()
+    assert(at300 === Array((1L, 12.0), (2L, 22.0)))
+  }
+
   test("unionEvolve aligns by name and nulls columns missing from a generation") {
     val g1 = Seq((1L, "a")).toDF("id", "x")
     val g2 = Seq((2L, "b", 99L)).toDF("id", "x", "y")
