@@ -263,4 +263,47 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!names.exists(_.contains("CartesianProduct")), names)
     assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
   }
+
+  test("q124 TPC-H Q7 broadcasts the nation-restricted dimensions") {
+    // sf0.01: at sf0.001 the nation-pair cut is empty and AQE collapses
+    // the whole plan to EmptyRelationExec — nothing to assert on
+    val names = PlanInspect.nodeNames(
+      graft.SparkEntry.queries("q124_tpch_q7")(spark, sf001))
+    // supplier and customer cuts (and their nation joins) broadcast;
+    // no cartesian anywhere despite the pair disjunction
+    assert(names.count(_.contains("BroadcastHashJoin")) >= 3, names)
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("q125 TPC-H Q8 pushes the part-type cut to the scan") {
+    val plan = PlanInspect.formatted(run("q125_tpch_q8"))
+    assert("PushedFilters: \\[[^\\]]*p_type".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q126 TPC-H Q13 keeps the join condition out of a post-join filter") {
+    // the o_orderstatus <> 'P' predicate must be pushed to the orders
+    // scan, not evaluated after the left join (which would turn the
+    // LEFT join's semantics wrong or re-filter every joined row)
+    val plan = PlanInspect.formatted(run("q126_tpch_q13"))
+    assert("PushedFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q127 TPC-H Q17 broadcasts both the part cut and the per-part averages") {
+    val names = PlanInspect.nodeNames(run("q127_tpch_q17"))
+    assert(names.count(_.contains("BroadcastHashJoin")) >= 2, names)
+  }
+
+  test("q129 TPC-H Q21 plans EXISTS/NOT EXISTS as semi/anti joins — no cartesian") {
+    val names = PlanInspect.nodeNames(run("q129_tpch_q21"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("q123 heavy hitters recount is a semi-join against tiny candidates") {
+    val names = PlanInspect.nodeNames(run("q123_heavy_hitters"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("SortMergeJoin")), names) // candidates broadcast
+  }
 }
