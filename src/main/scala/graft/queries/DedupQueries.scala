@@ -102,6 +102,46 @@ object DedupQueries {
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
         .orderBy(col("doc_id"))),
 
+    // split-leakage audit: near-duplicate pairs that straddle the
+    // train/val/test assignment — the contamination mode that silently
+    // inflates eval scores. Composes the verified MinHash pair set with
+    // the deterministic hash split (both existing operators); the pair
+    // endpoints' splits are normalized least/greatest so each leak
+    // counts once. Oracle: exact-Jaccard pair CTEs (valid while LSH
+    // recall is 100% — rule 13, same contract as d44).
+    Q("q134_split_leakage", Some(
+      s"""WITH $ngramPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |sp AS (
+         |  SELECT CASE WHEN (id_a * 104729) % 100 < 80 THEN 'train'
+         |              WHEN (id_a * 104729) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS sa,
+         |         CASE WHEN (id_b * 104729) % 100 < 80 THEN 'train'
+         |              WHEN (id_b * 104729) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS sb
+         |  FROM pairs)
+         |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |       count(*) AS n_leaks
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        import graft.operators.Sampling
+        def splitOf(c: org.apache.spark.sql.Column) =
+          when(Sampling.hashBucket(c, 100) < 80, "train")
+            .when(Sampling.hashBucket(c, 100) < 90, "val")
+            .otherwise("test")
+        Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20)
+          .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_leaks"))
+          .orderBy(col("split_a"), col("split_b"))
+      }),
+
     // survivor selection: per duplicate cluster keep the highest-QUALITY
     // member (not the lowest id) — the policy real corpus builds use.
     // Composes connectedComponents with the quality score; one window

@@ -32,6 +32,41 @@ object TextQueries {
         punctCount(col("text")).as("n_punct"))
         .orderBy(col("doc_id"))),
 
+    // lexical-diversity stats: type/token ratio + hapax fraction per
+    // document — corpus-quality signals (low TTR = repetitive text).
+    // One explode + per-(doc, word) count + per-doc aggregate; all
+    // ratios are exact-int divisions, identical IEEE on both engines.
+    Q("t43_ttr", Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*)
+        |    AS hapax_frac
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val tf = docs(s, d)
+          .repartition(col("doc_id")) // row-amplifying explode (rule 6)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            count(when(col("c") === 1, 1)).cast("bigint").as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            col("n_hapax"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double"))
+              .as("ttr"),
+            (col("n_hapax").cast("double") / col("n_types").cast("double"))
+              .as("hapax_frac"))
+          .orderBy(col("doc_id"))
+      }),
+
     // n-gram-marker language ID (mechanism demo; corpus is EN-vocab)
     Q("t32_langid", Some(
       """WITH m AS (
