@@ -568,7 +568,7 @@ object Dedup {
     def labelSum(l: DataFrame): java.math.BigDecimal = l
       .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     var prevSum: java.math.BigDecimal = labelSum(labels)
     var rounds = 0
     var converged = false
@@ -594,6 +594,45 @@ object Dedup {
           "(rounds are cheap once clusters stabilize) rather than " +
           "accepting silently split clusters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Triangle census of the near-dup pair graph — the cluster-density
+    * signal: a high closure rate (triangles per wedge) means clusters
+    * are cliques (true duplicate groups); a low one means chains
+    * (threshold too loose, dissimilar docs bridged transitively).
+    *
+    * Distributed shape (Suri & Vassilvitskii, WWW 2011): with edges
+    * oriented id_a < id_b, each triangle a<b<c is counted exactly once
+    * by the wedge join (a,b)⋈(b,c) closed by a semi-join probe for
+    * (a,c) — two equi-joins, no enumeration of neighborhoods. Wedge
+    * totals come from the degree aggregate: W = Σ deg·(deg−1)/2.
+    * Integer arithmetic end-to-end; one final double division. */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint() // read by 2 join sides + probe + degree agg
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b2"), col("b").as("c")),
+        col("b") === col("b2"))
+      .select(col("a"), col("c"))
+    val triangles = wedges
+      .join(e.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // deg sums ride DECIMAL(38,0) (DuckDB mirror: HUGEINT): Σd(d−1) can
+    // pass 2^63 under hub degrees; both halvings are exact-even integers
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d").cast("decimal(38,0)")) / 2).cast("bigint").as("n_edges"),
+      (sum((col("d") * (col("d") - 1)).cast("decimal(38,0)")) / 2)
+        .cast("bigint").as("n_wedges"))
+    totals.crossJoin(triangles) // two 1-row frames
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
   /** Benchmark-contamination check — the decontamination step every

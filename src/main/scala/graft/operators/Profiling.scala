@@ -49,6 +49,48 @@ object Profiling {
       .orderBy(col("col_name"))
   }
 
+  /** Key-skew diagnostics: exact Gini coefficient, max key share, and
+    * cardinality of a key column — the pre-flight check before choosing
+    * a partitioning/salting strategy for a join or aggregation on that
+    * key.
+    *
+    * Scale shape: per-key counts (one shuffle at key grain) reduce to
+    * the COUNT-OF-COUNTS table, whose size is bounded by the number of
+    * distinct frequencies — O(√(2·rows)) worst case (~1.4M entries for
+    * 10¹² rows), so the single-partition rank window over it is safe at
+    * any corpus size. The Gini over grouped sorted counts is pure
+    * integer arithmetic until one final division:
+    *   G = 2·S/(k·T) − (k+1)/k,  S = Σ_groups c·(m·R + m(m+1)/2)
+    * (c = frequency, m = #keys with it, R = rank offset, k = #keys,
+    * T = rows) — exact on both engines, no double is ever summed. */
+  def keySkew(df: DataFrame, key: String): DataFrame = {
+    val tf = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val cc = tf.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    // rank offset R = #keys with smaller frequency (cumulative m)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = cc.select(col("c"), col("m"),
+      coalesce(sum(col("m")).over(w), lit(0L)).as("r"))
+    // S summed as DECIMAL(38,0): c·m·R can pass 2^63 on a trillion-row
+    // corpus (DuckDB's HUGEINT sum is the mirror). m(m+1) DIV 2 is an
+    // exact even integer division — `/` would detour through a double.
+    ranked.agg(
+        sum(col("m")).as("k"),
+        sum(col("c") * col("m")).as("t"),
+        max(col("c")).as("top_count"),
+        sum(col("c").cast("decimal(38,0)") * (col("m") * col("r")
+          + expr("(m * (m + 1)) DIV 2")).cast("decimal(38,0)")).as("s"))
+      .select(
+        col("k").as("n_keys"), col("t").as("n_rows"), col("top_count"),
+        (col("top_count").cast("double") / col("t").cast("double"))
+          .as("max_share"),
+        (lit(2) * col("s").cast("double")
+          / (col("k").cast("double") * col("t").cast("double"))
+          - (col("k") + 1).cast("double") / col("k").cast("double"))
+          .as("gini"))
+  }
+
   /** Declarative data-quality expectations (Deequ/Great-Expectations-
     * shaped): each row-level check is a boolean predicate counted in ONE
     * wide aggregation over the table — k checks never cost k scans.

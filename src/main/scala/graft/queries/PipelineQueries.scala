@@ -183,6 +183,66 @@ object PipelineQueries {
           .orderBy(col("check_name"))
       }),
 
+    // key-skew diagnostics over the events user key: exact Gini + max
+    // share from the COUNT-OF-COUNTS table (O(√rows) entries, so the
+    // rank window over it is safe at any scale); integer arithmetic
+    // until the two final divisions (see Profiling.keySkew).
+    Q("q135_key_skew", Some(
+      """WITH tf AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |cc AS (SELECT c, count(*) AS m FROM tf GROUP BY c),
+        |rk AS (SELECT c, m,
+        |         COALESCE(sum(m) OVER (ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        |       FROM cc),
+        |agg AS (SELECT CAST(sum(m) AS BIGINT) AS k,
+        |               CAST(sum(c * m) AS BIGINT) AS t,
+        |               max(c) AS top_count,
+        |               sum(c * (m * r + (m * (m + 1)) // 2)) AS s
+        |        FROM rk)
+        |SELECT k AS n_keys, t AS n_rows, top_count,
+        |  CAST(top_count AS DOUBLE) / CAST(t AS DOUBLE) AS max_share,
+        |  2 * CAST(s AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - CAST(k + 1 AS DOUBLE) / CAST(k AS DOUBLE) AS gini
+        |FROM agg""".stripMargin),
+      (s, d) => Profiling.keySkew(
+        Tables.load(s, d, "events"), key = "user_id")),
+
+    // triangle census of the near-dup graph: cluster-density audit
+    // (closure≈1 → clusters are cliques, i.e. true duplicate groups).
+    // Wedge join + semi-join probe, each triangle counted once under
+    // the a<b<c orientation; oracle replays the exact-Jaccard pair set
+    // (rule 13) with the same three-way join.
+    Q("q136_graph_triangles", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY v),
+         |tot AS (
+         |  SELECT count(*) AS n_nodes,
+         |         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         |         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+         |  FROM deg)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0.0e0
+         |       ELSE 3 * CAST(n_triangles AS DOUBLE)
+         |            / CAST(n_wedges AS DOUBLE) END AS closure_rate
+         |FROM tot, tri""".stripMargin),
+      (s, d) => graft.operators.Dedup.triangleCensus(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
     // one BPE-training merge step: adjacent character pairs ranked by
     // corpus frequency, counted over the DISTINCT-word frequency table
     // (sublinear in corpus size), weighted by word count. Both engines

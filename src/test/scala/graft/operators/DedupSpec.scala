@@ -206,4 +206,25 @@ class DedupSpec extends SparkSpec {
     assert(verified.keySet.subsetOf(exact.keySet))
     verified.foreach { case (k, v) => assert(v === exact(k)) }
   }
+
+  test("triangleCensus: triangle + pendant chain, hand-checked") {
+    import spark.implicits._
+    // triangle 1-2-3 plus chain edge 3-4:
+    // edges=4, wedges: deg(1,2,3,4)=(2,2,3,1) → 1+1+3+0 = 5,
+    // triangles=1, closure = 3/5
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.triangleCensus(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 4L, 5L, 1L)))
+    assert(r.getDouble(4) === 0.6)
+  }
+
+  test("triangleCensus: triangle-free graph reports zero closure") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.triangleCensus(path).collect().head
+    assert(r.getLong(3) === 0L)
+    assert(r.getDouble(4) === 0.0)
+  }
 }

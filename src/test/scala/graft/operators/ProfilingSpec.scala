@@ -58,6 +58,24 @@ class ProfilingSpec extends SparkSpec {
     assert((ok.getLong(2), ok.getBoolean(3)) === ((0L, true)))
   }
 
+  test("keySkew: exact Gini on a hand-computable distribution") {
+    // keys: a×1, b×1, c×2, d×4 → sorted counts (1,1,2,4), k=4, T=8
+    // S = Σ i·x_i = 1·1 + 2·1 + 3·2 + 4·4 = 25
+    // G = 2·25/(4·8) − 5/4 = 1.5625 − 1.25 = 0.3125
+    val rows = (Seq("a", "b") ++ Seq.fill(2)("c") ++ Seq.fill(4)("d"))
+      .toDF("k")
+    val r = Profiling.keySkew(rows, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 8L, 4L)))
+    assert(r.getDouble(3) === 0.5) // max_share = 4/8
+    assert(r.getDouble(4) === 0.3125)
+  }
+
+  test("keySkew: uniform keys have Gini 0") {
+    val rows = (0 until 6).map(i => s"k${i % 3}").toDF("k")
+    val r = Profiling.keySkew(rows, "k").collect().head
+    assert(r.getDouble(4) === 0.0)
+  }
+
   test("referentialExpectation counts orphan child rows") {
     val parent = Seq(10L, 30L).toDF("pk")
     val r = Profiling.referentialExpectation(df, "score", parent, "pk",
