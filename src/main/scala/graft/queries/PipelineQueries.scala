@@ -183,6 +183,49 @@ object PipelineQueries {
           .orderBy(col("check_name"))
       }),
 
+    // robust outlier detection: per-group median + MAD over the integral
+    // quantity column, outliers = |x − med| > 1.5·MAD. Every value lives
+    // on the half-integer grid (binary-exact), interpolated medians
+    // included, so both engines compute identical doubles with no
+    // decimal plumbing. Two grain-level aggregates + broadcast-size
+    // joins back — no window over the fact table.
+    Q("q137_mad_outliers", Some(
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS med_qty
+        |  FROM lineitem GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT l.l_returnflag, abs(l.l_quantity - m.med_qty) AS ad,
+        |         m.med_qty
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+        |mad AS (
+        |  SELECT l_returnflag, median(ad) AS mad_qty FROM dev GROUP BY l_returnflag)
+        |SELECT d.l_returnflag,
+        |       CAST(d.med_qty AS DOUBLE) AS med_qty,
+        |       CAST(a.mad_qty AS DOUBLE) AS mad_qty,
+        |       CAST(count(*) FILTER (WHERE d.ad > 1.5 * a.mad_qty) AS BIGINT)
+        |         AS n_outliers,
+        |       count(*) AS n
+        |FROM dev d JOIN mad a ON d.l_returnflag = a.l_returnflag
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(median(col("l_quantity")).as("med_qty"))
+        val dev = li.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("med_qty"),
+            abs(col("l_quantity") - col("med_qty")).as("ad"))
+        val mad = dev.groupBy(col("l_returnflag"))
+          .agg(median(col("ad")).as("mad_qty"))
+        dev.join(broadcast(mad), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("med_qty").cast("double").as("med_qty"),
+            col("mad_qty").cast("double").as("mad_qty"))
+          .agg(count(when(col("ad") > lit(1.5) * col("mad_qty"), 1))
+            .cast("bigint").as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      }),
+
     // key-skew diagnostics over the events user key: exact Gini + max
     // share from the COUNT-OF-COUNTS table (O(√rows) entries, so the
     // rank window over it is safe at any scale); integer arithmetic
