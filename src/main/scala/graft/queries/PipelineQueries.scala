@@ -404,6 +404,26 @@ object PipelineQueries {
         formatRoundtripAgg(s.read.orc(p))
       }),
 
+    // small-file compaction: fragment documents into 64 tiny parquet
+    // files (a streaming sink's debris), compact to a handful with NO
+    // shuffle (coalesce), and aggregate the read-back. Equality with
+    // the original-table oracle is the losslessness property; the spec
+    // asserts the file-count collapse.
+    Q("q138_compaction", Some(formatRoundtripOracle),
+      (s, d) => {
+        import graft.operators.Maintenance
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val frag = Staging.sinkDir("frag_" + tag) + "/docs_frag"
+        val compacted = Staging.sinkDir("frag_" + tag) + "/docs_compact"
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        Maintenance.compactParquet(s, frag, compacted,
+          targetFileBytes = 4L * 1024 * 1024)
+        formatRoundtripAgg(s.read.parquet(compacted))
+      }),
+
     Q("q94_csv_roundtrip", Some(formatRoundtripOracle),
       (s, d) => {
         val p = Staging.sinkDir("csv_" + d.replaceAll("[^A-Za-z0-9]", "_")) +
