@@ -211,19 +211,26 @@ object EventPipeline {
     * contract, same as the running-ledger query. */
   def startCdcUpsertQuery(
       spark: SparkSession, chunksDir: String, snapRoot: String,
-      base: DataFrame) = {
-    val stale = Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
-    stale.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      base: DataFrame, checkpoint: Option[String] = None) = {
+    // purge snapshots from earlier RUNS only on a fresh start: a
+    // checkpointed RESTART must find snap_{lastBatch} intact — that is
+    // the very state the resumed batch chain folds onto
+    if (checkpoint.isEmpty) {
+      val stale = Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      stale.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
       }
-      rm(d)
     }
     withStreamPartitions(spark, 8) {
-      eventsStream(spark, chunksDir, maxFilesPerTrigger = Some(1))
+      val writer = eventsStream(spark, chunksDir, maxFilesPerTrigger = Some(1))
         .writeStream
         .outputMode(OutputMode.Append)
+      checkpoint.foreach(c => writer.option("checkpointLocation", c))
+      writer
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val prev =
             if (batchId == 0) base

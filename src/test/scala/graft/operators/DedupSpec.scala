@@ -123,6 +123,37 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents matches union-find on seeded random graphs") {
+    // deterministic pseudo-random graphs of varying density, checked
+    // against a driver-side union-find reference — guards the loop's
+    // seed fusion / double-step / fixpoint-probe interplay on shapes
+    // (long chains, hubs, isolated pairs) the hand-written cases miss
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val density = trial * 25
+      val pairs = (for {
+        _ <- 0 until density
+        a = rng.nextInt(n).toLong
+        b = rng.nextInt(n).toLong
+        if a != b
+      } yield (math.min(a, b), math.max(a, b))).distinct
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial=$trial density=$density")
+    }
+  }
+
   test("candidates→verify minhash equals the brute-force pair set, with exact values") {
     val verified = Dedup.minhashVerifiedPairs(docs, threshold = 0.5, maxDf = 20)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -43,4 +43,18 @@ class FrequencySpec extends SparkSpec {
     // k=1 → support > 1/2: only 'a', with its EXACT count
     assert(run(items, 1, 3) === Set(("a", 7L)))
   }
+
+  test("heavyHitters equals the exact answer on seeded Zipf streams") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // Zipf-ish: item i drawn with probability ∝ 1/(i+1)
+      val items = Seq.fill(1500) {
+        val u = rng.nextDouble()
+        s"w${(1.0 / u).toInt % 40}"
+      }
+      for (k <- Seq(3, 9, 24)) {
+        assert(run(items, k, 7) === exact(items, k), s"trial=$trial k=$k")
+      }
+    }
+  }
 }

@@ -207,6 +207,61 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("CDC upsert stream resumes exactly-once from its checkpoint") {
+    import org.apache.spark.sql.functions.{col, when}
+    import java.nio.file.Files
+    val chunks = new java.io.File(EventPipeline.cdcChunksDir(spark, sf0001))
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dir = Files.createTempDirectory("graft_restart_src").toFile
+    val snapRoot = Files.createTempDirectory("graft_restart_snap").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val base = graft.Tables.load(spark, sf0001, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_acctbal").cast("double").as("val"))
+
+    // session 1: only the first chunk is visible
+    Files.copy(chunks(0).toPath, new java.io.File(dir, chunks(0).getName).toPath)
+    val q1 = EventPipeline.startCdcUpsertQuery(
+      spark, dir.toString, snapRoot, base, checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    val snap0 = new java.io.File(snapRoot, "snap_0")
+    assert(snap0.isDirectory)
+    val snap0Files = snap0.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+
+    // session 2: remaining chunks arrive; SAME checkpoint → the source
+    // must resume at batch 1 without replaying chunk 0.
+    // Files.copy stamps NOW as mtime on both copies — restore the
+    // 2-second stagger or the file source may batch chunk 2 before
+    // chunk 1 (it orders by modification time), folding the LSN chunks
+    // out of order.
+    val t0 = System.currentTimeMillis()
+    chunks.drop(1).zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(dir, f.getName)
+      Files.copy(f.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 2000L)
+    }
+    val q2 = EventPipeline.startCdcUpsertQuery(
+      spark, dir.toString, snapRoot, base, checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // chunk 0's snapshot was not rewritten (exactly-once, not at-least-once)
+    val after = snap0.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    assert(after === snap0Files)
+    // the resumed chain folded the new batches onto the surviving state
+    assert(new java.io.File(snapRoot, "snap_2").isDirectory)
+    val streamed = spark.read.parquet(s"$snapRoot/snap_2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val changes = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as("id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value").as("val"), col("event_id"))
+    val batch = graft.operators.Snapshot
+      .cdcMerge(base, changes, "id", "op", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("q84 registered query is re-runnable in one session (bench runs it twice)") {
     // r02's bench hit a read-back failure on a repeated in-JVM invocation;
     // this pins the fixed lifecycle: same session, same Staging dirs, twice.
