@@ -186,9 +186,13 @@ object Curation {
     * aggregate over the corpus. */
   def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
     val w = floor(sqrt(col("n").cast("double")) * 1e6).cast("bigint")
+    // materialized once: the normalizer aggregate would otherwise
+    // recompute the whole corpus scan (rule 5); the table is #domains
+    // rows, so the checkpoint is free
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .select(col("source"), col("n"), w.as("w"))
+      .localCheckpoint()
     val tot = counts.agg(sum(col("w")).as("sw"))
     counts.crossJoin(tot) // 1-row normalizer; no data skew possible
       .select(col("source"), col("n"),
