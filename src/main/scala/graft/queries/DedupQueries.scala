@@ -142,6 +142,63 @@ object DedupQueries {
           .orderBy(col("split_a"), col("split_b"))
       }),
 
+    // split decontamination — the FIX for what q134 audits: drop every
+    // val/test document near-dup with ANY train document (train keeps
+    // its copy; eval must not see it). One anti-join of the eval side
+    // against the train-contaminated endpoint set; per-split summary.
+    Q("q139_decontaminate_splits", Some(
+      s"""WITH $ngramPairCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN (doc_id * 104729) % 100 < 80 THEN 'train'
+         |              WHEN (doc_id * 104729) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |sym AS (SELECT id_a AS v, id_b AS o FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |bad AS (
+         |  SELECT DISTINCT s.v AS doc_id
+         |  FROM sym s
+         |  JOIN sp pv ON pv.doc_id = s.v
+         |  JOIN sp po ON po.doc_id = s.o
+         |  WHERE po.split = 'train' AND pv.split <> 'train')
+         |SELECT split, count(*) AS n_total,
+         |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM bad))
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         |    AS BIGINT) AS n_kept
+         |FROM sp WHERE split <> 'train'
+         |GROUP BY split ORDER BY split""".stripMargin),
+      (s, d) => {
+        import graft.operators.Sampling
+        def splitOf(c: org.apache.spark.sql.Column) =
+          when(Sampling.hashBucket(c, 100) < 80, "train")
+            .when(Sampling.hashBucket(c, 100) < 90, "val")
+            .otherwise("test")
+        val pairs = Dedup
+          .minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20)
+          .select(col("id_a"), col("id_b"))
+        val sym = pairs.select(explode(array(
+            struct(col("id_a").as("v"), col("id_b").as("o")),
+            struct(col("id_b").as("v"), col("id_a").as("o")))).as("e"))
+          .select(col("e.v").as("v"), col("e.o").as("o"))
+        val bad = sym
+          .filter(splitOf(col("o")) === "train" && splitOf(col("v")) =!= "train")
+          .select(col("v").as("doc_id")).distinct()
+        docs(s, d).select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+          .filter(col("split") =!= "train")
+          .join(bad.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_total"),
+            count(col("bad")).cast("bigint").as("n_dropped"),
+            count(when(col("bad").isNull, 1)).cast("bigint").as("n_kept"))
+          .orderBy(col("split"))
+      }),
+
     // survivor selection: per duplicate cluster keep the highest-QUALITY
     // member (not the lowest id) — the policy real corpus builds use.
     // Composes connectedComponents with the quality score; one window
