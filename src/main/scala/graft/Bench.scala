@@ -27,7 +27,9 @@ object Bench {
     "q99_cdc_merge", "q100_scd2_history", "s44_knn_rp", "s45_kmeans_step",
     "q102_zorder_layout", "q103_funnel", "q106_hist_percentile",
     "q107_stream_cdc_upsert", "d52_editdist_join", "s46_pq_adc",
-    "q115_tpch_q10", "q117_tpch_q18", "q120_gapfill")
+    "q115_tpch_q10", "q117_tpch_q18", "q120_gapfill",
+    "q123_heavy_hitters", "q124_tpch_q7", "q129_tpch_q21",
+    "q132_bpe_step", "q136_graph_triangles", "t44_bigram_familiarity")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

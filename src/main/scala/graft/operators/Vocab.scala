@@ -35,15 +35,52 @@ object Vocab {
       .otherwise(transform(sequence(lit(1), length(w) - 1),
         i => w.substr(i, lit(2))))
 
+  /** Corpus-wide adjacent-character-pair counts, weighted by word
+    * frequency — computed over the distinct-word table. */
+  def bigramCounts(docs: DataFrame, text: Column = col("text")): DataFrame =
+    wordCounts(docs, text)
+      .select(col("cnt"), explode(charPairs(col("word"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_cnt"))
+
   /** Top-k BPE merge candidates: adjacent character pairs ranked by
     * corpus frequency (Σ over words of word_freq × in-word occurrences).
     * Single-character words contribute nothing (empty pair array). */
   def bpeTopMerges(docs: DataFrame, k: Int,
-      text: Column = col("text")): DataFrame = {
-    val wc = wordCounts(docs, text)
-    wc.select(col("cnt"), explode(charPairs(col("word"))).as("pair"))
-      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_cnt"))
+      text: Column = col("text")): DataFrame =
+    bigramCounts(docs, text)
       .orderBy(col("pair_cnt").desc, col("pair"))
       .limit(k)
+
+  /** Character-bigram familiarity: per document, the mean corpus
+    * frequency of its char bigrams (with multiplicity) — a cheap
+    * fluency/noise proxy: garbled or non-language text is built from
+    * rare character transitions and scores low.
+    *
+    * The corpus model is [[bigramCounts]] (distinct-word weighted, so
+    * building it is sublinear in corpus size); its vocabulary is tiny
+    * (≤ alphabet², and in practice a few thousand pairs), so the
+    * per-document join is a broadcast. familiarity = Σcnt / n is an
+    * exact-int division. Documents with no bigram (all 1-char tokens)
+    * are reported with familiarity 0 rather than dropped. */
+  def bigramFamiliarity(docs: DataFrame, id: Column = col("doc_id"),
+      text: Column = col("text")): DataFrame = {
+    val model = broadcast(bigramCounts(docs, text))
+    val docPairs = docs
+      .repartition(id) // row-amplifying double explode (rule 6)
+      .select(id.as("doc_id"), explode(
+        graft.functions.TextFunctions.tokens(text)).as("word"))
+      .select(col("doc_id"), explode(charPairs(col("word"))).as("pair"))
+    docs.select(id.as("doc_id"))
+      .join(
+        docPairs.join(model, Seq("pair"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("pair_cnt")).as("sum_cnt")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_cnt").cast("double")
+          / col("n_bigrams").cast("double"), lit(0.0)).as("familiarity"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -67,6 +67,41 @@ object TextQueries {
           .orderBy(col("doc_id"))
       }),
 
+    // char-bigram familiarity: mean corpus frequency of each document's
+    // character transitions — the cheap fluency/noise proxy (garbled
+    // text is made of rare bigrams). Corpus model counts over the
+    // DISTINCT-word table (q132's machinery); per-doc join broadcasts
+    // the tiny bigram vocabulary. Σcnt/n is an exact-int division.
+    Q("t44_bigram_familiarity", Some(
+      """WITH wc AS (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |model AS (
+        |  SELECT substr(word, CAST(i AS BIGINT), 2) AS pair,
+        |         CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        |  FROM wc, unnest(range(1, CAST(len(word) AS BIGINT))) AS t(i)
+        |  WHERE len(word) >= 2 GROUP BY 1),
+        |dp AS (
+        |  SELECT doc_id, substr(word, CAST(i AS BIGINT), 2) AS pair
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS word
+        |        FROM documents),
+        |       unnest(range(1, CAST(len(word) AS BIGINT))) AS t(i)
+        |  WHERE len(word) >= 2),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(pair_cnt) AS BIGINT) AS sum_cnt
+        |  FROM dp JOIN model USING (pair) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(CAST(p.sum_cnt AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE),
+        |           0.0e0) AS familiarity
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => graft.operators.Vocab.bigramFamiliarity(docs(s, d))),
+
     // n-gram-marker language ID (mechanism demo; corpus is EN-vocab)
     Q("t32_langid", Some(
       """WITH m AS (

@@ -26,4 +26,17 @@ class VocabSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(out === List(("aa", 4L)))
   }
+
+  test("bigramFamiliarity: common transitions score high, rare ones low") {
+    // corpus: 'ab' appears in 3 words, 'xq' in 1
+    val docs = Seq((0L, "abc abd"), (1L, "abe"), (2L, "xq"), (3L, "a"))
+      .toDF("doc_id", "text")
+    // model: ab=3, bc=1, bd=1, be=1, xq=1
+    val out = Vocab.bigramFamiliarity(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) === ((4L, (3 + 1 + 3 + 1) / 4.0))) // ab,bc,ab,bd
+    assert(out(1L) === ((2L, (3 + 1) / 2.0)))
+    assert(out(2L) === ((1L, 1.0)))   // all-rare doc scores the floor
+    assert(out(3L) === ((0L, 0.0)))   // no bigrams at all → reported, 0
+  }
 }
