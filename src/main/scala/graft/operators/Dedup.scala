@@ -39,6 +39,22 @@ object Dedup {
       .select(col("doc_id"),
         explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh"))
 
+  /** (doc_id, 64-bit shingle hash) exploded table — the minhash
+    * family's working set. Shingles hash INSIDE the per-doc array
+    * BEFORE the explode (Broder's hashed-shingle practice; same move
+    * as duplicatedSpanStats' window hashing): every downstream
+    * shuffle, checkpoint and join carries 8 bytes per shingle instead
+    * of an n-word string, at negligible collision probability. The
+    * exact-Jaccard reference (ngramJaccardPairs) deliberately stays
+    * string-keyed, so tools.RecallCheck keeps an independent witness
+    * that the hashed pipeline loses nothing. */
+  private def shingleHashTable(docs: DataFrame, n: Int): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        transform(TextFunctions.shinglesFromTokens(col("toks"), n),
+          s => xxhash64(s))).as("sh"))
+
   /** Exact dedup: one surviving row id per distinct canonical content.
     * `fp` is any fingerprint column (md5, canonical md5, rolling hash). */
   def exactGroups(docs: DataFrame, fp: Column): DataFrame =
@@ -58,7 +74,7 @@ object Dedup {
     * distinct word 3-gram shingles. One explode + one groupBy — two
     * shuffles total regardless of corpus size. */
   def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame =
-    signaturesFromShingles(shingleTable(docs, shingleN), k)
+    signaturesFromShingles(shingleHashTable(docs, shingleN), k)
       .select(col("doc_id"), col("sig"))
 
   /** Signatures from an already-materialized (doc_id, sh) table — lets a
@@ -69,13 +85,11 @@ object Dedup {
     * riding this groupBy saves it a second full aggregation over the
     * exploded table plus a checkpoint. */
   private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
-    // One xxhash64 over the shingle STRING, then the k draws re-hash the
-    // resulting 8-byte long — k independent min-hash families at the
-    // cost of one string hash + k long hashes per shingle (hashing the
-    // variable-length string k times dominated this stage's CPU).
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    sh.withColumn("h", xxhash64(col("sh")))
-      .groupBy(col("doc_id"))
+    // `sh` is already the 64-bit shingle hash (shingleHashTable), so
+    // the k min-hash draws are k seeded re-hashes of an 8-byte long —
+    // the string was hashed exactly once, inside the explode array.
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"), mins: _*)
       .select(col("doc_id"), col("sz"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -179,7 +193,7 @@ object Dedup {
   def verifyPairsByJaccard(
       docs: DataFrame, cands: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame =
-    verifyFromShingles(shingleTable(docs, n).localCheckpoint(), cands,
+    verifyFromShingles(shingleHashTable(docs, n).localCheckpoint(), cands,
       threshold, maxDf)
 
   private def verifyFromShingles(
@@ -246,7 +260,7 @@ object Dedup {
     // carries the per-doc set sizes, so the verify stage's sizes table
     // is a free projection of the checkpointed signatures instead of a
     // second aggregation over the exploded table.
-    val ex = shingleTable(docs, shingleN).localCheckpoint()
+    val ex = shingleHashTable(docs, shingleN).localCheckpoint()
     val sigs = signaturesFromShingles(ex, k)
       .localCheckpoint() // feeds the candidate stage AND four size joins
     val cands = candidatesFromSignatures(
@@ -447,7 +461,7 @@ object Dedup {
     * Jaccard family: one explode, one groupBy for first occurrence, one
     * equi-join back. */
   def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ex = shingleTable(docs, n).localCheckpoint() // first-id AND per-doc
+    val ex = shingleHashTable(docs, n).localCheckpoint() // first-id AND per-doc
     val first = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
     ex.join(first, Seq("sh"))
       .groupBy(col("doc_id"))
