@@ -560,7 +560,8 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("id"), col("label"))
-      .localCheckpoint()
+    // (checkpointed just below, with the seed's fixpoint metric riding
+    // the same job)
     // One min-label propagation step: each node takes the min of its own
     // label and its neighbors' labels. The own-label arm rides the SAME
     // groupBy as the neighbor arm (union, then one min) instead of a
@@ -576,14 +577,23 @@ object Dedup {
     // convergence metric: sum of labels, monotonically non-increasing.
     // Summed as DECIMAL(38,0): a LONG sum overflows (ANSI exception) once
     // ids·nodes pass 2^63 — e.g. 2^40-range ids on a ~10M-node graph.
-    // Initialized from the (checkpointed, tiny-scan) seed so a seed that
-    // is already the fixpoint — star clusters, the dedup common case —
-    // converges after ONE probe iteration.
-    def labelSum(l: DataFrame): java.math.BigDecimal = l
-      .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO)))
-      .head().getDecimal(0)
-    var prevSum: java.math.BigDecimal = labelSum(labels)
+    // The sum RIDES the checkpoint job as an Observation metric — the
+    // fixpoint probe costs zero extra actions (it used to be a separate
+    // scan of the labels per round). Initialized from the seed so a seed
+    // that is already the fixpoint — star clusters, the dedup common
+    // case — converges after ONE probe iteration.
+    def checkpointWithSum(l: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = l.observe(obs,
+        sum(col("label").cast("decimal(38,0)")).as("s")).localCheckpoint()
+      // observe's sum is null on an empty frame (zero pairs → done)
+      val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      (ck, s)
+    }
+    val (seed, seedSum) = checkpointWithSum(labels)
+    labels = seed
+    var prevSum: java.math.BigDecimal = seedSum
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -592,9 +602,7 @@ object Dedup {
       // implies no label moved in either step — and the loop pays half
       // the checkpoints and fixpoint probes (the dominant cost is fixed
       // per-job overhead once clusters are small).
-      val updated = step(step(labels)).localCheckpoint()
-      // coalesce: sum over an empty frame is null (zero pairs → done)
-      val s = labelSum(updated)
+      val (updated, s) = checkpointWithSum(step(step(labels)))
       converged = s == prevSum
       prevSum = s
       labels = updated
