@@ -42,6 +42,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Whole-stage-codegen compile cache (static conf, default 100
+      // entries). 161 registered queries × several codegen stages each
+      // evict constantly at 100, so BOTH samples of every query pay
+      // Janino recompiles — measured ~0.9 s on d38 (2.89 s in-suite vs
+      // 1.96 s isolated-warm) and the round-5 q22/q13/q15/q74
+      // "regressions" appeared exactly when the suite grew 108→161.
+      // Standard tuning for a many-distinct-query workload, same knob
+      // you'd set on a shared cluster.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region: without this the

@@ -48,7 +48,7 @@ object Dedup {
     * exact-Jaccard reference (ngramJaccardPairs) deliberately stays
     * string-keyed, so tools.RecallCheck keeps an independent witness
     * that the hashed pipeline loses nothing. */
-  private def shingleHashTable(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def shingleHashTable(docs: DataFrame, n: Int): DataFrame =
     spread(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(
@@ -84,7 +84,7 @@ object Dedup {
     * count == set size): the verify stage needs exactly that, and
     * riding this groupBy saves it a second full aggregation over the
     * exploded table plus a checkpoint. */
-  private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+  private[graft] def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     // `sh` is already the 64-bit shingle hash (shingleHashTable), so
     // the k min-hash draws are k seeded re-hashes of an 8-byte long —
     // the string was hashed exactly once, inside the explode array.
@@ -162,7 +162,7 @@ object Dedup {
 
   /** Candidate pairs from banded signatures — the bucket equi-join only,
     * no estimator filter. */
-  private def candidatesFromSignatures(
+  private[graft] def candidatesFromSignatures(
       sigs: DataFrame, k: Int, bands: Int,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val rows = k / bands
@@ -196,7 +196,7 @@ object Dedup {
     verifyFromShingles(shingleHashTable(docs, n).localCheckpoint(), cands,
       threshold, maxDf)
 
-  private def verifyFromShingles(
+  private[graft] def verifyFromShingles(
       ex: DataFrame, cands: DataFrame,
       threshold: Double, maxDf: Int,
       precomputedSizes: Option[DataFrame] = None): DataFrame = {
@@ -643,12 +643,15 @@ object Dedup {
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // deg sums ride DECIMAL(38,0) (DuckDB mirror: HUGEINT): Σd(d−1) can
-    // pass 2^63 under hub degrees; both halvings are exact-even integers
+    // pass 2^63 under hub degrees; both halvings are exact-even integers.
+    // d is cast BEFORE the d·(d−1) product so no int64 intermediate
+    // exists even for a single hub's term (needs d>~3e9 — theoretical,
+    // but the decimal guard should cover the product it claims to).
+    val dD = col("d").cast("decimal(38,0)")
     val totals = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("d").cast("decimal(38,0)")) / 2).cast("bigint").as("n_edges"),
-      (sum((col("d") * (col("d") - 1)).cast("decimal(38,0)")) / 2)
-        .cast("bigint").as("n_wedges"))
+      (sum(dD) / 2).cast("bigint").as("n_edges"),
+      (sum(dD * (dD - 1)) / 2).cast("bigint").as("n_wedges"))
     totals.crossJoin(triangles) // two 1-row frames
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),

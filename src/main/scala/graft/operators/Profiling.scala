@@ -73,14 +73,23 @@ object Profiling {
     val ranked = cc.select(col("c"), col("m"),
       coalesce(sum(col("m")).over(w), lit(0L)).as("r"))
     // S summed as DECIMAL(38,0): c·m·R can pass 2^63 on a trillion-row
-    // corpus (DuckDB's HUGEINT sum is the mirror). m(m+1) DIV 2 is an
-    // exact even integer division — `/` would detour through a double.
+    // corpus (DuckDB's HUGEINT sum is the mirror). Every factor is cast
+    // to decimal BEFORE any product forms, so no int64 intermediate
+    // exists anywhere — m·R alone can pass 2^63 under ~1e10 keys, and
+    // DuckDB would auto-promote to HUGEINT where Spark wraps: an
+    // engine-asymmetric failure at exactly the scale this documents.
+    // m(m+1)/2 is an exact even division (decimal / 2 of an even value
+    // has no fractional part, same pattern as triangleCensus); t rides
+    // decimal for the same reason and lands back in bigint.
+    val cD = col("c").cast("decimal(38,0)")
+    val mD = col("m").cast("decimal(38,0)")
+    val rD = col("r").cast("decimal(38,0)")
     ranked.agg(
         sum(col("m")).as("k"),
-        sum(col("c") * col("m")).as("t"),
+        sum(cD * mD).cast("bigint").as("t"),
         max(col("c")).as("top_count"),
-        sum(col("c").cast("decimal(38,0)") * (col("m") * col("r")
-          + expr("(m * (m + 1)) DIV 2")).cast("decimal(38,0)")).as("s"))
+        sum(cD * (mD * rD
+          + ((mD * (mD + lit(1))) / lit(2)).cast("decimal(38,0)"))).as("s"))
       .select(
         col("k").as("n_keys"), col("t").as("n_rows"), col("top_count"),
         (col("top_count").cast("double") / col("t").cast("double"))

@@ -214,8 +214,17 @@ object EventPipeline {
       base: DataFrame, checkpoint: Option[String] = None) = {
     // purge snapshots from earlier RUNS only on a fresh start: a
     // checkpointed RESTART must find snap_{lastBatch} intact — that is
-    // the very state the resumed batch chain folds onto
-    if (checkpoint.isEmpty) {
+    // the very state the resumed batch chain folds onto. "Fresh" means
+    // no usable checkpoint state EXISTS — not merely that no checkpoint
+    // path was passed: a first run against a fresh (empty/nonexistent)
+    // checkpoint dir is starting from batch 0 too, and leftover snap_N
+    // dirs from an earlier longer run would otherwise survive and win a
+    // latest-snapshot read (q107-style snaps.last picks the highest N).
+    val freshStart = checkpoint.forall { cp =>
+      val f = new java.io.File(cp.stripPrefix("file://").stripPrefix("file:"))
+      !f.exists() || Option(f.listFiles()).forall(_.isEmpty)
+    }
+    if (freshStart) {
       val stale = Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
       stale.foreach { d =>

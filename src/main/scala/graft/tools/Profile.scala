@@ -81,6 +81,33 @@ object Profile {
     time("cc: one double-step checkpoint") {
       ccStep(ccStep(seedC)).localCheckpoint().count()
     }
+
+    // ---- d38 chain, materialization by materialization ----
+    // Replays minhashVerifiedPairs stage-for-stage so each of its four
+    // localCheckpoint jobs (plus the final verify job) is timed alone.
+    println("[prof] ---- d38 minhashVerifiedPairs breakdown ----")
+    import graft.operators.Dedup
+    for (round <- 1 to 2) {
+      println(s"[prof] -- run $round --")
+      var ex: org.apache.spark.sql.DataFrame = null
+      var sigs: org.apache.spark.sql.DataFrame = null
+      var cands: org.apache.spark.sql.DataFrame = null
+      time("d38.1 ex = shingleHashTable ckpt") {
+        ex = Dedup.shingleHashTable(docs, 3).localCheckpoint(); ex.count()
+      }
+      time("d38.2 sigs = signatures ckpt") {
+        sigs = Dedup.signaturesFromShingles(ex, 16).localCheckpoint(); sigs.count()
+      }
+      time("d38.3+4 cands (banded ckpt + self-join)") {
+        cands = Dedup.candidatesFromSignatures(
+          sigs.select(col("doc_id"), col("sig")), 16, 4)
+        cands.count()
+      }
+      time("d38.5 verify (bounded ckpt + final)") {
+        Dedup.verifyFromShingles(ex, cands, 0.5, 20,
+          precomputedSizes = Some(sigs.select(col("doc_id"), col("sz")))).count()
+      }
+    }
     spark.stop()
   }
 }
