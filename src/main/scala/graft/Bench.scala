@@ -6,30 +6,38 @@ object Bench {
   /** Representative subset reported per-query in the summary line.
     * The driver captures only the TAIL of stdout (2000 chars in round 1,
     * which truncated an all-queries dict and made the line unparseable),
-    * so the JSON line must stay comfortably under that window. The
-    * "value" total still covers every registered query.
+    * so the JSON line must stay comfortably under that window — the
+    * round-5 set had crept to 1,645 chars, so round 6 re-curated it to
+    * one representative per operator family with explicit headroom
+    * (BenchHeadlineSpec asserts a worst-case line ≤ 1,700 chars; grow
+    * the set only while that gate stays green). The "value" total still
+    * covers every registered query.
     */
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
+    // SQL parity surface
     "q01_projection", "q03_agg_group", "q09_join_inner",
     "q13_from_subquery", "q15_scalar_subquery", "q22_flagship",
-    "q24_window_topk", "q26_dialect", "q46_rollup", "q48_asof_join",
-    "q50_salted_join", "q52_tpch_q1", "q53_tpch_q3", "q54_tpch_q5",
-    "q61_window_suite", "q68_sessionize", "q74_stream_dedup",
-    "q80_stream_enrich", "q81_range_join", "q82_bloom_join",
-    "q83_stream_stream_join", "q85_sample_stratified", "q87_pack_bins",
+    // TPC-H shapes
+    "q52_tpch_q1", "q53_tpch_q3", "q54_tpch_q5", "q115_tpch_q10",
+    "q129_tpch_q21",
+    // scale joins
+    "q48_asof_join", "q50_salted_join", "q81_range_join",
+    "q82_bloom_join", "q92_bucketed_join",
+    // streaming
+    "q68_sessionize", "q74_stream_dedup", "q80_stream_enrich",
+    "q83_stream_stream_join", "q107_stream_cdc_upsert",
+    // dedup family
     "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
-    "d45_contamination", "s41_knn_brute", "s43_knn_ivf",
-    "t32_langid", "t36_token_topk", "t38_tfidf", "t39_chunking",
-    "t41_repetition", "t42_gopher_filters", "q90_domain_mix",
-    "q91_running_ledger", "q92_bucketed_join", "q96_corpus_build",
-    "d47_incremental_dedup", "d48_semantic_dedup", "d49_substring_spans",
-    "d50_novelty", "d51_span_removal", "q97_weighted_sample",
-    "q99_cdc_merge", "q100_scd2_history", "s44_knn_rp", "s45_kmeans_step",
-    "q102_zorder_layout", "q103_funnel", "q106_hist_percentile",
-    "q107_stream_cdc_upsert", "d52_editdist_join", "s46_pq_adc",
-    "q115_tpch_q10", "q117_tpch_q18", "q120_gapfill",
-    "q123_heavy_hitters", "q124_tpch_q7", "q129_tpch_q21",
-    "q132_bpe_step", "q136_graph_triangles", "t44_bigram_familiarity")
+    "d47_incremental_dedup", "d48_semantic_dedup", "d50_novelty",
+    "d51_span_removal", "d52_editdist_join",
+    // similarity / ANN
+    "s41_knn_brute", "s43_knn_ivf", "s44_knn_rp", "s45_kmeans_step",
+    "s46_pq_adc", "s47_ann_recall", "s48_pq_ivf_adc",
+    // text & curation
+    "t38_tfidf", "t41_repetition", "q90_domain_mix", "q96_corpus_build",
+    // analytics / graph / vocab
+    "q103_funnel", "q123_heavy_hitters", "q132_bpe_step",
+    "q136_graph_triangles")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

@@ -138,26 +138,52 @@ object Dedup {
     * (d38, and d44/d46/q70 built on it) is the uncapped brute-force
     * Jaccard set, valid only while LSH recall is 100% — the cap is one
     * more way recall could drop, so any cap/band change must re-run
-    * tools.RecallCheck (verify recipe) before trusting those gates. */
+    * tools.RecallCheck (verify recipe; LshRecallGateSpec runs it in CI)
+    * before trusting those gates. */
   val defaultMaxBucket = 4096
 
+  /** Above this population the window-cap path would sort/buffer an
+    * entire degenerate bucket inside one task (the window shuffles by
+    * the bucket key, so a bucket never splits); past it the
+    * groupBy-count route — map-side combined, then a broadcast
+    * anti-join on the (tiny) overfull-key set — is strictly better. */
+  private[graft] val windowableBucket = 1 << 18
+
+  /** Hybrid bucket cap, chosen by a measured bucket maximum.
+    *
+    * The input is materialized once (it feeds the probe, the chosen cap
+    * path, and ultimately both sides of the caller's candidate
+    * self-join — rule 5), then ONE map-side-combined count probe reads
+    * the bucket maximum:
+    *   - max ≤ maxBucket (every gate SF today): the cap is a provable
+    *     no-op — return the materialized table untouched. Cheaper than
+    *     the unconditional window pass this replaces: the probe's
+    *     partial aggregate beats a full shuffle+sort-by-key.
+    *   - moderately overfull: the window cap — its shuffle partitions by
+    *     exactly the key the candidate join needs anyway.
+    *   - degenerate (> windowableBucket): groupBy-count + broadcast
+    *     anti-join on the overfull keys, so no single task ever buffers
+    *     a runaway bucket.
+    * Returns a materialized frame either way; callers must NOT
+    * checkpoint again. */
   private def capBuckets(
       banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    // A window count over the bucket key, not groupBy+semi-join: the
-    // window's shuffle partitions by exactly the key the candidate
-    // self-join needs anyway, so the cap costs one pass over the banded
-    // table instead of an extra aggregate + join (which also forced a
-    // second localCheckpoint upstream — measured 1.5–2.8× on the
-    // LSH-heavy queries). Tradeoff: the window sorts/buffers each bucket
-    // whole in one task before the filter runs, so a degenerate overfull
-    // bucket is spilled in a single task, where a groupBy count would
-    // have combined map-side. Acceptable while buckets stay far under
-    // partition size (largest observed: 806 at sf0.1); if a scale run
-    // regresses here, this is the knob to revisit.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    banded.withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= maxBucket)
-      .drop("__bc")
+    val raw = banded.localCheckpoint()
+    val keyCols = keys.map(col)
+    def counts = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("__bc"))
+    val probe = counts.agg(max(col("__bc"))).first()
+    val maxCount = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxCount <= maxBucket) raw
+    else if (maxCount <= windowableBucket) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+      raw.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= maxBucket)
+        .drop("__bc")
+        .localCheckpoint()
+    } else {
+      val over = counts.filter(col("__bc") > maxBucket).select(keyCols: _*)
+      raw.join(broadcast(over), keys, "left_anti").localCheckpoint()
+    }
   }
 
   /** Candidate pairs from banded signatures — the bucket equi-join only,
@@ -166,16 +192,15 @@ object Dedup {
       sigs: DataFrame, k: Int, bands: Int,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val rows = k / bands
-    // one checkpoint, on the CAPPED table: it feeds both sides of the
-    // bucket self-join (rule: shared self-join subtrees are checkpointed
-    // once). The window-based cap reads its input exactly once, so the
-    // signature pipeline runs once end-to-end — no inner checkpoint.
+    // capBuckets materializes ONCE (probe + cap + both sides of the
+    // bucket self-join all read that checkpoint — rule: shared
+    // self-join subtrees are checkpointed once), so the signature
+    // pipeline runs once end-to-end with no inner checkpoint here.
     val banded = capBuckets(sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "band_hash"))),
       Seq("band", "band_hash"), maxBucket)
-      .localCheckpoint()
     banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band", "band_hash"))
@@ -332,16 +357,14 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 8,
       oracleHash: Boolean = false,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
-    // ONE checkpoint, on the capped table: it feeds both sides of the
-    // candidate self-join (rule 5). The window-based capBuckets reads the
-    // fingerprint build exactly once, so no inner materialization of the
-    // simhash table is needed.
+    // ONE materialization, done inside capBuckets (rule 5): it feeds
+    // the cap probe and both sides of the candidate self-join, and the
+    // fingerprint build runs exactly once.
     val sh = simhash(docs, oracleHash)
     val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val"))), Seq("band", "band_val"), maxBucket)
-      .localCheckpoint()
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("band_val"),

@@ -322,6 +322,104 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVFADC — the full Jégou/Douze/Schmid TPAMI 2011 pipeline: the
+    * coarse quantizer (s43's cells + fixed-point centroids) composed
+    * with product quantization of the RESIDUAL x − c(x) (s46's
+    * machinery applied to the residual), scored asymmetrically inside
+    * the probed cells only:
+    *
+    *   dot(q, c + r̂) = dot(q, c) + Σ_j dot(q_j, cb_j[code_j(x)])
+    *
+    * so the index stores m codes + a cell id per vector and the raw
+    * vector is never touched at query time. Residual encoding is what
+    * makes PQ codes sharp: after subtracting the cell centroid the
+    * residual distribution is near-centered, so the per-subspace
+    * codebooks quantize a much smaller cloud than raw vectors would.
+    *
+    * Scale shape: centroids and codebooks are tiny broadcasts; the
+    * residual map is per-row (no shuffle); candidate generation is the
+    * IVF cell restriction (never the whole corpus); scoring shuffles
+    * only (q_id, vec_id) groups of m rows. Determinism: fixed-point
+    * centroid sums at both levels, L2-argmin encode with a cand-id
+    * tiebreak, and the per-subspace contributions combined as
+    * single-element conditional sums added in fixed expression order
+    * with the coarse term first — exactly replayable by the oracle. */
+  def pqIvfAdc(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
+      m: Int = 4, subDim: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // coarse cells: same planes/seed as ivfSearch (s43 is the coarse half)
+    val coarsePlanes = hyperplanes(4, dim, seed = 7L)
+    val cells = corpus
+      .withColumn("cell", signature(col("embedding"), coarsePlanes))
+      .localCheckpoint() // feeds centroid agg + residual join + membership
+    val cents = fixedPointCentroids(cells, dim).drop("n")
+    // residual x − c(x): per-row map against the broadcast centroids
+    val resid = cells.join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("resid"))
+      .localCheckpoint() // feeds m codebook builds + m encodes
+    val qBase = queries.select(
+      col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+        (0 until m).map(j =>
+          slice(col("embedding"), j * subDim + 1, subDim).as(s"qv$j")): _*)
+    val perSub = (0 until m).map { j =>
+      val planes = hyperplanes(4, subDim, seed = 2000L + j)
+      val rcells = resid
+        .select(col("vec_id"), slice(col("resid"), j * subDim + 1, subDim).as("embedding"))
+        .withColumn("cell", signature(col("embedding"), planes))
+      val cb = fixedPointCentroids(rcells, subDim).drop("n")
+      val keyExpr = dotFold(col("centroid"), col("centroid")) -
+        lit(2) * dotFold(col("embedding"), col("centroid"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("key").asc, col("cand"))
+      val enc = rcells
+        .join(broadcast(cb.select(col("cell").as("cand"), col("centroid"))))
+        .select(col("vec_id"), col("cand"), keyExpr.as("key"))
+        .withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+        .select(col("vec_id"), lit(j).as("sub"), col("cand").as("code"))
+      // ADC table: the FULL query's subspace slice against the residual
+      // codebook — dot(q, r̂) decomposes subspace-wise
+      val qd = qBase.select(col("q_id"), col(s"qv$j").as("qs"))
+        .join(broadcast(cb))
+        .select(col("q_id").as("qd_id"), lit(j).as("qsub"),
+          col("cell").as("qcell"), dotFold(col("qs"), col("centroid")).as("qdot"))
+      (enc, qd)
+    }
+    val codes = perSub.map(_._1).reduce(_ union _)
+    val qd = perSub.map(_._2).reduce(_ union _)
+    // coarse probe: rank cells by centroid cosine, keep nProbe; carry
+    // the coarse dot — it is the first term of every candidate's score
+    val probed = qBase.select(col("q_id"), col("q_emb")).join(broadcast(cents))
+      .select(col("q_id"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("ccos"),
+        dotFold(col("q_emb"), col("centroid")).as("qc"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probeCells = probed.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nProbe).select(col("q_id"), col("cell"), col("qc"))
+    val cand = cells.select(col("vec_id"), col("cell"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qc"))
+    val subSums = (0 until m).map(j =>
+      sum(when(col("sub") === j, col("qdot"))).as(s"s$j"))
+    val scored = cand
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qd), col("sub") === col("qsub") &&
+        col("code") === col("qcell") && col("q_id") === col("qd_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("qc"))
+      .agg(subSums.head, subSums.tail: _*)
+    val approx = (0 until m).map(j => col(s"s$j"))
+      .foldLeft(col("qc"))(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), approx.as("approx_dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One deterministic Lloyd iteration (k-means step) seeded from the
     * IVF coarse cells: current centroids = fixed-point centroids of the
     * signature cells, every vector reassigns to its nearest centroid by

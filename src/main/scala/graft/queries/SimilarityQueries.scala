@@ -109,6 +109,44 @@ object SimilarityQueries {
       (s, d) => Similarity.pqAdc(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
+    // recall@10 of the LSH ANN (s42) against the exact ranking (s41):
+    // the approximation contract as a GATED NUMBER instead of spec
+    // prose. Both inputs are deterministic and individually oracled, so
+    // the joined recall is too — the oracle replays both pipelines and
+    // the same left-join/count. A user reads per-query recall here
+    // before trusting s42 at scale.
+    Q("s47_ann_recall", Some(annRecallOracle),
+      (s, d) => {
+        // 50 rows — checkpoint so the brute-force scoring join is not
+        // re-run for the second aggregate that reads it (rule 5)
+        val exact = Similarity.bruteForceKnn(
+          emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)
+          .select(col("q_id"), col("vec_id")).localCheckpoint()
+        val approx = Similarity.annLsh(
+          emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)
+          .select(col("q_id"), col("vec_id"))
+        val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), col("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            // double / int64: one correctly-rounded IEEE divide,
+            // identical in both engines (rule 17's safe shape)
+            (coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_exact")).as("recall_at_k"))
+          .orderBy(col("q_id"))
+      }),
+
+    // IVFADC: coarse quantizer + product quantization of the residual
+    // (s43 and s46 composed — the full Jégou '11 pipeline). Fixed-point
+    // centroids at both levels keep every stage order-independent, so
+    // the oracle replays cells, residuals, codebooks, codes, probe
+    // choice and the fixed-order ADC sum end to end.
+    Q("s48_pq_ivf_adc", Some(pqIvfAdcOracle),
+      (s, d) => Similarity.pqIvfAdc(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
+
     // one deterministic Lloyd iteration: IVF-cell centroids → cosine
     // reassignment → fixed-point centroid recompute. The oracle replays
     // cells, integer sums, the argmax (with its cand-id tiebreak), and
@@ -220,6 +258,48 @@ object SimilarityQueries {
        |  FROM cand)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** s47: recall@10 of the LSH path against the exact ranking — both
+    * pipelines replayed (the same CTE bodies as the s41/s42 oracles,
+    * from the same Scala plane array), then the left-join/count. */
+  private lazy val annRecallOracle: String = {
+    val masks = (0L +: (0 until 8).map(i => 1L << i).toSeq).mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", lshPlanes)} AS sig
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |         ${sigSql("embedding", lshPlanes)} AS q_sig
+       |  FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, q_emb, xor(q_sig, m.m) AS probe_sig
+       |  FROM q CROSS JOIN (SELECT unnest([$masks]) AS m) m),
+       |lsh_cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id,
+       |         ${cosSql("p.q_emb", "c.embedding")} AS cos
+       |  FROM corpus c JOIN probes p
+       |    ON c.sig = p.probe_sig AND c.vec_id <> p.q_id),
+       |lsh AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM lsh_cand) WHERE rank <= 10),
+       |ex_scored AS (
+       |  SELECT q.q_id, c.vec_id, ${cosSql("q.q_emb", "c.embedding")} AS cos
+       |  FROM corpus c JOIN q ON c.vec_id <> q.q_id),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM ex_scored) WHERE rank <= 10),
+       |base AS (
+       |  SELECT e.q_id, (l.vec_id IS NOT NULL) AS hit
+       |  FROM ex e LEFT JOIN lsh l ON e.q_id = l.q_id AND e.vec_id = l.vec_id)
+       |SELECT q_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall_at_k
+       |FROM base GROUP BY q_id ORDER BY q_id""".stripMargin
   }
 
   /** DuckDB mirror of Similarity.fixedPointCentroids' per-component
@@ -353,6 +433,94 @@ object SimilarityQueries {
        |  FROM codes c JOIN qdall q
        |    ON c.sub = q.sub AND c.code = q.cell AND c.vec_id <> q.q_id
        |  GROUP BY q.q_id, c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ($approx) AS approx_dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ($approx) DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, approx_dot, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** s48: IVFADC replayed end to end — coarse cells + fixed-point
+    * centroids (the s43 CTEs), per-row residuals, per-subspace residual
+    * codebooks/encodes (the s46 machinery on the residual, seeds
+    * 2000+j), the nProbe=2 coarse probe carrying dot(q, c), and the
+    * fixed-order ADC sum with the coarse term first. */
+  private lazy val pqIvfAdcOracle: String = {
+    val m = 4; val subDim = 16; val dim = 64
+    val perSub = (0 until m).map { j =>
+      val planes = Similarity.hyperplanes(4, subDim, seed = 2000L + j)
+      val lo = j * subDim + 1; val hi = j * subDim + subDim
+      s"""rsub$j AS (
+         |  SELECT vec_id, resid[$lo:$hi] AS embedding FROM resid),
+         |rcells$j AS (
+         |  SELECT vec_id, embedding, ${sigSql("embedding", planes)} AS cell
+         |  FROM rsub$j),
+         |rcsum$j AS (
+         |  SELECT cell, count(*) AS n, ${fpSumColsSql(subDim)}
+         |  FROM rcells$j GROUP BY cell),
+         |rcent$j AS (SELECT cell, ${fpCentroidSql(subDim)} AS centroid FROM rcsum$j),
+         |keyed$j AS (
+         |  SELECT c.vec_id, ct.cell AS cand,
+         |         (${dotSql("ct.centroid", "ct.centroid")}
+         |          - 2 * ${dotSql("c.embedding", "ct.centroid")}) AS dkey
+         |  FROM rcells$j c CROSS JOIN rcent$j ct),
+         |enc$j AS (
+         |  SELECT vec_id, $j AS sub, cand AS code FROM (
+         |    SELECT vec_id, cand,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dkey ASC, cand) AS r
+         |    FROM keyed$j) WHERE r = 1),
+         |qd$j AS (
+         |  SELECT q.vec_id AS q_id, $j AS sub, ct.cell,
+         |         ${dotSql("q.embedding", "ct.centroid")} AS qdot
+         |  FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
+         |        FROM embeddings WHERE vec_id < 5) q
+         |  CROSS JOIN rcent$j ct)""".stripMargin
+    }.mkString(",\n")
+    val codeUnion = (0 until m).map(j => s"SELECT * FROM enc$j").mkString("\n  UNION ALL ")
+    val qdUnion = (0 until m).map(j => s"SELECT * FROM qd$j").mkString("\n  UNION ALL ")
+    val caseSums = (0 until m).map(j =>
+      s"sum(CASE WHEN c.sub = $j THEN q.qdot END) AS s$j").mkString(",\n         ")
+    val approx = "qc + " + (0 until m).map(j => s"s$j").mkString(" + ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
+       |  FROM embeddings),
+       |csum AS (
+       |  SELECT cell, count(*) AS n, ${fpSumColsSql(dim)}
+       |  FROM cells GROUP BY cell),
+       |cent AS (SELECT cell, ${fpCentroidSql(dim)} AS centroid FROM csum),
+       |resid AS (
+       |  SELECT c.vec_id,
+       |         list_transform(list_zip(c.embedding, ct.centroid),
+       |           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS resid
+       |  FROM cells c JOIN cent ct ON c.cell = ct.cell),
+       |$perSub,
+       |codes AS (
+       |  $codeUnion),
+       |qdall AS (
+       |  $qdUnion),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT q_id, cell, ${cosSql("q_emb", "centroid")} AS ccos,
+       |         ${dotSql("q_emb", "centroid")} AS qc
+       |  FROM q CROSS JOIN cent),
+       |pc AS (
+       |  SELECT q_id, cell, qc FROM (
+       |    SELECT q_id, cell, qc,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS r
+       |    FROM probed)
+       |  WHERE r <= 2),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id, p.qc
+       |  FROM cells c JOIN pc p ON c.cell = p.cell AND c.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT cd.q_id, cd.vec_id, cd.qc,
+       |         $caseSums
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN qdall q ON q.q_id = cd.q_id AND q.sub = c.sub AND q.cell = c.code
+       |  GROUP BY cd.q_id, cd.vec_id, cd.qc),
        |ranked AS (
        |  SELECT q_id, vec_id, ($approx) AS approx_dot,
        |         row_number() OVER (PARTITION BY q_id ORDER BY ($approx) DESC, vec_id) AS rank

@@ -633,6 +633,30 @@ object TpchQueries {
             |ORDER BY c_nationkey""".stripMargin)
       }),
 
+    // TPC-H Q15 shape: top supplier by 3-month revenue — the
+    // aggregate-view + scalar-max-subquery plan (view reused by the
+    // ranking and the threshold; ties all surface, per spec).
+    Q("q140_tpch_q15", Some(tpchQ15Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ15Sql)
+    }),
+
+    // TPC-H Q9 shape: profit by nation and order-year. Adapted: the
+    // testdata has no partsupp, so amount omits the ps_supplycost·qty
+    // term (revenue-only profit); the 5-way join + LIKE part filter —
+    // the plan Q9 exists to stress — is intact. 'red' stands in for
+    // the spec's color token (this corpus has no 'green' parts).
+    Q("q141_tpch_q9", Some(tpchQ9Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ9Sql)
+    }),
+
+    // TPC-H Q11 shape: value concentration — groups whose value exceeds
+    // a fixed fraction of the corpus-wide total (HAVING against a
+    // scalar aggregate over the same view). Adapted: lineitem revenue
+    // per part stands in for partsupp supplycost·availqty.
+    Q("q142_tpch_q11", Some(tpchQ11Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ11Sql)
+    }),
+
     // date/time functions over order dates
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
@@ -647,6 +671,48 @@ object TpchQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("y"), col("m")))
   )
+
+  /** Q15/Q9/Q11 run the IDENTICAL SQL text on both engines (the shared
+    * dialect subset: decimal sums cast to DOUBLE at the boundary, total
+    * ORDER BY, e-suffixed double literals per rule 14). `lazy`: `all`
+    * initializes first (rule 11). */
+  private lazy val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private lazy val tpchQ9Sql: String =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS amount
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private lazy val tpchQ11Sql: String =
+    """WITH value_by_part AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS part_value
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+      |FROM value_by_part
+      |WHERE CAST(part_value AS DOUBLE) > (
+      |  SELECT CAST(sum(part_value) AS DOUBLE) * 0.001e0 FROM value_by_part)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
 
   /** q59's oracle: DuckDB replay of the KMV estimate. Distinct keys →
     * polynomial hash (HUGEINT, sign-wrapped to the BIGINT domain Spark's

@@ -131,6 +131,32 @@ class SimilaritySpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("pqIvfAdc ranks the planted near-duplicate first and is reproducible") {
+    // the near-dup shares the query's coarse cell AND (identical
+    // residual, within jitter) its residual codes, so its IVFADC score
+    // is the query's own self-score up to quantization
+    val res = Similarity.pqIvfAdc(
+      planted, planted.filter($"vec_id" === 0), k = 3).collect()
+    assert(res.head.getLong(1) === 1L, res.toSeq)
+    val again = Similarity.pqIvfAdc(
+      planted, planted.filter($"vec_id" === 0), k = 3).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("pqIvfAdc candidates stay inside the probed coarse cells") {
+    // IVFADC must inherit IVF's candidate restriction: every returned
+    // vec_id's coarse cell is one of the query's nProbe probed cells
+    val planes = Similarity.hyperplanes(4, 64, seed = 7L)
+    val cellOf = planted
+      .select($"vec_id", Similarity.signature($"embedding", planes).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = Similarity.pqIvfAdc(
+      planted, planted.filter($"vec_id" === 0), k = 20, nProbe = 2).collect()
+    val candCells = res.map(r => cellOf(r.getLong(1))).toSet
+    assert(candCells.size <= 2, res.toSeq)
+  }
+
   test("pqAdc emits exactly m codes per vector (the compressed index)") {
     // the index the operator builds is codes-only: every corpus vector
     // must land on exactly one centroid per subspace
