@@ -19,7 +19,7 @@ object Bench {
     "q13_from_subquery", "q15_scalar_subquery", "q22_flagship",
     // TPC-H shapes
     "q52_tpch_q1", "q53_tpch_q3", "q54_tpch_q5", "q115_tpch_q10",
-    "q129_tpch_q21",
+    "q129_tpch_q21", "q144_tpch_q2",
     // scale joins
     "q48_asof_join", "q50_salted_join", "q81_range_join",
     "q82_bloom_join", "q92_bucketed_join",
@@ -37,7 +37,7 @@ object Bench {
     "t38_tfidf", "t41_repetition", "q90_domain_mix", "q96_corpus_build",
     // analytics / graph / vocab
     "q103_funnel", "q123_heavy_hitters", "q132_bpe_step",
-    "q136_graph_triangles")
+    "q136_graph_triangles", "q148_pagerank")
 
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below

@@ -171,6 +171,26 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Relative (within-domain) quality filtering — the CCNet/RefinedWeb
+    * move of thresholding quality per SOURCE rather than globally: a
+    * global cutoff empties low-scoring domains and keeps every doc of
+    * high-scoring ones; ranking within the domain keeps the best `keep`
+    * fraction of each. percent_rank = (rank−1)/(n−1) with a doc_id
+    * tiebreak, so ranks are unique and the int÷int division is one
+    * identical IEEE op in both engines. One window per domain — the
+    * shuffle partitions by exactly the key the filter needs; nothing
+    * global. */
+  def domainPercentileFilter(docs: DataFrame, keep: Double): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") <= lit(keep))
+      .orderBy(col("source"), col("pct_rank"), col("doc_id"))
+  }
+
   /** Temperature-based domain reweighting (the α=0.5 point of the
     * p_i ∝ n_i^α family — unigram-LM / DoReMi-style smoothing that
     * up-weights small domains): per-source sampling weights and an

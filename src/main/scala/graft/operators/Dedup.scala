@@ -683,6 +683,66 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Fixed-point integer PageRank over the (undirected) near-dup pair
+    * graph — authority scoring of duplicate clusters: within a cluster,
+    * the highest-PR node is the most-connected copy (the natural
+    * canonical survivor), and cluster PR mass ranks clusters by how
+    * aggressively they were duplicated (Page/Brin/Motwani/Winograd,
+    * "The PageRank citation ranking", 1999).
+    *
+    * Determinism (the property that makes it oracle-able, same design
+    * as the IVF centroids): rank lives as a SCALED INTEGER (init
+    * `scale`, teleport 0.15·scale), per-edge contributions are integer
+    * divisions (Spark DIV ≡ DuckDB // on non-negatives), and each
+    * update sums integers — order-independent under any shuffle
+    * schedule, so Spark and the replayed oracle agree bit-for-bit.
+    *
+    * Scale shape: each of the `iters` updates is one equi-join (ranks ⋈
+    * edges on src) plus one groupBy(dst) sum — the standard distributed
+    * PageRank step, all partitioned by node key, nothing driver-side.
+    * Contribution sums ride DECIMAL(38,0) (rule-18 guard: a hub's
+    * in-sum can pass 2^63 at ~1e10 nodes; DuckDB mirrors with HUGEINT);
+    * the final rank fits int64 while N·scale < 2^63 — shrink `scale`
+    * when the corpus passes ~1e9 nodes. */
+  /** Rank unit for pageRank — shared with the generated oracle SQL
+    * (rule 12: one definition, two engines). */
+  val pageRankScale: Long = 1000000000L
+  def pageRankTeleport(scale: Long): Long = 15L * scale / 100L
+
+  def pageRank(
+      pairs: DataFrame, iters: Int = 3,
+      scale: Long = pageRankScale): DataFrame = {
+    val teleport = pageRankTeleport(scale)
+    // undirected graph: every pair contributes both directions; the
+    // edge table feeds one join per iteration plus the degree aggregate
+    // (rule 5 — materialize once)
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // carry the out-degree on each edge so an iteration is a single
+    // join against the (small) rank table
+    val edges = e.join(deg, Seq("src")).localCheckpoint()
+    val nodes = deg.select(col("src").as("v")).localCheckpoint()
+    var ranks = nodes.select(col("v"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, col("v") === col("src"))
+        // integer share of the source's rank; decimal BEFORE the sum
+        .select(col("dst"), expr("pr DIV d").cast("decimal(38,0)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // every node of this undirected graph has in-edges, but the left
+      // join + coalesce keeps the operator correct on directed inputs
+      ranks = nodes.join(sums, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(teleport) + expr(
+            "CAST(85 AS DECIMAL(38,0)) * coalesce(s, CAST(0 AS DECIMAL(38,0))) DIV 100"))
+            .cast("long").as("pr"))
+    }
+    ranks.select(col("v").as("doc_id"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+  }
+
   /** Benchmark-contamination check — the decontamination step every
     * training-corpus build runs: how much of each document's shingle set
     * appears in a benchmark/eval set's shingles? The benchmark side is a

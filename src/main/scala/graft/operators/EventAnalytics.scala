@@ -90,6 +90,34 @@ object EventAnalytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** First-order Markov transition matrix of the event stream: for each
+    * ordered (prev → next) event-type pair, the count and the row-
+    * normalized probability — the session-model / anomaly-baseline
+    * staple. Ordering uses the cross-engine-safe eventKey (second-floor
+    * + sequence tiebreak, rule 2): raw ts is µs in Spark vs ns in
+    * DuckDB, so sub-second order could silently diverge. Shape: one
+    * lag window partitioned by entity (state scales with entities, all
+    * parallel), then a count aggregate over a #types² table; the row
+    * normalizer is a window over that tiny table. */
+  def transitionMatrix(
+      events: DataFrame, entity: String, step: String,
+      key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(col("__k"))
+    val pairs = events
+      .select(col(entity), col(step).as("next_type"), key.as("__k"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    counts
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(wRow).cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Merge a per-key aggregate snapshot with the same aggregate over a
     * new batch — incremental aggregation maintenance: history is never
     * rescanned; counts and sums combine because they are commutative

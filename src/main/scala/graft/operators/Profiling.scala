@@ -100,6 +100,43 @@ object Profiling {
           .as("gini"))
   }
 
+  /** Exact per-group quantiles of an integer-valued column at any
+    * scale, via the same count-of-counts reduction as keySkew: the raw
+    * rows collapse to a (group, value, frequency) histogram — O(distinct
+    * values) entries, ≪ rows for any bounded-domain metric (doc length,
+    * token count, status code) — and quantile q is the smallest value
+    * whose within-group cumulative frequency reaches ceil(q·n)
+    * (quantile_disc / type-1 semantics). The per-group cumulative
+    * window runs over the histogram, never the rows, so no sort of the
+    * data ever happens; everything before the final min is a groupBy.
+    * Exactness needs no sketch: the histogram IS the full distribution.
+    * Cross-engine: ceil(q·n) is one IEEE multiply + ceil on both
+    * engines (no summation — rule-17 safe shape). */
+  def exactQuantiles(
+      df: DataFrame, group: String, value: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: $qs")
+    val hist = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("m"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col(value))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    val cum = hist
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(wAll))
+    // fan each histogram entry out over the (tiny, constant) quantile
+    // list, then keep entries at or past their target rank; the min
+    // value per (group, q) is the exact quantile
+    cum
+      .select(col(group), col(value), col("cum"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(group), col("q"))
+      .agg(min(col(value)).as("q_value"))
+      .orderBy(col(group), col("q"))
+  }
+
   /** Declarative data-quality expectations (Deequ/Great-Expectations-
     * shaped): each row-level check is a boolean predicate counted in ONE
     * wide aggregation over the table — k checks never cost k scans.

@@ -83,4 +83,35 @@ object Vocab {
           / col("n_bigrams").cast("double"), lit(0.0)).as("familiarity"))
       .orderBy(col("doc_id"))
   }
+
+  /** Out-of-vocabulary rate per document against the corpus' own top-k
+    * word vocabulary — the tokenizer-coverage / domain-shift signal a
+    * vocab build is validated with (a corpus whose docs are mostly OOV
+    * against its own head vocabulary is heterogeneous or noisy).
+    *
+    * Scale shape: the token explode repartitions first (rule 6) and
+    * materializes once — it feeds BOTH the vocabulary count and the
+    * per-document probe (rule 5). The vocabulary itself is top-k via
+    * orderBy+limit (TakeOrdered: per-partition partial top-k, never a
+    * global sort) with a (count desc, word) tiebreak so the SAME k
+    * words are chosen on every run, then broadcast into a left join —
+    * the corpus side never shuffles for it. */
+  def oovRate(docs: DataFrame, vocabSize: Int,
+      id: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    val toks = docs.repartition(id)
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("w"))
+      .localCheckpoint()
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -176,6 +176,32 @@ object AnalyticsQueries {
             col("n_obs").isNull.as("filled"),
             last(col("avg_v"), ignoreNulls = true).over(w).as("v_locf"))
           .orderBy(col("event_type"), col("h"))
-      })
+      }),
+
+    // first-order Markov transition matrix of the event stream: counts
+    // and row-normalized probabilities per (prev -> next) type pair.
+    // Ordering is the int64 event key (second-floor + sequence id) —
+    // raw ts is µs in Spark vs ns in DuckDB and MUST not order
+    // sub-second events (rule 2); the key is unique per entity, so the
+    // lag is deterministic. The probability is one int/int IEEE divide
+    // over the tiny #types² table.
+    Q("q150_transition_matrix", Some(
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, $keySql AS k FROM events),
+         |lagged AS (
+         |  SELECT lag(event_type, 1) OVER (
+         |           PARTITION BY user_id ORDER BY k) AS prev_type,
+         |         event_type AS next_type
+         |  FROM seq),
+         |c AS (
+         |  SELECT prev_type, next_type, count(*) AS n FROM lagged
+         |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+         |SELECT prev_type, next_type, n,
+         |       CAST(n AS DOUBLE)
+         |         / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+         |FROM c ORDER BY prev_type, next_type""".stripMargin),
+      (s, d) => EventAnalytics.transitionMatrix(
+        T(s, d, "events"), entity = "user_id", step = "event_type",
+        key = EventAnalytics.eventKey(col("ts"), col("event_id"))))
   )
 }

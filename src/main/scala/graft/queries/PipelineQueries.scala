@@ -286,6 +286,57 @@ object PipelineQueries {
         graft.operators.Dedup.minhashVerifiedPairs(
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
+    // fixed-point integer PageRank (3 iterations) over the near-dup
+    // pair graph: authority scoring of duplicate clusters. Rank lives
+    // as a scaled int64, contributions are integer divisions, sums ride
+    // DECIMAL(38,0) — order-independent, so the oracle replays the
+    // exact-Jaccard pair set (rule 13) and the three unrolled updates
+    // bit-for-bit. Iteration CTEs are GENERATED from the same Scala
+    // constants the operator uses (rule 12: one definition, two
+    // engines).
+    Q("q148_pagerank", Some(pageRankOracle),
+      (s, d) => graft.operators.Dedup.pageRank(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20),
+        iters = 3)),
+
+    // relative (within-domain) quality filter: keep the top half of
+    // each source by quality score — CCNet/RefinedWeb-style curation
+    // where thresholds are per-domain, not global. percent_rank has a
+    // doc_id tiebreak (unique ranks), so the (rank-1)/(n-1) division is
+    // one identical IEEE op in both engines.
+    Q("q147_domain_quality_filter", Some(
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4
+        |      + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |          / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+        |      6) AS quality
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, quality,
+        |         percent_rank() OVER (
+        |           PARTITION BY source ORDER BY quality DESC, doc_id) AS pct_rank
+        |  FROM scored)
+        |SELECT doc_id, source, quality, pct_rank
+        |FROM ranked WHERE pct_rank <= 0.5e0
+        |ORDER BY source, pct_rank, doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.domainPercentileFilter(
+        Tables.load(s, d, "documents"), keep = 0.5)),
+
+    // exact per-language length quantiles via the count-of-counts
+    // histogram (O(distinct values) entries — no sort of the data, no
+    // sketch, exact at any scale; quantile_disc / type-1 semantics:
+    // smallest value with cumulative count >= ceil(q*n)).
+    Q("q149_exact_quantiles", Some(quantilesOracle),
+      (s, d) => Profiling.exactQuantiles(
+        Tables.load(s, d, "documents"), group = "lang", value = "n_chars",
+        qs = quantileProbes)),
+
     // one BPE-training merge step: adjacent character pairs ranked by
     // corpus frequency, counted over the DISTINCT-word frequency table
     // (sublinear in corpus size), weighted by word count. Both engines
@@ -743,5 +794,58 @@ object PipelineQueries {
        |SELECT doc_id, quality, sample_u FROM u
        |WHERE sample_u < CAST(0.5 AS DOUBLE) * quality
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q148: the PageRank replay — exact-Jaccard pairs (rule 13), the
+    * doubled edge list, and the three unrolled integer updates. The
+    * scale/teleport constants and iteration count come from the SAME
+    * Scala values the operator uses, so the two engines cannot drift. */
+  private lazy val pageRankOracle: String = {
+    val scale = graft.operators.Dedup.pageRankScale
+    val teleport = graft.operators.Dedup.pageRankTeleport(scale)
+    val iters = (1 to 3).map { i =>
+      s"""it$i AS (
+         |  SELECT e.dst AS v,
+         |         CAST($teleport + (85 * sum(r.pr // dg.d)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN deg dg ON dg.src = e.src
+         |  JOIN it${i - 1} r ON r.v = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupQueries.ngramPairCtes},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |it0 AS (SELECT src AS v, CAST($scale AS BIGINT) AS pr FROM deg),
+       |$iters
+       |SELECT v AS doc_id, pr FROM it3
+       |ORDER BY pr DESC, doc_id""".stripMargin
+  }
+
+  /** q149's probe points; the oracle interpolates them e-suffixed (rule
+    * 14) so both engines parse the identical double. */
+  private lazy val quantileProbes: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private lazy val quantilesOracle: String = {
+    val qsSql = quantileProbes.map(q => s"${q}e0").mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT lang, n_chars, count(*) AS m
+       |  FROM documents GROUP BY lang, n_chars),
+       |cum AS (
+       |  SELECT lang, n_chars,
+       |         sum(m) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+       |         sum(m) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |fan AS (
+       |  SELECT lang, n_chars, cum, n, unnest([$qsSql]) AS q FROM cum)
+       |SELECT lang, q, min(n_chars) AS q_value
+       |FROM fan
+       |WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+       |GROUP BY lang, q
+       |ORDER BY lang, q""".stripMargin
   }
 }

@@ -25,17 +25,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
 
     // exact cosine top-10 for 5 fixed query vectors — bitwise-oracled
-    Q("s41_knn_brute", Some(
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
-         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cos,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored)
-         |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin),
+    Q("s41_knn_brute", Some(knnBruteOracle),
       (s, d) => Similarity.bruteForceKnn(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
@@ -147,6 +137,36 @@ object SimilarityQueries {
       (s, d) => Similarity.pqIvfAdc(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
+    // recall@10 of the quantized ANN paths — IVF (s43) and IVFADC
+    // (s48) — against the exact ranking: one gated recall table for the
+    // whole compressed-index family, s47's contract extended to the
+    // quantizers. The oracle nests the three already-proven pipeline
+    // replays as derived tables and re-joins them, so a quantization
+    // change that moves recall fails THIS gate even though s43/s48
+    // (which gate the approximate outputs themselves) still pass.
+    Q("s49_quantizer_recall", Some(quantizerRecallOracle),
+      (s, d) => {
+        val qs = emb(s, d).filter(col("vec_id") < 5)
+        // 50 rows — checkpoint: the exact ranking feeds the denominator
+        // aggregate and both methods' hit joins (rule 5)
+        val exact = Similarity.bruteForceKnn(emb(s, d), qs, k = 10)
+          .select(col("q_id"), col("vec_id")).localCheckpoint()
+        val denom = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        def recallOf(method: String, approx: org.apache.spark.sql.DataFrame) = {
+          val hits = exact
+            .join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+            .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+          denom.join(hits, Seq("q_id"), "left")
+            .select(lit(method).as("method"), col("q_id"), col("n_exact"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              (coalesce(col("n_hit"), lit(0L)).cast("double") /
+                col("n_exact")).as("recall_at_k"))
+        }
+        recallOf("ivf", Similarity.ivfSearch(emb(s, d), qs, k = 10, nProbe = 2))
+          .union(recallOf("ivfadc", Similarity.pqIvfAdc(emb(s, d), qs, k = 10)))
+          .orderBy(col("method"), col("q_id"))
+      }),
+
     // one deterministic Lloyd iteration: IVF-cell centroids → cosine
     // reassignment → fixed-point centroid recompute. The oracle replays
     // cells, integer sums, the argmax (with its cand-id tiebreak), and
@@ -196,6 +216,41 @@ object SimilarityQueries {
 
   private lazy val lshPlanes = Similarity.hyperplanes(8, 64, seed = 42L)
   private lazy val ivfPlanes = Similarity.hyperplanes(4, 64, seed = 7L)
+
+  /** s41: exact cosine top-10 — also nested (as a derived table) by the
+    * s49 recall gate, which is why it lives in a val. */
+  private lazy val knnBruteOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** s49: the three proven pipeline replays (exact s41, IVF s43,
+    * IVFADC s48), each nested verbatim as a derived table, re-joined
+    * into per-method recall@10 — one oracle, zero re-derivation. */
+  private lazy val quantizerRecallOracle: String = {
+    def recallSql(method: String, approxSql: String): String =
+      s"""SELECT '$method' AS method, ex.q_id,
+         |       count(*) AS n_exact,
+         |       CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS recall_at_k
+         |FROM (SELECT q_id, vec_id FROM ($knnBruteOracle) t) ex
+         |LEFT JOIN (SELECT q_id, vec_id FROM ($approxSql) t) ap
+         |  ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         |GROUP BY ex.q_id""".stripMargin
+    s"""SELECT * FROM (
+       |${recallSql("ivf", knnIvfOracle)}
+       |UNION ALL
+       |${recallSql("ivfadc", pqIvfAdcOracle)}) u
+       |ORDER BY method, q_id""".stripMargin
+  }
 
   /** d48: the full semantic-dedup pipeline replayed — per-table
     * signatures (seeds 42..45, matching embeddingNearDupes' seed + t),

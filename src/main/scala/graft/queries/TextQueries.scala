@@ -102,6 +102,25 @@ object TextQueries {
         |ORDER BY d.doc_id""".stripMargin),
       (s, d) => graft.operators.Vocab.bigramFamiliarity(docs(s, d))),
 
+    // out-of-vocabulary rate per document against the corpus' own
+    // top-100 word vocabulary (count-desc, word tiebreak — the same k
+    // words every run): tokenizer-coverage / domain-shift diagnostic.
+    Q("t45_oov_rate", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        |vocab AS (SELECT w FROM wc ORDER BY n DESC, w LIMIT 100),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM per ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Vocab.oovRate(docs(s, d), vocabSize = 100)),
+
     // n-gram-marker language ID (mechanism demo; corpus is EN-vocab)
     Q("t32_langid", Some(
       """WITH m AS (

@@ -657,6 +657,40 @@ object TpchQueries {
       Tables.registerAll(s, d); s.sql(tpchQ11Sql)
     }),
 
+    // TPC-H Q12 shape: shipping-delay priority split — the two
+    // conditional sums over a fact-dim join. Adapted: l_linestatus
+    // stands in for l_shipmode and "late" is shipdate > orderdate+60d
+    // (the corpus has no commit/receipt dates).
+    Q("q143_tpch_q12", Some(tpchQ12Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ12Sql)
+    }),
+
+    // TPC-H Q2 shape: min-cost supplier per part within a region — the
+    // correlated scalar-min subquery over a multi-join (Catalyst
+    // rewrites it to an aggregate + join; the dims broadcast). Adapted:
+    // lineitem's per-(part,supplier) min unit price stands in for
+    // partsupp.ps_supplycost.
+    Q("q144_tpch_q2", Some(tpchQ2Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ2Sql)
+    }),
+
+    // TPC-H Q16 shape: supplier diversity per part attribute group —
+    // count(DISTINCT) with a NOT IN anti-join subquery. Adapted:
+    // lineitem bridges part↔supplier (no partsupp); the complaint
+    // pattern is a name LIKE.
+    Q("q145_tpch_q16", Some(tpchQ16Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ16Sql)
+    }),
+
+    // TPC-H Q20 shape: suppliers with excess flagged-part volume — the
+    // nested IN chain whose inner filter compares two aggregates of the
+    // same fact table (quarter volume vs half of all-time volume).
+    // l_quantity is integral so both sums are exact (rule: plain sums
+    // over integral doubles are order-independent).
+    Q("q146_tpch_q20", Some(tpchQ20Sql), (s, d) => {
+      Tables.registerAll(s, d); s.sql(tpchQ20Sql)
+    }),
+
     // date/time functions over order dates
     Q("q58_date_functions", Some(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
@@ -713,6 +747,72 @@ object TpchQueries {
       |WHERE CAST(part_value AS DOUBLE) > (
       |  SELECT CAST(sum(part_value) AS DOUBLE) * 0.001e0 FROM value_by_part)
       |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** CASE sums land as HUGEINT in DuckDB vs BIGINT in Spark — cast at
+    * the boundary (rule 1). timestamp + INTERVAL n DAY parses and
+    * computes identically in both engines. */
+  private lazy val tpchQ12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** unit_cost is a single IEEE divide (2-dp price / integral qty) —
+    * bitwise identical across engines, and only compared/min'd, never
+    * summed, so no decimal plumbing is needed. */
+  private lazy val tpchQ2Sql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+      |FROM part
+      |JOIN cost ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      |  AND unit_cost = (
+      |    SELECT min(c2.unit_cost) FROM cost c2
+      |    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE c2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** p_size is INT32 in the parquet — cast to BIGINT in the output
+    * (rule 1: no non-int64 integer column may reach a final schema). */
+  private lazy val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%007%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 50""".stripMargin
+
+  private lazy val tpchQ20Sql: String =
+    """WITH qw AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qtyw
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey),
+      |qall AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qtyall
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT qw.l_suppkey FROM qw
+      |  JOIN qall ON qall.l_partkey = qw.l_partkey AND qall.l_suppkey = qw.l_suppkey
+      |  JOIN part ON p_partkey = qw.l_partkey
+      |  WHERE p_name LIKE '%red%' AND qtyw > 0.5e0 * qtyall)
+      |ORDER BY s_suppkey""".stripMargin
 
   /** q59's oracle: DuckDB replay of the KMV estimate. Distinct keys →
     * polynomial hash (HUGEINT, sign-wrapped to the BIGINT domain Spark's

@@ -93,4 +93,28 @@ class CurationSpec extends SparkSpec {
     // allocation never exceeds the budget (floor division per source)
     assert(out.map(_._4).sum <= 900L)
   }
+
+  test("domainPercentileFilter keeps the top fraction of EACH source") {
+    import spark.implicits._
+    // 5 docs per source; with unique ranks percent_rank = (r-1)/4, so
+    // keep=0.5 retains ranks 1..3 of each source regardless of how the
+    // sources' absolute quality ranges compare
+    val docs = (0 until 10).map { i =>
+      val src = if (i < 5) "srcA" else "srcB"
+      // longer text → higher length/stopword score within each source
+      val words = Seq.fill(3 + (i % 5) * 4)("the data row").mkString(" ")
+      (i.toLong, words, "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = Curation.domainPercentileFilter(docs, keep = 0.5).collect()
+    assert(out.count(_.getString(1) == "srcA") === 3)
+    assert(out.count(_.getString(1) == "srcB") === 3)
+    // survivors are exactly the per-source top-3 by (quality desc, doc_id)
+    val scored = docs.select($"doc_id", $"source",
+      round(graft.functions.TextFunctions.qualityScore($"text"), 6).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = scored.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(3).map(_._1).toSeq
+    }.toSet
+    assert(out.map(_.getLong(0)).toSet === expect)
+  }
 }

@@ -258,4 +258,31 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(3) === 0L)
     assert(r.getDouble(4) === 0.0)
   }
+
+  test("pageRank: hand-computed integer updates on a star graph") {
+    import spark.implicits._
+    // star 1-{2,3,4}: deg(1)=3, leaves deg 1; scale 1e9, teleport 15e7.
+    // it1: pr(1) = 15e7 + 85·(3·1e9) DIV 100 = 2,700,000,000
+    //      pr(leaf) = 15e7 + 85·(1e9 DIV 3) DIV 100 = 433,333,333
+    // it2: pr(1) = 15e7 + 85·(3·433,333,333) DIV 100 = 1,254,999,999
+    //      pr(leaf) = 15e7 + 85·(2,700,000,000 DIV 3) DIV 100 = 915,000,000
+    // it3: pr(1) = 15e7 + 85·(3·915,000,000) DIV 100 = 2,483,250,000
+    //      pr(leaf) = 15e7 + 85·(1,254,999,999 DIV 3) DIV 100 = 505,583,333
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val pr = Dedup.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) === 2483250000L)
+    assert(pr(2L) === 505583333L && pr(3L) === 505583333L &&
+      pr(4L) === 505583333L)
+  }
+
+  test("pageRank is deterministic and ranks the hub first") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val a = Dedup.pageRank(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.pageRank(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.head._1 === 1L) // the degree-3 hub carries the most rank
+  }
 }

@@ -83,4 +83,34 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
     assert(out.toSeq === Seq((0.5, 49L), (0.9, 89L), (0.99, 99L)))
   }
+
+  test("transitionMatrix counts ordered pairs with row-normalized p") {
+    // user 1: a → b → b; user 2: a → c
+    // transitions: (a,b)=1, (b,b)=1, (a,c)=1 → p(a→b)=p(a→c)=0.5, p(b→b)=1
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:00:01"), 2L),
+      (1L, "b", ts("2024-01-01 10:00:02"), 3L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "c", ts("2024-01-01 10:00:01"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_type",
+      EventAnalytics.eventKey($"ts", $"event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "b", 1L, 1.0)))
+  }
+
+  test("transitionMatrix breaks same-second ties by the sequence id") {
+    // both events share the second; event_id order decides prev/next
+    val ev = Seq(
+      (1L, "x", ts("2024-01-01 10:00:00"), 7L),
+      (1L, "y", ts("2024-01-01 10:00:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_type",
+      EventAnalytics.eventKey($"ts", $"event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("y", "x")))
+  }
 }

@@ -76,6 +76,23 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.0)
   }
 
+  test("exactQuantiles: type-1 (quantile_disc) semantics per group") {
+    // group g1: values 1..10 once each (n=10):
+    //   q=0.25 → ceil(2.5)=3 → 3; q=0.5 → 5; q=0.9 → ceil(9)=9 → 9; q=1 → 10
+    // group g2: (1,1,1,9) (n=4): q=0.5 → ceil(2)=2 → 1; q=0.9 → ceil(3.6)=4 → 9
+    val rows = ((1 to 10).map(v => ("g1", v.toLong)) ++
+      Seq(("g2", 1L), ("g2", 1L), ("g2", 1L), ("g2", 9L))).toDF("g", "v")
+    val out = Profiling.exactQuantiles(rows, "g", "v",
+      Seq(0.25, 0.5, 0.9, 1.0)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(out(("g1", 0.25)) === 3L)
+    assert(out(("g1", 0.5)) === 5L)
+    assert(out(("g1", 0.9)) === 9L)
+    assert(out(("g1", 1.0)) === 10L)
+    assert(out(("g2", 0.5)) === 1L)
+    assert(out(("g2", 0.9)) === 9L)
+  }
+
   test("referentialExpectation counts orphan child rows") {
     val parent = Seq(10L, 30L).toDF("pk")
     val r = Profiling.referentialExpectation(df, "score", parent, "pk",

@@ -39,4 +39,21 @@ class VocabSpec extends SparkSpec {
     assert(out(2L) === ((1L, 1.0)))   // all-rare doc scores the floor
     assert(out(3L) === ((0L, 0.0)))   // no bigrams at all → reported, 0
   }
+
+  test("oovRate scores docs against the deterministic top-k vocabulary") {
+    // counts: hot×4, warm×2, cold×1, rare×1 → top-2 = {hot, warm}
+    // (cold vs rare would tie at 1; count-desc beats both — the k=2
+    // cut is unambiguous, and the word tiebreak governs equal counts)
+    val docs = Seq(
+      (0L, "hot hot warm"),          // all in vocab → 0/3
+      (1L, "hot cold rare"),         // 2 oov of 3
+      (2L, "hot hot warm warm cold") // 1 oov of 5
+    ).toDF("doc_id", "text")
+    val out = Vocab.oovRate(docs, vocabSize = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((3L, 0L, 0.0)))
+    assert(out(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) === ((5L, 1L, 0.2)))
+  }
 }

@@ -306,4 +306,34 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!names.exists(_.contains("CartesianProduct")), names)
     assert(!names.exists(_.contains("SortMergeJoin")), names) // candidates broadcast
   }
+
+  test("q144 TPC-H Q2 correlated min rewrites to joins — no cartesian, dims broadcast") {
+    // sf0.01: at sf0.001 the region cut can empty the plan under AQE
+    val names = PlanInspect.nodeNames(
+      graft.SparkEntry.queries("q144_tpch_q2")(spark, sf001))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+    assert(names.exists(_.contains("BroadcastHashJoin")), names)
+  }
+
+  test("q146 TPC-H Q20 nested IN chain plans as semi joins — no cartesian") {
+    val names = PlanInspect.nodeNames(run("q146_tpch_q20"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("q149 exact quantiles windows over the histogram, partitioned by group") {
+    // every Window node must partition by the group key — an empty
+    // partitionBy would move the whole histogram to one task (and at
+    // scale, the data); the histogram aggregate precedes any window
+    val plan = PlanInspect.formatted(run("q149_exact_quantiles"))
+    assert(!plan.contains("WindowExec: No Partition Defined"), plan)
+    val names = PlanInspect.nodeNames(run("q149_exact_quantiles"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+  }
+
+  test("q150 transition matrix lags inside per-entity windows, no join at all") {
+    val names = PlanInspect.nodeNames(run("q150_transition_matrix"))
+    assert(!names.exists(_.contains("Join")), names)
+  }
 }
