@@ -31,23 +31,23 @@ object EventAnalytics {
     * equi-joins on the entity — step tables shrink monotonically, and
     * every aggregate combines map-side. No per-entity event arrays, no
     * sorts. */
-  def funnelDepths(
+  /** The funnel chain: table i holds (e, t_i) — each entity's earliest
+    * key of step i that strictly follows its t_{i-1}. Each step table
+    * is materialized once (rule 5): it feeds BOTH the next step's chain
+    * join and whatever the caller unions/joins downstream — left lazy,
+    * step i's subtree re-scans the event log i+1 times (the audit
+    * showed 6 scans for a 3-step funnel; materialized: one pushed-down
+    * scan per step, and the materialized tables are per-entity
+    * aggregates, bounded by entity count, not log size). */
+  private def stepTimeTables(
       events: DataFrame, entity: String, step: String,
-      key: Column, steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "funnelDepths needs at least one step")
+      key: Column, steps: Seq[String]): Seq[DataFrame] = {
     val base = events.select(col(entity).as("e"), col(step).as("s"),
       key.as("k"))
-    // t(i): earliest key of step i that follows t(i-1), per entity.
-    // Each step table is materialized once (rule 5): it feeds BOTH the
-    // next step's chain join and the final depth union — left lazy,
-    // step i's subtree re-scans the event log i+1 times (the audit
-    // showed 6 scans for a 3-step funnel; materialized: one pushed-down
-    // scan per step, and the materialized tables are per-entity
-    // aggregates, bounded by entity count, not log size).
     val first = base.filter(col("s") === steps.head)
       .groupBy(col("e")).agg(min(col("k")).as("t0"))
       .localCheckpoint()
-    val stepTables = steps.tail.zipWithIndex.foldLeft(Seq(first)) {
+    steps.tail.zipWithIndex.foldLeft(Seq(first)) {
       case (acc, (st, i)) =>
         val prev = acc.last
         acc :+ base.filter(col("s") === st)
@@ -56,6 +56,13 @@ object EventAnalytics {
           .groupBy(col("e")).agg(min(col("k")).as(s"t${i + 1}"))
           .localCheckpoint()
     }
+  }
+
+  def funnelDepths(
+      events: DataFrame, entity: String, step: String,
+      key: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelDepths needs at least one step")
+    val stepTables = stepTimeTables(events, entity, step, key, steps)
     // depth per entity = number of chained steps present; entities with
     // no first step never appear (depth 0 is the complement — callers
     // that need it subtract from the entity universe)
@@ -88,6 +95,31 @@ object EventAnalytics {
           / lit(604800L)).cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-leg funnel latency quantiles — how long converting entities
+    * take between consecutive funnel steps, as exact quantiles. The
+    * step-time chain is [[stepTimeTables]] (shared with funnelDepths);
+    * each leg joins two consecutive per-entity tables (bounded by
+    * entity count, not log size) and the quantiles run on
+    * [[Profiling.exactQuantiles]]' count-of-counts histogram — distinct
+    * latencies ≪ converting entities, so nothing here ever sorts data.
+    * Latencies are whole seconds: the event key is sec·1e6 + seq, so
+    * t DIV 1e6 is the epoch second exactly and the difference is exact
+    * integer math on both engines. */
+  def funnelStepLatencies(
+      events: DataFrame, entity: String, step: String,
+      key: Column, steps: Seq[String], qs: Seq[Double]): DataFrame = {
+    require(steps.size >= 2, "funnelStepLatencies needs at least two steps")
+    val stepTables = stepTimeTables(events, entity, step, key, steps)
+    val legs = (0 until steps.size - 1).map { i =>
+      stepTables(i).select(col("e"), col(s"t$i"))
+        .join(stepTables(i + 1).select(col("e"), col(s"t${i + 1}")), Seq("e"))
+        .select(lit(s"${steps(i)}->${steps(i + 1)}").as("leg"),
+          (expr(s"t${i + 1} DIV 1000000") - expr(s"t$i DIV 1000000"))
+            .as("dt_sec"))
+    }.reduce(_ union _)
+    Profiling.exactQuantiles(legs, group = "leg", value = "dt_sec", qs = qs)
   }
 
   /** First-order Markov transition matrix of the event stream: for each
