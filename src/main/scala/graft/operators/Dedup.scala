@@ -165,7 +165,18 @@ object Dedup {
     *     anti-join on the overfull keys, so no single task ever buffers
     *     a runaway bucket.
     * Returns a materialized frame either way; callers must NOT
-    * checkpoint again. */
+    * checkpoint again.
+    *
+    * EAGER: this builder runs real Spark jobs (the materialization and
+    * the count probe) at DataFrame-CONSTRUCTION time — it is not lazy
+    * like a plain transformation, so plan-only tooling (ExplainAudit /
+    * PlanInspect / plan specs) pays the probe just by building the
+    * query, and the probe re-runs on every builder call. Acceptable for
+    * the batch LSH paths it serves; do NOT put it on a streaming or
+    * explain-only path. Both overfull branches DROP overfull buckets
+    * entirely (a degenerate bucket is boilerplate, not signal — MMDS
+    * §3.4 stop-shingle argument); they differ only in execution
+    * strategy, so branch choice never changes results. */
   private def capBuckets(
       banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val raw = banded.localCheckpoint()

@@ -202,6 +202,56 @@ object AnalyticsQueries {
          |FROM c ORDER BY prev_type, next_type""".stripMargin),
       (s, d) => EventAnalytics.transitionMatrix(
         T(s, d, "events"), entity = "user_id", step = "event_type",
-        key = EventAnalytics.eventKey(col("ts"), col("event_id"))))
+        key = EventAnalytics.eventKey(col("ts"), col("event_id")))),
+
+    // per-leg funnel latency quantiles: the q103 strict-order chain,
+    // then exact count-of-counts quantiles (q149's shape) over whole-
+    // second step gaps. The event key is sec*1e6 + seq, so k DIV 1e6 is
+    // the epoch second exactly and dt_sec is exact integer math on both
+    // engines; quantile probes are e-suffixed literals (rule 14).
+    Q("q151_funnel_latency", Some(
+      s"""WITH base AS (
+         |  SELECT user_id AS e, event_type AS s, $keySql AS k FROM events
+         |  WHERE event_id % 13 = 0),
+         |s0 AS (SELECT e, min(k) AS t0 FROM base WHERE s = 'signup' GROUP BY e),
+         |s1 AS (SELECT b.e, min(b.k) AS t1 FROM base b
+         |       JOIN s0 ON b.e = s0.e AND b.k > s0.t0
+         |       WHERE b.s = 'click' GROUP BY b.e),
+         |s2 AS (SELECT b.e, min(b.k) AS t2 FROM base b
+         |       JOIN s1 ON b.e = s1.e AND b.k > s1.t1
+         |       WHERE b.s = 'purchase' GROUP BY b.e),
+         |legs AS (
+         |  SELECT 'signup->click' AS leg,
+         |         s1.t1 // 1000000 - s0.t0 // 1000000 AS dt_sec
+         |  FROM s1 JOIN s0 ON s1.e = s0.e
+         |  UNION ALL
+         |  SELECT 'click->purchase',
+         |         s2.t2 // 1000000 - s1.t1 // 1000000
+         |  FROM s2 JOIN s1 ON s2.e = s1.e),
+         |hist AS (SELECT leg, dt_sec, count(*) AS m FROM legs
+         |         GROUP BY leg, dt_sec),
+         |cum AS (
+         |  SELECT leg, dt_sec,
+         |         sum(m) OVER (PARTITION BY leg ORDER BY dt_sec) AS cum,
+         |         sum(m) OVER (PARTITION BY leg) AS n
+         |  FROM hist),
+         |fan AS (
+         |  SELECT leg, dt_sec, cum, n,
+         |         unnest([${latencyProbes.map(q => s"${q}e0").mkString(", ")}]) AS q
+         |  FROM cum)
+         |SELECT leg, q, min(dt_sec) AS q_value
+         |FROM fan
+         |WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+         |GROUP BY leg, q
+         |ORDER BY leg, q""".stripMargin),
+      (s, d) => EventAnalytics.funnelStepLatencies(
+        T(s, d, "events").filter(col("event_id") % 13 === 0),
+        entity = "user_id", step = "event_type",
+        key = EventAnalytics.eventKey(col("ts"), col("event_id")),
+        steps = Seq("signup", "click", "purchase"), qs = latencyProbes))
   )
+
+  /** q151's quantile probes; interpolated e-suffixed into the oracle
+    * (rule 14) so both engines parse the identical double. */
+  private lazy val latencyProbes: Seq[Double] = Seq(0.5, 0.9, 0.99)
 }

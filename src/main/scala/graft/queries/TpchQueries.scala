@@ -726,7 +726,7 @@ object TpchQueries {
   private lazy val tpchQ9Sql: String =
     """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
       |FROM (
-      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS amount
       |  FROM lineitem
       |  JOIN supplier ON s_suppkey = l_suppkey
@@ -737,6 +737,12 @@ object TpchQueries {
       |GROUP BY nation, o_year
       |ORDER BY nation, o_year DESC""".stripMargin
 
+  /** Q11's concentration threshold is MEAN-relative (1.3x the mean
+    * part share), not a fixed fraction: TPC-H's 0.0001/SF exists
+    * because a fixed fraction goes vacuous as part count grows — a
+    * fixed 0.001 returned 0 rows at every gate SF (ADVICE r6). The
+    * threshold is sum*1.3e0/count — double ops in identical textual
+    * order on both engines (identical SQL text runs on both). */
   private lazy val tpchQ11Sql: String =
     """WITH value_by_part AS (
       |  SELECT l_partkey,
@@ -745,7 +751,7 @@ object TpchQueries {
       |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
       |FROM value_by_part
       |WHERE CAST(part_value AS DOUBLE) > (
-      |  SELECT CAST(sum(part_value) AS DOUBLE) * 0.001e0 FROM value_by_part)
+      |  SELECT CAST(sum(part_value) AS DOUBLE) * 1.3e0 / count(*) FROM value_by_part)
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
   /** CASE sums land as HUGEINT in DuckDB vs BIGINT in Spark — cast at
