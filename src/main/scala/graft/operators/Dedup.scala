@@ -177,31 +177,48 @@ object Dedup {
     * entirely (a degenerate bucket is boilerplate, not signal — MMDS
     * §3.4 stop-shingle argument); they differ only in execution
     * strategy, so branch choice never changes results. */
-  private def capBuckets(
-      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private[graft] def capBuckets(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int,
+      windowable: Int = windowableBucket): DataFrame = {
     val raw = banded.localCheckpoint()
     val keyCols = keys.map(col)
     def counts = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("__bc"))
     val probe = counts.agg(max(col("__bc"))).first()
     val maxCount = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-    if (maxCount <= maxBucket) raw
-    else if (maxCount <= windowableBucket) {
+    CapProbe.lastMax.set(maxCount)
+    if (maxCount <= maxBucket) {
+      CapProbe.lastBranch.set("noop")
+      raw
+    } else if (maxCount <= windowable) {
+      CapProbe.lastBranch.set("window")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
       raw.withColumn("__bc", count(lit(1)).over(w))
         .filter(col("__bc") <= maxBucket)
         .drop("__bc")
         .localCheckpoint()
     } else {
+      CapProbe.lastBranch.set("antijoin")
       val over = counts.filter(col("__bc") > maxBucket).select(keyCols: _*)
       raw.join(broadcast(over), keys, "left_anti").localCheckpoint()
     }
+  }
+
+  /** Test-visible record of capBuckets' last measured bucket maximum and
+    * chosen branch ("noop" | "window" | "antijoin"). Written at builder
+    * time (the probe is eager), read ONLY by specs (SkewedCorpusSpec)
+    * to assert the skew paths genuinely execute on data; never used for
+    * control flow. */
+  private[graft] object CapProbe {
+    val lastBranch = new java.util.concurrent.atomic.AtomicReference[String]("unprobed")
+    val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
   }
 
   /** Candidate pairs from banded signatures — the bucket equi-join only,
     * no estimator filter. */
   private[graft] def candidatesFromSignatures(
       sigs: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = defaultMaxBucket): DataFrame = {
+      maxBucket: Int = defaultMaxBucket,
+      windowable: Int = windowableBucket): DataFrame = {
     val rows = k / bands
     // capBuckets materializes ONCE (probe + cap + both sides of the
     // bucket self-join all read that checkpoint — rule: shared
@@ -211,7 +228,7 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "band_hash"))),
-      Seq("band", "band_hash"), maxBucket)
+      Seq("band", "band_hash"), maxBucket, windowable)
     banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band", "band_hash"))
@@ -289,7 +306,9 @@ object Dedup {
     * equality additionally asserts 100% LSH recall on the corpus. */
   def minhashVerifiedPairs(
       docs: DataFrame, threshold: Double = 0.5, k: Int = 16,
-      bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100): DataFrame = {
+      bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100,
+      maxBucket: Int = defaultMaxBucket,
+      windowable: Int = windowableBucket): DataFrame = {
     // ONE shingle explode shared by the signature build and the exact
     // verification (they were two separate explode+checkpoint pipelines;
     // sharing halves the operator's heavy stage). The signature groupBy
@@ -300,7 +319,7 @@ object Dedup {
     val sigs = signaturesFromShingles(ex, k)
       .localCheckpoint() // feeds the candidate stage AND four size joins
     val cands = candidatesFromSignatures(
-      sigs.select(col("doc_id"), col("sig")), k, bands)
+      sigs.select(col("doc_id"), col("sig")), k, bands, maxBucket, windowable)
     verifyFromShingles(ex, cands, threshold, maxDf,
       precomputedSizes = Some(sigs.select(col("doc_id"), col("sz"))))
   }
