@@ -68,6 +68,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => }
+    // Page-cache warm-up (untimed): round-over-round per-query deltas were
+    // contaminated by OS page-cache state — a cold first round ran 20%+
+    // high with individual queries flapping 2-4x (q90 0.18→0.48 s on
+    // untouched code in r6). Reading every table's raw bytes once puts the
+    // parquet pages in cache before any timed sample, so min-of-2 measures
+    // compute, not disk. The "warm" flag in the JSON records whether this
+    // pass actually ran, so cross-round comparisons know the protocol.
+    val warmed = try {
+      val files = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val buf = new Array[Byte](1 << 20)
+      files.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+      files.nonEmpty
+    } catch { case _: Throwable => false }
     // min of two timed runs per query: single-shot timings swing ±30%
     // run-to-run from JIT/page-cache/codegen-cache state; the minimum is
     // the standard steady-state estimator and stays honest (every run
@@ -110,11 +128,24 @@ object Bench {
       // to-minute timings flap 1.4–1.8× between identical runs.
       if (sinceGc >= 16 || first.exists(_ > 1.0)) { sinceGc = 0; System.gc() }
       var times = (first ++ sample()).toSeq
-      // two samples disagreeing >1.5x means neither is steady-state
-      // (page-cache warm-up, a GC pause, codegen compile landed in one);
-      // a third sample keeps the reported min honest without paying
-      // 3 runs for the ~90% of queries whose two samples already agree
-      if (times.size == 2 && times.max / times.min > 1.5)
+      // Sample until the MIN is stable: the reported statistic is the
+      // minimum, so the stopping rule must be about the minimum — stop
+      // when the two smallest samples agree within 10% (the min is then
+      // reproducible to ~10% by construction), up to 4 samples. The old
+      // rule (one extra sample when two samples disagree >1.5x) bounded
+      // gross outliers but still let back-to-back suite runs disagree
+      // >10% on a third of queries under ambient VM noise (measured
+      // r7: 27/46 headline queries, same boot, warm cache).
+      def minUnstable(ts: Seq[Double]): Boolean = {
+        val sorted = ts.sorted
+        sorted.size >= 2 && sorted(1) / sorted(0) > 1.10
+      }
+      // sub-second queries get a larger sample budget: their noise is
+      // fixed-size scheduler jitter (30–100 ms), a LARGER fraction of
+      // the measurement, and extra samples of a 0.3 s query are cheap
+      def maxSamples(ts: Seq[Double]): Int =
+        if (ts.nonEmpty && ts.min < 0.5) 6 else 4
+      while ((times.size < 2 || minUnstable(times)) && times.size < maxSamples(times))
         times ++= sample()
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
@@ -130,7 +161,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size}$failedField,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"warm":$warmed$failedField,"queries":$qs,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: the JSON must be the literal last line of
     // stdout (the driver parses only the tail), so no shutdown chatter may
     // follow it.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.Materialize.Ops
 
 /** Corpus-curation operators for LLM training-data pipelines: the
   * document-level quality gates, repetition statistics, deterministic
@@ -45,7 +46,7 @@ object Curation {
     // (the shared-explode rule from the dedup pipelines)
     val words = docs.repartition(col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .materializeOnce()
     // (doc, word) counts → per-doc top word (count desc, word asc)
     val wordCounts = words
       .select(col("doc_id"), explode(col("toks")).as("w"))
@@ -212,7 +213,7 @@ object Curation {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .select(col("source"), col("n"), w.as("w"))
-      .localCheckpoint()
+      .materializeOnce()
     val tot = counts.agg(sum(col("w")).as("sw"))
     counts.crossJoin(tot) // 1-row normalizer; no data skew possible
       .select(col("source"), col("n"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.Materialize.Ops
 
 /** Document deduplication for LLM-data pipelines, all built on
   * shuffle-friendly primitives (groupBy / equi-join on derived keys —
@@ -107,7 +108,7 @@ object Dedup {
     // bucket self-join, and lazy evaluation would recompute the whole
     // shingle+groupBy pipeline per branch (measured 2× cost). On a
     // long-lived cluster job use persist()/checkpoint() instead.
-    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    val sigs = minhashSignatures(docs, k).materializeOnce()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
@@ -180,7 +181,7 @@ object Dedup {
   private[graft] def capBuckets(
       banded: DataFrame, keys: Seq[String], maxBucket: Int,
       windowable: Int = windowableBucket): DataFrame = {
-    val raw = banded.localCheckpoint()
+    val raw = banded.materializeOnce()
     val keyCols = keys.map(col)
     def counts = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("__bc"))
     val probe = counts.agg(max(col("__bc"))).first()
@@ -195,11 +196,11 @@ object Dedup {
       raw.withColumn("__bc", count(lit(1)).over(w))
         .filter(col("__bc") <= maxBucket)
         .drop("__bc")
-        .localCheckpoint()
+        .materializeOnce()
     } else {
       CapProbe.lastBranch.set("antijoin")
       val over = counts.filter(col("__bc") > maxBucket).select(keyCols: _*)
-      raw.join(broadcast(over), keys, "left_anti").localCheckpoint()
+      raw.join(broadcast(over), keys, "left_anti").materializeOnce()
     }
   }
 
@@ -246,7 +247,7 @@ object Dedup {
   def verifyPairsByJaccard(
       docs: DataFrame, cands: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame =
-    verifyFromShingles(shingleHashTable(docs, n).localCheckpoint(), cands,
+    verifyFromShingles(shingleHashTable(docs, n).materializeOnce(), cands,
       threshold, maxDf)
 
   private[graft] def verifyFromShingles(
@@ -257,7 +258,7 @@ object Dedup {
     // (already materialized — zero extra jobs) or a dedicated aggregate
     val sizes = precomputedSizes.getOrElse(
       ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        .localCheckpoint()) // read by the bound filter AND the final select
+        .materializeOnce()) // read by the bound filter AND the final select
     // Length bound (AllPairs/PPJoin): J = |∩|/|∪| ≤ min(sz)/max(sz), so
     // any pair whose size ratio is below the threshold provably cannot
     // verify — prune it BEFORE paying |cands|·shingles join rows. Pure
@@ -270,7 +271,7 @@ object Dedup {
         greatest(col("sz_a"), col("sz_b")) >= threshold)
       // read twice below (the candidate-doc id set AND the intersection
       // chain) — without this the entire candidate stage runs twice
-      .localCheckpoint()
+      .materializeOnce()
     // df is a CORPUS-WIDE property (one map-side-combined aggregate),
     // but the intersection only ever reads shingles of docs that appear
     // in a surviving candidate pair — so restrict ex to those docs with
@@ -315,9 +316,9 @@ object Dedup {
     // carries the per-doc set sizes, so the verify stage's sizes table
     // is a free projection of the checkpointed signatures instead of a
     // second aggregation over the exploded table.
-    val ex = shingleHashTable(docs, shingleN).localCheckpoint()
+    val ex = shingleHashTable(docs, shingleN).materializeOnce()
     val sigs = signaturesFromShingles(ex, k)
-      .localCheckpoint() // feeds the candidate stage AND four size joins
+      .materializeOnce() // feeds the candidate stage AND four size joins
     val cands = candidatesFromSignatures(
       sigs.select(col("doc_id"), col("sig")), k, bands, maxBucket, windowable)
     verifyFromShingles(ex, cands, threshold, maxDf,
@@ -450,7 +451,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(TextFunctions.windowsFromTokens(col("toks"), n)).as("win"))
       .select(col("doc_id"), wordHash(col("win"), oracleHash).as("wh"))
-      .localCheckpoint() // feeds the dup-hash set AND both per-doc counts
+      .materializeOnce() // feeds the dup-hash set AND both per-doc counts
     val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("wh"))
     val tot = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
@@ -480,14 +481,14 @@ object Dedup {
       docs: DataFrame, n: Int = 10, oracleHash: Boolean = false): DataFrame = {
     val toks = spread(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .localCheckpoint() // feeds the window explode AND the final rebuild
+      .materializeOnce() // feeds the window explode AND the final rebuild
     // windowsFromTokens only drops empty windows (empty doc), so for any
     // nonempty doc the posexplode position IS the window's start token
     val wins = toks.select(col("doc_id"),
         posexplode(TextFunctions.windowsFromTokens(col("toks"), n)))
       .select(col("doc_id"), col("pos"),
         wordHash(col("col"), oracleHash).as("wh"))
-      .localCheckpoint() // feeds the dup-hash set AND the per-doc starts
+      .materializeOnce() // feeds the dup-hash set AND the per-doc starts
     val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("wh"))
     val starts = wins.join(dup, Seq("wh"))
@@ -514,7 +515,7 @@ object Dedup {
     * Jaccard family: one explode, one groupBy for first occurrence, one
     * equi-join back. */
   def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ex = shingleHashTable(docs, n).localCheckpoint() // first-id AND per-doc
+    val ex = shingleHashTable(docs, n).materializeOnce() // first-id AND per-doc
     val first = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
     ex.join(first, Seq("sh"))
       .groupBy(col("doc_id"))
@@ -547,13 +548,13 @@ object Dedup {
     val pairs = minhashVerifiedPairs(docs, threshold, maxDf = maxDf)
       .select(col("id_a"), col("id_b"))
     val flags = docs.select(col("doc_id"), isBatch.as("is_batch"))
-      .localCheckpoint() // read by three join branches below
+      .materializeOnce() // read by three join branches below
     val pf = pairs
       .join(flags.select(col("doc_id").as("id_a"), col("is_batch").as("a_batch")),
         Seq("id_a"))
       .join(flags.select(col("doc_id").as("id_b"), col("is_batch").as("b_batch")),
         Seq("id_b"))
-      .localCheckpoint() // shared by the two dup-id branches
+      .materializeOnce() // shared by the two dup-id branches
     // batch docs duplicating a corpus doc (either pair direction)
     val corpusDup = pf.filter(col("a_batch") && !col("b_batch"))
       .select(col("id_a").as("doc_id"))
@@ -606,7 +607,7 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint() // feeds every round; don't recompute the pairs
+      .materializeOnce() // feeds every round; don't recompute the pairs
     // Seed = round 1 fused into one groupBy (no join): every node of a
     // symmetric edge list appears as src, so min(self, neighbors) here
     // is exactly the first propagation step.
@@ -638,7 +639,7 @@ object Dedup {
     def checkpointWithSum(l: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
       val ck = l.observe(obs,
-        sum(col("label").cast("decimal(38,0)")).as("s")).localCheckpoint()
+        sum(col("label").cast("decimal(38,0)")).as("s")).materializeOnce()
       // observe's sum is null on an empty frame (zero pairs → done)
       val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
         .getOrElse(java.math.BigDecimal.ZERO)
@@ -684,7 +685,7 @@ object Dedup {
     * Integer arithmetic end-to-end; one final double division. */
   def triangleCensus(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .localCheckpoint() // read by 2 join sides + probe + degree agg
+      .materializeOnce() // read by 2 join sides + probe + degree agg
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b2"), col("b").as("c")),
         col("b") === col("b2"))
@@ -748,12 +749,12 @@ object Dedup {
     // (rule 5 — materialize once)
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .materializeOnce()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // carry the out-degree on each edge so an iteration is a single
     // join against the (small) rank table
-    val edges = e.join(deg, Seq("src")).localCheckpoint()
-    val nodes = deg.select(col("src").as("v")).localCheckpoint()
+    val edges = e.join(deg, Seq("src")).materializeOnce()
+    val nodes = deg.select(col("src").as("v")).materializeOnce()
     var ranks = nodes.select(col("v"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -781,7 +782,7 @@ object Dedup {
     * one explode + one equi-join at any corpus size. */
   def contaminationCheck(
       docs: DataFrame, benchIds: Seq[Long], n: Int = 3): DataFrame = {
-    val ex = shingleTable(docs, n).localCheckpoint()
+    val ex = shingleTable(docs, n).materializeOnce()
     val isBench = col("doc_id").isInCollection(benchIds)
     val bench = ex.filter(isBench).select(col("sh")).distinct()
     val corpus = ex.filter(!isBench)
@@ -809,7 +810,7 @@ object Dedup {
     // materialize the exploded shingle table once — it feeds four
     // branches (doc sizes, shingle DF, and both join sides); recomputing
     // the explode per branch dominated the whole operator (measured 4×).
-    val ex = shingleTable(docs, n).localCheckpoint()
+    val ex = shingleTable(docs, n).materializeOnce()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val filtered = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Ops
 
 /** Event-log analytics shaped for 100 TB: every operator here is
   * aggregates + equi-joins on the entity key (map-side partial
@@ -46,7 +47,7 @@ object EventAnalytics {
       key.as("k"))
     val first = base.filter(col("s") === steps.head)
       .groupBy(col("e")).agg(min(col("k")).as("t0"))
-      .localCheckpoint()
+      .materializeOnce()
     steps.tail.zipWithIndex.foldLeft(Seq(first)) {
       case (acc, (st, i)) =>
         val prev = acc.last
@@ -54,7 +55,7 @@ object EventAnalytics {
           .join(prev.select(col("e"), col(s"t$i")), Seq("e"))
           .filter(col("k") > col(s"t$i"))
           .groupBy(col("e")).agg(min(col("k")).as(s"t${i + 1}"))
-          .localCheckpoint()
+          .materializeOnce()
     }
   }
 
@@ -87,7 +88,7 @@ object EventAnalytics {
     // AND the join — and it is (entities x weeks), far smaller than the
     // event log it distills
     val activity = events.select(col(entity).as("e"), wk.as("w")).distinct()
-      .localCheckpoint()
+      .materializeOnce()
     val cohorts = activity.groupBy(col("e")).agg(min(col("w")).as("cohort_week"))
     activity.join(cohorts, Seq("e"))
       .groupBy(col("cohort_week"),
@@ -194,7 +195,7 @@ object EventAnalytics {
       // materialized once (rule 5): every quantile arm reads cum; left
       // lazy each arm re-runs the FULL scan+histogram (audit showed one
       // table scan per quantile). cum is bins-sized — tiny.
-      .localCheckpoint()
+      .materializeOnce()
     val qRows = quantiles.map { q =>
       cum.filter(col("cum") * lit(100L) >= col("tot") * lit((q * 100).round))
         .orderBy(col("bin"))

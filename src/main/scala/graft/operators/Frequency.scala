@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Ops
 
 /** Distributed heavy hitters (frequent items) — the scale pattern for
   * "top words / domains / hosts above a support threshold" when the key
@@ -35,7 +36,7 @@ object Frequency {
   def heavyHitters(spark: SparkSession, items: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     // read three times: the MG pass, the exact recount, the total count
-    val ds = items.select(col("item")).localCheckpoint()
+    val ds = items.select(col("item")).materializeOnce()
     val candidates = ds.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { x =>

@@ -38,9 +38,81 @@ object Multimodal {
     * extractFeatures and sampleFrames (and the m45/m46 oracles) encode. */
   def videoFrames(h: Long): Int = 1 + math.floorMod(h >> 32, 30).toInt
 
+  // ---- real image codec (javax.imageio — JDK built-in, zero deps) ----
+
+  /** Real image decode: width/height plus a position-weighted pixel
+    * checksum Σ value·(1 + x + w·y + w·h·c) over (x, y, channel) in
+    * raster order — position-sensitive, so a wrong pixel, wrong channel
+    * order, or wrong dimensions all change it, and int64-exact (≤24×24
+    * RGB stays far under 2^63; for arbitrary images the sum wraps mod
+    * 2^64 identically on any JVM). Returns None when the payload is not
+    * a decodable image (ImageIO sniffs the container bytes). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val wh = w.toLong * h
+      var cs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of storage format
+          val pos = 1L + x + w.toLong * y
+          cs += ((rgb >> 16) & 0xff) * pos
+          cs += ((rgb >> 8) & 0xff) * (pos + wh)
+          cs += (rgb & 0xff) * (pos + 2 * wh)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, cs))
+    }
+  }
+
+  /** Normalized 8-bin luminance histogram of a decoded image — the real
+    * feature vector extractFeatures emits for decodable payloads. */
+  private def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val bins = new Array[Long](8)
+    val n = img.getWidth.toLong * img.getHeight
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        bins(lum >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    bins.map(b => (b.toDouble / n).toFloat)
+  }
+
+  /** Feature extraction for one item: REAL `javax.imageio` decode when
+    * the payload is a decodable image (true width/height, luminance
+    * histogram as the feature vector), stub otherwise (audio/video
+    * codecs aren't in the JDK; text stand-in payloads never sniff as
+    * images, so the m45/m46 stub oracles are unaffected). */
+  def decode(item: MediaItem): MediaFeatures =
+    if (item.kind != "image") stubDecode(item)
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.payload))
+        catch { case _: Exception => null }
+      if (img == null) stubDecode(item)
+      else MediaFeatures(item.media_id, item.kind, item.payload.length,
+        img.getWidth, img.getHeight, 1, luminanceHistogram(img))
+    }
+
   /** STUB decoder: deterministic pseudo-features derived from payload
-    * bytes. A real implementation replaces only this function (e.g. JNI
-    * image decode → resize → embed); the signature is the contract. */
+    * bytes. Still the fallback for modalities with no JDK codec (audio,
+    * video) and non-decodable payloads; images now take the real
+    * `javax.imageio` path in [[decode]]. */
   def stubDecode(item: MediaItem): MediaFeatures = {
     val bytes = item.payload
     val n = bytes.length
@@ -91,9 +163,63 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
-      // a real decoder would init its native context once here
-      it.map(stubDecode)
+      // codec init is per-partition (ImageIO plugin registry is JVM-wide
+      // and thread-safe; a native decoder would init its context here)
+      it.map(decode)
     }
+  }
+
+  /** One decoded image row of the real-codec roundtrip (m47). */
+  final case class ImageDecode(
+      media_id: Long, width: Long, height: Long, checksum: Long)
+
+  /** Pixel value of the synthetic test pattern — SQL-replayable integer
+    * arithmetic, one definition for the Scala encoder and the DuckDB
+    * oracle (CLAUDE.md rule 12). */
+  def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+    math.floorMod(id * 31 + x * 7 + y * 13 + c * 101, 256).toInt
+
+  /** Encode the deterministic test pattern for `id` as a real PNG via
+    * `javax.imageio` (dimensions 8–23 px derived from the id). */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + math.floorMod(id, 16).toInt
+    val h = 8 + math.floorMod(math.floorDiv(id, 16), 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pixelValue(id, x, y, 0) << 16)
+          | (pixelValue(id, x, y, 1) << 8) | pixelValue(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-codec roundtrip over the corpus (m47): per doc, ENCODE the
+    * deterministic pixel pattern to actual PNG bytes and DECODE them
+    * back with `javax.imageio` — both directions run the real codec on
+    * real bytes, partition-wise. PNG is lossless, so the decoded
+    * checksum must equal the arithmetic checksum of the generated
+    * pattern, which the DuckDB oracle computes independently with pure
+    * integer SQL (no codec on the oracle side — the contract is "a
+    * correct decode returns exactly the encoded pixels"). Repartition
+    * first: encode+decode is CPU-bound per item (rule 6). */
+  def imageDecodeRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, cs) = decodeImage(syntheticPng(id)).getOrElse(
+            throw new IllegalStateException(s"PNG roundtrip failed for doc $id"))
+          ImageDecode(id, w.toLong, h.toLong, cs)
+        }
+      }.toDF()
   }
 
   /** One sampled frame of a video payload. */

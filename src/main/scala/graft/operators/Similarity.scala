@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Ops
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -145,7 +146,7 @@ object Similarity {
     val sig = corpus.select(
       Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
         ++ sigCols: _*)
-      .localCheckpoint()
+      .materializeOnce()
     val cands = (0 until tables).map { t =>
       sig.select(col(s"sig$t").as("s"), col("vec_id").as("id_a"))
         .join(sig.select(col(s"sig$t").as("s"), col("vec_id").as("id_b")),
@@ -280,7 +281,7 @@ object Similarity {
     val base = corpus.select(
       col("vec_id") +: (0 until m).map(j =>
         slice(col("embedding"), j * subDim + 1, subDim).as(s"sv$j")): _*)
-      .localCheckpoint()
+      .materializeOnce()
     val qBase = queries.select(
       col("vec_id").as("q_id") +: (0 until m).map(j =>
         slice(col("embedding"), j * subDim + 1, subDim).as(s"qv$j")): _*)
@@ -352,14 +353,14 @@ object Similarity {
     val coarsePlanes = hyperplanes(4, dim, seed = 7L)
     val cells = corpus
       .withColumn("cell", signature(col("embedding"), coarsePlanes))
-      .localCheckpoint() // feeds centroid agg + residual join + membership
+      .materializeOnce() // feeds centroid agg + residual join + membership
     val cents = fixedPointCentroids(cells, dim).drop("n")
     // residual x − c(x): per-row map against the broadcast centroids
     val resid = cells.join(broadcast(cents), Seq("cell"))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("centroid"),
           (x, c) => x.cast("double") - c).as("resid"))
-      .localCheckpoint() // feeds m codebook builds + m encodes
+      .materializeOnce() // feeds m codebook builds + m encodes
     val qBase = queries.select(
       col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
         (0 until m).map(j =>
@@ -438,7 +439,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(4, dim, seed = 7L)
     val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
-      .localCheckpoint() // feeds the centroid agg AND the scoring join
+      .materializeOnce() // feeds the centroid agg AND the scoring join
     val centroids = fixedPointCentroids(cells, dim).drop("n")
     val scored = cells.select(col("vec_id"), col("embedding"),
         col("cell").as("old_cell"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Ops
 
 /** Approximate string joins: q-gram candidate generation with a
   * document-frequency cap, length filtering, and exact Levenshtein
@@ -36,7 +37,7 @@ object StringSim {
       .otherwise(array())
     val gd = df.select(col(id).as("gid"), col(str).as("s"))
       .select(col("gid"), col("s"), explode(gramArr).as("gram"))
-      .localCheckpoint() // feeds the df aggregate AND both join sides
+      .materializeOnce() // feeds the df aggregate AND both join sides
     val rare = gd.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("gram"))
     val a = gd.join(rare, Seq("gram"))

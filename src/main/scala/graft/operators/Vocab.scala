@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Ops
 
 /** Distributed vocabulary construction — the BPE-training counting step
   * (Sennrich et al., "Neural machine translation of rare words with
@@ -101,7 +102,7 @@ object Vocab {
     val toks = docs.repartition(id)
       .select(id.as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(text)).as("w"))
-      .localCheckpoint()
+      .materializeOnce()
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(vocabSize)
       .select(col("w"), lit(1).as("__in"))

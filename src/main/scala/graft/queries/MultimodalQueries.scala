@@ -101,6 +101,29 @@ object MultimodalQueries {
         |            ELSE u END AS BIGINT) AS frame_fp
         |FROM fp ORDER BY media_id, frame_idx""".stripMargin),
       (s, d) => Multimodal.sampleFrames(s, Multimodal.mediaTable(docs(s, d)))
-        .toDF().orderBy(col("media_id"), col("frame_idx")))
+        .toDF().orderBy(col("media_id"), col("frame_idx"))),
+
+    // REAL-codec roundtrip: per doc, encode the deterministic pixel
+    // pattern to actual PNG bytes and decode them back, both via
+    // javax.imageio (genuine codec on genuine bytes, partition-wise).
+    // PNG is lossless, so the decoded position-weighted checksum must
+    // equal the arithmetic checksum of the pattern — which DuckDB
+    // computes independently in pure integer SQL (staged unnests: the
+    // range table function can't take lateral column args). A decode
+    // that returned wrong pixels, dims, or channel order hash-fails.
+    Q("m47_image_decode", Some(
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 16) AS w, 8 + ((doc_id // 16) % 16) AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM ys)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(((doc_id*31 + x*7 + y*13 + c*101) % 256)
+        |           * (1 + x + w*y + w*h*c)) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.imageDecodeRoundtrip(s, docs(s, d))
+        .orderBy(col("media_id")))
   )
 }

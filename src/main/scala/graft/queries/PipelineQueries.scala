@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Profiling, Sampling}
+import graft.operators.Materialize.Ops
 
 /** Composed pipelines and set operations. q69 is the "training-data prep"
   * composition: quality-score → filter → canonical dedup (keep lowest
@@ -540,7 +541,7 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"),
             tokenCount(col("text")).cast("long").as("n_tokens"),
             graft.functions.TextFunctions.canonicalFingerprint(col("text")).as("fp"))
-          .localCheckpoint() // read by the dedup groupBy AND the join back
+          .materializeOnce() // read by the dedup groupBy AND the join back
         val survivors = scoped.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))

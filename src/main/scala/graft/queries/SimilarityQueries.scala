@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Similarity
+import graft.operators.Materialize.Ops
 
 /** Similarity-search operators over the embeddings table (64-dim float
   * vectors). The brute-force query is the exactness baseline and is
@@ -111,7 +112,7 @@ object SimilarityQueries {
         // re-run for the second aggregate that reads it (rule 5)
         val exact = Similarity.bruteForceKnn(
           emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)
-          .select(col("q_id"), col("vec_id")).localCheckpoint()
+          .select(col("q_id"), col("vec_id")).materializeOnce()
         val approx = Similarity.annLsh(
           emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)
           .select(col("q_id"), col("vec_id"))
@@ -150,7 +151,7 @@ object SimilarityQueries {
         // 50 rows — checkpoint: the exact ranking feeds the denominator
         // aggregate and both methods' hit joins (rule 5)
         val exact = Similarity.bruteForceKnn(emb(s, d), qs, k = 10)
-          .select(col("q_id"), col("vec_id")).localCheckpoint()
+          .select(col("q_id"), col("vec_id")).materializeOnce()
         val denom = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
         def recallOf(method: String, approx: org.apache.spark.sql.DataFrame) = {
           val hits = exact

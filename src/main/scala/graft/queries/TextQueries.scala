@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.RollingHash
 import graft.functions.TextFunctions._
+import graft.operators.Materialize.Ops
 
 /** Text-analysis operators over the documents table. Every oracle mirrors
   * the Spark expression step for step (same regexes, same fold order) so
@@ -243,7 +244,7 @@ object TextQueries {
         val toks = docs(s, d)
           .repartition(col("doc_id"))
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-          .localCheckpoint()
+          .materializeOnce()
         val tf = toks.groupBy(col("doc_id"), col("w"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = toks.groupBy(col("w"))

@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale probe (round-7 directive 8): the closest a local[32]
+  * sandbox gets to evidence for the 100× design claims.
+  *
+  * Generates an N-doc corpus (default 500k = 100× the sf0.1 documents
+  * table) with planted near-dup pairs, entirely distributed (range →
+  * per-doc seed → vocab-indexed word array; no driver-side data), writes
+  * it to parquet, then runs the heaviest chain in the repo — minhash
+  * LSH candidates→verify (d38 shape) → connected components (d44) —
+  * and the PageRank shape (q148) on a synthetic edge set, printing
+  * wall-clock per stage. Planted-pair recall is asserted, so the probe
+  * is a correctness witness at scale, not just a stopwatch.
+  *
+  * The corpus deliberately reuses the gate operators UNCHANGED — the
+  * point is to observe the same plans at 100–1000× the gate volume
+  * (shuffle sizes, explode amplification, fixpoint job counts), not to
+  * build a special-cased benchmark.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [nDocs] [outDir]
+  */
+object ScaleProbe {
+
+  /** ~1000-word vocabulary; Zipf-ish reuse comes from pmod over xxhash64
+    * draws. Deterministic — no Math.random, no wall clock. */
+  private def vocabLit = {
+    val words = (0 until 1000).map(i => s"w$i")
+    array(words.map(lit): _*)
+  }
+
+  /** N base docs of 60 words each, plus one near-dup for every 20th
+    * base doc: same word sequence with ONLY the last word perturbed →
+    * 57 of 59 distinct 3-shingles shared, Jaccard ≈ 0.966. At that
+    * similarity the 16-hash/4-band LSH miss probability is
+    * (1 − 0.966⁴)⁴ ≈ 3·10⁻⁴ per pair — so the probe asserts ≥99.9%
+    * recall, the honest probabilistic contract at this scale (a
+    * 3-word perturbation would sit at J ≈ 0.84 where banding ALONE is
+    * expected to miss ~6%, and the probe would fail by design, not by
+    * bug). Rule 4: the per-doc seed and vocab are materialized as
+    * columns BEFORE the transform lambda references them. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("seed", xxhash64(col("doc_id")))
+      .withColumn("is_dup", lit(false))
+    // a dup's word stream replays its source doc's seed
+    val dups = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") / 20 + lit(n)).cast("long").as("doc_id"),
+        col("seed"), lit(true).as("is_dup"))
+    base.unionByName(dups)
+      // rule 4: the vocab array literal is materialized as a column so
+      // the lambda references a BoundReference, not a re-evaluated
+      // 1000-element expression per word
+      .withColumn("vocab", vocabLit)
+      .withColumn("words",
+        transform(sequence(lit(1), lit(60)), i =>
+          element_at(col("vocab"),
+            (pmod(xxhash64(col("seed") + i +
+              // …except the last position when it IS the dup copy
+              when(col("is_dup") && i > lit(59), lit(7777777L))
+                .otherwise(lit(0L))), lit(1000)) + 1).cast("int"))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("words")).as("text"),
+        lit("probe").as("source"))
+  }
+
+  private def time[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val out = args.lift(1).getOrElse("/tmp/graft_scale_probe")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // heap comes from the forked JVM (build.sbt -Xmx via
+      // SPARK_DRIVER_MEM); spark.driver.memory is a no-op in-process
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
+
+    time("corpus gen + parquet write") {
+      corpus(spark, n).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+
+    val pairs = time("d38: LSH candidates→verify") {
+      val p = graft.operators.Dedup.minhashVerifiedPairs(
+        docs, threshold = 0.5, maxDf = 200)
+      val c = p.count(); println(s"[probe]   verified pairs: $c"); p
+    }
+    time("planted-pair recall check") {
+      // every planted dup (id >= n) should pair with its source doc;
+      // ≥99.9% is the honest banded-LSH contract at J≈0.966 (see corpus)
+      val planted = pairs
+        .filter(col("id_b") >= n && col("id_a") === (col("id_b") - n) * 20)
+        .count()
+      val expected = n / 20
+      println(s"[probe]   planted recalled: $planted/$expected")
+      require(planted >= expected * 999 / 1000,
+        s"planted-pair recall broke at scale: $planted/$expected")
+    }
+    time("d44: connected components") {
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      println(s"[probe]   clusters: ${cc.select("component").distinct().count()}")
+    }
+    time("q148: PageRank (3 iters, synthetic edges)") {
+      // 8 out-edges per doc over a hash-derived topology
+      val edges = docs.select(col("doc_id").as("id_a"),
+        explode(sequence(lit(1), lit(8))).as("k"))
+        .select(col("id_a"),
+          pmod(xxhash64(col("id_a") * lit(31) + col("k")), lit(n)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val pr = graft.operators.Dedup.pageRank(edges)
+      println(s"[probe]   ranked nodes: ${pr.count()}")
+    }
+    spark.stop()
+  }
+}

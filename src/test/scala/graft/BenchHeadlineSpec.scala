@@ -25,7 +25,7 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // skeleton with pessimistic widths: 4-digit total, 3-digit counts,
     // a "failed" list is a failing run (exit 1) so not budgeted here
     val skeleton =
-      """{"metric":"total","value":9999.999,"unit":"sec","n_queries":999,"errors":0,"queries":{},"sf":"/root/testdata/sf0.1"}""".length
+      """{"metric":"total","value":9999.999,"unit":"sec","n_queries":999,"errors":0,"warm":false,"queries":{},"sf":"/root/testdata/sf0.1"}""".length
     val worstCase = skeleton + entries
     assert(worstCase <= 1700,
       s"worst-case bench line $worstCase chars (> 1700): trim Bench.headline " +

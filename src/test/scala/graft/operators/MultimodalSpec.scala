@@ -61,6 +61,51 @@ class MultimodalSpec extends SparkSpec {
     assert(again === media.select("media_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("real javax.imageio decode: PNG and JPEG files get true dims, not stub") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_real_images")
+    def write(name: String, fmt: String, w: Int, h: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 40 % 256 << 16) | (y * 40 % 256 << 8) | 128)
+      javax.imageio.ImageIO.write(img, fmt, dir.resolve(name).toFile)
+    }
+    write("photo.png", "png", 37, 21)
+    write("photo.jpg", "jpeg", 13, 44)
+    val media = Multimodal.fromBinaryFiles(spark, dir.toString)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    val byName = media.collect()
+      .map(r => r.getString(3).split('/').last -> r.getLong(0)).toMap
+    // true pixel dimensions from the codec, not the stub's hash-derived ones
+    assert(feats(byName("photo.png")).width === 37)
+    assert(feats(byName("photo.png")).height === 21)
+    assert(feats(byName("photo.jpg")).width === 13)
+    assert(feats(byName("photo.jpg")).height === 44)
+    // the luminance-histogram feature vector is a real distribution
+    feats.values.foreach { f =>
+      assert(f.feat.length === 8)
+      assert(math.abs(f.feat.map(_.toDouble).sum - 1.0) < 1e-6)
+    }
+  }
+
+  test("PNG roundtrip checksum matches independent arithmetic (m47 contract)") {
+    val ids = Seq(0L, 1L, 17L, 255L, 499L)
+    ids.foreach { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id / 16) % 16).toInt
+      val expected = (for {
+        c <- 0 until 3; y <- 0 until h; x <- 0 until w
+      } yield Multimodal.pixelValue(id, x, y, c).toLong *
+        (1L + x + w.toLong * y + w.toLong * h * c)).sum
+      val (dw, dh, cs) = Multimodal.decodeImage(Multimodal.syntheticPng(id)).get
+      assert((dw, dh) === (w, h), s"dims for id=$id")
+      assert(cs === expected, s"checksum for id=$id")
+    }
+    // non-image bytes refuse to decode
+    assert(Multimodal.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("sampleFrames emits every k-th frame of videos only") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
