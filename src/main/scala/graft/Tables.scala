@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table access over the driver-generated parquet dirs
   * (/root/testdata/sf*). The reference engine lazily loads CSV files into
@@ -13,21 +15,56 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events `ts` column to session-TZ TIMESTAMP, branching on
+    * the type the parquet scan actually produced. The driver has shipped two
+    * physical encodings so far — TIMESTAMP(NANOS) read as raw int64 under
+    * `nanosAsLong` (pre round 8) and `timestamp[us]` read as TIMESTAMP_NTZ
+    * (current) — and a silent misread of one as the other compresses or
+    * inflates all event times 1000× (round 7's four wrong streaming
+    * answers). So: recognize both, loudly reject anything else. Sessions
+    * pin spark.sql.session.timeZone=UTC, so NTZ → TIMESTAMP is an exact
+    * wall-clock identity, matching DuckDB's naive-µs read bit for bit.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    val tsType = df.schema("ts").dataType
+    val norm: Column = tsType match {
+      case LongType          => timestamp_micros(expr("ts div 1000")) // legacy int64 nanos
+      case TimestampNTZType  => expr("CAST(ts AS TIMESTAMP)")         // µs wall clock, UTC session
+      case TimestampType     => expr("ts")
+      case other => sys.error(
+        s"testdata schema changed: events.ts is $other — expected " +
+          "TIMESTAMP_NTZ/TIMESTAMP (µs) or LongType (legacy int64 nanos); " +
+          "update graft.Tables.normalizeTs for the new contract")
+    }
+    df.withColumn("ts", norm)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark won't read
-      // natively; read the raw int64 nanos and floor to microseconds.
-      // (DuckDB keeps full ns — queries must never project raw ts, only
-      // values coarser than 1µs, e.g. date_trunc buckets.)
+      // nanosAsLong only affects TIMESTAMP(NANOS) columns (legacy events
+      // boots); on the current µs data it is inert. Setting it keeps the
+      // read from hard-failing before normalizeTs can even see the type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every test table as a temp view named after the table. */
+  /** Register every test table as a temp view named after the table.
+    * Failure-isolated per table: one table's schema drift must not take
+    * down queries that never touch it (round 7: the events ts change
+    * silenced 30 lineitem-only TPC-H gate entries because registerAll
+    * eagerly analyzed all ten views). A failed table is reported loudly
+    * and skipped — queries touching it then fail with
+    * TABLE_OR_VIEW_NOT_FOUND, which names the actual culprit. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      try load(spark, dir, n).createOrReplaceTempView(n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] WARN: could not register table '$n' from $dir: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
+      }
+    }
 }

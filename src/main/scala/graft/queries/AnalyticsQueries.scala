@@ -180,11 +180,10 @@ object AnalyticsQueries {
 
     // first-order Markov transition matrix of the event stream: counts
     // and row-normalized probabilities per (prev -> next) type pair.
-    // Ordering is the int64 event key (second-floor + sequence id) —
-    // raw ts is µs in Spark vs ns in DuckDB and MUST not order
-    // sub-second events (rule 2); the key is unique per entity, so the
-    // lag is deterministic. The probability is one int/int IEEE divide
-    // over the tiny #types² table.
+    // Ordering is the int64 event key (second-floor + sequence id):
+    // unique per entity, so the lag is deterministic regardless of the
+    // engines' physical ts resolution (rule 2). The probability is one
+    // int/int IEEE divide over the tiny #types² table.
     Q("q150_transition_matrix", Some(
       s"""WITH seq AS (
          |  SELECT user_id, event_type, $keySql AS k FROM events),

@@ -121,9 +121,9 @@ object ScaleQueries {
     // the cross join a bare range predicate would cost (operator doc);
     // DuckDB executes the same semantics natively (IEJoin), which is the
     // oracle.
-    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs — Spark evaluates
-    // the range predicate at µs, so a same-µs pair differing only in
-    // sub-µs ns must compare equal on BOTH sides (CLAUDE.md rule 2)
+    // CAST(ts AS TIMESTAMP) is an identity on the µs-native data (kept
+    // from the ns era, when it truncated DuckDB's ns to Spark's µs —
+    // harmless now, and robust if a nanos boot ever returns)
     Q("q81_range_join", Some(
       """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id
         |FROM events p JOIN events c

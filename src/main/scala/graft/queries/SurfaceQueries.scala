@@ -153,10 +153,10 @@ object SurfaceQueries {
 
     // session windows under the oracle: Spark's native session_window vs
     // the classic gaps-and-islands SQL (lag + cumulative break count).
-    // Timestamps project only at second granularity: floor-to-second is
-    // exact under Spark's ns→µs truncation (µs divides s), so values
-    // match DuckDB's full-ns arithmetic. The break condition uses >= gap
-    // to mirror session_window's exclusive end.
+    // Timestamps project only at second granularity — exact on the
+    // µs-native data (and under any coarser truncation, since µs divides
+    // s; rule 2). The break condition uses >= gap to mirror
+    // session_window's exclusive end.
     Q("q68_sessionize", Some(
       """WITH e AS (
         |  SELECT user_id, ts, value,

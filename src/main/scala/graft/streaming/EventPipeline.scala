@@ -161,8 +161,6 @@ object EventPipeline {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Streaming source over an events parquet directory (schema must be
-    * explicit for file streams; nanos ts arrives as int64 → µs). */
   /** One-time staging of the events table as three LSN-ordered chunk
     * files (ascending event_id ranges, ascending mtimes) so the file
     * source under maxFilesPerTrigger=1 delivers them as three ordered
@@ -176,10 +174,11 @@ object EventPipeline {
     cdcChunkDirs.getOrElseUpdate(sfDir, {
       val dir = java.nio.file.Files.createTempDirectory("graft_cdc_chunks")
       dir.toFile.deleteOnExit()
-      // raw read, NOT Tables.load: the chunks must keep ts as int64
-      // nanos so they match eventsStream's file-source schema (a
-      // converted TIMESTAMP column would be written INT96 and fail the
-      // stream read with a type mismatch)
+      // raw read, NOT Tables.load: the chunks keep ts in whatever
+      // physical form the source file carries (int64 on legacy nanos
+      // boots, timestamp_ntz µs now) — eventsStream derives its schema
+      // from the staged files and normalizes either form, so the
+      // round-trip is representation-agnostic by construction.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val mx = ev.agg(max(col("event_id"))).head().getLong(0)
@@ -257,22 +256,25 @@ object EventPipeline {
     }
   }
 
+  /** Streaming source over an events parquet directory. A file stream
+    * must be given an explicit schema — but a HARDCODED one silently
+    * reinterprets the physical bytes when the data contract drifts
+    * (round 7: the driver regenerated events.ts as TIMESTAMP(MICROS)
+    * and the pinned LongType schema read the int64 micros as nanos,
+    * compressing all event times 1000× — four wrong gate answers with
+    * zero errors). So: derive the schema from a batch read of the same
+    * files (one footer read), then apply the SAME ts normalization as
+    * the batch path (Tables.normalizeTs), which branches on the actual
+    * type and hard-fails on anything it doesn't recognize. */
   def eventsStream(
       spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val schema = spark.read.parquet(eventsDir).schema
     val reader = spark.readStream.schema(schema)
     val withTrigger = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
-    withTrigger.parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(withTrigger.parquet(eventsDir))
   }
 
   private def toMemorySink(df: DataFrame, queryName: String) =
