@@ -21,13 +21,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query isolation: one broken query must not void the other ~177
+    // dumps. But a swallowed failure becomes an ABSENT gate entry (round
+    // 7 lost 31 entries to one loader bug before anyone noticed), so the
+    // failures are re-announced in one summary line at the end — grep
+    // '\[verify\] SUMMARY' after any run.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    val total = SparkEntry.queries.count(kv => keep(kv._1))
+    System.err.println(
+      if (failed.isEmpty) s"[verify] SUMMARY: $total/$total queries dumped, 0 failed"
+      else s"[verify] SUMMARY: ${total - failed.size}/$total dumped; " +
+        s"${failed.size} FAILED (will be ABSENT from the gate): ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
