@@ -198,6 +198,40 @@ object Similarity {
         .as("centroid") +: extraAggs.map(e => col(e._2)): _*)
   }
 
+  /** Nearest-class-centroid evaluation over a labeled embedding table —
+    * the standard linear-probe-lite check a data pipeline runs on a new
+    * embedding batch (is the labeling signal present at all?): one
+    * fixed-point centroid per label, every vector assigned to its
+    * max-cosine centroid (tiebreak: smaller label), confusion counts
+    * out. Reuses the ivfSearch determinism contract wholesale — integer
+    * centroid sums are order-independent, the assignment cosine is the
+    * sequential fold — so the whole pipeline hash-matches a DuckDB
+    * replay.
+    *
+    * Scale shape: centroids are the ONLY broadcast (O(#labels));
+    * scoring is a map-side broadcast join (#labels rows per vector, no
+    * shuffle of the corpus); the argmax window partitions by vec_id
+    * (bounded at #labels rows per key); the confusion groupBy emits
+    * #labels² rows. Nothing is O(corpus²) and the corpus shuffles at
+    * most once (the window). */
+  def labelCentroidConfusion(emb: DataFrame, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      col("label").cast("long").as("cell"))
+    val centroids = fixedPointCentroids(cells, dim).drop("n")
+    val scored = cells.select(col("vec_id"), col("embedding"),
+        col("cell").as("label"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("cell"),
+        cosine(col("embedding"), col("centroid")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cell"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .groupBy(col("label"), col("cell").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+  }
+
   def ivfSearch(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
       dim: Int = 64): DataFrame = {

@@ -179,7 +179,16 @@ object SimilarityQueries {
         .select(col("cell"), col("n"), col("n_moved"),
           col("centroid").getItem(0).as("c0"),
           col("centroid").getItem(1).as("c1"))
-        .orderBy(col("cell")))
+        .orderBy(col("cell"))),
+
+    // nearest-class-centroid confusion matrix over the labeled
+    // embeddings — the pipeline sanity check that a new embedding
+    // batch carries its labeling signal. Fixed-point per-label
+    // centroids + sequential-fold cosine assignment, so the oracle
+    // replays the whole evaluation exactly (ivfSearch's determinism
+    // contract with label as the cell key).
+    Q("s50_label_centroid", Some(labelCentroidOracle),
+      (s, d) => Similarity.labelCentroidConfusion(emb(s, d)))
   )
 
   // ---- generated-oracle SQL for the LSH / IVF paths ----
@@ -370,6 +379,34 @@ object SimilarityQueries {
   private def fpCentroidSql(dim: Int): String =
     (0 until dim).map(i =>
       s"CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE) / 1e6").mkString("[", ", ", "]")
+
+  /** s50: nearest-class-centroid evaluation replayed exactly — one
+    * fixed-point centroid per label, max-cosine assignment (tiebreak:
+    * smaller label), confusion counts. */
+  private lazy val labelCentroidOracle: String = {
+    val dim = 64
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell
+       |  FROM embeddings),
+       |csum AS (
+       |  SELECT cell, count(*) AS n,
+       |         ${fpSumColsSql(dim)}
+       |  FROM cells GROUP BY cell),
+       |centroids AS (SELECT cell, ${fpCentroidSql(dim)} AS centroid FROM csum),
+       |scored AS (
+       |  SELECT v.vec_id, v.cell AS label, c.cell,
+       |         ${cosSql("v.embedding", "c.centroid")} AS cos
+       |  FROM cells v CROSS JOIN centroids c),
+       |best AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT vec_id, label, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+       |    FROM scored)
+       |  WHERE r = 1)
+       |SELECT label, cell AS pred, count(*) AS n
+       |FROM best GROUP BY label, cell
+       |ORDER BY label, pred""".stripMargin
+  }
 
   /** s43: IVF replayed exactly — 16 cells from the coarse planes,
     * fixed-point integer centroid sums (order-independent, bit-equal to

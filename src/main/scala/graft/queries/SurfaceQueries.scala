@@ -347,6 +347,33 @@ object SurfaceQueries {
         .groupBy(col("n_regionkey"))
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
           .as("members"))
-        .orderBy(col("n_regionkey")))
+        .orderBy(col("n_regionkey"))),
+
+    // semi-structured extraction: events.props is a JSON payload; parse
+    // it ONCE into a typed struct (from_json with an explicit schema —
+    // the scalable idiom: one parse however many fields are projected,
+    // fully codegen'd; repeated get_json_object calls re-parse the
+    // string per field), then aggregate the extracted int. All-integer
+    // aggregates, so exact; DuckDB's HUGEINT sum is cast back per
+    // rule 1.
+    Q("q152_props_json", Some(
+      """WITH e AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.load(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type")))
   )
 }

@@ -166,4 +166,22 @@ class SimilaritySpec extends SparkSpec {
     assert(k.length === 9, k.toSeq)
     assert(k.forall(r => !r.isNullAt(2)), k.toSeq) // all four subspaces matched
   }
+
+  test("labelCentroidConfusion: separable planted classes land on the diagonal") {
+    // two tight clusters around orthogonal-ish bases — every vector must
+    // be assigned to its own class centroid, and counts must conserve
+    val a = vec(11); val b = vec(12)
+    val labeled = (0 until 6).map { i =>
+      if (i < 3) (i.toLong, jitter(a, 0.02f * (i + 1)), 0)
+      else (i.toLong, jitter(b, 0.02f * (i - 2)), 1)
+    }.toDF("vec_id", "embedding", "label")
+    val conf = Similarity.labelCentroidConfusion(labeled).collect()
+    assert(conf.map(_.getLong(2)).sum === 6, conf.toSeq) // counts conserve
+    val diag = conf.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    assert(diag === 6, conf.toSeq) // perfectly separable → all diagonal
+    // schema contract: all-int64 output (driver compare rule)
+    val out = Similarity.labelCentroidConfusion(labeled)
+    assert(out.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType), out.schema)
+  }
 }
