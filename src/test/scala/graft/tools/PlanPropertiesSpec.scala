@@ -166,6 +166,29 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!subtree.exists(_.contains("ShuffleExchange")), subtree)
   }
 
+  test("s50 label-centroid assignment broadcasts centroids, never the corpus") {
+    // centroids are O(#labels) — the only broadcast; the corpus reaches
+    // the scoring join unshuffled and no cartesian appears (the
+    // broadcast-nested-loop IS the per-row scoring loop, as in s44)
+    val df = run("s50_label_centroid")
+    val all = PlanInspect.executedNodes(df)
+    assert(all.exists(n => n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")
+      || n.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      all.map(_.getClass.getSimpleName))
+    assert(!all.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      all.map(_.getClass.getSimpleName))
+  }
+
+  test("q152 JSON extraction prunes the events scan to the two used columns") {
+    // only event_type + props are read — parsing happens post-scan, but
+    // the scan must not drag the other four columns along
+    val plan = PlanInspect.formatted(run("q152_props_json"))
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).get.group(1)
+    assert(schema.count(_ == ':') === 2, plan)
+    assert(schema.contains("props") && schema.contains("event_type"), plan)
+  }
+
   test("q103 funnel is an aggregate chain — no window operators") {
     val nodes = PlanInspect.nodeNames(run("q103_funnel"))
     assert(!nodes.exists(_.contains("Window")), nodes)
