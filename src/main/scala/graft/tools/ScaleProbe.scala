@@ -112,7 +112,7 @@ object ScaleProbe {
     time("d44: connected components") {
       val cc = graft.operators.Dedup.connectedComponents(
         pairs.select(col("id_a"), col("id_b")))
-      println(s"[probe]   clusters: ${cc.select("component").distinct().count()}")
+      println(s"[probe]   clusters: ${cc.select("cluster_id").distinct().count()}")
     }
     time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
