@@ -78,8 +78,16 @@ object ScaleProbe {
     val out = args.lift(1).getOrElse("/tmp/graft_scale_probe")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // partitions sized to DATA, not thread count — the repo's own
+      // 100 TB rule applied to its own probe: the shingle explode is
+      // ~58 rows/doc, and a fixed 32 partitions lets per-task hash
+      // aggregation state outgrow the execution-memory share above
+      // ~1M docs (observed UNABLE_TO_ACQUIRE_MEMORY at n=2M under an
+      // 8g heap). ~15k docs/partition keeps each task's working set
+      // flat no matter how far n scales.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        math.max(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+          (n / 15000L).toInt).toString)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       // heap comes from the forked JVM (build.sbt -Xmx via
       // SPARK_DRIVER_MEM); spark.driver.memory is a no-op in-process
