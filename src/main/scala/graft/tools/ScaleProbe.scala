@@ -122,6 +122,31 @@ object ScaleProbe {
         pairs.select(col("id_a"), col("id_b")))
       println(s"[probe]   clusters: ${cc.select("cluster_id").distinct().count()}")
     }
+    time("s43: IVF search, n synthetic vectors") {
+      // n 64-dim vectors in [-1,1), deterministic per (id, dim); one
+      // planted near-dup of vec 0 (id = n) — the probe asserts the IVF
+      // path surfaces it at rank 1 for query 0, i.e. the coarse
+      // quantizer still routes neighbors to the same cell at this
+      // volume. Generation is a per-row map; the only broadcasts inside
+      // ivfSearch are the 16 centroids and the probe cells (its scale
+      // contract — independent of n).
+      val dims = sequence(lit(1), lit(64))
+      def comp(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+          - lit(1.0)).cast("float")
+      val base = spark.range(n).toDF("vec_id")
+        .withColumn("embedding", transform(dims, i => comp(col("vec_id") * 64 + i)))
+      val dup = spark.range(1).select(lit(n).cast("long").as("vec_id"),
+        transform(dims, i =>
+          (comp(lit(0L) * 64 + i) + lit(0.005f)).cast("float")).as("embedding"))
+      val vecs = base.unionByName(dup)
+      val top = graft.operators.Similarity
+        .ivfSearch(vecs, vecs.filter(col("vec_id") === 0), k = 10, nProbe = 2)
+      val rows = top.collect()
+      println(s"[probe]   top-1 for q0: ${rows.head.getLong(1)} (planted dup id=$n)")
+      require(rows.head.getLong(1) == n,
+        s"IVF failed to surface the planted near-dup at scale: ${rows.take(3).toSeq}")
+    }
     time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
       val edges = docs.select(col("doc_id").as("id_a"),
