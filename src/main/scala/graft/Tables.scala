@@ -62,9 +62,13 @@ object Tables {
       try load(spark, dir, n).createOrReplaceTempView(n)
       catch {
         case scala.util.control.NonFatal(e) =>
+          // getMessage may be null (e.g. bare NPEs) — the isolation catch
+          // must never itself throw
+          val msg = Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+            .getOrElse("(no message)")
           System.err.println(
             s"[graft] WARN: could not register table '$n' from $dir: " +
-              s"${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
+              s"${e.getClass.getSimpleName}: $msg")
       }
     }
 }
