@@ -39,6 +39,58 @@ object Bench {
     "q103_funnel", "q123_heavy_hitters", "q132_bpe_step",
     "q136_graph_triangles", "q148_pagerank")
 
+  /** Degradation ladder for the wall-clock budget guard. Bench loss is
+    * the only failure mode that has cost whole rounds (r7 was killed at
+    * rc=124 with no JSON line; the first r8 boot ran ~10 min) — so the
+    * suite must ALWAYS print its summary line before any plausible
+    * driver timeout. Modes only escalate, never relax:
+    *   0 = normal (min-stable, ≤3 samples)   1 = ≤2 samples
+    *   2 = 1 sample                          3 = headline-only, 1 sample
+    *   4 = abort (skip all remaining queries, print the line)
+    * Escalation compares remaining budget to remaining work, using
+    * measured per-mode seconds/query wall costs (r8 clean boot:
+    * ~1.94 s/q at the min-stable ≤3-sample protocol incl. overhead;
+    * ~0.8 s/q at 1 sample; headline = ~1/4 of the suite), re-evaluated
+    * before every query so a slow boot or ambient contention degrades
+    * exactly as far as the clock demands and no further.
+    */
+  private[graft] def escalateMode(current: Int, remainingSec: Double, queriesLeft: Int): Int = {
+    val left = math.max(1, queriesLeft).toDouble
+    val m =
+      if (remainingSec >= 2.2 * left) 0
+      else if (remainingSec >= 1.4 * left) 1
+      else if (remainingSec >= 0.8 * left) 2
+      else if (remainingSec >= math.max(15.0, 0.3 * left)) 3
+      else 4
+    math.max(current, m)
+  }
+
+  private[graft] val modeNames =
+    Array("none", "2samp", "1samp", "headline", "abort")
+
+  // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
+  // would print 12,345 and break the driver's JSON parse
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Build the one-line JSON summary. Factored out of main so
+    * BenchHeadlineSpec can bound the line length of every degraded
+    * shape, not just the happy path (CLAUDE.md rule 1b).
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)], failed: Seq[String], warmed: Boolean,
+      degraded: String, skipped: Int, sfDir: String): String = {
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum // -1.0 marks a failed query
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val skippedField = if (skipped == 0) "" else s""","skipped":$skipped"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"warm":$warmed,"degraded":"$degraded"$skippedField$failedField,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     // fail fast on a renamed/unregistered headline query — flatMap below
     // would otherwise silently drop it from the driver-parsed line
@@ -46,6 +98,14 @@ object Bench {
     require(missing.isEmpty, s"headline names not registered: $missing")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall-clock budget (seconds) for the WHOLE run, warm-up included.
+    // The driver's bench timeout is not published; r8's valid run took
+    // 6m30s and its first boot survived ~10 min, so 8 minutes is inside
+    // the proven-safe window with margin for a slow boot.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    val benchT0 = System.nanoTime()
+    def remaining: Double = budgetSec - (System.nanoTime() - benchT0) / 1e9
     // Shuffle partitions = cpus/2, floor 8: partitions should be sized to
     // the DATA (sf0.1 is tens of MB — 32 shuffle tasks are pure scheduler
     // overhead per stage), and the probe (tools.PartProbe, r8 boot)
@@ -56,6 +116,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Whole-stage-codegen compile cache (static conf, default 100
       // entries). 161 registered queries × several codegen stages each
@@ -93,7 +154,7 @@ object Bench {
       }
       files.nonEmpty
     } catch { case _: Throwable => false }
-    // min of two timed runs per query: single-shot timings swing ±30%
+    // min of timed runs per query: single-shot timings swing ±30%
     // run-to-run from JIT/page-cache/codegen-cache state; the minimum is
     // the standard steady-state estimator and stays honest (every run
     // includes the query's full planning + execution).
@@ -102,82 +163,77 @@ object Bench {
     // the log. Failures are collected, reported in the JSON, and fail the
     // process.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var skipped = 0
+    var mode = 0
     var sinceGc = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // localCheckpoint blocks are reclaimed by the ContextCleaner only
-      // after the driver-side references are GC'd; over 100+ queries the
-      // lag pins enough executor storage to slow later queries. A
-      // periodic nudge keeps the suite's tail honest.
-      sinceGc += 1
-      val tq0 = System.nanoTime()
-      def sample(): Option[Double] = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case t: Throwable =>
-            failed += name
-            System.err.println(s"[bench] FAILED $name: $t")
-            t.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
-            false
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val headlineSet = headline.toSet
+    sorted.zipWithIndex.foreach { case ((name, fn), idx) =>
+      val queriesLeft = sorted.size - idx
+      val prevMode = mode
+      mode = escalateMode(mode, remaining, queriesLeft)
+      if (mode != prevMode)
+        System.err.println(f"[bench] budget guard: mode ${modeNames(prevMode)}" +
+          f" -> ${modeNames(mode)} (remaining=$remaining%.1fs, left=$queriesLeft)")
+      val skip = mode >= 4 || (mode == 3 && !headlineSet.contains(name))
+      if (skip) { skipped += 1 }
+      else {
+        // localCheckpoint blocks are reclaimed by the ContextCleaner only
+        // after the driver-side references are GC'd; over 100+ queries the
+        // lag pins enough executor storage to slow later queries. A
+        // periodic nudge keeps the suite's tail honest.
+        sinceGc += 1
+        val tq0 = System.nanoTime()
+        def sample(): Option[Double] = {
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case t: Throwable =>
+              failed += name
+              System.err.println(s"[bench] FAILED $name: $t")
+              t.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
+              false
+          }
+          // a throw's elapsed time is not a measurement — reporting it
+          // would make a broken query look fast in the queries map / total
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
-        // a throw's elapsed time is not a measurement — reporting it
-        // would make a broken query look fast in the queries map / total
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val first = sample()
+        // the periodic nudge runs BETWEEN a query's samples: the second
+        // sample (usually the min) then measures with reclaimed storage
+        // instead of paying a GC pause mid-run — the between-queries
+        // placement left whichever query followed the nudge artificially
+        // slow, which is exactly the run-to-run flap the min should remove.
+        // Heavy queries (first sample > 1 s — the localCheckpoint-based
+        // dedup pipelines) always get the nudge: how much unreclaimed
+        // checkpoint storage they start under otherwise depends on where
+        // the periodic cadence happens to fall, which made their minute-
+        // to-minute timings flap 1.4–1.8× between identical runs.
+        if (sinceGc >= 16 || first.exists(_ > 1.0)) { sinceGc = 0; System.gc() }
+        // Sample until the MIN is stable: the reported statistic is the
+        // minimum, so the stopping rule must be about the minimum — stop
+        // when the two smallest samples agree within 10% (the min is then
+        // reproducible to ~10% by construction), capped by the budget
+        // guard's per-mode sample allowance (3 normal / 2 / 1).
+        def minUnstable(ts: Seq[Double]): Boolean = {
+          val s = ts.sorted
+          s.size >= 2 && s(1) / s(0) > 1.10
+        }
+        val maxSamples = mode match { case 0 => 3; case 1 => 2; case _ => 1 }
+        var times = first.toSeq
+        while ((times.size < 2 || minUnstable(times)) && times.size < maxSamples)
+          times ++= sample()
+        val t1 = System.nanoTime()
+        // per-query wall accounting to stderr (never stdout — the JSON must
+        // stay the literal last stdout line): lets a timed-out run be
+        // diagnosed from its log tail instead of guessed at (BENCH_r07)
+        System.err.println(f"[bench] $name samples=${times.size} " +
+          f"min=${if (times.isEmpty) -1.0 else times.min}%.3f wall=${(t1 - tq0) / 1e9}%.3f")
+        resultsBuf += name -> (if (times.isEmpty) -1.0 else times.min)
       }
-      val first = sample()
-      // the periodic nudge runs BETWEEN a query's samples: the second
-      // sample (usually the min) then measures with reclaimed storage
-      // instead of paying a GC pause mid-run — the between-queries
-      // placement left whichever query followed the nudge artificially
-      // slow, which is exactly the run-to-run flap the min should remove.
-      // Heavy queries (first sample > 1 s — the localCheckpoint-based
-      // dedup pipelines) always get the nudge: how much unreclaimed
-      // checkpoint storage they start under otherwise depends on where
-      // the periodic cadence happens to fall, which made their minute-
-      // to-minute timings flap 1.4–1.8× between identical runs.
-      if (sinceGc >= 16 || first.exists(_ > 1.0)) { sinceGc = 0; System.gc() }
-      var times = (first ++ sample()).toSeq
-      // Sample until the MIN is stable: the reported statistic is the
-      // minimum, so the stopping rule must be about the minimum — stop
-      // when the two smallest samples agree within 10% (the min is then
-      // reproducible to ~10% by construction), up to 4 samples. The old
-      // rule (one extra sample when two samples disagree >1.5x) bounded
-      // gross outliers but still let back-to-back suite runs disagree
-      // >10% on a third of queries under ambient VM noise (measured
-      // r7: 27/46 headline queries, same boot, warm cache).
-      def minUnstable(ts: Seq[Double]): Boolean = {
-        val sorted = ts.sorted
-        sorted.size >= 2 && sorted(1) / sorted(0) > 1.10
-      }
-      // budget ≤3 samples (within rule 15's ≤4): the r7 6-sample budget
-      // and even 4 are wall-clock the suite can't afford — the driver's
-      // bench timeout is the harder constraint (r7 was killed at rc=124;
-      // the r8 boot runs the whole suite near 10 minutes at 4 samples).
-      // Min-of-2 stops immediately when the two samples agree within 10%;
-      // the third draw only happens under noise.
-      val maxSamples = 3
-      while ((times.size < 2 || minUnstable(times)) && times.size < maxSamples)
-        times ++= sample()
-      val t1 = System.nanoTime()
-      // per-query wall accounting to stderr (never stdout — the JSON must
-      // stay the literal last stdout line): lets a timed-out run be
-      // diagnosed from its log tail instead of guessed at (BENCH_r07)
-      System.err.println(f"[bench] $name samples=${times.size} " +
-        f"min=${if (times.isEmpty) -1.0 else times.min}%.3f wall=${(t1 - tq0) / 1e9}%.3f")
-      name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
-    // would print 12,345 and break the driver's JSON parse
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val byName = results.toMap
-    val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // -1.0 marks a failed query
-    val failedField =
-      if (failed.isEmpty) ""
-      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"warm":$warmed$failedField,"queries":$qs,"sf":"$sfDir"}"""
+    val line = renderLine(resultsBuf.toSeq, failed.toSeq, warmed,
+      modeNames(mode), skipped, sfDir)
     // Stop Spark BEFORE printing: the JSON must be the literal last line of
     // stdout (the driver parses only the tail), so no shutdown chatter may
     // follow it.

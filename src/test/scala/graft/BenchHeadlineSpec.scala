@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * never outgrow that window — the overflow silently voided the bench
   * in rounds 1 AND 2, and the round-5 set had crept to 1,645 chars.
   * This spec bounds the WORST-CASE line length from the actual headline
-  * names, so adding a query that would overflow fails in CI instead of
-  * in the round artifact.
+  * names — in every degraded shape of the round-9 budget guard, not
+  * just the happy path — so adding a query that would overflow fails
+  * in CI instead of in the round artifact.
   */
 class BenchHeadlineSpec extends AnyFunSuite {
 
@@ -18,17 +19,48 @@ class BenchHeadlineSpec extends AnyFunSuite {
   }
 
   test("worst-case bench JSON line stays well under the driver's 2000-char tail") {
-    // per entry: "name":123.456, → name + 2 quotes + colon + 7 value
-    // chars + separating comma (a 3-digit-seconds value is already a
-    // broken bench; 7 chars covers it)
-    val entries = Bench.headline.map(_.length + 11).sum
-    // skeleton with pessimistic widths: 4-digit total, 3-digit counts,
-    // a "failed" list is a failing run (exit 1) so not budgeted here
-    val skeleton =
-      """{"metric":"total","value":9999.999,"unit":"sec","n_queries":999,"errors":0,"warm":false,"queries":{},"sf":"/root/testdata/sf0.1"}""".length
-    val worstCase = skeleton + entries
-    assert(worstCase <= 1700,
-      s"worst-case bench line $worstCase chars (> 1700): trim Bench.headline " +
+    // Render the actual line with pessimistic widths: every headline
+    // query present at a 3-digit-seconds value (already a broken bench),
+    // a 4-digit total, max degraded tag, 3-digit skip count.
+    val results = Bench.headline.map(_ -> 999.999) :+ ("zz_total_pad" -> 9999.999)
+    val line = Bench.renderLine(results, Nil, warmed = false,
+      degraded = "headline", skipped = 999, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1700,
+      s"worst-case bench line ${line.length} chars (> 1700): trim Bench.headline " +
         s"(${Bench.headline.size} entries) before adding more")
+    assert(line.contains("\"degraded\":\"headline\"") && line.contains("\"skipped\":999"))
+  }
+
+  test("abort-mode line (all queries skipped) still renders valid short JSON") {
+    val line = Bench.renderLine(Nil, Nil, warmed = false,
+      degraded = "abort", skipped = 200, sfDir = "/root/testdata/sf0.1")
+    assert(line.length < 300)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains("\"queries\":{}"))
+  }
+
+  test("degraded field omits skipped when zero, keeps failed list shape") {
+    val ok = Bench.renderLine(Seq("q01_projection" -> 0.1), Nil, warmed = true,
+      degraded = "none", skipped = 0, sfDir = "x")
+    assert(!ok.contains("skipped"))
+    val bad = Bench.renderLine(Seq("q01_projection" -> -1.0),
+      Seq("q01_projection"), warmed = true, degraded = "none", skipped = 0, sfDir = "x")
+    assert(bad.contains("\"failed\":[\"q01_projection\"]"))
+    assert(bad.contains("\"value\":0.000"), s"failed query leaked into total: $bad")
+  }
+
+  test("budget guard escalates monotonically and aborts when nearly out of time") {
+    import Bench.escalateMode
+    // plenty of budget: stays normal
+    assert(escalateMode(0, remainingSec = 600, queriesLeft = 180) === 0)
+    // modes only ratchet up, never relax even if budget recovers
+    assert(escalateMode(2, remainingSec = 600, queriesLeft = 10) === 2)
+    // squeeze: 180 queries left, 200 s remaining -> fewer samples
+    assert(escalateMode(0, remainingSec = 200, queriesLeft = 180) >= 2)
+    // nearly out: headline-only
+    assert(escalateMode(0, remainingSec = 60, queriesLeft = 180) === 3)
+    // out: abort (must still print the line)
+    assert(escalateMode(0, remainingSec = 5, queriesLeft = 180) === 4)
+    assert(escalateMode(0, remainingSec = -3, queriesLeft = 1) === 4)
   }
 }
