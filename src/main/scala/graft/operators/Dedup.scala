@@ -253,7 +253,8 @@ object Dedup {
   private[graft] def verifyFromShingles(
       ex: DataFrame, cands: DataFrame,
       threshold: Double, maxDf: Int,
-      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+      precomputedSizes: Option[DataFrame] = None,
+      precomputedKeep: Option[DataFrame] = None): DataFrame = {
     // (doc_id, sz): either ride-along output of the signature groupBy
     // (already materialized — zero extra jobs) or a dedicated aggregate
     val sizes = precomputedSizes.getOrElse(
@@ -282,10 +283,14 @@ object Dedup {
     val candIds = bounded.select(col("id_a").as("doc_id"))
       .union(bounded.select(col("id_b").as("doc_id")))
       .distinct()
-    val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("sh"))
+    // `keep` is the surviving (df ≤ cap) shingle set. The df count is a
+    // CORPUS-WIDE property; callers with a persisted index pass it in
+    // (precomputedKeep) instead of paying the full-corpus aggregate here.
+    val keep = precomputedKeep.getOrElse(
+      ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("sh")))
     val filtered = ex.join(candIds, Seq("doc_id"), "left_semi")
-      .join(df, Seq("sh"))
+      .join(keep, Seq("sh"))
     val inter = bounded.select(col("id_a"), col("id_b"))
       .join(filtered.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
       .join(filtered.select(col("doc_id").as("id_b"), col("sh")),
@@ -539,16 +544,26 @@ object Dedup {
     * Built on the same candidates→verify pair machinery as d38, so the
     * cost is the pair pipeline plus three equi-joins — the corpus side
     * never pairs with itself beyond what LSH proposes, and nothing here
-    * is quadratic. At 100 TB the corpus's signatures would be
-    * precomputed and reused across daily batches; the pair stage is the
-    * only part that touches corpus text. */
+    * is quadratic. This variant re-signatures the WHOLE corpus every
+    * run — correct, but at 100 TB the corpus index must persist across
+    * daily batches: see writeSignatureStore / dedupBatchAgainstStore
+    * for that path (identical output, proven by SignatureStoreSpec). */
   def incrementalDedup(
       docs: DataFrame, isBatch: Column,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     val pairs = minhashVerifiedPairs(docs, threshold, maxDf = maxDf)
       .select(col("id_a"), col("id_b"))
     val flags = docs.select(col("doc_id"), isBatch.as("is_batch"))
-      .materializeOnce() // read by three join branches below
+    classifyBatchPairs(pairs, flags)
+  }
+
+  /** Shared keep/drop classification over verified near-dup pairs
+    * (id_a < id_b) given a (doc_id, is_batch) flag table: corpus_dup >
+    * batch_dup > unique, batch rows only. Used by both the recompute
+    * path (incrementalDedup) and the persisted-store path
+    * (dedupBatchAgainstStore) so the two cannot drift. */
+  private def classifyBatchPairs(pairs: DataFrame, flagsIn: DataFrame): DataFrame = {
+    val flags = flagsIn.materializeOnce() // read by three join branches below
     val pf = pairs
       .join(flags.select(col("doc_id").as("id_a"), col("is_batch").as("a_batch")),
         Seq("id_a"))
@@ -575,6 +590,120 @@ object Dedup {
           .otherwise("unique").as("reason"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- persisted-signature incremental dedup ----
+
+  /** Write the persisted dedup index for a settled corpus — the asset a
+    * 100 TB pipeline reuses across daily ingests instead of
+    * re-signaturing petabytes per batch. Three parquet tables:
+    *
+    *   - `signatures` (doc_id, sz, sig): MinHash signatures + distinct
+    *     shingle-set size, the LSH candidate side;
+    *   - `shingles` (doc_id, sh): the 64-bit hashed shingle inverted
+    *     index — 8 bytes/shingle, read ONLY for docs that appear in a
+    *     candidate pair (semi-join pruned; bucket it by doc_id on a real
+    *     cluster so that read is partition-pruned too);
+    *   - `df` (sh, df): corpus-wide shingle document frequencies, so the
+    *     verify stage's boilerplate cap needs no corpus scan at all.
+    *
+    * One shingle explode feeds all three (same sharing as
+    * minhashVerifiedPairs). k and shingleN are baked into the store —
+    * a batch run MUST use the same values (signatures of different k
+    * never collide in a band join; fail loudly rather than silently). */
+  def writeSignatureStore(
+      corpus: DataFrame, path: String, k: Int = 16, shingleN: Int = 3): Unit = {
+    val ex = shingleHashTable(corpus, shingleN).materializeOnce()
+    ex.write.mode("overwrite").parquet(s"$path/shingles")
+    signaturesFromShingles(ex, k)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+  }
+
+  /** Dedup an incoming batch against a PERSISTED signature store — the
+    * actual at-scale incremental pattern: the settled corpus is touched
+    * only through its index (signatures for candidates, merged df for
+    * the cap, shingles of candidate docs for exact verification); corpus
+    * text is never read and corpus signatures are never recomputed.
+    *
+    * Output and semantics are IDENTICAL to incrementalDedup over
+    * (corpus ∪ batch): the candidate band join sees the same banded
+    * signature population (store ∪ batch, same capBuckets contract), the
+    * verify stage's df cap is the same corpus-wide count (persisted df +
+    * batch increment), and classification reuses the same helper —
+    * SignatureStoreSpec asserts row-for-row equality and the d53 gate
+    * replays it against the brute-force oracle (rule-13 recall
+    * contract, tools.RecallCheck). Per-batch cost: O(batch shingles) +
+    * the band join + candidate-doc index reads — independent of corpus
+    * text size. */
+  def dedupBatchAgainstStore(
+      batch: DataFrame, storeSigs: DataFrame, storeShingles: DataFrame,
+      storeDf: DataFrame, threshold: Double = 0.5, k: Int = 16,
+      bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val rows = k / bands
+    // batch side: ONE explode shared by its signatures, df increment and
+    // verification shingles (same sharing as minhashVerifiedPairs)
+    val bex = shingleHashTable(batch, shingleN).materializeOnce()
+    val bsigs = signaturesFromShingles(bex, k)
+      .materializeOnce() // banded join + sizes + flags all read it
+    def banded(sigs: DataFrame, isBatch: Boolean) =
+      sigs.select(col("doc_id"), lit(isBatch).as("is_batch"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+          .as(Seq("band", "band_hash")))
+    // cap over the COMBINED banded population (store ∪ batch) — bucket
+    // sizes, and therefore the cap decision, match the recompute path
+    val allBanded = capBuckets(
+      banded(storeSigs.select(col("doc_id"), col("sig")), isBatch = false)
+        .unionByName(banded(bsigs.select(col("doc_id"), col("sig")), isBatch = true)),
+      Seq("band", "band_hash"), maxBucket)
+    // candidates TOUCHING THE BATCH only: batch side × everything. The
+    // corpus×corpus quadrant — the one that dominates a self-join and
+    // that the store pattern exists to avoid — is never generated.
+    val bSide = allBanded.filter(col("is_batch"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("bid"))
+    val oSide = allBanded.select(col("band"), col("band_hash"),
+      col("doc_id").as("oid"))
+    val cands = bSide.join(oSide, Seq("band", "band_hash"))
+      .filter(col("bid") =!= col("oid"))
+      // canonical orientation; batch-batch pairs arrive in both
+      // directions and must collapse to one
+      .select(least(col("bid"), col("oid")).as("id_a"),
+        greatest(col("bid"), col("oid")).as("id_b"))
+      .distinct()
+    // verify inputs assembled incrementally: sizes ride the signatures,
+    // the df cap merges the persisted corpus counts with the batch
+    // increment (one union+groupBy — never a corpus shingle scan)
+    val sizes = storeSigs.select(col("doc_id"), col("sz"))
+      .unionByName(bsigs.select(col("doc_id"), col("sz")))
+    val keep = storeDf.select(col("sh"), col("df"))
+      .unionByName(bex.groupBy(col("sh")).agg(count(lit(1)).as("df")))
+      .groupBy(col("sh")).agg(sum(col("df")).as("t"))
+      .filter(col("t") <= maxDf).select(col("sh"))
+    // the store's shingle index enters lazily; verifyFromShingles
+    // semi-joins it to candidate docs before anything shuffles, so only
+    // candidate docs' shingles are ever read from the store
+    val ex = storeShingles.select(col("doc_id"), col("sh"))
+      .unionByName(bex)
+    val pairs = verifyFromShingles(ex, cands, threshold, maxDf,
+      precomputedSizes = Some(sizes), precomputedKeep = Some(keep))
+      .select(col("id_a"), col("id_b"))
+    val flags = storeSigs.select(col("doc_id"), lit(false).as("is_batch"))
+      .unionByName(bsigs.select(col("doc_id"), lit(true).as("is_batch")))
+    classifyBatchPairs(pairs, flags)
+  }
+
+  /** Convenience overload reading the three store tables from a
+    * writeSignatureStore directory. */
+  def dedupBatchAgainstStore(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      storePath: String, threshold: Double, maxDf: Int): DataFrame =
+    dedupBatchAgainstStore(batch,
+      spark.read.parquet(s"$storePath/signatures"),
+      spark.read.parquet(s"$storePath/shingles"),
+      spark.read.parquet(s"$storePath/df"),
+      threshold = threshold, maxDf = maxDf)
 
   // ---- duplicate clustering ----
 

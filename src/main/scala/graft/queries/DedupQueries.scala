@@ -261,34 +261,22 @@ object DedupQueries {
     // kept or dropped with a reason (corpus_dup > batch_dup > unique).
     // Same LSH-pairs-with-brute-oracle contract as d38 (100% recall,
     // tools.RecallCheck).
-    Q("d47_incremental_dedup", Some(
-      s"""WITH $ngramPairCtes,
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
-         |bflag AS (SELECT doc_id, doc_id % 10 = 9 AS is_batch FROM documents),
-         |pf AS (SELECT p.id_a, p.id_b, fa.is_batch AS a_batch, fb.is_batch AS b_batch
-         |       FROM pairs p JOIN bflag fa ON fa.doc_id = p.id_a
-         |                    JOIN bflag fb ON fb.doc_id = p.id_b),
-         |cd AS (SELECT DISTINCT doc_id FROM (
-         |         SELECT id_a AS doc_id FROM pf WHERE a_batch AND NOT b_batch
-         |         UNION ALL
-         |         SELECT id_b AS doc_id FROM pf WHERE b_batch AND NOT a_batch)),
-         |bd AS (SELECT DISTINCT id_b AS doc_id FROM pf WHERE a_batch AND b_batch)
-         |SELECT f.doc_id,
-         |       cd.doc_id IS NULL AND bd.doc_id IS NULL AS keep,
-         |       CASE WHEN cd.doc_id IS NOT NULL THEN 'corpus_dup'
-         |            WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
-         |            ELSE 'unique' END AS reason
-         |FROM bflag f
-         |LEFT JOIN cd ON cd.doc_id = f.doc_id
-         |LEFT JOIN bd ON bd.doc_id = f.doc_id
-         |WHERE f.is_batch
-         |ORDER BY f.doc_id""".stripMargin),
+    Q("d47_incremental_dedup", Some(incrementalOracle),
       (s, d) => Dedup.incrementalDedup(docs(s, d),
         col("doc_id") % 10 === 9, threshold = 0.5, maxDf = 20)),
+
+    // the PERSISTED-INDEX form of d47 — the actual 100 TB daily-ingest
+    // pattern: the settled corpus is indexed ONCE (Staging writes the
+    // MinHash signature/shingle/df store per JVM, standing in for a
+    // prior run's output) and each batch dedups against the store —
+    // corpus text never re-read, corpus signatures never recomputed.
+    // Output is identical to d47 by construction (SignatureStoreSpec
+    // asserts equality), so it shares d47's oracle verbatim: same
+    // brute-force contract, same rule-13 recall dependency.
+    Q("d53_store_incremental", Some(incrementalOracle),
+      (s, d) => Dedup.dedupBatchAgainstStore(s,
+        docs(s, d).filter(col("doc_id") % 10 === 9),
+        Staging.signatureStoreDir(s, d), threshold = 0.5, maxDf = 20)),
 
     // substring-level dedup (Lee et al. ACL 2022): per-document counts of
     // 10-token windows that occur anywhere else in the corpus. Windows
@@ -398,6 +386,38 @@ object DedupQueries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Incremental-dedup oracle shared by d47 (recompute path) and d53
+    * (persisted-store path): batch = doc_id % 10 == 9, brute-force
+    * exact-Jaccard pairs, corpus_dup > batch_dup > unique. One SQL
+    * string for both gates — the two Spark paths are asserted equal by
+    * SignatureStoreSpec, so a drift would fail CI before the oracle. */
+  private lazy val incrementalOracle: String =
+    s"""WITH $ngramPairCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |bflag AS (SELECT doc_id, doc_id % 10 = 9 AS is_batch FROM documents),
+       |pf AS (SELECT p.id_a, p.id_b, fa.is_batch AS a_batch, fb.is_batch AS b_batch
+       |       FROM pairs p JOIN bflag fa ON fa.doc_id = p.id_a
+       |                    JOIN bflag fb ON fb.doc_id = p.id_b),
+       |cd AS (SELECT DISTINCT doc_id FROM (
+       |         SELECT id_a AS doc_id FROM pf WHERE a_batch AND NOT b_batch
+       |         UNION ALL
+       |         SELECT id_b AS doc_id FROM pf WHERE b_batch AND NOT a_batch)),
+       |bd AS (SELECT DISTINCT id_b AS doc_id FROM pf WHERE a_batch AND b_batch)
+       |SELECT f.doc_id,
+       |       cd.doc_id IS NULL AND bd.doc_id IS NULL AS keep,
+       |       CASE WHEN cd.doc_id IS NOT NULL THEN 'corpus_dup'
+       |            WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
+       |            ELSE 'unique' END AS reason
+       |FROM bflag f
+       |LEFT JOIN cd ON cd.doc_id = f.doc_id
+       |LEFT JOIN bd ON bd.doc_id = f.doc_id
+       |WHERE f.is_batch
+       |ORDER BY f.doc_id""".stripMargin
 
   /** Brute-force 3-gram Jaccard pair set at threshold 0.5 — the shared
     * oracle for d40 (same algorithm) and d38 (candidates→verify LSH,

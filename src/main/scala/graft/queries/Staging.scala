@@ -10,6 +10,38 @@ import java.nio.file.{Files, Paths}
 object Staging {
   private val staged = scala.collection.concurrent.TrieMap[String, String]()
   private val sinkDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private val storeDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Recursive-delete shutdown hook for a staging dir that gets FILLED
+    * after creation (deleteOnExit is a no-op on non-empty dirs). */
+  private def rmOnExit(dir: java.nio.file.Path): Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    ()
+  }
+
+  /** Per-JVM persisted MinHash signature store for the d53 gate: the
+    * settled corpus (documents with doc_id % 10 != 9 — the complement
+    * of the d47/d53 batch split) indexed once per sfDir via
+    * Dedup.writeSignatureStore, then REUSED across query invocations —
+    * exactly the prior-run index the store pattern models. Gate
+    * parameters (k=16, 3-gram shingles) are the writeSignatureStore
+    * defaults and must match the batch side's. */
+  def signatureStoreDir(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    storeDirs.getOrElseUpdate(sfDir, {
+      val dir = Files.createTempDirectory("graft_sigstore")
+      graft.operators.Dedup.writeSignatureStore(
+        graft.Tables.load(spark, sfDir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 9),
+        dir.toString)
+      rmOnExit(dir)
+      dir.toString
+    })
 
   def eventsDir(sfDir: String): String = staged.getOrElseUpdate(sfDir, {
     val dir = Files.createTempDirectory("graft_events_stage")
