@@ -39,13 +39,49 @@ object Tables {
     df.withColumn("ts", norm)
   }
 
+  /** Raw (un-normalized) batch read of an events parquet path, with the
+    * legacy-nanos fallback and NO conf mutation on current data: µs
+    * parquet infers cleanly with no conf touched at all. Only a
+    * TIMESTAMP(NANOS) file (pre-round-8 encoding) fails schema
+    * inference — "Illegal Parquet type" — and only THEN does
+    * nanosAsLong go on, and stay on: in that era every events read in
+    * the session needs it, so session scope is the correct scope. (A
+    * set/restore around just this read would be wrong anyway: the conf
+    * is consulted again when the scan executes, after a restore would
+    * have cleared it.) Shared by the batch loader, the streaming
+    * schema derivation and the CDC chunk staging, so all three read
+    * the same physical contract. */
+  def readEventsRaw(spark: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    try spark.read.parquet(path)
+    catch {
+      case scala.util.control.NonFatal(_)
+          if !spark.conf.get(key, "false").toBoolean =>
+        spark.conf.set(key, "true")
+        spark.read.parquet(path)
+    }
+  }
+
+  /** The current events physical contract (µs-native, round 8+) — the
+    * schema eventsStream falls back to when its staging directory is
+    * still empty at stream construction (the classic file-source
+    * pattern: the stream starts before the first file lands). Pinned by
+    * TestdataContractSpec against the real files, so this fallback and
+    * the data cannot drift apart silently. */
+  val eventsContractSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // nanosAsLong only affects TIMESTAMP(NANOS) columns (legacy events
-      // boots); on the current µs data it is inert. Setting it keeps the
-      // read from hard-failing before normalizeTs can even see the type.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      normalizeTs(readEventsRaw(spark, s"$dir/events.parquet"))
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -56,12 +92,19 @@ object Tables {
     * silenced 30 lineitem-only TPC-H gate entries because registerAll
     * eagerly analyzed all ten views). A failed table is reported loudly
     * and skipped — queries touching it then fail with
-    * TABLE_OR_VIEW_NOT_FOUND, which names the actual culprit. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+    * TABLE_OR_VIEW_NOT_FOUND, which names the actual culprit.
+    *
+    * Returns the set of tables that failed, so a caller can distinguish
+    * "table skipped" from "table absent" without scraping stderr; the
+    * union of all failures this JVM has seen is also accumulated in
+    * [[registerFailuresSeen]] for end-of-run summaries (Verify). */
+  def registerAll(spark: SparkSession, dir: String): Set[String] = {
+    val failed = Set.newBuilder[String]
     all.foreach { n =>
       try load(spark, dir, n).createOrReplaceTempView(n)
       catch {
         case scala.util.control.NonFatal(e) =>
+          failed += n
           // getMessage may be null (e.g. bare NPEs) — the isolation catch
           // must never itself throw
           val msg = Option(e.getMessage).flatMap(_.linesIterator.nextOption())
@@ -71,4 +114,15 @@ object Tables {
               s"${e.getClass.getSimpleName}: $msg")
       }
     }
+    val f = failed.result()
+    if (f.nonEmpty)
+      registerFailuresSeen.updateAndGet(_ ++ f)
+    f
+  }
+
+  /** Union of every table registerAll failed to register in this JVM —
+    * a diagnostic breadcrumb for end-of-run summaries, never control
+    * flow. */
+  val registerFailuresSeen =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 }

@@ -36,10 +36,20 @@ object Verify {
       }
     }
     val total = SparkEntry.queries.count(kv => keep(kv._1))
+    // name any table registerAll had to skip: a skipped table is the
+    // usual ROOT CAUSE of the sql-surface failures above, and without
+    // this line the SUMMARY can't distinguish "table skipped" from
+    // "query broken"
+    val regFailed = Tables.registerFailuresSeen.get()
+    val regNote =
+      if (regFailed.isEmpty) ""
+      else s"; tables skipped by registerAll: ${regFailed.toSeq.sorted.mkString(", ")}"
     System.err.println(
-      if (failed.isEmpty) s"[verify] SUMMARY: $total/$total queries dumped, 0 failed"
+      if (failed.isEmpty)
+        s"[verify] SUMMARY: $total/$total queries dumped, 0 failed$regNote"
       else s"[verify] SUMMARY: ${total - failed.size}/$total dumped; " +
-        s"${failed.size} FAILED (will be ABSENT from the gate): ${failed.mkString(", ")}")
+        s"${failed.size} FAILED (will be ABSENT from the gate): " +
+        s"${failed.mkString(", ")}$regNote")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -179,8 +179,7 @@ object EventPipeline {
       // boots, timestamp_ntz µs now) — eventsStream derives its schema
       // from the staged files and normalizes either form, so the
       // round-trip is representation-agnostic by construction.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = graft.Tables.readEventsRaw(spark, s"$sfDir/events.parquet")
       val mx = ev.agg(max(col("event_id"))).head().getLong(0)
       val t0 = System.currentTimeMillis()
       (0 until 3).foreach { i =>
@@ -265,12 +264,27 @@ object EventPipeline {
     * zero errors). So: derive the schema from a batch read of the same
     * files (one footer read), then apply the SAME ts normalization as
     * the batch path (Tables.normalizeTs), which branches on the actual
-    * type and hard-fails on anything it doesn't recognize. */
+    * type and hard-fails on anything it doesn't recognize.
+    *
+    * An INITIALLY-EMPTY directory (the classic file-source pattern: the
+    * stream starts before the first file lands) has nothing to derive
+    * from, so it falls back to the pinned contract schema
+    * (Tables.eventsContractSchema — canaried against the real files by
+    * TestdataContractSpec). The fallback engages ONLY when the
+    * directory genuinely holds no parquet yet; a populated directory
+    * that fails to read keeps failing loudly. */
   def eventsStream(
       spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
+    val hasParquet = {
+      val f = new java.io.File(eventsDir)
+      f.isFile && f.getName.endsWith(".parquet") ||
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .exists(c => c.getName.endsWith(".parquet") || c.isDirectory)
+    }
+    val schema =
+      if (hasParquet) graft.Tables.readEventsRaw(spark, eventsDir).schema
+      else graft.Tables.eventsContractSchema
     val reader = spark.readStream.schema(schema)
     val withTrigger = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)

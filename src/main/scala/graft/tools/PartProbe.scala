@@ -11,6 +11,7 @@ object PartProbe {
     val parts = args.lift(1).getOrElse(threads)
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -9,6 +9,7 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -10,6 +10,7 @@ import graft.operators.Dedup
 object RecallCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -78,6 +78,7 @@ object ScaleProbe {
     val out = args.lift(1).getOrElse("/tmp/graft_scale_probe")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.session.timeZone", "UTC")
       // partitions sized to DATA, not thread count — the repo's own
       // 100 TB rule applied to its own probe: the shingle explode is
       // ~58 rows/doc, and a fixed 32 partitions lets per-task hash

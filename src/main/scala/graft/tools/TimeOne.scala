@@ -9,6 +9,7 @@ object TimeOne {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val n = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -143,4 +143,62 @@ class TestdataContractSpec extends SparkSpec {
     val e = intercept[RuntimeException](Tables.normalizeTs(bad))
     assert(e.getMessage.contains("testdata schema changed"))
   }
+
+  test("eventsContractSchema matches the real files (fallback cannot drift)") {
+    assert(raw("events").schema == Tables.eventsContractSchema,
+      "testdata schema changed: events no longer matches " +
+        "Tables.eventsContractSchema — update BOTH (the streaming " +
+        "empty-dir fallback reads the pinned copy)")
+  }
+
+  test("events.props rows all parse as JSON with an integral k (q152 contract)") {
+    // q152's engines diverge asymmetrically at the edges: Spark
+    // from_json NULLs a malformed payload or non-integral k, while
+    // DuckDB props->>'$.k' + CAST errors. The gate only stays
+    // symmetric while EVERY row parses and k is an unquoted integer —
+    // pin exactly that, so a props regen fails here with a name, not in
+    // the oracle with a hash mismatch.
+    import org.apache.spark.sql.functions._
+    val ev = raw("events")
+    val n = ev.count()
+    val ok = ev
+      .select(from_json(col("props"),
+        StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k"), col("props"))
+      .filter(col("k").isNotNull &&
+        col("props").rlike("\"k\"\\s*:\\s*-?\\d+\\s*[,}]"))
+      .count()
+    assert(ok == n,
+      s"testdata contract changed: events.props — only $ok/$n rows carry " +
+        "valid JSON with an unquoted integral k; q152's oracle would now " +
+        "diverge (Spark nulls, DuckDB errors)")
+  }
+
+  test("cdc staged chunks preserve the raw events contract (stream-side canary)") {
+    val dir = graft.streaming.EventPipeline.cdcChunksDir(spark, sf0001)
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 3, s"expected 3 staged cdc chunks, found ${files.length}")
+    val rawEv = raw("events")
+    files.foreach { f =>
+      assert(spark.read.parquet(f.toString).schema == rawEv.schema,
+        s"testdata schema changed: staged cdc chunk ${f.getName} drifted " +
+          s"from the raw events schema")
+    }
+    // chunks are LSN-range partitioned in file order (the property the
+    // cumulative upsert's batch equivalence rests on) and lossless
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .selectExpr("min(event_id)", "max(event_id)", "count(*)").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    ranges.toSeq.sliding(2).foreach {
+      case Seq((_, hiA, _), (loB, _, _)) =>
+        assert(hiA < loB, s"cdc chunks overlap: max $hiA >= next min $loB")
+      case _ =>
+    }
+    assert(ranges.map(_._3).sum == rawEv.count(),
+      "staged cdc chunks dropped or duplicated events rows")
+  }
 }
