@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one JVM-side pass per partition, batch-shaped, no
   * driver collection).
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in
-  * this container — with a deterministic fake decoder; everything around
-  * it (schema, partitioning, batch iteration, output shape) is the real
-  * pipeline a decoder would drop into.
+  * Codecs: images decode for REAL via `javax.imageio` and audio via
+  * `javax.sound.sampled` (both JDK built-ins — m47/m48 run genuine
+  * encode→decode roundtrips on genuine bytes). Only video remains
+  * STUBBED (the JDK ships no video codec) behind a deterministic fake
+  * decoder; everything around it (schema, partitioning, batch
+  * iteration, output shape) is the real pipeline a codec drops into.
   */
 object Multimodal {
 
@@ -93,26 +95,122 @@ object Multimodal {
     bins.map(b => (b.toDouble / n).toFloat)
   }
 
-  /** Feature extraction for one item: REAL `javax.imageio` decode when
-    * the payload is a decodable image (true width/height, luminance
-    * histogram as the feature vector), stub otherwise (audio/video
-    * codecs aren't in the JDK; text stand-in payloads never sniff as
-    * images, so the m45/m46 stub oracles are unaffected). */
-  def decode(item: MediaItem): MediaFeatures =
-    if (item.kind != "image") stubDecode(item)
-    else {
+  // ---- real audio codec (javax.sound.sampled — JDK built-in, zero deps) ----
+
+  /** Deterministic 16-bit PCM sample for (id, i) — SQL-replayable
+    * integer arithmetic, ONE definition for the Scala encoder and the
+    * m48 DuckDB oracle (CLAUDE.md rule 12). */
+  def audioSample(id: Long, i: Int): Int =
+    math.floorMod(id * 31 + i.toLong * 7919L, 65536L).toInt - 32768
+
+  /** PCM sample count of the synthetic waveform for doc id (64–255). */
+  def audioSampleCount(id: Long): Int = 64 + math.floorMod(id, 192).toInt
+
+  /** Encode the deterministic waveform for `id` as a real WAV container
+    * (16-bit signed little-endian mono PCM @ 8 kHz) via
+    * `javax.sound.sampled.AudioSystem` — the genuine encoder, mirror of
+    * syntheticPng. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = audioSampleCount(id)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(id, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real audio decode: container + format parse via AudioSystem, then
+    * all PCM frames as signed ints (16-bit mono; either endianness,
+    * honoring the header). None when the payload is not parseable audio
+    * (AudioSystem sniffs the container bytes — a text payload has no
+    * RIFF/AIFF/AU magic). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) =
+            if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+            else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, samples))
+      }
+    } catch { case _: Exception => None }
+
+  /** Position-weighted PCM checksum Σ s_i·(1+i) — position-sensitive
+    * (a swapped, dropped or corrupted sample changes it) and int64-exact
+    * for any audio under ~2^45 samples. Shared by the m48 roundtrip and
+    * its generated oracle. */
+  def wavChecksum(samples: Array[Int]): Long = {
+    var cs = 0L
+    var i = 0
+    while (i < samples.length) { cs += samples(i).toLong * (1 + i); i += 1 }
+    cs
+  }
+
+  /** Normalized 8-bin amplitude histogram — the real feature vector the
+    * decode path emits for parseable audio (mirror of the image path's
+    * luminance histogram). */
+  private def amplitudeHistogram(samples: Array[Int]): Array[Float] = {
+    val bins = new Array[Long](8)
+    var i = 0
+    while (i < samples.length) {
+      bins(math.min(7, math.abs(samples(i)) >> 12)) += 1
+      i += 1
+    }
+    bins.map(b => (b.toDouble / math.max(1, samples.length)).toFloat)
+  }
+
+  /** Feature extraction for one item: REAL codec when the payload is
+    * decodable — `javax.imageio` for images (true width/height,
+    * luminance histogram), `javax.sound.sampled` for audio (sample rate
+    * as width, sample count as height, amplitude histogram) — stub
+    * otherwise (video has no JDK codec; text stand-in payloads sniff as
+    * neither image nor audio, so the m45/m46 stub oracles are
+    * unaffected). */
+  def decode(item: MediaItem): MediaFeatures = item.kind match {
+    case "image" =>
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.payload))
         catch { case _: Exception => null }
       if (img == null) stubDecode(item)
       else MediaFeatures(item.media_id, item.kind, item.payload.length,
         img.getWidth, img.getHeight, 1, luminanceHistogram(img))
-    }
+    case "audio" =>
+      decodeWav(item.payload) match {
+        case Some((rate, samples)) =>
+          MediaFeatures(item.media_id, item.kind, item.payload.length,
+            rate, samples.length, 1, amplitudeHistogram(samples))
+        case None => stubDecode(item)
+      }
+    case _ => stubDecode(item)
+  }
 
   /** STUB decoder: deterministic pseudo-features derived from payload
-    * bytes. Still the fallback for modalities with no JDK codec (audio,
-    * video) and non-decodable payloads; images now take the real
-    * `javax.imageio` path in [[decode]]. */
+    * bytes. Still the fallback for the one modality with no JDK codec
+    * (video) and for non-decodable payloads; images take the real
+    * `javax.imageio` path and audio the real `javax.sound.sampled`
+    * path in [[decode]]. */
   def stubDecode(item: MediaItem): MediaFeatures = {
     val bytes = item.payload
     val n = bytes.length
@@ -218,6 +316,31 @@ object Multimodal {
           val (w, h, cs) = decodeImage(syntheticPng(id)).getOrElse(
             throw new IllegalStateException(s"PNG roundtrip failed for doc $id"))
           ImageDecode(id, w.toLong, h.toLong, cs)
+        }
+      }.toDF()
+  }
+
+  /** One decoded audio row of the real-codec roundtrip (m48). */
+  final case class AudioDecode(
+      media_id: Long, sample_rate: Long, n_samples: Long, checksum: Long)
+
+  /** Real-codec audio roundtrip over the corpus (m48) — the audio
+    * mirror of imageDecodeRoundtrip: per doc, ENCODE the deterministic
+    * waveform to actual WAV bytes and DECODE them back with
+    * `javax.sound.sampled`, partition-wise. WAV PCM is lossless, so the
+    * decoded position-weighted checksum must equal the arithmetic
+    * checksum of the generated samples, which the DuckDB oracle
+    * computes independently in pure integer SQL (a wrong sample,
+    * endianness, or dropped frame hash-fails). Repartition first:
+    * encode+decode is CPU-bound per item (rule 6). */
+  def audioDecodeRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (rate, samples) = decodeWav(syntheticWav(id)).getOrElse(
+            throw new IllegalStateException(s"WAV roundtrip failed for doc $id"))
+          AudioDecode(id, rate.toLong, samples.length.toLong, wavChecksum(samples))
         }
       }.toDF()
   }

@@ -124,6 +124,28 @@ object MultimodalQueries {
         |           * (1 + x + w*y + w*h*c)) AS BIGINT) AS checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin),
       (s, d) => Multimodal.imageDecodeRoundtrip(s, docs(s, d))
+        .orderBy(col("media_id"))),
+
+    // REAL-codec audio roundtrip (the m48 mirror of m47): per doc,
+    // encode the deterministic 16-bit PCM waveform to actual WAV bytes
+    // and decode them back via javax.sound.sampled — genuine codec on
+    // genuine bytes, both directions. WAV PCM is lossless, so the
+    // decoded position-weighted sample checksum must equal the
+    // arithmetic checksum of the generated waveform, computed
+    // independently by DuckDB in pure integer SQL (no codec on the
+    // oracle side). A wrong sample, endianness flip, header misparse or
+    // dropped frame all hash-fail.
+    Q("m48_audio_decode", Some(
+      """WITH ns AS (
+        |  SELECT doc_id, 64 + (doc_id % 192) AS n FROM documents),
+        |ix AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ns)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(((doc_id*31 + i*7919) % 65536 - 32768) * (1 + i)) AS BIGINT)
+        |    AS checksum
+        |FROM ix GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.audioDecodeRoundtrip(s, docs(s, d))
         .orderBy(col("media_id")))
   )
 }

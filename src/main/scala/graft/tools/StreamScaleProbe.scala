@@ -29,21 +29,28 @@ object StreamScaleProbe {
 
   /** Deterministic synthetic events in the gate contract's columns.
     * user count = n/200 keeps per-user click rates near the gate's, so
-    * the join output stays ~linear in n rather than quadratic. */
-  def events(spark: SparkSession, n: Long): DataFrame = {
+    * the join output stays ~linear in n rather than quadratic.
+    * `usPerEvent` sets event-time density: the join's state holds the
+    * 10-minute lookback window, i.e. 6e8/usPerEvent events of state —
+    * the knob that sweeps state-store volume independently of n. */
+  def events(spark: SparkSession, n: Long, usPerEvent: Long = 10000L): DataFrame = {
     val users = math.max(1000L, n / 200L)
+    // INDEPENDENT seeded hash draws per attribute: user_id and
+    // event_type from one shared hash are arithmetically correlated
+    // (users is a multiple of 4, so h % users determines h % 4 — every
+    // user gets exactly one event type and the join matches nothing)
     spark.range(n).toDF("event_id")
-      .withColumn("h", xxhash64(col("event_id")))
       .select(
         col("event_id"),
         // 100 events/sec of event time, strictly increasing with
         // event_id — chunk boundaries are then clean watermark
         // boundaries and append-mode join output equals the batch join
-        timestamp_micros(lit(1700000000000000L) + col("event_id") * 10000L).as("ts"),
-        pmod(col("h"), lit(users)).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("event_id") * usPerEvent).as("ts"),
+        pmod(xxhash64(col("event_id"), lit(1)), lit(users)).as("user_id"),
         element_at(array(lit("click"), lit("purchase"), lit("view"), lit("error")),
-          (pmod(col("h"), lit(4)) + 1).cast("int")).as("event_type"),
-        (pmod(col("h"), lit(10000)).cast("double") / 100.0).as("value"))
+          (pmod(xxhash64(col("event_id"), lit(2)), lit(4)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("event_id"), lit(3)), lit(10000)).cast("double") / 100.0)
+          .as("value"))
   }
 
   /** Stage `chunks` LSN-ordered parquet files (ascending event_id
@@ -113,6 +120,7 @@ object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L) // 100× sf0.1
     val out = args.lift(1).getOrElse("/tmp/graft_stream_probe")
+    val usPerEvent = args.lift(2).map(_.toLong).getOrElse(10000L)
     val chunks = 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -121,11 +129,12 @@ object StreamScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch)")
+    println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch) " +
+      s"us_per_event=$usPerEvent (~${600000000L / usPerEvent} events in the 10-min state window)")
 
     val chunksDir = s"$out/chunks"
     time("event gen + chunk staging") {
-      stageChunks(spark, events(spark, n), n, chunksDir, chunks)
+      stageChunks(spark, events(spark, n, usPerEvent), n, chunksDir, chunks)
     }
     val collector = new ProgressCollector
     spark.streams.addListener(collector)

@@ -106,6 +106,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  test("WAV roundtrip checksum matches independent arithmetic (m48 contract)") {
+    for (id <- Seq(0L, 1L, 63L, 191L, 255L, 314159L)) {
+      val n = Multimodal.audioSampleCount(id)
+      val expected = (0 until n)
+        .map(i => Multimodal.audioSample(id, i).toLong * (1 + i)).sum
+      val (rate, samples) = Multimodal.decodeWav(Multimodal.syntheticWav(id)).get
+      assert(rate === 8000, s"sample rate for id=$id")
+      assert(samples.length === n, s"sample count for id=$id")
+      assert(samples.toSeq === (0 until n).map(Multimodal.audioSample(id, _)),
+        s"decoded PCM differs from generated waveform for id=$id")
+      assert(Multimodal.wavChecksum(samples) === expected, s"checksum for id=$id")
+    }
+    // non-audio bytes refuse to decode (no RIFF magic)
+    assert(Multimodal.decodeWav("plain text payload".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("real javax.sound decode: WAV payloads get true rate/count, text falls back to stub") {
+    val wav = Multimodal.syntheticWav(42L)
+    val real = Multimodal.decode(
+      Multimodal.MediaItem(1L, "audio", wav, "spec"))
+    assert(real.width === 8000) // sample rate rides the width slot
+    assert(real.height === Multimodal.audioSampleCount(42L))
+    assert(real.feat.length === 8 && math.abs(real.feat.sum - 1.0f) < 1e-4f,
+      "amplitude histogram must be normalized")
+    // an audio-kind item whose payload is NOT parseable audio keeps the
+    // stub contract (what the m45 oracle replays for the text corpus)
+    val txt = Multimodal.MediaItem(2L, "audio", "just words".getBytes("UTF-8"), "spec")
+    val (d, st) = (Multimodal.decode(txt), Multimodal.stubDecode(txt))
+    assert((d.n_bytes, d.width, d.height, d.n_frames) ===
+      (st.n_bytes, st.width, st.height, st.n_frames))
+    assert(d.feat.toSeq === st.feat.toSeq)
+  }
+
   test("sampleFrames emits every k-th frame of videos only") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
