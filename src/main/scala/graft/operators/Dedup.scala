@@ -705,6 +705,29 @@ object Dedup {
       spark.read.parquet(s"$storePath/df"),
       threshold = threshold, maxDf = maxDf)
 
+  /** Fold a deduped batch's SURVIVORS into the signature store — the
+    * close of the daily-ingest loop (index → dedup batch → append
+    * survivors → next day's index is current). Appends parquet files
+    * only; nothing is rewritten. The df table therefore holds PARTIAL
+    * counts (one row per (sh, ingest)) — by design: every reader
+    * already merges df rows with a groupBy-sum (dedupBatchAgainstStore
+    * unions them with the batch increment), so an append is one small
+    * write instead of a full-table rewrite, the only append semantics
+    * that survive a 100 TB store. Compact the df table offline when the
+    * partial-row count grows past reading comfort.
+    * `survivors` must be the kept rows only (keep = true) — appending
+    * dropped duplicates would make the store disagree with the
+    * recompute path (StoreLoopSpec pins the two-day equivalence). */
+  def appendBatchToStore(
+      survivors: DataFrame, path: String, k: Int = 16, shingleN: Int = 3): Unit = {
+    val ex = shingleHashTable(survivors, shingleN).materializeOnce()
+    ex.write.mode("append").parquet(s"$path/shingles")
+    signaturesFromShingles(ex, k)
+      .write.mode("append").parquet(s"$path/signatures")
+    ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$path/df")
+  }
+
   // ---- duplicate clustering ----
 
   /** Connected components over an undirected pair list (id_a < id_b):

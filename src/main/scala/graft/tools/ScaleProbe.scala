@@ -123,6 +123,30 @@ object ScaleProbe {
         pairs.select(col("id_a"), col("id_b")))
       println(s"[probe]   clusters: ${cc.select("cluster_id").distinct().count()}")
     }
+    time("d53: persisted-store incremental dedup") {
+      // the r9 daily-ingest pattern at probe volume: corpus = the base
+      // docs, batch = the planted near-dups (ids >= n, ~5%). The store
+      // is written ONCE (the prior run's artifact); the batch dedups
+      // against it without touching corpus text. Every batch doc
+      // near-dups its source at J≈0.966, so ≥99.9% must come back
+      // corpus_dup — recall asserted through the store path end-to-end.
+      val storeDir = s"$out/sigstore"
+      val corpus = docs.filter(col("doc_id") < n)
+      val batch = docs.filter(col("doc_id") >= n)
+      val tW = System.nanoTime()
+      graft.operators.Dedup.writeSignatureStore(corpus, storeDir)
+      println(f"[probe]   store write (one-time): ${(System.nanoTime() - tW) / 1e9}%.1f s")
+      val tB = System.nanoTime()
+      val res = graft.operators.Dedup.dedupBatchAgainstStore(
+        spark, batch, storeDir, threshold = 0.5, maxDf = 200)
+      val flagged = res.filter(col("reason") === "corpus_dup").count()
+      val total = res.count()
+      println(f"[probe]   batch-vs-store dedup: ${(System.nanoTime() - tB) / 1e9}%.1f s; " +
+        s"corpus_dup $flagged/$total")
+      require(total == n / 20, s"batch size drifted: $total != ${n / 20}")
+      require(flagged >= total * 999 / 1000,
+        s"store-path recall broke at scale: $flagged/$total flagged corpus_dup")
+    }
     time("s43: IVF search, n synthetic vectors") {
       // n 64-dim vectors in [-1,1), deterministic per (id, dim); one
       // planted near-dup of vec 0 (id = n) — the probe asserts the IVF
