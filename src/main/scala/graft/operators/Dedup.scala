@@ -694,15 +694,23 @@ object Dedup {
     classifyBatchPairs(pairs, flags)
   }
 
+  /** Read one store table. recursiveFileLookup: appends may land as
+    * batch-keyed SUBDIRECTORIES (the idempotent form — see
+    * appendBatchToStore's `tag`), and must be read alongside the flat
+    * base files; partition inference is irrelevant (flat schema). */
+  private def readStoreTable(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+
   /** Convenience overload reading the three store tables from a
     * writeSignatureStore directory. */
   def dedupBatchAgainstStore(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       storePath: String, threshold: Double, maxDf: Int): DataFrame =
     dedupBatchAgainstStore(batch,
-      spark.read.parquet(s"$storePath/signatures"),
-      spark.read.parquet(s"$storePath/shingles"),
-      spark.read.parquet(s"$storePath/df"),
+      readStoreTable(spark, s"$storePath/signatures"),
+      readStoreTable(spark, s"$storePath/shingles"),
+      readStoreTable(spark, s"$storePath/df"),
       threshold = threshold, maxDf = maxDf)
 
   /** Fold a deduped batch's SURVIVORS into the signature store — the
@@ -717,15 +725,27 @@ object Dedup {
     * partial-row count grows past reading comfort.
     * `survivors` must be the kept rows only (keep = true) — appending
     * dropped duplicates would make the store disagree with the
-    * recompute path (StoreLoopSpec pins the two-day equivalence). */
+    * recompute path (StoreLoopSpec pins the two-day equivalence).
+    *
+    * `tag` makes the append IDEMPOTENT for at-least-once callers
+    * (foreachBatch retries — IngestDedup passes batch_&lt;id&gt;): the
+    * three writes land in tag-named SUBDIRECTORIES with overwrite
+    * semantics, so a replayed batch overwrites its own files instead of
+    * double-counting; store reads use recursiveFileLookup and see base
+    * files and tagged appends alike. */
   def appendBatchToStore(
-      survivors: DataFrame, path: String, k: Int = 16, shingleN: Int = 3): Unit = {
+      survivors: DataFrame, path: String, k: Int = 16, shingleN: Int = 3,
+      tag: Option[String] = None): Unit = {
+    val (sub, mode) = tag match {
+      case Some(t) => (s"/$t", "overwrite")
+      case None    => ("", "append")
+    }
     val ex = shingleHashTable(survivors, shingleN).materializeOnce()
-    ex.write.mode("append").parquet(s"$path/shingles")
+    ex.write.mode(mode).parquet(s"$path/shingles$sub")
     signaturesFromShingles(ex, k)
-      .write.mode("append").parquet(s"$path/signatures")
+      .write.mode(mode).parquet(s"$path/signatures$sub")
     ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(s"$path/df")
+      .write.mode(mode).parquet(s"$path/df$sub")
   }
 
   // ---- duplicate clustering ----

@@ -278,6 +278,58 @@ object DedupQueries {
         docs(s, d).filter(col("doc_id") % 10 === 9),
         Staging.signatureStoreDir(s, d), threshold = 0.5, maxDf = 20)),
 
+    // streaming dedup-on-ingest (q153): the FULL store loop as a
+    // stream — two document batches arrive as files, each micro-batch
+    // dedups against the persisted store inside foreachBatch and folds
+    // its survivors back in, so batch 1 sees batch 0's keepers as
+    // settled corpus. Every stage rebuilt fresh per invocation (the
+    // stream MUTATES the store, so nothing can be cached), over a
+    // bounded doc_id < 1000 subset so the cost stays flat as SF grows.
+    // The oracle replays both days' decisions from the brute-force pair
+    // set: day-2 corpus membership = day-0 docs + day-1 KEEPERS only
+    // (a pair with a day-1 dropped duplicate counts for nothing —
+    // exactly the store's behavior, since dropped docs are never
+    // appended). Same rule-13 recall dependency as d38/d53.
+    Q("q153_stream_ingest_dedup", Some(ingestLoopOracle),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val all = docs(s, d).filter(col("doc_id") < ingestMaxDocId)
+        val root = Files.createTempDirectory("graft_q153")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val store = s"$root/store"
+        Dedup.writeSignatureStore(
+          all.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9), store)
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val t0 = System.currentTimeMillis()
+        Seq(8, 9).zipWithIndex.foreach { case (m, i) =>
+          val tmp = Files.createTempDirectory(s"graft_q153_b$i")
+          all.filter(col("doc_id") % 10 === m)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q153 batch $i produced no parquet part"))
+          val dst = Paths.get(in, s"batch_$i.parquet")
+          Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(t0 + i * 2000L)
+        }
+        val sink = s"$root/sink"
+        val q = graft.streaming.IngestDedup.start(s, in, store, sink,
+          threshold = 0.5, maxDf = 20)
+        try q.processAllAvailable() finally q.stop()
+        Seq(0, 1).map(i =>
+            s.read.parquet(s"$sink/decisions/batch_$i")
+              .withColumn("batch_id", lit(i.toLong)))
+          .reduce(_.unionByName(_))
+          .select(col("batch_id"), col("doc_id"), col("keep"), col("reason"))
+          .orderBy(col("batch_id"), col("doc_id"))
+      }),
+
     // substring-level dedup (Lee et al. ACL 2022): per-document counts of
     // 10-token windows that occur anywhere else in the corpus. Windows
     // compare by 64-bit hash (8 bytes/window through the shuffle at any
@@ -365,20 +417,26 @@ object DedupQueries {
     * whitespace-only document tokenizes to [''] and must vanish from
     * BOTH engines, not just Spark. private[queries]: q70's prep
     * pipeline interpolates the same CTEs (one definition, two oracles). */
-  private[queries] lazy val ngramShingleCte: String =
-    """ex AS (
+  private[queries] def ngramShingleCteFor(base: String): String =
+    s"""ex AS (
       |  SELECT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
       |      SELECT doc_id,
       |        list_transform(range(1, greatest(len(w) - 3, 0) + 2),
       |                       i -> array_to_string(w[i:i+2], ' ')) AS sh_list
-      |      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)))
+      |      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $base)))
       |  WHERE sh <> '')""".stripMargin
 
+  private[queries] lazy val ngramShingleCte: String =
+    ngramShingleCteFor("documents")
+
   /** The shared CTE chain computing exact 3-gram Jaccard intersections
-    * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed). */
-  private[queries] lazy val ngramPairCtes: String =
-    s"""$ngramShingleCte,
+    * with the df≤20 skew cap (ends with `inter`; `sizes` also exposed).
+    * `base` parameterizes the document set (q153 runs the loop over a
+    * bounded-size subset so its per-invocation cost stays flat as SF
+    * grows). */
+  private[queries] def ngramPairCtesFor(base: String): String =
+    s"""${ngramShingleCteFor(base)},
       |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
       |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
       |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
@@ -386,6 +444,9 @@ object DedupQueries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  private[queries] lazy val ngramPairCtes: String =
+    ngramPairCtesFor("documents")
 
   /** Incremental-dedup oracle shared by d47 (recompute path) and d53
     * (persisted-store path): batch = doc_id % 10 == 9, brute-force
@@ -418,6 +479,65 @@ object DedupQueries {
        |LEFT JOIN bd ON bd.doc_id = f.doc_id
        |WHERE f.is_batch
        |ORDER BY f.doc_id""".stripMargin
+
+  /** q153's document bound: the streaming loop re-stages its store per
+    * invocation (it mutates it), so the working set must not grow with
+    * SF. One constant drives the Spark filter and the oracle's base
+    * subquery. */
+  private lazy val ingestMaxDocId = 500L
+
+  /** q153: both days of the streaming ingest-dedup loop replayed from
+    * the brute-force pair set (see the Q comment for the corpus-
+    * membership subtlety on day 2). */
+  private lazy val ingestLoopOracle: String = {
+    val base = s"(SELECT * FROM documents WHERE doc_id < $ingestMaxDocId)"
+    s"""WITH ${ngramPairCtesFor(base)},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |flag AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 8 THEN 1
+       |         WHEN doc_id % 10 = 9 THEN 2 ELSE 0 END AS day
+       |  FROM documents WHERE doc_id < $ingestMaxDocId),
+       |pf AS (SELECT p.id_a, p.id_b, fa.day AS da, fb.day AS db
+       |       FROM pairs p JOIN flag fa ON fa.doc_id = p.id_a
+       |                    JOIN flag fb ON fb.doc_id = p.id_b),
+       |cd1 AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT id_a AS doc_id FROM pf WHERE da = 1 AND db = 0
+       |  UNION ALL SELECT id_b FROM pf WHERE db = 1 AND da = 0)),
+       |bd1 AS (SELECT DISTINCT id_b AS doc_id FROM pf WHERE da = 1 AND db = 1),
+       |d1 AS (SELECT f.doc_id,
+       |         cd1.doc_id IS NULL AND bd1.doc_id IS NULL AS keep,
+       |         CASE WHEN cd1.doc_id IS NOT NULL THEN 'corpus_dup'
+       |              WHEN bd1.doc_id IS NOT NULL THEN 'batch_dup'
+       |              ELSE 'unique' END AS reason
+       |       FROM flag f LEFT JOIN cd1 ON cd1.doc_id = f.doc_id
+       |                   LEFT JOIN bd1 ON bd1.doc_id = f.doc_id
+       |       WHERE f.day = 1),
+       |corp2 AS (SELECT doc_id FROM flag WHERE day = 0
+       |          UNION ALL SELECT doc_id FROM d1 WHERE keep),
+       |cd2 AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT p.id_a AS doc_id FROM pf p JOIN corp2 c ON c.doc_id = p.id_b
+       |  WHERE p.da = 2
+       |  UNION ALL
+       |  SELECT p.id_b FROM pf p JOIN corp2 c ON c.doc_id = p.id_a
+       |  WHERE p.db = 2)),
+       |bd2 AS (SELECT DISTINCT id_b AS doc_id FROM pf WHERE da = 2 AND db = 2),
+       |d2 AS (SELECT f.doc_id,
+       |         cd2.doc_id IS NULL AND bd2.doc_id IS NULL AS keep,
+       |         CASE WHEN cd2.doc_id IS NOT NULL THEN 'corpus_dup'
+       |              WHEN bd2.doc_id IS NOT NULL THEN 'batch_dup'
+       |              ELSE 'unique' END AS reason
+       |       FROM flag f LEFT JOIN cd2 ON cd2.doc_id = f.doc_id
+       |                   LEFT JOIN bd2 ON bd2.doc_id = f.doc_id
+       |       WHERE f.day = 2)
+       |SELECT CAST(0 AS BIGINT) AS batch_id, doc_id, keep, reason FROM d1
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), doc_id, keep, reason FROM d2
+       |ORDER BY batch_id, doc_id""".stripMargin
+  }
 
   /** Brute-force 3-gram Jaccard pair set at threshold 0.5 — the shared
     * oracle for d40 (same algorithm) and d38 (candidates→verify LSH,
