@@ -9,12 +9,18 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one JVM-side pass per partition, batch-shaped, no
   * driver collection).
   *
-  * Codecs: images decode for REAL via `javax.imageio` and audio via
-  * `javax.sound.sampled` (both JDK built-ins — m47/m48 run genuine
-  * encode→decode roundtrips on genuine bytes). Only video remains
-  * STUBBED (the JDK ships no video codec) behind a deterministic fake
-  * decoder; everything around it (schema, partitioning, batch
-  * iteration, output shape) is the real pipeline a codec drops into.
+  * Codecs: ALL THREE modalities decode for REAL with JDK built-ins —
+  * images via `javax.imageio` (m47), audio via `javax.sound.sampled`
+  * (m48), and video via the multi-frame GIF container that
+  * `javax.imageio`'s GIF plugin both writes (`writeToSequence`) and
+  * reads frame-by-frame (m49/m50). GIF is palette-indexed, so
+  * grayscale frames roundtrip losslessly — a genuine frames-in-a-
+  * container codec, not a stub. The deterministic fake decoder remains
+  * only as the fallback for payloads no JDK codec can sniff (the
+  * synthetic text stand-ins of m45/m46) and for containers the JDK
+  * has no reader for (MP4 et al.); everything around it (schema,
+  * partitioning, batch iteration, output shape) is the identical
+  * pipeline either path drops into.
   */
 object Multimodal {
 
@@ -181,13 +187,120 @@ object Multimodal {
     bins.map(b => (b.toDouble / math.max(1, samples.length)).toFloat)
   }
 
+  // ---- real video codec (multi-frame GIF via javax.imageio, zero deps) ----
+
+  /** Decoded multi-frame GIF: dimensions, one position-weighted
+    * checksum per frame (Σ gray·(1+x+w·y) in raster order), and the
+    * normalized 8-bin gray histogram over ALL frames (the feature
+    * vector — mirror of the image path's luminance histogram). */
+  final case class GifDecode(
+      width: Int, height: Int, frameChecksums: Array[Long], grayHist: Array[Float])
+
+  /** Gray value of the synthetic video test pattern at (frame, x, y) —
+    * SQL-replayable integer arithmetic, ONE definition for the Scala
+    * encoder and the m49/m50 DuckDB oracles (CLAUDE.md rule 12). */
+  def videoGray(id: Long, f: Int, x: Int, y: Int): Int =
+    math.floorMod(id * 31 + f * 17 + x * 7 + y * 13, 256).toInt
+
+  /** Frame geometry of the synthetic video for doc id: 8–19 px sides,
+    * 2–8 frames. */
+  def videoDims(id: Long): (Int, Int, Int) = (
+    8 + math.floorMod(id, 12).toInt,
+    8 + math.floorMod(math.floorDiv(id, 12), 12).toInt,
+    2 + math.floorMod(id, 7).toInt)
+
+  /** Encode the deterministic frame sequence for `id` as a real
+    * multi-frame GIF via `javax.imageio`'s sequence writer — the video
+    * mirror of syntheticPng/syntheticWav. Frames are 8-bit indexed
+    * grayscale (an explicit 256-gray palette), which the GIF palette
+    * holds exactly, so the container roundtrips losslessly. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val (w, h, nFrames) = videoDims(id)
+    val gray = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = videoGray(id, f, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Real video decode: the GIF reader walks the container frame by
+    * frame (`getNumImages(true)` forces a full scan). Per frame a
+    * position-weighted gray checksum — position-sensitive within the
+    * frame; callers weight by frame index for cross-frame sensitivity.
+    * None when the payload is not a GIF container (magic sniff) or has
+    * no frames. */
+  def decodeGifFrames(bytes: Array[Byte]): Option[GifDecode] =
+    try {
+      if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+        None
+      else {
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n = reader.getNumImages(true)
+          if (n < 1) None
+          else {
+            val first = reader.read(0)
+            val w = first.getWidth
+            val h = first.getHeight
+            val cs = new Array[Long](n)
+            val bins = new Array[Long](8)
+            var f = 0
+            while (f < n) {
+              val img = if (f == 0) first else reader.read(f)
+              var acc = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val g = img.getRGB(x, y) & 0xff
+                  acc += g.toLong * (1L + x + w.toLong * y)
+                  bins(g >> 5) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              cs(f) = acc
+              f += 1
+            }
+            val total = n.toLong * w * h
+            Some(GifDecode(w, h, cs, bins.map(b => (b.toDouble / total).toFloat)))
+          }
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+
   /** Feature extraction for one item: REAL codec when the payload is
     * decodable — `javax.imageio` for images (true width/height,
     * luminance histogram), `javax.sound.sampled` for audio (sample rate
-    * as width, sample count as height, amplitude histogram) — stub
-    * otherwise (video has no JDK codec; text stand-in payloads sniff as
-    * neither image nor audio, so the m45/m46 stub oracles are
-    * unaffected). */
+    * as width, sample count as height, amplitude histogram), the GIF
+    * frame reader for video (true dims and frame count, gray
+    * histogram) — stub otherwise (text stand-in payloads sniff as none
+    * of the three, so the m45/m46 stub oracles are unaffected). */
   def decode(item: MediaItem): MediaFeatures = item.kind match {
     case "image" =>
       val img =
@@ -203,14 +316,21 @@ object Multimodal {
             rate, samples.length, 1, amplitudeHistogram(samples))
         case None => stubDecode(item)
       }
+    case "video" =>
+      decodeGifFrames(item.payload) match {
+        case Some(gif) =>
+          MediaFeatures(item.media_id, item.kind, item.payload.length,
+            gif.width, gif.height, gif.frameChecksums.length, gif.grayHist)
+        case None => stubDecode(item)
+      }
     case _ => stubDecode(item)
   }
 
   /** STUB decoder: deterministic pseudo-features derived from payload
-    * bytes. Still the fallback for the one modality with no JDK codec
-    * (video) and for non-decodable payloads; images take the real
-    * `javax.imageio` path and audio the real `javax.sound.sampled`
-    * path in [[decode]]. */
+    * bytes — the fallback for payloads no JDK codec can sniff (the
+    * synthetic text stand-ins) and containers the JDK has no reader
+    * for; images, audio, and GIF video take the real codec paths in
+    * [[decode]]. */
   def stubDecode(item: MediaItem): MediaFeatures = {
     val bytes = item.payload
     val n = bytes.length
@@ -343,6 +463,60 @@ object Multimodal {
           AudioDecode(id, rate.toLong, samples.length.toLong, wavChecksum(samples))
         }
       }.toDF()
+  }
+
+  /** One decoded video row of the real-codec roundtrip (m49). */
+  final case class VideoDecode(
+      media_id: Long, width: Long, height: Long, n_frames: Long, checksum: Long)
+
+  /** Real-codec VIDEO roundtrip over the corpus (m49) — the video
+    * mirror of imageDecodeRoundtrip: per doc, ENCODE the deterministic
+    * frame sequence to an actual multi-frame GIF container and DECODE
+    * it back frame-by-frame with `javax.imageio`, partition-wise.
+    * Indexed-grayscale GIF is lossless, so the frame-index-weighted
+    * checksum Σ_f (1+f)·Σ gray·(1+x+w·y) of the decode must equal the
+    * arithmetic checksum of the generated pattern, which the DuckDB
+    * oracle computes independently in pure integer SQL (no codec on
+    * the oracle side). A wrong pixel, wrong frame count, swapped or
+    * dropped frame all hash-fail. Repartition first: encode+decode is
+    * CPU-bound per item (rule 6). */
+  def videoDecodeRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gif = decodeGifFrames(syntheticGif(id)).getOrElse(
+            throw new IllegalStateException(s"GIF roundtrip failed for doc $id"))
+          val cs = gif.frameChecksums.iterator.zipWithIndex
+            .map { case (c, f) => c * (1L + f) }.sum
+          VideoDecode(id, gif.width.toLong, gif.height.toLong,
+            gif.frameChecksums.length.toLong, cs)
+        }
+      }.toDF()
+  }
+
+  /** One REAL-decoded sampled frame (m50). */
+  final case class VideoFrame(media_id: Long, frame_idx: Long, frame_checksum: Long)
+
+  /** Real-codec frame sampling (m50): every `everyK`-th frame of each
+    * doc's GIF as its own row with the frame's decoded checksum — the
+    * row-AMPLIFYING decode shape of m46, now on a genuine container:
+    * the decoder walks real frames and the amplification happens
+    * inside each partition, never through a shuffle. */
+  def videoFrameSample(
+      spark: SparkSession, docs: DataFrame, everyK: Int = 2): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val gif = decodeGifFrames(syntheticGif(id)).getOrElse(
+            throw new IllegalStateException(s"GIF roundtrip failed for doc $id"))
+          Iterator.range(0, gif.frameChecksums.length, everyK).map { f =>
+            VideoFrame(id, f.toLong, gif.frameChecksums(f))
+          }
+        }
+      }
   }
 
   /** One sampled frame of a video payload. */

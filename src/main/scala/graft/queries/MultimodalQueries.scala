@@ -146,6 +146,50 @@ object MultimodalQueries {
         |    AS checksum
         |FROM ix GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
       (s, d) => Multimodal.audioDecodeRoundtrip(s, docs(s, d))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // REAL-codec VIDEO roundtrip (m49 — the third modality goes real):
+    // per doc, encode the deterministic frame sequence to an actual
+    // multi-frame GIF container and decode it back frame-by-frame via
+    // javax.imageio — genuine codec on genuine bytes, both directions.
+    // Indexed-grayscale GIF is lossless, so the frame-index-weighted
+    // decode checksum must equal the arithmetic checksum of the
+    // pattern, computed independently by DuckDB in pure integer SQL
+    // (staged unnests, as m47). A wrong pixel, frame count, frame
+    // order or dimension all hash-fail.
+    Q("m49_video_decode", Some(
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 12) AS w, 8 + ((doc_id // 12) % 12) AS h,
+        |         2 + (doc_id % 7) AS nf
+        |  FROM documents),
+        |fs AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x FROM fs),
+        |ys AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM(((doc_id*31 + f*17 + x*7 + y*13) % 256)
+        |           * (1 + x + w*y) * (1 + f)) AS BIGINT) AS checksum
+        |FROM ys GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.videoDecodeRoundtrip(s, docs(s, d))
+        .orderBy(col("media_id"))),
+
+    // REAL-codec frame sampling (m50): every 2nd frame of each doc's
+    // GIF as its own row with the frame's decoded position-weighted
+    // checksum — m46's row-amplifying shape on a genuine container.
+    Q("m50_video_frames", Some(
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 12) AS w, 8 + ((doc_id // 12) % 12) AS h,
+        |         2 + (doc_id % 7) AS nf
+        |  FROM documents),
+        |fs AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fs),
+        |ys AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(((doc_id*31 + f*17 + x*7 + y*13) % 256)
+        |           * (1 + x + w*y)) AS BIGINT) AS frame_checksum
+        |FROM ys GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin),
+      (s, d) => Multimodal.videoFrameSample(s, docs(s, d))
+        .toDF().orderBy(col("media_id"), col("frame_idx")))
   )
 }

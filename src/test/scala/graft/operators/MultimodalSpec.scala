@@ -158,4 +158,58 @@ class MultimodalSpec extends SparkSpec {
     assert(byMedia.keySet ===
       feats.values.filter(_.kind == "video").map(_.media_id).toSet)
   }
+
+  test("GIF roundtrip is lossless and matches independent arithmetic (m49 contract)") {
+    for (id <- Seq(0L, 1L, 11L, 83L, 143L, 499L)) {
+      val (w, h, nf) = Multimodal.videoDims(id)
+      val gif = Multimodal.decodeGifFrames(Multimodal.syntheticGif(id)).get
+      assert((gif.width, gif.height) === (w, h), s"dims for id=$id")
+      assert(gif.frameChecksums.length === nf, s"frame count for id=$id")
+      for (f <- 0 until nf) {
+        val expected = (for { y <- 0 until h; x <- 0 until w }
+          yield Multimodal.videoGray(id, f, x, y).toLong * (1L + x + w.toLong * y)).sum
+        assert(gif.frameChecksums(f) === expected, s"frame $f checksum for id=$id")
+      }
+      assert(gif.grayHist.length === 8 &&
+        math.abs(gif.grayHist.map(_.toDouble).sum - 1.0) < 1e-6,
+        s"gray histogram must be normalized for id=$id")
+    }
+    // non-GIF bytes refuse to decode (no GIF magic)
+    assert(Multimodal.decodeGifFrames("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeGifFrames(Multimodal.syntheticPng(7L)).isEmpty,
+      "a PNG container must not sniff as GIF")
+  }
+
+  test("real GIF decode in the feature pipeline; text video falls back to stub") {
+    val gif = Multimodal.syntheticGif(42L)
+    val (w, h, nf) = Multimodal.videoDims(42L)
+    val real = Multimodal.decode(Multimodal.MediaItem(1L, "video", gif, "spec"))
+    assert((real.width, real.height, real.n_frames) === (w, h, nf))
+    assert(real.feat.length === 8 && math.abs(real.feat.sum - 1.0f) < 1e-4f)
+    // a video-kind item whose payload is NOT a real container keeps the
+    // stub contract (what the m45/m46 oracles replay for the text corpus)
+    val txt = Multimodal.MediaItem(2L, "video", "just words".getBytes("UTF-8"), "spec")
+    val (d, st) = (Multimodal.decode(txt), Multimodal.stubDecode(txt))
+    assert((d.width, d.height, d.n_frames) === (st.width, st.height, st.n_frames))
+    assert(d.feat.toSeq === st.feat.toSeq)
+  }
+
+  test("videoFrameSample decodes every k-th real frame (m50 contract)") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 12L, 99L)
+    val rows = Multimodal.videoFrameSample(spark, ids.toDF("doc_id"), everyK = 2)
+      .collect().groupBy(_.media_id)
+    assert(rows.keySet === ids.toSet)
+    ids.foreach { id =>
+      val (w, h, nf) = Multimodal.videoDims(id)
+      val fs = rows(id).sortBy(_.frame_idx)
+      assert(fs.map(_.frame_idx).toSeq === (0 until nf by 2).map(_.toLong))
+      fs.foreach { fr =>
+        val f = fr.frame_idx.toInt
+        val expected = (for { y <- 0 until h; x <- 0 until w }
+          yield Multimodal.videoGray(id, f, x, y).toLong * (1L + x + w.toLong * y)).sum
+        assert(fr.frame_checksum === expected, s"id=$id frame=$f")
+      }
+    }
+  }
 }
