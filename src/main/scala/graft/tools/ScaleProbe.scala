@@ -198,6 +198,41 @@ object ScaleProbe {
         require(c == n, s"$label roundtrip lost rows: $c != $n")
       }
     }
+    time("curation: gate→tokenize→pack") {
+      // The ingest-side linear chain (t40/q87 shapes, operators
+      // verbatim): Gopher gate → token counts → fixed-capacity bin
+      // packing across 64 hash-derived domains. minStopFrac=0 because
+      // the probe vocabulary ("w0".."w999") contains no English
+      // stopwords — every other rule binds as in the gate. Asserted:
+      // packing is CONSERVATIVE (every survivor lands in exactly one
+      // bin, token totals preserved) and every bin respects the
+      // overflow-by-at-most-one-doc contract — the two invariants that
+      // must hold no matter how far the corpus scales.
+      val gate = graft.operators.Curation.gopherFilters(docs, minStopFrac = 0.0)
+      val survivors = gate.filter(col("keep")).select("doc_id")
+      val kept = survivors.count()
+      println(s"[probe]   gate survivors: $kept/${n + n / 20}")
+      require(kept > 0, "quality gate rejected the whole probe corpus")
+      val scored = docs.join(survivors, "doc_id").select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(64)).as("domain"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      val packed = graft.operators.Sampling
+        .packBins(scored, "doc_id", "domain", "n_tokens", capacity = 4096)
+      val stats = packed.agg(
+        count(lit(1)).as("n"), sum("n_tokens").as("tok"),
+        countDistinct(col("domain"), col("bin")).as("bins")).head()
+      val tokTotal = scored.agg(sum("n_tokens")).head().getLong(0)
+      println(s"[probe]   packed ${stats.getLong(0)} docs / $tokTotal tokens " +
+        s"into ${stats.getLong(2)} bins")
+      require(stats.getLong(0) == kept && stats.getLong(1) == tokTotal,
+        "packing lost or duplicated documents/tokens")
+      val maxLoad = packed.groupBy(col("domain"), col("bin"))
+        .agg(sum("n_tokens").as("load"), max("n_tokens").as("maxDoc"))
+        .agg(max(col("load") - col("maxDoc"))).head().getLong(0)
+      require(maxLoad < 4096,
+        s"a bin exceeded capacity by more than one document: $maxLoad")
+    }
     time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
       val edges = docs.select(col("doc_id").as("id_a"),
