@@ -556,4 +556,171 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual image hashing (dHash) ----
+
+  /** Id offset separating a doc's perturbed variant image from its
+    * original in the m52 near-dup corpus — far above any testdata
+    * doc_id, so the pair (id, id + VariantOffset) is unambiguous. */
+  val VariantOffset = 10000000L
+
+  /** Deterministic TEXTURED pixel for the perceptual-hash corpus
+    * (m51/m52) — SQL-replayable integer arithmetic, ONE definition for
+    * the Scala encoder and the DuckDB oracle (CLAUDE.md rule 12). The
+    * m47 linear pattern is useless for fingerprinting — it repeats
+    * exactly every 256 ids and its constant gradients make dHash bits
+    * collide corpus-wide — so the perceptual queries mix a per-id
+    * 16-bit seed and the spatial terms through two rounds of the
+    * NON-linear map x → x² + kx (mod 65521). Non-linearity is load-
+    * bearing: any composition of modular-linear rounds (e.g. Lehmer
+    * steps) is itself one linear map, leaving gradient signs
+    * correlated across ids — measured 40k spurious ≤12-bit pairs at
+    * 5k docs with a 2-round Lehmer mix vs 17 with the quadratic mix.
+    * All intermediates stay < 2^34, far inside int64 on both engines.
+    * The `variant` image adds +64 per channel (mod 256) on the sparse
+    * lattice (x·7 + y·3) % 23 == 0 (~4% of pixels) — a localized edit
+    * (think logo/stamp overlay) on an otherwise identical image,
+    * flipping only the few dHash bits whose sample pair straddles a
+    * bumped point. */
+  def texturedPixelValue(id: Long, x: Int, y: Int, c: Int, variant: Boolean): Int = {
+    val bump = if (variant && (x * 7 + y * 3) % 23 == 0) 64L else 0L
+    val t = math.floorMod(id * 2654435761L, 65536L) +
+      131L * x + 197L * y + 31L * x * y + 101L * c
+    val u = (t * t + 3L * t) % 65521L
+    val v = (u * u + 7L * u) % 65521L
+    ((v + bump) % 256L).toInt
+  }
+
+  /** Dims of the textured image for `id`: 18–31 px per side. ≥18 keeps
+    * every adjacent pair of the 9-column dHash sample grid on distinct
+    * pixels (at w ≤ 8 the first two grid points coincide and their bit
+    * degenerates to a constant). */
+  def texturedDims(id: Long): (Int, Int) = (
+    18 + math.floorMod(id, 14).toInt,
+    18 + math.floorMod(math.floorDiv(id, 14), 14).toInt)
+
+  /** Encode the textured pattern (or its perturbed variant) for `id`
+    * as a real PNG via javax.imageio. */
+  def syntheticPngTextured(id: Long, variant: Boolean): Array[Byte] = {
+    val (w, h) = texturedDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (texturedPixelValue(id, x, y, 0, variant) << 16)
+            | (texturedPixelValue(id, x, y, 1, variant) << 8)
+            | texturedPixelValue(id, x, y, 2, variant))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 9×8 difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup fingerprint for image corpora (gradient signs
+    * survive re-encodes and brightness shifts that break exact byte
+    * hashes). Samples an 8-row × 9-column luminance grid by
+    * nearest-neighbor at x_i = ⌊i·w/9⌋, y_j = ⌊j·h/8⌋ — exact integer
+    * arithmetic, chosen over box-average resize precisely so the
+    * DuckDB oracle can replay the hash from the pattern definition
+    * with no codec on its side — and emits one bit per adjacent
+    * column pair (1 iff the right sample is brighter). Bits fold
+    * MSB-first in (j, i) row-major order as acc·2 + bit, wrapping mod
+    * 2^64: the m45/m49 HUGEINT replay pattern. Luminance is the raw
+    * channel sum r+g+b (no /3 — stays integer-exact). */
+  def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
+    def gray(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val w = img.getWidth
+    val h = img.getHeight
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        val bit = if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y)) 1L else 0L
+        hash = hash * 2 + bit
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** One perceptual-hash row (m51/m52). */
+  final case class ImageDHash(
+      media_id: Long, width: Long, height: Long, dhash: Long)
+
+  /** Perceptual dHash over the REAL codec path (m51): per doc, encode
+    * the deterministic pattern to actual PNG bytes, decode them back
+    * via javax.imageio, and fingerprint the DECODED image. PNG is
+    * lossless, so the fingerprint must equal the arithmetic dHash of
+    * the pattern, which the oracle computes in pure integer SQL — a
+    * wrong pixel, channel order, or sample coordinate flips bits and
+    * hash-fails. With `withVariants`, each doc also contributes its
+    * perturbed variant image (media_id + VariantOffset) — the m52
+    * near-dup corpus. Repartition first: encode+decode is CPU-bound
+    * per item (rule 6). */
+  def imageDHashes(
+      spark: SparkSession, docs: DataFrame,
+      withVariants: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id"), lit(false).as("variant"))
+    val all =
+      if (withVariants)
+        ids.unionByName(docs.select(col("doc_id"), lit(true).as("variant")))
+      else ids
+    all.toDF("_1", "_2").repartition(col("_1"), col("_2"))
+      .as[(Long, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (id, variant) =>
+          val bytes = syntheticPngTextured(id, variant)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null)
+            throw new IllegalStateException(s"PNG decode failed for doc $id")
+          ImageDHash(if (variant) id + VariantOffset else id,
+            img.getWidth.toLong, img.getHeight.toLong, dhashOfImage(img))
+        }
+      }.toDF()
+  }
+
+  /** Image near-dup pairs via banded Hamming join on dHash (m52): the
+    * simhashPairs LSH shape applied to DECODED images — 4 bands of 16
+    * bits generate candidates (any shared band), exact popcount of the
+    * XOR verifies ≤ maxHamming. Scale contract: the band join is the
+    * only shuffle over the corpus, candidates are bounded by band
+    * collisions (random 16-bit bands collide at ~n²/2¹⁶ per band), and
+    * the codec stage runs exactly once — the fingerprint frame is
+    * localCheckpointed (rule 5) because it feeds both sides of the
+    * self-join and each row costs a real PNG encode+decode. */
+  def imageNearDupPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val fp = imageDHashes(spark, docs, withVariants = true)
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint()
+    val banded = fp.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("media_id").as("id_a"), col("dhash").as("fp_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("media_id").as("id_b"), col("dhash").as("fp_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

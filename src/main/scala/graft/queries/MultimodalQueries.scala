@@ -15,6 +15,92 @@ object MultimodalQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  // ---- generated oracle SQL for the perceptual-hash queries (m51/m52):
+  // the pixel arithmetic is emitted from the SAME constants
+  // Multimodal.texturedPixelValue uses — one definition, two engines,
+  // no drift (CLAUDE.md rule 12; the DedupQueries.simhashFpCtes pattern).
+
+  /** DuckDB expression for texturedPixelValue(doc_id, x, y, c, variant). */
+  private def pvSql(x: String, y: String, c: Int, variant: Boolean): String = {
+    val bump =
+      if (variant) s" + CASE WHEN (($x)*7 + (($y))*3) % 23 = 0 THEN 64 ELSE 0 END"
+      else ""
+    val t = s"((doc_id*2654435761) % 65536 + 131*($x) + 197*($y) + 31*($x)*($y) + ${101 * c})"
+    val u = s"(($t)*($t) + 3*($t)) % 65521"
+    val v = s"((($u))*(($u)) + 7*(($u))) % 65521"
+    s"((($v)$bump) % 256)"
+  }
+
+  /** Luminance (channel sum) at a sample point. */
+  private def gSql(x: String, y: String, variant: Boolean): String =
+    (0 until 3).map(c => pvSql(x, y, c, variant)).mkString("(", " + ", ")")
+
+  /** dHash bit at grid cell (j, i): right sample brighter than left. */
+  private def bitSql(variant: Boolean): String =
+    s"""CASE WHEN ${gSql("(i+1)*w//9", "j*h//8", variant)}
+       |         > ${gSql("i*w//9", "j*h//8", variant)}
+       |    THEN 1 ELSE 0 END""".stripMargin
+
+  /** MSB-first (j,i)-ordered fold of 64 bits, mod 2^64 (HUGEINT). */
+  private def foldSql(bit: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    list(CAST($bit AS HUGEINT) ORDER BY j, i)),
+       |  (acc, x) -> (acc * 2 + x) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  /** dims + 8×8 grid CTEs shared by m51/m52. */
+  private val gridCtes =
+    """dims AS (
+      |  SELECT doc_id, 18 + (doc_id % 14) AS w, 18 + ((doc_id // 14) % 14) AS h
+      |  FROM documents),
+      |js AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM dims),
+      |bs AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM js)""".stripMargin
+
+  private val reSign =
+    """CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |     THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END""".stripMargin
+
+  /** 16-bit band divisors (2^0, 2^16, 2^32, 2^48) as HUGEINT literals. */
+  private val bandDiv = Seq("CAST(1 AS HUGEINT)", "CAST(65536 AS HUGEINT)",
+    "CAST(4294967296 AS HUGEINT)", "CAST(281474976710656 AS HUGEINT)")
+
+  private val hammingSql = bandDiv.map(d =>
+    s"bit_count(xor(CAST((ha // $d) % 65536 AS BIGINT), CAST((hb // $d) % 65536 AS BIGINT)))")
+    .mkString(" + ")
+
+  private val bandValSql = "CASE band " + bandDiv.zipWithIndex.map { case (d, b) =>
+    s"WHEN $b THEN CAST((hu // $d) % 65536 AS BIGINT)" }.mkString(" ") + " END"
+
+  private val m51Sql =
+    s"""WITH $gridCtes,
+       |bits AS (SELECT doc_id, j, i, ${bitSql(variant = false)} AS bit FROM bs),
+       |fp AS (SELECT doc_id, ${foldSql("bit")} AS hu FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id AS media_id,
+       |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       |  CAST($reSign AS BIGINT) AS dhash
+       |FROM fp JOIN dims d USING (doc_id) ORDER BY media_id""".stripMargin
+
+  private val m52Sql =
+    s"""WITH $gridCtes,
+       |bits AS (SELECT doc_id, j, i,
+       |    ${bitSql(variant = false)} AS bit_o,
+       |    ${bitSql(variant = true)} AS bit_v
+       |  FROM bs),
+       |fpo AS (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
+       |        FROM bits GROUP BY doc_id),
+       |fpv AS (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
+       |        ${foldSql("bit_v")} AS hu FROM bits GROUP BY doc_id),
+       |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
+       |bands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM fp),
+       |bv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |         a.hu AS ha, b.hu AS hb
+       |  FROM bv a JOIN bv b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, CAST($hammingSql AS BIGINT) AS hamming
+       |FROM cand WHERE $hammingSql <= 12 ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // binary-column metadata: byte length + sha256 of the payload
@@ -190,6 +276,30 @@ object MultimodalQueries {
         |           * (1 + x + w*y)) AS BIGINT) AS frame_checksum
         |FROM ys GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin),
       (s, d) => Multimodal.videoFrameSample(s, docs(s, d))
-        .toDF().orderBy(col("media_id"), col("frame_idx")))
+        .toDF().orderBy(col("media_id"), col("frame_idx"))),
+
+    // Perceptual dHash over the REAL codec path (m51): encode the
+    // textured pattern to actual PNG bytes, decode via javax.imageio,
+    // fingerprint the DECODED image (9-col × 8-row luminance grid,
+    // gradient-sign bits, MSB-first fold). PNG is lossless, so the
+    // fingerprint must equal the arithmetic dHash of the pattern, which
+    // the generated oracle recomputes in pure integer SQL from the same
+    // constants — a wrong pixel, channel order, or sample coordinate
+    // flips bits and hash-fails.
+    Q("m51_image_dhash", Some(m51Sql),
+      (s, d) => Multimodal.imageDHashes(s, docs(s, d))
+        .orderBy(col("media_id"))),
+
+    // Image NEAR-DUP pairs via banded Hamming join on dHash (m52): each
+    // doc contributes its image plus a perturbed variant (localized
+    // +64 lattice edit — a logo/stamp overlay on an otherwise identical
+    // image); both run the real PNG encode→decode, then the simhashPairs
+    // LSH shape — 4 bands × 16 bits generate candidates, exact popcount
+    // ≤ 12 verifies. The oracle replays fingerprints, banding, and
+    // Hamming arithmetic end-to-end; at sf0.01 every surviving pair is
+    // a planted (original, variant) couple.
+    Q("m52_image_neardup", Some(m52Sql),
+      (s, d) => Multimodal.imageNearDupPairs(s, docs(s, d))
+        .orderBy(col("id_a"), col("id_b")))
   )
 }

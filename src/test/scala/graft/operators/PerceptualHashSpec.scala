@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** m51/m52 perceptual-hash contracts that the DuckDB oracle cannot
+  * express: JPEG robustness (a LOSSY real-codec re-encode — the actual
+  * reason perceptual hashing exists) and planted-pair recall through
+  * the banded join. */
+class PerceptualHashSpec extends SparkSpec {
+
+  private val sampleIds = Seq(0L, 1L, 7L, 42L, 123L, 404L, 1000L, 65535L)
+
+  /** Arithmetic dHash straight from the pattern definition — what the
+    * oracle computes; the codec path must agree bit-for-bit. */
+  private def arithmeticDhash(id: Long, variant: Boolean): Long = {
+    val (w, h) = Multimodal.texturedDims(id)
+    def gray(x: Int, y: Int) =
+      (0 until 3).map(c => Multimodal.texturedPixelValue(id, x, y, c, variant)).sum
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val y = j * h / 8
+      hash = hash * 2 +
+        (if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y)) 1L else 0L)
+    }
+    hash
+  }
+
+  private def decode(bytes: Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "codec failed to decode")
+    img
+  }
+
+  test("dHash of the real-decoded PNG equals the arithmetic dHash (m51 contract)") {
+    for (id <- sampleIds; variant <- Seq(false, true)) {
+      val viaCodec =
+        Multimodal.dhashOfImage(decode(Multimodal.syntheticPngTextured(id, variant)))
+      assert(viaCodec === arithmeticDhash(id, variant), s"id=$id variant=$variant")
+    }
+  }
+
+  test("dHash survives a LOSSY JPEG re-encode (the perceptual-hash point)") {
+    // PNG → decode → re-encode as real JPEG (DCT quantization, actual
+    // information loss) → decode → dHash. Byte/crypto hashes are
+    // destroyed by this; the gradient-sign fingerprint must move only
+    // a few bits even on this worst-case high-frequency texture —
+    // while fingerprints of DIFFERENT images stay far apart, so the
+    // re-encoded image still resolves to its source and nothing else.
+    val pngHash = sampleIds.map(id =>
+      id -> Multimodal.dhashOfImage(decode(Multimodal.syntheticPngTextured(id, false)))).toMap
+    val jpegHash = sampleIds.map { id =>
+      val img = decode(Multimodal.syntheticPngTextured(id, false))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "no JPEG writer")
+      id -> Multimodal.dhashOfImage(decode(out.toByteArray))
+    }.toMap
+    val drifts = sampleIds.map(id =>
+      id -> java.lang.Long.bitCount(pngHash(id) ^ jpegHash(id)))
+    info(s"JPEG drift bits: ${drifts.map { case (i, d) => s"$i=$d" }.mkString(" ")}")
+    val seps = for (id <- sampleIds; other <- sampleIds if other != id)
+      yield java.lang.Long.bitCount(pngHash(other) ^ jpegHash(id))
+    info(s"cross-image separation min=${seps.min} max drift=${drifts.map(_._2).max}")
+    for ((id, drift) <- drifts) {
+      assert(drift <= 24, s"id=$id: JPEG re-encode moved $drift/64 dHash bits")
+      for (other <- sampleIds if other != id) {
+        val sep = java.lang.Long.bitCount(pngHash(other) ^ jpegHash(id))
+        assert(sep > drift,
+          s"JPEG($id) closer to PNG($other) [$sep] than to its own source [$drift]")
+      }
+    }
+  }
+
+  test("banded near-dup join recovers planted variant pairs (m52 recall)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val n = docs.count()
+    val pairs = Multimodal.imageNearDupPairs(spark, docs).collect()
+    val planted = pairs.count(r =>
+      r.getLong(1) === r.getLong(0) + Multimodal.VariantOffset)
+    assert(planted >= n * 95 / 100,
+      s"planted recall broke: $planted/$n variant pairs found")
+    assert(pairs.length - planted <= 5,
+      s"${pairs.length - planted} spurious non-planted pairs ≤ 12 bits apart")
+  }
+}
