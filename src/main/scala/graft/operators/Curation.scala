@@ -224,4 +224,58 @@ object Curation {
         expr(s"CAST(($budget * w) DIV sw AS BIGINT)").as("alloc_tokens"))
       .orderBy(col("source"))
   }
+
+  /** Hashed-unigram importance weights for target-distribution data
+    * selection — the DSIR recipe (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): bucket
+    * every token occurrence into `buckets` hashed features, estimate
+    * target-mass and source-mass per feature, then score each document
+    * by how much feature mass its tokens carry under the target
+    * distribution versus the raw source. The feature table is bounded
+    * at `buckets` rows BY CONSTRUCTION no matter the corpus size —
+    * that bound is what lets it broadcast into the scoring join, so
+    * the only corpus-wide shuffles are the explode-side groupBys.
+    *
+    * Exactness divergence (documented): DSIR proper ranks by
+    * Σ log(p̂_tgt(f)/p̂_src(f)); summed libm logs are not
+    * bit-reproducible across engines, so the operator emits the
+    * INTEGER sufficient statistics — per-doc +1-smoothed target-mass
+    * and source-mass occurrence sums — plus their single-division
+    * ratio (ONE correctly-rounded IEEE op over exact int64 inputs,
+    * rule 17: deterministic on both engines). Ranking by mass ratio is
+    * the same monotone "more target-like than source-like" signal; a
+    * consumer wanting the exact log-ratio estimator can fold it from
+    * the identical statistics downstream.
+    *
+    * Production hash is xxhash64 (codegen); `oracleHash` swaps in the
+    * RollingHash polynomial so DuckDB replays the whole pipeline
+    * (CLAUDE.md rule 12). `buckets` must be a power of two: 2^64 ≡ 0
+    * (mod 2^k), so signed floorMod and the oracle's unsigned HUGEINT
+    * mod agree bucket-for-bucket. */
+  def importanceWeights(
+      docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+      oracleHash: Boolean = false): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val h =
+      if (oracleHash) graft.expressions.RollingHash(col("w"))
+      else xxhash64(col("w"))
+    val words = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .withColumn("f", pmod(h, lit(buckets.toLong)))
+      .drop("w")
+    // feature table: ≤ `buckets` rows regardless of corpus size →
+    // broadcast-able by construction
+    val feats = words.groupBy(col("f")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_f"),
+      count(lit(1)).as("all_f"))
+    words.join(broadcast(feats), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tgt_f") + 1).as("tgt_mass"),
+        sum(col("all_f") - col("tgt_f") + 1).as("src_mass"))
+      .select(col("doc_id"), col("tgt_mass"), col("src_mass"),
+        (col("tgt_mass").cast("double") / col("src_mass").cast("double"))
+          .as("ratio"))
+  }
 }

@@ -378,6 +378,39 @@ object TextQueries {
         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 12.0)
         |    AND stop_frac >= 0.02 AND dup_word_frac <= 0.55 AS keep
         |FROM m ORDER BY doc_id""".stripMargin),
-      (s, d) => graft.operators.Curation.gopherFilters(docs(s, d)))
+      (s, d) => graft.operators.Curation.gopherFilters(docs(s, d))),
+
+    // DSIR-style importance weights (Xie et al., NeurIPS 2023): hashed-
+    // unigram target-vs-source feature mass per document, target =
+    // English docs. Gate runs oracle-hash mode (rolling-hash polynomial,
+    // HUGEINT replay); the integer sufficient statistics plus ONE
+    // int64/int64 division make the ratio bit-reproducible cross-engine
+    // (rule 17) — the log-ratio divergence is documented on the operator.
+    Q("t46_dsir_weights", Some(
+      s"""WITH words AS (
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |         unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |hashed AS (SELECT doc_id, is_target,
+         |  (${DedupQueries.polyHashSql("w")}) % 4096 AS f FROM words),
+         |feats AS (SELECT f,
+         |  sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_f,
+         |  count(*) AS all_f
+         |  FROM hashed GROUP BY f),
+         |scored AS (SELECT doc_id,
+         |  sum(tgt_f + 1) AS tgt_mass,
+         |  sum(all_f - tgt_f + 1) AS src_mass
+         |  FROM hashed JOIN feats USING (f) GROUP BY doc_id)
+         |SELECT doc_id, CAST(tgt_mass AS BIGINT) AS tgt_mass,
+         |       CAST(src_mass AS BIGINT) AS src_mass,
+         |       CAST(tgt_mass AS DOUBLE) / CAST(src_mass AS DOUBLE) AS ratio
+         |FROM scored ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.importanceWeights(
+        docs(s, d), col("lang") === "en", oracleHash = true)
+        .select(col("doc_id"),
+          col("tgt_mass").cast("bigint").as("tgt_mass"),
+          col("src_mass").cast("bigint").as("src_mass"),
+          col("ratio"))
+        .orderBy(col("doc_id")))
   )
 }

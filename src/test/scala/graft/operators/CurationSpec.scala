@@ -117,4 +117,42 @@ class CurationSpec extends SparkSpec {
     }.toSet
     assert(out.map(_.getLong(0)).toSet === expect)
   }
+
+  test("importanceWeights ranks target-like docs above source-like docs (t46 semantics)") {
+    import spark.implicits._
+    // target vocab {alpha..}, source vocab {delta..}; doc 4 is a SOURCE
+    // doc written in target vocabulary — the doc DSIR selection exists
+    // to find — and doc 9 is all-novel vocabulary (smoothing floor).
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma", true),
+      (3L, "alpha alpha beta gamma beta", true),
+      (4L, "alpha beta gamma beta alpha", false),
+      (5L, "delta epsilon zeta delta", false),
+      (6L, "epsilon zeta delta zeta", false),
+      (7L, "zeta delta epsilon delta", false),
+      (9L, "omicron sigma tau upsilon", false)
+    ).toDF("doc_id", "text", "is_target")
+    for (oracleHash <- Seq(false, true)) {
+      val r = Curation.importanceWeights(docs, col("is_target"),
+          buckets = 4096, oracleHash = oracleHash)
+        .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+      // the target-vocab source doc outranks every source-vocab doc and
+      // the novel-vocab doc; novel vocab sits at the smoothing floor
+      // (tgt_f=0, all_f=1 per token → ratio 1/2), below target-vocab docs
+      for (id <- Seq(5L, 6L, 7L, 9L))
+        assert(r(4L) > r(id), s"oracleHash=$oracleHash: doc4=${r(4L)} !> doc$id=${r(id)}")
+      assert(r(9L) === 0.5, s"smoothing floor drifted: ${r(9L)}")
+      for (id <- Seq(5L, 6L, 7L))
+        assert(r(id) < 0.5, s"source-vocab doc$id=${r(id)} not below the floor")
+    }
+  }
+
+  test("importanceWeights broadcasts the bounded feature table (scale contract)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val df = Curation.importanceWeights(docs, col("lang") === "en", buckets = 64)
+    val names = graft.tools.PlanInspect.nodeNames(df)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"feature join did not broadcast: ${names.distinct.mkString(",")}")
+  }
 }
