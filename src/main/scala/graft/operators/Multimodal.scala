@@ -694,6 +694,46 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One audio-fingerprint row (m53). */
+  final case class AudioFingerprint(
+      media_id: Long, n_frames: Long, fingerprint: Long)
+
+  /** Energy-profile audio fingerprint over the REAL codec path (m53) —
+    * the audio member of the perceptual family: encode the
+    * deterministic waveform to actual WAV bytes, decode via
+    * javax.sound.sampled, split the DECODED PCM into 16-sample frames
+    * (full frames only), and emit one bit per adjacent frame pair —
+    * 1 iff the later frame carries more absolute-amplitude energy.
+    * Energy-delta signs are the loudness envelope: the shape that
+    * survives gain-independent transforms, the audio analog of dHash's
+    * gradient signs. WAV PCM is lossless, so the fingerprint must
+    * equal the arithmetic fold over the generated samples, which the
+    * oracle computes in pure integer SQL. Repartition first (rule 6). */
+  def audioFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (_, samples) = decodeWav(syntheticWav(id)).getOrElse(
+            throw new IllegalStateException(s"WAV roundtrip failed for doc $id"))
+          val nf = samples.length / 16
+          val energy = Array.tabulate(nf) { f =>
+            var e = 0L
+            var i = 16 * f
+            while (i < 16 * f + 16) { e += math.abs(samples(i).toLong); i += 1 }
+            e
+          }
+          var fp = 0L
+          var f = 0
+          while (f < nf - 1) {
+            fp = fp * 2 + (if (energy(f + 1) > energy(f)) 1L else 0L)
+            f += 1
+          }
+          AudioFingerprint(id, nf.toLong, fp)
+        }
+      }.toDF()
+  }
+
   /** Image near-dup pairs via banded Hamming join on dHash (m52): the
     * simhashPairs LSH shape applied to DECODED images — 4 bands of 16
     * bits generate candidates (any shared band), exact popcount of the
@@ -704,14 +744,21 @@ object Multimodal {
     * localCheckpointed (rule 5) because it feeds both sides of the
     * self-join and each row costs a real PNG encode+decode. */
   def imageNearDupPairs(
-      spark: SparkSession, docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 12,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
     val fp = imageDHashes(spark, docs, withVariants = true)
       .select(col("media_id"), col("dhash"))
-      .localCheckpoint()
-    val banded = fp.select(col("media_id"), col("dhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "band_val")))
+    // capBuckets (the shared LSH skew guard) materializes the banded
+    // frame ONCE, so the codec stage runs exactly once even though the
+    // frame feeds the cap probe and both sides of the self-join
+    // (rule 5); a degenerate fingerprint (e.g. a constant-image flood)
+    // would otherwise make one 16-bit bucket quadratic.
+    val banded = Dedup.capBuckets(
+      fp.select(col("media_id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucket)
     val a = banded.select(col("band"), col("band_val"),
       col("media_id").as("id_a"), col("dhash").as("fp_a"))
     val b = banded.select(col("band"), col("band_val"),

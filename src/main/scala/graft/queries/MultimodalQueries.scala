@@ -92,10 +92,13 @@ object MultimodalQueries {
        |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
        |bands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM fp),
        |bv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM bands),
+       |bkeep AS (SELECT band, band_val FROM bv GROUP BY band, band_val
+       |          HAVING count(*) <= ${graft.operators.Dedup.defaultMaxBucket}),
+       |bf AS (SELECT bv.* FROM bv JOIN bkeep USING (band, band_val)),
        |cand AS (
        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
        |         a.hu AS ha, b.hu AS hb
-       |  FROM bv a JOIN bv b
+       |  FROM bf a JOIN bf b
        |    ON a.band = b.band AND a.band_val = b.band_val
        |   AND a.media_id < b.media_id)
        |SELECT id_a, id_b, CAST($hammingSql AS BIGINT) AS hamming
@@ -300,6 +303,31 @@ object MultimodalQueries {
     // a planted (original, variant) couple.
     Q("m52_image_neardup", Some(m52Sql),
       (s, d) => Multimodal.imageNearDupPairs(s, docs(s, d))
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Energy-profile audio fingerprint over the REAL codec path (m53):
+    // decode the WAV, split the DECODED PCM into 16-sample frames, one
+    // bit per adjacent frame pair (later frame louder). Lossless PCM ⇒
+    // the fingerprint equals the arithmetic fold over the generated
+    // samples, replayed by the oracle in pure integer SQL.
+    Q("m53_audio_fingerprint", Some(
+      """WITH ns AS (SELECT doc_id, (64 + (doc_id % 192)) // 16 AS nf FROM documents),
+        |ix AS (SELECT doc_id, nf, unnest(range(0, nf*16)) AS i FROM ns),
+        |en AS (SELECT doc_id, nf, i // 16 AS f,
+        |         sum(abs((doc_id*31 + i*7919) % 65536 - 32768)) AS e
+        |       FROM ix GROUP BY doc_id, nf, f),
+        |bits AS (SELECT a.doc_id, a.nf, a.f AS f,
+        |           CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |         FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+        |fp AS (SELECT doc_id, max(nf) AS nf,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list(CAST(bit AS BIGINT) ORDER BY f)),
+        |           (acc, x) -> acc * 2 + x) AS fingerprint
+        |       FROM bits GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(fingerprint AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.audioFingerprints(s, docs(s, d))
+        .orderBy(col("media_id")))
   )
 }

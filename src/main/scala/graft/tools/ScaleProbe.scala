@@ -198,6 +198,26 @@ object ScaleProbe {
         require(c == n, s"$label roundtrip lost rows: $c != $n")
       }
     }
+    time("m52: perceptual image dedup") {
+      // The image-dedup chain end-to-end at ~2n real images (originals
+      // + perturbed variants, every one a genuine PNG encode→decode):
+      // dHash → 4×16-bit banded join (capBuckets guard) → Hamming ≤ 12.
+      // The instructive scale number is the candidate volume: random
+      // 16-bit bands collide at ~m²/2¹⁶ per band for m images, so the
+      // band join is the quadratic corner the cap guards — the probe
+      // prints the pair composition so the growth is visible.
+      val ids = docs.select(col("doc_id"))
+      val pairs = graft.operators.Multimodal.imageNearDupPairs(spark, ids)
+      val off = graft.operators.Multimodal.VariantOffset
+      val byKind = pairs.agg(
+        sum(when(col("id_b") === col("id_a") + off, 1L).otherwise(0L)).as("planted"),
+        count(lit(1)).as("total")).head()
+      val (planted, total) = (byKind.getLong(0), byKind.getLong(1))
+      val nImages = n + n / 20
+      println(s"[probe]   pairs: $total total, $planted planted of $nImages variant couples")
+      require(planted >= nImages * 95 / 100,
+        s"perceptual-dedup recall broke at scale: $planted/$nImages")
+    }
     time("curation: gate→tokenize→pack") {
       // The ingest-side linear chain (t40/q87 shapes, operators
       // verbatim): Gopher gate → token counts → fixed-capacity bin

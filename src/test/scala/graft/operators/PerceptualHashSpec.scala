@@ -71,10 +71,30 @@ class PerceptualHashSpec extends SparkSpec {
     }
   }
 
+  test("audio energy fingerprint matches the arithmetic fold (m53 contract)") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 17L, 100L, 191L, 5000L)
+    val rows = Multimodal.audioFingerprints(spark, ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { id =>
+      val nf = Multimodal.audioSampleCount(id) / 16
+      val energy = Array.tabulate(nf)(f =>
+        (16 * f until 16 * f + 16).map(i =>
+          math.abs(Multimodal.audioSample(id, i).toLong)).sum)
+      val fp = (0 until nf - 1).foldLeft(0L)((acc, f) =>
+        acc * 2 + (if (energy(f + 1) > energy(f)) 1L else 0L))
+      assert(rows(id) === (nf.toLong, fp), s"id=$id")
+    }
+  }
+
   test("banded near-dup join recovers planted variant pairs (m52 recall)") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val n = docs.count()
     val pairs = Multimodal.imageNearDupPairs(spark, docs).collect()
+    // the LSH skew guard ran and took the no-op branch: quadratic
+    // fingerprints spread across 16-bit bands, no bucket near the cap
+    assert(Dedup.CapProbe.lastBranch.get() === "noop")
+    assert(Dedup.CapProbe.lastMax.get() <= Dedup.defaultMaxBucket)
     val planted = pairs.count(r =>
       r.getLong(1) === r.getLong(0) + Multimodal.VariantOffset)
     assert(planted >= n * 95 / 100,
