@@ -694,6 +694,105 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 256-bit wide dHash of a decoded image, as 4 int64 words: a 16-row
+    * × 17-column luminance sample grid (nearest-neighbor, same exact
+    * integer coordinates as the 64-bit grid but 4× denser in each
+    * axis), one gradient-sign bit per adjacent column pair; word k
+    * folds rows 4k..4k+3 MSB-first. The VERIFY-stage fingerprint: 256
+    * near-independent bits push the random-pair distance tail far
+    * below any workable threshold, so banding's quadratic candidate
+    * tail collapses (the image analog of exact-Jaccard verification
+    * after MinHash banding). Dims ≥ 18 keep all 17 column samples on
+    * distinct pixels. */
+  def wideDHashOfImage(img: java.awt.image.BufferedImage): Array[Long] = {
+    def gray(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(4) { k =>
+      var word = 0L
+      var j = 4 * k
+      while (j < 4 * k + 4) {
+        val y = j * h / 16
+        var i = 0
+        while (i < 16) {
+          val bit =
+            if (gray((i + 1) * w / 17, y) > gray(i * w / 17, y)) 1L else 0L
+          word = word * 2 + bit
+          i += 1
+        }
+        j += 1
+      }
+      word
+    }
+  }
+
+  /** One two-resolution fingerprint row (m54 internal). */
+  final case class ImageHashes(
+      media_id: Long, dhash: Long, w0: Long, w1: Long, w2: Long, w3: Long)
+
+  /** Both fingerprints (64-bit banding hash + 256-bit verify hash) in
+    * ONE codec pass per image — candidates and verification share the
+    * decode, the expensive step. */
+  private def imageHashFrame(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), lit(false).as("variant"))
+      .unionByName(docs.select(col("doc_id"), lit(true).as("variant")))
+      .toDF("_1", "_2").repartition(col("_1"), col("_2"))
+      .as[(Long, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (id, variant) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(syntheticPngTextured(id, variant)))
+          if (img == null)
+            throw new IllegalStateException(s"PNG decode failed for doc $id")
+          val ws = wideDHashOfImage(img)
+          ImageHashes(if (variant) id + VariantOffset else id,
+            dhashOfImage(img), ws(0), ws(1), ws(2), ws(3))
+        }
+      }.toDF()
+  }
+
+  /** VERIFIED image near-dup pairs (m54) — candidates→verify for the
+    * image modality, the exact shape of minhashVerifiedPairs: the m52
+    * banded join on the 64-bit dHash generates candidates (≤
+    * maxHamming), then the 256-bit wide dHash verifies each candidate
+    * (≤ maxWideHamming). Both fingerprints come from ONE real
+    * encode→decode per image, and the banded join still routes through
+    * capBuckets. Output keeps both distances so callers can audit the
+    * verification margin; only verified pairs survive. */
+  def imageNearDupVerified(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 12,
+      maxWideHamming: Int = 48,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+    val fp = imageHashFrame(spark, docs)
+    val banded = Dedup.capBuckets(
+      fp.select(col("media_id"), col("dhash"),
+        col("w0"), col("w1"), col("w2"), col("w3"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucket)
+    def side(s: String) = banded.select(
+      col("band") +: col("band_val") +:
+        (Seq("media_id", "dhash", "w0", "w1", "w2", "w3")
+          .map(c => col(c).as(s"${c}_$s"))): _*)
+    val wide = (0 until 4)
+      .map(k => bit_count(col(s"w${k}_a").bitwiseXOR(col(s"w${k}_b"))))
+      .reduce(_ + _)
+    side("a").join(side("b"), Seq("band", "band_val"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a").as("id_a"), col("media_id_b").as("id_b"),
+        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+          .cast("long").as("hamming"),
+        wide.cast("long").as("wide_hamming"))
+      .filter(col("hamming") <= maxHamming &&
+        col("wide_hamming") <= maxWideHamming)
+      .distinct()
+  }
+
   /** One audio-fingerprint row (m53). */
   final case class AudioFingerprint(
       media_id: Long, n_frames: Long, fingerprint: Long)

@@ -41,10 +41,10 @@ object MultimodalQueries {
        |         > ${gSql("i*w//9", "j*h//8", variant)}
        |    THEN 1 ELSE 0 END""".stripMargin
 
-  /** MSB-first (j,i)-ordered fold of 64 bits, mod 2^64 (HUGEINT). */
-  private def foldSql(bit: String): String =
+  /** MSB-first row-major fold of 64 bits, mod 2^64 (HUGEINT). */
+  private def foldSql(bit: String, order: String = "j, i"): String =
     s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |    list(CAST($bit AS HUGEINT) ORDER BY j, i)),
+       |    list(CAST($bit AS HUGEINT) ORDER BY $order)),
        |  (acc, x) -> (acc * 2 + x) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
   /** dims + 8×8 grid CTEs shared by m51/m52. */
@@ -78,6 +78,72 @@ object MultimodalQueries {
        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
        |  CAST($reSign AS BIGINT) AS dhash
        |FROM fp JOIN dims d USING (doc_id) ORDER BY media_id""".stripMargin
+
+  /** Wide-hash bit at 16×17-grid cell (j2, i2). */
+  private def wideBitSql(variant: Boolean): String =
+    s"""CASE WHEN ${gSql("(i2+1)*w//17", "j2*h//16", variant)}
+       |         > ${gSql("i2*w//17", "j2*h//16", variant)}
+       |    THEN 1 ELSE 0 END""".stripMargin
+
+  /** Σ over the four 64-bit words × four 16-bit chunks of
+    * popcount(xor) — the 256-bit Hamming distance between unsigned
+    * word columns a0..a3 / b0..b3. */
+  private val wideHammingSql = (0 until 4).flatMap(k => bandDiv.map(d =>
+    s"bit_count(xor(CAST((a$k // $d) % 65536 AS BIGINT), " +
+      s"CAST((b$k // $d) % 65536 AS BIGINT)))")).mkString("\n  + ")
+
+  private val m54Sql = {
+    def words(tag: String, off: String) =
+      s"""wwords_$tag AS (
+         |  SELECT doc_id$off AS media_id, j2 // 4 AS k,
+         |    ${foldSql(s"wbit_$tag", "j2, i2")} AS wu
+         |  FROM wbits GROUP BY doc_id, j2 // 4)""".stripMargin
+    val flat = (0 until 4).map(k =>
+      s"max(CASE WHEN k = $k THEN wu END) AS wu$k").mkString(", ")
+    s"""WITH $gridCtes,
+       |bits AS (SELECT doc_id, j, i,
+       |    ${bitSql(variant = false)} AS bit_o,
+       |    ${bitSql(variant = true)} AS bit_v
+       |  FROM bs),
+       |fpo AS (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
+       |        FROM bits GROUP BY doc_id),
+       |fpv AS (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
+       |        ${foldSql("bit_v")} AS hu FROM bits GROUP BY doc_id),
+       |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
+       |wjs AS (SELECT doc_id, w, h, unnest(range(0, 16)) AS j2 FROM dims),
+       |wbs AS (SELECT doc_id, w, h, j2, unnest(range(0, 16)) AS i2 FROM wjs),
+       |wbits AS (SELECT doc_id, j2, i2,
+       |    ${wideBitSql(variant = false)} AS wbit_o,
+       |    ${wideBitSql(variant = true)} AS wbit_v
+       |  FROM wbs),
+       |${words("o", "")},
+       |${words("v", s" + ${Multimodal.VariantOffset}")},
+       |ww AS (SELECT * FROM wwords_o UNION ALL SELECT * FROM wwords_v),
+       |wflat AS (SELECT media_id, $flat FROM ww GROUP BY media_id),
+       |bands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM fp),
+       |bv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM bands),
+       |bkeep AS (SELECT band, band_val FROM bv GROUP BY band, band_val
+       |          HAVING count(*) <= ${graft.operators.Dedup.defaultMaxBucket}),
+       |bf AS (SELECT bv.* FROM bv JOIN bkeep USING (band, band_val)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |         a.hu AS ha, b.hu AS hb
+       |  FROM bf a JOIN bf b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.media_id < b.media_id),
+       |wj AS (
+       |  SELECT cand.id_a, cand.id_b, cand.ha, cand.hb,
+       |         ${(0 until 4).map(k => s"fa.wu$k AS a$k").mkString(", ")},
+       |         ${(0 until 4).map(k => s"fb.wu$k AS b$k").mkString(", ")}
+       |  FROM cand
+       |  JOIN wflat fa ON fa.media_id = cand.id_a
+       |  JOIN wflat fb ON fb.media_id = cand.id_b)
+       |SELECT id_a, id_b, CAST($hammingSql AS BIGINT) AS hamming,
+       |       CAST($wideHammingSql AS BIGINT) AS wide_hamming
+       |FROM wj
+       |WHERE $hammingSql <= 12 AND ($wideHammingSql) <= 48
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val m52Sql =
     s"""WITH $gridCtes,
@@ -303,6 +369,16 @@ object MultimodalQueries {
     // a planted (original, variant) couple.
     Q("m52_image_neardup", Some(m52Sql),
       (s, d) => Multimodal.imageNearDupPairs(s, docs(s, d))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // VERIFIED image near-dup pairs (m54) — candidates→verify for the
+    // image modality, the minhashVerifiedPairs shape: m52's banded
+    // 64-bit dHash generates candidates, a 256-bit wide dHash (16×17
+    // grid, 4 folded words) verifies each one; both fingerprints come
+    // from ONE real PNG encode→decode per image. The oracle replays
+    // both resolutions, the banding, the cap, and both Hamming sums.
+    Q("m54_image_neardup_verified", Some(m54Sql),
+      (s, d) => Multimodal.imageNearDupVerified(s, docs(s, d))
         .orderBy(col("id_a"), col("id_b"))),
 
     // Energy-profile audio fingerprint over the REAL codec path (m53):

@@ -198,25 +198,31 @@ object ScaleProbe {
         require(c == n, s"$label roundtrip lost rows: $c != $n")
       }
     }
-    time("m52: perceptual image dedup") {
+    time("m52/m54: perceptual image dedup + verify") {
       // The image-dedup chain end-to-end at ~2n real images (originals
       // + perturbed variants, every one a genuine PNG encode→decode):
-      // dHash → 4×16-bit banded join (capBuckets guard) → Hamming ≤ 12.
-      // The instructive scale number is the candidate volume: random
-      // 16-bit bands collide at ~m²/2¹⁶ per band for m images, so the
-      // band join is the quadratic corner the cap guards — the probe
-      // prints the pair composition so the growth is visible.
+      // dHash → 4×16-bit banded join (capBuckets guard) → Hamming ≤ 12
+      // candidates → 256-bit wide-hash verification. Banding alone
+      // measured ~132k spurious ≤12-bit survivors at 1.05M images (the
+      // quadratic candidate tail of a 64-bit fingerprint — see
+      // ARCHITECTURE); the verify stage must collapse that tail while
+      // keeping the planted variants, exactly like exact-Jaccard after
+      // MinHash banding on the text side.
       val ids = docs.select(col("doc_id"))
-      val pairs = graft.operators.Multimodal.imageNearDupPairs(spark, ids)
+      val pairs = graft.operators.Multimodal.imageNearDupVerified(spark, ids)
       val off = graft.operators.Multimodal.VariantOffset
       val byKind = pairs.agg(
         sum(when(col("id_b") === col("id_a") + off, 1L).otherwise(0L)).as("planted"),
         count(lit(1)).as("total")).head()
       val (planted, total) = (byKind.getLong(0), byKind.getLong(1))
       val nImages = n + n / 20
-      println(s"[probe]   pairs: $total total, $planted planted of $nImages variant couples")
+      println(s"[probe]   verified pairs: $total total, $planted planted " +
+        s"of $nImages variant couples (${total - planted} spurious)")
       require(planted >= nImages * 95 / 100,
         s"perceptual-dedup recall broke at scale: $planted/$nImages")
+      require(total - planted <= planted / 100,
+        s"wide-hash verification failed to collapse the candidate tail: " +
+          s"${total - planted} spurious vs $planted planted")
     }
     time("curation: gate→tokenize→pack") {
       // The ingest-side linear chain (t40/q87 shapes, operators

@@ -102,4 +102,20 @@ class PerceptualHashSpec extends SparkSpec {
     assert(pairs.length - planted <= 5,
       s"${pairs.length - planted} spurious non-planted pairs ≤ 12 bits apart")
   }
+
+  test("wide-hash verification keeps planted pairs and kills spurious ones (m54)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val n = docs.count()
+    val rows = Multimodal.imageNearDupVerified(spark, docs).collect()
+    val (planted, spurious) = rows.partition(r =>
+      r.getLong(1) === r.getLong(0) + Multimodal.VariantOffset)
+    assert(planted.length >= n * 95 / 100,
+      s"verified recall broke: ${planted.length}/$n")
+    assert(spurious.isEmpty,
+      s"${spurious.length} spurious pairs survived 256-bit verification")
+    // the verify margin is real: planted pairs sit far under the
+    // 48-bit threshold (localized lattice edit ⇒ few flipped gradients)
+    val maxWide = planted.map(_.getLong(3)).max
+    assert(maxWide <= 24, s"planted wide-hamming margin collapsed: $maxWide")
+  }
 }
