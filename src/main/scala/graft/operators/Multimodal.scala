@@ -734,13 +734,12 @@ object Multimodal {
       media_id: Long, dhash: Long, w0: Long, w1: Long, w2: Long, w3: Long)
 
   /** Both fingerprints (64-bit banding hash + 256-bit verify hash) in
-    * ONE codec pass per image — candidates and verification share the
-    * decode, the expensive step. */
-  private def imageHashFrame(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * ONE codec pass per image, for an explicit (doc_id, variant) spec
+    * frame — candidates and verification share the decode, the
+    * expensive step. */
+  def imageHashRows(spark: SparkSession, spec: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), lit(false).as("variant"))
-      .unionByName(docs.select(col("doc_id"), lit(true).as("variant")))
-      .toDF("_1", "_2").repartition(col("_1"), col("_2"))
+    spec.toDF("_1", "_2").repartition(col("_1"), col("_2"))
       .as[(Long, Boolean)]
       .mapPartitions { it =>
         it.map { case (id, variant) =>
@@ -754,6 +753,12 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  /** Originals + variants of every doc (the m52/m54 corpus). */
+  private def imageHashFrame(spark: SparkSession, docs: DataFrame): DataFrame =
+    imageHashRows(spark,
+      docs.select(col("doc_id"), lit(false).as("variant"))
+        .unionByName(docs.select(col("doc_id"), lit(true).as("variant"))))
 
   /** VERIFIED image near-dup pairs (m54) — candidates→verify for the
     * image modality, the exact shape of minhashVerifiedPairs: the m52
@@ -791,6 +796,68 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming &&
         col("wide_hamming") <= maxWideHamming)
       .distinct()
+  }
+
+  /** Persist the image signature store for a settled corpus (m55): one
+    * two-resolution fingerprint row per ORIGINAL image. The image
+    * mirror of Dedup.writeSignatureStore — a later batch dedups against
+    * this index without ever re-decoding corpus images (the decode,
+    * not the hash math, is what a 100 TB media lake cannot afford to
+    * repeat). */
+  def writeImageSignatureStore(
+      spark: SparkSession, docs: DataFrame, path: String): Unit =
+    imageHashRows(spark,
+      docs.select(col("doc_id"), lit(false).as("variant")))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+
+  /** Dedup an incoming image batch against a PERSISTED signature store
+    * (m55) — image dedup-at-the-door, the Dedup.dedupBatchAgainstStore
+    * shape for the perceptual family: the batch is decoded and
+    * fingerprinted ONCE, candidates come from the 4×16-bit banded join
+    * against the store's 64-bit hashes (store-side overfull buckets
+    * dropped at maxBucket — a degenerate store bucket must not make a
+    * batch quadratic), and the 256-bit wide hash verifies each
+    * candidate. Per-batch cost: O(batch decodes) + the band join —
+    * independent of corpus image count beyond the index read; corpus
+    * images are never re-decoded.
+    *
+    * `spec` is (doc_id, variant) rows as in imageHashRows; output is
+    * one decision row per batch image: media_id, keep, reason
+    * ('corpus_dup' | 'unique'). */
+  def dedupImageBatchAgainstStore(
+      spark: SparkSession, spec: DataFrame, storePath: String,
+      maxHamming: Int = 12, maxWideHamming: Int = 48,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+    def banded(fp: DataFrame) = fp.select(
+      col("media_id"), col("dhash"),
+      col("w0"), col("w1"), col("w2"), col("w3"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    // batch fingerprints feed the join AND the final decision frame:
+    // one codec pass (rule 5)
+    val batch = imageHashRows(spark, spec).localCheckpoint()
+    val store = Dedup.capBuckets(
+      banded(spark.read.parquet(s"$storePath/hashes")),
+      Seq("band", "band_val"), maxBucket)
+    def side(df: DataFrame, s: String) = df.select(
+      col("band") +: col("band_val") +:
+        (Seq("media_id", "dhash", "w0", "w1", "w2", "w3")
+          .map(c => col(c).as(s"${c}_$s"))): _*)
+    val wide = (0 until 4)
+      .map(k => bit_count(col(s"w${k}_a").bitwiseXOR(col(s"w${k}_b"))))
+      .reduce(_ + _)
+    val matched = side(banded(batch), "a")
+      .join(side(store, "b"), Seq("band", "band_val"))
+      .filter(bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+        <= maxHamming && wide <= maxWideHamming)
+      .select(col("media_id_a").as("media_id")).distinct()
+    batch.select(col("media_id"))
+      .join(matched.withColumn("m", lit(true)), Seq("media_id"), "left")
+      .select(col("media_id"),
+        not(coalesce(col("m"), lit(false))).as("keep"),
+        when(coalesce(col("m"), lit(false)), lit("corpus_dup"))
+          .otherwise(lit("unique")).as("reason"))
   }
 
   /** One audio-fingerprint row (m53). */

@@ -92,7 +92,10 @@ object MultimodalQueries {
     s"bit_count(xor(CAST((a$k // $d) % 65536 AS BIGINT), " +
       s"CAST((b$k // $d) % 65536 AS BIGINT)))")).mkString("\n  + ")
 
-  private val m54Sql = {
+  /** Shared CTE prefix for the two-resolution queries (m54/m55): both
+    * fingerprints of every original and variant image — `fpo`/`fpv`/
+    * `fp` (64-bit hu per media_id) and `wflat` (the four wide words). */
+  private val twoResCtes = {
     def words(tag: String, off: String) =
       s"""wwords_$tag AS (
          |  SELECT doc_id$off AS media_id, j2 // 4 AS k,
@@ -100,7 +103,7 @@ object MultimodalQueries {
          |  FROM wbits GROUP BY doc_id, j2 // 4)""".stripMargin
     val flat = (0 until 4).map(k =>
       s"max(CASE WHEN k = $k THEN wu END) AS wu$k").mkString(", ")
-    s"""WITH $gridCtes,
+    s"""$gridCtes,
        |bits AS (SELECT doc_id, j, i,
        |    ${bitSql(variant = false)} AS bit_o,
        |    ${bitSql(variant = true)} AS bit_v
@@ -119,7 +122,11 @@ object MultimodalQueries {
        |${words("o", "")},
        |${words("v", s" + ${Multimodal.VariantOffset}")},
        |ww AS (SELECT * FROM wwords_o UNION ALL SELECT * FROM wwords_v),
-       |wflat AS (SELECT media_id, $flat FROM ww GROUP BY media_id),
+       |wflat AS (SELECT media_id, $flat FROM ww GROUP BY media_id)""".stripMargin
+  }
+
+  private val m54Sql = {
+    s"""WITH $twoResCtes,
        |bands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM fp),
        |bv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM bands),
        |bkeep AS (SELECT band, band_val FROM bv GROUP BY band, band_val
@@ -143,6 +150,44 @@ object MultimodalQueries {
        |FROM wj
        |WHERE $hammingSql <= 12 AND ($wideHammingSql) <= 48
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** m55: batch-vs-store decisions. Store = originals of doc_id % 10
+    * != 9 (store-side overfull buckets dropped, replaying capBuckets);
+    * batch = variants of doc_id % 10 == 1 (planted corpus near-dups)
+    * ∪ originals of doc_id % 10 == 9 (novel images). */
+  private val m55Sql = {
+    val off = Multimodal.VariantOffset
+    s"""WITH $twoResCtes,
+       |store AS (SELECT media_id, hu FROM fpo WHERE media_id % 10 != 9),
+       |batch AS (SELECT media_id, hu FROM fpv WHERE (media_id - $off) % 10 = 1
+       |          UNION ALL
+       |          SELECT media_id, hu FROM fpo WHERE media_id % 10 = 9),
+       |sbands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM store),
+       |sbv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM sbands),
+       |skeep AS (SELECT band, band_val FROM sbv GROUP BY band, band_val
+       |          HAVING count(*) <= ${graft.operators.Dedup.defaultMaxBucket}),
+       |sb AS (SELECT sbv.* FROM sbv JOIN skeep USING (band, band_val)),
+       |bbands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM batch),
+       |bbv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM bbands),
+       |cand AS (
+       |  SELECT DISTINCT b.media_id AS bid, s.media_id AS sid,
+       |         b.hu AS ha, s.hu AS hb
+       |  FROM bbv b JOIN sb s
+       |    ON b.band = s.band AND b.band_val = s.band_val),
+       |wj AS (
+       |  SELECT cand.bid, cand.ha, cand.hb,
+       |         ${(0 until 4).map(k => s"fa.wu$k AS a$k").mkString(", ")},
+       |         ${(0 until 4).map(k => s"fb.wu$k AS b$k").mkString(", ")}
+       |  FROM cand
+       |  JOIN wflat fa ON fa.media_id = cand.bid
+       |  JOIN wflat fb ON fb.media_id = cand.sid),
+       |matchd AS (SELECT DISTINCT bid FROM wj
+       |           WHERE $hammingSql <= 12 AND ($wideHammingSql) <= 48)
+       |SELECT b.media_id, m.bid IS NULL AS keep,
+       |       CASE WHEN m.bid IS NULL THEN 'unique' ELSE 'corpus_dup' END AS reason
+       |FROM batch b LEFT JOIN matchd m ON m.bid = b.media_id
+       |ORDER BY media_id""".stripMargin
   }
 
   private val m52Sql =
@@ -380,6 +425,27 @@ object MultimodalQueries {
     Q("m54_image_neardup_verified", Some(m54Sql),
       (s, d) => Multimodal.imageNearDupVerified(s, docs(s, d))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Image dedup-at-the-door (m55): an incoming image batch (planted
+    // near-dups of corpus images + genuinely novel images) is decoded
+    // and fingerprinted ONCE, then deduped against the PERSISTED image
+    // signature store (built once per JVM from the settled corpus —
+    // corpus images never re-decoded). Banding generates candidates
+    // against the store, the 256-bit wide hash verifies, and each batch
+    // image gets a keep/reason decision. The oracle replays both
+    // fingerprint resolutions, the store membership, the store-side
+    // bucket cap, and the decision join.
+    Q("m55_image_store_dedup", Some(m55Sql),
+      (s, d) => {
+        val all = docs(s, d)
+        val spec = all.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id"), lit(true).as("variant"))
+          .unionByName(all.filter(col("doc_id") % 10 === 9)
+            .select(col("doc_id"), lit(false).as("variant")))
+        Multimodal.dedupImageBatchAgainstStore(
+          s, spec, Staging.imageStoreDir(s, d))
+          .orderBy(col("media_id"))
+      }),
 
     // Energy-profile audio fingerprint over the REAL codec path (m53):
     // decode the WAV, split the DECODED PCM into 16-sample frames, one

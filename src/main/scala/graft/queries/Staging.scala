@@ -43,6 +43,26 @@ object Staging {
       dir.toString
     })
 
+  private val imageStoreDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-JVM persisted image signature store for the m55 gate: the
+    * settled image corpus (originals of documents with doc_id % 10 != 9)
+    * fingerprinted once per sfDir via Multimodal.writeImageSignatureStore
+    * and reused across invocations — the prior-run index the store
+    * pattern models, image edition. */
+  def imageStoreDir(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    imageStoreDirs.getOrElseUpdate(sfDir, {
+      val dir = Files.createTempDirectory("graft_imgstore")
+      graft.operators.Multimodal.writeImageSignatureStore(
+        spark,
+        graft.Tables.load(spark, sfDir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 9),
+        dir.toString)
+      rmOnExit(dir)
+      dir.toString
+    })
+
   def eventsDir(sfDir: String): String = staged.getOrElseUpdate(sfDir, {
     val dir = Files.createTempDirectory("graft_events_stage")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))

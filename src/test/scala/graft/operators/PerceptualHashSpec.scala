@@ -118,4 +118,26 @@ class PerceptualHashSpec extends SparkSpec {
     val maxWide = planted.map(_.getLong(3)).max
     assert(maxWide <= 24, s"planted wide-hamming margin collapsed: $maxWide")
   }
+
+  test("image store dedup flags corpus near-dups and keeps novel images (m55)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("m55_spec").toString
+    // corpus: originals 0..99; batch: variants of 0..19 (near-dups of
+    // stored images) + originals 1000..1019 (novel — never stored)
+    Multimodal.writeImageSignatureStore(
+      spark, (0L until 100L).toDF("doc_id"), store)
+    val spec = (0L until 20L).map(id => (id, true))
+      .++((1000L until 1020L).map(id => (id, false))).toDF("doc_id", "variant")
+    val out = Multimodal.dedupImageBatchAgainstStore(spark, spec, store)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val dupDecisions = (0L until 20L)
+      .map(id => out(id + Multimodal.VariantOffset))
+    // banded recall is probabilistic by design; ≥90% of 20 = at most 2
+    // missed, and on this fixed corpus the result is deterministic
+    assert(dupDecisions.count(_ == (false, "corpus_dup")) >= 18,
+      s"variant batch not flagged against the store: $dupDecisions")
+    (1000L until 1020L).foreach { id =>
+      assert(out(id) === ((true, "unique")), s"novel image $id not kept")
+    }
+  }
 }
