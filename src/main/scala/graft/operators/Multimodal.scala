@@ -827,6 +827,19 @@ object Multimodal {
   def dedupImageBatchAgainstStore(
       spark: SparkSession, spec: DataFrame, storePath: String,
       maxHamming: Int = 12, maxWideHamming: Int = 48,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame =
+    dedupImageHashesAgainstStore(spark,
+      // batch fingerprints feed the join AND the final decision frame:
+      // one codec pass (rule 5)
+      imageHashRows(spark, spec).localCheckpoint(),
+      storePath, maxHamming, maxWideHamming, maxBucket)
+
+  /** Decision core of m55/q154 over an ALREADY-fingerprinted batch —
+    * split out so the streaming ingest loop can reuse the same hash
+    * frame for the decisions AND the store append (no second decode). */
+  def dedupImageHashesAgainstStore(
+      spark: SparkSession, batch: DataFrame, storePath: String,
+      maxHamming: Int = 12, maxWideHamming: Int = 48,
       maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
     def banded(fp: DataFrame) = fp.select(
       col("media_id"), col("dhash"),
@@ -834,11 +847,9 @@ object Multimodal {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val")))
-    // batch fingerprints feed the join AND the final decision frame:
-    // one codec pass (rule 5)
-    val batch = imageHashRows(spark, spec).localCheckpoint()
     val store = Dedup.capBuckets(
-      banded(spark.read.parquet(s"$storePath/hashes")),
+      banded(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$storePath/hashes")),
       Seq("band", "band_val"), maxBucket)
     def side(df: DataFrame, s: String) = df.select(
       col("band") +: col("band_val") +:
@@ -858,6 +869,20 @@ object Multimodal {
         not(coalesce(col("m"), lit(false))).as("keep"),
         when(coalesce(col("m"), lit(false)), lit("corpus_dup"))
           .otherwise(lit("unique")).as("reason"))
+  }
+
+  /** Fold a batch's already-computed fingerprints into the store (the
+    * image mirror of Dedup.appendBatchToStore). A `tag` writes into a
+    * batch-named subdir with overwrite — idempotent under at-least-once
+    * foreachBatch retries; store reads use recursiveFileLookup and see
+    * base + appends as one table. */
+  def appendImageHashesToStore(
+      hashes: DataFrame, path: String, tag: Option[String] = None): Unit = {
+    val (sub, mode) = tag match {
+      case Some(t) => (s"/$t", "overwrite")
+      case None    => ("", "append")
+    }
+    hashes.write.mode(mode).parquet(s"$path/hashes$sub")
   }
 
   /** One audio-fingerprint row (m53). */

@@ -190,6 +190,65 @@ object MultimodalQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** CTE chain `<p>_…` ending in `<p>_match(bid)`: batch images (CTE
+    * `batch`) with a verified store match (CTE `store`) — banding with
+    * the store-side cap, then both Hamming cuts. */
+  private def matchCtes(p: String, batch: String, store: String): String =
+    s"""${p}_sb AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM $store),
+       |${p}_sbv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM ${p}_sb),
+       |${p}_skeep AS (SELECT band, band_val FROM ${p}_sbv GROUP BY band, band_val
+       |          HAVING count(*) <= ${graft.operators.Dedup.defaultMaxBucket}),
+       |${p}_sf AS (SELECT t.* FROM ${p}_sbv t JOIN ${p}_skeep USING (band, band_val)),
+       |${p}_bb AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM $batch),
+       |${p}_bbv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM ${p}_bb),
+       |${p}_cand AS (
+       |  SELECT DISTINCT b.media_id AS bid, s.media_id AS sid,
+       |         b.hu AS ha, s.hu AS hb
+       |  FROM ${p}_bbv b JOIN ${p}_sf s
+       |    ON b.band = s.band AND b.band_val = s.band_val),
+       |${p}_wj AS (
+       |  SELECT c.bid, c.ha, c.hb,
+       |         ${(0 until 4).map(k => s"fa.wu$k AS a$k").mkString(", ")},
+       |         ${(0 until 4).map(k => s"fb.wu$k AS b$k").mkString(", ")}
+       |  FROM ${p}_cand c
+       |  JOIN wflat fa ON fa.media_id = c.bid
+       |  JOIN wflat fb ON fb.media_id = c.sid),
+       |${p}_match AS (SELECT DISTINCT bid FROM ${p}_wj
+       |           WHERE $hammingSql <= 12 AND ($wideHammingSql) <= 48)""".stripMargin
+
+  /** q154: the two-day image store loop. Day-0 batch = variants of
+    * doc_id % 10 == 1 (dups of the initial store) ∪ originals of
+    * % 10 == 8 (novel); day-1 batch = variants of % 10 == 8 (dups of
+    * day-0's APPENDED keepers — never in the initial store) ∪
+    * originals of % 10 == 9 (novel). Day-1's store = store0 plus ALL
+    * day-0 keepers (including recall-miss variants — exactly what the
+    * stream appends). */
+  private val q154Sql = {
+    val off = Multimodal.VariantOffset
+    s"""WITH $twoResCtes,
+       |store0 AS (SELECT media_id, hu FROM fpo WHERE media_id % 10 NOT IN (8, 9)),
+       |b0 AS (SELECT media_id, hu FROM fpv WHERE (media_id - $off) % 10 = 1
+       |       UNION ALL SELECT media_id, hu FROM fpo WHERE media_id % 10 = 8),
+       |b1 AS (SELECT media_id, hu FROM fpv WHERE (media_id - $off) % 10 = 8
+       |       UNION ALL SELECT media_id, hu FROM fpo WHERE media_id % 10 = 9),
+       |${matchCtes("m0", "b0", "store0")},
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS batch_id, b.media_id,
+       |       m.bid IS NULL AS keep,
+       |       CASE WHEN m.bid IS NULL THEN 'unique' ELSE 'corpus_dup' END AS reason
+       |       FROM b0 b LEFT JOIN m0_match m ON m.bid = b.media_id),
+       |kept0 AS (SELECT media_id, hu FROM b0
+       |          WHERE media_id IN (SELECT media_id FROM d0 WHERE keep)),
+       |store1 AS (SELECT * FROM store0 UNION ALL SELECT * FROM kept0),
+       |${matchCtes("m1", "b1", "store1")},
+       |d1 AS (SELECT CAST(1 AS BIGINT) AS batch_id, b.media_id,
+       |       m.bid IS NULL AS keep,
+       |       CASE WHEN m.bid IS NULL THEN 'unique' ELSE 'corpus_dup' END AS reason
+       |       FROM b1 b LEFT JOIN m1_match m ON m.bid = b.media_id)
+       |SELECT batch_id, media_id, keep, reason
+       |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
+       |ORDER BY batch_id, media_id""".stripMargin
+  }
+
   private val m52Sql =
     s"""WITH $gridCtes,
        |bits AS (SELECT doc_id, j, i,
@@ -445,6 +504,63 @@ object MultimodalQueries {
         Multimodal.dedupImageBatchAgainstStore(
           s, spec, Staging.imageStoreDir(s, d))
           .orderBy(col("media_id"))
+      }),
+
+    // Streaming IMAGE dedup-on-ingest (q154): the FULL image store loop
+    // as a stream — two image-batch spec files arrive, each micro-batch
+    // is decoded+fingerprinted once inside foreachBatch, deduped
+    // against the persisted image store, and its SURVIVORS' hashes fold
+    // back in, so batch 1's re-encodes of batch 0's novel images are
+    // flagged corpus_dup though the initial store never held them.
+    // Every stage rebuilt fresh per invocation (the stream MUTATES the
+    // store). The oracle replays both days' decisions, with day-1 store
+    // membership = store0 + ALL day-0 keepers.
+    Q("q154_stream_image_ingest", Some(q154Sql),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val all = docs(s, d)
+        val root = Files.createTempDirectory("graft_q154")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val store = s"$root/store"
+        Multimodal.writeImageSignatureStore(s,
+          all.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9),
+          store)
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val t0 = System.currentTimeMillis()
+        val batches = Seq(
+          all.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), lit(true).as("variant"))
+            .unionByName(all.filter(col("doc_id") % 10 === 8)
+              .select(col("doc_id"), lit(false).as("variant"))),
+          all.filter(col("doc_id") % 10 === 8)
+            .select(col("doc_id"), lit(true).as("variant"))
+            .unionByName(all.filter(col("doc_id") % 10 === 9)
+              .select(col("doc_id"), lit(false).as("variant"))))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tmp = Files.createTempDirectory(s"graft_q154_b$i")
+          b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q154 batch $i produced no parquet part"))
+          val dst = Paths.get(in, s"batch_$i.parquet")
+          Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(t0 + i * 2000L)
+        }
+        val sink = s"$root/sink"
+        val q = graft.streaming.IngestImageDedup.start(s, in, store, sink)
+        try q.processAllAvailable() finally q.stop()
+        Seq(0, 1).map(i =>
+            s.read.parquet(s"$sink/decisions/batch_$i")
+              .withColumn("batch_id", lit(i.toLong)))
+          .reduce(_.unionByName(_))
+          .select(col("batch_id"), col("media_id"), col("keep"), col("reason"))
+          .orderBy(col("batch_id"), col("media_id"))
       }),
 
     // Energy-profile audio fingerprint over the REAL codec path (m53):
