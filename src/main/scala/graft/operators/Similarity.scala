@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Materialize.Ops
 
@@ -235,11 +235,48 @@ object Similarity {
   def ivfSearch(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
       dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // cell assignment: coarse LSH signature with 4 bits = 16 cells
     val planes = hyperplanes(4, dim, seed = 7L)
     val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
     val centroids = fixedPointCentroids(cells, dim).drop("n")
+    ivfSearchCore(cells, centroids, queries, k, nProbe)
+  }
+
+  /** Persist the IVF index (s51): cell assignments + fixed-point
+    * centroids, written once — the vector-index mirror of the d53/m55
+    * signature stores. A later query wave reads the index instead of
+    * re-assigning the corpus: at 100 TB the assignment pass (a full
+    * corpus scan + the centroid aggregate) is the cost an online
+    * serving path cannot afford per query batch. Index size = corpus
+    * rows (vec_id, embedding, cell) + 16 centroid rows. */
+  def writeIvfIndex(
+      corpus: DataFrame, path: String, dim: Int = 64): Unit = {
+    val planes = hyperplanes(4, dim, seed = 7L)
+    val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
+      .materializeOnce()
+    cells.write.mode("overwrite").parquet(s"$path/cells")
+    fixedPointCentroids(cells, dim).drop("n")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** IVF search against a PERSISTED index (s51) — identical output to
+    * ivfSearch over the same corpus by construction (floats and the
+    * fixed-point centroids round-trip parquet bit-exactly, and the
+    * search core is shared), which is why s51 reuses s43's oracle and
+    * IvfIndexSpec asserts store ≡ recompute equality, the d53
+    * contract. */
+  def searchIvfIndex(
+      spark: SparkSession, queries: DataFrame, path: String,
+      k: Int, nProbe: Int = 2): DataFrame =
+    ivfSearchCore(
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"),
+      queries, k, nProbe)
+
+  private def ivfSearchCore(
+      cells: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = q.join(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("cell"),

@@ -82,6 +82,18 @@ object SimilarityQueries {
       (s, d) => Similarity.ivfSearch(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10, nProbe = 2)),
 
+    // IVF search against a PERSISTED index (s51): cells + fixed-point
+    // centroids written once per JVM (Staging.ivfIndexDir — a prior
+    // run's artifact), queries served from the index without
+    // re-assigning the corpus. Output identical to s43 by construction
+    // (floats and centroids round-trip parquet bit-exactly, shared
+    // search core; IvfIndexSpec asserts store ≡ recompute), so it
+    // shares s43's oracle verbatim — the d53 pattern for vectors.
+    Q("s51_knn_ivf_store", Some(knnIvfOracle),
+      (s, d) => Similarity.searchIvfIndex(
+        s, emb(s, d).filter(col("vec_id") < 5),
+        Staging.ivfIndexDir(s, d), k = 10, nProbe = 2)),
+
     // random-projection first-pass ANN: corpus and queries reduced to 16
     // dims by fixed-seed JL planes, exact top-k in the reduced space.
     // Every reduced component is the proven sequential fold, so the

@@ -63,6 +63,21 @@ object Staging {
       dir.toString
     })
 
+  private val ivfIndexDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-JVM persisted IVF index for the s51 gate: the embeddings
+    * corpus assigned and centroided once per sfDir via
+    * Similarity.writeIvfIndex, reused across invocations. */
+  def ivfIndexDir(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    ivfIndexDirs.getOrElseUpdate(sfDir, {
+      val dir = Files.createTempDirectory("graft_ivfindex")
+      graft.operators.Similarity.writeIvfIndex(
+        graft.Tables.load(spark, sfDir, "embeddings"), dir.toString)
+      rmOnExit(dir)
+      dir.toString
+    })
+
   def eventsDir(sfDir: String): String = staged.getOrElseUpdate(sfDir, {
     val dir = Files.createTempDirectory("graft_events_stage")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))

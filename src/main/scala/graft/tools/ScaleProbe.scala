@@ -224,6 +224,39 @@ object ScaleProbe {
         s"wide-hash verification failed to collapse the candidate tail: " +
           s"${total - planted} spurious vs $planted planted")
     }
+    time("m55: image store write + batch dedup") {
+      // The image daily-ingest pattern at probe volume: the corpus's
+      // n base images are fingerprinted ONCE into the store (the
+      // decode-heavy step a media lake must never repeat), then a
+      // batch of n/20 perturbed re-encodes of corpus images + n/20
+      // genuinely novel images dedups against it — per-batch cost is
+      // the batch's decodes plus the band join against the index.
+      val storeDir = s"$out/imgstore"
+      val base = docs.filter(col("doc_id") < n).select(col("doc_id"))
+      val tW = System.nanoTime()
+      graft.operators.Multimodal.writeImageSignatureStore(
+        spark, base, storeDir)
+      println(f"[probe]   image store write (one-time): ${(System.nanoTime() - tW) / 1e9}%.1f s")
+      val spec = base.filter(col("doc_id") % 20 === 1)
+        .select(col("doc_id"), lit(true).as("variant"))
+        .unionByName(spark.range(2 * n, 2 * n + n / 20).toDF("doc_id")
+          .select(col("doc_id"), lit(false).as("variant")))
+      val tB = System.nanoTime()
+      val res = graft.operators.Multimodal
+        .dedupImageBatchAgainstStore(spark, spec, storeDir)
+        .localCheckpoint()
+      val off = graft.operators.Multimodal.VariantOffset
+      val dupRecalled = res
+        .filter(col("media_id") >= off && col("reason") === "corpus_dup").count()
+      val novelKept = res
+        .filter(col("media_id") < off && col("keep")).count()
+      println(f"[probe]   batch-vs-store: ${(System.nanoTime() - tB) / 1e9}%.1f s; " +
+        s"dups flagged $dupRecalled/${n / 20}, novel kept $novelKept/${n / 20}")
+      require(dupRecalled >= (n / 20) * 95 / 100,
+        s"image store recall broke at scale: $dupRecalled/${n / 20}")
+      require(novelKept == n / 20,
+        s"novel images wrongly flagged: kept $novelKept/${n / 20}")
+    }
     time("curation: gate→tokenize→pack") {
       // The ingest-side linear chain (t40/q87 shapes, operators
       // verbatim): Gopher gate → token counts → fixed-capacity bin
