@@ -885,6 +885,111 @@ object Multimodal {
     hashes.write.mode(mode).parquet(s"$path/hashes$sub")
   }
 
+  /** Samples per synthetic audio TRACK (m56): 65 frames of 16 → a full
+    * 64-bit energy-delta fingerprint (the m53 clips are 4–16 frames —
+    * enough to prove the codec contract, too short to dedup on). */
+  val TrackSamples = 1040
+
+  /** Deterministic 16-bit PCM track sample — the audio member of the
+    * textured-PRF family (CLAUDE.md rule 12, one definition for the
+    * Scala encoder and the DuckDB oracle): per-id seed + linear index
+    * term through two quadratic rounds mod 65521 (non-linearity is
+    * load-bearing — the m53 linear ramp leaves frame energies
+    * correlated across ids, the same trap as the m47 image pattern).
+    * The `variant` track re-records every 21st frame with a shifted
+    * phase (~3 of 65 frames) — a localized edit whose fingerprint
+    * lands ~2 bits away (measured mean 2.3, max 7 at 5k tracks). */
+  def trackSample(id: Long, i: Int, variant: Boolean): Int = {
+    val shift = if (variant && (i / 16) % 21 == 0) 12345L else 0L
+    val t = math.floorMod(id * 2654435761L, 65536L) + 131L * i + shift
+    val u = (t * t + 3L * t) % 65521L
+    val v = (u * u + 7L * u) % 65521L
+    (v % 65536L).toInt - 32768
+  }
+
+  /** Encode the track (or its perturbed variant) for `id` as a real
+    * WAV container — syntheticWav's shape at track length. */
+  def syntheticWavTrack(id: Long, variant: Boolean): Array[Byte] = {
+    val data = new Array[Byte](TrackSamples * 2)
+    var i = 0
+    while (i < TrackSamples) {
+      val s = trackSample(id, i, variant)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, TrackSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** 64-bit energy-delta fingerprint of a decoded track: 65 frames of
+    * 16 samples, one bit per adjacent frame pair (later frame louder),
+    * MSB-first fold. */
+  def trackFingerprint(samples: Array[Int]): Long = {
+    require(samples.length == TrackSamples,
+      s"track length drifted: ${samples.length}")
+    val energy = Array.tabulate(65) { f =>
+      var e = 0L
+      var i = 16 * f
+      while (i < 16 * f + 16) { e += math.abs(samples(i).toLong); i += 1 }
+      e
+    }
+    var fp = 0L
+    var f = 0
+    while (f < 64) {
+      fp = fp * 2 + (if (energy(f + 1) > energy(f)) 1L else 0L)
+      f += 1
+    }
+    fp
+  }
+
+  /** AUDIO near-dup pairs via banded Hamming join on the track
+    * fingerprint (m56) — the m52 LSH shape for the audio modality,
+    * with the real WAV codec in the loop: every original and variant
+    * track is a genuine encode→decode, the loudness envelope is
+    * fingerprinted from DECODED PCM, 4×16-bit bands generate
+    * candidates (capBuckets guard), exact popcount ≤ maxHamming
+    * verifies. */
+  def audioNearDupPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 12,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+    import spark.implicits._
+    val fp = docs.select(col("doc_id"), lit(false).as("variant"))
+      .unionByName(docs.select(col("doc_id"), lit(true).as("variant")))
+      .toDF("_1", "_2").repartition(col("_1"), col("_2"))
+      .as[(Long, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (id, variant) =>
+          val (_, samples) = decodeWav(syntheticWavTrack(id, variant))
+            .getOrElse(throw new IllegalStateException(
+              s"WAV track roundtrip failed for doc $id"))
+          (if (variant) id + VariantOffset else id, trackFingerprint(samples))
+        }
+      }.toDF("media_id", "fingerprint")
+    val banded = Dedup.capBuckets(
+      fp.select(col("media_id"), col("fingerprint"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("fingerprint"), b * 16)
+            .bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucket)
+    val a = banded.select(col("band"), col("band_val"),
+      col("media_id").as("id_a"), col("fingerprint").as("fp_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("media_id").as("id_b"), col("fingerprint").as("fp_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** One audio-fingerprint row (m53). */
   final case class AudioFingerprint(
       media_id: Long, n_frames: Long, fingerprint: Long)

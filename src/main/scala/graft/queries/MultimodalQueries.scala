@@ -249,6 +249,50 @@ object MultimodalQueries {
        |ORDER BY batch_id, media_id""".stripMargin
   }
 
+  /** DuckDB expression for |trackSample(doc_id, i, variant)| — emitted
+    * from the same constants as Multimodal.trackSample (rule 12). */
+  private def trackAbsSql(variant: Boolean): String = {
+    val shift =
+      if (variant) " + CASE WHEN (i // 16) % 21 = 0 THEN 12345 ELSE 0 END"
+      else ""
+    val t = s"((doc_id*2654435761) % 65536 + 131*i$shift)"
+    val u = s"(($t)*($t) + 3*($t)) % 65521"
+    val v = s"((($u))*(($u)) + 7*(($u))) % 65521"
+    s"abs((($v)) % 65536 - 32768)"
+  }
+
+  private val m56Sql = {
+    val off = Multimodal.VariantOffset
+    s"""WITH ix AS (SELECT doc_id, unnest(range(0, ${Multimodal.TrackSamples})) AS i
+       |            FROM documents),
+       |en AS (SELECT doc_id, i // 16 AS f,
+       |         sum(${trackAbsSql(variant = false)}) AS e_o,
+       |         sum(${trackAbsSql(variant = true)}) AS e_v
+       |       FROM ix GROUP BY doc_id, f),
+       |bits AS (SELECT a.doc_id, a.f,
+       |           CASE WHEN b.e_o > a.e_o THEN 1 ELSE 0 END AS bit_o,
+       |           CASE WHEN b.e_v > a.e_v THEN 1 ELSE 0 END AS bit_v
+       |         FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+       |fpo AS (SELECT doc_id AS media_id, ${foldSql("bit_o", "f")} AS hu
+       |        FROM bits GROUP BY doc_id),
+       |fpv AS (SELECT doc_id + $off AS media_id, ${foldSql("bit_v", "f")} AS hu
+       |        FROM bits GROUP BY doc_id),
+       |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
+       |bands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM fp),
+       |bv AS (SELECT media_id, hu, band, $bandValSql AS band_val FROM bands),
+       |bkeep AS (SELECT band, band_val FROM bv GROUP BY band, band_val
+       |          HAVING count(*) <= ${graft.operators.Dedup.defaultMaxBucket}),
+       |bf AS (SELECT bv.* FROM bv JOIN bkeep USING (band, band_val)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |         a.hu AS ha, b.hu AS hb
+       |  FROM bf a JOIN bf b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |   AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, CAST($hammingSql AS BIGINT) AS hamming
+       |FROM cand WHERE $hammingSql <= 12 ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val m52Sql =
     s"""WITH $gridCtes,
        |bits AS (SELECT doc_id, j, i,
@@ -562,6 +606,17 @@ object MultimodalQueries {
           .select(col("batch_id"), col("media_id"), col("keep"), col("reason"))
           .orderBy(col("batch_id"), col("media_id"))
       }),
+
+    // AUDIO near-dup pairs (m56) — the m52 LSH shape for audio, real
+    // WAV codec in the loop: 65-frame tracks (originals + re-recorded
+    // variants whose every 21st frame has a shifted phase) are
+    // encoded→decoded, the loudness envelope fingerprinted from the
+    // DECODED PCM, then banded-Hamming joined. The oracle replays
+    // sample arithmetic, frame energies, the fold, banding, cap, and
+    // Hamming end-to-end.
+    Q("m56_audio_neardup", Some(m56Sql),
+      (s, d) => Multimodal.audioNearDupPairs(s, docs(s, d))
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Energy-profile audio fingerprint over the REAL codec path (m53):
     // decode the WAV, split the DECODED PCM into 16-sample frames, one

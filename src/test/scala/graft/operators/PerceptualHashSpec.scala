@@ -119,6 +119,33 @@ class PerceptualHashSpec extends SparkSpec {
     assert(maxWide <= 24, s"planted wide-hamming margin collapsed: $maxWide")
   }
 
+  test("audio track fingerprint from the real decode matches the arithmetic fold (m56)") {
+    for (id <- Seq(0L, 11L, 300L, 4242L); variant <- Seq(false, true)) {
+      val (_, samples) = Multimodal.decodeWav(
+        Multimodal.syntheticWavTrack(id, variant)).get
+      val expected = {
+        val e = Array.tabulate(65)(f => (16 * f until 16 * f + 16)
+          .map(i => math.abs(Multimodal.trackSample(id, i, variant).toLong)).sum)
+        (0 until 64).foldLeft(0L)((acc, f) =>
+          acc * 2 + (if (e(f + 1) > e(f)) 1L else 0L))
+      }
+      assert(Multimodal.trackFingerprint(samples) === expected,
+        s"id=$id variant=$variant")
+    }
+  }
+
+  test("audio banded near-dup join recovers planted variant tracks (m56 recall)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val n = docs.count()
+    val pairs = Multimodal.audioNearDupPairs(spark, docs).collect()
+    val planted = pairs.count(r =>
+      r.getLong(1) === r.getLong(0) + Multimodal.VariantOffset)
+    assert(planted >= n * 95 / 100,
+      s"planted track recall broke: $planted/$n")
+    assert(pairs.length - planted <= 10,
+      s"${pairs.length - planted} spurious track pairs ≤ 12 bits apart")
+  }
+
   test("image store dedup flags corpus near-dups and keeps novel images (m55)") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("m55_spec").toString
