@@ -247,7 +247,32 @@ object AnalyticsQueries {
         T(s, d, "events").filter(col("event_id") % 13 === 0),
         entity = "user_id", step = "event_type",
         key = EventAnalytics.eventKey(col("ts"), col("event_id")),
-        steps = Seq("signup", "click", "purchase"), qs = latencyProbes))
+        steps = Seq("signup", "click", "purchase"), qs = latencyProbes)),
+
+    // Skyline / Pareto frontier (q155): parts that are best price/size
+    // tradeoffs — no other part is both cheaper-or-equal AND
+    // bigger-or-equal with one strict. Spark side runs the two-phase
+    // distributed BNL (per-partition prune, then prune of the tiny
+    // survivor union — the distributive property that makes skylines
+    // feasible at 100 TB); the oracle replays the DEFINITION as a
+    // quadratic NOT EXISTS, so the pruning must be exactly
+    // dominance-preserving to hash-match.
+    Q("q155_skyline", Some(
+      """WITH p AS (SELECT p_partkey,
+        |             CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+        |             CAST(p_size AS DOUBLE) AS p_size
+        |           FROM part)
+        |SELECT p_partkey, p_retailprice, p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin),
+      (s, d) => graft.operators.Skyline.skyline(
+        s, T(s, d, "part"), "p_partkey",
+        minimize = Seq("p_retailprice"), maximize = Seq("p_size"))
+        .orderBy(col("p_partkey")))
   )
 
   /** q151's quantile probes; interpolated e-suffixed into the oracle
