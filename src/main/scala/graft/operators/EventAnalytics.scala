@@ -205,4 +205,54 @@ object EventAnalytics {
     }
     qRows.reduce(_ union _).orderBy(col("quantile"))
   }
+
+  /** Trajectory similarity top-k (q156) — behavioral-sequence search in
+    * the REPOSE/top-k-trajectory lineage (ICDE 2021), Spark-first: each
+    * user's journey is their event-type sequence ordered by the exact
+    * int64 eventKey; journeys compare by Jaccard over DISTINCT
+    * event-type trigrams; each query user gets their k most similar
+    * users. The inverted-index join is the pruning — users sharing no
+    * trigram are never scored — and `maxDf` drops corpus-ubiquitous
+    * trigrams (the d40 DF-cap pattern) so no hot gram makes the join
+    * quadratic. Sizes/intersections are exact int64; the ratio is ONE
+    * int64/int64 division (rule 17), so ranking is bit-reproducible. */
+  def trajectoryTopK(
+      events: DataFrame, isQuery: Column, k: Int,
+      maxDf: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("key"))
+    val grams0 = events
+      .select(col("user_id"), eventKey(col("ts"), col("event_id")).as("key"),
+        col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t1"), col("t2")).as("g"))
+      .distinct()
+    val keep = grams0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    // one materialization: grams feed sizes, the query side, and the
+    // candidate side of the inverted-index join (rule 5)
+    val grams = grams0.join(keep, Seq("g")).materializeOnce()
+    val sizes = grams.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val q = grams.filter(isQuery).select(col("user_id").as("q_id"), col("g"))
+    val inter = q.join(grams.select(col("user_id"), col("g")), Seq("g"))
+      .filter(col("user_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("user_id"))
+      .agg(count(lit(1)).as("inter_n"))
+    val scored = inter
+      .join(sizes.select(col("user_id").as("q_id"), col("n").as("qn")), Seq("q_id"))
+      .join(sizes.select(col("user_id"), col("n").as("un")), Seq("user_id"))
+      .select(col("q_id"), col("user_id"), col("inter_n"),
+        (col("qn") + col("un") - col("inter_n")).as("union_n"))
+      .withColumn("jacc",
+        col("inter_n").cast("double") / col("union_n").cast("double"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("jacc").desc, col("user_id"))
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("user_id"), col("inter_n"), col("union_n"),
+        col("jacc"), col("rank"))
+  }
 }

@@ -272,7 +272,46 @@ object AnalyticsQueries {
       (s, d) => graft.operators.Skyline.skyline(
         s, T(s, d, "part"), "p_partkey",
         minimize = Seq("p_retailprice"), maximize = Seq("p_size"))
-        .orderBy(col("p_partkey")))
+        .orderBy(col("p_partkey"))),
+
+    // Trajectory similarity top-k (q156): each query user's 5 most
+    // similar users by Jaccard over distinct event-type trigrams of
+    // their eventKey-ordered journeys — inverted-index join prunes
+    // non-overlapping users, DF cap kills ubiquitous grams, and the
+    // one int64/int64 division keeps the ranking bit-reproducible.
+    Q("q156_trajectory_topk", Some(
+      s"""WITH e AS (SELECT user_id, $keySql AS key, event_type FROM events),
+         |seq AS (SELECT user_id, event_type,
+         |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY key) AS t1,
+         |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY key) AS t2
+         |  FROM e),
+         |grams0 AS (SELECT DISTINCT user_id,
+         |             event_type || '>' || t1 || '>' || t2 AS g
+         |           FROM seq WHERE t2 IS NOT NULL),
+         |keep AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 200),
+         |grams AS (SELECT grams0.* FROM grams0 JOIN keep USING (g)),
+         |sizes AS (SELECT user_id, count(*) AS n FROM grams GROUP BY user_id),
+         |q AS (SELECT user_id AS q_id, g FROM grams WHERE user_id < 5),
+         |inter AS (SELECT q.q_id, c.user_id, count(*) AS inter_n
+         |          FROM q JOIN grams c ON q.g = c.g AND c.user_id != q.q_id
+         |          GROUP BY q.q_id, c.user_id),
+         |sc AS (SELECT i.q_id, i.user_id,
+         |         i.inter_n, sq.n + su.n - i.inter_n AS union_n,
+         |         CAST(i.inter_n AS DOUBLE)
+         |           / CAST(sq.n + su.n - i.inter_n AS DOUBLE) AS jacc
+         |       FROM inter i
+         |       JOIN sizes sq ON sq.user_id = i.q_id
+         |       JOIN sizes su ON su.user_id = i.user_id),
+         |rk AS (SELECT *, row_number() OVER
+         |         (PARTITION BY q_id ORDER BY jacc DESC, user_id) AS rank
+         |       FROM sc)
+         |SELECT q_id, user_id, CAST(inter_n AS BIGINT) AS inter_n,
+         |       CAST(union_n AS BIGINT) AS union_n, jacc,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      (s, d) => EventAnalytics.trajectoryTopK(
+        T(s, d, "events"), col("user_id") < 5, k = 5)
+        .orderBy(col("q_id"), col("rank")))
   )
 
   /** q151's quantile probes; interpolated e-suffixed into the oracle

@@ -113,4 +113,27 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq === Seq(("y", "x")))
   }
+
+  test("trajectoryTopK ranks the identical journey first (q156)") {
+    // users 1 and 2 share the exact journey a,b,c,d (identical trigram
+    // sets); user 3 shares only a suffix; user 4 is disjoint and must
+    // never be scored (inverted-index pruning)
+    def journey(u: Long, types: Seq[String], base: Long) =
+      types.zipWithIndex.map { case (t, i) =>
+        (u, t, ts(s"2024-01-01 10:00:0$i"), base + i)
+      }
+    val ev = (journey(1L, Seq("a", "b", "c", "d"), 10L) ++
+      journey(2L, Seq("a", "b", "c", "d"), 20L) ++
+      journey(3L, Seq("x", "b", "c", "d"), 30L) ++
+      journey(4L, Seq("p", "q", "r", "s"), 40L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.trajectoryTopK(ev, $"user_id" === 1, k = 5)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(4), r.getLong(5)))
+    // identical journey: jacc 1.0 at rank 1; suffix-sharer second;
+    // disjoint user absent
+    assert(out.map(_._1).toSeq === Seq(2L, 3L))
+    assert(out.head._2 === 1.0)
+    assert(out(1)._2 === (1.0 / 3.0))
+  }
 }
