@@ -116,4 +116,24 @@ object TextFunctions {
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")),
       s => length(s) > 0)
+
+  /** Lexicon word lists for sentimentCounts — tiny and inlined; a real
+    * deployment swaps in a published lexicon, the operator shape (set
+    * membership over tokens, integer counts, one division) is what the
+    * distributed-sentiment line of work (Spark sentiment @ EDBT 2016)
+    * actually runs per document. One definition, two engines: the t47
+    * oracle interpolates THESE lists into its SQL. */
+  val positiveLexicon: Seq[String] = Seq("fast", "big", "merge", "join")
+  val negativeLexicon: Seq[String] = Seq("slow", "small", "scan", "skew")
+
+  /** Per-document lexicon sentiment: (n_pos, n_neg, n_tokens) token
+    * OCCURRENCE counts — exact integers; the score is the caller's one
+    * division (rule 17) so ranking stays bit-reproducible. */
+  def positiveCount(text: Column): Column =
+    size(filter(tokens(text), t =>
+      positiveLexicon.map(t === lit(_)).reduce(_ || _))).cast("bigint")
+
+  def negativeCount(text: Column): Column =
+    size(filter(tokens(text), t =>
+      negativeLexicon.map(t === lit(_)).reduce(_ || _))).cast("bigint")
 }

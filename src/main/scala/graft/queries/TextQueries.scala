@@ -411,6 +411,41 @@ object TextQueries {
           col("tgt_mass").cast("bigint").as("tgt_mass"),
           col("src_mass").cast("bigint").as("src_mass"),
           col("ratio"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Lexicon sentiment scoring (t47 — the SURVEY §7.6 "sentiment-
+    // lexicon score" item; distributed-sentiment shape per the Spark
+    // sentiment @ EDBT 2016 line): per doc, positive/negative token
+    // occurrence counts against the shared lexicons (one definition —
+    // the SQL interpolates TextFunctions' lists) and the normalized
+    // score as ONE int64/int64 division.
+    Q("t47_sentiment", Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> x IN (${
+            graft.functions.TextFunctions.positiveLexicon
+              .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_pos,
+         |  CAST(len(list_filter(w, x -> x IN (${
+            graft.functions.TextFunctions.negativeLexicon
+              .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_neg,
+         |  CAST(len(w) AS BIGINT) AS n_tokens
+         |  FROM s)
+         |SELECT doc_id, n_pos, n_neg,
+         |       CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |         AS sentiment
+         |FROM c ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.TextFunctions
+        docs(s, d).select(col("doc_id"),
+          TextFunctions.positiveCount(col("text")).as("n_pos"),
+          TextFunctions.negativeCount(col("text")).as("n_neg"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("n_pos"), col("n_neg"),
+            ((col("n_pos") - col("n_neg")).cast("double")
+              / col("n_tokens").cast("double")).as("sentiment"))
+          .orderBy(col("doc_id"))
+      })
   )
 }

@@ -97,4 +97,18 @@ class TextFunctionsSpec extends SparkSpec {
       max(TextFunctions.qualityScore($"text")).as("hi")).head
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("sentiment lexicon counts occurrences, not types (t47)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "fast fast slow merge plain"),  // pos 3 (fast×2, merge), neg 1
+      (2L, "plain words only here")        // neutral
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextFunctions.positiveCount($"text").as("p"),
+      TextFunctions.negativeCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, 1L)))
+    assert(out(2L) === ((0L, 0L)))
+  }
 }
