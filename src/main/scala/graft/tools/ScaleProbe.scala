@@ -292,6 +292,33 @@ object ScaleProbe {
       require(maxLoad < 4096,
         s"a bin exceeded capacity by more than one document: $maxLoad")
     }
+    time("q155: skyline at probe volume") {
+      // Exact at-scale correctness witness for the two-phase prune:
+      // interior points have x, y ≤ 989; ten planted points
+      // (100i, 1000+100i) are mutually non-dominated (min-x/max-y:
+      // larger x carries larger y) and each interior point is
+      // dominated by the planted point at x = 100·⌊x₀/100⌋ ≤ x₀ with
+      // y ≥ 1000 > y₀. The skyline must return exactly the planted
+      // ids — a wrong prune at any partition surfaces as a changed
+      // set, not a slow query.
+      val interior = docs.select(col("doc_id").as("id"))
+        .withColumn("xy", pmod(xxhash64(col("id"), lit(1)), lit(990)))
+        .withColumn("x",
+          pmod(xxhash64(col("id"), lit(2)), col("xy") + 1).cast("double"))
+        .select(col("id"), col("x"),
+          (col("xy").cast("double") - col("x")).as("y"))
+      val planted = spark.range(10).select(
+        (col("id") + 10000000L).as("id"),
+        (col("id") * 100).cast("double").as("x"),
+        (lit(1000) + col("id") * 100).cast("double").as("y"))
+      val pts = interior.unionByName(planted)
+      val frontier = graft.operators.Skyline
+        .skyline(spark, pts, "id", minimize = Seq("x"), maximize = Seq("y"))
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      println(s"[probe]   frontier: ${frontier.length} points")
+      require(frontier.toSeq == (0 until 10).map(_ + 10000000L),
+        s"skyline broke at scale: ${frontier.take(12).toSeq}")
+    }
     time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
       val edges = docs.select(col("doc_id").as("id_a"),
