@@ -113,6 +113,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Agreement audit between two document filters — the QA step a
+    * pipeline runs when swapping one quality gate for another (e.g. a
+    * heuristic score replacing the Gopher rules): confusion counts of
+    * `pred` against `gold` plus the derived metrics, as ONE aggregated
+    * row. All sufficient statistics are int64 counts from a single
+    * pass; every metric is arithmetic over single int64/int64 divisions
+    * (correctly rounded, hence bit-reproducible cross-engine — rule-17
+    * discipline). Cohen's kappa uses the rate-product form
+    * `pe = pa1·pb1 + pa0·pb0` with each rate its own single division —
+    * overflow-free at any corpus size, where the integer cross-product
+    * form `(tp+fp)(tp+fn)` would pass 2^63 around 10^10 documents.
+    * F1 is computed as `2·tp / (2·tp+fp+fn)` — algebraically the
+    * harmonic mean, but a SINGLE division instead of a composition of
+    * three. Degenerate denominators (an empty class) yield NULL, not a
+    * cross-engine NaN-vs-inf mismatch. */
+  def filterAgreement(scored: DataFrame, pred: Column, gold: Column): DataFrame = {
+    val counts = scored.select(pred.as("p"), gold.as("g"))
+      .agg(
+        count(when(col("p") && col("g"), 1)).as("tp"),
+        count(when(col("p") && !col("g"), 1)).as("fp"),
+        count(when(!col("p") && col("g"), 1)).as("fn"),
+        count(when(!col("p") && !col("g"), 1)).as("tn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val withRates = counts.select(
+      col("tp"), col("fp"), col("fn"), col("tn"), n.as("n"),
+      ratio(col("tp") + col("tn"), n).as("acc"),
+      ratio(col("tp"), col("tp") + col("fp")).as("prec"),
+      ratio(col("tp"), col("tp") + col("fn")).as("rec"),
+      ratio(lit(2) * col("tp"),
+        lit(2) * col("tp") + col("fp") + col("fn")).as("f1"),
+      (ratio(col("tp") + col("fp"), n) * ratio(col("tp") + col("fn"), n)
+        + ratio(col("fn") + col("tn"), n) * ratio(col("fp") + col("tn"), n))
+        .as("pe"))
+    withRates.select(
+      col("tp"), col("fp"), col("fn"), col("tn"), col("n"),
+      col("acc"), col("prec"), col("rec"), col("f1"),
+      when(lit(1.0) - col("pe") =!= 0.0,
+        (col("acc") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
+
   // ---- PII redaction (C4-style) ----
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

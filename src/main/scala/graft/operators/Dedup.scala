@@ -970,6 +970,88 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination with a broadcast Bloom prefilter — the shape the
+    * exact check above takes at 100 TB. `contaminationCheck` joins the
+    * FULL corpus shingle table against the benchmark set; that join
+    * shuffles every corpus shingle even though ~none of them hit. Here
+    * the benchmark's shingle hashes build one Bloom sketch
+    * (`DataFrame.stat.bloomFilter`, built distributed, merged on the
+    * driver — its size depends on the BENCHMARK, never the corpus) and
+    * the corpus side probes it with the native codegen'd
+    * `BloomFilterMightContain` expression, so non-candidate shingles die
+    * inside the scan stage without shuffling at all. Survivors — a
+    * `fpp`-sized trickle plus the true hits — are verified by the exact
+    * string equi-join.
+    *
+    * The Bloom phase is performance-only: a Bloom filter has no false
+    * negatives, so candidates ⊇ true hits, and the verify join then
+    * removes every false positive (both the Bloom's own and any
+    * xxhash64 probe-key collision, because verification rejoins on the
+    * shingle STRING). The output is therefore bit-identical to the
+    * exact join — which is exactly what the d54 oracle replays, no
+    * hash replay needed (same reasoning as q82's bloom join).
+    *
+    * Returns only the CONTAMINATED documents (inner join): at scale the
+    * interesting output is the removal list, not a rate per clean doc. */
+  def bloomDecontaminate(
+      docs: DataFrame, benchIds: Seq[Long], n: Int = 3,
+      expectedBenchShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val ex = shingleTable(docs, n).materializeOnce()
+    val isBench = col("doc_id").isInCollection(benchIds)
+    val bench = ex.filter(isBench).select(col("sh")).distinct()
+      .materializeOnce() // probed twice: bloom build + exact verify
+    val corpus = ex.filter(!isBench)
+    val sizes = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val candidates = RuntimeFilter.bloomPrefilter(
+      corpus.withColumn("shh", xxhash64(col("sh"))),
+      bench.select(xxhash64(col("sh")).as("shh")),
+      "shh", "shh", expectedKeys = expectedBenchShingles, fpp = fpp)
+    val overlap = candidates.join(bench, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq("doc_id")) // inner: contaminated docs only
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double")
+          / col("n_shingles").cast("double")).as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pairwise corpus overlap between SOURCES — the mixture-design
+    * diagnostic (DoReMi/DSIR practice): before weighting sources in a
+    * training mix, measure how much distinct content they share, as
+    * Jaccard over each source's distinct shingle set. The inverted
+    * index is keyed by shingle with at most K = #sources entries per
+    * key, so the self-join fans out ≤ K(K−1)/2 pairs per shingle and the
+    * aggregation lands on K² group keys — map-side partial aggregation
+    * absorbs even a shingle shared by every source, and the output is
+    * K²-sized at any corpus size. No DF cap needed, unlike the per-DOC
+    * Jaccard family, precisely because K is bounded. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ex = spread(docs)
+      .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh"))
+      .distinct() // (source, shingle) inverted index
+      .materializeOnce() // feeds sizes AND both join sides
+    val sizes = ex.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = ex.select(col("sh"), col("source").as("src_a"))
+      .join(ex.select(col("sh"), col("source").as("src_b")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
+        col("inter"),
+        (col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---- exact n-gram Jaccard ----
 
   /** Exact Jaccard similarity pairs over distinct word n-gram shingles,

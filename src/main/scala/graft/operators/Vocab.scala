@@ -97,6 +97,51 @@ object Vocab {
     * global sort) with a (count desc, word) tiebreak so the SAME k
     * words are chosen on every run, then broadcast into a left join —
     * the corpus side never shuffles for it. */
+  /** Vocabulary-growth (Heaps'-law) curve: cumulative distinct word
+    * types vs cumulative tokens, in doc_id ingest order, sampled once
+    * per `bucket` consecutive doc ids. The curve is THE diagnostic for
+    * "is this crawl still contributing new vocabulary" and the empirical
+    * check behind Heaps' V(n) ≈ K·n^β.
+    *
+    * Scale shape: the corpus-sized work is two keyed aggregations — the
+    * per-bucket token count, and per-type FIRST occurrence (a min over
+    * the inverted index, the same shuffle d50's novelty pays). A type's
+    * first occurrence is the ONLY event that moves the distinct-type
+    * curve, so the cumulative window never sees corpus rows: it runs
+    * over the per-bucket frame, whose row count is the CURVE's
+    * resolution. Pick `bucket` so corpus/bucket is plot-sized (~10³
+    * points) and the single-partition window cost is output-sized at
+    * any corpus size; the window sums int64 (sum-of-counts ≤ corpus
+    * tokens, no overflow below 2^63 tokens). */
+  def vocabGrowth(docs: DataFrame, bucket: Long = 50L,
+      id: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.repartition(id)
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .materializeOnce() // feeds the bucket counts AND first occurrences
+    val toksPerBucket = words
+      .groupBy(expr(s"doc_id DIV $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = words.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc DIV $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toksPerBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        sum(col("n_tokens")).over(cum).as("tokens_cum"),
+        sum(col("n_new_types")).over(cum).as("types_cum"))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        col("tokens_cum"), col("types_cum"),
+        (col("types_cum").cast("double") / col("tokens_cum").cast("double"))
+          .as("ttr"))
+      .orderBy(col("bucket"))
+  }
+
   def oovRate(docs: DataFrame, vocabSize: Int,
       id: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
     val toks = docs.repartition(id)

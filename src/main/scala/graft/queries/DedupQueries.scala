@@ -369,6 +369,54 @@ object DedupQueries {
          |ORDER BY s.doc_id""".stripMargin),
       (s, d) => Dedup.contaminationCheck(docs(s, d), benchIds)),
 
+    // decontamination via broadcast-bloom prefilter → exact verify
+    // (d54): the 100 TB shape of d45. The bloom phase is performance-
+    // only (no false negatives; string-join verify kills every false
+    // positive), so the oracle is the EXACT join — no sketch replay
+    // needed, same reasoning as q82's bloom join. Output = contaminated
+    // docs only (the removal list).
+    Q("d54_bloom_decontam", Some(
+      s"""WITH $ngramShingleCte,
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id IN ($benchIdsSql)),
+         |corpus AS (SELECT * FROM ex WHERE doc_id NOT IN ($benchIdsSql)),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+         |ov AS (SELECT c.doc_id, count(*) AS n_overlap
+         |       FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+         |SELECT s.doc_id, s.n_shingles, ov.n_overlap,
+         |       CAST(ov.n_overlap AS DOUBLE)
+         |         / CAST(s.n_shingles AS DOUBLE) AS rate
+         |FROM sizes s JOIN ov ON s.doc_id = ov.doc_id
+         |ORDER BY s.doc_id""".stripMargin),
+      (s, d) => Dedup.bloomDecontaminate(docs(s, d), benchIds)),
+
+    // pairwise source-overlap matrix (d55): distinct-shingle Jaccard
+    // between every pair of sources — the mixture-design diagnostic.
+    // The shingle CTE mirrors ngramShingleCteFor verbatim but keyed by
+    // source, with an outer DISTINCT because many docs share a source.
+    Q("d55_source_overlap", Some(
+      """WITH exs AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_distinct(sh_list)) AS sh FROM (
+        |      SELECT source,
+        |        list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+        |                       i -> array_to_string(w[i:i+2], ' ')) AS sh_list
+        |      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |            FROM documents)))
+        |  WHERE sh <> ''),
+        |sizes AS (SELECT source, count(*) AS sz FROM exs GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM exs a JOIN exs b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, sa.sz AS sz_a, sb.sz AS sz_b, i.inter,
+        |       CAST(i.inter AS DOUBLE)
+        |         / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.source = i.src_a
+        |JOIN sizes sb ON sb.source = i.src_b
+        |ORDER BY i.src_a, i.src_b""".stripMargin),
+      (s, d) => Dedup.sourceOverlap(docs(s, d))),
+
     // approximate string join: rare-q-gram candidates (df-capped
     // inverted index, length filter) verified by exact Levenshtein.
     // The oracle replays the ACTUAL capped semantics, like d43 — no

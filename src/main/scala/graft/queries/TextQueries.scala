@@ -446,6 +446,100 @@ object TextQueries {
             ((col("n_pos") - col("n_neg")).cast("double")
               / col("n_tokens").cast("double")).as("sentiment"))
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // Filter-agreement audit (t48): confusion counts + acc/prec/rec/F1/
+    // Cohen's kappa of the heuristic quality-score gate (quality >= 0.5)
+    // against the Gopher rules — the QA step for swapping one corpus
+    // filter for another. Both verdict columns replay t33's and t42's
+    // green expressions; all metrics are arithmetic over single
+    // int64/int64 divisions (rule 17), with kappa's pe in rate-product
+    // form so nothing overflows at any corpus size.
+    Q("t48_filter_agreement", Some(
+      """WITH s AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS mean_word_len,
+        |  round(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+        |        / len(w), 6) AS stop_frac,
+        |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
+        |  round(
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    + least(CAST(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(w) * 5.0, 1.0) * 0.4
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |        / CAST(greatest(len(w), 1) AS DOUBLE), 1.0)) * 0.2,
+        |    6) AS quality
+        |  FROM s),
+        |v AS (SELECT doc_id, quality >= 0.5 AS p,
+        |  (n_words >= 25 AND n_words <= 200)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 12.0)
+        |    AND stop_frac >= 0.02 AND dup_word_frac <= 0.55 AS g
+        |  FROM m),
+        |c AS (SELECT
+        |  count(CASE WHEN p AND g THEN 1 END) AS tp,
+        |  count(CASE WHEN p AND NOT g THEN 1 END) AS fp,
+        |  count(CASE WHEN NOT p AND g THEN 1 END) AS fn,
+        |  count(CASE WHEN NOT p AND NOT g THEN 1 END) AS tn
+        |  FROM v),
+        |c2 AS (SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n FROM c),
+        |r AS (SELECT tp, fp, fn, tn, n,
+        |  CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS acc,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |       THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1,
+        |  CASE WHEN n > 0 THEN
+        |    (CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(tp + fn AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + (CAST(fn + tn AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(fp + tn AS DOUBLE) / CAST(n AS DOUBLE)) END AS pe
+        |  FROM c2)
+        |SELECT tp, fp, fn, tn, n, acc, prec, rec, f1,
+        |  CASE WHEN 1.0 - pe <> 0.0 THEN (acc - pe) / (1.0 - pe) END AS kappa
+        |FROM r""".stripMargin),
+      (s, d) => {
+        val ds = docs(s, d)
+        val gf = graft.operators.Curation.gopherFilters(ds)
+          .select(col("doc_id"), col("keep"))
+        val scored = ds.select(col("doc_id"),
+          (qualityScore(col("text")) >= 0.5).as("p"))
+          .join(gf, Seq("doc_id"))
+        graft.operators.Curation.filterAgreement(scored, col("p"), col("keep"))
+      }),
+
+    // Vocabulary-growth / Heaps'-law curve (t49): cumulative distinct
+    // types vs cumulative tokens in doc_id ingest order, one point per
+    // 50 doc ids. Corpus-sized work is two keyed aggregations; the
+    // cumulative window runs over the bucket frame only (curve-sized).
+    // Explicit ROWS frame on both engines; cumulative sums CAST to
+    // BIGINT (DuckDB window sum is HUGEINT — rule 1).
+    Q("t49_vocab_growth", Some(
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+        |tok AS (SELECT doc_id // 50 AS bucket, count(*) AS n_tokens
+        |        FROM wz GROUP BY 1),
+        |fst AS (SELECT w, min(doc_id) AS first_doc FROM wz GROUP BY w),
+        |nt AS (SELECT first_doc // 50 AS bucket, count(*) AS n_new_types
+        |       FROM fst GROUP BY 1),
+        |j AS (SELECT t.bucket, t.n_tokens,
+        |        coalesce(n.n_new_types, 0) AS n_new_types
+        |      FROM tok t LEFT JOIN nt n ON n.bucket = t.bucket),
+        |c AS (SELECT bucket, n_tokens, n_new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS tokens_cum,
+        |  CAST(sum(n_new_types) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS types_cum
+        |  FROM j)
+        |SELECT bucket, n_tokens, n_new_types, tokens_cum, types_cum,
+        |  CAST(types_cum AS DOUBLE) / CAST(tokens_cum AS DOUBLE) AS ttr
+        |FROM c ORDER BY bucket""".stripMargin),
+      (s, d) => graft.operators.Vocab.vocabGrowth(docs(s, d), bucket = 50L))
   )
 }

@@ -155,4 +155,34 @@ class CurationSpec extends SparkSpec {
     assert(names.exists(_.contains("BroadcastHashJoin")),
       s"feature join did not broadcast: ${names.distinct.mkString(",")}")
   }
+
+  test("filterAgreement: confusion counts and exact metrics") {
+    // TP×3, FP×1, FN×2, TN×4 → n=10
+    val verdicts = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, true),
+      (false, false), (false, false), (false, false), (false, false)
+    ).toDF("p", "g")
+    val r = Curation.filterAgreement(verdicts, col("p"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((3L, 1L, 2L, 4L, 10L)))
+    assert(r.getDouble(5) === 0.7)         // acc
+    assert(r.getDouble(6) === 0.75)        // prec = 3/4
+    assert(r.getDouble(7) === 0.6)         // rec = 3/5
+    assert(r.getDouble(8) === 6.0 / 9.0)   // f1 = 2·3/(2·3+1+2), ONE division
+    // pe = (4/10)(5/10) + (6/10)(5/10) = 0.5 → kappa = (0.7-0.5)/0.5
+    assert(math.abs(r.getDouble(9) - 0.4) < 1e-15)
+  }
+
+  test("filterAgreement: degenerate denominators yield NULL, not NaN") {
+    // the predictor never fires → tp+fp = 0 → precision undefined
+    val verdicts = Seq((false, true), (false, false)).toDF("p", "g")
+    val r = Curation.filterAgreement(verdicts, col("p"), col("g")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((0L, 0L, 1L, 1L)))
+    assert(r.isNullAt(6), "precision must be NULL when tp+fp = 0")
+    assert(r.getDouble(8) === 0.0) // f1 = 0/(0+1) — defined, zero
+    // pe = 0·0.5 + 1·0.5 = 0.5 → kappa = (0.5-0.5)/0.5 = 0 (no skill)
+    assert(r.getDouble(9) === 0.0)
+  }
 }

@@ -276,6 +276,36 @@ class DedupSpec extends SparkSpec {
       pr(4L) === 505583333L)
   }
 
+  test("bloomDecontaminate equals the exact check's contaminated subset") {
+    val bench = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Dedup.contaminationCheck(docs, bench)
+      .filter(col("n_overlap") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBloom = Dedup.bloomDecontaminate(docs, bench)
+    val got = viaBloom.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exact) // bloom phase is performance-only: no fn, fp verified away
+    assert(got.nonEmpty)
+    // the probe really is the native codegen'd bloom expression (same
+    // QueryExecution that ran — rule 8)
+    assert(viaBloom.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "native BloomFilterMightContain missing from the d54 plan")
+  }
+
+  test("sourceOverlap: distinct-shingle jaccard per source pair") {
+    // A = {"a b c","b c d","a b"} (sz 3: doc 1 is sub-3-token → one
+    // partial shingle), B = {"b c d","c d e"} (sz 2), C = {"x y z"}.
+    // A∩B = {"b c d"} → jaccard 1/(3+2-1) = 0.25; C overlaps nothing.
+    val corpus = Seq(
+      (0L, "a b c d", "A"), (1L, "a b", "A"),
+      (2L, "b c d e", "B"), (3L, "x y z", "C")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlap(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(rows === List(("A", "B", 3L, 2L, 1L, 0.25)))
+  }
+
   test("pageRank is deterministic and ranks the hub first") {
     import spark.implicits._
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (5L, 6L))

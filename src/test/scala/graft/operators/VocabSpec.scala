@@ -40,6 +40,20 @@ class VocabSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0.0)))   // no bigrams at all → reported, 0
   }
 
+  test("vocabGrowth: cumulative types and tokens per doc_id bucket") {
+    // bucket 0 (docs 0,1): 5 tokens; first occurrences a@0, b@0, c@1 → 3
+    // bucket 1 (doc 50): 2 tokens; new type d → 1
+    // doc 100 is empty → filtered; its bucket must not appear
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (50L, "c d"), (100L, " "))
+      .toDF("doc_id", "text")
+    val rows = Vocab.vocabGrowth(docs, bucket = 50L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(rows === List(
+      (0L, 5L, 3L, 5L, 3L, 3.0 / 5.0),
+      (1L, 2L, 1L, 7L, 4L, 4.0 / 7.0)))
+  }
+
   test("oovRate scores docs against the deterministic top-k vocabulary") {
     // counts: hot×4, warm×2, cold×1, rare×1 → top-2 = {hot, warm}
     // (cold vs rare would tie at 1; count-desc beats both — the k=2
