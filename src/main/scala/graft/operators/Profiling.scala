@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Ops
 
 /** Corpus/table profiling — the data-quality monitoring step of a
   * training-data pipeline (row counts, null rates, exact cardinalities,
@@ -47,6 +48,50 @@ object Profiling {
     one.select(explode(array(entries: _*)).as("p"))
       .select(col("p.*"))
       .orderBy(col("col_name"))
+  }
+
+  /** k-anonymity audit over a generalization ladder (Sweeney, "k-
+    * anonymity: a model for protecting privacy", 2002; Samarati's
+    * generalization lattice): for each ladder level — a progressively
+    * COARSER set of quasi-identifier columns, ending in full
+    * suppression — report how many equivalence classes exist, how many
+    * are smaller than k, and how many rows sit in those small classes
+    * (the re-identifiable population). The first level with zero small
+    * classes is the minimal generalization that satisfies k-anonymity.
+    *
+    * Scale shape: the table is aggregated ONCE, at the finest level;
+    * every coarser level re-aggregates the finest CLASS TABLE (bounded
+    * by distinct QI combinations, not rows) — the rollup trick, hence
+    * the `require` that coarser levels use a subset of the finest
+    * level's columns. Mapping-based generalizations (nation → region)
+    * are expressed by pre-joining the mapped column and listing it in
+    * the ladder. All counts are int64; `satisfies` is derived, not
+    * computed driver-side. */
+  def kAnonymityLadder(
+      df: DataFrame, ladder: Seq[Seq[String]], k: Long): DataFrame = {
+    require(ladder.nonEmpty && ladder.head.nonEmpty,
+      "ladder needs a finest non-empty level first")
+    require(ladder.tail.forall(_.forall(ladder.head.contains)),
+      "every coarser level must use a subset of the finest level's columns")
+    val finest = df.groupBy(ladder.head.map(col): _*)
+      .agg(count(lit(1)).as("cs"))
+      .materializeOnce() // class table feeds every coarser level
+    val levels = ladder.zipWithIndex.map { case (cols, i) =>
+      val classes =
+        if (i == 0) finest
+        else if (cols.isEmpty) finest.agg(sum(col("cs")).as("cs"))
+        else finest.groupBy(cols.map(col): _*).agg(sum(col("cs")).as("cs"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        count(when(col("cs") < k, 1)).as("n_small_classes"),
+        sum(when(col("cs") < k, col("cs")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"))
+        .select(lit(i).cast("bigint").as("level"),
+          lit(cols.mkString(",")).as("quasi_ids"),
+          col("n_classes"), col("n_small_classes"), col("n_rows_at_risk"),
+          (col("n_small_classes") === 0).as("satisfies"))
+    }
+    levels.reduce(_ union _).orderBy(col("level"))
   }
 
   /** Key-skew diagnostics: exact Gini coefficient, max key share, and

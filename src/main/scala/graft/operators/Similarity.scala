@@ -492,6 +492,45 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVFADC with exact re-ranking — IVFADC+R (Jégou et al., "Product
+    * quantization for nearest neighbor search", TPAMI 2011, §V.D and
+    * the +R variant of "Searching in one billion vectors", ICASSP'11):
+    * the ADC pass returns a SHORTLIST of `shortlist` ≥ k candidates per
+    * query ranked by the quantized score, and only those rows are
+    * re-scored with the EXACT cosine against the original corpus
+    * vectors; the final top-k comes from the exact scores.
+    *
+    * Scale shape: the corpus is scanned once, inside pqIvfAdc; the
+    * refinement touches |Q|·shortlist rows — output-sized — via one
+    * equi-join back on vec_id (at 1B vectors this is the difference
+    * between re-reading 1B embeddings and re-reading 40·|Q|). The query
+    * side broadcasts; the re-rank window partitions are exactly
+    * `shortlist` rows, so nothing can skew. Approximation error then
+    * comes ONLY from true neighbors the shortlist missed — re-ranking
+    * converts PQ's score distortion into pure recall risk, which is the
+    * quantity s47/s49 gate. */
+  def pqIvfAdcRerank(
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int = 40,
+      nProbe: Int = 2, m: Int = 4, subDim: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = pqIvfAdc(corpus, queries, k = shortlist, nProbe = nProbe,
+      m = m, subDim = subDim, dim = dim)
+      .select(col("q_id"), col("vec_id"))
+    val scored = short
+      .join(corpus.select(col("vec_id"), col("embedding").as("c_emb")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One deterministic Lloyd iteration (k-means step) seeded from the
     * IVF coarse cells: current centroids = fixed-point centroids of the
     * signature cells, every vector reassigns to its nearest centroid by

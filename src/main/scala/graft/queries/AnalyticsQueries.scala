@@ -311,7 +311,60 @@ object AnalyticsQueries {
          |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       (s, d) => EventAnalytics.trajectoryTopK(
         T(s, d, "events"), col("user_id") < 5, k = 5)
-        .orderBy(col("q_id"), col("rank")))
+        .orderBy(col("q_id"), col("rank"))),
+
+    // k-anonymity generalization ladder (q157): per level of
+    // progressively coarser quasi-identifiers (nation+segment → region+
+    // segment → region → full suppression), the equivalence classes
+    // below k=20 and the rows they expose — the privacy audit a
+    // released dataset runs. One corpus aggregation at the finest
+    // level; coarser levels roll up the class table (not the table).
+    Q("q157_k_anonymity", Some(
+      """WITH src AS (
+        |  SELECT n.n_name, n.n_regionkey, c.c_mktsegment
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |f AS (SELECT n_name, n_regionkey, c_mktsegment, count(*) AS cs
+        |      FROM src GROUP BY 1, 2, 3),
+        |l1c AS (SELECT n_regionkey, c_mktsegment, sum(cs) AS cs
+        |        FROM f GROUP BY 1, 2),
+        |l2c AS (SELECT n_regionkey, sum(cs) AS cs FROM f GROUP BY 1),
+        |l3c AS (SELECT sum(cs) AS cs FROM f),
+        |lv0 AS (SELECT CAST(0 AS BIGINT) AS level,
+        |  'n_name,n_regionkey,c_mktsegment' AS quasi_ids,
+        |  count(*) AS n_classes,
+        |  count(CASE WHEN cs < 20 THEN 1 END) AS n_small_classes,
+        |  CAST(sum(CASE WHEN cs < 20 THEN cs ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  count(CASE WHEN cs < 20 THEN 1 END) = 0 AS satisfies FROM f),
+        |lv1 AS (SELECT CAST(1 AS BIGINT) AS level,
+        |  'n_regionkey,c_mktsegment' AS quasi_ids,
+        |  count(*) AS n_classes,
+        |  count(CASE WHEN cs < 20 THEN 1 END) AS n_small_classes,
+        |  CAST(sum(CASE WHEN cs < 20 THEN cs ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  count(CASE WHEN cs < 20 THEN 1 END) = 0 AS satisfies FROM l1c),
+        |lv2 AS (SELECT CAST(2 AS BIGINT) AS level,
+        |  'n_regionkey' AS quasi_ids,
+        |  count(*) AS n_classes,
+        |  count(CASE WHEN cs < 20 THEN 1 END) AS n_small_classes,
+        |  CAST(sum(CASE WHEN cs < 20 THEN cs ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  count(CASE WHEN cs < 20 THEN 1 END) = 0 AS satisfies FROM l2c),
+        |lv3 AS (SELECT CAST(3 AS BIGINT) AS level,
+        |  '' AS quasi_ids,
+        |  count(*) AS n_classes,
+        |  count(CASE WHEN cs < 20 THEN 1 END) AS n_small_classes,
+        |  CAST(sum(CASE WHEN cs < 20 THEN cs ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  count(CASE WHEN cs < 20 THEN 1 END) = 0 AS satisfies FROM l3c)
+        |SELECT * FROM lv0 UNION ALL SELECT * FROM lv1
+        |UNION ALL SELECT * FROM lv2 UNION ALL SELECT * FROM lv3
+        |ORDER BY level""".stripMargin),
+      (s, d) => {
+        val src = T(s, d, "customer").join(T(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("n_regionkey"), col("c_mktsegment"))
+        graft.operators.Profiling.kAnonymityLadder(src,
+          Seq(Seq("n_name", "n_regionkey", "c_mktsegment"),
+            Seq("n_regionkey", "c_mktsegment"),
+            Seq("n_regionkey"), Seq.empty), k = 20L)
+      })
   )
 
   /** q151's quantile probes; interpolated e-suffixed into the oracle

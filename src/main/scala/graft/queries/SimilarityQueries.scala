@@ -200,7 +200,17 @@ object SimilarityQueries {
     // replays the whole evaluation exactly (ivfSearch's determinism
     // contract with label as the cell key).
     Q("s50_label_centroid", Some(labelCentroidOracle),
-      (s, d) => Similarity.labelCentroidConfusion(emb(s, d)))
+      (s, d) => Similarity.labelCentroidConfusion(emb(s, d))),
+
+    // IVFADC+R (s52): the s48 shortlist (top-40 by quantized score)
+    // re-scored with EXACT cosine on the original vectors, final top-10
+    // from the exact scores — the refinement step of Jégou's billion-
+    // scale pipeline. The oracle nests the s48 replay at the shortlist
+    // cut and re-ranks it with the s41 cosine fold, so the hash match
+    // covers shortlist choice AND refinement arithmetic end to end.
+    Q("s52_pq_ivf_adc_rerank", Some(pqIvfAdcRerankOracle),
+      (s, d) => Similarity.pqIvfAdcRerank(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10))
   )
 
   // ---- generated-oracle SQL for the LSH / IVF paths ----
@@ -551,7 +561,12 @@ object SimilarityQueries {
     * codebooks/encodes (the s46 machinery on the residual, seeds
     * 2000+j), the nProbe=2 coarse probe carrying dot(q, c), and the
     * fixed-order ADC sum with the coarse term first. */
-  private lazy val pqIvfAdcOracle: String = {
+  private lazy val pqIvfAdcOracle: String = pqIvfAdcOracleFor(10)
+
+  /** Parameterized on the final cut so s52 can nest the SAME replay as
+    * its shortlist stage (one definition — the s48 gate and the s52
+    * shortlist can never drift apart). */
+  private def pqIvfAdcOracleFor(finalK: Int): String = {
     val m = 4; val subDim = 16; val dim = 64
     val perSub = (0 until m).map { j =>
       val planes = Similarity.hyperplanes(4, subDim, seed = 2000L + j)
@@ -630,9 +645,30 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id, ($approx) AS approx_dot,
        |         row_number() OVER (PARTITION BY q_id ORDER BY ($approx) DESC, vec_id) AS rank
        |  FROM scored)
-       |SELECT q_id, vec_id, approx_dot, rank FROM ranked WHERE rank <= 10
+       |SELECT q_id, vec_id, approx_dot, rank FROM ranked WHERE rank <= $finalK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** s52: IVFADC+R — the s48 replay (shortlist cut = 40) nested
+    * verbatim as a derived table, then the exact-cosine re-rank on the
+    * shortlist rows only. Same sequential-fold cosine as s41. */
+  private lazy val pqIvfAdcRerankOracle: String =
+    s"""WITH short AS (
+       |  SELECT q_id, vec_id FROM (
+       |${pqIvfAdcOracleFor(40)}
+       |  ) s),
+       |rescored AS (
+       |  SELECT sh.q_id, sh.vec_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM short sh
+       |  JOIN embeddings c ON c.vec_id = sh.vec_id
+       |  JOIN embeddings q ON q.vec_id = sh.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rescored)
+       |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   /** s45: the Lloyd step replayed — cells, fixed-point centroids,
     * cosine argmax with the cand-id tiebreak, per-new-cell recompute

@@ -100,4 +100,26 @@ class ProfilingSpec extends SparkSpec {
     // child keys 10, NULL, 30, 10 — the NULL never matches → 1 orphan
     assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) === ((4L, 1L, false)))
   }
+
+  test("kAnonymityLadder: class rollup per level, minimal generalization visible") {
+    // (city,seg): a/x=3, a/y=1, b/x=2 → at k=3 two small classes, 3 rows
+    // (city):     a=4, b=2          → one small class, 2 rows
+    // ():         one class of 6    → satisfied (full suppression always is)
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("city", "seg")
+    val out = Profiling.kAnonymityLadder(rows,
+      Seq(Seq("city", "seg"), Seq("city"), Seq.empty), k = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toList
+    assert(out === List(
+      (0L, "city,seg", 3L, 2L, 3L, false),
+      (1L, "city", 2L, 1L, 2L, false),
+      (2L, "", 1L, 0L, 0L, true)))
+  }
+
+  test("kAnonymityLadder rejects a coarser level outside the finest columns") {
+    val rows = Seq(("a", "x")).toDF("city", "seg")
+    assertThrows[IllegalArgumentException](
+      Profiling.kAnonymityLadder(rows, Seq(Seq("city"), Seq("seg")), k = 2L))
+  }
 }

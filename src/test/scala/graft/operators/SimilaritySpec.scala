@@ -157,6 +157,32 @@ class SimilaritySpec extends SparkSpec {
     assert(candCells.size <= 2, res.toSeq)
   }
 
+  test("pqIvfAdcRerank: exact scores on the shortlist, near-dup at rank 1") {
+    val q = planted.filter($"vec_id" === 0)
+    val rr = Similarity.pqIvfAdcRerank(planted, q, k = 3, shortlist = 5)
+      .collect()
+    assert(rr.head.getLong(1) === 1L) // refinement keeps the true neighbor first
+    // every reported score is the TRUE cosine, not the quantized one
+    val byId = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def trueCos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      def nrm(v: Array[Double]) =
+        math.sqrt(v.map(x => x * x).foldLeft(0.0)(_ + _))
+      dot / (nrm(ad) * nrm(bd))
+    }
+    rr.foreach { r =>
+      val expect = trueCos(byId(0L), byId(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+        s"rerank score for ${r.getLong(1)} is not the exact cosine")
+    }
+    // ranks are 1..k in exact-cosine order
+    assert(rr.map(_.getInt(3)).toSeq === (1 to rr.length))
+    assert(rr.map(_.getDouble(2)).toSeq.reverse.sorted.reverse
+      === rr.map(_.getDouble(2)).toSeq)
+  }
+
   test("pqAdc emits exactly m codes per vector (the compressed index)") {
     // the index the operator builds is codes-only: every corpus vector
     // must land on exactly one centroid per subspace
