@@ -997,19 +997,46 @@ object Dedup {
       docs: DataFrame, benchIds: Seq[Long], n: Int = 3,
       expectedBenchShingles: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    val ex = shingleTable(docs, n).materializeOnce()
     val isBench = col("doc_id").isInCollection(benchIds)
-    val bench = ex.filter(isBench).select(col("sh")).distinct()
+    val bench = benchmarkShingles(docs.filter(isBench), n)
       .materializeOnce() // probed twice: bloom build + exact verify
-    val corpus = ex.filter(!isBench)
-    val sizes = corpus.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
+    decontaminateAgainst(docs.filter(!isBench), bench,
+      n, expectedBenchShingles, fpp)
+  }
+
+  /** Distinct shingle set of a benchmark corpus — the settled side of
+    * the decontamination check, computed once and reused across batches
+    * (callers should `materializeOnce()` it: it feeds both the bloom
+    * build and the exact verify). */
+  def benchmarkShingles(bench: DataFrame, n: Int = 3): DataFrame =
+    shingleTable(bench, n).select(col("sh")).distinct()
+
+  /** The corpus half of bloomDecontaminate against an ALREADY-COMPUTED
+    * benchmark shingle set — the daily/streaming form, where the
+    * benchmark is static and only the incoming batch is new. Same
+    * two-phase bloom-prefilter → exact-verify semantics and the same
+    * contaminated-docs-only output. */
+  def decontaminateAgainst(
+      corpusDocs: DataFrame, benchShingles: DataFrame, n: Int = 3,
+      expectedBenchShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val corpus = shingleTable(corpusDocs, n).materializeOnce()
+    val bench = benchShingles
     val candidates = RuntimeFilter.bloomPrefilter(
       corpus.withColumn("shh", xxhash64(col("sh"))),
       bench.select(xxhash64(col("sh")).as("shh")),
       "shh", "shh", expectedKeys = expectedBenchShingles, fpp = fpp)
     val overlap = candidates.join(bench, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .materializeOnce() // contamination-sized; feeds sizes AND output
+    // n_shingles only for the CONTAMINATED docs: the semi-join against
+    // the (tiny) overlap set broadcasts, so the corpus never shuffles
+    // for sizes — the whole operator is corpus-shuffle-free, which is
+    // the entire point of the prefilter at 100 TB (d45 pays a
+    // corpus-grain groupBy here because it reports every doc's rate).
+    val sizes = corpus
+      .join(overlap.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     sizes.join(overlap, Seq("doc_id")) // inner: contaminated docs only
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast("double")

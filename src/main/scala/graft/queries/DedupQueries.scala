@@ -330,6 +330,67 @@ object DedupQueries {
           .orderBy(col("batch_id"), col("doc_id"))
       }),
 
+    // streaming decontam-on-ingest (q158): d54's bloom → exact-verify
+    // check run at the door — two document batches arrive as files,
+    // each micro-batch is checked against the ONCE-settled benchmark
+    // shingle set (docs 0-4) inside foreachBatch, contaminated docs
+    // land in batchId-keyed flag sinks. Stateless across batches
+    // (unlike q153 no store fold-back), bounded doc_id subset so cost
+    // stays flat as SF grows. The oracle replays both batches' flags
+    // from the exact join — valid because the bloom phase is
+    // performance-only (d54's contract).
+    Q("q158_stream_decontam", Some(
+      s"""WITH ${ngramShingleCteFor(s"(SELECT * FROM documents WHERE doc_id < $ingestMaxDocId)")},
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id IN ($benchIdsSql)),
+         |b AS (SELECT doc_id, doc_id % 10 - 8 AS batch_id, sh FROM ex
+         |      WHERE doc_id % 10 IN (8, 9)),
+         |sizes AS (SELECT batch_id, doc_id, count(*) AS n_shingles
+         |          FROM b GROUP BY 1, 2),
+         |ov AS (SELECT b.batch_id, b.doc_id, count(*) AS n_overlap
+         |       FROM b JOIN bench USING (sh) GROUP BY 1, 2)
+         |SELECT s.batch_id, s.doc_id, s.n_shingles, ov.n_overlap,
+         |       CAST(ov.n_overlap AS DOUBLE)
+         |         / CAST(s.n_shingles AS DOUBLE) AS rate
+         |FROM sizes s
+         |JOIN ov ON s.batch_id = ov.batch_id AND s.doc_id = ov.doc_id
+         |ORDER BY s.batch_id, s.doc_id""".stripMargin),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val all = docs(s, d).filter(col("doc_id") < ingestMaxDocId)
+        val root = Files.createTempDirectory("graft_q158")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val t0 = System.currentTimeMillis()
+        Seq(8, 9).zipWithIndex.foreach { case (m, i) =>
+          val tmp = Files.createTempDirectory(s"graft_q158_b$i")
+          all.filter(col("doc_id") % 10 === m)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q158 batch $i produced no parquet part"))
+          val dst = Paths.get(in, s"batch_$i.parquet")
+          Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(t0 + i * 2000L)
+        }
+        val sink = s"$root/sink"
+        val q = graft.streaming.IngestDecontam.start(
+          s, in, all.filter(col("doc_id").isInCollection(benchIds)), sink)
+        try q.processAllAvailable() finally q.stop()
+        Seq(0, 1).map(i =>
+            s.read.parquet(s"$sink/flags/batch_$i")
+              .withColumn("batch_id", lit(i.toLong)))
+          .reduce(_.unionByName(_))
+          .select(col("batch_id"), col("doc_id"), col("n_shingles"),
+            col("n_overlap"), col("rate"))
+          .orderBy(col("batch_id"), col("doc_id"))
+      }),
+
     // substring-level dedup (Lee et al. ACL 2022): per-document counts of
     // 10-token windows that occur anywhere else in the corpus. Windows
     // compare by 64-bit hash (8 bytes/window through the shuffle at any

@@ -30,7 +30,7 @@ object IngestDedup {
     * when files exist (the round-7 lesson: never hardcode a physical
     * contract that can drift) with the documents-contract fallback for
     * a stream-first empty directory. */
-  private def docsSchema(spark: SparkSession, docsDir: String) = {
+  private[streaming] def docsSchema(spark: SparkSession, docsDir: String) = {
     val hasFiles = Option(new java.io.File(docsDir).listFiles())
       .getOrElse(Array.empty)
       .exists(f => f.getName.endsWith(".parquet") || f.isDirectory)

@@ -147,6 +147,28 @@ object ScaleProbe {
       require(flagged >= total * 999 / 1000,
         s"store-path recall broke at scale: $flagged/$total flagged corpus_dup")
     }
+    time("d54: bloom vs exact decontam") {
+      // benchmark = the first 50 docs; the planted dups of docs 0,20,40
+      // (ids n, n+1, n+2) are guaranteed contaminated, so both paths
+      // must find ≥ 3 docs and EXACTLY the same set. The measurement:
+      // d45's exact join shuffles every corpus shingle; d54's bloom
+      // prefilter + contaminated-only sizes shuffles none of them.
+      val benchIds = (0L until 50L).toSeq
+      val tE = System.nanoTime()
+      val exact = graft.operators.Dedup.contaminationCheck(docs, benchIds)
+        .filter(col("n_overlap") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exactSec = (System.nanoTime() - tE) / 1e9
+      val tB = System.nanoTime()
+      val viaBloom = graft.operators.Dedup.bloomDecontaminate(docs, benchIds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bloomSec = (System.nanoTime() - tB) / 1e9
+      println(f"[probe]   exact d45 path: $exactSec%.1f s, bloom d54 path: " +
+        f"$bloomSec%.1f s (${exact.size} contaminated docs)")
+      require(viaBloom == exact,
+        s"bloom path diverged from exact: ${viaBloom.size} vs ${exact.size}")
+      require(exact.size >= 3, s"planted contamination missing: ${exact.size}")
+    }
     time("s43: IVF search, n synthetic vectors") {
       // n 64-dim vectors in [-1,1), deterministic per (id, dim); one
       // planted near-dup of vec 0 (id = n) — the probe asserts the IVF

@@ -87,6 +87,43 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    // the 100 TB star-join pattern: the fact table is partitioned by the
+    // join key, the dim filter is NOT known at planning time (it's on a
+    // dim attribute), and DPP injects the dim's surviving keys as a
+    // runtime partition filter — the fact scan reads one partition
+    // instead of all of them
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables.load(spark, sf0001, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    import spark.implicits._
+    // the dim must be a real SCAN with a surviving Filter node: a local
+    // Seq would constant-fold the predicate into the LocalRelation and
+    // the pruning rule would see no selective filter to inject
+    // ...and the predicate must be one the optimizer's isLikelySelective
+    // recognizes (EqualTo/In/Like on an attribute) — a bare boolean
+    // column reference is not counted as selective and DPP stays off
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppd").toString
+    Seq(("purchase", "gold"), ("click", "base"), ("view", "base"),
+      ("signup", "base")).toDF("etype", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    // the aggregate must read real fact columns: a count-only plan prunes
+    // the scan to zero data columns and DPP's benefit estimate (pruned
+    // bytes vs broadcast overhead) sees nothing worth pruning
+    val j = fact.join(dim.filter($"tier" === "gold"),
+        fact("event_type") === dim("etype"))
+      .groupBy(fact("event_type"))
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("su"),
+        sum($"event_id").as("se"))
+    val rows = j.collect() // rule 8: inspect the SAME QueryExecution
+    assert(rows.map(_.getString(0)).toSeq === Seq("purchase"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n$plan")
+  }
+
   test("AQE splits the skewed partition of a hot-key join") {
     // thresholds at floor values: test-scale shuffle sizes are a few
     // hundred KB, far below the production 256MB default — the spec
