@@ -70,6 +70,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k most similar corpus vectors whose cosine sits
+    * BELOW `dupCeiling` — similar enough to be informative negatives,
+    * but excluded from the near-duplicate band where they would be
+    * false negatives (the standard "hard negatives minus dups" recipe
+    * of dense-retrieval training data prep). Exact scoring; at corpus
+    * scale compose the same ceiling filter with pqIvfAdcRerank's
+    * shortlist instead (take shortlist ≫ k, filter, re-rank), which
+    * keeps the per-query cost index-bound. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      dupCeiling: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
+    val scored = corpus
+      .withColumn("c_norm", norm(col("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_norm"), col("c_norm")).as("cos"))
+      .filter(col("cos") < dupCeiling)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes: nBits × dim in [-1,1), from a
     * fixed-seed generator. Driver-side literals — tiny. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

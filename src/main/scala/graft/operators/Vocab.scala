@@ -97,6 +97,36 @@ object Vocab {
     * global sort) with a (count desc, word) tiebreak so the SAME k
     * words are chosen on every run, then broadcast into a left join —
     * the corpus side never shuffles for it. */
+  /** Zipf rank-frequency curve in count-of-counts form: one row per
+    * DISTINCT word frequency, carrying how many word types share it,
+    * the rank interval those types occupy (ties share an interval —
+    * rank_lo = 1 + #types that are strictly more frequent), and the
+    * token mass the class accounts for. This is the full log-log Zipf
+    * plot without ever ranking individual words: the window that
+    * assigns rank intervals runs over the count-of-counts table, whose
+    * size is bounded by the number of DISTINCT frequencies —
+    * O(√(2·tokens)) worst case, the same argument as keySkew's Gini —
+    * so the single-partition window is output-sized at any corpus
+    * size. All integer; mass = freq·n_types ≤ total tokens, no
+    * overflow below 2^63 tokens. */
+  def zipfCurve(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(explode(graft.functions.TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val cc = wc.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+    val prior = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cc.select(col("freq"), col("n_types"),
+        (coalesce(sum(col("n_types")).over(prior), lit(0L)) + lit(1L))
+          .as("rank_lo"))
+      .select(col("freq"), col("n_types"), col("rank_lo"),
+        (col("rank_lo") + col("n_types") - lit(1L)).as("rank_hi"),
+        (col("freq") * col("n_types")).as("mass"))
+      .orderBy(col("rank_lo"))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve: cumulative distinct word
     * types vs cumulative tokens, in doc_id ingest order, sampled once
     * per `bucket` consecutive doc ids. The curve is THE diagnostic for

@@ -210,8 +210,22 @@ object SimilarityQueries {
     // covers shortlist choice AND refinement arithmetic end to end.
     Q("s52_pq_ivf_adc_rerank", Some(pqIvfAdcRerankOracle),
       (s, d) => Similarity.pqIvfAdcRerank(
-        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10))
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
+
+    // hard-negative mining (s53): per query, top-10 most-similar
+    // vectors BELOW the near-dup ceiling — the dense-retrieval
+    // training-data recipe (informative negatives, dups excluded as
+    // false negatives). Exact scoring oracled like s41; the ceiling
+    // literal goes through dlit (rule 14).
+    Q("s53_hard_negatives", Some(hardNegativesOracle),
+      (s, d) => Similarity.hardNegatives(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10,
+        dupCeiling = hardNegCeiling))
   )
+
+  /** s53's near-dup exclusion ceiling — one Scala constant drives both
+    * engines (the oracle interpolates it via dlit). */
+  private lazy val hardNegCeiling: Double = 0.9
 
   // ---- generated-oracle SQL for the LSH / IVF paths ----
   //
@@ -260,6 +274,21 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored)
+       |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** s53: the s41 brute replay with the near-dup ceiling applied
+    * BEFORE ranking — ranks re-number over the surviving negatives. */
+  private lazy val hardNegativesOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |neg AS (SELECT * FROM scored WHERE cos < ${dlit(hardNegCeiling)}),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM neg)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 

@@ -540,6 +540,28 @@ object TextQueries {
         |SELECT bucket, n_tokens, n_new_types, tokens_cum, types_cum,
         |  CAST(types_cum AS DOUBLE) / CAST(tokens_cum AS DOUBLE) AS ttr
         |FROM c ORDER BY bucket""".stripMargin),
-      (s, d) => graft.operators.Vocab.vocabGrowth(docs(s, d), bucket = 50L))
+      (s, d) => graft.operators.Vocab.vocabGrowth(docs(s, d), bucket = 50L)),
+
+    // Zipf rank-frequency curve (t50) in count-of-counts form: one row
+    // per distinct word frequency with its type count, tied-rank
+    // interval, and token mass — the full log-log plot without ranking
+    // individual words (the rank window runs over the count-of-counts
+    // table, O(√tokens) rows; keySkew's scale argument). All integer.
+    Q("t50_zipf_curve", Some(
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+        |cc AS (SELECT freq, count(*) AS n_types FROM wc GROUP BY freq),
+        |rk AS (SELECT freq, n_types,
+        |  CAST(coalesce(sum(n_types) OVER (ORDER BY freq DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |    AS BIGINT) AS rank_lo
+        |  FROM cc)
+        |SELECT freq, n_types, rank_lo,
+        |       rank_lo + n_types - 1 AS rank_hi,
+        |       freq * n_types AS mass
+        |FROM rk ORDER BY rank_lo""".stripMargin),
+      (s, d) => graft.operators.Vocab.zipfCurve(docs(s, d)))
   )
 }

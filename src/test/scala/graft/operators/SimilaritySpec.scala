@@ -183,6 +183,20 @@ class SimilaritySpec extends SparkSpec {
       === rr.map(_.getDouble(2)).toSeq)
   }
 
+  test("hardNegatives: near-dup excluded, ranks re-number below the ceiling") {
+    val q = planted.filter($"vec_id" === 0)
+    // brute top-1 is the planted near-dup (cos > 0.99)…
+    val brute = Similarity.bruteForceKnn(planted, q, k = 3).collect()
+    assert(brute.head.getLong(1) === 1L)
+    // …but the hard-negative set must exclude it and stay under the ceiling
+    val hn = Similarity.hardNegatives(planted, q, k = 3, dupCeiling = 0.9)
+      .collect()
+    assert(!hn.map(_.getLong(1)).contains(1L),
+      "near-duplicate leaked into the hard negatives")
+    assert(hn.forall(_.getDouble(2) < 0.9))
+    assert(hn.map(_.getInt(3)).toSeq === (1 to hn.length))
+  }
+
   test("pqAdc emits exactly m codes per vector (the compressed index)") {
     // the index the operator builds is codes-only: every corpus vector
     // must land on exactly one centroid per subspace

@@ -54,6 +54,18 @@ class VocabSpec extends SparkSpec {
       (1L, 2L, 1L, 7L, 4L, 4.0 / 7.0)))
   }
 
+  test("zipfCurve: tied frequencies share a rank interval") {
+    // freqs: a=3, b=2, c=1, d=1 → classes (3,1cnt), (2,1), (1,2 types)
+    val docs = Seq("a a a b", "b c d").toDF("text")
+    val rows = Vocab.zipfCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(rows === List(
+      (3L, 1L, 1L, 1L, 3L),
+      (2L, 1L, 2L, 2L, 2L),
+      (1L, 2L, 3L, 4L, 2L)))
+  }
+
   test("oovRate scores docs against the deterministic top-k vocabulary") {
     // counts: hot×4, warm×2, cold×1, rare×1 → top-2 = {hot, warm}
     // (cold vs rare would tie at 1; count-desc beats both — the k=2
