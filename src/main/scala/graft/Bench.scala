@@ -30,11 +30,13 @@ object Bench {
     "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
     "d47_incremental_dedup", "d48_semantic_dedup", "d50_novelty",
     "d51_span_removal", "d52_editdist_join", "d53_store_incremental",
+    "d54_bloom_decontam",
     // multimodal real-codec roundtrip
     "m48_audio_decode",
     // similarity / ANN
     "s41_knn_brute", "s43_knn_ivf", "s44_knn_rp", "s45_kmeans_step",
     "s46_pq_adc", "s47_ann_recall", "s48_pq_ivf_adc",
+    "s52_pq_ivf_adc_rerank",
     // text & curation
     "t38_tfidf", "t41_repetition", "q90_domain_mix", "q96_corpus_build",
     // analytics / graph / vocab

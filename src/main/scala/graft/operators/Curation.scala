@@ -267,6 +267,62 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Token-distribution drift between two corpus slices — the
+    * distribution-shift monitor a production pipeline runs between
+    * crawl snapshots, sources, or train/serve windows. Token
+    * occurrences bucket into `buckets` hashed features (bounded table
+    * by construction, same move as importanceWeights); drift is TOTAL
+    * VARIATION DISTANCE, chosen over PSI/KL/χ² because TVD admits an
+    * EXACT integer form: TVD = Σ_f |a_f·B − b_f·A| / (2·A·B) has ONE
+    * common denominator, so the numerator is a plain integer sum
+    * (DECIMAL(38,0) — a_f·B passes 2^63 near 10^12 tokens, rule 18)
+    * and the only floating-point ops are the final staged divisions,
+    * identical on both engines (rule 17). PSI/KL would sum per-bucket
+    * logs — order-dependent doubles, not oracle-able.
+    *
+    * Returns the `topK` most-drifted buckets (ranked by the exact
+    * integer numerator, ties by bucket id) with each bucket's
+    * contribution and the corpus-wide TVD on every row. The rank/TVD
+    * windows run over the `buckets`-row feature table — bounded, never
+    * corpus-sized. */
+  def tokenDrift(
+      docs: DataFrame, isA: Column, buckets: Int = 4096, topK: Int = 50,
+      oracleHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val h =
+      if (oracleHash) graft.expressions.RollingHash(col("w"))
+      else xxhash64(col("w"))
+    val feats = docs
+      .select(isA.as("is_a"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .withColumn("f", pmod(h, lit(buckets.toLong))).drop("w")
+      .groupBy(col("f")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_cnt"))
+      .materializeOnce() // feeds the totals AND the per-bucket output
+    val tot = feats.agg(sum(col("a_cnt")).as("a_tot"),
+      sum(col("b_cnt")).as("b_tot"))
+    val d = feats.crossJoin(broadcast(tot)) // 1-row normalizer
+      .withColumn("diff",
+        abs(col("a_cnt").cast("decimal(38,0)") * col("b_tot")
+          - col("b_cnt").cast("decimal(38,0)") * col("a_tot")))
+    val all = Window.partitionBy(lit(0))
+    val rk = Window.partitionBy(lit(0))
+      .orderBy(col("diff").desc, col("f"))
+    d.withColumn("tvd_num", sum(col("diff")).over(all))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("bigint").as("rank"), col("f"),
+        col("a_cnt"), col("b_cnt"),
+        (col("diff").cast("double") / col("a_tot").cast("double")
+          / col("b_tot").cast("double")).as("contrib"),
+        (col("tvd_num").cast("double") / col("a_tot").cast("double")
+          / col("b_tot").cast("double") / lit(2.0)).as("tvd"))
+      .orderBy(col("rank"))
+  }
+
   /** Hashed-unigram importance weights for target-distribution data
     * selection — the DSIR recipe (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): bucket

@@ -1034,10 +1034,12 @@ object Dedup {
     // for sizes — the whole operator is corpus-shuffle-free, which is
     // the entire point of the prefilter at 100 TB (d45 pays a
     // corpus-grain groupBy here because it reports every doc's rate).
+    // explicit broadcast: overlap sits behind a checkpoint (LogicalRDD,
+    // no stats), so Catalyst would SMJ these bounded-size joins
     val sizes = corpus
-      .join(overlap.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(broadcast(overlap.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    sizes.join(overlap, Seq("doc_id")) // inner: contaminated docs only
+    sizes.join(broadcast(overlap), Seq("doc_id")) // inner: contaminated docs only
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast("double")
           / col("n_shingles").cast("double")).as("rate"))

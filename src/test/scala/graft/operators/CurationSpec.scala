@@ -156,6 +156,18 @@ class CurationSpec extends SparkSpec {
       s"feature join did not broadcast: ${names.distinct.mkString(",")}")
   }
 
+  test("tokenDrift: TVD is exactly 0 for identical slices, 1 for disjoint") {
+    val same = Seq((0L, "x x y z"), (1L, "x x y z")).toDF("doc_id", "text")
+    val tvd0 = Curation.tokenDrift(same, col("doc_id") === 0)
+      .select(col("tvd")).head.getDouble(0)
+    assert(tvd0 === 0.0) // equal distributions: every numerator term is 0
+    val disjoint = Seq((0L, "aa aa"), (1L, "bb bb bb")).toDF("doc_id", "text")
+    val out = Curation.tokenDrift(disjoint, col("doc_id") === 0).collect()
+    assert(out.head.getDouble(5) === 1.0) // no shared mass → TVD exactly 1
+    // the two occupied buckets carry equal exact numerators (|2·3−0| = |0−3·2|)
+    assert(out.count(r => r.getDouble(4) === 1.0) === 2)
+  }
+
   test("filterAgreement: confusion counts and exact metrics") {
     // TP×3, FP×1, FN×2, TN×4 → n=10
     val verdicts = Seq(
