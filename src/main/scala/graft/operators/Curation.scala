@@ -193,6 +193,39 @@ object Curation {
       md5(concat_ws(":", lit(seed), col("doc_id"))).as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
 
+  /** Curriculum ordering (quality-annealed data ordering): every
+    * document gets a quality bin from EXACT type-1 quantile thresholds
+    * of its rounded quality score, then the corpus is ordered
+    * best-bin-first with a deterministic seeded shuffle INSIDE each bin
+    * — the "clean data first, shuffled within stage" recipe of
+    * curriculum training schedules, fully reproducible by construction
+    * (no rand(), so re-runs and the oracle see the identical order).
+    *
+    * Scale shape: thresholds come from the count-of-counts histogram
+    * over the ROUNDED score (≤10⁶ distinct values by the 6-dp
+    * rounding, so the quantile window is bounded — q149's argument);
+    * bin assignment is a broadcast join against the (nBins−1)-row
+    * threshold frame; the final orderBy is Spark's distributed range
+    * sort — no global row_number is ever materialized. */
+  def curriculumOrder(
+      docs: DataFrame, seed: String = "s0", nBins: Int = 10): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      .materializeOnce() // feeds the histogram AND the assignment join
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val th = Profiling.exactQuantiles(
+      scored.withColumn("g", lit(1)), group = "g", value = "quality", qs = qs)
+      .select(col("q_value"))
+    scored
+      .join(broadcast(th), col("quality") >= col("q_value"), "left")
+      .groupBy(col("doc_id"), col("quality"))
+      .agg(count(col("q_value")).as("above"))
+      .select(col("doc_id"), col("quality"),
+        (col("above") + 1).cast("bigint").as("bin"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("skey"))
+      .orderBy(col("bin").desc, col("skey"), col("doc_id"))
+  }
+
   // ---- domain mixing ----
 
   /** Down-sample each source domain to a per-domain cap, choosing

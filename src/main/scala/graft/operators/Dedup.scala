@@ -992,7 +992,17 @@ object Dedup {
     * hash replay needed (same reasoning as q82's bloom join).
     *
     * Returns only the CONTAMINATED documents (inner join): at scale the
-    * interesting output is the removal list, not a rate per clean doc. */
+    * interesting output is the removal list, not a rate per clean doc.
+    *
+    * When to use which (ScaleProbe-measured, ARCHITECTURE §scale):
+    * with a benchmark small enough to BROADCAST, d45's exact join is
+    * already shuffle-free on the corpus side and the bloom pass is
+    * pure overhead — reach for this operator once the benchmark's
+    * shingle set passes broadcastability (real eval suites do), where
+    * the exact join would shuffle both sides at corpus grain and this
+    * path stays one scan + a ~MB sketch probe (measured 73.6 s vs
+    * 114.3 s at 2.1M docs × 2.9M bench shingles, sub- vs
+    * super-linear growth). */
   def bloomDecontaminate(
       docs: DataFrame, benchIds: Seq[Long], n: Int = 3,
       expectedBenchShingles: Long = 1L << 20,

@@ -397,6 +397,43 @@ object PipelineQueries {
 
     // deterministic global corpus shuffle: ORDER BY md5(seed:doc_id) —
     // reproducible pseudorandom order with no rand(), one range sort
+    // curriculum ordering (q159): quality bins from exact type-1 decile
+    // thresholds (q149's count-of-counts shape over the rounded score),
+    // best-bin-first with a deterministic md5 shuffle inside each bin —
+    // reproducible curriculum schedules, no rand(). Deciles interpolate
+    // e-suffixed (rule 14: ceil(q*n) sits on integer boundaries).
+    Q("q159_curriculum_order", Some(
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    round(
+         |      least(length(text) / 500.0, 1.0) * 0.4
+         |      + least(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |            x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |          / len(string_split_regex(trim(text), '\\s+')) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |          / CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+         |      6) AS quality
+         |  FROM documents),
+         |hist AS (SELECT quality, count(*) AS cnt FROM m GROUP BY quality),
+         |cum AS (SELECT quality,
+         |          sum(cnt) OVER (ORDER BY quality) AS cum,
+         |          sum(cnt) OVER () AS n
+         |        FROM hist),
+         |fan AS (SELECT quality, cum, n,
+         |          unnest([${(1 until 10).map(i => s"${i.toDouble / 10}e0").mkString(", ")}]) AS q
+         |        FROM cum),
+         |th AS (SELECT q, min(quality) AS q_value FROM fan
+         |       WHERE cum >= CAST(ceil(q * n) AS BIGINT) GROUP BY q),
+         |dec AS (SELECT s.doc_id, s.quality,
+         |          CAST(1 + count(t.q_value) AS BIGINT) AS bin
+         |        FROM m s LEFT JOIN th t ON s.quality >= t.q_value
+         |        GROUP BY s.doc_id, s.quality)
+         |SELECT doc_id, quality, bin,
+         |       md5('s0:' || CAST(doc_id AS VARCHAR)) AS skey
+         |FROM dec ORDER BY bin DESC, skey, doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.curriculumOrder(
+        Tables.load(s, d, "documents"))),
+
     Q("q89_corpus_shuffle", Some(
       """SELECT doc_id, md5('s0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin),

@@ -96,18 +96,25 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,s43,
+    // codec,m52,m55,curation,q155,q148) — a full run at large n is
+    // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
+    // be re-measured for one family without paying for the rest.
+    // d44 implies d38 (it consumes the verified pairs).
+    val stageFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def on(k: String): Boolean = stageFilter.forall(_.contains(k))
 
     time("corpus gen + parquet write") {
       corpus(spark, n).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
     val docs = spark.read.parquet(s"$out/documents.parquet")
 
-    val pairs = time("d38: LSH candidates→verify") {
+    val pairs = if (on("d38") || on("d44")) time("d38: LSH candidates→verify") {
       val p = graft.operators.Dedup.minhashVerifiedPairs(
         docs, threshold = 0.5, maxDf = 200)
       val c = p.count(); println(s"[probe]   verified pairs: $c"); p
-    }
-    time("planted-pair recall check") {
+    } else null
+    if (on("d38")) time("planted-pair recall check") {
       // every planted dup (id >= n) should pair with its source doc;
       // ≥99.9% is the honest banded-LSH contract at J≈0.966 (see corpus)
       val planted = pairs
@@ -118,12 +125,12 @@ object ScaleProbe {
       require(planted >= expected * 999 / 1000,
         s"planted-pair recall broke at scale: $planted/$expected")
     }
-    time("d44: connected components") {
+    if (on("d44")) time("d44: connected components") {
       val cc = graft.operators.Dedup.connectedComponents(
         pairs.select(col("id_a"), col("id_b")))
       println(s"[probe]   clusters: ${cc.select("cluster_id").distinct().count()}")
     }
-    time("d53: persisted-store incremental dedup") {
+    if (on("d53")) time("d53: persisted-store incremental dedup") {
       // the r9 daily-ingest pattern at probe volume: corpus = the base
       // docs, batch = the planted near-dups (ids >= n, ~5%). The store
       // is written ONCE (the prior run's artifact); the batch dedups
@@ -147,29 +154,38 @@ object ScaleProbe {
       require(flagged >= total * 999 / 1000,
         s"store-path recall broke at scale: $flagged/$total flagged corpus_dup")
     }
-    time("d54: bloom vs exact decontam") {
-      // benchmark = the first 50 docs; the planted dups of docs 0,20,40
-      // (ids n, n+1, n+2) are guaranteed contaminated, so both paths
-      // must find ≥ 3 docs and EXACTLY the same set. The measurement:
-      // d45's exact join shuffles every corpus shingle; d54's bloom
-      // prefilter + contaminated-only sizes shuffles none of them.
-      val benchIds = (0L until 50L).toSeq
+    if (on("d54")) time("d54: bloom vs exact decontam") {
+      // benchmark = the first 50k docs (~2.9M distinct shingles) — a
+      // REAL eval-suite size, deliberately past the broadcast
+      // threshold: with a 50-doc benchmark both paths broadcast the
+      // bench side and bloom's extra probe pass is pure overhead
+      // (measured: 101.6 s bloom vs 82.5 s exact at 2.1M docs). Past
+      // broadcastability the exact join must shuffle BOTH sides at
+      // corpus grain, while the bloom path probes a driver-built
+      // ~4 MB sketch inside the scan and only candidates join — the
+      // regime d54 exists for. Planted dups of bench docs (ids ≥ n
+      // with source < 50k) are guaranteed contaminated; both paths
+      // must return EXACTLY the same set.
+      val benchIds = (0L until 50000L).toSeq
       val tE = System.nanoTime()
       val exact = graft.operators.Dedup.contaminationCheck(docs, benchIds)
         .filter(col("n_overlap") > 0)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val exactSec = (System.nanoTime() - tE) / 1e9
       val tB = System.nanoTime()
-      val viaBloom = graft.operators.Dedup.bloomDecontaminate(docs, benchIds)
+      val viaBloom = graft.operators.Dedup.bloomDecontaminate(docs, benchIds,
+        expectedBenchShingles = 4000000L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val bloomSec = (System.nanoTime() - tB) / 1e9
       println(f"[probe]   exact d45 path: $exactSec%.1f s, bloom d54 path: " +
         f"$bloomSec%.1f s (${exact.size} contaminated docs)")
       require(viaBloom == exact,
         s"bloom path diverged from exact: ${viaBloom.size} vs ${exact.size}")
-      require(exact.size >= 3, s"planted contamination missing: ${exact.size}")
+      // every planted dup of a bench doc must be flagged (exact join —
+      // no recall caveat): ids ≥ n whose source (id−n)·20 < 50k
+      require(exact.size >= 2500, s"planted contamination missing: ${exact.size}")
     }
-    time("s43: IVF search, n synthetic vectors") {
+    if (on("s43")) time("s43: IVF search, n synthetic vectors") {
       // n 64-dim vectors in [-1,1), deterministic per (id, dim); one
       // planted near-dup of vec 0 (id = n) — the probe asserts the IVF
       // path surfaces it at rank 1 for query 0, i.e. the coarse
@@ -194,7 +210,7 @@ object ScaleProbe {
       require(rows.head.getLong(1) == n,
         s"IVF failed to surface the planted near-dup at scale: ${rows.take(3).toSeq}")
     }
-    time("m47/m48/m49: codec roundtrip throughput") {
+    if (on("codec")) time("m47/m48/m49: codec roundtrip throughput") {
       // The stage a real media lake spends most cycles in: CPU-bound,
       // embarrassingly parallel mapPartitions decode — encode the
       // deterministic pattern to genuine PNG/WAV/GIF bytes and decode
@@ -220,7 +236,7 @@ object ScaleProbe {
         require(c == n, s"$label roundtrip lost rows: $c != $n")
       }
     }
-    time("m52/m54: perceptual image dedup + verify") {
+    if (on("m52")) time("m52/m54: perceptual image dedup + verify") {
       // The image-dedup chain end-to-end at ~2n real images (originals
       // + perturbed variants, every one a genuine PNG encode→decode):
       // dHash → 4×16-bit banded join (capBuckets guard) → Hamming ≤ 12
@@ -246,7 +262,7 @@ object ScaleProbe {
         s"wide-hash verification failed to collapse the candidate tail: " +
           s"${total - planted} spurious vs $planted planted")
     }
-    time("m55: image store write + batch dedup") {
+    if (on("m55")) time("m55: image store write + batch dedup") {
       // The image daily-ingest pattern at probe volume: the corpus's
       // n base images are fingerprinted ONCE into the store (the
       // decode-heavy step a media lake must never repeat), then a
@@ -279,7 +295,7 @@ object ScaleProbe {
       require(novelKept == n / 20,
         s"novel images wrongly flagged: kept $novelKept/${n / 20}")
     }
-    time("curation: gate→tokenize→pack") {
+    if (on("curation")) time("curation: gate→tokenize→pack") {
       // The ingest-side linear chain (t40/q87 shapes, operators
       // verbatim): Gopher gate → token counts → fixed-capacity bin
       // packing across 64 hash-derived domains. minStopFrac=0 because
@@ -314,7 +330,7 @@ object ScaleProbe {
       require(maxLoad < 4096,
         s"a bin exceeded capacity by more than one document: $maxLoad")
     }
-    time("q155: skyline at probe volume") {
+    if (on("q155")) time("q155: skyline at probe volume") {
       // Exact at-scale correctness witness for the two-phase prune:
       // interior points have x, y ≤ 989; ten planted points
       // (100i, 1000+100i) are mutually non-dominated (min-x/max-y:
@@ -341,7 +357,7 @@ object ScaleProbe {
       require(frontier.toSeq == (0 until 10).map(_ + 10000000L),
         s"skyline broke at scale: ${frontier.take(12).toSeq}")
     }
-    time("q148: PageRank (3 iters, synthetic edges)") {
+    if (on("q148")) time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
       val edges = docs.select(col("doc_id").as("id_a"),
         explode(sequence(lit(1), lit(8))).as("k"))

@@ -156,6 +156,30 @@ class CurationSpec extends SparkSpec {
       s"feature join did not broadcast: ${names.distinct.mkString(",")}")
   }
 
+  test("curriculumOrder: bins partition quality monotonically, order deterministic") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val out = Curation.curriculumOrder(docs).collect()
+    assert(out.length === docs.count())
+    val bins = out.map(_.getLong(2))
+    assert(bins.forall(b => b >= 1 && b <= 10))
+    // monotone partition: the best quality of bin k never exceeds the
+    // worst of bin k+1
+    val byBin = out.groupBy(_.getLong(2)).map { case (b, rows) =>
+      b -> (rows.map(_.getDouble(1)).min, rows.map(_.getDouble(1)).max)
+    }
+    byBin.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(byBin(lo)._2 <= byBin(hi)._1,
+          s"bin $lo max ${byBin(lo)._2} > bin $hi min ${byBin(hi)._1}")
+      case _ =>
+    }
+    // best-first: the emitted order starts at the highest bin
+    assert(out.head.getLong(2) === bins.max)
+    // reproducible by construction
+    val again = Curation.curriculumOrder(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
   test("tokenDrift: TVD is exactly 0 for identical slices, 1 for disjoint") {
     val same = Seq((0L, "x x y z"), (1L, "x x y z")).toDF("doc_id", "text")
     val tvd0 = Curation.tokenDrift(same, col("doc_id") === 0)
