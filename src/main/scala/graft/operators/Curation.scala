@@ -335,6 +335,16 @@ object Curation {
         sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_cnt"))
       .materializeOnce() // feeds the totals AND the per-bucket output
+    tvdRank(feats, topK)
+  }
+
+  /** The TVD arithmetic over an ALREADY-AGGREGATED (f, a_cnt, b_cnt)
+    * feature frame — shared by tokenDrift (both slices in one pass)
+    * and driftAgainstBaseline (slice A read from a persisted store).
+    * One definition, so the store path cannot drift from the
+    * recompute path. */
+  private def tvdRank(feats: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = feats.agg(sum(col("a_cnt")).as("a_tot"),
       sum(col("b_cnt")).as("b_tot"))
     val d = feats.crossJoin(broadcast(tot)) // 1-row normalizer
@@ -354,6 +364,49 @@ object Curation {
         (col("tvd_num").cast("double") / col("a_tot").cast("double")
           / col("b_tot").cast("double") / lit(2.0)).as("tvd"))
       .orderBy(col("rank"))
+  }
+
+  /** Hashed-unigram bucket counts of a corpus slice — the persisted
+    * half of the drift-store pattern. */
+  private def hashedBucketCounts(
+      docs: DataFrame, buckets: Int, oracleHash: Boolean): DataFrame = {
+    val h =
+      if (oracleHash) graft.expressions.RollingHash(col("w"))
+      else xxhash64(col("w"))
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .withColumn("f", pmod(h, lit(buckets.toLong))).drop("w")
+      .groupBy(col("f")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Persist a drift BASELINE: the bucket counts of a settled corpus
+    * snapshot, written once — the monitoring edition of the d53/s51/
+    * m55 "index, not recompute" pattern. A daily pipeline re-tokenizes
+    * only the incoming batch; the baseline side is a `buckets`-row
+    * parquet read. */
+  def writeDriftBaseline(docs: DataFrame, path: String,
+      buckets: Int = 4096, oracleHash: Boolean = false): Unit =
+    hashedBucketCounts(docs, buckets, oracleHash)
+      .write.mode("overwrite").parquet(path)
+
+  /** tokenDrift of an incoming batch AGAINST the persisted baseline.
+    * Buckets absent on one side coalesce to zero, exactly as in the
+    * single-pass recompute, so the output is bit-identical to
+    * tokenDrift over (baseline ∪ batch) — asserted by spec, and the
+    * gate hash-matches the same oracle SQL as t51's shape. */
+  def driftAgainstBaseline(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      path: String, buckets: Int = 4096, topK: Int = 50,
+      oracleHash: Boolean = false): DataFrame = {
+    val base = spark.read.parquet(path)
+      .select(col("f"), col("cnt").as("a_cnt"))
+    val b = hashedBucketCounts(batch, buckets, oracleHash)
+      .select(col("f"), col("cnt").as("b_cnt"))
+    val feats = base.join(b, Seq("f"), "full")
+      .select(col("f"),
+        coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
+      .materializeOnce() // feeds the totals AND the per-bucket output
+    tvdRank(feats, topK)
   }
 
   /** Hashed-unigram importance weights for target-distribution data

@@ -15,6 +15,13 @@ object MultimodalQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** q154's bounded document subset (q153's convention): the two-day
+    * image loop replays the full pixel pipeline for batch AND store
+    * sides in the oracle — unbounded, the sf0.1 replay exhausts
+    * DuckDB's memory; bounded, the loop's cost stays flat as SF grows
+    * while still exercising every decision path. */
+  private val imageLoopMaxDocId = 500L
+
   // ---- generated oracle SQL for the perceptual-hash queries (m51/m52):
   // the pixel arithmetic is emitted from the SAME constants
   // Multimodal.texturedPixelValue uses — one definition, two engines,
@@ -47,13 +54,18 @@ object MultimodalQueries {
        |    list(CAST($bit AS HUGEINT) ORDER BY $order)),
        |  (acc, x) -> (acc * 2 + x) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
-  /** dims + 8×8 grid CTEs shared by m51/m52. */
-  private val gridCtes =
-    """dims AS (
+  /** dims + 8×8 grid CTEs shared by m51/m52; parameterized on the
+    * document set so q154 can run its bounded subset (the pixel replay
+    * over the FULL sf0.1 corpus twice — batch and store sides — blew
+    * DuckDB's memory; the bounded loop is the q153 convention). */
+  private def gridCtesFor(base: String): String =
+    s"""dims AS (
       |  SELECT doc_id, 18 + (doc_id % 14) AS w, 18 + ((doc_id // 14) % 14) AS h
-      |  FROM documents),
+      |  FROM $base),
       |js AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM dims),
       |bs AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM js)""".stripMargin
+
+  private val gridCtes = gridCtesFor("documents")
 
   private val reSign =
     """CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
@@ -63,8 +75,11 @@ object MultimodalQueries {
   private val bandDiv = Seq("CAST(1 AS HUGEINT)", "CAST(65536 AS HUGEINT)",
     "CAST(4294967296 AS HUGEINT)", "CAST(281474976710656 AS HUGEINT)")
 
+  // each bit_count term CAST to BIGINT before summing: DuckDB's
+  // bit_count returns TINYINT and a TINYINT sum overflows at 127 —
+  // data-dependent, first tripped by a 129-distance pair at sf0.1
   private val hammingSql = bandDiv.map(d =>
-    s"bit_count(xor(CAST((ha // $d) % 65536 AS BIGINT), CAST((hb // $d) % 65536 AS BIGINT)))")
+    s"CAST(bit_count(xor(CAST((ha // $d) % 65536 AS BIGINT), CAST((hb // $d) % 65536 AS BIGINT))) AS BIGINT)")
     .mkString(" + ")
 
   private val bandValSql = "CASE band " + bandDiv.zipWithIndex.map { case (d, b) =>
@@ -89,13 +104,13 @@ object MultimodalQueries {
     * popcount(xor) — the 256-bit Hamming distance between unsigned
     * word columns a0..a3 / b0..b3. */
   private val wideHammingSql = (0 until 4).flatMap(k => bandDiv.map(d =>
-    s"bit_count(xor(CAST((a$k // $d) % 65536 AS BIGINT), " +
-      s"CAST((b$k // $d) % 65536 AS BIGINT)))")).mkString("\n  + ")
+    s"CAST(bit_count(xor(CAST((a$k // $d) % 65536 AS BIGINT), " +
+      s"CAST((b$k // $d) % 65536 AS BIGINT))) AS BIGINT)")).mkString("\n  + ")
 
   /** Shared CTE prefix for the two-resolution queries (m54/m55): both
     * fingerprints of every original and variant image — `fpo`/`fpv`/
     * `fp` (64-bit hu per media_id) and `wflat` (the four wide words). */
-  private val twoResCtes = {
+  private def twoResCtesFor(base: String): String = {
     def words(tag: String, off: String) =
       s"""wwords_$tag AS (
          |  SELECT doc_id$off AS media_id, j2 // 4 AS k,
@@ -103,7 +118,7 @@ object MultimodalQueries {
          |  FROM wbits GROUP BY doc_id, j2 // 4)""".stripMargin
     val flat = (0 until 4).map(k =>
       s"max(CASE WHEN k = $k THEN wu END) AS wu$k").mkString(", ")
-    s"""$gridCtes,
+    s"""${gridCtesFor(base)},
        |bits AS (SELECT doc_id, j, i,
        |    ${bitSql(variant = false)} AS bit_o,
        |    ${bitSql(variant = true)} AS bit_v
@@ -124,6 +139,8 @@ object MultimodalQueries {
        |ww AS (SELECT * FROM wwords_o UNION ALL SELECT * FROM wwords_v),
        |wflat AS (SELECT media_id, $flat FROM ww GROUP BY media_id)""".stripMargin
   }
+
+  private lazy val twoResCtes = twoResCtesFor("documents")
 
   private val m54Sql = {
     s"""WITH $twoResCtes,
@@ -225,7 +242,7 @@ object MultimodalQueries {
     * stream appends). */
   private val q154Sql = {
     val off = Multimodal.VariantOffset
-    s"""WITH $twoResCtes,
+    s"""WITH ${twoResCtesFor(s"(SELECT * FROM documents WHERE doc_id < $imageLoopMaxDocId)")},
        |store0 AS (SELECT media_id, hu FROM fpo WHERE media_id % 10 NOT IN (8, 9)),
        |b0 AS (SELECT media_id, hu FROM fpv WHERE (media_id - $off) % 10 = 1
        |       UNION ALL SELECT media_id, hu FROM fpo WHERE media_id % 10 = 8),
@@ -562,7 +579,7 @@ object MultimodalQueries {
     Q("q154_stream_image_ingest", Some(q154Sql),
       (s, d) => {
         import java.nio.file.{Files, Paths}
-        val all = docs(s, d)
+        val all = docs(s, d).filter(col("doc_id") < imageLoopMaxDocId)
         val root = Files.createTempDirectory("graft_q154")
         sys.addShutdownHook {
           def rm(f: java.io.File): Unit = {

@@ -78,6 +78,25 @@ object Staging {
       dir.toString
     })
 
+  private val driftDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-JVM persisted drift baseline for the t52 gate: the English
+    * slice's hashed-unigram bucket counts written once per sfDir via
+    * Curation.writeDriftBaseline (oracle-hash mode, matching the
+    * gate's batch side), reused across invocations — the monitoring
+    * edition of the store pattern. */
+  def driftBaselineDir(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    driftDirs.getOrElseUpdate(sfDir, {
+      val dir = Files.createTempDirectory("graft_driftbase")
+      graft.operators.Curation.writeDriftBaseline(
+        graft.Tables.load(spark, sfDir, "documents")
+          .filter(org.apache.spark.sql.functions.col("lang") === "en"),
+        dir.toString, oracleHash = true)
+      rmOnExit(dir)
+      dir.toString
+    })
+
   def eventsDir(sfDir: String): String = staged.getOrElseUpdate(sfDir, {
     val dir = Files.createTempDirectory("graft_events_stage")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))

@@ -572,32 +572,48 @@ object TextQueries {
     // sum per-bucket logs (not oracle-able). Top-50 drifted buckets
     // ranked by the exact numerator; gate runs the rolling-hash
     // oracle mode (rule 12).
-    Q("t51_token_drift", Some(
-      s"""WITH words AS (
-         |  SELECT lang = 'en' AS is_a,
-         |         unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |  FROM documents),
-         |hashed AS (SELECT is_a, (${DedupQueries.polyHashSql("w")}) % 4096 AS f
-         |           FROM words),
-         |feats AS (SELECT f,
-         |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a_cnt,
-         |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b_cnt
-         |  FROM hashed GROUP BY f),
-         |tot AS (SELECT sum(a_cnt) AS a_tot, sum(b_cnt) AS b_tot FROM feats),
-         |d AS (SELECT f, a_cnt, b_cnt, a_tot, b_tot,
-         |        abs(a_cnt * b_tot - b_cnt * a_tot) AS diff
-         |      FROM feats, tot),
-         |s AS (SELECT *, sum(diff) OVER () AS tvd_num,
-         |        row_number() OVER (ORDER BY diff DESC, f) AS rank
-         |      FROM d)
-         |SELECT CAST(rank AS BIGINT) AS rank, CAST(f AS BIGINT) AS f,
-         |  CAST(a_cnt AS BIGINT) AS a_cnt, CAST(b_cnt AS BIGINT) AS b_cnt,
-         |  CAST(diff AS DOUBLE) / CAST(a_tot AS DOUBLE)
-         |    / CAST(b_tot AS DOUBLE) AS contrib,
-         |  CAST(tvd_num AS DOUBLE) / CAST(a_tot AS DOUBLE)
-         |    / CAST(b_tot AS DOUBLE) / 2.0 AS tvd
-         |FROM s WHERE rank <= 50 ORDER BY rank""".stripMargin),
+    Q("t51_token_drift", Some(tokenDriftOracle),
       (s, d) => graft.operators.Curation.tokenDrift(
-        docs(s, d), col("lang") === "en", oracleHash = true))
+        docs(s, d), col("lang") === "en", oracleHash = true)),
+
+    // Drift vs a PERSISTED baseline (t52): the monitoring edition of
+    // the store pattern — the settled slice's bucket counts are a
+    // prior run's parquet artifact (Staging.driftBaselineDir), only
+    // the incoming batch is tokenized. Output is bit-identical to the
+    // t51 recompute (coalesced full-outer join ≡ single-pass split),
+    // so it shares t51's oracle verbatim; store ≡ recompute is also
+    // spec-asserted (CurationSpec "driftAgainstBaseline ≡ tokenDrift").
+    Q("t52_drift_vs_baseline", Some(tokenDriftOracle),
+      (s, d) => graft.operators.Curation.driftAgainstBaseline(
+        s, docs(s, d).filter(col("lang") =!= "en"),
+        Staging.driftBaselineDir(s, d), oracleHash = true))
   )
+
+  /** t51/t52 shared oracle — one SQL string for the recompute AND the
+    * store path (their outputs are bit-identical by construction). */
+  private lazy val tokenDriftOracle: String =
+    s"""WITH words AS (
+       |  SELECT lang = 'en' AS is_a,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |hashed AS (SELECT is_a, (${DedupQueries.polyHashSql("w")}) % 4096 AS f
+       |           FROM words),
+       |feats AS (SELECT f,
+       |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a_cnt,
+       |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b_cnt
+       |  FROM hashed GROUP BY f),
+       |tot AS (SELECT sum(a_cnt) AS a_tot, sum(b_cnt) AS b_tot FROM feats),
+       |d AS (SELECT f, a_cnt, b_cnt, a_tot, b_tot,
+       |        abs(a_cnt * b_tot - b_cnt * a_tot) AS diff
+       |      FROM feats, tot),
+       |s AS (SELECT *, sum(diff) OVER () AS tvd_num,
+       |        row_number() OVER (ORDER BY diff DESC, f) AS rank
+       |      FROM d)
+       |SELECT CAST(rank AS BIGINT) AS rank, CAST(f AS BIGINT) AS f,
+       |  CAST(a_cnt AS BIGINT) AS a_cnt, CAST(b_cnt AS BIGINT) AS b_cnt,
+       |  CAST(diff AS DOUBLE) / CAST(a_tot AS DOUBLE)
+       |    / CAST(b_tot AS DOUBLE) AS contrib,
+       |  CAST(tvd_num AS DOUBLE) / CAST(a_tot AS DOUBLE)
+       |    / CAST(b_tot AS DOUBLE) / 2.0 AS tvd
+       |FROM s WHERE rank <= 50 ORDER BY rank""".stripMargin
 }

@@ -192,6 +192,27 @@ class CurationSpec extends SparkSpec {
     assert(out.count(r => r.getDouble(4) === 1.0) === 2)
   }
 
+  test("driftAgainstBaseline ≡ tokenDrift: the store path cannot drift") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val isA = col("lang") === "en"
+    val dir = java.nio.file.Files.createTempDirectory("drift_base_spec")
+    try {
+      Curation.writeDriftBaseline(docs.filter(isA), dir.toString,
+        oracleHash = true)
+      val viaStore = Curation.driftAgainstBaseline(
+        spark, docs.filter(!isA), dir.toString, oracleHash = true).collect()
+      val recompute = Curation.tokenDrift(docs, isA, oracleHash = true)
+        .collect()
+      assert(viaStore.map(_.toSeq).toSeq === recompute.map(_.toSeq).toSeq)
+      assert(viaStore.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("filterAgreement: confusion counts and exact metrics") {
     // TP×3, FP×1, FN×2, TN×4 → n=10
     val verdicts = Seq(
