@@ -596,4 +596,49 @@ object Similarity {
     fixedPointCentroids(assigned, dim, extraAggs = Seq(moved -> "n_moved"))
       .select(col("cell"), col("n"), col("n_moved"), col("centroid"))
   }
+
+  /** Greedy k-center coreset selection — González's farthest-point
+    * traversal ("Clustering to minimize the maximum intercluster
+    * distance", TCS 1985; the 2-approximation), the diversity-sampling
+    * primitive Sener & Savarese (ICLR 2018) use for coreset-based data
+    * selection: seed with the min-vec_id point, then repeatedly add the
+    * point FARTHEST (max min-squared-L2) from the chosen set. Returns
+    * one row per pick: (pick_order, vec_id, radius) where radius is the
+    * max-min distance at selection time — the running k-center cost, so
+    * the output doubles as the coverage-radius curve.
+    *
+    * Exactness: embeddings quantize to fixed-point longs (floor(x·1e6),
+    * the ivfSearch convention), so every distance is an integer, the
+    * argmax + vec_id tiebreak is deterministic under any shuffle
+    * schedule, and the DuckDB oracle replays the full traversal
+    * bit-for-bit (unrolled CTE chain).
+    *
+    * Scale shape: k scans of the corpus, each a map over ≤k broadcast
+    * centers (k·dim longs) followed by a TakeOrdered(1) — the corpus is
+    * NEVER shuffled and never collected; the driver receives exactly
+    * one row per iteration (the new center), the same bounded-fixpoint
+    * contract as connectedComponents' Observation loop. */
+  def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fp = corpus.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6))).as("e"))
+      .materializeOnce() // scanned once per pick
+    def sqd(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("e"), typedlit(center), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val seed = fp.orderBy(col("vec_id")).limit(1).head()
+    var picks = Vector((seed.getLong(0), seed.getSeq[Long](1), 0L))
+    while (picks.size < k) {
+      val minDist = picks.map(p => sqd(p._2)).reduce(least(_, _))
+      val next = fp.select(col("vec_id"), col("e"), minDist.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).head()
+      picks :+= ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+    }
+    picks.zipWithIndex
+      .map { case ((id, _, r), i) => (i.toLong, id, r) }
+      .toDF("pick_order", "vec_id", "radius")
+  }
 }

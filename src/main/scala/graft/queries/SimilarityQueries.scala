@@ -220,8 +220,21 @@ object SimilarityQueries {
     Q("s53_hard_negatives", Some(hardNegativesOracle),
       (s, d) => Similarity.hardNegatives(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10,
-        dupCeiling = hardNegCeiling))
+        dupCeiling = hardNegCeiling)),
+
+    // greedy k-center coreset (s54): González farthest-point traversal
+    // over fixed-point integer distances — the diversity-sampling /
+    // coreset-selection primitive. Every pick's argmax is integer-exact
+    // with a vec_id tiebreak, so the oracle replays the whole traversal
+    // as an unrolled CTE chain (one d_t/p_t pair per pick) and the hash
+    // match covers pick order AND the coverage-radius curve.
+    Q("s54_kcenter_coreset", Some(kCenterOracle),
+      (s, d) => Similarity.kCenterCoreset(emb(s, d), k = kCenterK))
   )
+
+  /** s54's pick count — one Scala constant drives the Spark loop AND
+    * the unrolled oracle CTE chain. */
+  private lazy val kCenterK: Int = 8
 
   /** s53's near-dup exclusion ceiling — one Scala constant drives both
     * engines (the oracle interpolates it via dlit). */
@@ -732,5 +745,34 @@ object SimilarityQueries {
        |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS c1
        |FROM nsum
        |ORDER BY cell""".stripMargin
+  }
+
+  /** s54: the farthest-point traversal replayed as an unrolled CTE
+    * chain — fixed-point quantization, seed = min vec_id, then per pick
+    * t: running min-distance update (least) + argmax with the vec_id
+    * tiebreak. list_sum over BIGINTs yields HUGEINT, so the radius is
+    * CAST back to BIGINT at the output (rule 18). */
+  private lazy val kCenterOracle: String = {
+    def sqd(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val head = Seq(
+      s"""fp AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e6) AS BIGINT)) AS e
+         |  FROM embeddings)""".stripMargin,
+      "c0 AS (SELECT vec_id, e FROM fp ORDER BY vec_id LIMIT 1)",
+      s"""d1 AS (SELECT f.vec_id, f.e, ${sqd("f.e", "c.e")} AS md
+         |  FROM fp f, c0 c)""".stripMargin,
+      "p1 AS (SELECT vec_id, e, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1)")
+    val steps = (2 until kCenterK).flatMap(t => Seq(
+      s"""d$t AS (SELECT d.vec_id, d.e, least(d.md, ${sqd("d.e", "p.e")}) AS md
+         |  FROM d${t - 1} d, p${t - 1} p)""".stripMargin,
+      s"p$t AS (SELECT vec_id, e, md FROM d$t ORDER BY md DESC, vec_id LIMIT 1)"))
+    val picks = s"SELECT 0 AS o, vec_id, 0 AS md FROM c0" +:
+      (1 until kCenterK).map(t => s"SELECT $t AS o, vec_id, md FROM p$t")
+    s"""WITH ${(head ++ steps).mkString(",\n")}
+       |SELECT CAST(o AS BIGINT) AS pick_order, vec_id,
+       |  CAST(md AS BIGINT) AS radius
+       |FROM (${picks.mkString(" UNION ALL ")})
+       |ORDER BY pick_order""".stripMargin
   }
 }

@@ -224,4 +224,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType), out.schema)
   }
+
+  test("kCenterCoreset: hand-computed farthest-point traversal + tiebreak") {
+    // 1-D line at exactly-representable positions (binary fractions, so
+    // floor(x·1e6) is drift-free): 0, .5, .0625, .25, .4375 → greedy
+    // picks seed 0, farthest 1, then 3, then the md-tie (2,4) broken by
+    // vec_id. Radii are the integer max-min squared distances at pick
+    // time — the k-center cost curve.
+    def e(x: Float) = Array(x, 0f, 0f, 0f)
+    val pts = Seq((0L, e(0f)), (1L, e(0.5f)), (2L, e(0.0625f)),
+      (3L, e(0.25f)), (4L, e(0.4375f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(pts, k = 5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 0L, 0L), (1L, 1L, 250000000000L), (2L, 3L, 62500000000L),
+        (3L, 2L, 3906250000L), (4L, 4L, 3906250000L)))
+    // deterministic: a second run is bit-identical
+    val again = Similarity.kCenterCoreset(pts, k = 5).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
