@@ -60,4 +60,73 @@ object Frequency {
       .select(col("item"), col("cnt"))
       .orderBy(col("cnt").desc, col("item"))
   }
+
+  /** HLL register count (m) and the scale of the integer harmonic sum:
+    * registers are tracked as P_b = max(lowest-set-bit of the bucketed
+    * hash suffix) — a monotone image of the classical max-rho register
+    * (P = 2^(rho-1)) — so each term of Σ 2^-rho_b becomes the EXACT
+    * integer 2^47 / P_b and the whole sketch needs no floating point
+    * until one final division. */
+  val HllBuckets = 256
+  val HllCap: Long = 1L << 47 // register ceiling: P capped at 2^47
+  /** alpha_m · m² · 2^48 folded into one double constant — the only
+    * float in the estimate (est = HllAlphaScaled / S). */
+  val HllAlphaScaled: Double =
+    0.7213 / (1.0 + 1.079 / HllBuckets) * HllBuckets * HllBuckets *
+      281474976710656.0 // 2^48
+
+  /** HyperLogLog distinct-count sketch (Flajolet/Fusy/Gandouet/Meunier,
+    * AofA 2007) over a single string column `w`, built to be BIT-EXACT
+    * replayable cross-engine — no libm anywhere:
+    *
+    *   - bucket = low 8 hash bits; suffix sw = hash >>> 8 (both are
+    *     pure bit extractions, identical on Spark's signed int64 and
+    *     the oracle's unsigned HUGEINT replay);
+    *   - the register is maintained as max(sw & -sw) — the lowest-set-
+    *     bit trick; max of P ≡ max of rho since P = 2^(rho-1) is
+    *     monotone — one integer max per bucket, mergeable (the 100 TB
+    *     story: partial aggregation compresses any partition to ≤256
+    *     longs before the shuffle);
+    *   - the harmonic sum Σ_b 2^-rho_b is scaled by 2^48 into the
+    *     integer S = Σ_b (2^47 DIV P_b) (empty register → 2^48):
+    *     exact, order-independent, ≤ 256·2^48 < 2^57 so it fits int64;
+    *   - the ONLY double op is the final est = HllAlphaScaled / S, one
+    *     IEEE division — deterministic in any engine.
+    *
+    * Raw estimate only (no small-range linear-counting branch — that
+    * needs ln; callers monitoring corpora with cardinality ≫ m don't
+    * hit the regime, and the spec pins the observed rel_err). Output is
+    * one row: (m, n_zero, s_num, est, n_exact, rel_err) — the exact
+    * count rides along so the sketch's error is itself a gated number. */
+  def hllDistinct(
+      spark: SparkSession, items: DataFrame,
+      oracleHash: Boolean = false): DataFrame = {
+    val h =
+      if (oracleHash) graft.expressions.RollingHash(col("w"))
+      else xxhash64(col("w"))
+    val hashed = items
+      .select(col("w"), pmod(h, lit(HllBuckets.toLong)).as("b"),
+        shiftrightunsigned(h, 8).as("sw"))
+      .materializeOnce() // feeds the registers AND the exact count
+    val p = when(col("sw") === 0L, lit(HllCap))
+      .otherwise(least(lit(HllCap), col("sw").bitwiseAND(-col("sw"))))
+    val regs = hashed.select(col("b"), p.as("p"))
+      .groupBy(col("b")).agg(max(col("p")).as("pmax"))
+    val terms = spark.range(HllBuckets).select(col("id").as("b"))
+      .join(regs, Seq("b"), "left")
+      .select(col("pmax").isNull.as("isz"),
+        when(col("pmax").isNull, lit(1L << 48))
+          .otherwise(expr(s"${HllCap}L DIV pmax")).as("term"))
+    val sketch = terms.agg(
+      sum(col("term")).as("s_num"),
+      sum(when(col("isz"), 1L).otherwise(0L)).as("n_zero"))
+    val exact = hashed.agg(countDistinct(col("w")).as("n_exact"))
+    val estCol = lit(HllAlphaScaled) / col("s_num").cast("double")
+    val exD = col("n_exact").cast("double")
+    sketch.crossJoin(exact) // 1-row normalizer
+      .select(lit(HllBuckets.toLong).as("m"), col("n_zero"), col("s_num"),
+        estCol.as("est"), col("n_exact"),
+        (abs(estCol - exD) / exD).as("rel_err"))
+      .orderBy(col("m"))
+  }
 }

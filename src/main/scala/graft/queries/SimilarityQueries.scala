@@ -256,7 +256,7 @@ object SimilarityQueries {
     * the correctly-rounded double path, bit-identical to the Scala
     * side. Double.toString already emits E-notation for extreme
     * magnitudes — only suffix when it didn't. */
-  private def dlit(d: Double): String = {
+  private[queries] def dlit(d: Double): String = {
     val s = d.toString
     if (s.contains('E') || s.contains('e')) s else s + "e0"
   }

@@ -586,8 +586,64 @@ object TextQueries {
     Q("t52_drift_vs_baseline", Some(tokenDriftOracle),
       (s, d) => graft.operators.Curation.driftAgainstBaseline(
         s, docs(s, d).filter(col("lang") =!= "en"),
-        Staging.driftBaselineDir(s, d), oracleHash = true))
+        Staging.driftBaselineDir(s, d), oracleHash = true)),
+
+    // HyperLogLog distinct-shingle sketch (t53): the mergeable
+    // cardinality monitor, homegrown so the WHOLE estimate is
+    // bit-replayable — registers tracked as max(lowest-set-bit) (a
+    // monotone image of max-rho, so no log2 anywhere), the harmonic sum
+    // scaled to the exact integer Σ 2^47 DIV P_b, and the single float
+    // op is the final alpha·m²·2^48 / S division (constant via dlit).
+    // Input is the 3-gram shingle stream (the d38/d40 unit): distinct-
+    // shingle cardinality is what sizes an LSH dedup job, and it's the
+    // high-cardinality regime where the raw HLL estimate is valid (the
+    // corpus vocabulary itself is ~31 words — linear-counting regime,
+    // deliberately avoided; see Frequency.hllDistinct). Exact count +
+    // relative error ride along, so the sketch's own accuracy is a
+    // hash-gated number. Gate runs the rolling-hash oracle mode
+    // (rule 12); production default is xxhash64.
+    Q("t53_hll_distinct", Some(hllOracle),
+      (s, d) => graft.operators.Frequency.hllDistinct(
+        s, docs(s, d)
+          .select(tokens(col("text")).as("toks"))
+          .select(explode(shinglesFromTokens(col("toks"), 3)).as("w")),
+        oracleHash = true))
   )
+
+  /** t53: the bit-trick HLL replayed — unsigned suffix via hu // 256,
+    * lowest-set-bit via sw & -sw on the BIGINT suffix, register max,
+    * integer term sum (HUGEINT → BIGINT, rule 18), one double division
+    * with the alpha constant through dlit (rule 14). */
+  private lazy val hllOracle: String = {
+    import graft.operators.Frequency.{HllAlphaScaled, HllBuckets, HllCap}
+    val alpha = SimilarityQueries.dlit(HllAlphaScaled)
+    s"""WITH ${DedupQueries.ngramShingleCte},
+       |words AS (SELECT sh AS w FROM ex),
+       |hashed AS (SELECT w, (${DedupQueries.polyHashSql("w")}) AS hu
+       |           FROM words),
+       |bw AS (SELECT w, CAST(hu % $HllBuckets AS BIGINT) AS b,
+       |              CAST(hu // $HllBuckets AS BIGINT) AS sw
+       |       FROM hashed),
+       |pr AS (SELECT b, CASE WHEN sw = 0 THEN $HllCap
+       |                 ELSE least($HllCap, sw & (-sw)) END AS p
+       |       FROM bw),
+       |regs AS (SELECT b, max(p) AS pmax FROM pr GROUP BY b),
+       |allb AS (SELECT unnest(range(0, $HllBuckets)) AS b),
+       |terms AS (SELECT pmax IS NULL AS isz,
+       |    CASE WHEN pmax IS NULL THEN ${1L << 48}
+       |         ELSE $HllCap // pmax END AS term
+       |  FROM allb LEFT JOIN regs USING (b)),
+       |s AS (SELECT CAST(sum(term) AS BIGINT) AS s_num,
+       |        CAST(sum(CASE WHEN isz THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |      FROM terms),
+       |exd AS (SELECT count(DISTINCT w) AS n_exact FROM words)
+       |SELECT CAST($HllBuckets AS BIGINT) AS m, n_zero, s_num,
+       |  $alpha / CAST(s_num AS DOUBLE) AS est, n_exact,
+       |  abs($alpha / CAST(s_num AS DOUBLE) - CAST(n_exact AS DOUBLE))
+       |    / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM s, exd
+       |ORDER BY m""".stripMargin
+  }
 
   /** t51/t52 shared oracle — one SQL string for the recompute AND the
     * store path (their outputs are bit-identical by construction). */

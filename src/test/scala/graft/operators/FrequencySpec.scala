@@ -57,4 +57,24 @@ class FrequencySpec extends SparkSpec {
       }
     }
   }
+
+  test("hllDistinct: estimate within the 3σ HLL bound, partition-invariant") {
+    import spark.implicits._
+    // 5000 distinct keys, duplicated ×3 — duplicates must not move the
+    // registers (cardinality, not count)
+    val keys = (0 until 5000).map(i => s"key_$i")
+    val items = (keys ++ keys ++ keys).toDF("w")
+    val row = Frequency.hllDistinct(spark, items).head()
+    assert(row.getLong(0) === 256L) // m
+    assert(row.getLong(4) === 5000L) // exact rides along
+    // standard HLL error: 1.04/sqrt(256) = 6.5%; 3σ ≈ 20%
+    assert(row.getDouble(5) < 0.20, s"rel_err=${row.getDouble(5)}")
+    // register maxes are order-independent → repartitioning is a no-op
+    val again = Frequency.hllDistinct(spark, items.repartition(13)).head()
+    assert(row.toSeq === again.toSeq)
+    // oracle-hash mode is deterministic too and its own estimate
+    val orc = Frequency.hllDistinct(spark, items, oracleHash = true).head()
+    assert(orc.getLong(4) === 5000L)
+    assert(orc.getDouble(5) < 0.20, s"oracle rel_err=${orc.getDouble(5)}")
+  }
 }
