@@ -504,8 +504,70 @@ object DedupQueries {
         |ORDER BY id_a, id_b""".stripMargin),
       (s, d) => graft.operators.StringSim.editDistanceJoin(
         graft.Tables.load(s, d, "supplier"), "s_suppkey", "s_name",
-        maxDist = 2, q = 3, maxDf = 20))
+        maxDist = 2, q = 3, maxDf = 20)),
+
+    // multi-pass sorted-neighborhood dedup (q160): the Hernández-Stolfo
+    // blocking classic — sort-key (n_chars) buckets, per-bucket sliding
+    // window of leads, exact shingle-Jaccard verify with the INTEGER
+    // threshold 2·inter ≥ union. Two passes with half-width-shifted
+    // buckets recover cross-boundary neighbors; no global sort anywhere.
+    // The oracle replays both passes' partitioned windows verbatim.
+    Q("q160_sorted_neighborhood", Some(snmOracle),
+      (s, d) => graft.operators.Dedup.sortedNeighborhoodPairs(
+        docs(s, d), window = snmWindow, width = snmWidth))
   )
+
+  /** q160's window/bucket constants — one definition, two engines. */
+  private lazy val snmWindow: Int = 4
+  private lazy val snmWidth: Long = 32L
+
+  /** q160: both SNM passes replayed — the per-doc distinct shingle LIST
+    * (slice semantics matching shinglesFromTokens), half-shifted bucket
+    * quantization, all window-1 leads per partitioned window, integer
+    * Jaccard gate, one final division. */
+  private lazy val snmOracle: String = {
+    val offsets = 1 until snmWindow
+    def passSelects(tag: String): Seq[String] = {
+      val leads = offsets.flatMap(o => Seq(
+        s"lead(doc_id, $o) OVER win AS id_$o",
+        s"lead(sh, $o) OVER win AS sh_$o")).mkString(",\n         ")
+      Seq(s"""l$tag AS (
+         |  SELECT doc_id, sh,
+         |         $leads
+         |  FROM b$tag
+         |  WINDOW win AS (PARTITION BY bucket ORDER BY n_chars, doc_id))""".stripMargin)
+    }
+    val pairSelects = Seq("0", "1").flatMap(tag => offsets.map(o =>
+      s"""SELECT doc_id AS id_x, id_$o AS id_y,
+         |  len(list_filter(sh, x -> list_contains(sh_$o, x))) AS inter,
+         |  len(sh) + len(sh_$o) AS tot
+         |FROM l$tag WHERE id_$o IS NOT NULL""".stripMargin))
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    list_filter(list_distinct(
+       |      list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+       |                     i -> array_to_string(w[i:i+2], ' '))),
+       |      s -> s <> '') AS sh
+       |  FROM (SELECT doc_id, n_chars,
+       |          string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents)),
+       |b0 AS (SELECT doc_id, n_chars, sh, n_chars // $snmWidth AS bucket
+       |       FROM base),
+       |b1 AS (SELECT doc_id, n_chars, sh,
+       |         (n_chars + ${snmWidth / 2}) // $snmWidth AS bucket
+       |       FROM base),
+       |${(passSelects("0") ++ passSelects("1")).mkString(",\n")},
+       |cand AS (${pairSelects.mkString("\nUNION ALL\n")}),
+       |normed AS (
+       |  SELECT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b,
+       |         inter, tot - inter AS union_sz
+       |  FROM cand)
+       |SELECT DISTINCT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) AS jaccard
+       |FROM normed
+       |WHERE union_sz > 0 AND inter * 2 >= union_sz
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Benchmark docs for the contamination check: ids 0–4 stand in for an
     * eval set. Interpolated into the d45 oracle — one definition drives

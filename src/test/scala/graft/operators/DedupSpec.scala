@@ -314,4 +314,31 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
     assert(a.head._1 === 1L) // the degree-3 hub carries the most rank
   }
+
+  test("sortedNeighborhoodPairs: window finds neighbors, shifted pass heals boundaries") {
+    import spark.implicits._
+    // width=32 buckets cut at n_chars 32: docs 31/33 are near-dups that
+    // straddle the pass-0 boundary — only the half-shifted pass pairs
+    // them. Docs 10/11 share a bucket in pass 0. Doc 500 is an exact
+    // near-dup of doc 10 but 470 key-units away — SNM must NOT see it
+    // (that's the documented blocking trade-off, LSH's job otherwise).
+    def doc(id: Long, nc: Long, text: String) = (id, nc, text)
+    val docs = Seq(
+      doc(10L, 10L, "alpha beta gamma delta epsilon"),
+      doc(11L, 11L, "alpha beta gamma delta zeta"),
+      doc(31L, 31L, "one two three four five six"),
+      doc(33L, 33L, "one two three four five seven"),
+      doc(500L, 480L, "alpha beta gamma delta epsilon"),
+      doc(90L, 90L, "totally different content here")
+    ).toDF("doc_id", "n_chars", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 11L)), got)  // in-bucket window pair
+    assert(got.contains((31L, 33L)), got)  // found ONLY by the shifted pass
+    assert(!got.exists(p => p._1 == 10L && p._2 == 500L), got) // out of reach
+    // determinism
+    val again = Dedup.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === again)
+  }
 }
