@@ -21,7 +21,11 @@ import org.apache.spark.sql.graft.CatalystBridge
   */
 object Layout {
 
-  private def intDiv(a: Column, b: Column): Column =
+  /** Truncating integer division — semantics MEASURED identical to
+    * DuckDB's `//` (both round toward zero: -7 // 2 = -3 there, -7 DIV
+    * 2 = -3 here), so signed cross-engine arithmetic can use it
+    * directly. */
+  private[operators] def intDiv(a: Column, b: Column): Column =
     CatalystBridge.column(IntegralDivide(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 

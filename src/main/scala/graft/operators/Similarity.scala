@@ -641,4 +641,61 @@ object Similarity {
       .map { case ((id, _, r), i) => (i.toLong, id, r) }
       .toDF("pick_order", "vec_id", "radius")
   }
+
+  /** Dominant principal direction of the embedding corpus by INTEGER
+    * power iteration — the first step of embedding post-processing à la
+    * all-but-the-top (Mu & Viswanath, ICLR 2018: remove the dominant
+    * direction(s) before similarity search) and the scale-sane way to
+    * get it: one pass builds the 64×64 second-moment matrix, then all
+    * iterations run on that tiny matrix — the corpus is touched ONCE no
+    * matter how many iterations.
+    *
+    * Exactness (the q148 fixed-point recipe, applied to linear
+    * algebra): embeddings quantize to floor(x·1e6) longs; the Gram
+    * accumulation Σ xᵢxⱼ sums as DECIMAL(38,0) (order-independent,
+    * can't overflow at any corpus size — rule-18 shape) and normalizes
+    * to Ĝ = floorDiv(G, n), whose entries are bounded by the embedding
+    * scale alone (≈(1.4·10⁶)² worst case), independent of corpus size;
+    * each iteration computes w = Ĝ·v in int64 (|v| ≤ 256, so |w| ≤
+    * 64·|Ĝ|·256 < 2⁶³) and renormalizes v' = (256·w) intDiv max|w|.
+    * Truncating division on both sides — DuckDB's `//` rounds toward
+    * zero exactly like Spark's DIV (measured: -7 // 2 = -3). Every
+    * step is integer arithmetic, so the DuckDB oracle replays all
+    * iterations bit-for-bit.
+    *
+    * Scale shape: the 4096× row amplification is repartitioned first
+    * (rule 6); G reduces via map-side partial aggregation to 4096 rows;
+    * every iteration thereafter is a 64-row join against the 4096-row
+    * Ĝ — driver never sees the corpus, and the corpus never shuffles
+    * (only the exploded (i,j,xᵢxⱼ) stream does, once). */
+  def dominantDirection(
+      corpus: DataFrame, dim: Int = 64, iters: Int = 8): DataFrame = {
+    import graft.operators.Layout.intDiv
+    val fp = corpus.repartition(col("vec_id")) // before the 4096× explode
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6))).as("e"))
+    val ei = fp.select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+    val g = ei.select(col("i"), col("xi"),
+        posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("gsum"),
+        count(lit(1)).as("n"))
+      .select(col("i"), col("j"),
+        intDiv(col("gsum"), col("n").cast("decimal(38,0)")).as("g"))
+      .materializeOnce() // every iteration joins it
+    val is = corpus.sparkSession.range(dim).select(col("id").cast("int").as("i"))
+    var v = is.withColumn("v", lit(256L))
+    for (_ <- 1 to iters) {
+      val w = g.join(v, Seq("i"))
+        .groupBy(col("j")).agg(sum(col("g") * col("v")).as("w"))
+        .select(col("j").as("i"), col("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m)) // 1-row normalizer
+        .select(col("i"),
+          when(col("m") === 0L, lit(0L))
+            .otherwise(intDiv(col("w") * lit(256L), col("m"))).as("v"))
+        .materializeOnce() // linear chain, not an exponential re-plan
+    }
+    v.select(col("i").cast("long").as("i"), col("v")).orderBy(col("i"))
+  }
 }

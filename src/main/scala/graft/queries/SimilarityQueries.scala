@@ -229,8 +229,22 @@ object SimilarityQueries {
     // as an unrolled CTE chain (one d_t/p_t pair per pick) and the hash
     // match covers pick order AND the coverage-radius curve.
     Q("s54_kcenter_coreset", Some(kCenterOracle),
-      (s, d) => Similarity.kCenterCoreset(emb(s, d), k = kCenterK))
+      (s, d) => Similarity.kCenterCoreset(emb(s, d), k = kCenterK)),
+
+    // dominant principal direction (s55): integer power iteration on
+    // the normalized second-moment matrix — the all-but-the-top
+    // embedding post-processing primitive. One corpus pass builds Ĝ;
+    // every iteration is 64-row × 4096-row arithmetic, all int64 with
+    // floorDiv renormalization, so the oracle replays all 8 iterations
+    // bit-for-bit (unrolled w/m/v CTE triplets).
+    Q("s55_power_iteration", Some(powerIterOracle),
+      (s, d) => Similarity.dominantDirection(
+        emb(s, d), dim = 64, iters = powerIters))
   )
+
+  /** s55's iteration count — one constant drives the Spark loop AND
+    * the unrolled oracle CTEs. */
+  private lazy val powerIters: Int = 8
 
   /** s54's pick count — one Scala constant drives the Spark loop AND
     * the unrolled oracle CTE chain. */
@@ -774,5 +788,33 @@ object SimilarityQueries {
        |  CAST(md AS BIGINT) AS radius
        |FROM (${picks.mkString(" UNION ALL ")})
        |ORDER BY pick_order""".stripMargin
+  }
+
+  /** s55: the integer power iteration replayed — fixed-point corpus,
+    * HUGEINT Gram sums divided by n (`//` truncates toward zero exactly
+    * like Spark's DIV — measured), then one w/m/v CTE triplet per
+    * iteration with the 256-scale truncating renormalization. */
+  private lazy val powerIterOracle: String = {
+    val head = Seq(
+      s"""fp AS (SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e6) AS BIGINT)) AS e
+         |  FROM embeddings)""".stripMargin,
+      "idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i)",
+      s"""gr AS (SELECT ii.i AS i, jj.i AS j,
+         |    sum(CAST(e[ii.i + 1] AS HUGEINT) * CAST(e[jj.i + 1] AS HUGEINT)) AS gsum,
+         |    count(*) AS n
+         |  FROM fp, idx ii, idx jj GROUP BY 1, 2)""".stripMargin,
+      "g AS (SELECT i, j, CAST(gsum // n AS BIGINT) AS g FROM gr)",
+      "v0 AS (SELECT i, CAST(256 AS BIGINT) AS v FROM idx)")
+    val steps = (1 to powerIters).flatMap(t => Seq(
+      s"""w$t AS (SELECT g.j AS i, sum(g.g * v.v) AS w
+         |  FROM g JOIN v${t - 1} v ON g.i = v.i GROUP BY g.j)""".stripMargin,
+      s"m$t AS (SELECT max(abs(w)) AS m FROM w$t)",
+      s"""v$t AS (SELECT i, CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((w * 256) // m AS BIGINT) END AS v
+         |  FROM w$t, m$t)""".stripMargin))
+    s"""WITH ${(head ++ steps).mkString(",\n")}
+       |SELECT CAST(i AS BIGINT) AS i, v FROM v$powerIters
+       |ORDER BY i""".stripMargin
   }
 }

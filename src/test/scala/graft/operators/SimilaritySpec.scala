@@ -242,4 +242,29 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.kCenterCoreset(pts, k = 5).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("dominantDirection recovers a planted principal axis, partition-invariant") {
+    // corpus = ±u plus small orthogonal noise → the second-moment
+    // matrix's top eigenvector is u; after 8 integer iterations the
+    // 256-scaled v must align with u (|cos| > 0.95 — sign is init-
+    // dependent and irrelevant for ABTT removal)
+    val u = vec(21).map(x => x * 0.4f)
+    val rows = (0 until 40).map { r =>
+      val sign = if (r % 2 == 0) 1f else -1f
+      val noise = vec(100 + r).map(_ * 0.02f)
+      (r.toLong, u.zip(noise).map { case (a, b) => sign * a + b })
+    }.toDF("vec_id", "embedding")
+    val v = Similarity.dominantDirection(rows).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    val cos = {
+      val dot = v.zip(u).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(u.map(x => x.toDouble * x).sum))
+    }
+    assert(math.abs(cos) > 0.95, s"cos=$cos")
+    // integer sums are order-independent → repartitioning is a no-op
+    val again = Similarity.dominantDirection(rows.repartition(7)).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    assert(v.toSeq === again.toSeq)
+  }
 }
