@@ -663,25 +663,49 @@ object Similarity {
     * step is integer arithmetic, so the DuckDB oracle replays all
     * iterations bit-for-bit.
     *
-    * Scale shape: the 4096× row amplification is repartitioned first
-    * (rule 6); G reduces via map-side partial aggregation to 4096 rows;
-    * every iteration thereafter is a 64-row join against the 4096-row
-    * Ĝ — driver never sees the corpus, and the corpus never shuffles
-    * (only the exploded (i,j,xᵢxⱼ) stream does, once). */
+    * Scale shape: the Gram accumulation is a PER-PARTITION dense
+    * outer-product pass (mapPartitions — algorithmically required, the
+    * Misra–Gries pattern: the declarative alternative explodes every
+    * row 4096×, which dies at 10⁹ vectors, while this ships 4096 longs
+    * per partition); partial sums stay exact in int64 for partitions up
+    * to ~4M rows at |x| ≤ 1.4 (maxPartitionBytes sizing keeps 100 TB
+    * partitions well under that) and merge as DECIMAL(38,0) — integer
+    * sums in any grouping are the same integer, so the result is
+    * bit-identical to the naive formulation the oracle replays. Every
+    * iteration thereafter is a 64-row join against the 4096-row Ĝ —
+    * the driver never sees the corpus and the corpus never shuffles
+    * (only the per-partition 4096-long partials do). */
   def dominantDirection(
       corpus: DataFrame, dim: Int = 64, iters: Int = 8): DataFrame = {
     import graft.operators.Layout.intDiv
-    val fp = corpus.repartition(col("vec_id")) // before the 4096× explode
-      .select(transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1e6))).as("e"))
-    val ei = fp.select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
-    val g = ei.select(col("i"), col("xi"),
-        posexplode(col("e")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("gsum"),
-        count(lit(1)).as("n"))
-      .select(col("i"), col("j"),
-        intDiv(col("gsum"), col("n").cast("decimal(38,0)")).as("g"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fp = corpus.select(transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e6))).as("e"))
+    val partials = fp.as[Seq[Long]].mapPartitions { it =>
+      val acc = new Array[Long](dim * dim)
+      var n = 0L
+      it.foreach { e =>
+        n += 1
+        var i = 0
+        while (i < dim) {
+          val xi = e(i); val row = i * dim
+          var j = 0
+          while (j < dim) { acc(row + j) += xi * e(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator((n, acc.toSeq))
+    }.toDF("pn", "acc")
+      .materializeOnce() // feeds the 4096-term merge AND the count
+    val g = partials
+      .select(posexplode(col("acc")).as(Seq("k", "p")))
+      .groupBy(col("k")).agg(sum(col("p").cast("decimal(38,0)")).as("gsum"))
+      .crossJoin(broadcast( // 1-row normalizer: the corpus count
+        partials.agg(sum(col("pn")).cast("decimal(38,0)").as("n"))))
+      .select(intDiv(col("k"), lit(dim.toLong)).cast("int").as("i"),
+        pmod(col("k"), lit(dim)).cast("int").as("j"),
+        intDiv(col("gsum"), col("n")).as("g"))
       .materializeOnce() // every iteration joins it
     val is = corpus.sparkSession.range(dim).select(col("id").cast("int").as("i"))
     var v = is.withColumn("v", lit(256L))
@@ -697,5 +721,39 @@ object Similarity {
         .materializeOnce() // linear chain, not an exponential re-plan
     }
     v.select(col("i").cast("long").as("i"), col("v")).orderBy(col("i"))
+  }
+
+  /** Top-k vectors most ALIGNED with the dominant direction — the
+    * diagnostic that pairs with dominantDirection in the
+    * all-but-the-top recipe (vectors whose energy the top component
+    * owns are the ones whose similarity scores it distorts).
+    * alignment = (e·u)²/(e·e · u·u) ∈ [0,1], computed from exact
+    * integer dot products (fixed-point e, 256-scale u) with three IEEE
+    * double ops in fixed order — deterministic, so the oracle replays
+    * ranking AND values.
+    *
+    * Scale shape: u is 64 longs collected once (the bounded-driver
+    * contract of kCenterCoreset), scoring is one map over the corpus
+    * with a TakeOrdered(k) — no shuffle beyond dominantDirection's own
+    * partial-sum merge. */
+  def topAligned(
+      corpus: DataFrame, k: Int = 20, dim: Int = 64,
+      iters: Int = 8): DataFrame = {
+    val u = dominantDirection(corpus, dim, iters)
+      .orderBy(col("i")).collect().map(_.getLong(1)) // 64 bounded rows
+    val uu = u.map(x => x * x).sum
+    val fp = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6))).as("e"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val scored = fp.select(col("vec_id"),
+      dot(col("e"), typedlit(u.toSeq)).as("du"),
+      dot(col("e"), col("e")).as("ee"))
+    scored.filter(col("ee") > 0L)
+      .select(col("vec_id"),
+        (col("du").cast("double") * col("du").cast("double") /
+          (col("ee").cast("double") * lit(uu.toDouble))).as("align"))
+      .orderBy(col("align").desc, col("vec_id")).limit(k)
   }
 }

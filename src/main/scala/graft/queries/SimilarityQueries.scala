@@ -239,7 +239,16 @@ object SimilarityQueries {
     // bit-for-bit (unrolled w/m/v CTE triplets).
     Q("s55_power_iteration", Some(powerIterOracle),
       (s, d) => Similarity.dominantDirection(
-        emb(s, d), dim = 64, iters = powerIters))
+        emb(s, d), dim = 64, iters = powerIters)),
+
+    // all-but-the-top alignment diagnostic (s56): top-20 vectors whose
+    // energy the dominant direction owns — (e·u)²/(e·e·u·u) from exact
+    // integer dot products, three IEEE ops in fixed order. The oracle
+    // nests the full s55 replay to rebuild u, so the hash match covers
+    // the direction AND the per-vector ranking end to end.
+    Q("s56_abtt_alignment", Some(abttAlignOracle),
+      (s, d) => Similarity.topAligned(
+        emb(s, d), k = 20, dim = 64, iters = powerIters))
   )
 
   /** s55's iteration count — one constant drives the Spark loop AND
@@ -794,7 +803,7 @@ object SimilarityQueries {
     * HUGEINT Gram sums divided by n (`//` truncates toward zero exactly
     * like Spark's DIV — measured), then one w/m/v CTE triplet per
     * iteration with the 256-scale truncating renormalization. */
-  private lazy val powerIterOracle: String = {
+  private lazy val powerIterCtes: String = {
     val head = Seq(
       s"""fp AS (SELECT list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e6) AS BIGINT)) AS e
@@ -813,8 +822,33 @@ object SimilarityQueries {
       s"""v$t AS (SELECT i, CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
          |    ELSE CAST((w * 256) // m AS BIGINT) END AS v
          |  FROM w$t, m$t)""".stripMargin))
-    s"""WITH ${(head ++ steps).mkString(",\n")}
+    (head ++ steps).mkString(",\n")
+  }
+
+  private lazy val powerIterOracle: String =
+    s"""WITH $powerIterCtes
        |SELECT CAST(i AS BIGINT) AS i, v FROM v$powerIters
        |ORDER BY i""".stripMargin
-  }
+
+  /** s56: s55's full replay rebuilds u, then per-vector alignment
+    * (e·u)²/(e·e·u·u) from exact integer dots, three double ops in the
+    * Spark expression order. */
+  private lazy val abttAlignOracle: String =
+    s"""WITH $powerIterCtes,
+       |uvec AS (SELECT list(v ORDER BY i) AS u, sum(v * v) AS uu
+       |         FROM v$powerIters),
+       |fpv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e6) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |scored AS (SELECT vec_id,
+       |    list_sum(list_transform(list_zip(e, (SELECT u FROM uvec)),
+       |                            p -> p[1] * p[2])) AS du,
+       |    list_sum(list_transform(e, x -> x * x)) AS ee
+       |  FROM fpv)
+       |SELECT vec_id,
+       |  CAST(du AS DOUBLE) * CAST(du AS DOUBLE)
+       |    / (CAST(ee AS DOUBLE) * CAST((SELECT uu FROM uvec) AS DOUBLE))
+       |    AS align
+       |FROM scored WHERE ee > 0
+       |ORDER BY align DESC, vec_id LIMIT 20""".stripMargin
 }

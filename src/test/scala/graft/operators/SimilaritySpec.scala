@@ -267,4 +267,17 @@ class SimilaritySpec extends SparkSpec {
       .sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
     assert(v.toSeq === again.toSeq)
   }
+
+  test("topAligned ranks a pure-axis vector first with alignment ~1") {
+    val u = vec(21).map(x => x * 0.4f)
+    val rows = ((0 until 20).map { r =>
+      val sign = if (r % 2 == 0) 1f else -1f
+      val noise = vec(200 + r).map(_ * 0.05f)
+      (r.toLong, u.zip(noise).map { case (a, b) => sign * a + b })
+    } :+ ((99L, u))).toDF("vec_id", "embedding") // 99 IS the axis
+    val top = Similarity.topAligned(rows, k = 5).collect()
+    assert(top.head.getLong(0) === 99L, top.toSeq)
+    assert(top.head.getDouble(1) > 0.99, top.toSeq)
+    assert(top.forall(r => r.getDouble(1) <= 1.0 + 1e-12), top.toSeq)
+  }
 }
