@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Materialize.Ops
 
@@ -98,6 +98,55 @@ object Frequency {
     * hit the regime, and the spec pins the observed rel_err). Output is
     * one row: (m, n_zero, s_num, est, n_exact, rel_err) — the exact
     * count rides along so the sketch's error is itself a gated number. */
+  /** The register-value expression shared by every HLL entry point:
+    * lowest set bit of the 56-bit hash suffix `sw`, capped at 2^47
+    * (sw = 0 ⇒ the cap). */
+  private def hllP: Column =
+    when(col("sw") === 0L, lit(HllCap))
+      .otherwise(least(lit(HllCap), col("sw").bitwiseAND(-col("sw"))))
+
+  /** Per-key HLL registers over (key, w) rows → (key, b, pmax), at most
+    * 256·|keys| rows. Register max-merge is associative, commutative
+    * AND idempotent — partial register sets from different batches (or
+    * an at-least-once replay of the SAME batch) merge by groupBy-max
+    * into exactly the registers of the union. That's what makes the
+    * sketch streamable: see streaming.StreamingCardinality. */
+  def hllRegisters(
+      items: DataFrame, key: String,
+      oracleHash: Boolean = false): DataFrame = {
+    val h =
+      if (oracleHash) graft.expressions.RollingHash(col("w"))
+      else xxhash64(col("w"))
+    items.select(col(key), pmod(h, lit(HllBuckets.toLong)).as("b"),
+        shiftrightunsigned(h, 8).as("sw"))
+      .select(col(key), col("b"), hllP.as("p"))
+      .groupBy(col(key), col("b")).agg(max(col("p")).as("pmax"))
+  }
+
+  /** Per-key estimates from (possibly merged) registers plus a per-key
+    * exact-count frame (key, n_exact) — hllDistinct's arithmetic,
+    * keyed: same integer term sum, same single division. */
+  def hllEstimateByKey(
+      spark: SparkSession, regs: DataFrame, key: String,
+      exact: DataFrame): DataFrame = {
+    val allb = regs.select(col(key)).distinct()
+      .crossJoin(spark.range(HllBuckets).select(col("id").as("b")))
+    val terms = allb.join(regs, Seq(key, "b"), "left")
+      .select(col(key), col("pmax").isNull.as("isz"),
+        when(col("pmax").isNull, lit(1L << 48))
+          .otherwise(expr(s"${HllCap}L DIV pmax")).as("term"))
+    val sketch = terms.groupBy(col(key)).agg(
+      sum(col("term")).as("s_num"),
+      sum(when(col("isz"), 1L).otherwise(0L)).as("n_zero"))
+    val estCol = lit(HllAlphaScaled) / col("s_num").cast("double")
+    val exD = col("n_exact").cast("double")
+    sketch.join(exact, Seq(key))
+      .select(col(key), lit(HllBuckets.toLong).as("m"), col("n_zero"),
+        col("s_num"), estCol.as("est"), col("n_exact"),
+        (abs(estCol - exD) / exD).as("rel_err"))
+      .orderBy(col(key))
+  }
+
   def hllDistinct(
       spark: SparkSession, items: DataFrame,
       oracleHash: Boolean = false): DataFrame = {
@@ -108,9 +157,7 @@ object Frequency {
       .select(col("w"), pmod(h, lit(HllBuckets.toLong)).as("b"),
         shiftrightunsigned(h, 8).as("sw"))
       .materializeOnce() // feeds the registers AND the exact count
-    val p = when(col("sw") === 0L, lit(HllCap))
-      .otherwise(least(lit(HllCap), col("sw").bitwiseAND(-col("sw"))))
-    val regs = hashed.select(col("b"), p.as("p"))
+    val regs = hashed.select(col("b"), hllP.as("p"))
       .groupBy(col("b")).agg(max(col("p")).as("pmax"))
     val terms = spark.range(HllBuckets).select(col("id").as("b"))
       .join(regs, Seq("b"), "left")

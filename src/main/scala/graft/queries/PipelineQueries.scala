@@ -704,6 +704,48 @@ object PipelineQueries {
           .orderBy(col("p_id"), col("c_id"))
       }),
 
+    // streaming cardinality monitor (q161): the t53 HLL sketch as
+    // foreachBatch state — each event micro-batch reduces to its
+    // per-event-type registers (≤256·keys rows) in a batchId-keyed
+    // partial-sketch store; the estimate max-merges the partials at
+    // read time. Register merge is associative + idempotent, so the
+    // stream result equals the batch sketch over all events by
+    // construction — which is exactly what the oracle replays (per-key
+    // t53 arithmetic over raw events, rolling-hash mode per rule 12).
+    Q("q161_stream_cardinality", Some(streamCardinalityOracle),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ev = Tables.load(s, d, "events")
+        val root = Files.createTempDirectory("graft_q161")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val t0 = System.currentTimeMillis()
+        Seq(0, 1).foreach { i =>
+          val tmp = Files.createTempDirectory(s"graft_q161_b$i")
+          ev.filter(pmod(col("event_id"), lit(2L)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q161 chunk $i produced no parquet part"))
+          val dst = Paths.get(in, s"chunk_$i.parquet")
+          Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(t0 + i * 2000L)
+        }
+        val store = s"$root/regs"
+        val q = graft.streaming.StreamingCardinality.start(
+          s, in, store, oracleHash = true)
+        try q.processAllAvailable() finally q.stop()
+        graft.streaming.StreamingCardinality.estimateFromStore(s, store,
+          ev.groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("n_exact")))
+      }),
+
     // foreachBatch sink: micro-batches land as batchId-keyed parquet
     // (idempotent overwrite); reading the written files back and
     // re-aggregating must reproduce the batch hourly counts — a sink
@@ -885,5 +927,39 @@ object PipelineQueries {
        |WHERE cum >= CAST(ceil(q * n) AS BIGINT)
        |GROUP BY lang, q
        |ORDER BY lang, q""".stripMargin
+  }
+
+  /** q161: the per-key t53 HLL arithmetic over raw events — valid as
+    * the STREAM's oracle because register max-merge over any batch
+    * partition of the events equals the registers of the whole. */
+  private lazy val streamCardinalityOracle: String = {
+    import graft.operators.Frequency.{HllAlphaScaled, HllBuckets, HllCap}
+    val alpha = SimilarityQueries.dlit(HllAlphaScaled)
+    val uh = DedupQueries.polyHashSql("CAST(user_id AS VARCHAR)")
+    s"""WITH hashed AS (SELECT event_type, ($uh) AS hu FROM events),
+       |bw AS (SELECT event_type, CAST(hu % $HllBuckets AS BIGINT) AS b,
+       |              CAST(hu // $HllBuckets AS BIGINT) AS sw FROM hashed),
+       |pr AS (SELECT event_type, b, CASE WHEN sw = 0 THEN $HllCap
+       |                 ELSE least($HllCap, sw & (-sw)) END AS p FROM bw),
+       |regs AS (SELECT event_type, b, max(p) AS pmax FROM pr GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT event_type FROM events),
+       |allb AS (SELECT event_type, unnest(range(0, $HllBuckets)) AS b
+       |         FROM keys),
+       |terms AS (SELECT a.event_type, r.pmax IS NULL AS isz,
+       |    CASE WHEN r.pmax IS NULL THEN ${1L << 48}
+       |         ELSE $HllCap // r.pmax END AS term
+       |  FROM allb a LEFT JOIN regs r
+       |    ON a.event_type = r.event_type AND a.b = r.b),
+       |s AS (SELECT event_type, CAST(sum(term) AS BIGINT) AS s_num,
+       |        CAST(sum(CASE WHEN isz THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |      FROM terms GROUP BY 1),
+       |exd AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |        FROM events GROUP BY 1)
+       |SELECT s.event_type, CAST($HllBuckets AS BIGINT) AS m, s.n_zero,
+       |  s.s_num, $alpha / CAST(s.s_num AS DOUBLE) AS est, exd.n_exact,
+       |  abs($alpha / CAST(s.s_num AS DOUBLE) - CAST(exd.n_exact AS DOUBLE))
+       |    / CAST(exd.n_exact AS DOUBLE) AS rel_err
+       |FROM s JOIN exd ON s.event_type = exd.event_type
+       |ORDER BY s.event_type""".stripMargin
   }
 }
