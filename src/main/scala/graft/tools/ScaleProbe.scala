@@ -96,7 +96,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,s43,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,s43,s55,
     // codec,m52,m55,curation,q155,q148) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -356,6 +356,44 @@ object ScaleProbe {
       println(s"[probe]   frontier: ${frontier.length} points")
       require(frontier.toSeq == (0 until 10).map(_ + 10000000L),
         s"skyline broke at scale: ${frontier.take(12).toSeq}")
+    }
+    if (on("s55")) time("s55/s54/t53: spectra + coreset + HLL at n vectors") {
+      // n 64-dim vectors, uniform per dim EXCEPT dim 0 biased by +0.5 —
+      // the second-moment matrix is then dominated by e0 (var + 0.25 vs
+      // var), so the power iteration has a known answer at any n.
+      val dims = sequence(lit(1), lit(64))
+      def comp(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+          - lit(1.0)).cast("float")
+      val vecs = spark.range(n).toDF("vec_id")
+        .withColumn("embedding", transform(dims, i =>
+          when(i === 1, comp(col("vec_id") * 64 + i) + lit(0.5f))
+            .otherwise(comp(col("vec_id") * 64 + i))))
+      // dominant direction: ONE corpus pass (per-partition outer
+      // products), then 64-row iterations — wall-clock must not move
+      // with iteration count
+      val v = graft.operators.Similarity.dominantDirection(vecs).collect()
+      val vAbs = v.map(r => math.abs(r.getLong(1)))
+      println(s"[probe]   dominant dim: ${vAbs.indexOf(vAbs.max)} (planted 0)")
+      require(vAbs.indexOf(vAbs.max) == 0,
+        s"power iteration missed the planted +0.5 bias on dim 0")
+      // k-center: k corpus scans, no shuffle; radii must be
+      // non-increasing (the greedy max-min contract)
+      val picks = graft.operators.Similarity.kCenterCoreset(vecs, k = 8)
+        .collect()
+      val radii = picks.drop(1).map(_.getLong(2))
+      println(s"[probe]   k-center radii: ${radii.mkString(",")}")
+      require(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+        s"greedy k-center radii not monotone: ${radii.toSeq}")
+      // HLL at volume: n items over n/2 distinct keys — the mergeable
+      // registers cross however many partitions the corpus has
+      val items = spark.range(n)
+        .select((col("id") % lit(math.max(n / 2, 1L))).cast("string").as("w"))
+      val h = graft.operators.Frequency.hllDistinct(spark, items).head()
+      println(f"[probe]   HLL est=${h.getDouble(3)}%.1f " +
+        f"exact=${h.getLong(4)} rel_err=${h.getDouble(5)}%.4f")
+      require(h.getDouble(5) < 0.2,
+        s"HLL rel_err out of the 3-sigma band at scale: ${h.getDouble(5)}")
     }
     if (on("q148")) time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology
