@@ -255,4 +255,50 @@ object EventAnalytics {
       .select(col("q_id"), col("user_id"), col("inter_n"), col("union_n"),
         col("jacc"), col("rank"))
   }
+
+  /** Linear multi-touch attribution with EXACT integer credit: every
+    * conversion distributes `unit` credit units over its qualifying
+    * touches (same user, inside the lookback window ending at the
+    * conversion) by largest-remainder — base = unit DIV k per touch,
+    * the unit % k leftover units to the EARLIEST touches (ts, then
+    * event_id tiebreak). Exactly `unit` credit per touched conversion,
+    * conserved by construction (the q133 temperature-mix allocation
+    * trick applied to attribution), so the whole model is integer
+    * arithmetic and replayable — no float credit that sums to 99.999.
+    *
+    * Scale shape: conversions×touches is an equi-join on user_id with
+    * a time-bound predicate (the q83 join shape, batch form — AQE
+    * handles user skew); the rank window partitions by conversion id,
+    * bounded by touches-per-conversion inside one lookback window,
+    * so no unbounded partitions. Output is one row per touch type. */
+  def linearAttribution(
+      events: DataFrame, touchTypes: Seq[String],
+      convType: String = "purchase", lookbackMin: Int = 60,
+      unit: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = events.filter(col("event_type").isInCollection(touchTypes))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type"), col("ts").as("touch_ts"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") -
+          expr(s"INTERVAL $lookbackMin MINUTES"))
+    val wr = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val wk = Window.partitionBy(col("conv_id"))
+    joined
+      .withColumn("r", row_number().over(wr))
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("credit",
+        graft.operators.Layout.intDiv(lit(unit), col("k")) +
+          when(col("r") <= pmod(lit(unit), col("k")), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_units"),
+        countDistinct(col("conv_id")).as("n_conversions"))
+      .orderBy(col("event_type"))
+  }
 }

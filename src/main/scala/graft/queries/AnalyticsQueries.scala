@@ -364,7 +364,41 @@ object AnalyticsQueries {
           Seq(Seq("n_name", "n_regionkey", "c_mktsegment"),
             Seq("n_regionkey", "c_mktsegment"),
             Seq("n_regionkey"), Seq.empty), k = 20L)
-      })
+      }),
+
+    // linear multi-touch attribution (q162): every purchase splits 100
+    // integer credit units over its click/view touches in the hour
+    // before it, largest-remainder to the earliest touches — exactly
+    // 100 units per touched conversion by construction (the q133
+    // allocation trick), so credit conservation is part of the hash.
+    Q("q162_attribution", Some(
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_id AS touch_id, event_type, ts AS touch_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.conv_id, t.event_type, t.touch_id, t.touch_ts
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |   AND t.touch_ts <= c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 60 MINUTE),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY touch_ts, touch_id) AS r,
+        |    count(*) OVER (PARTITION BY conv_id) AS k
+        |  FROM j),
+        |c AS (
+        |  SELECT event_type, conv_id,
+        |    100 // k + CASE WHEN r <= 100 % k THEN 1 ELSE 0 END AS credit
+        |  FROM r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(credit) AS BIGINT) AS credit_units,
+        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => EventAnalytics.linearAttribution(
+        T(s, d, "events"), touchTypes = Seq("click", "view")))
   )
 
   /** q151's quantile probes; interpolated e-suffixed into the oracle

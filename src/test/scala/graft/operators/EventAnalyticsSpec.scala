@@ -136,4 +136,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.head._2 === 1.0)
     assert(out(1)._2 === (1.0 / 3.0))
   }
+
+  test("linearAttribution: largest-remainder split, conservation, window cut") {
+    // conversion 100 (user 1) has THREE touches inside the hour:
+    // 100 DIV 3 = 33 each, remainder 1 to the EARLIEST (the view at
+    // 10:00) → view 34, clicks 33+33. A click 61 minutes before is
+    // outside the lookback; an untouched purchase (user 2) gets no row.
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:20:00"), 2L),
+      (1L, "click", ts("2024-01-01 10:40:00"), 3L),
+      (1L, "click", ts("2024-01-01 09:59:00"), 4L), // 61 min before: out
+      (1L, "purchase", ts("2024-01-01 11:00:00"), 100L),
+      (2L, "purchase", ts("2024-01-01 11:00:00"), 101L)
+    ).map { case (u, t, time, id) => (id, time, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics
+      .linearAttribution(ev, touchTypes = Seq("click", "view"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq(("click", 2L, 66L, 1L), ("view", 1L, 34L, 1L)))
+    // conservation: exactly 100 units per touched conversion
+    assert(out.map(_._3).sum === 100L)
+  }
 }
