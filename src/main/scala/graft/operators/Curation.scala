@@ -462,4 +462,59 @@ object Curation {
         (col("tgt_mass").cast("double") / col("src_mass").cast("double"))
           .as("ratio"))
   }
+
+  /** Cross-document LINE dedup — the CCNet/C4 boilerplate pass
+    * (Wenzek et al. LREC 2020 dedup paragraphs by hash across the
+    * whole crawl; C4 drops any three-sentence span seen twice): a
+    * line appearing in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, license headers) and is dropped from
+    * every document; survivors reassemble in original order. Operates
+    * on an exploded (doc_id, pos, line) frame so the caller owns the
+    * line definition (split text on '\n' in production; the gate
+    * derives fixed-width token chunks since the synthetic corpus has
+    * no newlines).
+    *
+    * Returns one row per input document: (doc_id, n_lines, n_dropped,
+    * clean_md5) — the md5 of the space-rejoined surviving lines pins
+    * the reassembly order, not just the counts.
+    *
+    * Scale shape: the line-DF aggregate is a map-side-combining
+    * groupBy; the boilerplate set joins back by line value (at 100 TB
+    * you'd hash lines to int64 first — the shingleHashTable move —
+    * and broadcast the boilerplate set, which is small by definition:
+    * it's the lines that repeat). The reassembly collect_list is
+    * bounded by lines-per-document. */
+  def lineDedup(lines: DataFrame, minDocs: Long = 2L): DataFrame = {
+    val ln = lines.materializeOnce() // feeds DF, totals, and the anti-join
+    val boiler = ln.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs).select(col("line"))
+    val totals = ln.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val kept = ln.join(boiler, Seq("line"), "left_anti")
+    val clean = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("clean"),
+        count(lit(1)).as("n_kept"))
+    totals.join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-width token chunks as pseudo-lines: (doc_id, pos, line) for
+    * every non-empty `width`-token chunk — the gate's line definition
+    * for a corpus without newlines. */
+  def tokenChunkLines(docs: DataFrame, width: Int = 10): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0L),
+            graft.operators.Layout.intDiv(
+              size(col("toks")) + lit(width - 1), lit(width)) - 1L),
+          i => array_join(slice(col("toks"), (i * width + 1).cast("int"),
+            lit(width)), " ")))
+        .as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"))
 }

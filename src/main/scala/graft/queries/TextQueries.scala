@@ -607,8 +607,48 @@ object TextQueries {
         s, docs(s, d)
           .select(tokens(col("text")).as("toks"))
           .select(explode(shinglesFromTokens(col("toks"), 3)).as("w")),
-        oracleHash = true))
+        oracleHash = true)),
+
+    // cross-document line dedup (t54): the CCNet/C4 boilerplate pass —
+    // any line in ≥2 distinct documents is dropped from every document,
+    // survivors reassemble in original order (clean_md5 pins the
+    // reassembly, not just counts). Lines here are fixed 10-token
+    // chunks (the corpus has no newlines); production splits on '\n' —
+    // the operator takes the exploded line frame either way.
+    Q("t54_line_dedup", Some(lineDedupOracle),
+      (s, d) => graft.operators.Curation.lineDedup(
+        graft.operators.Curation.tokenChunkLines(docs(s, d))))
   )
+
+  /** t54: chunk derivation, distinct-doc line DF, anti-join, ordered
+    * reassembly and the md5 pin — replayed step for step. */
+  private lazy val lineDedupOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |lines0 AS (SELECT doc_id, unnest(range(0, (len(w) + 9) // 10)) AS pos, w
+      |           FROM toks),
+      |ln AS (SELECT doc_id, pos,
+      |         array_to_string(w[(pos*10+1):(pos*10+10)], ' ') AS line
+      |       FROM lines0
+      |       WHERE length(array_to_string(w[(pos*10+1):(pos*10+10)], ' ')) > 0),
+      |boiler AS (SELECT line FROM (
+      |             SELECT line, count(DISTINCT doc_id) AS df
+      |             FROM ln GROUP BY line)
+      |           WHERE df >= 2),
+      |totals AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+      |kept AS (SELECT l.doc_id, l.pos, l.line
+      |         FROM ln l LEFT JOIN boiler b ON l.line = b.line
+      |         WHERE b.line IS NULL),
+      |clean AS (SELECT doc_id,
+      |            array_to_string(list(line ORDER BY pos), ' ') AS clean,
+      |            count(*) AS n_kept
+      |          FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+      |  CAST(t.n_lines - coalesce(c.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(c.clean, '')) AS clean_md5
+      |FROM totals t LEFT JOIN clean c ON t.doc_id = c.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** t53: the bit-trick HLL replayed — unsigned suffix via hu // 256,
     * lowest-set-bit via sw & -sw on the BIGINT suffix, register max,

@@ -213,6 +213,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup drops cross-doc repeated lines, keeps order, handles all-dropped") {
+    import spark.implicits._
+    // "cookie banner" appears in docs 1 and 2 → dropped from both;
+    // doc 3 is ENTIRELY the banner → everything dropped, md5("")
+    val lines = Seq(
+      (1L, 0L, "unique alpha"), (1L, 1L, "cookie banner"), (1L, 2L, "unique beta"),
+      (2L, 0L, "cookie banner"), (2L, 1L, "other text"),
+      (3L, 0L, "cookie banner")
+    ).toDF("doc_id", "pos", "line")
+    val out = Curation.lineDedup(lines).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, h("unique alpha unique beta")), // order preserved
+      (2L, 2L, 1L, h("other text")),
+      (3L, 1L, 1L, h(""))))                        // fully-boilerplate doc
+    // within-doc repetition alone is NOT boilerplate (df counts docs)
+    val solo = Seq((9L, 0L, "same line"), (9L, 1L, "same line"))
+      .toDF("doc_id", "pos", "line")
+    val kept = Curation.lineDedup(solo).head()
+    assert(kept.getLong(2) === 0L, kept) // nothing dropped
+  }
+
   test("filterAgreement: confusion counts and exact metrics") {
     // TP×3, FP×1, FN×2, TN×4 → n=10
     val verdicts = Seq(
