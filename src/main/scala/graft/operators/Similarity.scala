@@ -756,4 +756,36 @@ object Similarity {
           (col("ee").cast("double") * lit(uu.toDouble))).as("align"))
       .orderBy(col("align").desc, col("vec_id")).limit(k)
   }
+
+  /** Matryoshka prefix-dimension retrieval check (Kusupati et al.,
+    * NeurIPS 2022: nested representations where a prefix of the
+    * embedding is itself a usable embedding): exact top-k over the
+    * first `prefixDim` dims vs exact top-k over the full vector,
+    * overlap per query — the number that tells you whether a 4×
+    * cheaper prefix index is safe for first-stage retrieval. Both
+    * rankings are the proven s41 fold, so the whole comparison is
+    * deterministic and oracle-replayable; queries with zero overlap
+    * still appear (right join), because recall 0 is the finding.
+    * Zero-norm prefixes (all signal past prefixDim) have undefined
+    * cosine and are excluded from the prefix ranking — under ANSI mode
+    * that's a hard divide-by-zero, not a quiet NaN; the query still
+    * reports recall 0. */
+  def prefixDimRecall(
+      corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      prefixDim: Int = 16): DataFrame = {
+    def cut(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDim).as("embedding"))
+      .filter(dotFold(col("embedding"), col("embedding")) > 0.0)
+    val full = bruteForceKnn(corpus, queries, k)
+      .select(col("q_id"), col("vec_id"))
+    val pre = bruteForceKnn(cut(corpus), cut(queries), k)
+      .select(col("q_id"), col("vec_id"))
+    full.join(pre, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(queries.select(col("vec_id").as("q_id")), Seq("q_id"), "right")
+      .select(col("q_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall",
+        col("n_overlap").cast("double") / lit(k.toDouble))
+      .orderBy(col("q_id"))
+  }
 }

@@ -248,7 +248,17 @@ object SimilarityQueries {
     // the direction AND the per-vector ranking end to end.
     Q("s56_abtt_alignment", Some(abttAlignOracle),
       (s, d) => Similarity.topAligned(
-        emb(s, d), k = 20, dim = 64, iters = powerIters))
+        emb(s, d), k = 20, dim = 64, iters = powerIters)),
+
+    // Matryoshka prefix-dim recall (s57): exact top-10 over the first
+    // 16 dims vs the full 64 — per-query overlap as a hash-gated
+    // number, the go/no-go for serving a 4× cheaper prefix index as
+    // first-stage retrieval. Both rankings replay the s41 fold; a
+    // zero-overlap query still appears (recall 0 IS the finding).
+    Q("s57_matryoshka_recall", Some(matryoshkaOracle),
+      (s, d) => Similarity.prefixDimRecall(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10,
+        prefixDim = 16))
   )
 
   /** s55's iteration count — one constant drives the Spark loop AND
@@ -312,6 +322,40 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** The prefix zero-norm guard mirrored from Similarity
+    * .prefixDimRecall's `cut` — the fold's squared norm. */
+  private def sqNormSql(e: String): String =
+    s"list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** s57: both rankings (full 64-dim and 16-dim prefix slices)
+    * replayed with the s41 fold, overlap counted, recall = n/10. */
+  private lazy val matryoshkaOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 5),
+       |rf AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("q.q_emb", "e.embedding")} DESC, e.vec_id) AS rank
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 10),
+       |rp AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("q.q_emb[1:16]", "e.embedding[1:16]")} DESC,
+       |        e.vec_id) AS rank
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+       |  WHERE ${sqNormSql("e.embedding[1:16]")} > 0
+       |    AND ${sqNormSql("q.q_emb[1:16]")} > 0)
+       |  WHERE rank <= 10),
+       |ov AS (SELECT rf.q_id, count(*) AS n_overlap
+       |       FROM rf JOIN rp ON rf.q_id = rp.q_id AND rf.vec_id = rp.vec_id
+       |       GROUP BY rf.q_id)
+       |SELECT q.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+       |    AS recall
+       |FROM q LEFT JOIN ov ON q.q_id = ov.q_id
+       |ORDER BY q.q_id""".stripMargin
 
   /** s53: the s41 brute replay with the near-dup ceiling applied
     * BEFORE ranking — ranks re-number over the surviving negatives. */

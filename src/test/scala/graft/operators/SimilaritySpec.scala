@@ -268,6 +268,32 @@ class SimilaritySpec extends SparkSpec {
     assert(v.toSeq === again.toSeq)
   }
 
+  test("prefixDimRecall: 1.0 when the prefix carries the signal, low when it doesn't") {
+    // corpus A: all signal in dims 0-15 (rest zero) → prefix ranking
+    // must equal the full ranking, recall 1.0 for every query
+    def frontLoaded(seed: Int) = {
+      val v = vec(seed)
+      v.zipWithIndex.map { case (x, i) => if (i < 16) x else 0f }
+    }
+    val a = (0L until 12L).map(i => (i, frontLoaded(40 + i.toInt)))
+      .toDF("vec_id", "embedding")
+    val ra = Similarity.prefixDimRecall(
+      a, a.filter($"vec_id" < 2), k = 5, prefixDim = 16).collect()
+    assert(ra.forall(_.getDouble(2) === 1.0), ra.toSeq)
+    // corpus B: all signal in dims 48-63 (prefix is ZERO — cosine over
+    // the prefix is NaN/undefined) → overlap must be reported, not
+    // crash; every query still gets a row (right-join contract)
+    def backLoaded(seed: Int) = {
+      val v = vec(seed)
+      v.zipWithIndex.map { case (x, i) => if (i >= 48) x else 0f }
+    }
+    val b = (0L until 12L).map(i => (i, backLoaded(60 + i.toInt)))
+      .toDF("vec_id", "embedding")
+    val rb = Similarity.prefixDimRecall(
+      b, b.filter($"vec_id" < 2), k = 5, prefixDim = 16).collect()
+    assert(rb.length === 2, rb.toSeq)
+  }
+
   test("topAligned ranks a pure-axis vector first with alignment ~1") {
     val u = vec(21).map(x => x * 0.4f)
     val rows = ((0 until 20).map { r =>
