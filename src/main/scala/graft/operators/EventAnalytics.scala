@@ -256,6 +256,49 @@ object EventAnalytics {
         col("jacc"), col("rank"))
   }
 
+  /** Ingest-volume anomaly detection — the data-quality monitor a
+    * pipeline runs on every source: hourly event counts per type,
+    * each hour tested against its trailing window's mean ± z·std.
+    * The test is the EXACT INTEGER inequality
+    *   (n·x − S)² > z²·(n·Sxx − S²)
+    * (multiply the usual |x−μ| > z·σ through by n² — no division, no
+    * sqrt, no float boundary), so the flag is deterministic and
+    * replayable. A zero-variance history flags ANY deviation — the
+    * strictest honest reading. Hours with fewer than `minTrail`
+    * trailing samples report false with zeroed terms (no baseline, no
+    * verdict).
+    *
+    * Scale shape: the hourly rollup is a map-side-combining groupBy;
+    * the trailing window partitions by event_type over HOURS (bounded
+    * rows per partition at any event volume — the aggregation happens
+    * before the window, not under it). */
+  def volumeAnomalies(
+      events: DataFrame, trailHours: Int = 24, z: Long = 3L,
+      minTrail: Long = 12L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-trailHours, -1)
+    val withTrail = hourly.select(col("event_type"), col("h"), col("x"),
+      coalesce(sum(col("x")).over(w), lit(0L)).as("s"),
+      coalesce(sum(col("x") * col("x")).over(w), lit(0L)).as("sxx"),
+      count(col("x")).over(w).as("trail_n"))
+    val dev2 = (col("trail_n") * col("x") - col("s")) *
+      (col("trail_n") * col("x") - col("s"))
+    val bound = lit(z * z) *
+      (col("trail_n") * col("sxx") - col("s") * col("s"))
+    withTrail.select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("x").as("n_events"), col("trail_n"),
+        when(col("trail_n") >= minTrail, dev2).otherwise(0L).as("dev2"),
+        when(col("trail_n") >= minTrail, bound).otherwise(0L).as("bound"))
+      .withColumn("is_anomaly",
+        col("trail_n") >= minTrail && col("dev2") > col("bound"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Linear multi-touch attribution with EXACT integer credit: every
     * conversion distributes `unit` credit units over its qualifying
     * touches (same user, inside the lookback window ending at the

@@ -398,7 +398,42 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => EventAnalytics.linearAttribution(
-        T(s, d, "events"), touchTypes = Seq("click", "view")))
+        T(s, d, "events"), touchTypes = Seq("click", "view"))),
+
+    // ingest-volume anomaly monitor (q163): hourly counts per type
+    // tested against the trailing-24h window with the exact integer
+    // inequality (n·x − S)² > 9·(n·Sxx − S²) — |x−μ| > 3σ multiplied
+    // through by n², so the flag has no float boundary and the whole
+    // monitor hash-matches. Hours with <12 trailing samples report
+    // false with zeroed terms.
+    Q("q163_volume_anomaly", Some(
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |trail AS (
+        |  SELECT event_type, h, x,
+        |    CAST(coalesce(sum(x) OVER w, 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(x * x) OVER w, 0) AS BIGINT) AS sxx,
+        |    CAST(count(x) OVER w AS BIGINT) AS trail_n
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |terms AS (
+        |  SELECT event_type, h, x AS n_events, trail_n,
+        |    CASE WHEN trail_n >= 12
+        |         THEN (trail_n * x - s) * (trail_n * x - s)
+        |         ELSE 0 END AS dev2,
+        |    CASE WHEN trail_n >= 12
+        |         THEN 9 * (trail_n * sxx - s * s) ELSE 0 END AS bound
+        |  FROM trail)
+        |SELECT event_type,
+        |  strftime(CAST(h AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS h,
+        |  CAST(n_events AS BIGINT) AS n_events, trail_n,
+        |  CAST(dev2 AS BIGINT) AS dev2, CAST(bound AS BIGINT) AS bound,
+        |  trail_n >= 12 AND dev2 > bound AS is_anomaly
+        |FROM terms
+        |ORDER BY event_type, h""".stripMargin),
+      (s, d) => EventAnalytics.volumeAnomalies(T(s, d, "events")))
   )
 
   /** q151's quantile probes; interpolated e-suffixed into the oracle

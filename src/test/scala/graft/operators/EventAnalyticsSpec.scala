@@ -137,6 +137,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(1)._2 === (1.0 / 3.0))
   }
 
+  test("volumeAnomalies: planted spike flags, zero-variance flags any change") {
+    import spark.implicits._
+    // 14 flat hours at 5 events, then hour 14 spikes to 50: trailing
+    // stats are zero-variance (all 5s) → bound = 0, dev2 > 0 → flagged.
+    // Hour 13 (still 5 events, 13 trailing samples) must NOT flag.
+    // Hours 0-11 have <12 trailing samples → false with zeroed terms.
+    val ev = (0 until 15).flatMap { hr =>
+      val cnt = if (hr == 14) 50 else 5
+      (0 until cnt).map(i =>
+        (hr * 100L + i, ts(f"2024-01-01 $hr%02d:30:00"), 1L, "click"))
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.volumeAnomalies(ev).collect()
+      .map(r => (r.getString(1).substring(11, 13).toInt,
+        r.getLong(2), r.getLong(3), r.getBoolean(6))).sortBy(_._1)
+    assert(out.count(_._4) === 1)
+    assert(out.find(_._1 == 14).get._4 === true)   // the spike
+    assert(out.find(_._1 == 13).get._4 === false)  // flat hour: no flag
+    assert(out.filter(_._1 < 12).forall(!_._4))    // no baseline yet
+  }
+
   test("linearAttribution: largest-remainder split, conservation, window cut") {
     // conversion 100 (user 1) has THREE touches inside the hour:
     // 100 DIV 3 = 33 each, remainder 1 to the EARLIEST (the view at
