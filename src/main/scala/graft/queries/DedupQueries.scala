@@ -484,20 +484,7 @@ object DedupQueries {
     // recall assumption. Supplier names differ in digit positions, so
     // near pairs concentrate exactly where the rare grams are.
     Q("d52_editdist_join", Some(
-      """WITH g AS (
-        |  SELECT s_suppkey AS gid, s_name AS s,
-        |         unnest(list_transform(range(1, length(s_name) - 1),
-        |                i -> substr(s_name, CAST(i AS INT), 3))) AS gram
-        |  FROM supplier),
-        |gd AS (SELECT DISTINCT gid, s, gram FROM g),
-        |rare AS (SELECT gram FROM (
-        |           SELECT gram, count(*) AS df FROM gd GROUP BY gram)
-        |         WHERE df <= 20),
-        |cand AS (
-        |  SELECT DISTINCT a.gid AS id_a, b.gid AS id_b, a.s AS sa, b.s AS sb
-        |  FROM gd a JOIN rare r ON a.gram = r.gram
-        |  JOIN gd b ON b.gram = r.gram AND a.gid < b.gid
-        |  WHERE abs(length(a.s) - length(b.s)) <= 2)
+      s"""WITH $editDistCtes
         |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
         |FROM cand
         |WHERE levenshtein(sa, sb) <= 2
@@ -505,6 +492,45 @@ object DedupQueries {
       (s, d) => graft.operators.StringSim.editDistanceJoin(
         graft.Tables.load(s, d, "supplier"), "s_suppkey", "s_name",
         maxDist = 2, q = 3, maxDf = 20)),
+
+    // entity-resolution golden record (q164): d52's typo-tolerant
+    // candidate pairs → connected components → one canonical record
+    // per multi-member cluster (min key, its name, member count) —
+    // the record-linkage merge worklist. The oracle composes the d52
+    // CTEs with the d44-style recursive reachability walk verbatim.
+    Q("q164_entity_resolution", Some(
+      s"""WITH RECURSIVE $editDistCtes,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand WHERE levenshtein(sa, sb) <= 2),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d),
+        |cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        |gold AS (SELECT cluster_id, min(id) AS canonical_id,
+        |           count(*) AS n_members
+        |         FROM cc GROUP BY cluster_id)
+        |SELECT g.cluster_id, g.canonical_id, s.s_name AS canonical_name,
+        |  g.n_members
+        |FROM gold g JOIN supplier s ON s.s_suppkey = g.canonical_id
+        |ORDER BY g.cluster_id""".stripMargin),
+      (s, d) => {
+        val sup = graft.Tables.load(s, d, "supplier")
+        val pairs = graft.operators.StringSim.editDistanceJoin(
+          sup, "s_suppkey", "s_name", maxDist = 2, q = 3, maxDf = 20)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .groupBy(col("cluster_id"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_members"))
+          .join(sup.select(col("s_suppkey").as("canonical_id"),
+            col("s_name").as("canonical_name")), Seq("canonical_id"))
+          .select(col("cluster_id"), col("canonical_id"),
+            col("canonical_name"), col("n_members"))
+          .orderBy(col("cluster_id"))
+      }),
 
     // multi-pass sorted-neighborhood dedup (q160): the Hernández-Stolfo
     // blocking classic — sort-key (n_chars) buckets, per-bucket sliding
@@ -520,6 +546,25 @@ object DedupQueries {
   /** q160's window/bucket constants — one definition, two engines. */
   private lazy val snmWindow: Int = 4
   private lazy val snmWidth: Long = 32L
+
+  /** d52/q164 shared CTE chain (q-gram index, DF cap, length-banded
+    * candidates) ending in `cand(id_a, id_b, sa, sb)` — one definition
+    * for the pair query AND the entity-resolution composition. */
+  private lazy val editDistCtes: String =
+    """g AS (
+      |  SELECT s_suppkey AS gid, s_name AS s,
+      |         unnest(list_transform(range(1, length(s_name) - 1),
+      |                i -> substr(s_name, CAST(i AS INT), 3))) AS gram
+      |  FROM supplier),
+      |gd AS (SELECT DISTINCT gid, s, gram FROM g),
+      |rare AS (SELECT gram FROM (
+      |           SELECT gram, count(*) AS df FROM gd GROUP BY gram)
+      |         WHERE df <= 20),
+      |cand AS (
+      |  SELECT DISTINCT a.gid AS id_a, b.gid AS id_b, a.s AS sa, b.s AS sb
+      |  FROM gd a JOIN rare r ON a.gram = r.gram
+      |  JOIN gd b ON b.gram = r.gram AND a.gid < b.gid
+      |  WHERE abs(length(a.s) - length(b.s)) <= 2)""".stripMargin
 
   /** q160: both SNM passes replayed — the per-doc distinct shingle LIST
     * (slice semantics matching shinglesFromTokens), half-shifted bucket

@@ -315,6 +315,26 @@ class DedupSpec extends SparkSpec {
     assert(a.head._1 === 1L) // the degree-3 hub carries the most rank
   }
 
+  test("entity resolution: typo variants collapse to one canonical record") {
+    import spark.implicits._
+    // "Acme Corp" + two typo variants chain into one cluster; the
+    // unrelated name stays out (it would otherwise be a 4th member)
+    val sup = Seq(
+      (10L, "Acme Corporation"), (11L, "Acme Corporatian"),
+      (12L, "Acme Corporation!"), (50L, "Zenith Industrial")
+    ).toDF("s_suppkey", "s_name")
+    val pairs = StringSim.editDistanceJoin(
+      sup, "s_suppkey", "s_name", maxDist = 2, q = 3, maxDf = 20)
+      .select(col("id_a"), col("id_b"))
+    val gold = Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_members")).collect()
+    assert(gold.length === 1, gold.toSeq)
+    assert(gold.head.getLong(1) === 10L) // canonical = min key
+    assert(gold.head.getLong(2) === 3L)  // all three variants, not Zenith
+  }
+
   test("sortedNeighborhoodPairs: window finds neighbors, shifted pass heals boundaries") {
     import spark.implicits._
     // width=32 buckets cut at n_chars 32: docs 31/33 are near-dups that
