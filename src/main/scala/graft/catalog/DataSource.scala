@@ -43,6 +43,10 @@ final case class FileTable(name: String, fpath: String) {
       }
     case "orc" => spark.read.orc(fpath)
     case "json" => spark.read.json(fpath)
+    case "xml" =>
+      // Spark 4 ships the XML source natively; <row> is the element
+      // the writer emits, so round-trips need no configuration
+      spark.read.option("rowTag", "row").xml(fpath)
     case other =>
       throw new QueryExecutionException(s"Unsupported table format .$other for $fpath")
   }
@@ -193,9 +197,9 @@ class DataSource(
   def saveTable(
       name: String, df: DataFrame, format: String = "parquet",
       partitionBy: Seq[String] = Nil): Unit = {
-    if (!Set("csv", "json", "parquet", "orc").contains(format))
+    if (!Set("csv", "json", "parquet", "orc", "xml").contains(format))
       throw new QueryExecutionException(
-        s"Unsupported table format .$format (csv, json, parquet, orc)")
+        s"Unsupported table format .$format (csv, json, parquet, orc, xml)")
     if (tables.contains(norm(name)))
       throw new QueryExecutionException(
         s"Table $name already exists in data source, use DROP TABLE to " +
@@ -211,6 +215,8 @@ class DataSource(
       case "csv" => partitioned.option("header", "true").csv(path)
       case "json" => partitioned.json(path)
       case "orc" => partitioned.orc(path)
+      case "xml" => partitioned.option("rootTag", "rows")
+        .option("rowTag", "row").xml(path)
       case _ => partitioned.parquet(path)
     }
     val t = FileTable(name, path)

@@ -176,10 +176,17 @@ class DataSourceSpec extends SparkSpec {
     ds.saveTable("surv_parquet", survivors)
     ds.saveTable("surv_csv", survivors, format = "csv")
     ds.saveTable("surv_orc", survivors, format = "orc")
+    ds.saveTable("surv_xml", survivors, format = "xml")
     ds.saveTable("surv_part", survivors, partitionBy = Seq("sex"))
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_parquet").head.getLong(0) === 4)
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_csv").head.getLong(0) === 4)
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_orc").head.getLong(0) === 4)
+    // Spark 4 native XML: write and re-read through the same facade,
+    // including a value predicate to show the schema survived
+    assert(ds.queryDF("SELECT count(*) AS n FROM surv_xml").head.getLong(0) === 4)
+    assert(ds.queryDF(
+      "SELECT count(*) AS n FROM surv_xml WHERE sex = 'female'")
+      .head.getLong(0) === 4)
     assert(ds.queryDF("SELECT count(*) AS n FROM surv_part WHERE sex = 'female'")
       .head.getLong(0) === 4)
     // persisted across instances
