@@ -1122,6 +1122,37 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental duplicate clusters — the dup graph's
+    * index-not-recompute pattern (the d53 signature store's graph
+    * sibling): a prior run's (doc_id, cluster_id) assignment is
+    * star-compressed into doc→label edges, TODAY'S new pairs are
+    * unioned in, and only that graph is re-labeled. Because every old
+    * label is itself a member id of its component,
+    * CC(star(CC(A)) ∪ B) = CC(A ∪ B) with identical min-id labels —
+    * union-find path compression as a theorem, so the d56 gate
+    * hash-matches the full-recompute oracle verbatim.
+    *
+    * Scale shape: the star edge list is one row per previously-paired
+    * doc (already the size of the assignment table — no corpus text,
+    * no re-shingling, no pair re-verification), and the CC fixpoint
+    * runs on a graph whose old components are DIAMETER 1, so label
+    * propagation over them converges in one round regardless of how
+    * tangled the original pair graph was. Singleton prior rows
+    * (doc_id = cluster_id) carry no edge; untouched ones survive
+    * unchanged via the anti-join. */
+  def mergeIncrementalClusters(
+      prior: DataFrame, newPairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val star = prior.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    val cc = connectedComponents(
+      star.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxRounds)
+    val untouched = prior.filter(col("doc_id") === col("cluster_id"))
+      .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    cc.unionByName(untouched)
+  }
+
   /** Multi-pass sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD
     * 1995 — the classic record-linkage blocking alternative to LSH): a
     * cheap sort key (n_chars) places near-duplicates close together;

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.Dedup
+import graft.operators.Materialize.Ops
 
 /** Deduplication operators over the documents table. The synthetic corpus
   * plants ~5% near-duplicate pairs (word-level perturbations), so the
@@ -80,27 +81,29 @@ object DedupQueries {
     // set (transitive closure — A~B~C collapses even without an A~C
     // pair). Spark runs distributed min-label propagation; the oracle
     // replays reachability with a recursive CTE.
-    Q("d44_dup_clusters", Some(
-      s"""WITH RECURSIVE $ngramPairCtes,
-         |pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM pairs),
-         |walk(id, lbl) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d)
-         |SELECT id AS doc_id, min(lbl) AS cluster_id
-         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin),
+    Q("d44_dup_clusters", Some(dupClustersOracle),
       (s, d) => Dedup.connectedComponents(
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
         .orderBy(col("doc_id"))),
+
+    // incremental clusters (d56): the dup GRAPH's index-not-recompute
+    // edition — a prior run's (doc_id, cluster_id) assignment is
+    // star-compressed into doc→label edges and only TODAY'S new pairs
+    // are added before re-labeling. CC(star(CC(A)) ∪ B) = CC(A ∪ B)
+    // (union-find path compression as a theorem), so the gate
+    // hash-matches the FULL-RECOMPUTE oracle verbatim — the strongest
+    // form of store ≡ recompute. Rule 13 applies (minhash pair set
+    // under the brute-force oracle).
+    Q("d56_incremental_clusters", Some(dupClustersOracle),
+      (s, d) => {
+        val pairs = Dedup
+          .minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20)
+          .materializeOnce() // split into old/new below (rule 5)
+        val isOld = col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9
+        val prior = Dedup.connectedComponents(pairs.filter(isOld))
+        Dedup.mergeIncrementalClusters(prior, pairs.filter(!isOld))
+          .orderBy(col("doc_id"))
+      }),
 
     // split-leakage audit: near-duplicate pairs that straddle the
     // train/val/test assignment — the contamination mode that silently
@@ -546,6 +549,30 @@ object DedupQueries {
   /** q160's window/bucket constants — one definition, two engines. */
   private lazy val snmWindow: Int = 4
   private lazy val snmWidth: Long = 32L
+
+  /** d44/d56 shared oracle: brute-force exact-Jaccard pairs (valid
+    * while MinHash recall is 100% — rule 13) + the recursive
+    * reachability walk. d56 shares it VERBATIM because incremental
+    * merge over star-compressed prior labels provably equals the full
+    * recompute. */
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** d52/q164 shared CTE chain (q-gram index, DF cap, length-banded
     * candidates) ending in `cand(id_a, id_b, sa, sb)` — one definition

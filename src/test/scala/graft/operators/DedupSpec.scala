@@ -315,6 +315,26 @@ class DedupSpec extends SparkSpec {
     assert(a.head._1 === 1L) // the degree-3 hub carries the most rank
   }
 
+  test("mergeIncrementalClusters: bridges old clusters, keeps untouched singletons") {
+    import spark.implicits._
+    // prior run: {1,2} labeled 1, {10,11} labeled 10, singleton 50.
+    // Today's pair (2,10) must MERGE the two old clusters under the
+    // global min label 1; 50 must survive untouched as its own cluster.
+    val prior = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (50L, 50L))
+      .toDF("doc_id", "cluster_id")
+    val newPairs = Seq((2L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.mergeIncrementalClusters(prior, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L),
+      (50L, 50L)))
+    // equivalence theorem on the same graph: full recompute over the
+    // original pairs + the new pair gives the identical assignment
+    val full = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L), (2L, 10L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.filter(_._1 != 50L).toSeq === full.toSeq)
+  }
+
   test("entity resolution: typo variants collapse to one canonical record") {
     import spark.implicits._
     // "Acme Corp" + two typo variants chain into one cluster; the
