@@ -396,4 +396,40 @@ class PlanPropertiesSpec extends SparkSpec {
     val names = PlanInspect.nodeNames(run("q150_transition_matrix"))
     assert(!names.exists(_.contains("Join")), names)
   }
+
+  test("q163 anomaly monitor aggregates hours BEFORE the window") {
+    // the trailing window must run over the hourly rollup, never raw
+    // events — the aggregate is what bounds window partitions at any
+    // event volume. Both an Aggregate and a Window must appear, and
+    // the window must be partitioned (no single-task fallback).
+    val plan = PlanInspect.formatted(run("q163_volume_anomaly"))
+    assert(!plan.contains("WindowExec: No Partition Defined"), plan)
+    val names = PlanInspect.nodeNames(run("q163_volume_anomaly"))
+    assert(names.exists(_.contains("Aggregate")), names)
+    assert(names.exists(_.contains("Window")), names)
+    assert(!names.exists(_.contains("Join")), names) // rollup + window only
+  }
+
+  test("q162 attribution joins conversions to touches as an equi-join, windows bounded") {
+    // the user_id equi-join (with the time bound as a post-join filter)
+    // must not degrade to a cartesian/nested-loop; rank windows
+    // partition by conversion id
+    val plan = PlanInspect.formatted(run("q162_attribution"))
+    assert(!plan.contains("WindowExec: No Partition Defined"), plan)
+    val names = PlanInspect.nodeNames(run("q162_attribution"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("q160 SNM windows are bucket-partitioned — the no-global-sort contract") {
+    // the whole point of the bucketed formulation: neither pass may
+    // fall into an unpartitioned (single-task) window. The formatted
+    // plan prints every windowspecdefinition with its partition
+    // expressions — assert each one names the bucket.
+    val plan = PlanInspect.formatted(run("q160_sorted_neighborhood"))
+    val specs = "windowspecdefinition\\(([^,]*)," .r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, plan)
+    assert(specs.forall(_.contains("bucket")), specs)
+  }
 }
