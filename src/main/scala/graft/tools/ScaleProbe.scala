@@ -96,7 +96,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,s43,s55,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,s43,s55,t54,
     // codec,m52,m55,curation,q155,q148) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -356,6 +356,37 @@ object ScaleProbe {
       println(s"[probe]   frontier: ${frontier.length} points")
       require(frontier.toSeq == (0 until 10).map(_ + 10000000L),
         s"skyline broke at scale: ${frontier.take(12).toSeq}")
+    }
+    if (on("t54")) time("t54/q160: line dedup + SNM at n docs") {
+      // line dedup: each planted dup shares lines 1-5 of its source's 6
+      // ten-token lines (only line 6 differs, in the last word), and a
+      // 10-word line collision between UNRELATED docs is ~1000⁻¹⁰ — so
+      // the cross-doc boilerplate drop must hit exactly the paired docs
+      val ld = graft.operators.Curation.lineDedup(
+        graft.operators.Curation.tokenChunkLines(docs))
+      val hit = ld.filter(col("n_dropped") >= 5).count()
+      val expectLd = 2 * (n / 20)
+      println(s"[probe]   line-dedup docs losing ≥5 lines: $hit (expect $expectLd)")
+      require(hit == expectLd,
+        s"line dedup missed planted boilerplate at scale: $hit/$expectLd")
+      // SNM with a REAL blocking key (hash of the first 3 words):
+      // source and dup share the prefix → same key → same bucket and
+      // adjacent in order; window=4 absorbs the ~birthday-rate key
+      // collisions at 1e9 key space. The probe asserts ≥99% planted
+      // recall — SNM's honest contract GIVEN a good key (its blind
+      // spot, keys that don't cluster dups, is spec-pinned).
+      val keyed = docs.select(col("doc_id"),
+        pmod(xxhash64(substring_index(col("text"), " ", 3)),
+          lit(1000000000L)).as("n_chars"),
+        col("text"))
+      val pairs = graft.operators.Dedup.sortedNeighborhoodPairs(keyed)
+      val planted = pairs
+        .filter(col("id_b") >= n && col("id_a") === (col("id_b") - n) * 20)
+        .count()
+      val expectSnm = n / 20
+      println(s"[probe]   SNM planted recalled: $planted/$expectSnm")
+      require(planted >= expectSnm * 99 / 100,
+        s"SNM recall broke at scale: $planted/$expectSnm")
     }
     if (on("s55")) time("s55/s54/t53: spectra + coreset + HLL at n vectors") {
       // n 64-dim vectors, uniform per dim EXCEPT dim 0 biased by +0.5 —
