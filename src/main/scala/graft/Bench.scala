@@ -41,7 +41,12 @@ object Bench {
     "t38_tfidf", "t41_repetition", "q90_domain_mix", "q96_corpus_build",
     // analytics / graph / vocab
     "q103_funnel", "q123_heavy_hitters", "q132_bpe_step",
-    "q136_graph_triangles", "q148_pagerank")
+    "q136_graph_triangles", "q148_pagerank",
+    // round-9 flagships: store-pattern cluster merge, SNM, sketch,
+    // spectra, streaming sketch state, boilerplate pass
+    "d56_incremental_clusters", "q160_sorted_neighborhood",
+    "t53_hll_distinct", "s55_power_iteration",
+    "q161_stream_cardinality", "t54_line_dedup")
 
   /** Degradation ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at
