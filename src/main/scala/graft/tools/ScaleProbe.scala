@@ -96,7 +96,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,s43,s55,t54,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,s43,s55,t54,
     // codec,m52,m55,curation,q155,q148) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -109,7 +109,7 @@ object ScaleProbe {
     }
     val docs = spark.read.parquet(s"$out/documents.parquet")
 
-    val pairs = if (on("d38") || on("d44")) time("d38: LSH candidates→verify") {
+    val pairs = if (on("d38") || on("d44") || on("d56")) time("d38: LSH candidates→verify") {
       val p = graft.operators.Dedup.minhashVerifiedPairs(
         docs, threshold = 0.5, maxDf = 200)
       val c = p.count(); println(s"[probe]   verified pairs: $c"); p
@@ -129,6 +129,30 @@ object ScaleProbe {
       val cc = graft.operators.Dedup.connectedComponents(
         pairs.select(col("id_a"), col("id_b")))
       println(s"[probe]   clusters: ${cc.select("cluster_id").distinct().count()}")
+    }
+    if (on("d56")) time("d56: incremental cluster merge ≡ recompute") {
+      // half of the verified pairs are "yesterday's" graph, half arrive
+      // today: merging today's pairs into the star-compressed prior
+      // assignment must reproduce the full recompute EXACTLY (the
+      // CC(star(CC(A))∪B) = CC(A∪B) theorem, asserted at probe volume
+      // by symmetric set difference). d56 implies d38 (needs pairs).
+      val oldPairs = pairs.filter(col("id_b") % 2 === 0)
+      val newPairs = pairs.filter(col("id_b") % 2 === 1)
+      val prior = graft.operators.Dedup.connectedComponents(oldPairs)
+        .localCheckpoint() // the prior run's stored assignment
+      val t0 = System.nanoTime()
+      val merged = graft.operators.Dedup
+        .mergeIncrementalClusters(prior, newPairs).localCheckpoint()
+      println(f"[probe]   incremental merge: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(${merged.count()} rows)")
+      val t1 = System.nanoTime()
+      val full = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b"))).localCheckpoint()
+      println(f"[probe]   full recompute:    ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        s"(${full.count()} rows)")
+      require(merged.except(full).count() == 0 &&
+        full.except(merged).count() == 0,
+        "incremental cluster merge diverged from the full recompute")
     }
     if (on("d53")) time("d53: persisted-store incremental dedup") {
       // the r9 daily-ingest pattern at probe volume: corpus = the base
