@@ -503,6 +503,51 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-aware batching efficiency — the dynamic-batching question
+    * every training/inference pipeline answers before fixing its
+    * collator: if documents are batched in LENGTH order instead of
+    * arrival order, how much padding disappears? Within each lang
+    * shard, docs are cut into `batchSize`-doc batches two ways
+    * (length-sorted vs doc_id arrival); a batch's padding is
+    * count·max(len) − Σlen (every member padded to the batch max).
+    * All integer arithmetic — the saving ratio is the single final
+    * division — so both orderings' waste hash-match exactly.
+    *
+    * Scale shape: windows partition by the shard (lang); at 100 TB the
+    * shard key is whatever unit batches are drawn from (file, worker
+    * split), keeping window partitions at shard size — there is never
+    * a global sort. */
+  def lengthBatchingEfficiency(
+      docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Layout.intDiv
+    val base = docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .materializeOnce() // two window orderings over the same frame
+    def wastePerLang(w: org.apache.spark.sql.expressions.WindowSpec,
+        tag: String): DataFrame =
+      base.withColumn("b",
+          intDiv(row_number().over(w).cast("long") - 1L,
+            lit(batchSize.toLong)))
+        .groupBy(col("lang"), col("b"))
+        .agg((count(lit(1)) * max(col("n_chars")) - sum(col("n_chars")))
+          .as("pad"))
+        .groupBy(col("lang"))
+        .agg(sum(col("pad")).as(s"pad_$tag"), count(lit(1)).as(s"nb_$tag"))
+    val sorted = wastePerLang(
+      Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id")),
+      "sorted")
+    val arrival = wastePerLang(
+      Window.partitionBy(col("lang")).orderBy(col("doc_id")), "arrival")
+    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    counts.join(sorted, Seq("lang")).join(arrival, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("nb_sorted").as("n_batches"),
+        col("pad_sorted"), col("pad_arrival"),
+        when(col("pad_arrival") === 0L, lit(0.0))
+          .otherwise((col("pad_arrival") - col("pad_sorted")).cast("double")
+            / col("pad_arrival").cast("double")).as("saving"))
+      .orderBy(col("lang"))
+  }
+
   /** Fixed-width token chunks as pseudo-lines: (doc_id, pos, line) for
     * every non-empty `width`-token chunk — the gate's line definition
     * for a corpus without newlines. */

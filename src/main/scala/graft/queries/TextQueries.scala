@@ -617,7 +617,46 @@ object TextQueries {
     // the operator takes the exploded line frame either way.
     Q("t54_line_dedup", Some(lineDedupOracle),
       (s, d) => graft.operators.Curation.lineDedup(
-        graft.operators.Curation.tokenChunkLines(docs(s, d))))
+        graft.operators.Curation.tokenChunkLines(docs(s, d)))),
+
+    // length-aware batching efficiency (q165): padding waste of
+    // 32-doc batches in length order vs arrival order, per lang shard
+    // — the dynamic-batching payoff as an exact integer (the saving
+    // ratio is the one final division). Both orderings replay as
+    // partitioned row_number windows.
+    Q("q165_batch_padding", Some(
+      """WITH base AS (SELECT lang, doc_id, n_chars FROM documents),
+        |bs AS (
+        |  SELECT lang,
+        |    (row_number() OVER (PARTITION BY lang
+        |       ORDER BY n_chars, doc_id) - 1) // 32 AS b,
+        |    n_chars
+        |  FROM base),
+        |ps AS (SELECT lang, count(*) * max(n_chars) - sum(n_chars) AS pad
+        |       FROM bs GROUP BY lang, b),
+        |srt AS (SELECT lang, CAST(sum(pad) AS BIGINT) AS pad_sorted,
+        |          CAST(count(*) AS BIGINT) AS n_batches
+        |        FROM ps GROUP BY lang),
+        |ba AS (
+        |  SELECT lang,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 32
+        |      AS b,
+        |    n_chars
+        |  FROM base),
+        |pa AS (SELECT lang, count(*) * max(n_chars) - sum(n_chars) AS pad
+        |       FROM ba GROUP BY lang, b),
+        |arr AS (SELECT lang, CAST(sum(pad) AS BIGINT) AS pad_arrival
+        |        FROM pa GROUP BY lang),
+        |cnt AS (SELECT lang, count(*) AS n_docs FROM base GROUP BY lang)
+        |SELECT c.lang, c.n_docs, s.n_batches, s.pad_sorted, a.pad_arrival,
+        |  CASE WHEN a.pad_arrival = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(a.pad_arrival - s.pad_sorted AS DOUBLE)
+        |         / CAST(a.pad_arrival AS DOUBLE) END AS saving
+        |FROM cnt c JOIN srt s ON c.lang = s.lang
+        |JOIN arr a ON c.lang = a.lang
+        |ORDER BY c.lang""".stripMargin),
+      (s, d) => graft.operators.Curation.lengthBatchingEfficiency(
+        docs(s, d)))
   )
 
   /** t54: chunk derivation, distinct-doc line DF, anti-join, ordered

@@ -213,6 +213,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lengthBatchingEfficiency: hand-computed waste, zero-waste guard") {
+    import spark.implicits._
+    // lang a, batchSize 2, lengths 10,10,100,100 in arrival order
+    // 10,100,10,100: arrival batches (10,100),(10,100) waste 90+90=180;
+    // sorted batches (10,10),(100,100) waste 0 → saving 1.0.
+    // lang b: all equal lengths → both orderings waste 0 → saving 0.0
+    // (the div-by-zero guard).
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 100L), (3L, "a", 10L), (4L, "a", 100L),
+      (5L, "b", 50L), (6L, "b", 50L), (7L, "b", 50L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = Curation.lengthBatchingEfficiency(docs, batchSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      ("a", 4L, 2L, 0L, 180L, 1.0),
+      ("b", 3L, 2L, 0L, 0L, 0.0)))
+  }
+
   test("lineDedup drops cross-doc repeated lines, keeps order, handles all-dropped") {
     import spark.implicits._
     // "cookie banner" appears in docs 1 and 2 → dropped from both;
