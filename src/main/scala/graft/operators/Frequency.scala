@@ -147,6 +147,48 @@ object Frequency {
       .orderBy(col(key))
   }
 
+  /** Count-Min sketch point estimates (Cormode & Muthukrishnan 2005)
+    * for the exact top-k items — the frequency sibling of the HLL
+    * sketch, completing the repo's mergeable-summary family (HLL =
+    * cardinality, CMS = frequency, Misra–Gries = heavy hitters, Bloom
+    * = membership). depth hashed counter rows of `width` cells each;
+    * an item's estimate is the MIN of its cells. Counters are plain
+    * integer sums (mergeable by cell-wise addition — the 100 TB story:
+    * a sketch per partition/day, summed, never the corpus re-counted),
+    * so the whole estimate is bit-exact replayable, and the one-sided
+    * error guarantee — estimate ≥ exact, always — ships as a
+    * hash-gated column rather than spec prose.
+    *
+    * Output: the exact top-k items with (n_exact, est, overcount)
+    * — overcount/width·Σn is the classic ε bound a user checks here
+    * before trusting the sketch for the long tail. */
+  def countMinTopK(
+      spark: SparkSession, items: DataFrame, k: Int = 20,
+      width: Int = 1024, depth: Int = 4,
+      oracleHash: Boolean = false): DataFrame = {
+    def bucket(i: Int): Column = {
+      val salted = concat(lit(s"cms$i"), col("w"))
+      val h =
+        if (oracleHash) graft.expressions.RollingHash(salted)
+        else xxhash64(salted)
+      pmod(h, lit(width.toLong))
+    }
+    val ws = items.select(col("w")).materializeOnce() // counters + exact
+    val counters = ws.select(posexplode(
+        array((0 until depth).map(bucket): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")) // ≤ depth·width rows: broadcastable
+    val exact = ws.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(k)
+    exact.select(col("w"), col("n_exact"), posexplode(
+        array((0 until depth).map(bucket): _*)).as(Seq("row", "bucket")))
+      .join(broadcast(counters), Seq("row", "bucket"))
+      .groupBy(col("w"), col("n_exact")).agg(min(col("cnt")).as("est"))
+      .select(col("w"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount")) // ≥ 0, a theorem
+      .orderBy(col("n_exact").desc, col("w"))
+  }
+
   def hllDistinct(
       spark: SparkSession, items: DataFrame,
       oracleHash: Boolean = false): DataFrame = {

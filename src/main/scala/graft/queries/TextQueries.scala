@@ -656,8 +656,50 @@ object TextQueries {
         |JOIN arr a ON c.lang = a.lang
         |ORDER BY c.lang""".stripMargin),
       (s, d) => graft.operators.Curation.lengthBatchingEfficiency(
-        docs(s, d)))
+        docs(s, d))),
+
+    // Count-Min sketch (t55): frequency estimates for the exact top-20
+    // shingles from 4×1024 integer counters — the mergeable frequency
+    // sketch completing the summary family (HLL/MG/Bloom/CMS). The
+    // one-sided guarantee (est ≥ exact, always) ships as the
+    // hash-gated overcount column. Counters are plain integer sums, so
+    // the oracle replays cells, min, everything; rolling-hash oracle
+    // mode per rule 12.
+    Q("t55_count_min", Some(countMinOracle),
+      (s, d) => graft.operators.Frequency.countMinTopK(
+        s, docs(s, d)
+          .select(tokens(col("text")).as("toks"))
+          .select(explode(shinglesFromTokens(col("toks"), 3)).as("w")),
+        oracleHash = true))
   )
+
+  /** t55: the 4×1024 counter build, per-item cell lookup and min —
+    * replayed cell for cell (salted polynomial hashes, rule 12). */
+  private lazy val countMinOracle: String = {
+    val width = 1024
+    val depth = 4
+    def bSql(i: Int, wexpr: String) =
+      s"CAST((${DedupQueries.polyHashSql(s"('cms$i' || $wexpr)")}) % $width AS BIGINT)"
+    val cnts = (0 until depth).map(i =>
+      s"SELECT $i AS row, ${bSql(i, "w")} AS bucket, count(*) AS cnt " +
+        "FROM words GROUP BY 2").mkString("\nUNION ALL\n")
+    val eb = (0 until depth).map(i =>
+      s"SELECT w, n_exact, $i AS row, ${bSql(i, "w")} AS bucket FROM exact")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${DedupQueries.ngramShingleCte},
+       |words AS (SELECT sh AS w FROM ex),
+       |cnts AS ($cnts),
+       |exact AS (SELECT w, count(*) AS n_exact FROM words GROUP BY w
+       |          ORDER BY n_exact DESC, w LIMIT 20),
+       |eb AS ($eb),
+       |est AS (SELECT e.w, e.n_exact, min(c.cnt) AS est
+       |        FROM eb e JOIN cnts c ON e.row = c.row AND e.bucket = c.bucket
+       |        GROUP BY e.w, e.n_exact)
+       |SELECT w, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(est AS BIGINT) AS est,
+       |  CAST(est - n_exact AS BIGINT) AS overcount
+       |FROM est ORDER BY n_exact DESC, w""".stripMargin
+  }
 
   /** t54: chunk derivation, distinct-doc line DF, anti-join, ordered
     * reassembly and the md5 pin — replayed step for step. */

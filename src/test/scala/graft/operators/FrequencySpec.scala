@@ -58,6 +58,25 @@ class FrequencySpec extends SparkSpec {
     }
   }
 
+  test("countMinTopK: one-sided error, forced-collision limit, partition-invariant") {
+    import spark.implicits._
+    val items = (0 until 2000).map(i => s"k${i % 100}") // 100 keys × 20
+      .toDF("w")
+    val out = Frequency.countMinTopK(spark, items, k = 10).collect()
+    assert(out.length === 10)
+    // the CMS theorem: estimates never undercount
+    assert(out.forall(r => r.getLong(2) >= r.getLong(1)), out.toSeq)
+    assert(out.forall(_.getLong(1) === 20L)) // uniform exact counts
+    // counters are plain sums → partitioning cannot move any cell
+    val again = Frequency
+      .countMinTopK(spark, items.repartition(13), k = 10).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // width=1 forces every key into one cell: est = total rows exactly
+    val crowded = Frequency
+      .countMinTopK(spark, items, k = 3, width = 1, depth = 2).collect()
+    assert(crowded.forall(_.getLong(2) === 2000L), crowded.toSeq)
+  }
+
   test("hllDistinct: estimate within the 3σ HLL bound, partition-invariant") {
     import spark.implicits._
     // 5000 distinct keys, duplicated ×3 — duplicates must not move the
