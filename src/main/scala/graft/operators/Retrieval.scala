@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.operators.Materialize.Ops
+
+/** Lexical (sparse) retrieval over the documents corpus: the BM25
+  * ranking function (Robertson & Spärck Jones probabilistic relevance
+  * framework; the Okapi formulation) as a pure DataFrame pipeline.
+  *
+  * Scoring contract — exact integer fixed-point, no floats anywhere:
+  * the classic BM25 term score is
+  *
+  *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * with k1 = 1.2, b = 0.75. Both factors are made exactly rational:
+  *
+  *   - the length ratio dl/avgdl is carried as
+  *     r = (10^6·dl·N) div L   (avgdl = L/N; one floor, both engines);
+  *   - the tf saturation becomes 22·10^6·tf / (10^7·tf + 3·10^6 + 9r)
+  *     after clearing denominators (k1 = 6/5, b = 3/4 exactly);
+  *   - the idf uses the RATIONAL form (2(N−df)+1)/(2df+1) — i.e. the
+  *     Robertson–Spärck Jones odds (N−df+0.5)/(df+0.5) with the ln()
+  *     dropped, the same engine-portability decision as t38's tf-idf:
+  *     ln implementations can differ in the last ulp across engines,
+  *     the odds ratio is exact integer arithmetic. ln is monotone so
+  *     single-term rankings are unchanged; multi-term sums weight rare
+  *     terms more sharply than log-idf BM25 (documented divergence).
+  *
+  * The per-term score is one integral division
+  *   (10^4·(2(N−df)+1)·22·10^6·tf) div ((2df+1)·(10^7·tf + 3·10^6 + 9r))
+  * whose PRODUCTS ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — Spark's
+  * `div` on decimals returns a silently-wrapping BIGINT, so the design
+  * keeps every QUOTIENT under 2^63 by construction (≤ ~10^4·2.2·(2N+1),
+  * fine past sf100) while intermediates exceed it freely.
+  *
+  * Scale shape (the inverted-index access path): the exploded token
+  * table is pruned to query terms by a broadcast join BEFORE any
+  * per-document work, so only the postings of |Q| terms flow into tf/df
+  * aggregation — at 100 TB that is the difference between scanning the
+  * corpus once (unavoidable, for postings) and shuffling it (avoided;
+  * the only wide ops touch |Q| postings lists). Document lengths are a
+  * map-side-combined count; corpus constants (N, L) are 1-row frames
+  * cross-joined in, never driver actions.
+  */
+object Retrieval {
+
+  /** Token postings (doc_id, w), one row per occurrence, repartitioned
+    * before the row-amplifying explode (test parquet is single-split). */
+  def postings(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+
+  /** Harness query-set derivation: corpus frequency ranks 11..16 (top-10
+    * skipped as stopword-ish) grouped 3 terms apiece into 2 queries.
+    * Data-derived with a total (n desc, w) tiebreak so a testdata regen
+    * cannot orphan the vocabulary. Production callers pass their own
+    * (query_id, w) frame to [[bm25TopK]]. */
+  def frequencyDerivedQueries(toks: DataFrame): DataFrame = {
+    val byFreq = Window.orderBy(col("n").desc, col("w"))
+    toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(16) // window then sees 16 rows
+      .withColumn("rn", row_number().over(byFreq))
+      .filter(col("rn") >= 11)
+      .selectExpr("(rn - 11) div 3 AS query_id", "w")
+  }
+
+  /** Top-k documents per query under the exact fixed-point BM25 above.
+    *
+    * @param docs    documents frame with (doc_id, text)
+    * @param queries (query_id: int64-able, w: string) query terms
+    * @param k       results per query
+    * @return (query_id, rank, doc_id, score_scaled, n_terms) — rank is
+    *         dense per query with a doc_id tiebreak; score_scaled is the
+    *         10^4-scaled integer BM25 sum; n_terms the matched terms.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    core(postings(docs).materializeOnce(), docs, queries, k)
+
+  /** Convenience: BM25 top-k against the harness-derived query set —
+    * ONE materialized explode feeds query derivation, postings, dl, L. */
+  def bm25TopKDerived(docs: DataFrame, k: Int): DataFrame = {
+    val toks = postings(docs).materializeOnce()
+    core(toks, docs, frequencyDerivedQueries(toks), k)
+  }
+
+  private def core(
+      toks: DataFrame, docs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    // corpus constants as 1-row broadcast frames: L = Σdl, N = |docs|
+    val meta = toks.agg(count(lit(1)).as("l"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+
+    // inverted-index prune FIRST: only query-term postings survive
+    val posting = toks.join(broadcast(queries), Seq("w"))
+    val tf = posting.groupBy(col("query_id"), col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = posting.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
+    val scored = tf
+      .join(broadcast(dfr), Seq("w"))
+      .join(lens, Seq("doc_id")) // postings ⋈ lens: only matched docs
+      .crossJoin(broadcast(meta))
+      .withColumn("r",
+        expr("(cast(1000000 as decimal(38,0)) * dl * n_docs) div l"))
+      .withColumn("term_score", expr(
+        """(cast(10000 as decimal(38,0)) * (2*(n_docs - df) + 1)
+          |   * (22000000 * tf))
+          | div
+          |(cast(2*df + 1 as decimal(38,0))
+          |   * (10000000*tf + 3000000 + 9*r))""".stripMargin))
+
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_scaled"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(byScore).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_scaled"), col("n_terms"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -670,8 +670,55 @@ object TextQueries {
         s, docs(s, d)
           .select(tokens(col("text")).as("toks"))
           .select(explode(shinglesFromTokens(col("toks"), 3)).as("w")),
-        oracleHash = true))
+        oracleHash = true)),
+
+    // BM25 lexical retrieval (t56): top-10 documents per query under the
+    // Okapi ranking function in exact integer fixed point — the sparse
+    // half of the retrieval family (the dense half is s41–s57). The
+    // queries are harness-derived (corpus frequency ranks 11..16, 3
+    // terms apiece); the idf is the RATIONAL Robertson–Spärck Jones
+    // odds (ln dropped — t38's engine-portability decision); every
+    // product rides DECIMAL(38,0)/HUGEINT, every quotient fits int64 by
+    // construction. See operators/Retrieval.scala for the derivation.
+    Q("t56_bm25_topk", Some(bm25Oracle),
+      (s, d) => graft.operators.Retrieval.bm25TopKDerived(docs(s, d), 10))
   )
+
+  /** t56 oracle: the same fixed-point BM25, HUGEINT for the products,
+    * `//` for the floors (truncation ≡ Spark div on these all-positive
+    * operands — CLAUDE.md rule 21). */
+  private lazy val bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+      |qt AS (
+      |  SELECT (rn - 11) // 3 AS query_id, w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rn FROM cnt)
+      |  WHERE rn BETWEEN 11 AND 16),
+      |meta AS (SELECT (SELECT count(*) FROM toks) AS l,
+      |                (SELECT count(*) FROM documents) AS n_docs),
+      |posting AS (
+      |  SELECT qt.query_id, qt.w, toks.doc_id FROM toks JOIN qt USING (w)),
+      |tf AS (SELECT query_id, w, doc_id, count(*) AS tf
+      |       FROM posting GROUP BY 1, 2, 3),
+      |dfr AS (SELECT w, count(DISTINCT doc_id) AS df FROM posting GROUP BY w),
+      |lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |scored AS (
+      |  SELECT tf.query_id, tf.doc_id,
+      |         (10000::HUGEINT * (2*(n_docs - df) + 1) * (22000000 * tf)) //
+      |         ((2*df + 1)::HUGEINT * (10000000*tf + 3000000 +
+      |            9 * ((1000000::HUGEINT * dl * n_docs) // l))) AS term_score
+      |  FROM tf JOIN dfr USING (w) JOIN lens USING (doc_id) CROSS JOIN meta),
+      |agg AS (SELECT query_id, doc_id, sum(term_score) AS s,
+      |               count(*) AS n_terms
+      |        FROM scored GROUP BY 1, 2),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+      |       FROM agg)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      |       CAST(s AS BIGINT) AS score_scaled, CAST(n_terms AS BIGINT) AS n_terms
+      |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** t55: the 4×1024 counter build, per-item cell lookup and min —
     * replayed cell for cell (salted polynomial hashes, rule 12). */

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The spec's own BigInt replica of the fixed-point term score —
+    * independent arithmetic, same contract (Retrieval.scala scaling). */
+  private def termScore(n: Long, l: Long, df: Long, tf: Long, dl: Long): BigInt = {
+    val r = (BigInt(1000000) * dl * n) / l
+    (BigInt(10000) * (2 * (n - df) + 1) * (BigInt(22000000) * tf)) /
+      ((BigInt(2) * df + 1) * (BigInt(10000000) * tf + 3000000 + 9 * r))
+  }
+
+  test("bm25TopK matches a hand-replicated fixed-point score on a tiny corpus") {
+    // corpus: N=3 docs, L=9 tokens; query {apple, pie}
+    val docs = Seq(
+      (1L, "apple pie apple"),   // tf(apple)=2, tf(pie)=1, dl=3
+      (2L, "apple cake x y"),    // tf(apple)=1, dl=4
+      (3L, "banana z")           // no match, dl=2
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, "apple"), (0L, "pie")).toDF("query_id", "w")
+
+    val out = Retrieval.bm25TopK(docs, queries, 10).collect()
+      .map(r => (r.getLong(2), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+
+    val (n, l) = (3L, 9L)
+    val d1 = termScore(n, l, df = 2, tf = 2, dl = 3) + // apple in 2 docs
+      termScore(n, l, df = 1, tf = 1, dl = 3)          // pie in 1 doc
+    val d2 = termScore(n, l, df = 2, tf = 1, dl = 4)
+    assert(out(1L) === ((1L, d1.toLong, 2L)), s"doc1 got ${out(1L)}")
+    assert(out(2L) === ((2L, d2.toLong, 1L)), s"doc2 got ${out(2L)}")
+    assert(!out.contains(3L), "unmatched doc must not appear")
+    assert(d1 > d2, "two matched terms must outrank one")
+  }
+
+  test("rarer term dominates under the rational idf (retrieval sanity)") {
+    // 'rare' hits 1 of 12 docs, 'common' hits 11 of 12; equal tf/dl →
+    // the rare-term doc must rank first for the two-term query.
+    val docs = ((1L to 11L).map(i => (i, s"common pad$i")) :+
+      (12L, "rare pad12")).toDF("doc_id", "text")
+    val queries = Seq((0L, "rare"), (0L, "common")).toDF("query_id", "w")
+    val top = Retrieval.bm25TopK(docs, queries, 1).collect()(0)
+    assert(top.getLong(2) === 12L, s"rare-term doc not ranked 1: $top")
+  }
+
+  test("ranks are dense per query with a doc_id tiebreak") {
+    // identical docs → identical scores; rank order must be doc_id
+    val docs = (1L to 5L).map(i => (i, "tie tie")).toDF("doc_id", "text")
+    val queries = Seq((0L, "tie"), (1L, "tie")).toDF("query_id", "w")
+    val out = Retrieval.bm25TopK(docs, queries, 3).collect()
+    assert(out.length === 6)
+    for (q <- Seq(0L, 1L)) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toList === List(1L, 2L, 3L))
+      assert(rows.map(_.getLong(2)).toList === List(1L, 2L, 3L),
+        "equal scores must tiebreak by doc_id")
+      assert(rows.map(_.getLong(3)).distinct.length === 1)
+    }
+  }
+
+  test("postings prune broadcasts the query terms (inverted-index access path)") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val df = Retrieval.bm25TopKDerived(docs, 10)
+    df.collect() // final AQE plan (rule 8)
+    val names = graft.tools.PlanInspect.nodeNames(df)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"query-term prune did not broadcast: ${names.distinct.mkString(",")}")
+  }
+
+  test("derived queries: 6 terms, 2 queries, stable under re-derivation") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val toks = Retrieval.postings(docs)
+    val a = Retrieval.frequencyDerivedQueries(toks).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toList
+    val b = Retrieval.frequencyDerivedQueries(toks).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toList
+    assert(a === b, "query derivation must be deterministic")
+    assert(a.length === 6 && a.map(_._1).distinct === List(0L, 1L))
+  }
+}
