@@ -946,6 +946,71 @@ object Dedup {
       .orderBy(col("pr").desc, col("doc_id"))
   }
 
+  /** Probe-iteration count of the most recent [[kCore]] run. */
+  @volatile private[graft] var kCoreRoundsLastRun: Int = 0
+
+  /** k-core decomposition of the near-dup graph (Seidman 1983; the
+    * Batagelj–Zaveršnik peel, distributed): iteratively delete every
+    * node with fewer than k neighbors until none remains, returning the
+    * maximal subgraph of minimum degree k. On a dup graph the 2-core
+    * separates CLIQUE-LIKE duplicate clusters (template spam — every
+    * member survives) from transitive CHAINS (threshold artifacts —
+    * peeled away end-first), a structural signal triangleCensus gives
+    * only in aggregate.
+    *
+    * Shape per round: the static symmetrized edge list is semi-joined
+    * to the shrinking alive set on BOTH endpoints, then one map-side
+    * combined degree count — two semi-joins + one groupBy, and AQE turns
+    * both semi-joins into broadcasts as soon as the alive set is small.
+    * The fixpoint probe (alive count, strictly non-increasing — and the
+    * alive set only shrinks, so equal counts mean equal sets) rides the
+    * round's checkpoint job as an Observation metric, exactly the
+    * [[connectedComponents]] pattern. Rounds are data-bounded by the
+    * peel depth (degeneracy ordering), not the graph diameter. */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 60): DataFrame = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .materializeOnce() // feeds every round; don't recompute the pairs
+    def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("c")).materializeOnce()
+      (ck, obs.get("c").asInstanceOf[Long])
+    }
+    def survivors(alive: DataFrame): DataFrame =
+      edges
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("id"))
+    var (alive, n) =
+      checkpointWithCount(edges.select(col("src").as("id")).distinct())
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val (ck, m) = checkpointWithCount(survivors(alive))
+      converged = m == n
+      n = m
+      alive = ck
+      rounds += 1
+    }
+    kCoreRoundsLastRun = rounds
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds — peel depth " +
+          "exceeds the bound; raise maxRounds (the oracle replay cap " +
+          "must match)")
+    // degrees within the settled core (min k by construction)
+    edges
+      .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-contamination check — the decontamination step every
     * training-corpus build runs: how much of each document's shingle set
     * appears in a benchmark/eval set's shingles? The benchmark side is a

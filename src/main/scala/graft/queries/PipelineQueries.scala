@@ -301,6 +301,43 @@ object PipelineQueries {
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20),
         iters = 3)),
 
+    // k-core decomposition (2-core) of the near-dup graph: the
+    // structural cluster-quality signal — clique-like template-spam
+    // clusters survive the peel intact, transitive chains (threshold
+    // artifacts) dissolve end-first. Exact integer peeling; the oracle
+    // replays the SAME round-synchronous peel as a recursive CTE whose
+    // per-round working table mirrors the operator's alive set (cap 60
+    // = the operator's maxRounds; the operator THROWS past it, so a
+    // cap-truncated oracle can never silently diverge). Pair set under
+    // the brute-force exact-Jaccard oracle (rule 13).
+    Q("q166_kcore", Some(
+      s"""WITH RECURSIVE ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |alive(id, rnd) AS (
+         |  SELECT DISTINCT s, 0 FROM e
+         |  UNION
+         |  SELECT a.id, a.rnd + 1 FROM alive a
+         |  WHERE a.rnd < 60
+         |    AND (SELECT count(*) FROM e JOIN alive x ON x.id = e.d
+         |         WHERE e.s = a.id) >= 2),
+         |core AS (SELECT id FROM alive WHERE rnd = 60),
+         |deg AS (
+         |  SELECT e.s AS doc_id, count(*) AS core_deg
+         |  FROM e JOIN core ca ON ca.id = e.s JOIN core cb ON cb.id = e.d
+         |  GROUP BY e.s)
+         |SELECT doc_id, CAST(core_deg AS BIGINT) AS core_deg
+         |FROM deg ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Dedup.kCore(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20),
+        k = 2)),
+
     // relative (within-domain) quality filter: keep the top half of
     // each source by quality score — CCNet/RefinedWeb-style curation
     // where thresholds are per-domain, not global. percent_rank has a

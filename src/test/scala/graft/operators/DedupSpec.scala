@@ -381,4 +381,29 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === again)
   }
+
+  test("kCore(2): cliques survive the peel, chains dissolve completely") {
+    import spark.implicits._
+    // clique {1,2,3} ∪ tail 3-4 ∪ disjoint path 10-11-12-13
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val out = Dedup.kCore(pairs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be exactly the triangle: $out")
+    // the path needed TWO peel rounds (ends first, then middles) — the
+    // fixpoint probe must have seen at least rounds=3 (2 peels + stable)
+    assert(Dedup.kCoreRoundsLastRun >= 3, Dedup.kCoreRoundsLastRun)
+  }
+
+  test("kCore(3): a 4-clique survives k=3 with full degrees, k=4 empties it") {
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 :+ ((4L, 5L))).toDF("id_a", "id_b")
+    val core3 = Dedup.kCore(pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3)
+    assert(Dedup.kCore(pairs, k = 4).count() === 0L,
+      "no 4-core exists in a 4-clique")
+  }
 }
