@@ -94,6 +94,56 @@ object Profiling {
     levels.reduce(_ union _).orderBy(col("level"))
   }
 
+  /** l-diversity ladder (Machanavajjhala et al., TKDD 2007) — the audit
+    * k-anonymity misses: a class can be large (k-anonymous) yet expose
+    * its members' SENSITIVE attribute because every member shares one
+    * value. For each generalization level, report the equivalence
+    * classes whose count of distinct sensitive values is below l, the
+    * rows they expose, and the level's minimum diversity.
+    *
+    * Scale shape, one notch deeper than [[kAnonymityLadder]]'s rollup:
+    * distinct counts don't sum across levels, but the finest
+    * (QI..., sensitive) CLASS-VALUE table — bounded by distinct
+    * combinations, not rows — rolls up exactly: a coarser level groups
+    * it on (subset-QI, sensitive), and per-class diversity is then a
+    * plain row count of that table, never a countDistinct over data. */
+  def lDiversityLadder(
+      df: DataFrame, ladder: Seq[Seq[String]], sensitive: String,
+      l: Long): DataFrame = {
+    require(ladder.nonEmpty && ladder.head.nonEmpty,
+      "ladder needs a finest non-empty level first")
+    require(ladder.tail.forall(_.forall(ladder.head.contains)),
+      "every coarser level must use a subset of the finest level's columns")
+    val base = df
+      .groupBy((ladder.head :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("cs"))
+      .materializeOnce() // class-value table feeds every coarser level
+    val levels = ladder.zipWithIndex.map { case (cols, i) =>
+      val classSens =
+        if (i == 0) base
+        else base.groupBy((cols :+ sensitive).map(col): _*)
+          .agg(sum(col("cs")).as("cs"))
+      val classes =
+        if (cols.isEmpty)
+          classSens.agg(count(lit(1)).as("dv"), sum(col("cs")).as("rows_"))
+        else classSens.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("dv"), sum(col("cs")).as("rows_"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        count(when(col("dv") < l, 1)).as("n_low_div"),
+        sum(when(col("dv") < l, col("rows_")).otherwise(lit(0L)))
+          .as("risk"),
+        min(col("dv")).as("min_diversity"))
+        .select(lit(i).cast("bigint").as("level"),
+          lit(cols.mkString(",")).as("quasi_ids"),
+          col("n_classes"), col("n_low_div"),
+          col("risk").cast("bigint").as("n_rows_at_risk"),
+          col("min_diversity"),
+          (col("n_low_div") === 0).as("satisfies"))
+    }
+    levels.reduce(_ union _).orderBy(col("level"))
+  }
+
   /** Key-skew diagnostics: exact Gini coefficient, max key share, and
     * cardinality of a key column — the pre-flight check before choosing
     * a partitioning/salting strategy for a join or aggregation on that

@@ -366,6 +366,64 @@ object AnalyticsQueries {
             Seq("n_regionkey"), Seq.empty), k = 20L)
       }),
 
+    // l-diversity ladder (q167): the audit k-anonymity misses — a class
+    // can be k-large yet leak its members' sensitive value when all of
+    // them share it. Sensitive = market segment; quasi-identifiers =
+    // nation × account-balance bucket (exact cents → int64 → DIV, so
+    // negative balances truncate identically on both engines, rule 21),
+    // generalized to nation, then full suppression. Diversity counts
+    // are row counts of the rolled-up (QI, sensitive) class-value
+    // table — never a countDistinct over data (Profiling.scala).
+    Q("q167_l_diversity", Some(
+      """WITH src AS (
+        |  SELECT n.n_name,
+        |         CAST(c.c_acctbal * 100 AS BIGINT) // 100000 AS bal_bucket,
+        |         c.c_mktsegment AS sens
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |base AS (SELECT n_name, bal_bucket, sens, count(*) AS cs
+        |         FROM src GROUP BY 1, 2, 3),
+        |c0 AS (SELECT n_name, bal_bucket, count(*) AS dv, sum(cs) AS rws
+        |       FROM base GROUP BY 1, 2),
+        |l0 AS (SELECT CAST(0 AS BIGINT) AS level,
+        |  'n_name,bal_bucket' AS quasi_ids, count(*) AS n_classes,
+        |  count(CASE WHEN dv < 3 THEN 1 END) AS n_low_div,
+        |  CAST(sum(CASE WHEN dv < 3 THEN rws ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(dv) AS BIGINT) AS min_diversity,
+        |  count(CASE WHEN dv < 3 THEN 1 END) = 0 AS satisfies FROM c0),
+        |b1 AS (SELECT n_name, sens, sum(cs) AS cs FROM base GROUP BY 1, 2),
+        |c1 AS (SELECT n_name, count(*) AS dv, sum(cs) AS rws
+        |       FROM b1 GROUP BY 1),
+        |l1 AS (SELECT CAST(1 AS BIGINT) AS level,
+        |  'n_name' AS quasi_ids, count(*) AS n_classes,
+        |  count(CASE WHEN dv < 3 THEN 1 END) AS n_low_div,
+        |  CAST(sum(CASE WHEN dv < 3 THEN rws ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(dv) AS BIGINT) AS min_diversity,
+        |  count(CASE WHEN dv < 3 THEN 1 END) = 0 AS satisfies FROM c1),
+        |b2 AS (SELECT sens, sum(cs) AS cs FROM base GROUP BY 1),
+        |c2 AS (SELECT count(*) AS dv, sum(cs) AS rws FROM b2),
+        |l2 AS (SELECT CAST(2 AS BIGINT) AS level,
+        |  '' AS quasi_ids, count(*) AS n_classes,
+        |  count(CASE WHEN dv < 3 THEN 1 END) AS n_low_div,
+        |  CAST(sum(CASE WHEN dv < 3 THEN rws ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(dv) AS BIGINT) AS min_diversity,
+        |  count(CASE WHEN dv < 3 THEN 1 END) = 0 AS satisfies FROM c2)
+        |SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL
+        |SELECT * FROM l2 ORDER BY level""".stripMargin),
+      (s, d) => {
+        val src = T(s, d, "customer").join(T(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            expr("CAST(c_acctbal * 100 AS BIGINT) div 100000")
+              .as("bal_bucket"),
+            col("c_mktsegment").as("sens"))
+        graft.operators.Profiling.lDiversityLadder(src,
+          Seq(Seq("n_name", "bal_bucket"), Seq("n_name"), Seq.empty),
+          sensitive = "sens", l = 3L)
+      }),
+
     // linear multi-touch attribution (q162): every purchase splits 100
     // integer credit units over its click/view touches in the hour
     // before it, largest-remainder to the earliest touches — exactly

@@ -122,4 +122,29 @@ class ProfilingSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Profiling.kAnonymityLadder(rows, Seq(Seq("city"), Seq("seg")), k = 2L))
   }
+
+  test("lDiversityLadder: a k-large but single-valued class is flagged") {
+    // city a: 4 rows, ALL disease d1 → k-anonymous at k=4 yet diversity 1
+    // city b: 3 rows over d1,d2      → diversity 2
+    val rows = Seq(("a", "d1"), ("a", "d1"), ("a", "d1"), ("a", "d1"),
+      ("b", "d1"), ("b", "d2"), ("b", "d2")).toDF("city", "disease")
+    val out = Profiling.lDiversityLadder(rows,
+      Seq(Seq("city"), Seq.empty), sensitive = "disease", l = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toList
+    assert(out === List(
+      // level 0: classes a (dv=1, 4 rows at risk) and b (dv=2)
+      (0L, "city", 2L, 1L, 4L, 1L, false),
+      // suppression: one class, both diseases → satisfied
+      (1L, "", 1L, 0L, 0L, 2L, true)))
+  }
+
+  test("lDiversityLadder diversity counts distinct values, not rows") {
+    // one class of 6 rows but only 3 distinct sensitive values
+    val rows = Seq.tabulate(6)(i => ("a", s"v${i % 3}")).toDF("g", "s")
+    val out = Profiling.lDiversityLadder(rows, Seq(Seq("g")), "s", l = 4L)
+      .collect()(0)
+    assert(out.getLong(5) === 3L, s"min_diversity: $out") // not 6
+    assert(out.getLong(4) === 6L, "all 6 rows at risk under l=4")
+  }
 }
