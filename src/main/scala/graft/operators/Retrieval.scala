@@ -126,4 +126,38 @@ object Retrieval {
         col("score_scaled"), col("n_terms"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each arm's ranked list
+    * contributes 1/(c + rank) per document and the fused score is the
+    * sum, which rewards documents that MULTIPLE retrieval modalities
+    * surface without ever comparing their incomparable raw scores.
+    * Contributions are exact integers (10^9 div (c+rank), the floor
+    * identical in both engines), so fusion of two deterministic rank
+    * lists is bit-exact no matter what floats produced the ranks.
+    *
+    * Scale shape: each arm is already a top-k' list — |queries|·k'
+    * rows — so the union/groupBy/window here is index-output-sized,
+    * never corpus-sized; fusion cost is independent of corpus size.
+    *
+    * @param arms ranked lists, each with (query_id, doc_id, rank≥1)
+    * @param k    fused results per query
+    * @param c    RRF damping constant (60 in the original paper)
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranked arm")
+    val u = arms
+      .map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000000 div ($c + rank)").as("contrib")))
+      .reduce(_ unionByName _)
+    val byFused = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_score"), count(lit(1)).as("n_arms"))
+      .withColumn("rank", row_number().over(byFused).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("n_arms"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

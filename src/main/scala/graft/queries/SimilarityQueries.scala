@@ -258,8 +258,58 @@ object SimilarityQueries {
     Q("s57_matryoshka_recall", Some(matryoshkaOracle),
       (s, d) => Similarity.prefixDimRecall(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10,
-        prefixDim = 16))
+        prefixDim = 16)),
+
+    // hybrid retrieval (s58): BM25 (t56, sparse arm) ⊕ brute-force
+    // cosine (s41 shape, dense arm) fused by reciprocal-rank fusion —
+    // the production two-tower + lexical search combiner. doc_id and
+    // vec_id share the id space, query_id 0/1 pairs the derived BM25
+    // term sets with query vectors 0/1. Fused contributions are exact
+    // integers (10^9 div (60+rank)), so the output is hash-oracled even
+    // though the dense arm's ranks come from float cosines — the oracle
+    // replays BOTH arms' CTE chains (t56's verbatim via bm25Ctes) and
+    // the same integer fusion.
+    Q("s58_hybrid_rrf", Some(hybridRrfOracle),
+      (s, d) => {
+        import graft.operators.Retrieval
+        val docs = Tables.load(s, d, "documents")
+        val sparse = Retrieval.bm25TopKDerived(docs, k = 50)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceKnn(
+          emb(s, d), emb(s, d).filter(col("vec_id") < 2), k = 50)
+          .select(col("q_id").as("query_id"),
+            col("vec_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      })
   )
+
+  /** s58 oracle: t56's CTE chain (shared definition) + the s41 dense
+    * scoring + integer RRF. */
+  private lazy val hybridRrfOracle: String =
+    s"""WITH ${TextQueries.bm25Ctes},
+       |sp AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS contrib
+       |       FROM rk WHERE rank <= 50),
+       |dq AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 2),
+       |dscored AS (
+       |  SELECT dq.q_id, e.vec_id, ${cosSql("dq.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e JOIN dq ON e.vec_id <> dq.q_id),
+       |dranked AS (
+       |  SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM dscored),
+       |dn AS (SELECT q_id AS query_id, vec_id AS doc_id,
+       |              1000000000 // (60 + rank) AS contrib
+       |       FROM dranked WHERE rank <= 50),
+       |u AS (SELECT * FROM sp UNION ALL SELECT * FROM dn),
+       |f AS (SELECT query_id, doc_id, sum(contrib) AS rrf, count(*) AS n_arms
+       |      FROM u GROUP BY 1, 2),
+       |fr AS (SELECT *, row_number() OVER (
+       |         PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |       FROM f)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |       CAST(rrf AS BIGINT) AS rrf_score, CAST(n_arms AS BIGINT) AS n_arms
+       |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** s55's iteration count — one constant drives the Spark loop AND
     * the unrolled oracle CTEs. */

@@ -688,7 +688,16 @@ object TextQueries {
     * `//` for the floors (truncation ≡ Spark div on these all-positive
     * operands — CLAUDE.md rule 21). */
   private lazy val bm25Oracle: String =
-    """WITH toks AS (
+    s"""WITH $bm25Ctes
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |       CAST(s AS BIGINT) AS score_scaled, CAST(n_terms AS BIGINT) AS n_terms
+       |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The t56 CTE chain up to the full ranked list `rk(query_id, doc_id,
+    * s, n_terms, rank)` — shared with the s58 hybrid-fusion oracle
+    * (rule 12: one definition, two consumers). */
+  private[queries] lazy val bm25Ctes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
       |  FROM documents),
       |cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
@@ -715,10 +724,7 @@ object TextQueries {
       |        FROM scored GROUP BY 1, 2),
       |rk AS (SELECT *, row_number() OVER (
       |         PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
-      |       FROM agg)
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-      |       CAST(s AS BIGINT) AS score_scaled, CAST(n_terms AS BIGINT) AS n_terms
-      |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |       FROM agg)""".stripMargin
 
   /** t55: the 4×1024 counter build, per-item cell lookup and min —
     * replayed cell for cell (salted polynomial hashes, rule 12). */

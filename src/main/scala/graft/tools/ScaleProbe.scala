@@ -97,7 +97,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
     // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,s43,s55,t54,
-    // codec,m52,m55,curation,q155,q148) — a full run at large n is
+    // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -459,6 +459,67 @@ object ScaleProbe {
         .filter(col("id_a") =!= col("id_b"))
       val pr = graft.operators.Dedup.pageRank(edges)
       println(s"[probe]   ranked nodes: ${pr.count()}")
+    }
+    if (on("t56")) time("t56: BM25 retrieval over the probe corpus") {
+      import graft.operators.Retrieval
+      // queries derived from the organic corpus, then a WITNESS doc is
+      // planted containing each of query 0's terms ×20 — tf saturation
+      // and the extra matched terms must put it at rank 1 against any
+      // organic doc (whose per-term tf is Poisson(0.06·60)-ish). The
+      // timed path is the full pipeline: explode → broadcast prune →
+      // postings aggregation → windowed top-k.
+      val queries = Retrieval
+        .frequencyDerivedQueries(Retrieval.postings(docs))
+        .localCheckpoint()
+      val q0terms = queries.filter(col("query_id") === 0)
+        .collect().map(_.getString(1))
+      val witnessId = 10L * n
+      val witness = spark.range(1).select(
+        lit(witnessId).as("doc_id"),
+        lit(q0terms.flatMap(t => Seq.fill(20)(t)).mkString(" ")).as("text"),
+        lit("probe").as("source"))
+      val t0 = System.nanoTime()
+      val top = Retrieval.bm25TopK(docs.unionByName(witness), queries, 10)
+        .collect()
+      println(f"[probe]   bm25 top-k: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(${top.length} rows over ${queries.count()} query terms)")
+      val q0top = top.filter(_.getLong(0) == 0L).minBy(_.getLong(1))
+      println(s"[probe]   q0 rank-1: doc ${q0top.getLong(2)} " +
+        s"(witness=$witnessId, score=${q0top.getLong(3)})")
+      require(q0top.getLong(2) == witnessId,
+        s"planted witness not at rank 1: $q0top")
+    }
+    if (on("q166")) time("q166: k-core peel (sparse synthetic graph)") {
+      // sparse topology (avg degree ≈ 2.2: one out-edge per node plus a
+      // second for 10%) so the peel has real work — plus two witnesses:
+      // a 6-clique (ids n..n+5) that MUST survive the 2-core with
+      // degree 5, and an isolated 30-node path (ids n+10..n+39) that
+      // must dissolve COMPLETELY, costing ~15 peel rounds — the
+      // worst-case round count a chain can force at this length.
+      val e1 = spark.range(n).select(col("id").as("id_a"),
+        pmod(xxhash64(col("id") * 7 + 1), lit(n)).as("id_b"))
+      val e2 = spark.range(n)
+        .filter(pmod(xxhash64(col("id") * 13 + 2), lit(10)) === 0)
+        .select(col("id").as("id_a"),
+          pmod(xxhash64(col("id") * 17 + 3), lit(n)).as("id_b"))
+      import spark.implicits._
+      val clique = (for (a <- 0L to 5L; b <- (a + 1) to 5L)
+        yield (n + a, n + b)).toSeq.toDF("id_a", "id_b")
+      val chain = (0L until 29L).map(i => (n + 10 + i, n + 11 + i))
+        .toSeq.toDF("id_a", "id_b")
+      val edges = e1.unionByName(e2)
+        .filter(col("id_a") =!= col("id_b"))
+        .unionByName(clique).unionByName(chain)
+      val core = graft.operators.Dedup.kCore(edges, k = 2)
+        .localCheckpoint()
+      val coreN = core.count()
+      val cliqueRows = core.filter(
+        col("doc_id").between(n, n + 5) && col("core_deg") === 5).count()
+      val chainRows = core.filter(col("doc_id") >= n + 10).count()
+      println(s"[probe]   2-core nodes: $coreN " +
+        s"(rounds=${graft.operators.Dedup.kCoreRoundsLastRun})")
+      require(cliqueRows == 6, s"planted clique damaged: $cliqueRows/6")
+      require(chainRows == 0, s"chain survived the peel: $chainRows rows")
     }
     spark.stop()
   }

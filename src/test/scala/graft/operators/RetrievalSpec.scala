@@ -71,6 +71,28 @@ class RetrievalSpec extends SparkSpec {
       s"query-term prune did not broadcast: ${names.distinct.mkString(",")}")
   }
 
+  test("rrfFuse: hand-computed fusion, consensus beats either single arm") {
+    // doc 7 is rank 2 in BOTH arms; doc 1 is rank 1 sparse-only, doc 2
+    // rank 1 dense-only. RRF: d7 = 2·⌊1e9/62⌋ = 32258064, d1 = d2 =
+    // ⌊1e9/61⌋ = 16393442 → consensus doc wins, singles tiebreak by id.
+    val sparse = Seq((0L, 1L, 1L), (0L, 7L, 2L)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 2L, 1L), (0L, 7L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(sparse, dense), k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toList === List(
+      (1L, 7L, 2L * (1000000000L / 62), 2L),
+      (2L, 1L, 1000000000L / 61, 1L),
+      (3L, 2L, 1000000000L / 61, 1L)))
+  }
+
+  test("rrfFuse keeps queries independent and respects k") {
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 9L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a), k = 1).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toList ===
+      List((0L, 1L), (1L, 9L)))
+  }
+
   test("derived queries: 6 terms, 2 queries, stable under re-derivation") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val toks = Retrieval.postings(docs)
