@@ -218,4 +218,68 @@ object Frequency {
         (abs(estCol - exD) / exD).as("rel_err"))
       .orderBy(col("m"))
   }
+
+  /** Join-cardinality estimation by KMV/theta-sketch intersection
+    * (Beyer et al., SIGMOD 2007; the theta-sketch set operations of
+    * Dasgupta et al.) — the planner question "how many distinct keys do
+    * these two tables share?" answered WITHOUT joining them: each side
+    * is reduced to its k smallest key hashes (one TakeOrdered per side —
+    * k+1 rows reach the driver plan, never the data), θ = min of the two
+    * (k+1)-th smallest, and the matching sketch hashes below θ scale up
+    * by 2^62/θ. Everything downstream of the two sketches touches ≤ k+1
+    * rows per side; the estimate is exact integer arithmetic
+    * (n_sample·2^62 div θ, products on DECIMAL(38,0)).
+    *
+    * Hashing: RollingHash over the key lpad'ed to 12 chars AND
+    * REVERSED. Both transforms are load-bearing for uniformity: the pad
+    * alone leaves a lattice (a decimal key's last 4 digits keep the
+    * never-wrapping coefficients p³=1e18, p²,p¹,p⁰, so bottom-k hashes
+    * cluster on lattice points — measured 4.7× θ inflation on orderkeys,
+    * est 3087 vs exact 14743); reversing puts every VARYING digit at a
+    * position whose coefficient p^(≥7) wraps mod 2^64, which is where
+    * the mixing comes from (the constant zero tail then only multiplies
+    * by the odd constant p^7 — a bijection mod 2^64, uniformity-
+    * preserving). Masked to [0, 2^62) so the fraction-of-keyspace math
+    * needs no signed affine shift. Oracle replays the polynomial per
+    * rule 12; measured rel. error 4.7% (sf0.01) / 2.0% (sf0.1) at k=256
+    * vs the σ=1/√k=6.25% theory band.
+    *
+    * When BOTH sides have ≤ k distinct keys, θ stays 2^62 and the
+    * estimate collapses to the exact intersection — the sketch's exact
+    * regime, mirrored from q88. `exact_intersection` (a real distinct
+    * join) and the 25% agreement flag are the gate's verification
+    * columns; a 100 TB caller skips them — not computing that join is
+    * the operator's entire point. */
+  def kmvJoinCardinality(
+      a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val mask = (1L << 62) - 1
+    def keyHash(c: Column): Column =
+      graft.expressions.RollingHash(reverse(lpad(c.cast("string"), 12, "0")))
+        .bitwiseAND(lit(mask))
+    def sketch(df: DataFrame): DataFrame =
+      df.select(keyHash(col("key")).as("h")).distinct()
+        .orderBy(col("h")).limit(k + 1)
+        .materializeOnce() // feeds its theta AND the sample join
+    def thetaOf(s: DataFrame, name: String): DataFrame =
+      s.agg(when(count(lit(1)) === k + 1, max(col("h")))
+        .otherwise(lit(mask) + 1).as(name))
+    val (sa, sb) = (sketch(a), sketch(b))
+    val th = thetaOf(sa, "theta_a").crossJoin(thetaOf(sb, "theta_b"))
+      .select(least(col("theta_a"), col("theta_b")).as("theta"))
+    val sample = sa.join(sb, Seq("h")) // ≤ k+1 rows a side: broadcast
+      .crossJoin(th).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_sample"))
+    val exact = a.select(col("key")).distinct()
+      .join(b.select(col("key")).distinct(), Seq("key"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    sample.crossJoin(th).crossJoin(exact)
+      .withColumn("est_intersection", expr(
+        "cast(n_sample as decimal(38,0)) * 4611686018427387904 div theta"))
+      .select(col("theta"), col("n_sample"), col("est_intersection"),
+        col("exact_intersection"),
+        ((col("exact_intersection") === 0 && col("n_sample") === 0) ||
+          abs(col("est_intersection") - col("exact_intersection")) * 4
+            <= col("exact_intersection")).as("within_25pct"))
+      .orderBy(col("theta"))
+  }
 }

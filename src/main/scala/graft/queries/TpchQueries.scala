@@ -192,6 +192,21 @@ object TpchQueries {
         .agg(graft.expressions.KMinValues(col("c_nationkey"), 256).as("n_nations"))
         .orderBy(col("c_mktsegment"))),
 
+    // join-cardinality estimation (q168): KMV/theta-sketch intersection
+    // answering "how many distinct keys do lineitem and orders share?"
+    // WITHOUT the join — each side reduces to its 256 smallest key
+    // hashes, θ = min of the (k+1)-th minima, matching sketch hashes
+    // below θ scale by 2^62/θ in exact integer arithmetic. Keys are
+    // lpad'ed AND reversed before the rolling hash — see
+    // Frequency.kmvJoinCardinality for why both are load-bearing for
+    // hash uniformity. exact_intersection/within_25pct are the gate's
+    // verification columns — the 100 TB caller skips them. Oracle
+    // replays the polynomial per rule 12.
+    Q("q168_join_cardinality", Some(kmvIntersectionOracle),
+      (s, d) => graft.operators.Frequency.kmvJoinCardinality(
+        Tables.load(s, d, "lineitem").select(col("l_orderkey").as("key")),
+        Tables.load(s, d, "orders").select(col("o_orderkey").as("key")))),
+
     // bucketed co-located join: both sides written bucketed by the join
     // key once, so the join itself runs with NO exchange on either side
     // (asserted by BucketingSpec) — the pay-the-shuffle-once layout for
@@ -828,6 +843,39 @@ object TpchQueries {
     * constants are interpolated from the very Long.MinValue/MaxValue
     * arithmetic the Scala eval performs, so the IEEE division is
     * identical on both engines. `lazy`: `all` initializes first. */
+  /** q168 oracle: both sketches, θ, the sample and the integer scale-up
+    * replayed; hashes masked to [0,2^62) via % on the HUGEINT fold. */
+  private lazy val kmvIntersectionOracle: String = {
+    val k1 = 257 // k+1
+    val full = "4611686018427387904" // 2^62 = θ sentinel when not full
+    def side(tag: String, key: String, table: String): String =
+      s"""h$tag AS (
+         |  SELECT DISTINCT CAST(${DedupQueries.polyHashSql(
+        s"reverse(lpad(CAST($key AS VARCHAR), 12, '0'))")} % $full AS BIGINT) AS h
+         |  FROM $table),
+         |s$tag AS (SELECT h FROM h$tag ORDER BY h LIMIT $k1),
+         |t$tag AS (SELECT CASE WHEN count(*) = $k1 THEN max(h)
+         |                 ELSE $full END AS theta_$tag FROM s$tag)""".stripMargin
+    s"""WITH ${side("a", "l_orderkey", "lineitem")},
+       |${side("b", "o_orderkey", "orders")},
+       |th AS (SELECT least(theta_a, theta_b) AS theta FROM ta, tb),
+       |smp AS (SELECT count(*) AS n_sample
+       |        FROM sa JOIN sb USING (h) CROSS JOIN th WHERE h < theta),
+       |ex AS (SELECT count(*) AS exact_intersection FROM
+       |  (SELECT DISTINCT l_orderkey AS key FROM lineitem) l
+       |  JOIN (SELECT DISTINCT o_orderkey AS key FROM orders) o USING (key)),
+       |fin AS (SELECT CAST(theta AS BIGINT) AS theta,
+       |  CAST(n_sample AS BIGINT) AS n_sample,
+       |  CAST((n_sample::HUGEINT * $full) // theta AS BIGINT)
+       |    AS est_intersection,
+       |  CAST(exact_intersection AS BIGINT) AS exact_intersection
+       |  FROM smp CROSS JOIN th CROSS JOIN ex)
+       |SELECT *, (exact_intersection = 0 AND n_sample = 0)
+       |  OR abs(est_intersection - exact_intersection) * 4
+       |     <= exact_intersection AS within_25pct
+       |FROM fin ORDER BY theta""".stripMargin
+  }
+
   private lazy val kmvEstimateOracle: String = {
     val k = 256
     val minD = Long.MinValue.toDouble

@@ -96,4 +96,33 @@ class FrequencySpec extends SparkSpec {
     assert(orc.getLong(4) === 5000L)
     assert(orc.getDouble(5) < 0.20, s"oracle rel_err=${orc.getDouble(5)}")
   }
+
+  test("kmvJoinCardinality: exact regime below k, estimate regime above") {
+    import spark.implicits._
+    // both sides under k=256 distinct: θ stays 2^62 and est == exact
+    val a = (1L to 200L).toDF("key")
+    val b = (101L to 300L).toDF("key")
+    val r = Frequency.kmvJoinCardinality(a, b, k = 256).head()
+    assert(r.getLong(0) === (1L << 62), s"theta must be the sentinel: $r")
+    assert(r.getLong(2) === 100L && r.getLong(3) === 100L, r)
+    assert(r.getBoolean(4))
+    // estimate regime: 12k ∩ 12k sharing 6k keys; k=256 ⇒ σ ≈ 6.25%,
+    // the 25% gate is 4σ
+    val bigA = (1L to 12000L).toDF("key")
+    val bigB = (6001L to 18000L).toDF("key")
+    val e = Frequency.kmvJoinCardinality(bigA, bigB, k = 256).head()
+    assert(e.getLong(0) < (1L << 62), "theta must tighten above k")
+    assert(e.getBoolean(4),
+      s"est ${e.getLong(2)} not within 25% of exact ${e.getLong(3)}")
+  }
+
+  test("kmvJoinCardinality: disjoint sides estimate zero-ish, flag holds") {
+    import spark.implicits._
+    val a = (1L to 5000L).toDF("key")
+    val b = (100001L to 105000L).toDF("key")
+    val r = Frequency.kmvJoinCardinality(a, b, k = 256).head()
+    assert(r.getLong(3) === 0L)
+    // no common keys → no common sketch hashes (collision odds ~2^-62)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getBoolean(4), r)
+  }
 }
