@@ -16,12 +16,12 @@ object Bench {
   private[graft] val headline: Seq[String] = Seq(
     // SQL parity surface
     "q01_projection", "q03_agg_group", "q09_join_inner",
-    "q13_from_subquery", "q15_scalar_subquery", "q22_flagship",
+    "q15_scalar_subquery", "q22_flagship",
     // TPC-H shapes
     "q52_tpch_q1", "q53_tpch_q3", "q54_tpch_q5", "q115_tpch_q10",
     "q129_tpch_q21", "q144_tpch_q2",
     // scale joins
-    "q48_asof_join", "q50_salted_join", "q81_range_join",
+    "q50_salted_join", "q81_range_join",
     "q82_bloom_join", "q92_bucketed_join",
     // streaming
     "q68_sessionize", "q74_stream_dedup", "q80_stream_enrich",
@@ -38,15 +38,17 @@ object Bench {
     "s46_pq_adc", "s47_ann_recall", "s48_pq_ivf_adc",
     "s52_pq_ivf_adc_rerank",
     // text & curation
-    "t38_tfidf", "t41_repetition", "q90_domain_mix", "q96_corpus_build",
+    "t38_tfidf", "t41_repetition", "q96_corpus_build",
     // analytics / graph / vocab
-    "q103_funnel", "q123_heavy_hitters", "q132_bpe_step",
+    "q103_funnel", "q123_heavy_hitters",
     "q136_graph_triangles", "q148_pagerank",
     // round-9 flagships: store-pattern cluster merge, SNM, sketch,
     // spectra, streaming sketch state, boilerplate pass
     "d56_incremental_clusters", "q160_sorted_neighborhood",
     "t53_hll_distinct", "s55_power_iteration",
-    "q161_stream_cardinality", "t54_line_dedup")
+    "q161_stream_cardinality", "t54_line_dedup",
+    "t56_bm25_topk", "s58_hybrid_rrf", "q166_kcore",
+    "q168_join_cardinality")
 
   /** Degradation ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at
