@@ -299,6 +299,59 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** CUPED experiment readout (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the industry-standard variance-reduction for A/B metrics: each
+    * user's post-period metric y is adjusted by their PRE-period
+    * activity x (a covariate the treatment cannot have caused),
+    * adj_mean_v = ȳ_v − θ·(x̄_v − x̄) with θ = cov(x,y)/var(x) pooled.
+    *
+    * Exactness: all moments (n, Σx, Σy, Σx², Σxy) are integer counts
+    * summed as DECIMAL(38,0) (rule 18), θ's numerator/denominator are
+    * decimal products emitted as exact BIGINT columns, and the final
+    * means are a fixed tree of correctly-rounded double ops over those
+    * exact integers — bit-identical in any IEEE engine. Variant
+    * assignment is the deterministic hash split (q134's). One shuffle
+    * at user grain; the global-moment frame is a 1-row broadcast. */
+  def cupedReadout(
+      events: DataFrame, cutoverTs: String,
+      metricEvent: String = "purchase"): DataFrame = {
+    val pre = col("ts") < to_timestamp(lit(cutoverTs))
+    val perUser = events.groupBy(col("user_id")).agg(
+      sum(when(pre, 1L).otherwise(0L)).as("x"),
+      sum(when(!pre && col("event_type") === metricEvent, 1L)
+        .otherwise(0L)).as("y"))
+      .materializeOnce() // feeds the global moments AND per-variant sums
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val v = perUser
+      .groupBy(when(Sampling.hashBucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("sx_v"),
+        sum(col("y").cast("decimal(38,0)")).as("sy_v"))
+    def d(c: Column): Column = c.cast("double")
+    v.crossJoin(broadcast(g))
+      .withColumn("theta_num",
+        expr("cast(n as decimal(38,0)) * sxy - sx * sy"))
+      .withColumn("theta_den",
+        expr("cast(n as decimal(38,0)) * sxx - sx * sx"))
+      .select(col("variant"), col("n_users"),
+        col("sy_v").cast("bigint").as("sum_y"),
+        col("sx_v").cast("bigint").as("sum_x"),
+        col("theta_num").cast("bigint").as("theta_num"),
+        col("theta_den").cast("bigint").as("theta_den"),
+        (d(col("sy_v")) / d(col("n_users"))).as("mean_y"),
+        (d(col("sy_v")) / d(col("n_users"))
+          - (d(col("theta_num")) / d(col("theta_den")))
+            * (d(col("sx_v")) / d(col("n_users")) - d(col("sx")) / d(col("n"))))
+          .as("adjusted_mean_y"))
+      .orderBy(col("variant"))
+  }
+
   /** Linear multi-touch attribution with EXACT integer credit: every
     * conversion distributes `unit` credit units over its qualifying
     * touches (same user, inside the lookback window ending at the

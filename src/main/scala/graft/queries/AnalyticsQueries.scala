@@ -464,6 +464,42 @@ object AnalyticsQueries {
     // through by n², so the flag has no float boundary and the whole
     // monitor hash-matches. Hours with <12 trailing samples report
     // false with zeroed terms.
+    // CUPED experiment readout (q169): variance-reduced A/B metric —
+    // each user's post-period purchase count adjusted by their
+    // pre-period activity, θ = cov/var pooled. Integer moments ride
+    // DECIMAL(38,0)/HUGEINT and surface as exact BIGINT; the two means
+    // are a fixed tree of correctly-rounded double ops over identical
+    // integers, so even the adjusted mean hash-matches. The cutover is
+    // a whole-day literal (rule 2). Variant split = q134's hash.
+    Q("q169_cuped", Some(
+      """WITH peruser AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |                  AND event_type = 'purchase'
+        |             THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM peruser),
+        |v AS (SELECT CASE WHEN (user_id * 104729) % 100 < 50
+        |               THEN 'A' ELSE 'B' END AS variant,
+        |        count(*) AS n_users, sum(x) AS sx_v, sum(y) AS sy_v
+        |      FROM peruser GROUP BY 1)
+        |SELECT variant, n_users,
+        |  CAST(sy_v AS BIGINT) AS sum_y, CAST(sx_v AS BIGINT) AS sum_x,
+        |  CAST(n*sxy - sx*sy AS BIGINT) AS theta_num,
+        |  CAST(n*sxx - sx*sx AS BIGINT) AS theta_den,
+        |  CAST(sy_v AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+        |  CAST(sy_v AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * (CAST(sx_v AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS adjusted_mean_y
+        |FROM v CROSS JOIN g ORDER BY variant""".stripMargin),
+      (s, d) => EventAnalytics.cupedReadout(
+        T(s, d, "events"), cutoverTs = "2024-01-16 00:00:00")),
+
     Q("q163_volume_anomaly", Some(
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x

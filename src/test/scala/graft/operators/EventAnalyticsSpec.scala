@@ -179,4 +179,33 @@ class EventAnalyticsSpec extends SparkSpec {
     // conservation: exactly 100 units per touched conversion
     assert(out.map(_._3).sum === 100L)
   }
+
+  test("cupedReadout: hand-computed theta and adjusted means") {
+    // hash split (u·104729 % 100 < 50): u1→29 A, u4→16 A, u2→58 B, u3→87 B
+    // per-user (x = pre count, y = post purchases):
+    //   u1 (x=2,y=3)  u4 (x=4,y=5)  u2 (x=1,y=1)  u3 (x=3,y=3)
+    def rows(u: Long, x: Int, y: Int) =
+      (1 to x).map(i => (u, "view", ts(s"2024-01-0$i 01:00:00"))) ++
+        (1 to y).map(i => (u, "purchase", ts(s"2024-01-2$i 01:00:00")))
+    val ev = (rows(1L, 2, 3) ++ rows(4L, 4, 5) ++ rows(2L, 1, 1) ++
+      rows(3L, 3, 3)).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics
+      .cupedReadout(ev, cutoverTs = "2024-01-16 00:00:00").collect()
+    // moments: n=4, Sx=10, Sy=12, Sxx=30, Sxy=36
+    // θ_num = 4·36 − 10·12 = 24; θ_den = 4·30 − 100 = 20 (θ = 1.2)
+    val (tn, td) = (24.0, 20.0)
+    val a = out(0)
+    assert(a.getString(0) === "A" && a.getLong(1) === 2L)
+    assert((a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5)) ===
+      ((8L, 6L, 24L, 20L)))
+    // A: ȳ=4, x̄=3, x̄_all=2.5 → adj = 4 − 1.2·0.5 = 3.4
+    assert(a.getDouble(7) === 8.0 / 2 - (tn / td) * (6.0 / 2 - 10.0 / 4))
+    val b = out(1)
+    // B: ȳ=2, x̄=2 → adj = 2 − 1.2·(−0.5) = 2.6
+    assert(b.getString(0) === "B")
+    assert(b.getDouble(7) === 4.0 / 2 - (tn / td) * (4.0 / 2 - 10.0 / 4))
+    // the covariate really reduced the gap: |adjA−adjB| < |meanA−meanB|
+    assert(math.abs(a.getDouble(7) - b.getDouble(7))
+      < math.abs(a.getDouble(6) - b.getDouble(6)))
+  }
 }
