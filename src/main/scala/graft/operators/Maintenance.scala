@@ -53,4 +53,31 @@ object Maintenance {
       else if (f.getName.endsWith(".parquet")) 1L else 0L
     }.sum
   }
+
+  /** Incremental maintenance of a count/sum materialized view — the
+    * classic IVM algebra (Gupta & Mumick's delta rules): count and sum
+    * are self-maintainable under inserts AND retractions, so a view over
+    * a petabyte base updates from a signed delta AGGREGATE without
+    * touching base rows. `view` and `delta` share a schema of
+    * `keys ++ numeric columns` where the FIRST numeric column is the
+    * row count; delta rows carry +1/−cnt (and signed sums) for
+    * inserts/retractions. Groups whose merged count reaches zero are
+    * dropped — they no longer exist in the maintained view, exactly as
+    * a recompute would show (the gate's oracle IS the recompute).
+    *
+    * Shape: one unionByName + one groupBy at view-key grain — the
+    * shuffle is bounded by |view| + |delta| AGGREGATE rows (distinct
+    * keys), never the base table. */
+  def mergeAggDelta(
+      view: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "mergeAggDelta needs at least one view key")
+    val valueCols = view.columns.filterNot(keys.contains)
+    require(valueCols.nonEmpty, "view needs a count column")
+    val merged = view.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+    merged.filter(col(valueCols.head) > 0)
+  }
 }

@@ -101,6 +101,44 @@ object AnalyticsQueries {
           .orderBy(col("o_custkey"))
       }),
 
+    // incremental view maintenance WITH retractions (q170): q105 covers
+    // the insert-only snapshot merge; this is the delete side of the
+    // IVM algebra (Gupta–Mumick delta rules) — a count/sum view updates
+    // from a SIGNED delta aggregate (inserts +1, retractions −1, signed
+    // sums) without rescanning the base, and groups whose count reaches
+    // zero vanish. The oracle is the full recompute over the composed
+    // final set ((base ∖ retracted) ∪ inserted = orderkey % 20 ≠ 3), so
+    // the hash match IS the maintained-view ≡ recompute theorem at gate
+    // scale. Price cents are exact ints; sums ride DECIMAL/HUGEINT.
+    Q("q170_mv_retraction_delta", Some(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                     AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 20 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        // cents via DECIMAL(18,2): a raw double*100 truncates vs rounds
+        // differently across engines (the q106 idiom)
+        val cents =
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        def agg(df: org.apache.spark.sql.DataFrame, sign: Int) =
+          df.groupBy(col("o_orderpriority"))
+            .agg((count(lit(1)) * sign).as("n"),
+              (sum(cents.cast("decimal(38,0)")) * sign).as("cents"))
+        val v0 = agg(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 9), 1)
+        val delta = agg(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 9), 1)
+          .unionByName(
+            agg(orders.filter(pmod(col("o_orderkey"), lit(20)) === 3), -1))
+        graft.operators.Maintenance
+          .mergeAggDelta(v0, delta, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            col("n").cast("bigint").as("n_orders"),
+            col("cents").cast("bigint").as("sum_cents"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
     // mergeable-histogram percentiles over price cents, $100 bins:
     // the sketch alternative to a global sort, error <= one bin.
     Q("q106_hist_percentile", Some(

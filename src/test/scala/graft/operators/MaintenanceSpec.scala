@@ -31,4 +31,44 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.compactParquet(spark, "/tmp/x", "/tmp/y", 0L)
     }
   }
+
+  test("mergeAggDelta: inserts add, retractions subtract, zeroed groups vanish") {
+    val view = Seq(("a", 2L, 20L), ("b", 1L, 5L), ("c", 3L, 30L))
+      .toDF("k", "n", "s")
+    val delta = Seq(
+      ("a", 1L, 7L),    // insert into existing group
+      ("b", -1L, -5L),  // retract b's only row → group must vanish
+      ("d", 2L, 9L),    // brand-new group
+      ("c", -1L, -10L)  // partial retraction
+    ).toDF("k", "n", "s")
+    val out = Maintenance.mergeAggDelta(view, delta, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(out === List(("a", 3L, 27L), ("c", 2L, 20L), ("d", 2L, 9L)))
+  }
+
+  test("mergeAggDelta equals the recompute on a composed base (IVM theorem)") {
+    val base = (1L to 200L).map(i => (s"g${i % 7}", i)).toDF("k", "v")
+    def agg(df: org.apache.spark.sql.DataFrame, sign: Long) =
+      df.groupBy($"k").agg(
+        (org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)) * sign).as("n"),
+        (org.apache.spark.sql.functions.sum($"v") * sign).as("s"))
+    val v0 = agg(base.filter($"v" % 10 =!= 9), 1L)
+    val delta = agg(base.filter($"v" % 10 === 9), 1L)
+      .unionByName(agg(base.filter($"v" % 20 === 3), -1L))
+    val maintained = Maintenance.mergeAggDelta(v0, delta, Seq("k"))
+    val recompute = agg(base.filter($"v" % 20 =!= 3), 1L)
+    assert(maintained.exceptAll(recompute).count() === 0L)
+    assert(recompute.exceptAll(maintained).count() === 0L)
+  }
+
+  test("mergeAggDelta rejects empty keys and value-less views") {
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    intercept[IllegalArgumentException](
+      Maintenance.mergeAggDelta(df, df, Seq.empty))
+    val keysOnly = Seq(Tuple1("a")).toDF("k")
+    intercept[IllegalArgumentException](
+      Maintenance.mergeAggDelta(keysOnly, keysOnly, Seq("k")))
+  }
 }
