@@ -886,6 +886,55 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Degree assortativity of the near-dup pair graph (Newman,
+    * "Assortative mixing in networks", PRL 2002): the Pearson
+    * correlation of endpoint degrees over the 2m directed edge stubs.
+    * r → 1 means high-degree nodes attach to high-degree nodes — the
+    * clique signature of template spam; r < 0 means hub-and-spoke —
+    * one canonical page with many light variants. Complements q136's
+    * closure rate (local density) with a global mixing statistic.
+    *
+    * Exactness: the three power sums Σx, Σxy, Σx² (x = src degree,
+    * y = dst degree; Σy ≡ Σx, Σy² ≡ Σx² by stub symmetry) are exact
+    * integers on DECIMAL(38,0) (DuckDB mirrors with HUGEINT, rule 18);
+    * numerator M·Σxy − (Σx)² and denominator M·Σx² − (Σx)² are exact
+    * decimal products, and r is computed as exactly two double casts +
+    * one division — each correctly rounded, so both engines agree
+    * bit-for-bit (the q121 moment-statistics idiom).
+    *
+    * Scale shape: one degree groupBy at node grain, two equi-joins of
+    * the stub table against the degree table (node-keyed shuffles —
+    * the degree table is O(nodes), never broadcast), one global agg.
+    * Decimal headroom: M·Σx² < 10^38 holds to ~1e12 stubs at 1e7 max
+    * degree — beyond any near-dup graph this engine would build. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .materializeOnce() // degree agg + both endpoint joins
+    val deg = e.groupBy(col("s").as("v")).agg(count(lit(1)).as("dg"))
+    val stubs = e
+      .join(deg.select(col("v"), col("dg").as("x")), col("s") === col("v"))
+      .drop("v")
+      .join(deg.select(col("v"), col("dg").as("y")), col("d") === col("v"))
+    val xD = col("x").cast("decimal(38,0)")
+    val yD = col("y").cast("decimal(38,0)")
+    val agg = stubs.agg(
+      count(lit(1)).as("m2"),
+      sum(xD).as("sx"), sum(xD * yD).as("sxy"), sum(xD * xD).as("sxx"))
+    val m2D = col("m2").cast("decimal(38,0)")
+    val num = m2D * col("sxy") - col("sx") * col("sx")
+    val den = m2D * col("sxx") - col("sx") * col("sx")
+    agg.select(
+      (col("m2") / 2).cast("bigint").as("n_edges"),
+      col("sx").cast("bigint").as("sum_deg"),
+      col("sxy").cast("bigint").as("sum_xy"),
+      col("sxx").cast("bigint").as("sum_xx"),
+      when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .as("assortativity"))
+  }
+
   /** Fixed-point integer PageRank over the (undirected) near-dup pair
     * graph — authority scoring of duplicate clusters: within a cluster,
     * the highest-PR node is the most-connected copy (the natural

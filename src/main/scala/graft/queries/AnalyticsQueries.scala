@@ -139,6 +139,37 @@ object AnalyticsQueries {
           .orderBy(col("o_orderpriority"))
       }),
 
+    // market-basket pair association (q171): which part brands co-occur
+    // in an order more often than independence predicts. Exact int64
+    // support counts; lift is ONE double division of exact products
+    // (rule-17 single-op family), so the hash match includes the lift
+    // column. Total order: lift DESC with the (b1,b2) unique tiebreak.
+    Q("q171_basket_lift", Some(
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+        |bc AS (SELECT b, count(*) AS cnt FROM ob GROUP BY 1),
+        |pc AS (SELECT x.b AS b1, y.b AS b2, count(*) AS pair_orders
+        |       FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+        |       GROUP BY 1, 2 HAVING count(*) >= 8)
+        |SELECT b1, b2, pair_orders,
+        |       CAST(n.n_orders * pc.pair_orders AS DOUBLE) /
+        |       CAST(c1.cnt * c2.cnt AS DOUBLE) AS lift
+        |FROM pc CROSS JOIN n
+        |JOIN bc c1 ON pc.b1 = c1.b
+        |JOIN bc c2 ON pc.b2 = c2.b
+        |ORDER BY lift DESC, b1, b2 LIMIT 40""".stripMargin),
+      (s, d) => {
+        val items = T(s, d, "lineitem")
+          .join(T(s, d, "part"),
+            col("l_partkey") === col("p_partkey"))
+        graft.operators.Association.pairLift(
+            items, basketCol = "l_orderkey", itemCol = "p_brand",
+            minSupport = 8)
+          .orderBy(col("lift").desc, col("b1"), col("b2")).limit(40)
+      }),
+
     // mergeable-histogram percentiles over price cents, $100 bins:
     // the sketch alternative to a global sort, error <= one bin.
     Q("q106_hist_percentile", Some(

@@ -301,6 +301,40 @@ object PipelineQueries {
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20),
         iters = 3)),
 
+    // degree assortativity of the near-dup graph (q172): global mixing
+    // statistic complementing q136's closure rate — cliques (template
+    // spam) push r toward 1, hub-and-spoke duplication pushes it
+    // negative. Power sums ride DECIMAL(38,0)/HUGEINT (rule 18); r is
+    // two double casts + one division, bit-equal cross-engine (q121
+    // idiom). Pair set replayed under the brute-force exact-Jaccard
+    // oracle (rule 13). Single-row output, no ORDER BY needed.
+    Q("q172_assortativity", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT s AS v, count(*) AS dg FROM e GROUP BY 1),
+         |ed AS (SELECT da.dg AS x, db.dg AS y FROM e
+         |       JOIN deg da ON e.s = da.v JOIN deg db ON e.d = db.v),
+         |agg AS (SELECT count(*) AS m2, sum(x) AS sx,
+         |               sum(x * y) AS sxy, sum(x * x) AS sxx FROM ed)
+         |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+         |       CAST(sx AS BIGINT) AS sum_deg,
+         |       CAST(sxy AS BIGINT) AS sum_xy,
+         |       CAST(sxx AS BIGINT) AS sum_xx,
+         |       CASE WHEN m2 * sxx - sx * sx = 0 THEN 0.0e0
+         |            ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+         |               / CAST(m2 * sxx - sx * sx AS DOUBLE) END
+         |         AS assortativity
+         |FROM agg""".stripMargin),
+      (s, d) => graft.operators.Dedup.assortativity(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
     // k-core decomposition (2-core) of the near-dup graph: the
     // structural cluster-quality signal — clique-like template-spam
     // clusters survive the peel intact, transitive chains (threshold

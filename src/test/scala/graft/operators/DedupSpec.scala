@@ -406,4 +406,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.kCore(pairs, k = 4).count() === 0L,
       "no 4-core exists in a 4-clique")
   }
+
+  test("assortativity: star graph is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // star 1-{2,3,4}: stubs m2=6; hub stubs carry (x,y)=(3,1)×3, leaf
+    // stubs (1,3)×3 → Σx=12, Σxy=18, Σx²=30;
+    // r = (6·18−144)/(6·30−144) = −36/36 = −1.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.assortativity(star).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 12L, 18L, 30L)))
+    assert(r.getDouble(4) === -1.0)
+  }
+
+  test("assortativity: a regular graph has zero denominator -> 0.0") {
+    import spark.implicits._
+    // triangle: every degree 2 → variance term 0; defined as 0.0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.assortativity(tri).collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(4) === 0.0)
+  }
 }
