@@ -1236,6 +1236,115 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Prefix-filtered EXACT set-similarity self-join (the PPJoin family:
+    * Chaudhuri/Ganti/Kaushik ICDE 2006; Xiao/Wang/Lin/Yu WWW 2008) —
+    * the lossless alternative to both MinHash-LSH (probabilistic recall)
+    * and the DF-capped inverted index (capped-intersection
+    * approximation). Shingles get a global rarity order (ascending
+    * document frequency, shingle text as tiebreak); a document of sz
+    * distinct shingles indexes only its first
+    * sz − ⌈t·sz⌉ + 1 rarest shingles. Any pair with Jaccard ≥ t has
+    * intersection ≥ ⌈t·max(sz_a, sz_b)⌉, and two sets whose overlap is
+    * that large MUST collide inside those prefixes under a shared total
+    * order (the prefix-filtering theorem) — so the candidate set is a
+    * superset of the answer and the verify step makes the output
+    * IDENTICAL to brute force. The gate oracle is therefore the plain
+    * uncapped brute-force join: a hash match proves losslessness, not
+    * just recall-on-this-corpus.
+    *
+    * Exactness: the threshold is the rational num/den applied as the
+    * integer inequality (den+num)·inter ≥ num·(sz_a+sz_b) (from
+    * den·inter ≥ num·(sz_a+sz_b−inter)); the reported jaccard is one
+    * int/int double division, bit-equal cross-engine (rule 17).
+    *
+    * Scale shape: the candidate join runs on PREFIX rows only — for
+    * t = 1/2 that's ~half the shingle table, and rare-first ordering
+    * means boilerplate (high-DF) shingles fall OUT of short prefixes,
+    * so Σdf² over indexed shingles collapses without any lossy cap.
+    * Verification is candidate-scoped: two equi-joins keyed on
+    * (doc_id) then (doc_id, shingle), never a second full self-join.
+    * The rank window partitions by doc_id — per-document state, no
+    * global sort. */
+  def prefixJaccardJoin(
+      docs: DataFrame, n: Int = 3,
+      thresholdNum: Long = 1, thresholdDen: Long = 2): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      "threshold num/den must satisfy 0 < num/den <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleTable(docs, n).materializeOnce() // feeds DF agg, sizes, prefix, verify
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // prefix length p = sz − ⌈num·sz/den⌉ + 1; ceil via (a+den−1) div den.
+    // floor() over double is exact here (num·sz + den ≪ 2^53), and p only
+    // gates the Spark-side candidate step — the output never sees it.
+    val plen = col("sz") - floor((col("sz") * thresholdNum + (thresholdDen - 1))
+      / lit(thresholdDen.toDouble)) + 1
+    val prefix = ex.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(rankW))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rn") <= plen)
+      .select(col("sh"), col("doc_id"))
+    val cand = prefix.select(col("sh"), col("doc_id").as("id_a"))
+      .join(prefix.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(ex.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(lit(thresholdDen + thresholdNum) * col("inter")
+        >= lit(thresholdNum) * (col("sz_a") + col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram CONTAINMENT join — the asymmetric sibling of Jaccard:
+    * C(A→B) = |A∩B| / |A| ≥ t flags document A as (near-)contained in
+    * B, the doc-in-doc signal Jaccard misses entirely (a paragraph
+    * quoted inside a long page has high containment and near-zero
+    * Jaccard — Broder 1997's "containment" estimator, computed here
+    * exactly). Emits one row per ordered (contained, container) pair, so
+    * a symmetric near-dup yields both directions.
+    *
+    * Same inverted-index + DF-cap shape as ngramJaccardPairs (the cap is
+    * the Σdf² skew guard; the oracle replays it identically), threshold
+    * applied as the exact integer inequality den·inter ≥ num·sz, and the
+    * reported containment is one int/int double division (rule 17). */
+  def containmentPairs(
+      docs: DataFrame, n: Int = 3,
+      thresholdNum: Long = 1, thresholdDen: Long = 2,
+      maxDf: Int = 100): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      "threshold num/den must satisfy 0 < num/den <= 1")
+    val ex = shingleTable(docs, n).materializeOnce()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val filtered = ex.join(
+      ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("sh")),
+      Seq("sh"))
+    val undirected = filtered.select(col("sh"), col("doc_id").as("id_a"))
+      .join(filtered.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    // both directions of each undirected intersection, then the
+    // asymmetric threshold on the CONTAINED side's size only
+    val directed = undirected
+      .select(col("id_a").as("doc_id"), col("id_b").as("container_id"), col("inter"))
+      .unionByName(undirected
+        .select(col("id_b").as("doc_id"), col("id_a").as("container_id"), col("inter")))
+    directed
+      .join(sizes, Seq("doc_id"))
+      .filter(lit(thresholdDen) * col("inter") >= lit(thresholdNum) * col("sz"))
+      .select(col("doc_id"), col("container_id"), col("inter"), col("sz"),
+        (col("inter") / col("sz")).as("containment"))
+      .orderBy(col("doc_id"), col("container_id"))
+  }
+
   /** Incremental duplicate clusters — the dup graph's
     * index-not-recompute pattern (the d53 signature store's graph
     * sibling): a prior run's (doc_id, cluster_id) assignment is

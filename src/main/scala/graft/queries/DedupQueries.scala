@@ -77,6 +77,26 @@ object DedupQueries {
       (s, d) => Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
         maxDf = 20)),
 
+    // prefix-filtered EXACT similarity join (PPJoin family): rare-first
+    // global shingle order, each doc indexes only its sz−⌈t·sz⌉+1 rarest
+    // shingles, candidates verified on full sets. LOSSLESS by the
+    // prefix-filtering theorem, so the oracle is the plain UNCAPPED
+    // brute force — the hash match proves output identity, not recall.
+    // Threshold rides the integer inequality 3·inter ≥ sz_a+sz_b
+    // (t = 1/2); jaccard is one int/int double division (rule 17).
+    Q("d57_prefix_join", Some(prefixJoinOracle),
+      (s, d) => Dedup.prefixJaccardJoin(docs(s, d), n = 3,
+        thresholdNum = 1, thresholdDen = 2)),
+
+    // exact n-gram CONTAINMENT (Broder 1997's asymmetric measure): one
+    // row per ordered (contained, container) pair with
+    // den·inter ≥ num·sz on the CONTAINED side only — the doc-in-doc
+    // signal Jaccard misses. Same df≤20 cap as d40, replayed by the
+    // shared CTEs; containment is one int/int double division.
+    Q("d58_containment", Some(containmentOracle),
+      (s, d) => Dedup.containmentPairs(docs(s, d), n = 3,
+        thresholdNum = 1, thresholdDen = 2, maxDf = 20)),
+
     // duplicate CLUSTERS: connected components over the verified pair
     // set (transitive closure — A~B~C collapses even without an A~C
     // pair). Spark runs distributed min-label propagation; the oracle
@@ -795,6 +815,39 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d57: the UNCAPPED brute-force pair join — deliberately no keep/fil
+    * CTE, because prefix filtering is lossless and must reproduce the
+    * full answer, boilerplate shingles included. count(*) stays BIGINT
+    * (no HUGEINT anywhere); jaccard is DuckDB's int/int double division,
+    * mirroring Spark's. */
+  private lazy val prefixJoinOracle: String =
+    s"""WITH $ngramShingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       |       inter / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE 3 * inter >= sa.sz + sb.sz
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** d58: both directions of the capped intersection, asymmetric
+    * threshold 2·inter ≥ sz on the contained side. */
+  private lazy val containmentOracle: String =
+    s"""WITH $ngramPairCtes,
+       |dir AS (
+       |  SELECT id_a AS doc_id, id_b AS container_id, inter FROM inter
+       |  UNION ALL
+       |  SELECT id_b, id_a, inter FROM inter)
+       |SELECT d.doc_id, d.container_id, d.inter, s.sz,
+       |       d.inter / s.sz AS containment
+       |FROM dir d JOIN sizes s ON s.doc_id = d.doc_id
+       |WHERE 2 * d.inter >= s.sz
+       |ORDER BY d.doc_id, d.container_id""".stripMargin
 
   /** d49: the positional-window mirror of Dedup.duplicatedSpanStats —
     * same truncating slice as ngramShingleCte but parametrized to 10

@@ -419,6 +419,72 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(4) === -1.0)
   }
 
+  test("prefixJaccardJoin: hand-checked pair with exact counts") {
+    import spark.implicits._
+    // doc1/doc2 share 3 of their 4 shingles (J = 3/5 = 0.6 >= 0.5);
+    // doc3 is disjoint.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardJoin(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((1L, 2L, 3L, 4L, 4L)))
+    assert(r.getDouble(5) === 0.6)
+  }
+
+  test("prefixJaccardJoin: identical docs collide on a 1-shingle prefix") {
+    import spark.implicits._
+    // J = 1 → prefix length collapses to sz − sz + 1 = 1; the theorem
+    // still guarantees the single rarest shingle is shared.
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardJoin(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(5) === 1.0)
+  }
+
+  test("prefixJaccardJoin is lossless: equals the uncapped brute force") {
+    import spark.implicits._
+    // deterministic corpus with overlapping vocab + planted near-dups
+    val base = (0 until 40).map { i =>
+      val toks = (0 until 8).map(j => s"w${(i * 7 + j * j) % 23}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val dups = (0 until 6).map { k =>
+      val (_, t) = base(k * 5)
+      (100L + k, t.replaceFirst("\\w+$", "zz"))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val fast = Dedup.prefixJaccardJoin(docs)
+      .select("id_a", "id_b", "inter", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val brute = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDf = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast.nonEmpty, "corpus must contain near-dup pairs")
+    assert(fast.map(t => (t._1, t._2, t._4)) === brute)
+  }
+
+  test("containmentPairs: asymmetric threshold keeps only the contained side") {
+    import spark.implicits._
+    // doc1 ⊂ doc2 shingle-wise: inter=3, C(1→2)=3/3=1, C(2→1)=3/5=0.6
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val half = Dedup.containmentPairs(docs, thresholdNum = 1, thresholdDen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(half.toSet === Set((1L, 2L, 3L, 3L, 1.0), (2L, 1L, 3L, 5L, 0.6)))
+    val strict = Dedup.containmentPairs(docs, thresholdNum = 2, thresholdDen = 3)
+      .collect()
+    assert(strict.length === 1)
+    assert((strict.head.getLong(0), strict.head.getLong(1)) === ((1L, 2L)))
+  }
+
   test("assortativity: a regular graph has zero denominator -> 0.0") {
     import spark.implicits._
     // triangle: every degree 2 → variance term 0; defined as 0.0
