@@ -151,6 +151,43 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Sequential-episode support (the 2-sequence restriction of GSP /
+    * AprioriAll, Srikant & Agrawal EDBT 1996): for every ordered type
+    * pair (a, b), the number of entities with SOME occurrence of a
+    * strictly before SOME occurrence of b — counted once per entity.
+    * Complements transitionMatrix (adjacent steps only): an episode
+    * tolerates arbitrary interleaving, the "signup eventually leads to
+    * purchase" question a Markov matrix can't answer.
+    *
+    * "Some a before some b" ⟺ min_key(a) < max_key(b), so the whole
+    * computation collapses to one (entity, type) summary groupBy and a
+    * type-pair self-join co-keyed on entity — per-entity work is
+    * |types|², never |events|². Ordering rides the int64 event key
+    * (second-floor × 1e6 + sequence id): unique per entity, so strict
+    * `<` is tie-free and resolution-proof (rule 2). share is one
+    * int/int double division (rule 17). */
+  def episodeSupport(
+      events: DataFrame, entity: String, step: String,
+      key: Column): DataFrame = {
+    val ut = events
+      .select(col(entity).as("u"), col(step).as("t"), key.as("__k"))
+      .groupBy(col("u"), col("t"))
+      .agg(min(col("__k")).as("first_k"), max(col("__k")).as("last_k"))
+      .materializeOnce() // both sides of the pair self-join
+    val nUsers = ut.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    ut.as("a")
+      .join(ut.as("b"), col("a.u") === col("b.u")
+        && col("a.t") =!= col("b.t") && col("a.first_k") < col("b.last_k"))
+      .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nUsers)) // 1-row normalizer
+      .select(col("t_a"), col("t_b"), col("support"),
+        (col("support").cast("double") / col("n_users").cast("double"))
+          .as("share"))
+      .orderBy(col("t_a"), col("t_b"))
+  }
+
   /** Merge a per-key aggregate snapshot with the same aggregate over a
     * new batch — incremental aggregation maintenance: history is never
     * rescanned; counts and sums combine because they are commutative

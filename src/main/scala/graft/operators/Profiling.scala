@@ -277,6 +277,27 @@ object Profiling {
         col("nv").as("n_violations"), (col("nv") === 0L).as("passed"))
   }
 
+  /** Functional-dependency conformance audit: does X → Y hold? One
+    * summary row per candidate FD — total X-groups, groups where Y is
+    * not unique, and the worst group's distinct-Y count. The discovery
+    * primitive of FD-profiling systems (Papenbrock et al., "Functional
+    * dependency discovery: an experimental evaluation", VLDB 2015),
+    * restricted to candidate checking: the pipeline use case is
+    * asserting a believed invariant ("brand determines manufacturer")
+    * and quantifying the damage when it breaks.
+    *
+    * One groupBy at X grain + one global aggregate — two shuffles, all
+    * counts exact int64, no collect. */
+  def fdViolations(
+      df: DataFrame, fdName: String, lhs: Seq[String], rhs: String): DataFrame =
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("__ndv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__ndv") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__ndv")).as("max_distinct_rhs"))
+      .select(lit(fdName).as("fd"), col("n_groups"), col("n_violating"),
+        col("max_distinct_rhs"), (col("n_violating") === 0L).as("holds"))
+
   /** The DuckDB replay, generated from the same column list so the two
     * engines cannot drift: one aggregate CTE, one UNION ALL arm per
     * column reading from it. */

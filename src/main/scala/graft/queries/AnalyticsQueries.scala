@@ -272,6 +272,29 @@ object AnalyticsQueries {
         T(s, d, "events"), entity = "user_id", step = "event_type",
         key = EventAnalytics.eventKey(col("ts"), col("event_id")))),
 
+    // sequential-episode support (q173): for each ordered type pair,
+    // how many users did SOME a strictly before SOME b — the GSP
+    // 2-sequence, which tolerates interleaving where q150's Markov
+    // matrix sees only adjacency. min/max over the unique int64 event
+    // key make "<" tie-free on any physical ts resolution; share is one
+    // int/int double division.
+    Q("q173_episode_support", Some(
+      s"""WITH ut AS (
+         |  SELECT user_id AS u, event_type AS t,
+         |         min($keySql) AS first_k, max($keySql) AS last_k
+         |  FROM events GROUP BY 1, 2),
+         |n AS (SELECT count(DISTINCT u) AS n_users FROM ut)
+         |SELECT a.t AS t_a, b.t AS t_b, count(*) AS support,
+         |       CAST(count(*) AS DOUBLE)
+         |         / (SELECT CAST(n_users AS DOUBLE) FROM n) AS share
+         |FROM ut a JOIN ut b
+         |  ON a.u = b.u AND a.t <> b.t AND a.first_k < b.last_k
+         |GROUP BY a.t, b.t
+         |ORDER BY t_a, t_b""".stripMargin),
+      (s, d) => EventAnalytics.episodeSupport(
+        T(s, d, "events"), entity = "user_id", step = "event_type",
+        key = EventAnalytics.eventKey(col("ts"), col("event_id")))),
+
     // per-leg funnel latency quantiles: the q103 strict-order chain,
     // then exact count-of-counts quantiles (q149's shape) over whole-
     // second step gaps. The event key is sec*1e6 + seq, so k DIV 1e6 is

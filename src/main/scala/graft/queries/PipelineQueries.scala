@@ -184,6 +184,18 @@ object PipelineQueries {
           .orderBy(col("check_name"))
       }),
 
+    // functional-dependency conformance audit (q174): check three
+    // candidate FDs — one that holds (the key FD p_partkey→p_brand)
+    // and two that don't — reporting violating
+    // group counts and the worst group's distinct-RHS. Oracle arms are
+    // GENERATED from the same fdChecks list (one definition, two
+    // engines); DuckDB's HUGEINT sum is cast to BIGINT (rule 18).
+    Q("q174_fd_audit", Some(fdAuditOracle),
+      (s, d) => fdChecks.map { case (name, tbl, lhs, rhs) =>
+          Profiling.fdViolations(Tables.load(s, d, tbl), name, Seq(lhs), rhs)
+        }.reduce(_ unionByName _)
+        .orderBy(col("fd"))),
+
     // robust outlier detection: per-group median + MAD over the integral
     // quantity column, outliers = |x − med| > 1.5·MAD. Every value lives
     // on the half-integer grid (binary-exact), interpolated medians
@@ -877,6 +889,25 @@ object PipelineQueries {
     ("status_known", col("o_orderstatus").isin("O", "F", "P"),
       "o_orderstatus IN ('O','F','P')"),
     ("total_positive", col("o_totalprice") > 0, "o_totalprice > 0"))
+
+  /** q174's candidate FDs: (name, table, lhs, rhs). One list drives the
+    * Spark union AND the generated oracle arms — no drift possible. */
+  private lazy val fdChecks: Seq[(String, String, String, String)] = Seq(
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"))
+
+  private lazy val fdAuditOracle: String =
+    fdChecks.map { case (name, tbl, lhs, rhs) =>
+      s"""SELECT '$name' AS fd, count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  max(ndv) AS max_distinct_rhs,
+         |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+         |    AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS ndv
+         |      FROM $tbl GROUP BY 1)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
 
   /** q122 oracle, generated from [[expectationChecks]]: each row arm is a
     * one-row aggregate; uniqueness is count−count(DISTINCT); referential

@@ -96,7 +96,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,s43,s55,t54,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,s43,s55,t54,
     // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -153,6 +153,22 @@ object ScaleProbe {
       require(merged.except(full).count() == 0 &&
         full.except(merged).count() == 0,
         "incremental cluster merge diverged from the full recompute")
+    }
+    if (on("d57")) time("d57: prefix-filtered exact join") {
+      // the lossless alternative at volume: rare-first prefixes bound
+      // the candidate join with NO df cap and NO probabilistic recall.
+      // On this corpus shingles are near-unique (random trigrams over a
+      // 1000-word vocab), the adversarial shape for LSH but the easy one
+      // for prefix filtering — so the assertion is EQUALITY (100% of
+      // planted pairs), the theorem's contract, not a recall target.
+      val p = graft.operators.Dedup.prefixJaccardJoin(docs)
+      val total = p.count()
+      val planted = p
+        .filter(col("id_b") >= n && col("id_a") === (col("id_b") - n) * 20)
+        .count()
+      println(s"[probe]   exact pairs: $total; planted: $planted/${n / 20}")
+      require(planted == n / 20,
+        s"prefix join lost planted pairs (not lossless?): $planted/${n / 20}")
     }
     if (on("d53")) time("d53: persisted-store incremental dedup") {
       // the r9 daily-ingest pattern at probe volume: corpus = the base

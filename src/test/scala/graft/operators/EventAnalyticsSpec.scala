@@ -208,4 +208,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(a.getDouble(7) - b.getDouble(7))
       < math.abs(a.getDouble(6) - b.getDouble(6)))
   }
+
+  test("episodeSupport counts interleaved before-pairs once per user") {
+    val ev = Seq(
+      // user 1: a .. b .. a — (a,b) yes; (b,a) yes (b@11 before a@12)
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "a", ts("2024-01-01 12:00:00"), 3L),
+      // user 2: b then a only — (b,a) yes, (a,b) no
+      (2L, "b", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "a", ts("2024-01-01 11:00:00"), 5L),
+      // user 3: a only — contributes nothing
+      (3L, "a", ts("2024-01-01 10:00:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.episodeSupport(ev, "user_id", "event_type",
+        EventAnalytics.eventKey($"ts", $"event_id"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 1.0 / 3.0)),
+      ("b", "a") -> ((2L, 2.0 / 3.0))))
+  }
+
+  test("episodeSupport: same-key tie is NOT 'before' (strict order)") {
+    // one user, two types in the same second with ordered event ids:
+    // only the id order decides — (x,y) holds, (y,x) does not
+    val ev = Seq(
+      (1L, "x", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "y", ts("2024-01-01 10:00:00"), 2L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.episodeSupport(ev, "user_id", "event_type",
+        EventAnalytics.eventKey($"ts", $"event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("x", "y")))
+  }
 }

@@ -147,4 +147,19 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getLong(5) === 3L, s"min_diversity: $out") // not 6
     assert(out.getLong(4) === 6L, "all 6 rows at risk under l=4")
   }
+
+  test("fdViolations reports holding and broken FDs with exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "v1"), ("g1", "v1"),           // g1: 1 distinct -> ok
+      ("g2", "v1"), ("g2", "v2"), ("g2", "v3"), // g2: 3 distinct
+      ("g3", "v1"), ("g3", "v2")            // g3: 2 distinct
+    ).toDF("x", "y")
+    val broken = Profiling.fdViolations(df, "x->y", Seq("x"), "y").collect()(0)
+    assert(broken.getString(0) === "x->y")
+    assert((broken.getLong(1), broken.getLong(2), broken.getLong(3),
+      broken.getBoolean(4)) === ((3L, 2L, 3L, false)))
+    val holds = Profiling.fdViolations(df, "y->y", Seq("y"), "y").collect()(0)
+    assert((holds.getLong(2), holds.getBoolean(4)) === ((0L, true)))
+  }
 }
