@@ -24,17 +24,17 @@ object Bench {
     "q50_salted_join", "q81_range_join",
     "q82_bloom_join", "q92_bucketed_join",
     // streaming
-    "q68_sessionize", "q74_stream_dedup", "q80_stream_enrich",
+    "q68_sessionize", "q74_stream_dedup",
     "q83_stream_stream_join", "q107_stream_cdc_upsert",
     // dedup family
     "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
-    "d47_incremental_dedup", "d48_semantic_dedup", "d50_novelty",
+    "d47_incremental_dedup", "d48_semantic_dedup",
     "d51_span_removal", "d52_editdist_join", "d53_store_incremental",
     "d54_bloom_decontam",
     // multimodal real-codec roundtrip
     "m48_audio_decode",
     // similarity / ANN
-    "s41_knn_brute", "s43_knn_ivf", "s44_knn_rp", "s45_kmeans_step",
+    "s41_knn_brute", "s43_knn_ivf", "s45_kmeans_step",
     "s46_pq_adc", "s47_ann_recall", "s48_pq_ivf_adc",
     "s52_pq_ivf_adc_rerank",
     // text & curation
@@ -48,7 +48,9 @@ object Bench {
     "t53_hll_distinct", "s55_power_iteration",
     "q161_stream_cardinality", "t54_line_dedup",
     "t56_bm25_topk", "s58_hybrid_rrf", "q166_kcore",
-    "q168_join_cardinality")
+    "q168_join_cardinality",
+    // lossless exact join, association mining, episode mining
+    "d57_prefix_join", "q171_basket_lift", "q173_episode_support")
 
   /** Degradation ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at

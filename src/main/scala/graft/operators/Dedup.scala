@@ -886,6 +886,66 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Per-node local clustering coefficient (Watts–Strogatz 1998) over
+    * the near-dup pair graph: lcc(v) = 2·t_v / (d_v·(d_v−1)) — the
+    * per-node companion to q136's single global closure rate. High-lcc
+    * nodes sit inside template-spam cliques; low-lcc high-degree nodes
+    * are hubs stitching unrelated docs (the ER false-positive smell).
+    *
+    * Exactness: t_v and d_v are exact int64 counts; lcc is ONE double
+    * division of two exact int64 products (rule 17; d_v·(d_v−1) stays
+    * in int64 to d_v ≈ 3e9 — beyond any dup graph's max degree).
+    *
+    * Scale shape: triangles enumerate canonically (a<b<c holds for free
+    * because both joined edges are stored sorted) via one wedge join +
+    * one closing semi-join — the same Σd² bound as triangleCensus —
+    * then one explode(3) and a node-grain groupBy. */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .materializeOnce() // wedge sides, closing probe, degree agg
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val wedges = e
+      .join(e.select(col("a").as("b2"), col("b").as("c")), col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      e.select(col("a").as("a3"), col("b").as("c3")),
+      col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+    val tv = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    deg.join(tv, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((col("n_triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicate-cluster label purity: for each dup cluster, member
+    * count, distinct label values, and the majority label's share — the
+    * curation diagnostic separating intra-source duplication (scraper
+    * echo, purity 1) from cross-source syndication (low purity), which
+    * decide different remediations (fix the crawler vs canonicalize).
+    *
+    * One doc-keyed join + two bounded groupBys; purity is one int/int
+    * double division (rule 17). */
+  def clusterPurity(
+      clusters: DataFrame, docs: DataFrame, label: String): DataFrame = {
+    val sc = clusters.join(docs.select(col("doc_id"), col(label)), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col(label)).agg(count(lit(1)).as("c"))
+    sc.groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("n_members"),
+        count(lit(1)).as("n_labels"),
+        max(col("c")).as("top_label_n"))
+      .select(col("cluster_id"), col("n_members"), col("n_labels"),
+        col("top_label_n"),
+        (col("top_label_n").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Degree assortativity of the near-dup pair graph (Newman,
     * "Assortative mixing in networks", PRL 2002): the Pearson
     * correlation of endpoint degrees over the 2m directed edge stubs.

@@ -188,6 +188,48 @@ object EventAnalytics {
       .orderBy(col("t_a"), col("t_b"))
   }
 
+  /** Seasonal-baseline forecastability readout (the MASE denominator
+    * family, Hyndman & Koehler 2006): per series, the summed absolute
+    * error of the naive forecast (previous hour) vs the seasonal-naive
+    * forecast (same hour yesterday). ratio < 1 means daily seasonality
+    * explains the series better than persistence — the monitoring
+    * pre-check before anyone fits a real model.
+    *
+    * Lags are CALENDAR joins on the hour-floored timestamp (h−1h,
+    * h−24h), not row-order windows, so gaps in the grid skip pairs on
+    * both engines identically. Hour floors are ≥1s granularity
+    * (rule 2); the error sums are exact int64 (|count diffs|); the
+    * ratio is one double division of exact sums (rule 17), guarded on
+    * a zero denominator.
+    *
+    * Scale shape: one groupBy to hour grain (bounded: series × hours),
+    * then two self-equi-joins of that compact frame — never a window
+    * over raw events. */
+  def seasonalBaselineError(
+      events: DataFrame, series: String, ts: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(series).as("g"), date_trunc("hour", col(ts)).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .materializeOnce() // base of both lag self-joins
+    def lagError(hours: Int, nName: String, saeName: String): DataFrame =
+      hourly.as("cur")
+        .join(hourly.as("prev"),
+          col("cur.g") === col("prev.g") &&
+            col("prev.h") + expr(s"INTERVAL $hours HOURS") === col("cur.h"))
+        .groupBy(col("cur.g").as("g"))
+        .agg(count(lit(1)).as(nName),
+          sum(abs(col("cur.c") - col("prev.c"))).as(saeName))
+    lagError(1, "n_naive", "sae_naive")
+      .join(lagError(24, "n_seasonal", "sae_seasonal"), Seq("g"))
+      .select(col("g").as(series), col("n_naive"), col("sae_naive"),
+        col("n_seasonal"), col("sae_seasonal"),
+        when(col("sae_naive") === 0, lit(0.0))
+          .otherwise(col("sae_seasonal").cast("double")
+            / col("sae_naive").cast("double"))
+          .as("seasonal_vs_naive"))
+      .orderBy(col(series))
+  }
+
   /** Merge a per-key aggregate snapshot with the same aggregate over a
     * new batch — incremental aggregation maintenance: history is never
     * rescanned; counts and sums combine because they are commutative

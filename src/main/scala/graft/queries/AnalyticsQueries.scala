@@ -295,6 +295,37 @@ object AnalyticsQueries {
         T(s, d, "events"), entity = "user_id", step = "event_type",
         key = EventAnalytics.eventKey(col("ts"), col("event_id")))),
 
+    // seasonal-baseline forecastability (q177): per event type, summed
+    // |error| of naive (h−1) vs seasonal-naive (h−24) hourly-count
+    // forecasts — the MASE-denominator pre-check. Calendar lag joins on
+    // the hour floor (rule 2), exact int64 error sums (DuckDB HUGEINT →
+    // BIGINT, rule 18), ratio = one double division.
+    Q("q177_seasonal_baseline", Some(
+      """WITH hourly AS (
+        |  SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n1 AS (
+        |  SELECT cur.g, count(*) AS n_naive,
+        |         CAST(sum(abs(cur.c - prev.c)) AS BIGINT) AS sae_naive
+        |  FROM hourly cur JOIN hourly prev
+        |    ON cur.g = prev.g AND prev.h + INTERVAL 1 HOUR = cur.h
+        |  GROUP BY 1),
+        |n24 AS (
+        |  SELECT cur.g, count(*) AS n_seasonal,
+        |         CAST(sum(abs(cur.c - prev.c)) AS BIGINT) AS sae_seasonal
+        |  FROM hourly cur JOIN hourly prev
+        |    ON cur.g = prev.g AND prev.h + INTERVAL 24 HOUR = cur.h
+        |  GROUP BY 1)
+        |SELECT n1.g AS event_type, n_naive, sae_naive,
+        |       n_seasonal, sae_seasonal,
+        |       CASE WHEN sae_naive = 0 THEN 0.0e0
+        |            ELSE CAST(sae_seasonal AS DOUBLE)
+        |               / CAST(sae_naive AS DOUBLE) END AS seasonal_vs_naive
+        |FROM n1 JOIN n24 ON n1.g = n24.g
+        |ORDER BY event_type""".stripMargin),
+      (s, d) => EventAnalytics.seasonalBaselineError(
+        T(s, d, "events"), series = "event_type", ts = "ts")),
+
     // per-leg funnel latency quantiles: the q103 strict-order chain,
     // then exact count-of-counts quantiles (q149's shape) over whole-
     // second step gaps. The event key is sec*1e6 + seq, so k DIV 1e6 is

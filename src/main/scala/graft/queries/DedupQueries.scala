@@ -575,8 +575,11 @@ object DedupQueries {
     * reachability walk. d56 shares it VERBATIM because incremental
     * merge over star-compressed prior labels provably equals the full
     * recompute. */
-  private lazy val dupClustersOracle: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+  /** Brute-force pairs → recursive reachability → min-label assignment,
+    * ending in `asg(doc_id, cluster_id)`. Callers prepend WITH RECURSIVE.
+    * private[queries]: q176's purity oracle composes the same chain. */
+  private[queries] lazy val dupClusterCtes: String =
+    s"""$ngramPairCtes,
        |pairs AS (
        |  SELECT id_a, id_b
        |  FROM inter
@@ -590,9 +593,14 @@ object DedupQueries {
        |walk(id, lbl) AS (
        |  SELECT s, s FROM edges
        |  UNION
-       |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d)
-       |SELECT id AS doc_id, min(lbl) AS cluster_id
-       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+       |  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d),
+       |asg AS (
+       |  SELECT id AS doc_id, min(lbl) AS cluster_id
+       |  FROM walk GROUP BY id)""".stripMargin
+
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes
+       |SELECT doc_id, cluster_id FROM asg ORDER BY doc_id""".stripMargin
 
   /** d52/q164 shared CTE chain (q-gram index, DF cap, length-banded
     * candidates) ending in `cand(id_a, id_b, sa, sb)` — one definition

@@ -347,6 +347,68 @@ object PipelineQueries {
         graft.operators.Dedup.minhashVerifiedPairs(
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
+    // per-node local clustering coefficient (q175): q136's closure rate
+    // resolved to node grain — clique members score 1, hub centers 0.
+    // t_v and d_v are exact int64; lcc is one double division of exact
+    // products. Pair set under the brute-force oracle (rule 13).
+    Q("q175_local_clustering", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |deg AS (SELECT v, count(*) AS degree FROM (
+         |          SELECT id_a AS v FROM pairs
+         |          UNION ALL SELECT id_b FROM pairs) GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |  FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+         |  WHERE EXISTS (SELECT 1 FROM pairs e3
+         |                WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)),
+         |tv AS (SELECT v, count(*) AS t FROM (
+         |         SELECT a AS v FROM tri
+         |         UNION ALL SELECT b FROM tri
+         |         UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT deg.v AS doc_id, deg.degree,
+         |       COALESCE(tv.t, 0) AS n_triangles,
+         |       CASE WHEN deg.degree < 2 THEN 0.0e0
+         |            ELSE CAST(2 * COALESCE(tv.t, 0) AS DOUBLE)
+         |               / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+         |       END AS lcc
+         |FROM deg LEFT JOIN tv ON tv.v = deg.v
+         |ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Dedup.localClustering(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
+    // duplicate-cluster source purity (q176): is duplication intra-
+    // source (scraper echo, purity 1) or cross-source syndication?
+    // Composes the d44 recursive-CC oracle chain with a label join;
+    // HUGEINT member sums cast to BIGINT (rule 18); purity is one
+    // int/int double division.
+    Q("q176_cluster_purity", Some(
+      s"""WITH RECURSIVE ${DedupQueries.dupClusterCtes},
+         |m AS (SELECT a.cluster_id, d.source
+         |      FROM asg a JOIN documents d ON d.doc_id = a.doc_id),
+         |sc AS (SELECT cluster_id, source, count(*) AS c
+         |       FROM m GROUP BY 1, 2)
+         |SELECT cluster_id,
+         |       CAST(sum(c) AS BIGINT) AS n_members,
+         |       count(*) AS n_labels,
+         |       max(c) AS top_label_n,
+         |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS purity
+         |FROM sc GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.Dedup.clusterPurity(
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Dedup.minhashVerifiedPairs(
+              docs, threshold = 0.5, maxDf = 20)),
+          docs, label = "source")
+      }),
+
     // k-core decomposition (2-core) of the near-dup graph: the
     // structural cluster-quality signal — clique-like template-spam
     // clusters survive the peel intact, transitive chains (threshold

@@ -485,6 +485,34 @@ class DedupSpec extends SparkSpec {
     assert((strict.head.getLong(0), strict.head.getLong(1)) === ((1L, 2L)))
   }
 
+  test("localClustering: clique members score 1, pendant scores 0") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus pendant 5 on node 1: t=(3,3,3,3,0),
+    // d=(4,3,3,3,1) → lcc = (0.5, 1, 1, 1, 0)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.localClustering(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((4L, 3L, 0.5)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((3L, 3L, 1.0)), 5L -> ((1L, 0L, 0.0))))
+  }
+
+  test("clusterPurity separates intra-source from cross-source clusters") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("doc_id", "source")
+    val out = Dedup.clusterPurity(clusters, docs, "source").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 2L, 2.0 / 3.0)), 4L -> ((2L, 1L, 2L, 1.0))))
+  }
+
   test("assortativity: a regular graph has zero denominator -> 0.0") {
     import spark.implicits._
     // triangle: every degree 2 → variance term 0; defined as 0.0

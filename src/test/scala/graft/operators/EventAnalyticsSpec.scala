@@ -231,6 +231,24 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((2L, 2.0 / 3.0))))
   }
 
+  test("seasonalBaselineError: calendar lags skip grid gaps exactly") {
+    // hourly counts for series x: h0=2, h1=1, h2=3, h25=2, h26=3
+    // naive pairs (1h): (h0,h1)=1, (h1,h2)=2, (h25,h26)=1 -> n=3, sae=4
+    // seasonal pairs (24h): (h1,h25)=1, (h2,h26)=0 -> n=2, sae=1
+    val ev = Seq(
+      "2024-01-01 00:10:00", "2024-01-01 00:20:00",
+      "2024-01-01 01:15:00",
+      "2024-01-01 02:05:00", "2024-01-01 02:10:00", "2024-01-01 02:30:00",
+      "2024-01-02 01:05:00", "2024-01-02 01:10:00",
+      "2024-01-02 02:01:00", "2024-01-02 02:02:00", "2024-01-02 02:03:00"
+    ).map(s => ("x", ts(s))).toDF("event_type", "ts")
+    val r = EventAnalytics.seasonalBaselineError(ev, "event_type", "ts")
+      .collect()
+    assert(r.length === 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3),
+      r.head.getLong(4), r.head.getDouble(5)) === ((3L, 4L, 2L, 1L, 0.25)))
+  }
+
   test("episodeSupport: same-key tie is NOT 'before' (strict order)") {
     // one user, two types in the same second with ordered event ids:
     // only the id order decides — (x,y) holds, (y,x) does not
