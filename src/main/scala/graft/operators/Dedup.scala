@@ -886,6 +886,55 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Train/test split-leakage audit: cross-tabulate the near-dup pair
+    * set against a split assignment. A (train, test) pair is benchmark
+    * leakage — the published-eval failure mode exact-match decontam
+    * misses (Lee et al., "Deduplicating training data makes language
+    * models better", ACL 2022 measures exactly this). Output one row
+    * per unordered split combo with its pair count and share of all
+    * pairs (one int/int double division, rule 17).
+    *
+    * Two doc-keyed equi-joins + one bounded groupBy (|splits|² rows);
+    * the 1-row total is the only crossJoin. */
+  def splitLeakage(pairs: DataFrame, split: DataFrame): DataFrame = {
+    val p = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sp_a")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sp_b")),
+        Seq("id_b"))
+    val combos = p.groupBy(
+        least(col("sp_a"), col("sp_b")).as("split_lo"),
+        greatest(col("sp_a"), col("sp_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = combos.agg(sum(col("n_pairs")).as("n_total"))
+    combos.crossJoin(broadcast(total)) // 1-row normalizer
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  /** Soft dedup — keep one representative per duplicate cluster but
+    * carry the cluster size as a training WEIGHT, so the corpus-level
+    * token distribution is preserved while byte-identical repetition is
+    * removed (the duplication-as-weights recipe; the hard-dedup
+    * alternative silently reweights the corpus toward never-duplicated
+    * sources). Unpaired docs pass through at weight 1; cluster docs
+    * collapse to min-id with weight = member count. Output covers the
+    * FULL corpus: Σweight = |docs|.
+    *
+    * One cluster-grain groupBy + one anti-join — both at assignment
+    * size, never corpus-text size. */
+  def dedupWeights(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val cw = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("weight"))
+      .select(col("doc_id"), col("weight"))
+    val singles = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("weight", lit(1L))
+    cw.unionByName(singles).orderBy(col("doc_id"))
+  }
+
   /** Per-node local clustering coefficient (Watts–Strogatz 1998) over
     * the near-dup pair graph: lcc(v) = 2·t_v / (d_v·(d_v−1)) — the
     * per-node companion to q136's single global closure rate. High-lcc

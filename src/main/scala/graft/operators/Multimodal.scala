@@ -474,6 +474,38 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One short-time-energy frame of the m57 profile. */
+  final case class AudioFrame(
+    media_id: Long, frame_no: Long, n_samples: Long, energy: Long)
+
+  /** Framed short-time energy profile over the REAL audio decode (m57):
+    * decode the WAV container, cut the PCM stream into fixed
+    * `frame`-sample windows (final window partial), emit per-frame
+    * Σs² — the classic voice-activity / silence-trim feature, and the
+    * audio mirror of the image path's per-tile statistics.
+    *
+    * Exact int64: |s| ≤ 32768 → s² < 2^31, a 32-sample frame sum
+    * < 2^36. The oracle regenerates the PCM arithmetically (same
+    * audioSample formula, rule 12) and replays the framing as integer
+    * SQL — a dropped sample, endianness flip, or boundary shift moves
+    * some frame's energy and hash-fails. Decode is partition-wise
+    * (repartition before the CPU-bound codec + row-amplifying flatMap,
+    * rule 6). */
+  def audioFrameEnergy(
+      spark: SparkSession, docs: DataFrame, frame: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(frame >= 1, "frame must be >= 1 sample")
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val (_, samples) = decodeWav(syntheticWav(id)).getOrElse(
+          throw new IllegalStateException(s"WAV decode failed for doc $id"))
+        samples.grouped(frame).zipWithIndex.map { case (w, f) =>
+          AudioFrame(id, f.toLong, w.length.toLong,
+            w.foldLeft(0L)((acc, s) => acc + s.toLong * s))
+        }
+      }.toDF()
+  }
+
   /** One decoded video row of the real-codec roundtrip (m49). */
   final case class VideoDecode(
       media_id: Long, width: Long, height: Long, n_frames: Long, checksum: Long)

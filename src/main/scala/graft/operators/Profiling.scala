@@ -277,6 +277,66 @@ object Profiling {
         col("nv").as("n_violations"), (col("nv") === 0L).as("passed"))
   }
 
+  /** Simpson concentration / diversity per group (Simpson 1949): for
+    * each `group`, D = Σ n_i(n_i−1) / (N(N−1)) over the counts of
+    * `label` values — the probability two random members share a label
+    * (no logarithms, unlike Shannon entropy, so it is EXACT: integer
+    * power sums plus one division). `effective_labels` = 1/D is the
+    * equivalent even-label count, the mix-balance number a data-mixture
+    * designer actually reads.
+    *
+    * The pair sums ride DECIMAL(38,0) (DuckDB HUGEINT, rule 18):
+    * N(N−1) passes 2^63 already at N ≈ 3·10^9 rows per group — real at
+    * 100 TB. Final values are exact-int→double casts + one division
+    * each (rule 17). Two bounded groupBys, no joins. */
+  def simpsonDiversity(
+      df: DataFrame, group: String, label: String): DataFrame = {
+    val cnt = df.groupBy(col(group), col(label)).agg(count(lit(1)).as("c"))
+    val cD = col("c").cast("decimal(38,0)")
+    val agg = cnt.groupBy(col(group))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_labels"),
+        sum(cD * (cD - 1)).as("num"))
+    val nD = col("n_rows").cast("decimal(38,0)")
+    agg.select(col(group), col("n_rows"), col("n_labels"),
+        when(col("n_rows") < 2, lit(0.0))
+          .otherwise(col("num").cast("double")
+            / (nD * (nD - 1)).cast("double")).as("simpson"),
+        when(col("num") === 0, lit(0.0))
+          .otherwise((nD * (nD - 1)).cast("double")
+            / col("num").cast("double")).as("effective_labels"))
+      .orderBy(col(group))
+  }
+
+  /** Trimmed mean per group: drop values outside the exact [lo, hi]
+    * quantiles (computed by the same count-of-counts rule as
+    * exactQuantiles — min value whose cumulative count reaches
+    * ⌈q·n⌉), average what remains. The robust location statistic for
+    * monitoring dashboards — a handful of crawler blowups can move a
+    * plain mean arbitrarily, but not this one.
+    *
+    * Exact for integral value columns: the kept-sum is exact int64
+    * (DuckDB HUGEINT → BIGINT at the boundary) and the mean is one
+    * int/int double division (rule 17). Histogram + windows at
+    * (group, distinct value) grain, then one join-back at value grain —
+    * never a global sort of rows. */
+  def trimmedMean(
+      df: DataFrame, group: String, value: String,
+      lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad trim bounds ($lo, $hi)")
+    val qs = exactQuantiles(df, group, value, Seq(lo, hi))
+    val bounds = qs.groupBy(col(group)).agg(
+      min(when(col("q") === lo, col("q_value"))).as("lo_v"),
+      max(when(col("q") === hi, col("q_value"))).as("hi_v"))
+    df.join(bounds, Seq(group))
+      .filter(col(value) >= col("lo_v") && col(value) <= col("hi_v"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_kept"), sum(col(value)).as("kept_total"))
+      .select(col(group), col("n_kept"), col("kept_total"),
+        (col("kept_total").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+      .orderBy(col(group))
+  }
+
   /** Functional-dependency conformance audit: does X → Y hold? One
     * summary row per candidate FD — total X-groups, groups where Y is
     * not unique, and the worst group's distinct-Y count. The discovery

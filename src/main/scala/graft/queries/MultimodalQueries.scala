@@ -468,6 +468,25 @@ object MultimodalQueries {
       (s, d) => Multimodal.audioDecodeRoundtrip(s, docs(s, d))
         .orderBy(col("media_id"))),
 
+    // framed short-time energy over the real audio decode (m57): the
+    // VAD/silence-trim feature. 32-sample frames, per-frame Σs² exact
+    // in int64; the oracle regenerates the PCM arithmetically and
+    // replays the framing with integer // (truncation = floor on these
+    // non-negative indexes; DuckDB HUGEINT sum cast to BIGINT).
+    Q("m57_audio_energy", Some(
+      """WITH ns AS (
+        |  SELECT doc_id, 64 + (doc_id % 192) AS n FROM documents),
+        |ix AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ns),
+        |sx AS (SELECT doc_id, i // 32 AS frame_no,
+        |              (doc_id*31 + i*7919) % 65536 - 32768 AS s
+        |       FROM ix)
+        |SELECT doc_id AS media_id, frame_no, count(*) AS n_samples,
+        |       CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM sx GROUP BY 1, 2
+        |ORDER BY media_id, frame_no""".stripMargin),
+      (s, d) => Multimodal.audioFrameEnergy(s, docs(s, d))
+        .orderBy(col("media_id"), col("frame_no"))),
+
     // REAL-codec VIDEO roundtrip (m49 — the third modality goes real):
     // per doc, encode the deterministic frame sequence to an actual
     // multi-frame GIF container and decode it back frame-by-frame via

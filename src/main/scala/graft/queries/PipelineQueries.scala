@@ -184,6 +184,55 @@ object PipelineQueries {
           .orderBy(col("check_name"))
       }),
 
+    // Simpson lang-diversity per source (q180): exact pair-collision
+    // concentration + effective language count — the entropy-free (and
+    // therefore hash-matchable) mixture-balance readout. Pair sums on
+    // DECIMAL(38,0)/HUGEINT (rule 18), two single-division doubles.
+    Q("q180_simpson_diversity", Some(
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+        |             count(*) AS n_labels, sum(c*(c-1)) AS num
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_rows, n_labels,
+        |  CASE WHEN n_rows < 2 THEN 0.0e0
+        |       ELSE CAST(num AS DOUBLE)
+        |          / CAST(n_rows*(n_rows-1) AS DOUBLE) END AS simpson,
+        |  CASE WHEN num = 0 THEN 0.0e0
+        |       ELSE CAST(n_rows*(n_rows-1) AS DOUBLE)
+        |          / CAST(num AS DOUBLE) END AS effective_labels
+        |FROM a ORDER BY source""".stripMargin),
+      (s, d) => Profiling.simpsonDiversity(
+        Tables.load(s, d, "documents"), group = "source", label = "lang")),
+
+    // trimmed mean of doc length per language (q181): values outside
+    // the exact [p10, p90] count-of-counts quantiles dropped, then one
+    // int/int division. ceil() comparisons ride doubles identically on
+    // both engines (same IEEE product, exact integer threshold).
+    Q("q181_trimmed_mean", Some(
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS m
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, v,
+        |             sum(m) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |             sum(m) OVER (PARTITION BY lang) AS n
+        |      FROM h),
+        |qs AS (SELECT lang,
+        |         min(CASE WHEN cum >= ceil(0.1e0*n) THEN v END) AS lo_v,
+        |         min(CASE WHEN cum >= ceil(0.9e0*n) THEN v END) AS hi_v
+        |       FROM c GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_kept,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS kept_total,
+        |       CAST(sum(d.n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS trimmed_mean
+        |FROM documents d JOIN qs ON d.lang = qs.lang
+        |WHERE d.n_chars >= qs.lo_v AND d.n_chars <= qs.hi_v
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+      (s, d) => Profiling.trimmedMean(
+        Tables.load(s, d, "documents"), group = "lang", value = "n_chars",
+        lo = 0.1, hi = 0.9)),
+
     // functional-dependency conformance audit (q174): check three
     // candidate FDs — one that holds (the key FD p_partkey→p_brand)
     // and two that don't — reporting violating
@@ -407,6 +456,66 @@ object PipelineQueries {
             graft.operators.Dedup.minhashVerifiedPairs(
               docs, threshold = 0.5, maxDf = 20)),
           docs, label = "source")
+      }),
+
+    // train/test split-leakage audit (q178): cross-tabulate near-dup
+    // pairs against an 80/20 doc_id split — (test, train) rows are
+    // benchmark leakage. The split rule (doc_id % 10 <= 7) is the
+    // deterministic, both-engine-replayable idiom of d47's batch flag.
+    // Pair set under the brute-force oracle (rule 13).
+    Q("q178_split_leakage", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |f AS (SELECT doc_id,
+         |             CASE WHEN doc_id % 10 <= 7 THEN 'train'
+         |                  ELSE 'test' END AS sp
+         |      FROM documents),
+         |p AS (SELECT least(fa.sp, fb.sp) AS split_lo,
+         |             greatest(fa.sp, fb.sp) AS split_hi
+         |      FROM pairs JOIN f fa ON fa.doc_id = id_a
+         |                 JOIN f fb ON fb.doc_id = id_b),
+         |c AS (SELECT split_lo, split_hi, count(*) AS n_pairs
+         |      FROM p GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM c)
+         |SELECT split_lo, split_hi, n_pairs,
+         |       CAST(n_pairs AS DOUBLE)
+         |         / (SELECT CAST(n_total AS DOUBLE) FROM t) AS share
+         |FROM c ORDER BY split_lo, split_hi""".stripMargin),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.Dedup.splitLeakage(
+          graft.operators.Dedup.minhashVerifiedPairs(
+            docs, threshold = 0.5, maxDf = 20),
+          docs.select(col("doc_id"),
+            when(col("doc_id") % 10 <= 7, "train").otherwise("test")
+              .as("split")))
+      }),
+
+    // soft dedup as weights (q179): one representative per dup cluster
+    // carrying weight = cluster size, singletons at weight 1 — the
+    // duplication-as-weights recipe that preserves the corpus token
+    // distribution. Composes the d44 recursive-CC oracle; Σweight is
+    // pinned to |docs| by construction.
+    Q("q179_dedup_weights", Some(
+      s"""WITH RECURSIVE ${DedupQueries.dupClusterCtes},
+         |cw AS (SELECT min(doc_id) AS doc_id, count(*) AS weight
+         |       FROM asg GROUP BY cluster_id)
+         |SELECT doc_id, weight FROM cw
+         |UNION ALL
+         |SELECT d.doc_id, CAST(1 AS BIGINT) AS weight FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM asg)
+         |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.Dedup.dedupWeights(
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Dedup.minhashVerifiedPairs(
+              docs, threshold = 0.5, maxDf = 20)),
+          docs)
       }),
 
     // k-core decomposition (2-core) of the near-dup graph: the

@@ -513,6 +513,31 @@ class DedupSpec extends SparkSpec {
       1L -> ((3L, 2L, 2L, 2.0 / 3.0)), 4L -> ((2L, 1L, 2L, 1.0))))
   }
 
+  test("splitLeakage cross-tabulates pairs by unordered split combo") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val split = (1L to 12L).map(i => (i, if (i <= 10) "train" else "test"))
+      .toDF("doc_id", "split")
+    val out = Dedup.splitLeakage(pairs, split).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("test", "test") -> ((1L, 1.0 / 3.0)),
+      ("test", "train") -> ((1L, 1.0 / 3.0)),
+      ("train", "train") -> ((1L, 1.0 / 3.0))))
+  }
+
+  test("dedupWeights conserves corpus mass: sum(weight) = |docs|") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Dedup.dedupWeights(clusters, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
+    assert(out.values.sum === 7L)
+  }
+
   test("assortativity: a regular graph has zero denominator -> 0.0") {
     import spark.implicits._
     // triangle: every degree 2 → variance term 0; defined as 0.0

@@ -122,6 +122,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav("plain text payload".getBytes("UTF-8")).isEmpty)
   }
 
+  test("audioFrameEnergy frames the real decode with an exact partial tail (m57)") {
+    import spark.implicits._
+    // id=1: n = 64 + 1 = 65 samples -> frames of 32, 32, 1
+    val docs = Seq(1L).toDF("doc_id")
+    val rows = Multimodal.audioFrameEnergy(spark, docs).collect()
+      .sortBy(_.getLong(1))
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 32L), (1L, 32L), (2L, 1L)))
+    val e0 = (0 until 32)
+      .map(i => { val s = Multimodal.audioSample(1L, i).toLong; s * s }).sum
+    assert(rows(0).getLong(3) === e0, "frame-0 energy mismatch")
+    val last = Multimodal.audioSample(1L, 64).toLong
+    assert(rows(2).getLong(3) === last * last, "partial-frame energy")
+  }
+
   test("real javax.sound decode: WAV payloads get true rate/count, text falls back to stub") {
     val wav = Multimodal.syntheticWav(42L)
     val real = Multimodal.decode(

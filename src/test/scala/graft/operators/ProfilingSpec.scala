@@ -148,6 +148,30 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getLong(4) === 6L, "all 6 rows at risk under l=4")
   }
 
+  test("simpsonDiversity: exact concentration and effective labels") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"), // D=6/12, eff=2
+      ("g2", "a"), ("g2", "b"),                           // num=0 -> 0/0 guard
+      ("g3", "a")                                         // n<2 guard
+    ).toDF("g", "l")
+    val out = Profiling.simpsonDiversity(df, "g", "l").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      "g1" -> ((4L, 2L, 0.5, 2.0)),
+      "g2" -> ((2L, 2L, 0.0, 0.0)),
+      "g3" -> ((1L, 1L, 0.0, 0.0))))
+  }
+
+  test("trimmedMean drops the outlier tail the plain mean can't survive") {
+    import spark.implicits._
+    val df = ((1L to 9L) :+ 1000L).map(v => ("x", v)).toDF("g", "v")
+    val r = Profiling.trimmedMean(df, "g", "v").collect()(0)
+    // p10 threshold 1, p90 threshold 9 -> keep 1..9: mean 5 (plain: 104.9)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === ((9L, 45L, 5.0)))
+  }
+
   test("fdViolations reports holding and broken FDs with exact counts") {
     import spark.implicits._
     val df = Seq(
