@@ -886,6 +886,35 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Dedup explainability: for every verified near-dup pair, the k
+    * RAREST shared shingles (ascending global document frequency,
+    * shingle text as tiebreak) — the human-auditable evidence trail a
+    * compliance review of an automated dedup decision needs. Rare
+    * shared shingles are the distinctive ones; boilerplate (high-DF)
+    * evidence ranks last and falls out of the top-k.
+    *
+    * Pure integer/string pipeline — no floats anywhere, so the replay
+    * is trivially exact. Shapes: evidence join is pair-scoped (two
+    * doc-keyed joins), the window partitions by pair with k small. */
+  def pairEvidence(
+      docs: DataFrame, pairs: DataFrame, n: Int = 3, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleTable(docs, n).materializeOnce() // both pair sides + DF agg
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val shared = pairs.select(col("id_a"), col("id_b"))
+      .join(ex.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .join(dfreq, Seq("sh"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("df"), col("sh"))
+    shared.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      // row_number is INT32; the gate schema contract is int64-only
+      .select(col("id_a"), col("id_b"), col("rnk").cast("bigint").as("rnk"),
+        col("df"), col("sh"))
+      .orderBy(col("id_a"), col("id_b"), col("rnk"))
+  }
+
   /** Train/test split-leakage audit: cross-tabulate the near-dup pair
     * set against a split assignment. A (train, test) pair is benchmark
     * leakage — the published-eval failure mode exact-match decontam

@@ -272,6 +272,29 @@ object Similarity {
     ivfSearchCore(cells, centroids, queries, k, nProbe)
   }
 
+  /** IVF index-health audit (s59): posting-list size distribution of
+    * the coarse quantizer. ANN latency under IVF is bounded by the
+    * probed cells' sizes, so one hot cell quietly costs every query
+    * that probes it — `balance` = n·n_cells/total (1 = perfectly even)
+    * is the number an index operator alerts on, the vector-index
+    * mirror of q135's key-skew readout.
+    *
+    * Exact counts; share and balance are each ONE double division of
+    * exact int64 products (rule 17). One corpus scan + a 16-row agg;
+    * the 1-row total is the only crossJoin. */
+  def ivfBalance(corpus: DataFrame, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(4, dim, seed = 7L)
+    val c = corpus.withColumn("cell", signature(col("embedding"), planes))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"), count(lit(1)).as("n_cells"))
+    c.crossJoin(broadcast(t)) // 1-row normalizer
+      .select(col("cell"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        ((col("n") * col("n_cells")).cast("double")
+          / col("total").cast("double")).as("balance"))
+      .orderBy(col("cell"))
+  }
+
   /** Persist the IVF index (s51): cell assignments + fixed-point
     * centroids, written once — the vector-index mirror of the d53/m55
     * signature stores. A later query wave reads the index instead of

@@ -184,6 +184,37 @@ object PipelineQueries {
           .orderBy(col("check_name"))
       }),
 
+    // dedup evidence trail (q182): per verified near-dup pair, the 3
+    // RAREST shared shingles — the human-auditable justification of an
+    // automated dedup decision. Pure integer/string pipeline, no
+    // floats; window order (df, sh) is total. Rule 13 on the pair set.
+    Q("q182_pair_evidence", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |dfq AS (SELECT sh, count(*) AS df FROM ex GROUP BY 1),
+         |sh2 AS (SELECT p.id_a, p.id_b, ea.sh, dfq.df
+         |        FROM pairs p
+         |        JOIN ex ea ON ea.doc_id = p.id_a
+         |        JOIN ex eb ON eb.doc_id = p.id_b AND eb.sh = ea.sh
+         |        JOIN dfq ON dfq.sh = ea.sh),
+         |r AS (SELECT id_a, id_b, sh, df,
+         |             row_number() OVER (
+         |               PARTITION BY id_a, id_b ORDER BY df, sh) AS rnk
+         |      FROM sh2)
+         |SELECT id_a, id_b, CAST(rnk AS BIGINT) AS rnk, df, sh
+         |FROM r WHERE rnk <= 3
+         |ORDER BY id_a, id_b, rnk""".stripMargin),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.Dedup.pairEvidence(docs,
+          graft.operators.Dedup.minhashVerifiedPairs(
+            docs, threshold = 0.5, maxDf = 20))
+      }),
+
     // Simpson lang-diversity per source (q180): exact pair-collision
     // concentration + effective language count — the entropy-free (and
     // therefore hash-matchable) mixture-balance readout. Pair sums on

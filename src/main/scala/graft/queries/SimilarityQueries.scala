@@ -280,7 +280,14 @@ object SimilarityQueries {
           .select(col("q_id").as("query_id"),
             col("vec_id").as("doc_id"), col("rank"))
         Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
-      })
+      }),
+
+    // IVF posting-list balance audit (s59): per-cell corpus share and
+    // balance = n·n_cells/total — the index-health number that bounds
+    // probe latency. Exact counts; two single-division doubles; the
+    // cell assignment replays the SAME plane literals as s43/s51.
+    Q("s59_ivf_balance", Some(ivfBalanceOracle),
+      (s, d) => Similarity.ivfBalance(emb(s, d)))
   )
 
   /** s58 oracle: t56's CTE chain (shared definition) + the s41 dense
@@ -625,6 +632,22 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** s59: cell counts over the s43 assignment chain; INT32 cell sums
+    * cast to BIGINT at the boundary (rule 1). */
+  private lazy val ivfBalanceOracle: String =
+    s"""WITH cells AS (
+       |  SELECT vec_id, ${sigSql("embedding", ivfPlanes)} AS cell
+       |  FROM embeddings),
+       |c AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |             count(*) AS n_cells FROM c)
+       |SELECT CAST(c.cell AS BIGINT) AS cell, c.n,
+       |       CAST(c.n AS DOUBLE)
+       |         / (SELECT CAST(total AS DOUBLE) FROM t) AS share,
+       |       CAST(c.n * (SELECT n_cells FROM t) AS DOUBLE)
+       |         / (SELECT CAST(total AS DOUBLE) FROM t) AS balance
+       |FROM c ORDER BY cell""".stripMargin
 
   private lazy val rpPlanes = Similarity.hyperplanes(16, 64, seed = 99L)
 

@@ -31,6 +31,38 @@ object ScaleProbe {
     array(words.map(lit): _*)
   }
 
+  /** The boilerplate-heavy variant for the d57b stage: every doc is 40
+    * seeded words followed by the SAME 20-word boilerplate tail, so
+    * ~19 shingles have df = |corpus| (the navbar/footer shape of real
+    * crawls). A naive uncapped inverted-index join would enumerate
+    * Σdf² ≈ 19·n² candidate rows (5·10^12 at 525k docs — infeasible);
+    * a df-capped join silently drops the tail (lossy); rare-first
+    * prefix filtering skips it for free and stays exact. Dups perturb
+    * word 40 (the last seeded word): 3 of ~58 shingles differ,
+    * J ≈ 55/61 ≈ 0.90 ≥ the 0.5 threshold. */
+  def corpusBoiler(spark: SparkSession, n: Long): DataFrame = {
+    val boiler = (0 until 20).map(i => s"bp$i")
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("seed", xxhash64(col("doc_id")))
+      .withColumn("is_dup", lit(false))
+    val dups = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") / 20 + lit(n)).cast("long").as("doc_id"),
+        col("seed"), lit(true).as("is_dup"))
+    base.unionByName(dups)
+      .withColumn("vocab", vocabLit)
+      .withColumn("words",
+        concat(
+          transform(sequence(lit(1), lit(40)), i =>
+            element_at(col("vocab"),
+              (pmod(xxhash64(col("seed") + i +
+                when(col("is_dup") && i > lit(39), lit(7777777L))
+                  .otherwise(lit(0L))), lit(1000)) + 1).cast("int"))),
+          array(boiler.map(lit): _*)))
+      .select(col("doc_id"),
+        concat_ws(" ", col("words")).as("text"),
+        lit("probe").as("source"))
+  }
+
   /** N base docs of 60 words each, plus one near-dup for every 20th
     * base doc: same word sequence with ONLY the last word perturbed →
     * 57 of 59 distinct 3-shingles shared, Jaccard ≈ 0.966. At that
@@ -96,7 +128,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,s43,s55,t54,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,s43,s55,t54,
     // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -169,6 +201,26 @@ object ScaleProbe {
       println(s"[probe]   exact pairs: $total; planted: $planted/${n / 20}")
       require(planted == n / 20,
         s"prefix join lost planted pairs (not lossless?): $planted/${n / 20}")
+    }
+    if (on("d57b")) time("d57b: prefix join, boilerplate corpus") {
+      // the adversarial shape for every OTHER exact path: ~19 shingles
+      // at df = |corpus| (Σdf² ≈ 19n² — a naive index join enumerates
+      // 5·10^12 candidates at 525k docs; a df cap goes lossy). Rare-
+      // first prefixes never index the hot tail, so the SAME operator
+      // must stay in the clean-corpus cost family AND stay lossless.
+      corpusBoiler(spark, n).write.mode("overwrite")
+        .parquet(s"$out/documents_boiler.parquet")
+      val bdocs = spark.read.parquet(s"$out/documents_boiler.parquet")
+      val t0 = System.nanoTime()
+      val p = graft.operators.Dedup.prefixJaccardJoin(bdocs)
+      val total = p.count()
+      val planted = p
+        .filter(col("id_b") >= n && col("id_a") === (col("id_b") - n) * 20)
+        .count()
+      println(f"[probe]   join: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"exact pairs: $total; planted: $planted/${n / 20}")
+      require(planted == n / 20,
+        s"prefix join lost planted pairs on boilerplate: $planted/${n / 20}")
     }
     if (on("d53")) time("d53: persisted-store incremental dedup") {
       // the r9 daily-ingest pattern at probe volume: corpus = the base

@@ -513,6 +513,20 @@ class DedupSpec extends SparkSpec {
       1L -> ((3L, 2L, 2L, 2.0 / 3.0)), 4L -> ((2L, 1L, 2L, 1.0))))
   }
 
+  test("pairEvidence surfaces the rarest shared shingles in rank order") {
+    import spark.implicits._
+    // docs 1/2 share shingles "a b c","b c d","c d e" (each df=2);
+    // their unshared tail shingles have df=1 but are NOT shared
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.pairEvidence(docs, pairs).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, "a b c"), (2L, 2L, "b c d"), (3L, 2L, "c d e")))
+  }
+
   test("splitLeakage cross-tabulates pairs by unordered split combo") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 11L), (11L, 12L)).toDF("id_a", "id_b")

@@ -24,6 +24,19 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
   }
 
+  test("ivfBalance conserves mass and reports exact per-cell balance") {
+    val out = Similarity.ivfBalance(planted).collect()
+    assert(out.map(_.getLong(1)).sum === 10L, "cell counts must cover the corpus")
+    val nCells = out.length.toLong
+    out.foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1).toDouble / 10.0, "share")
+      assert(r.getDouble(3) === (r.getLong(1) * nCells).toDouble / 10.0, "balance")
+    }
+    // cells are sorted and unique
+    val cells = out.map(_.getLong(0))
+    assert(cells.toSeq === cells.sorted.toSeq && cells.distinct.length === cells.length)
+  }
+
   test("cosine of identical vectors is ~1, self-consistent fold") {
     val df = planted.filter($"vec_id" === 0)
       .select(Similarity.cosine($"embedding", $"embedding").as("c"))
