@@ -886,6 +886,58 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Newman modularity of an ARBITRARY node partition over the
+    * near-dup pair graph (Newman & Girvan 2004): Q = Σ_c [e_c/m −
+    * (d_c/2m)²] for membership classes c — here typically the SOURCE
+    * label, answering "is duplication source-aligned?" at graph level
+    * (q176's purity asks it per cluster). Q → 1: duplication lives
+    * inside sources (scraper echo); Q ≤ 0: syndication wires sources
+    * together at random or worse.
+    *
+    * Exactness: each class contribution is the single division
+    * (4m·e_c − d_c²) / (4m²) of exact integers, and the global Q is
+    * computed from the SUMS (4m·Σe_c − Σd_c²) / (4m²) — never by
+    * adding per-class doubles. d² terms ride DECIMAL(38,0) (DuckDB
+    * HUGEINT, rule 18). Per-class integer columns surface alongside so
+    * the hash pins the full computation.
+    *
+    * Output: one row per class + a trailing '~total' row (tilde sorts
+    * after ASCII alphanumerics in both engines' default collation for
+    * the plain-string class labels used here). */
+  def modularity(pairs: DataFrame, membership: DataFrame): DataFrame = {
+    val e = pairs
+      .join(membership.select(col("doc_id").as("id_a"), col("community").as("ca")),
+        Seq("id_a"))
+      .join(membership.select(col("doc_id").as("id_b"), col("community").as("cb")),
+        Seq("id_b"))
+      .materializeOnce() // total count, intra counts, degree stubs
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val degC = e.select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
+    val mD = col("m").cast("decimal(38,0)")
+    val dD = col("d_c").cast("decimal(38,0)")
+    val perClass = degC
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m)) // 1-row normalizer
+      .select(col("community"), col("e_c"), col("d_c"),
+        ((mD * 4 * col("e_c").cast("decimal(38,0)") - dD * dD).cast("double")
+          / (mD * mD * 4).cast("double")).as("q_contrib"))
+    val total = degC.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .agg(sum(col("e_c")).as("se"),
+        sum(col("d_c").cast("decimal(38,0)") * col("d_c").cast("decimal(38,0)"))
+          .as("sd2"))
+      .crossJoin(broadcast(m))
+      .select(lit("~total").as("community"),
+        col("se").as("e_c"), (col("m") * 2).as("d_c"),
+        ((mD * 4 * col("se").cast("decimal(38,0)") - col("sd2")).cast("double")
+          / (mD * mD * 4).cast("double")).as("q_contrib"))
+    perClass.unionByName(total).orderBy(col("community"))
+  }
+
   /** Dedup explainability: for every verified near-dup pair, the k
     * RAREST shared shingles (ascending global document frequency,
     * shingle text as tiebreak) — the human-auditable evidence trail a

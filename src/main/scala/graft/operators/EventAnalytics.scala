@@ -230,6 +230,54 @@ object EventAnalytics {
       .orderBy(col(series))
   }
 
+  /** One-sided integer CUSUM changepoint detector (Page 1954) over the
+    * hourly count series of each `series` value: S_t = max(0, S_{t−1} +
+    * c_t − k), alarm when S_t ≥ hFactor·k, with allowance k = the
+    * integer ceiling of the series' mean hourly count. The standard
+    * sequential drift detector, run batch — the exact-arithmetic
+    * sibling of q163's window z-test (CUSUM accumulates persistent
+    * small shifts a per-hour z-test never sees).
+    *
+    * A CUSUM is inherently sequential (each state depends on the
+    * previous), which is exactly the shape `functions.aggregate` over a
+    * per-group collected array handles: the series grid is TIME-bounded
+    * (hours × series, independent of event volume), so collect_list per
+    * group is a bounded buffer, not a data-scaled one — at 100 TB the
+    * grid for a year is still 8,760 rows per series. All arithmetic is
+    * int64 (exact; DuckDB replays the recurrence with a recursive CTE);
+    * k's ceiling-division is integer DIV on both engines (rule 21).
+    * The allowance k rides IN the fold accumulator, not as an outer
+    * lambda reference (rule 4). alarm_idx is 1-based; 0 = no alarm. */
+  def cusumChangepoint(
+      events: DataFrame, series: String, ts: String,
+      hFactor: Long = 5L): DataFrame = {
+    require(hFactor >= 1, "hFactor must be >= 1")
+    val hourly = events
+      .groupBy(col(series).as("g"), date_trunc("hour", col(ts)).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val agg = hourly.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("h"), col("c")))).as("arr"),
+        count(lit(1)).as("n"), sum(col("c")).as("tot"))
+      .withColumn("k", expr("(tot + n - 1) DIV n"))
+    val zero = struct(lit(0L).as("s"), lit(0L).as("mx"),
+      lit(0L).as("alarm"), lit(0L).as("i"), col("k").as("k"))
+    val folded = aggregate(col("arr"), zero, (acc, x) => {
+      val i2 = acc.getField("i") + 1
+      val s2 = greatest(lit(0L),
+        acc.getField("s") + x.getField("c") - acc.getField("k"))
+      struct(s2.as("s"),
+        greatest(acc.getField("mx"), s2).as("mx"),
+        when(acc.getField("alarm") > 0, acc.getField("alarm"))
+          .otherwise(when(s2 >= acc.getField("k") * hFactor, i2)
+            .otherwise(lit(0L))).as("alarm"),
+        i2.as("i"), acc.getField("k").as("k"))
+    })
+    agg.select(col("g").as(series), col("n").as("n_hours"), col("k"),
+        folded.getField("mx").as("max_cusum"),
+        folded.getField("alarm").as("alarm_idx"))
+      .orderBy(col(series))
+  }
+
   /** Merge a per-key aggregate snapshot with the same aggregate over a
     * new batch — incremental aggregation maintenance: history is never
     * rescanned; counts and sums combine because they are commutative

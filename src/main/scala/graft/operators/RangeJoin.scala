@@ -49,4 +49,44 @@ object RangeJoin {
         col(s"$rightPrefix$tsCol") <= col(s"$leftPrefix$tsCol"))
       .drop("bin")
   }
+
+  /** Interval×interval OVERLAP join: all (left, right) pairs whose
+    * CLOSED int64 ranges [sCol, eCol] intersect — the general case
+    * intervalJoin's point-in-window shape can't express (billing
+    * periods × usage sessions, campaign flights × user journeys).
+    *
+    * Same no-cross-join discipline: both sides explode over every
+    * `binSize`-quantized bin their interval spans; two overlapping
+    * intervals share the bin containing any common point, so the bin
+    * equi-join proposes a candidate superset, the exact predicate
+    * filters it, and dropDuplicates removes multi-bin double-matches.
+    * Row amplification is ⌈len/binSize⌉+1 per row — size binSize to
+    * the typical interval length. Ranges are int64 (epoch seconds,
+    * byte offsets, whatever) so the bin math is exact integer DIV and
+    * rule 16's descending-sequence trap is structurally excluded
+    * (e ≥ s is required, so the bin sequence never runs backward). */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      sCol: String, eCol: String, binSize: Long,
+      leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+
+    def prep(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df)(
+        (d, c) => d.withColumnRenamed(c, s"$p$c"))
+      renamed
+        .filter(col(s"$p$eCol") >= col(s"$p$sCol"))
+        .withColumn("bin", explode(sequence(
+          floor(col(s"$p$sCol") / binSize).cast("long"),
+          floor(col(s"$p$eCol") / binSize).cast("long"))))
+    }
+
+    val l = prep(left, leftPrefix)
+    val r = prep(right, rightPrefix)
+    val joined = l.join(r, Seq("bin"))
+      .filter(col(s"$leftPrefix$sCol") <= col(s"$rightPrefix$eCol") &&
+        col(s"$rightPrefix$sCol") <= col(s"$leftPrefix$eCol"))
+      .drop("bin")
+    joined.dropDuplicates(joined.columns.toSeq)
+  }
 }

@@ -326,6 +326,45 @@ object AnalyticsQueries {
       (s, d) => EventAnalytics.seasonalBaselineError(
         T(s, d, "events"), series = "event_type", ts = "ts")),
 
+    // integer CUSUM changepoint detector (q184): S_t = max(0, S_{t−1}
+    // + c_t − k) over each type's hourly counts, alarm at 5k — the
+    // sequential drift detector q163's per-window z-test can't be.
+    // Spark folds the recurrence with functions.aggregate over the
+    // bounded per-series grid; DuckDB replays it with a recursive CTE.
+    // All int64; k = ceil-mean via integer DIV (rule 21).
+    Q("q184_cusum_changepoint", Some(
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT g, c,
+        |               row_number() OVER (PARTITION BY g ORDER BY h) AS i,
+        |               count(*) OVER (PARTITION BY g) AS n,
+        |               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |        FROM hourly),
+        |kk AS (SELECT g, max(n) AS n,
+        |              (max(tot) + max(n) - 1) // max(n) AS k
+        |       FROM idx GROUP BY 1),
+        |walk(g, i, s, mx, alarm) AS (
+        |  SELECT g, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM kk
+        |  UNION ALL
+        |  SELECT w.g, w.i + 1,
+        |         greatest(0, w.s + ix.c - kk.k),
+        |         greatest(w.mx, greatest(0, w.s + ix.c - kk.k)),
+        |         CASE WHEN w.alarm > 0 THEN w.alarm
+        |              WHEN greatest(0, w.s + ix.c - kk.k) >= 5*kk.k
+        |                THEN w.i + 1
+        |              ELSE 0 END
+        |  FROM walk w
+        |  JOIN idx ix ON ix.g = w.g AND ix.i = w.i + 1
+        |  JOIN kk ON kk.g = w.g)
+        |SELECT w.g AS event_type, kk.n AS n_hours, kk.k,
+        |       w.mx AS max_cusum, w.alarm AS alarm_idx
+        |FROM walk w JOIN kk ON kk.g = w.g AND w.i = kk.n
+        |ORDER BY event_type""".stripMargin),
+      (s, d) => EventAnalytics.cusumChangepoint(
+        T(s, d, "events"), series = "event_type", ts = "ts")),
+
     // per-leg funnel latency quantiles: the q103 strict-order chain,
     // then exact count-of-counts quantiles (q149's shape) over whole-
     // second step gaps. The event key is sec*1e6 + seq, so k DIV 1e6 is

@@ -215,6 +215,50 @@ object PipelineQueries {
             docs, threshold = 0.5, maxDf = 20))
       }),
 
+    // source-partition modularity of the dup graph (q185): Newman's Q
+    // for the SOURCE membership — "is duplication source-aligned?" at
+    // graph level (q176 asks it per cluster). Each contribution and the
+    // global Q are ONE division of exact integers ((4m·e_c − d_c²)/4m²;
+    // decimal d² sums, rule 18); the global row sums INTEGERS, never
+    // doubles. Rule 13 on the pair set.
+    Q("q185_modularity", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |e AS (SELECT da.source AS ca, db.source AS cb
+         |      FROM pairs p JOIN documents da ON da.doc_id = p.id_a
+         |                   JOIN documents db ON db.doc_id = p.id_b),
+         |m AS (SELECT count(*) AS m FROM e),
+         |intra AS (SELECT ca AS community, count(*) AS e_c
+         |          FROM e WHERE ca = cb GROUP BY 1),
+         |degc AS (SELECT community, count(*) AS d_c FROM (
+         |           SELECT ca AS community FROM e
+         |           UNION ALL SELECT cb FROM e) GROUP BY 1),
+         |pc AS (SELECT dg.community, COALESCE(i.e_c, 0) AS e_c, dg.d_c
+         |       FROM degc dg LEFT JOIN intra i ON i.community = dg.community)
+         |SELECT community, e_c, d_c,
+         |       CAST(4*(SELECT m FROM m)*e_c - d_c*d_c AS DOUBLE)
+         |         / CAST(4*(SELECT m FROM m)*(SELECT m FROM m) AS DOUBLE)
+         |         AS q_contrib
+         |FROM pc
+         |UNION ALL
+         |SELECT '~total', CAST(sum(e_c) AS BIGINT),
+         |       2*(SELECT m FROM m),
+         |       CAST(4*(SELECT m FROM m)*sum(e_c) - sum(d_c*d_c) AS DOUBLE)
+         |         / CAST(4*(SELECT m FROM m)*(SELECT m FROM m) AS DOUBLE)
+         |FROM pc
+         |ORDER BY community""".stripMargin),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.operators.Dedup.modularity(
+          graft.operators.Dedup.minhashVerifiedPairs(
+            docs, threshold = 0.5, maxDf = 20),
+          docs.select(col("doc_id"), col("source").as("community")))
+      }),
+
     // Simpson lang-diversity per source (q180): exact pair-collision
     // concentration + effective language count — the entropy-free (and
     // therefore hash-matchable) mixture-balance readout. Pair sums on

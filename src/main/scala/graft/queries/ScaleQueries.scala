@@ -143,6 +143,56 @@ object ScaleQueries {
           .orderBy(col("p_id"), col("c_id"))
       }),
 
+    // interval×interval OVERLAP join (q183): 25 nation-anchored 10-day
+    // audit windows × variable-length order intervals — the general
+    // overlap case q81's point-in-window bucketing can't express. Both
+    // sides bin-explode over their spanned 10-day quanta (no cross
+    // join); the oracle is DuckDB's native IEJoin over the bare overlap
+    // predicate. Everything rides int64 epoch seconds (whole-day
+    // stamps, rule 2) and the min-date anchor is computed in-query, so
+    // a testdata regen moves both engines together.
+    Q("q183_overlap_join", Some(
+      """WITH d0 AS (
+        |  SELECT CAST(epoch(min(o_orderdate)) AS BIGINT) AS d FROM orders),
+        |w AS (SELECT n_nationkey AS window_id,
+        |             (SELECT d FROM d0) + n_nationkey*30*86400 AS ws,
+        |             (SELECT d FROM d0) + n_nationkey*30*86400 + 864000 AS we
+        |      FROM nation),
+        |o AS (SELECT o_orderkey,
+        |             CAST(epoch(o_orderdate) AS BIGINT) AS os,
+        |             CAST(epoch(o_orderdate) AS BIGINT)
+        |               + (o_orderkey % 5)*86400 AS oe
+        |      FROM orders)
+        |SELECT window_id, count(*) AS n_orders,
+        |       min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        |FROM w JOIN o ON o.os <= w.we AND w.ws <= o.oe
+        |GROUP BY 1 ORDER BY window_id""".stripMargin),
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        val d0 = orders.agg(
+          min(unix_timestamp(col("o_orderdate"))).as("d0"))
+        val windows = Tables.load(s, d, "nation")
+          .crossJoin(broadcast(d0)) // 1-row anchor
+          .select(col("n_nationkey").as("window_id"),
+            (col("d0") + col("n_nationkey") * 30 * 86400).as("ws"),
+            (col("d0") + col("n_nationkey") * 30 * 86400 + 864000).as("we"))
+        val ords = orders.select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("os"),
+          (unix_timestamp(col("o_orderdate"))
+            + (col("o_orderkey") % 5) * 86400).as("oe"))
+        RangeJoin.overlapJoin(
+            windows.withColumnRenamed("ws", "s").withColumnRenamed("we", "e"),
+            ords.withColumnRenamed("os", "s").withColumnRenamed("oe", "e"),
+            sCol = "s", eCol = "e", binSize = 864000L)
+          .groupBy(col("l_window_id").as("window_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("r_o_orderkey")).as("min_okey"),
+            max(col("r_o_orderkey")).as("max_okey"),
+            sum(col("r_o_orderkey")).as("sum_okey"))
+          .orderBy(col("window_id"))
+      }),
+
     // bloom runtime-filter join: the big side is pruned by a distributed
     // bloom sketch of the small side's keys BEFORE the join shuffle.
     // False positives only cost work — the join stays exact, which is

@@ -527,6 +527,25 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, "a b c"), (2L, 2L, "b c d"), (3L, 2L, "c d e")))
   }
 
+  test("modularity: exact per-class contributions and integer-summed total") {
+    import spark.implicits._
+    // edges (1,2)A-A, (3,4)B-B, (1,3)A-B: m=3, e_A=e_B=1, d_A=d_B=3
+    // contrib = (4·3·1 − 9)/36 = 3/36 each; Q = (4·3·2 − 18)/36 = 6/36
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val mem = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "community")
+    val out = Dedup.modularity(pairs, mem).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      "A" -> ((1L, 3L, 3.0 / 36.0)),
+      "B" -> ((1L, 3L, 3.0 / 36.0)),
+      "~total" -> ((2L, 6L, 6.0 / 36.0))))
+    // '~total' must sort last
+    val last = Dedup.modularity(pairs, mem).collect().last
+    assert(last.getString(0) === "~total")
+  }
+
   test("splitLeakage cross-tabulates pairs by unordered split combo") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 11L), (11L, 12L)).toDF("id_a", "id_b")

@@ -249,6 +249,23 @@ class EventAnalyticsSpec extends SparkSpec {
       r.head.getLong(4), r.head.getDouble(5)) === ((3L, 4L, 2L, 1L, 0.25)))
   }
 
+  test("cusumChangepoint accumulates a persistent shift to an exact alarm") {
+    // hourly counts 1,1,1,10,10: tot=23, n=5, k=ceil(23/5)=5
+    // S = 0,0,0,5,10; max=10; alarm at 5k=25 never (hFactor=5),
+    // at 2k=10 on hour 5 (hFactor=2)
+    val ev = (Seq.fill(1)("00") ++ Seq.fill(1)("01") ++ Seq.fill(1)("02"))
+      .zipWithIndex.map { case (h, i) => ("x", ts(s"2024-01-01 $h:0$i:00")) } ++
+      (0 until 10).map(i => ("x", ts(f"2024-01-01 03:$i%02d:00"))) ++
+      (0 until 10).map(i => ("x", ts(f"2024-01-01 04:$i%02d:00")))
+    val df = ev.toDF("event_type", "ts")
+    val r5 = EventAnalytics.cusumChangepoint(df, "event_type", "ts").collect()(0)
+    assert((r5.getLong(1), r5.getLong(2), r5.getLong(3), r5.getLong(4))
+      === ((5L, 5L, 10L, 0L)))
+    val r2 = EventAnalytics.cusumChangepoint(df, "event_type", "ts",
+      hFactor = 2L).collect()(0)
+    assert(r2.getLong(4) === 5L, "alarm on the 5th hour at threshold 2k")
+  }
+
   test("episodeSupport: same-key tie is NOT 'before' (strict order)") {
     // one user, two types in the same second with ordered event ids:
     // only the id order decides — (x,y) holds, (y,x) does not

@@ -54,4 +54,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned === naive)
     assert(binned.nonEmpty)
   }
+
+  test("overlapJoin: closed-interval touch counts, multi-bin dedups once") {
+    val L = Seq((1L, 0L, 10L), (2L, 95L, 105L)).toDF("id", "s", "e")
+    val R = Seq(("a", 10L, 20L), ("b", 30L, 40L), ("c", 0L, 200L))
+      .toDF("rid", "s", "e")
+    val out = RangeJoin.overlapJoin(L, R, "s", "e", binSize = 10L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[String]("r_rid")))
+    // (1,a): touch at point 10 (closed); (1,c),(2,c): c spans 21 bins ->
+    // each pair must appear EXACTLY once despite many shared bins
+    assert(out.toSeq.sorted === Seq((1L, "a"), (1L, "c"), (2L, "c")))
+  }
+
+  test("overlapJoin equals the naive cross-join on a seeded interval set") {
+    val mk = (n: Int, seed: Int) => (0 until n).map { i =>
+      val s = ((i * 7919 + seed * 104729) % 500).toLong
+      (i.toLong, s, s + (i % 37).toLong)
+    }
+    val L = mk(60, 1).toDF("id", "s", "e")
+    val R = mk(80, 2).toDF("id", "s", "e")
+    val fast = RangeJoin.overlapJoin(L, R, "s", "e", binSize = 25L)
+      .select($"l_id", $"r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = L.select($"id".as("a"), $"s".as("as_"), $"e".as("ae"))
+      .crossJoin(R.select($"id".as("b"), $"s".as("bs"), $"e".as("be")))
+      .filter($"as_" <= $"be" && $"bs" <= $"ae")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
 }
