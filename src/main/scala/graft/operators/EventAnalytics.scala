@@ -230,6 +230,59 @@ object EventAnalytics {
       .orderBy(col(series))
   }
 
+  /** RFM customer segmentation (Hughes 1994 — the classic
+    * recency/frequency/monetary tercile scoring): per entity, days
+    * since last transaction, transaction count, and monetary total in
+    * cents, each scored 1–3 against the EXACT tercile thresholds of
+    * the entity population (count-of-counts quantile rule — min value
+    * whose cumulative count reaches ⌈q·n⌉), composed into the familiar
+    * 3-digit RFM code. Recency scores inverted (recent = 3).
+    *
+    * Exactness: r_days is integer DIV of epoch seconds; cents go
+    * through DECIMAL(18,2)·100 (exact for 2-dp prices, rule 1); scores
+    * are integer CASE ladders against integer thresholds — the output
+    * is all-int64, no floats anywhere. The ⅓/⅔ quantile literals are
+    * shared with the oracle via dlit (rule 14).
+    *
+    * Scale shape: one entity-grain groupBy, three value-HISTOGRAM
+    * quantile passes (count-of-counts — the window sorts distinct
+    * metric values, not rows), three 1-row broadcast threshold
+    * frames. */
+  def rfmSegments(
+      tx: DataFrame, entity: String, ts: String,
+      amountCents: Column): DataFrame = {
+    val anchor = tx.agg(max(unix_timestamp(col(ts))).as("a0"))
+    val per = tx.groupBy(col(entity))
+      .agg(max(unix_timestamp(col(ts))).as("last_ts"),
+        count(lit(1)).as("f"), sum(amountCents).as("m_cents"))
+      .crossJoin(broadcast(anchor)) // 1-row anchor
+      .withColumn("r_days", expr("(a0 - last_ts) DIV 86400"))
+      .drop("a0", "last_ts")
+      .materializeOnce() // three quantile passes + the final scoring read
+    val qs = Seq(1.0 / 3, 2.0 / 3)
+    def thresholds(metric: String, p: String) =
+      Profiling.exactQuantiles(per.withColumn("g", lit(1L)), "g", metric, qs)
+        .groupBy(col("g"))
+        .agg(min(when(col("q") === qs.head, col("q_value"))).as(s"${p}1"),
+          min(when(col("q") === qs(1), col("q_value"))).as(s"${p}2"))
+        .drop("g")
+    def ladder(v: Column, t1: Column, t2: Column, invert: Boolean): Column = {
+      val asc = when(v <= t1, 1L).when(v <= t2, 2L).otherwise(3L)
+      if (invert) when(v <= t1, 3L).when(v <= t2, 2L).otherwise(1L) else asc
+    }
+    per
+      .crossJoin(broadcast(thresholds("r_days", "tr")))
+      .crossJoin(broadcast(thresholds("f", "tf")))
+      .crossJoin(broadcast(thresholds("m_cents", "tm")))
+      .select(col(entity), col("r_days"), col("f"), col("m_cents"),
+        ladder(col("r_days"), col("tr1"), col("tr2"), invert = true).as("r_score"),
+        ladder(col("f"), col("tf1"), col("tf2"), invert = false).as("f_score"),
+        ladder(col("m_cents"), col("tm1"), col("tm2"), invert = false).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col(entity))
+  }
+
   /** One-sided integer CUSUM changepoint detector (Page 1954) over the
     * hourly count series of each `series` value: S_t = max(0, S_{t−1} +
     * c_t − k), alarm when S_t ≥ hFactor·k, with allowance k = the

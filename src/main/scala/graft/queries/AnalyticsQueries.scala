@@ -20,6 +20,20 @@ object AnalyticsQueries {
   private val keySql =
     "CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000 + event_id"
 
+  /** q186: exact-tercile threshold CTE over a `per` metric — the
+    * count-of-counts quantile rule, with the ⅓/⅔ doubles rendered via
+    * dlit so both engines compare against identical IEEE products. */
+  private def rfmThrCte(metric: String, name: String): String = {
+    import SimilarityQueries.dlit
+    s"""$name AS (SELECT
+       |  min(CASE WHEN cum >= ceil(${dlit(1.0 / 3)}*n) THEN v END) AS t1,
+       |  min(CASE WHEN cum >= ceil(${dlit(2.0 / 3)}*n) THEN v END) AS t2
+       |FROM (SELECT v, sum(m) OVER (ORDER BY v) AS cum,
+       |             sum(m) OVER () AS n
+       |      FROM (SELECT $metric AS v, count(*) AS m
+       |            FROM per GROUP BY 1)))""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // strict-order funnel signup -> click -> purchase: one filtered
@@ -364,6 +378,47 @@ object AnalyticsQueries {
         |ORDER BY event_type""".stripMargin),
       (s, d) => EventAnalytics.cusumChangepoint(
         T(s, d, "events"), series = "event_type", ts = "ts")),
+
+    // RFM customer segmentation (q186): recency/frequency/monetary
+    // tercile scores + 3-digit code, all-int64 output. Thresholds are
+    // the exact count-of-counts terciles; the ⅓/⅔ double literals go
+    // through dlit on the DuckDB side (rule 14); cents via
+    // DECIMAL(18,2)·100 (rule 1); r_days via integer // (rule 21).
+    Q("q186_rfm_segments", Some(
+      s"""WITH a0 AS (
+         |  SELECT CAST(epoch(max(o_orderdate)) AS BIGINT) AS a FROM orders),
+         |per AS (
+         |  SELECT o_custkey AS cust,
+         |         ((SELECT a FROM a0)
+         |           - CAST(epoch(max(o_orderdate)) AS BIGINT)) // 86400
+         |           AS r_days,
+         |         count(*) AS f,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+         |              AS BIGINT) AS m_cents
+         |  FROM orders GROUP BY 1),
+         |${rfmThrCte("r_days", "tr")},
+         |${rfmThrCte("f", "tf")},
+         |${rfmThrCte("m_cents", "tm")}
+         |SELECT o_custkey, r_days, f, m_cents, r_score, f_score, m_score,
+         |       r_score*100 + f_score*10 + m_score AS rfm
+         |FROM (
+         |  SELECT cust AS o_custkey, r_days, f, m_cents,
+         |    CAST(CASE WHEN r_days <= (SELECT t1 FROM tr) THEN 3
+         |              WHEN r_days <= (SELECT t2 FROM tr) THEN 2
+         |              ELSE 1 END AS BIGINT) AS r_score,
+         |    CAST(CASE WHEN f <= (SELECT t1 FROM tf) THEN 1
+         |              WHEN f <= (SELECT t2 FROM tf) THEN 2
+         |              ELSE 3 END AS BIGINT) AS f_score,
+         |    CAST(CASE WHEN m_cents <= (SELECT t1 FROM tm) THEN 1
+         |              WHEN m_cents <= (SELECT t2 FROM tm) THEN 2
+         |              ELSE 3 END AS BIGINT) AS m_score
+         |  FROM per)
+         |ORDER BY o_custkey""".stripMargin),
+      (s, d) => EventAnalytics.rfmSegments(
+        T(s, d, "orders"), entity = "o_custkey", ts = "o_orderdate",
+        // decimal → exact integer cents → int64 BEFORE the sum (rule 1)
+        amountCents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint"))),
 
     // per-leg funnel latency quantiles: the q103 strict-order chain,
     // then exact count-of-counts quantiles (q149's shape) over whole-

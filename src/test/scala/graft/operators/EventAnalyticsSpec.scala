@@ -266,6 +266,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r2.getLong(4) === 5L, "alarm on the 5th hour at threshold 2k")
   }
 
+  test("rfmSegments scores exact terciles with inverted recency") {
+    // anchor = Jan 10. A: last Jan 3 (r=7), f=2, m=30000c
+    //                 B: last Jan 10 (r=0), f=1, m=5000c
+    //                 C: last Jan 6 (r=4), f=2, m=3000c
+    // terciles (n=3): t1 = 1st, t2 = 2nd order stat
+    val tx = Seq(
+      ("A", ts("2024-01-01 12:00:00"), 100.0),
+      ("A", ts("2024-01-03 12:00:00"), 200.0),
+      ("B", ts("2024-01-10 12:00:00"), 50.0),
+      ("C", ts("2024-01-02 12:00:00"), 10.0),
+      ("C", ts("2024-01-06 12:00:00"), 20.0)
+    ).toDF("cust", "ts", "price")
+    val out = EventAnalytics.rfmSegments(tx, "cust", "ts",
+        (col("price").cast("decimal(18,2)") * 100).cast("bigint"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    assert(out === Map(
+      "A" -> ((7L, 2L, 30000L, 123L)),
+      "B" -> ((0L, 1L, 5000L, 312L)),
+      "C" -> ((4L, 2L, 3000L, 221L))))
+  }
+
   test("episodeSupport: same-key tie is NOT 'before' (strict order)") {
     // one user, two types in the same second with ordered event ids:
     // only the id order decides — (x,y) holds, (y,x) does not
