@@ -128,7 +128,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,s43,s55,t54,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,q183,s43,s55,t54,
     // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -221,6 +221,36 @@ object ScaleProbe {
         s"exact pairs: $total; planted: $planted/${n / 20}")
       require(planted == n / 20,
         s"prefix join lost planted pairs on boilerplate: $planted/${n / 20}")
+    }
+    if (on("q183")) time("q183: interval overlap join at volume") {
+      // n·20 usage intervals (hash-spread over a year, len < 1 day) ×
+      // 1000 one-day billing windows. Correctness witness at volume:
+      // per-window counts from the bin join must EQUAL a direct
+      // predicate recount (no join) on sampled windows.
+      val nIv = n * 20
+      val year = 365L * 86400
+      val step = year / 1000
+      val iv = spark.range(nIv).toDF("id")
+        .withColumn("s", pmod(xxhash64(col("id"), lit(1)), lit(year)))
+        .withColumn("e", col("s") + pmod(xxhash64(col("id"), lit(2)), lit(86400L)))
+      val win = spark.range(1000).toDF("wid")
+        .withColumn("s", col("wid") * step)
+        .withColumn("e", col("wid") * step + 86400L)
+      val t0 = System.nanoTime()
+      val counts = graft.operators.RangeJoin
+        .overlapJoin(win, iv, "s", "e", binSize = 86400L)
+        .groupBy(col("l_wid")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      println(f"[probe]   join+count: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"windows hit: ${counts.size}; total pairs: $total")
+      Seq(0L, 499L, 999L).foreach { w =>
+        val ws = w * step; val we = ws + 86400L
+        val direct = iv.filter(col("s") <= we && col("e") >= ws).count()
+        require(counts.getOrElse(w, 0L) == direct,
+          s"window $w: join says ${counts.getOrElse(w, 0L)}, direct recount $direct")
+      }
+      println(s"[probe]   sampled-window recounts match exactly (3/3)")
     }
     if (on("d53")) time("d53: persisted-store incremental dedup") {
       // the r9 daily-ingest pattern at probe volume: corpus = the base
