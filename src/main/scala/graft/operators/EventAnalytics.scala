@@ -230,6 +230,46 @@ object EventAnalytics {
       .orderBy(col(series))
   }
 
+  /** Two-proportion A/B significance gate: among entities with ≥1
+    * `denomType` event, does the share reaching `numType` differ
+    * between cohorts (entity id parity) at |z| > 2? The frequentist
+    * companion to q169's CUPED readout, shipped as the q163 idiom —
+    * the pooled z² test multiplied out to the EXACT integer inequality
+    *
+    *   (c1·n2 − c2·n1)²·N  >  z²·C·(N−C)·n1·n2
+    *
+    * (N = n1+n2, C = c1+c2, z² = 4), so the significance verdict is a
+    * theorem, not a float comparison. Products ride DECIMAL(38,0)
+    * (DuckDB HUGEINT): the squared term bounds cohorts at ~10^9
+    * entities before precision-38 overflow — beyond that, sample or
+    * shard the test. The two proportions are single int/int divisions
+    * (rule 17). Output is ONE row. */
+  def twoProportionGate(
+      events: DataFrame, entity: String, step: String,
+      denomType: String, numType: String, zSq: Int = 4): DataFrame = {
+    val per = events.groupBy(col(entity).as("u"))
+      .agg(max(when(col(step) === denomType, 1L).otherwise(0L)).as("d"),
+        max(when(col(step) === numType, 1L).otherwise(0L)).as("p"))
+      .filter(col("d") === 1)
+      .withColumn("cohort", pmod(col("u"), lit(2)))
+    val g = per.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("c"))
+    val row = g.filter(col("cohort") === 0)
+      .select(col("n").as("n1"), col("c").as("c1"))
+      .crossJoin(broadcast(g.filter(col("cohort") === 1)
+        .select(col("n").as("n2"), col("c").as("c2"))))
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val bigN = D(col("n1")) + D(col("n2"))
+    val bigC = D(col("c1")) + D(col("c2"))
+    val diff = D(col("c1")) * D(col("n2")) - D(col("c2")) * D(col("n1"))
+    row.select(col("n1"), col("c1"), col("n2"), col("c2"),
+      (col("c1").cast("double") / col("n1").cast("double")).as("p1"),
+      (col("c2").cast("double") / col("n2").cast("double")).as("p2"),
+      (diff * diff * bigN >
+        D(lit(zSq)) * bigC * (bigN - bigC) * D(col("n1")) * D(col("n2")))
+        .as("significant"))
+  }
+
   /** RFM customer segmentation (Hughes 1994 — the classic
     * recency/frequency/monetary tercile scoring): per entity, days
     * since last transaction, transaction count, and monetary total in

@@ -277,6 +277,26 @@ object Profiling {
         col("nv").as("n_violations"), (col("nv") === 0L).as("passed"))
   }
 
+  /** Classifier-evaluation confusion matrix: one row per
+    * (truth, predicted) cell with its exact count and its share of the
+    * truth class (the per-class recall decomposition — the diagonal
+    * cell's share IS that class's recall). The standard eval readout
+    * for any labeling stage of the pipeline (language ID, quality
+    * gates, topic rules) against a trusted column.
+    *
+    * One groupBy at cell grain + a truth-partitioned window over the
+    * TINY cell table (|classes|², never rows); share is one int/int
+    * double division (rule 17, the q150 row-normalization idiom). */
+  def confusionMatrix(df: DataFrame, truth: String, pred: String): DataFrame = {
+    val cells = df.groupBy(col(truth).as("truth"), col(pred).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("truth"))
+    cells
+      .withColumn("share_of_truth",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .orderBy(col("truth"), col("pred"))
+  }
+
   /** Simpson concentration / diversity per group (Simpson 1949): for
     * each `group`, D = Σ n_i(n_i−1) / (N(N−1)) over the counts of
     * `label` values — the probability two random members share a label

@@ -420,6 +420,34 @@ object AnalyticsQueries {
         amountCents = (col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("bigint"))),
 
+    // two-proportion A/B significance (q187): click→purchase share by
+    // user-parity cohort, the pooled z² test multiplied out to an exact
+    // integer inequality (q163 idiom) — DECIMAL(38,0)/HUGEINT products,
+    // single-division proportions, boolean verdict as a theorem.
+    Q("q187_ab_significance", Some(
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT u % 2 AS cohort, count(*) AS n,
+        |             CAST(sum(p) AS BIGINT) AS c
+        |      FROM per WHERE d = 1 GROUP BY 1),
+        |r AS (SELECT
+        |        (SELECT n FROM g WHERE cohort = 0) AS n1,
+        |        (SELECT c FROM g WHERE cohort = 0) AS c1,
+        |        (SELECT n FROM g WHERE cohort = 1) AS n2,
+        |        (SELECT c FROM g WHERE cohort = 1) AS c2)
+        |SELECT n1, c1, n2, c2,
+        |       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |       CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |       (c1*n2 - c2*n1)*(c1*n2 - c2*n1)*(n1+n2)
+        |         > 4*(c1+c2)*((n1+n2)-(c1+c2))*n1*n2 AS significant
+        |FROM r""".stripMargin),
+      (s, d) => EventAnalytics.twoProportionGate(
+        T(s, d, "events"), entity = "user_id", step = "event_type",
+        denomType = "click", numType = "purchase")),
+
     // per-leg funnel latency quantiles: the q103 strict-order chain,
     // then exact count-of-counts quantiles (q149's shape) over whole-
     // second step gaps. The event key is sec*1e6 + seq, so k DIV 1e6 is

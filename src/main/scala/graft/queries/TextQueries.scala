@@ -681,7 +681,39 @@ object TextQueries {
     // product rides DECIMAL(38,0)/HUGEINT, every quotient fits int64 by
     // construction. See operators/Retrieval.scala for the derivation.
     Q("t56_bm25_topk", Some(bm25Oracle),
-      (s, d) => graft.operators.Retrieval.bm25TopKDerived(docs(s, d), 10))
+      (s, d) => graft.operators.Retrieval.bm25TopKDerived(docs(s, d), 10)),
+
+    // language-ID confusion matrix (t57): the classifier-eval readout
+    // for the t32 heuristic against the trusted lang label — exact cell
+    // counts, and each diagonal cell's share IS that class's recall.
+    // Share is the q150 row-normalization idiom (one int/int divide).
+    Q("t57_langid_confusion", Some(
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(' '||text||' ', ' the '))+len(regexp_extract_all(' '||text||' ', ' and ')) AS s_en,
+        |    len(regexp_extract_all(' '||text||' ', ' le '))+len(regexp_extract_all(' '||text||' ', ' et ')) AS s_fr,
+        |    len(regexp_extract_all(' '||text||' ', ' el '))+len(regexp_extract_all(' '||text||' ', ' y ')) AS s_es,
+        |    len(regexp_extract_all(' '||text||' ', ' der '))+len(regexp_extract_all(' '||text||' ', ' und ')) AS s_de,
+        |    len(regexp_extract_all(' '||text||' ', ' de '))+len(regexp_extract_all(' '||text||' ', ' he ')) AS s_zh
+        |  FROM documents),
+        |p AS (SELECT lang AS truth,
+        |  CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+        |       WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+        |       WHEN s_zh = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'zh'
+        |       ELSE 'und' END AS pred
+        |  FROM m),
+        |c AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT truth, pred, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST(sum(n) OVER (PARTITION BY truth) AS DOUBLE)
+        |         AS share_of_truth
+        |FROM c ORDER BY truth, pred""".stripMargin),
+      (s, d) => graft.operators.Profiling.confusionMatrix(
+        docs(s, d).select(col("lang"), langId(col("text")).as("pred")),
+        truth = "lang", pred = "pred"))
   )
 
   /** t56 oracle: the same fixed-point BM25, HUGEINT for the products,

@@ -289,6 +289,31 @@ class EventAnalyticsSpec extends SparkSpec {
       "C" -> ((4L, 2L, 3000L, 221L))))
   }
 
+  test("twoProportionGate: exact integer z² verdict, denom-filtered") {
+    // cohort 0 (even users): 4 clickers, all purchase; cohort 1: 4
+    // clickers, none purchase. z² = 8 > 4 -> significant. User 9
+    // purchases WITHOUT clicking -> excluded from n2 entirely.
+    def ev(u: Long, t: String, i: Long) = (u, t, ts("2024-01-01 10:00:00"), i)
+    val rows = (0L to 7L).map(u => ev(u, "click", u)) ++
+      Seq(0L, 2L, 4L, 6L).map(u => ev(u, "purchase", 10 + u)) :+
+      ev(9L, "purchase", 99L)
+    val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+    val r = EventAnalytics.twoProportionGate(
+      df, "user_id", "event_type", "click", "purchase").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((4L, 4L, 4L, 0L)))
+    assert((r.getDouble(4), r.getDouble(5)) === ((1.0, 0.0)))
+    assert(r.getBoolean(6), "z^2 = 8 > 4 must be significant")
+    // balanced outcome -> diff = 0 -> not significant
+    val bal = rows.filter(_._2 == "click") ++
+      Seq(0L, 2L).map(u => ev(u, "purchase", 20 + u)) ++
+      Seq(1L, 3L).map(u => ev(u, "purchase", 30 + u))
+    val r2 = EventAnalytics.twoProportionGate(
+      bal.toDF("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "click", "purchase").collect()(0)
+    assert(!r2.getBoolean(6))
+  }
+
   test("episodeSupport: same-key tie is NOT 'before' (strict order)") {
     // one user, two types in the same second with ordered event ids:
     // only the id order decides — (x,y) holds, (y,x) does not

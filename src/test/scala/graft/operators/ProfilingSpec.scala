@@ -148,6 +148,19 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getLong(4) === 6L, "all 6 rows at risk under l=4")
   }
 
+  test("confusionMatrix: exact cells; diagonal share is per-class recall") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("t", "p")
+    val out = Profiling.confusionMatrix(df, "t", "p").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("a", "a") -> ((2L, 2.0 / 3.0)),
+      ("a", "b") -> ((1L, 1.0 / 3.0)),
+      ("b", "b") -> ((1L, 1.0))))
+  }
+
   test("simpsonDiversity: exact concentration and effective labels") {
     import spark.implicits._
     val df = Seq(
