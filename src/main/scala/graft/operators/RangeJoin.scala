@@ -58,8 +58,15 @@ object RangeJoin {
     * Same no-cross-join discipline: both sides explode over every
     * `binSize`-quantized bin their interval spans; two overlapping
     * intervals share the bin containing any common point, so the bin
-    * equi-join proposes a candidate superset, the exact predicate
-    * filters it, and dropDuplicates removes multi-bin double-matches.
+    * equi-join proposes a candidate superset and the exact predicate
+    * filters it. Multi-bin double-matches are eliminated WITHOUT a
+    * dedup shuffle by the reference-bin trick: the overlap's start
+    * point max(l.s, r.s) lies inside both intervals, so exactly one
+    * joined copy has bin = ⌊max(l.s, r.s)/binSize⌋ and only that copy
+    * is kept — each overlapping pair survives exactly once by
+    * construction. (The first cut used dropDuplicates over the full
+    * joined row; at the 40M-interval probe that one shuffle of 164M
+    * wide rows was 17× the join's own cost.)
     * Row amplification is ⌈len/binSize⌉+1 per row — size binSize to
     * the typical interval length. Ranges are int64 (epoch seconds,
     * byte offsets, whatever) so the bin math is exact integer DIV and
@@ -83,10 +90,12 @@ object RangeJoin {
 
     val l = prep(left, leftPrefix)
     val r = prep(right, rightPrefix)
-    val joined = l.join(r, Seq("bin"))
+    l.join(r, Seq("bin"))
       .filter(col(s"$leftPrefix$sCol") <= col(s"$rightPrefix$eCol") &&
-        col(s"$rightPrefix$sCol") <= col(s"$leftPrefix$eCol"))
+        col(s"$rightPrefix$sCol") <= col(s"$leftPrefix$eCol") &&
+        col("bin") === floor(
+          greatest(col(s"$leftPrefix$sCol"), col(s"$rightPrefix$sCol"))
+            / binSize).cast("long"))
       .drop("bin")
-    joined.dropDuplicates(joined.columns.toSeq)
   }
 }
