@@ -297,6 +297,42 @@ object Profiling {
       .orderBy(col("truth"), col("pred"))
   }
 
+  /** Cohen's kappa (Cohen 1960) — agreement beyond chance between a
+    * predicted and a trusted label: κ = (p_o − p_e)/(1 − p_e). Clearing
+    * denominators turns it into the SINGLE exact division
+    *
+    *   κ = (A·N − Σᵢ rᵢ·cᵢ) / (N² − Σᵢ rᵢ·cᵢ)
+    *
+    * (A = agreeing rows, rᵢ/cᵢ = truth/pred marginals) — both
+    * polynomials are exact integers on DECIMAL(38,0) (DuckDB HUGEINT,
+    * rule 18; N² caps N at ~10^19 — unreachable), so the chance-
+    * corrected agreement statistic hash-matches bit-for-bit. Perfect-
+    * chance degenerate case (N² = Σrᵢcᵢ) reports 0.0.
+    *
+    * Cost: one cell-grain groupBy + marginal aggregates over the tiny
+    * |classes|² cell table. */
+  def cohenKappa(df: DataFrame, truth: String, pred: String): DataFrame = {
+    val cells = df.groupBy(col(truth).as("t"), col(pred).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .materializeOnce() // marginals + diagonal + total read it
+    val marg = cells.groupBy(col("t")).agg(sum(col("n")).as("r"))
+      .join(cells.groupBy(col("p")).agg(sum(col("n")).as("c")),
+        col("t") === col("p"))
+      .agg(sum(col("r").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+        .as("s_rc"))
+    val tot = cells.agg(sum(col("n")).as("n_rows"),
+      sum(when(col("t") === col("p"), col("n")).otherwise(lit(0L))).as("agree"))
+    val nD = col("n_rows").cast("decimal(38,0)")
+    tot.crossJoin(broadcast(marg)) // two 1-row frames
+      .select(col("n_rows"), col("agree"),
+        col("s_rc").cast("bigint").as("sum_rc"),
+        when(nD * nD === col("s_rc"), lit(0.0))
+          .otherwise(
+            (col("agree").cast("decimal(38,0)") * nD - col("s_rc")).cast("double")
+              / (nD * nD - col("s_rc")).cast("double"))
+          .as("kappa"))
+  }
+
   /** Simpson concentration / diversity per group (Simpson 1949): for
     * each `group`, D = Σ n_i(n_i−1) / (N(N−1)) over the counts of
     * `label` values — the probability two random members share a label

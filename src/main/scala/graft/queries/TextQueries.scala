@@ -713,6 +713,49 @@ object TextQueries {
         |FROM c ORDER BY truth, pred""".stripMargin),
       (s, d) => graft.operators.Profiling.confusionMatrix(
         docs(s, d).select(col("lang"), langId(col("text")).as("pred")),
+        truth = "lang", pred = "pred")),
+
+    // Cohen's kappa for the language-ID heuristic (t58): chance-
+    // corrected agreement as the SINGLE exact division
+    // (A·N − Σrᵢcᵢ)/(N² − Σrᵢcᵢ) — the t57 matrix condensed to one
+    // bit-exact statistic. HUGEINT marginal products (rule 18).
+    Q("t58_langid_kappa", Some(
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(' '||text||' ', ' the '))+len(regexp_extract_all(' '||text||' ', ' and ')) AS s_en,
+        |    len(regexp_extract_all(' '||text||' ', ' le '))+len(regexp_extract_all(' '||text||' ', ' et ')) AS s_fr,
+        |    len(regexp_extract_all(' '||text||' ', ' el '))+len(regexp_extract_all(' '||text||' ', ' y ')) AS s_es,
+        |    len(regexp_extract_all(' '||text||' ', ' der '))+len(regexp_extract_all(' '||text||' ', ' und ')) AS s_de,
+        |    len(regexp_extract_all(' '||text||' ', ' de '))+len(regexp_extract_all(' '||text||' ', ' he ')) AS s_zh
+        |  FROM documents),
+        |p AS (SELECT lang AS truth,
+        |  CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+        |       WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+        |       WHEN s_zh = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'zh'
+        |       ELSE 'und' END AS pred
+        |  FROM m),
+        |c AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |rm AS (SELECT truth AS k, sum(n) AS r FROM c GROUP BY 1),
+        |cm AS (SELECT pred AS k, sum(n) AS cc FROM c GROUP BY 1),
+        |rc_sum AS (SELECT sum(rm.r * cm.cc) AS s_rc
+        |           FROM rm JOIN cm USING (k)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |             CAST(sum(CASE WHEN truth = pred THEN n ELSE 0 END)
+        |                  AS BIGINT) AS agree
+        |      FROM c)
+        |SELECT n_rows, agree,
+        |       CAST((SELECT s_rc FROM rc_sum) AS BIGINT) AS sum_rc,
+        |       CASE WHEN n_rows*n_rows = (SELECT s_rc FROM rc_sum) THEN 0.0e0
+        |            ELSE CAST(agree*n_rows - (SELECT s_rc FROM rc_sum)
+        |                      AS DOUBLE)
+        |               / CAST(n_rows*n_rows - (SELECT s_rc FROM rc_sum)
+        |                      AS DOUBLE) END AS kappa
+        |FROM t""".stripMargin),
+      (s, d) => graft.operators.Profiling.cohenKappa(
+        docs(s, d).select(col("lang"), langId(col("text")).as("pred")),
         truth = "lang", pred = "pred"))
   )
 

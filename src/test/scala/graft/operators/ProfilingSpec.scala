@@ -161,6 +161,21 @@ class ProfilingSpec extends SparkSpec {
       ("b", "b") -> ((1L, 1.0))))
   }
 
+  test("cohenKappa: exact chance-corrected agreement") {
+    import spark.implicits._
+    // N=4, A=3, marginals r=(3,1), c=(2,2) -> Σrc=8, κ=(12−8)/(16−8)=0.5
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("t", "p")
+    val r = Profiling.cohenKappa(df, "t", "p").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      === ((4L, 3L, 8L, 0.5)))
+    // two-class perfect agreement -> κ = 1; one-class degenerate -> 0
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("t", "p")
+    assert(Profiling.cohenKappa(perfect, "t", "p").collect()(0).getDouble(3) === 1.0)
+    val degen = Seq(("a", "a"), ("a", "a")).toDF("t", "p")
+    assert(Profiling.cohenKappa(degen, "t", "p").collect()(0).getDouble(3) === 0.0)
+  }
+
   test("simpsonDiversity: exact concentration and effective labels") {
     import spark.implicits._
     val df = Seq(
