@@ -230,6 +230,37 @@ object EventAnalytics {
       .orderBy(col(series))
   }
 
+  /** Top entry journeys: each entity's first `depth` steps in event
+    * order, folded to a `a>b>c` path string, ranked by how many
+    * entities share the path — the Sankey-diagram feed and the
+    * aggregate view q150's pairwise transition matrix can't give
+    * (a Markov matrix forgets position; a path keeps it).
+    *
+    * Determinism: ordering is the unique int64 event key (rule 2), the
+    * per-entity fold sorts the COLLECTED (rank, step) structs (bounded
+    * at `depth` rows per entity), and the final rank breaks count ties
+    * on the path string — total order throughout. Counts exact. */
+  def topPaths(
+      events: DataFrame, entity: String, step: String, key: Column,
+      depth: Int = 3, topN: Int = 20): DataFrame = {
+    require(depth >= 1 && topN >= 1, "depth and topN must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(col("__k"))
+    val first = events
+      .select(col(entity), col(step).as("__s"), key.as("__k"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+    val paths = first.groupBy(col(entity))
+      .agg(sort_array(collect_list(struct(col("__rn"), col("__s")))).as("a"))
+      .select(
+        concat_ws(">", transform(col("a"), x => x.getField("__s"))).as("path"),
+        size(col("a")).cast("bigint").as("depth"))
+    paths.groupBy(col("path"), col("depth"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Two-proportion A/B significance gate: among entities with ≥1
     * `denomType` event, does the share reaching `numType` differ
     * between cohorts (entity id parity) at |z| > 2? The frequentist

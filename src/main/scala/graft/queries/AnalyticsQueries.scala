@@ -448,6 +448,28 @@ object AnalyticsQueries {
         T(s, d, "events"), entity = "user_id", step = "event_type",
         denomType = "click", numType = "purchase")),
 
+    // top entry journeys (q188): first-3-step paths per user, ranked by
+    // cohort size — the Sankey feed; position-aware where q150's Markov
+    // matrix is not. Unique event-key order, count-then-path total
+    // order, LIMIT after it (deterministic top-20).
+    Q("q188_top_paths", Some(
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, $keySql AS k FROM events),
+         |r AS (SELECT user_id, event_type,
+         |             row_number() OVER (
+         |               PARTITION BY user_id ORDER BY k) AS rn
+         |      FROM seq),
+         |f AS (SELECT user_id,
+         |             string_agg(event_type, '>' ORDER BY rn) AS path,
+         |             count(*) AS depth
+         |      FROM r WHERE rn <= 3 GROUP BY 1)
+         |SELECT path, depth, count(*) AS n_entities
+         |FROM f GROUP BY 1, 2
+         |ORDER BY n_entities DESC, path LIMIT 20""".stripMargin),
+      (s, d) => EventAnalytics.topPaths(
+        T(s, d, "events"), entity = "user_id", step = "event_type",
+        key = EventAnalytics.eventKey(col("ts"), col("event_id")))),
+
     // per-leg funnel latency quantiles: the q103 strict-order chain,
     // then exact count-of-counts quantiles (q149's shape) over whole-
     // second step gaps. The event key is sec*1e6 + seq, so k DIV 1e6 is

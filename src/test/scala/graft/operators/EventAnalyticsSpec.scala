@@ -314,6 +314,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!r2.getBoolean(6))
   }
 
+  test("topPaths folds the first-k steps in key order with exact cohorts") {
+    def ev(u: Long, t: String, i: Long) = (u, t, ts("2024-01-01 10:00:00"), i)
+    val rows = Seq(
+      ev(1, "a", 1), ev(1, "b", 2), ev(1, "c", 3), ev(1, "d", 4), // a>b>c
+      ev(2, "a", 5), ev(2, "b", 6), ev(2, "c", 7),                // a>b>c
+      ev(3, "a", 8), ev(3, "b", 9),                               // a>b
+      ev(4, "x", 10))                                             // x
+    val out = EventAnalytics.topPaths(
+        rows.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type",
+        EventAnalytics.eventKey($"ts", $"event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a>b>c", 3L, 2L), ("a>b", 2L, 1L), ("x", 1L, 1L)))
+  }
+
   test("episodeSupport: same-key tie is NOT 'before' (strict order)") {
     // one user, two types in the same second with ordered event ids:
     // only the id order decides — (x,y) holds, (y,x) does not

@@ -57,6 +57,21 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), names)
   }
 
+  test("overlapJoin dedups by reference bin — NO aggregate/distinct in the plan") {
+    // the first cut used dropDuplicates (plans as HashAggregate over the
+    // full joined row): at 40M probe intervals that one shuffle was 17×
+    // the join itself. The reference-bin predicate must keep the plan
+    // aggregate-free, and the join must stay an equi-join on the bin.
+    import spark.implicits._
+    val L = Seq((1L, 0L, 10L), (2L, 95L, 105L)).toDF("id", "s", "e")
+    val R = Seq((7L, 5L, 100L)).toDF("id", "s", "e")
+    val df = graft.operators.RangeJoin.overlapJoin(L, R, "s", "e", 10L)
+    val names = PlanInspect.nodeNames(df)
+    assert(!names.exists(_.contains("Aggregate")), names)
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), names)
+  }
+
   test("q82 bloom prefilter runs before the join (Filter under the join's large side)") {
     val plan = PlanInspect.formatted(run("q82_bloom_join"))
     // the probe must be the native codegen expression (no UDF anywhere —
