@@ -52,6 +52,79 @@ object Vocab {
       .orderBy(col("pair_cnt").desc, col("pair"))
       .limit(k)
 
+  /** Iterated BPE merge TRAINING (Sennrich et al., ACL 2016) — the
+    * actual tokenizer-induction loop, not just the candidate count:
+    * per round, count adjacent symbol pairs over the (distinct-word ×
+    * frequency) table, pick the global argmax (count desc, pair text as
+    * tiebreak), fuse it everywhere, repeat. Returns the merge table
+    * (round, pair, merged, support) — the artifact a tokenizer ships.
+    *
+    * Merging uses plain space-delimited substring replace — scan left
+    * to right, continue AFTER each replacement — which both engines
+    * implement identically, so the whole k-round training run
+    * hash-matches. (Textbook BPE merges a CONSECUTIVE run of the same
+    * pair in one round via regex lookbehind; RE2 has none, so runs
+    * merge progressively across rounds instead — deterministic, and
+    * pinned by spec.) The per-round argmax is ONE collected row — the
+    * k-means-style global decision a driver loop legitimately owns;
+    * everything else stays distributed (explode + sum at symbol-pair
+    * grain over the DISTINCT-WORD table, which is vocabulary-sized,
+    * not corpus-sized — the standard BPE-training working set).
+    * Replace rounds CHAIN as narrow string expressions on the one
+    * materialized w0 — a replace is shuffle-free, so re-evaluating a
+    * few of them per scan is cheaper than a materialization job per
+    * round; the chain re-materializes every 4 merges so the recompute
+    * stays O(1) per round at tokenizer-scale merge counts (thousands)
+    * without paying a checkpoint per round at gate scale. */
+  def bpeTrain(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      rounds: Int, text: Column = col("text")): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var words = wordCounts(docs, text)
+      .filter(col("word") =!= "")
+      .select(concat_ws(" ",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as("w"),
+        col("cnt"))
+      .materializeOnce()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var pendingReplaces = 0
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val withSyms = words.withColumn("syms", split(col("w"), " "))
+      val top = withSyms
+        .select(col("cnt"), explode(
+          when(size(col("syms")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("syms")) - 2),
+              j => concat(element_at(col("syms"), j + 1), lit(" "),
+                element_at(col("syms"), j + 2))))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(1)
+        .collect() // ONE row: the round's global merge decision
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((r.toLong, pair, merged, top(0).getLong(1)))
+        words = words.select(
+          trim(call_function("replace",
+            concat(lit(" "), col("w"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("w"),
+          col("cnt"))
+        pendingReplaces += 1
+        if (pendingReplaces >= 4) { // bound the narrow recompute chain
+          words = words.materializeOnce()
+          pendingReplaces = 0
+        }
+      }
+      r += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pair", "merged", "support")
+      .orderBy(col("round"))
+  }
+
   /** Character-bigram familiarity: per document, the mean corpus
     * frequency of its char bigrams (with multiplicity) — a cheap
     * fluency/noise proxy: garbled or non-language text is built from

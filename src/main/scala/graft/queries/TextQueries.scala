@@ -756,8 +756,55 @@ object TextQueries {
         |FROM t""".stripMargin),
       (s, d) => graft.operators.Profiling.cohenKappa(
         docs(s, d).select(col("lang"), langId(col("text")).as("pred")),
-        truth = "lang", pred = "pred"))
+        truth = "lang", pred = "pred")),
+
+    // distributed BPE merge TRAINING (t59): 6 argmax-merge rounds over
+    // the distinct-word table, hash-matching the chained-CTE replay
+    // (one Scala constant drives both round counts — rule 12's one-
+    // definition-two-engines). Plain-replace merge semantics, pinned
+    // by spec; support sums HUGEINT→BIGINT (rule 18).
+    Q("t59_bpe_train", Some(bpeTrainOracle(bpeRounds)),
+      (s, d) => graft.operators.Vocab.bpeTrain(s, docs(s, d), bpeRounds))
   )
+
+  /** t59's round count — one constant for the Spark loop AND the
+    * generated oracle CTE chain. */
+  private lazy val bpeRounds = 6
+
+  /** t59 oracle: w0 = spaced single-char symbols per distinct word;
+    * each round r counts pairs from w(r−1), picks the argmax in t_r,
+    * and rewrites words in w_r with the same padded plain replace the
+    * Spark side uses. COALESCE guards the (never-hit at gate scale)
+    * pairs-exhausted round with a no-op target. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT array_to_string(list_transform(range(1, len(word) + 1),
+        |           i -> word[i:i]), ' ') AS w, cnt FROM (
+        |    SELECT word, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |      FROM documents) WHERE word <> '' GROUP BY 1))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)),
+         |             i -> s[i] || ' ' || s[i+1])) AS pair, cnt FROM (
+         |      SELECT string_split(w, ' ') AS s, cnt FROM w${r - 1}))
+         |  GROUP BY 1),
+         |t$r AS (SELECT pair, total FROM p$r
+         |        ORDER BY total DESC, pair LIMIT 1),
+         |w$r AS (SELECT trim(replace(' '||w||' ',
+         |          ' '||COALESCE((SELECT pair FROM t$r), chr(1))||' ',
+         |          ' '||replace(COALESCE((SELECT pair FROM t$r), chr(1)),
+         |                       ' ', '')||' ')) AS w, cnt
+         |        FROM w${r - 1})""".stripMargin
+    }
+    val out = (1 to rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, pair,
+         |       replace(pair, ' ', '') AS merged, total AS support
+         |FROM t$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"WITH $w0,\n${steps.mkString(",\n")}\n$out\nORDER BY round"
+  }
 
   /** t56 oracle: the same fixed-point BM25, HUGEINT for the products,
     * `//` for the floors (truncation ≡ Spark div on these all-positive

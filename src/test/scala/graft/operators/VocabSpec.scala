@@ -82,4 +82,26 @@ class VocabSpec extends SparkSpec {
     assert(out(1L) === ((3L, 2L, 2.0 / 3.0)))
     assert(out(2L) === ((5L, 1L, 0.2)))
   }
+
+  test("bpeTrain: argmax merges with exact frequency-weighted support") {
+    import spark.implicits._
+    // words: aa×2, ab×1 -> round 1 merges ('a a', support 2) -> words
+    // become [aa], [a b] -> round 2 merges ('a b', support 1)
+    val docs = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
+    val out = Vocab.bpeTrain(spark, docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a a", "aa", 2L), (2L, "a b", "ab", 1L)))
+  }
+
+  test("bpeTrain pins the plain-replace run semantics (alternating merge)") {
+    import spark.implicits._
+    // 'aaa': round 1 counts 'a a' twice but the padded replace merges
+    // left-to-right non-overlapping -> 'aa a'; round 2 fuses the rest.
+    val docs = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val out = Vocab.bpeTrain(spark, docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a a", "aa", 2L), (2L, "aa a", "aaa", 1L)))
+  }
 }
