@@ -125,6 +125,43 @@ object Vocab {
       .orderBy(col("round"))
   }
 
+  /** BPE ENCODE: apply a trained merge table (in merge order) to every
+    * document and report per-doc token statistics — the other half of
+    * the tokenizer loop [[bpeTrain]] starts. The merge list is the
+    * collected training artifact (merge-count rows — the thing a
+    * tokenizer SHIPS, like k-means centroids), folded into a chain of
+    * narrow padded-replace expressions over the exploded word table:
+    * zero extra shuffles beyond the per-doc aggregate, and the replace
+    * semantics are byte-identical to training's, so encoding the
+    * training corpus reproduces the final training state (pinned by
+    * spec). compression = chars/tokens is one exact int÷int division
+    * (CLAUDE.md rule 17). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      id: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    val words = docs
+      .repartition(id) // row-amplifying explode (rule 6)
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("word"))
+      .filter(col("word") =!= "")
+    val spaced = concat_ws(" ",
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+    val encoded = merges.foldLeft(spaced) { case (c, (pair, merged)) =>
+      trim(call_function("replace", concat(lit(" "), c, lit(" ")),
+        lit(s" $pair "), lit(s" $merged ")))
+    }
+    words
+      .select(col("doc_id"), length(col("word")).cast("long").as("chars"),
+        size(split(encoded, " ")).cast("long").as("toks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-bigram familiarity: per document, the mean corpus
     * frequency of its char bigrams (with multiplicity) — a cheap
     * fluency/noise proxy: garbled or non-language text is built from

@@ -764,19 +764,32 @@ object TextQueries {
     // definition-two-engines). Plain-replace merge semantics, pinned
     // by spec; support sums HUGEINT→BIGINT (rule 18).
     Q("t59_bpe_train", Some(bpeTrainOracle(bpeRounds)),
-      (s, d) => graft.operators.Vocab.bpeTrain(s, docs(s, d), bpeRounds))
+      (s, d) => graft.operators.Vocab.bpeTrain(s, docs(s, d), bpeRounds)),
+
+    // BPE ENCODE (t60): apply the t59-trained merge table to every doc —
+    // the collected merge list (6 rows, the shipped tokenizer artifact)
+    // folds into a replace chain over the exploded word table. Oracle
+    // re-derives the SAME merges via the shared CTE chain, then encodes
+    // with the identical padded replace. compression = one exact int
+    // division (rule 17); sums HUGEINT→BIGINT (rule 18).
+    Q("t60_bpe_encode", Some(bpeEncodeOracle(bpeRounds)),
+      (s, d) => {
+        val m = graft.operators.Vocab.bpeTrain(s, docs(s, d), bpeRounds)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bpeEncode(docs(s, d), m)
+      })
   )
 
   /** t59's round count — one constant for the Spark loop AND the
     * generated oracle CTE chain. */
   private lazy val bpeRounds = 6
 
-  /** t59 oracle: w0 = spaced single-char symbols per distinct word;
-    * each round r counts pairs from w(r−1), picks the argmax in t_r,
-    * and rewrites words in w_r with the same padded plain replace the
-    * Spark side uses. COALESCE guards the (never-hit at gate scale)
-    * pairs-exhausted round with a no-op target. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** Shared t59/t60 training CTE chain: w0 = spaced single-char symbols
+    * per distinct word; each round r counts pairs from w(r−1), picks the
+    * argmax in t_r, and rewrites words in w_r with the same padded plain
+    * replace the Spark side uses. COALESCE guards the (never-hit at gate
+    * scale) pairs-exhausted round with a no-op target. */
+  private def bpeChainCtes(rounds: Int): String = {
     val w0 =
       """w0 AS (
         |  SELECT array_to_string(list_transform(range(1, len(word) + 1),
@@ -799,11 +812,44 @@ object TextQueries {
          |                       ' ', '')||' ')) AS w, cnt
          |        FROM w${r - 1})""".stripMargin
     }
+    s"$w0,\n${steps.mkString(",\n")}"
+  }
+
+  /** t59 oracle: the training chain's merge rows, one per round. */
+  private def bpeTrainOracle(rounds: Int): String = {
     val out = (1 to rounds).map(r =>
       s"""SELECT CAST($r AS BIGINT) AS round, pair,
          |       replace(pair, ' ', '') AS merged, total AS support
          |FROM t$r""".stripMargin).mkString("\nUNION ALL\n")
-    s"WITH $w0,\n${steps.mkString(",\n")}\n$out\nORDER BY round"
+    s"WITH ${bpeChainCtes(rounds)}\n$out\nORDER BY round"
+  }
+
+  /** t60 oracle: re-derive the merges via the shared chain, then encode
+    * every (doc, word) occurrence with the identical padded replaces and
+    * aggregate per doc. Sums are HUGEINT→BIGINT; compression is the one
+    * exact double division mirrored on the Spark side. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val enc = (1 to rounds).map { r =>
+      s"""e$r AS (SELECT doc_id, n_chars, trim(replace(' '||w||' ',
+         |          ' '||COALESCE((SELECT pair FROM t$r), chr(1))||' ',
+         |          ' '||replace(COALESCE((SELECT pair FROM t$r), chr(1)),
+         |                       ' ', '')||' ')) AS w
+         |        FROM e${r - 1})""".stripMargin
+    }
+    s"""WITH ${bpeChainCtes(rounds)},
+       |e0 AS (
+       |  SELECT doc_id, len(word) AS n_chars,
+       |         array_to_string(list_transform(range(1, len(word) + 1),
+       |           i -> word[i:i]), ' ') AS w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents) WHERE word <> ''),
+       |${enc.mkString(",\n")}
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(len(string_split(w, ' '))) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_chars) AS DOUBLE) / CAST(sum(len(string_split(w, ' '))) AS DOUBLE)
+       |         AS compression
+       |FROM e$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** t56 oracle: the same fixed-point BM25, HUGEINT for the products,

@@ -94,6 +94,34 @@ class VocabSpec extends SparkSpec {
       (1L, "a a", "aa", 2L), (2L, "a b", "ab", 1L)))
   }
 
+  test("bpeEncode applies the trained merges; counts and compression exact") {
+    import spark.implicits._
+    val docs = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(spark, docs, rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Vocab.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // doc 0: 'aa'->[aa] (1 tok), 'ab'->[ab] (1 tok): 2 words, 4 chars,
+    // 2 tokens, compression 2.0; doc 1: 'aa'->[aa]: 1/2/1/2.0
+    assert(out.toSeq === Seq(
+      (0L, 2L, 4L, 2L, 2.0), (1L, 1L, 2L, 1L, 2.0)))
+  }
+
+  test("bpeEncode on the training corpus reproduces the final training state") {
+    import spark.implicits._
+    // 'aaa' after 2 merge rounds trains to the single symbol 'aaa'
+    // (round 1: 'a a'->'aa' left-to-right => 'aa a'; round 2 fuses).
+    // Encoding the same corpus with the shipped merges must agree.
+    val docs = Seq((0L, "aaa aaa b")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(spark, docs, rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Vocab.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 words, 7 chars, tokens: aaa->1, aaa->1, b->1 = 3
+    assert(out.toSeq === Seq((0L, 3L, 7L, 3L)))
+  }
+
   test("bpeTrain pins the plain-replace run semantics (alternating merge)") {
     import spark.implicits._
     // 'aaa': round 1 counts 'a a' twice but the padded replace merges
