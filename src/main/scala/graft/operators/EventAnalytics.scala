@@ -603,6 +603,108 @@ object EventAnalytics {
       .orderBy(col("variant"))
   }
 
+  /** Exact OLS trend of daily event volume: slope, intercept and r² of
+    * count-per-day regressed on the day index, each as ONE division of
+    * two exactly-computed integers (closed-form normal equations:
+    * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (ΣyΣx²−ΣxΣxy)/den,
+    * r² = num²/(den·(nΣy²−(Σy)²))) — the q133/q187 exact-rational
+    * idiom applied to regression, so the fit hash-matches across
+    * engines with no iterative solver and no error-prone float sums.
+    *
+    * Scale shape: the corpus reduces to the per-day histogram in one
+    * groupBy (the only corpus-sized shuffle); the regression itself
+    * runs over day-count rows. Sums accumulate as DECIMAL(38,0)
+    * (CLAUDE.md rule 18 — daily volumes square past 2^63 at 100 TB);
+    * the final casts to DOUBLE are exact while |num|,|den| < 2^53,
+    * which holds through ~10⁵ days × 10⁸ events/day for the slope
+    * terms (r²'s squared numerator binds first; it is a RATIO of
+    * same-scale quantities, so shrinking the day bucket restores
+    * headroom long before the fit loses meaning). */
+  def olsTrend(events: DataFrame, ts: Column = col("ts")): DataFrame = {
+    val daily = events.groupBy(to_date(ts).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0")) // 1-row normalizer
+    val xy = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("d0")).cast("long").as("x"), col("y"))
+    def D(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    xy.agg(count(lit(1)).as("n"),
+        sum(D(col("x"))).as("sx"), sum(D(col("y"))).as("sy"),
+        sum(D(col("x") * col("x"))).as("sxx"),
+        sum(D(col("x") * col("y"))).as("sxy"),
+        sum(D(col("y") * col("y"))).as("syy"))
+      .withColumn("num", expr("cast(n as decimal(38,0)) * sxy - sx * sy"))
+      .withColumn("den", expr("cast(n as decimal(38,0)) * sxx - sx * sx"))
+      .withColumn("deny", expr("cast(n as decimal(38,0)) * syy - sy * sy"))
+      .select(col("n").as("n_days"),
+        (dbl(col("num")) / dbl(col("den"))).as("slope"),
+        (dbl(expr("sy * sxx - sx * sxy")) / dbl(col("den"))).as("intercept"),
+        (dbl(expr("num * num")) / dbl(expr("den * deny"))).as("r2"))
+      .orderBy(col("n_days"))
+  }
+
+  /** Sliding-window burst detection: per user, the maximum number of
+    * events inside ANY `windowSec`-second window (a RANGE frame over
+    * whole-second epoch — frame membership is value-defined, so peer
+    * order within a second cannot change the count and the result is
+    * exactly replayable), plus a boolean flag at `threshold` — the
+    * rate-limit / bot-detection primitive run before ingesting a
+    * crawl's event stream.
+    *
+    * Scale shape: ONE shuffle (partition by user); the RANGE window
+    * scans each user's ordered events once. No self-join — the naive
+    * pairwise formulation this replaces is O(events²) per hot user. */
+  def maxBurst(events: DataFrame, windowSec: Int, threshold: Long,
+      entity: String = "user_id", ts: Column = col("ts")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col("sec"))
+      .rangeBetween(-(windowSec - 1L), 0L)
+    events.select(col(entity), ts.cast("long").as("sec"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst"))
+      .select(col(entity), col("n_events"), col("max_burst"),
+        (col("max_burst") >= threshold).as("flagged"))
+      .orderBy(col(entity))
+  }
+
+  /** Discrete churn life table: for each activity age k (days between
+    * a user's first and last event), the at-risk count (users whose
+    * observed age is ≥ k), observed churns at k, right-censored users
+    * at k (their last day IS the corpus' last day — still alive), and
+    * the hazard d_k / n_k as one exact division. This is the
+    * Kaplan-Meier life table in count form; reporting the per-age
+    * hazard instead of the cumulative product keeps every cell an
+    * integer or a single int÷int division (rule 17) — the survival
+    * curve is a trivial client-side fold of these rows.
+    *
+    * Scale shape: one groupBy user (the corpus shuffle), then the age
+    * histogram; the at-risk reverse-cumulative window runs over
+    * DISTINCT ages — output-sized at any corpus size (the zipfCurve /
+    * count-of-counts argument). */
+  def churnHazard(events: DataFrame, entity: String = "user_id",
+      ts: Column = col("ts")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy(col(entity))
+      .agg(min(to_date(ts)).as("f"), max(to_date(ts)).as("l"))
+    val gmax = events.agg(max(to_date(ts)).as("gmax")) // 1-row normalizer
+    val hist = users.crossJoin(broadcast(gmax))
+      .select(datediff(col("l"), col("f")).cast("long").as("age"),
+        when(col("l") === col("gmax"), 1L).otherwise(0L).as("cens"))
+      .groupBy(col("age"))
+      .agg(count(lit(1)).as("n_at_age"),
+        sum(lit(1L) - col("cens")).as("deaths"),
+        sum(col("cens")).as("censored"))
+    val atRisk = Window.orderBy(col("age"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist.select(col("age"), sum(col("n_at_age")).over(atRisk).as("at_risk"),
+        col("deaths"), col("censored"))
+      .select(col("age"), col("at_risk"), col("deaths"), col("censored"),
+        (col("deaths").cast("double") / col("at_risk").cast("double"))
+          .as("hazard"))
+      .orderBy(col("age"))
+  }
+
   /** Linear multi-touch attribution with EXACT integer credit: every
     * conversion distributes `unit` credit units over its qualifying
     * touches (same user, inside the lookback window ending at the

@@ -448,6 +448,76 @@ object AnalyticsQueries {
         T(s, d, "events"), entity = "user_id", step = "event_type",
         denomType = "click", numType = "purchase")),
 
+    // exact OLS trend of daily volume (q189): slope/intercept/r² each
+    // as ONE division of exactly-computed integers (normal equations;
+    // the q187 exact-rational idiom applied to regression). Sums are
+    // DECIMAL(38,0) in Spark / HUGEINT in DuckDB (rule 18); all
+    // numerators/denominators stay < 2^53 so the DOUBLE casts are
+    // exact on both engines.
+    Q("q189_ols_trend", Some(
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |xy AS (SELECT CAST(date_diff('day',
+        |         (SELECT min(day) FROM daily), day) AS BIGINT) AS x, y
+        |       FROM daily),
+        |g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |      FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |       CAST(n*sxy - sx*sy AS DOUBLE)
+        |         / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |       CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |         / CAST(n*sxx - sx*sx AS DOUBLE) AS intercept,
+        |       CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+        |         / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) AS r2
+        |FROM g ORDER BY n_days""".stripMargin),
+      (s, d) => EventAnalytics.olsTrend(T(s, d, "events"))),
+
+    // sliding-window burst detection (q190): max events per user inside
+    // any 1-hour window via a RANGE frame over whole-second epoch —
+    // value-defined frames make peer order irrelevant, so the count is
+    // exactly replayable. One shuffle, no O(n²) self-join.
+    Q("q190_burst_windows", Some(
+      """WITH s AS (SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |b AS (SELECT user_id, count(*) OVER (PARTITION BY user_id
+        |        ORDER BY sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |        AS burst FROM s)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(max(burst) AS BIGINT) AS max_burst,
+        |       max(burst) >= 3 AS flagged
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => EventAnalytics.maxBurst(
+        T(s, d, "events"), windowSec = 3600, threshold = 3L)),
+
+    // discrete churn life table (q191): per activity age, at-risk /
+    // deaths / right-censored counts and the hazard as one exact
+    // division — the Kaplan-Meier table in count form. The at-risk
+    // reverse-cumulative window runs over DISTINCT ages (output-sized).
+    Q("q191_churn_hazard", Some(
+      """WITH u AS (SELECT user_id, min(date_trunc('day', ts)) AS f,
+        |                  max(date_trunc('day', ts)) AS l
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS age,
+        |             CASE WHEN l = (SELECT max(date_trunc('day', ts))
+        |                            FROM events) THEN 1 ELSE 0 END AS cens
+        |      FROM u),
+        |h AS (SELECT age, count(*) AS n_at_age,
+        |             CAST(sum(1 - cens) AS BIGINT) AS deaths,
+        |             CAST(sum(cens) AS BIGINT) AS censored
+        |      FROM a GROUP BY 1)
+        |SELECT age,
+        |       CAST(sum(n_at_age) OVER (ORDER BY age ROWS BETWEEN
+        |         CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk,
+        |       deaths, censored,
+        |       CAST(deaths AS DOUBLE) / CAST(sum(n_at_age) OVER (ORDER BY
+        |         age ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |         AS DOUBLE) AS hazard
+        |FROM h ORDER BY age""".stripMargin),
+      (s, d) => EventAnalytics.churnHazard(T(s, d, "events"))),
+
     // top entry journeys (q188): first-3-step paths per user, ranked by
     // cohort size — the Sankey feed; position-aware where q150's Markov
     // matrix is not. Unique event-key order, count-then-path total

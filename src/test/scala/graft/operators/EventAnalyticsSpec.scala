@@ -341,4 +341,46 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(("x", "y")))
   }
+
+  test("olsTrend recovers an exact linear ramp (slope 2, intercept 3, r2 1)") {
+    // days 0..4 with volumes 3,5,7,9,11: y = 2x + 3 exactly.
+    val ev = (0 to 4).flatMap { d =>
+      (1 to (3 + 2 * d)).map(i =>
+        (d.toLong * 100 + i, ts(f"2024-01-${d + 1}%02d 10:00:00")))
+    }.toDF("event_id", "ts")
+    val r = EventAnalytics.olsTrend(ev).collect()(0)
+    assert(r.getLong(0) === 5L)
+    assert(r.getDouble(1) === 2.0)
+    assert(r.getDouble(2) === 3.0)
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("maxBurst counts the densest value-defined window, not adjacency") {
+    val ev = Seq(
+      // user 1: 3 events inside 10s (t=0,4,9), a 4th at t=30
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:04")),
+      (1L, ts("2024-01-01 00:00:09")), (1L, ts("2024-01-01 00:00:30")),
+      // user 2: two events 10s apart -> window [t-9, t] never holds both
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:10"))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.maxBurst(ev, windowSec = 10, threshold = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, 4L, 3L, true), (2L, 2L, 1L, false)))
+  }
+
+  test("churnHazard: at-risk nests by age, last-day users are censored") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")), // age 1, churned
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-04 10:00:00")), // age 3, censored (gmax)
+      (3L, ts("2024-01-03 10:00:00"))                                   // age 0, churned
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.churnHazard(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 1L, 0L, 1.0 / 3.0),
+      (1L, 2L, 1L, 0L, 0.5),
+      (3L, 1L, 0L, 1L, 0.0)))
+  }
 }
