@@ -144,6 +144,56 @@ object Profiling {
     levels.reduce(_ union _).orderBy(col("level"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the step past [[lDiversityLadder]]: an equivalence class can be
+    * l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * diverges from the corpus-wide one. For a categorical sensitive
+    * attribute the distance is total variation:
+    *   tvd(class) = ½ Σ_v |cs_v/n_c − gs_v/N|
+    *              = Σ_v |cs_v·N − gs_v·n_c| / (2·n_c·N)
+    * The numerator is EXACT integer arithmetic (the q187 cross-multiply
+    * idiom), so the audit hash-matches: tvd is ONE division at the end,
+    * and the breach verdict `tvd > tNum/tDen` cross-multiplies to the
+    * integer theorem  tDen·scaled > 2·tNum·n_c·N — no float threshold.
+    *
+    * Scale shape: the corpus reduces to the (QI, sensitive) class-value
+    * table in one shuffle (shared with the class/global margins via
+    * materializeOnce); the audit grid is classes × DISTINCT sensitive
+    * values — the sensitive domain is small by definition of the audit,
+    * so the expansion is a broadcast nested loop over an output-sized
+    * frame, never a corpus shuffle. Products accumulate as
+    * DECIMAL(38,0) (rule 18: cs·N passes 2^63 near 10⁹ rows); the
+    * final DOUBLE casts are exact while scaled, 2·n_c·N < 2^53. */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(quasiIds.nonEmpty && tNum > 0 && tDen > 0)
+    val qi = quasiIds.map(col)
+    val base = df.groupBy((quasiIds :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("cs"))
+      .materializeOnce() // feeds class margins, global margins, the grid
+    val classes = base.groupBy(qi: _*).agg(sum(col("cs")).as("nc"))
+    val global = base.groupBy(col(sensitive)).agg(sum(col("cs")).as("gs"))
+    val total = base.agg(sum(col("cs")).as("nn")) // 1-row normalizer
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val grid = classes
+      .crossJoin(broadcast(global)) // classes × small sensitive domain
+      .join(base, quasiIds :+ sensitive, "left")
+      .crossJoin(broadcast(total))
+      .select((qi :+ col("nc") :+ col("nn") :+
+        abs(D(coalesce(col("cs"), lit(0L))) * D(col("nn"))
+          - D(col("gs")) * D(col("nc"))).as("term")): _*)
+    grid.groupBy((qi :+ col("nc") :+ col("nn")).map(c => c): _*)
+      .agg(sum(col("term")).as("scaled"))
+      .select((qi :+ col("nc").as("class_n") :+
+        col("scaled").cast("bigint").as("tvd_scaled") :+
+        (col("scaled").cast("double")
+          / (D(lit(2L)) * D(col("nc")) * D(col("nn"))).cast("double"))
+          .as("tvd") :+
+        (D(lit(tDen)) * col("scaled") >
+          D(lit(2L * tNum)) * D(col("nc")) * D(col("nn"))).as("breaches")): _*)
+      .orderBy(qi: _*)
+  }
+
   /** Key-skew diagnostics: exact Gini coefficient, max key share, and
     * cardinality of a key column — the pre-flight check before choosing
     * a partitioning/salting strategy for a join or aggregation on that

@@ -125,6 +125,49 @@ object Vocab {
       .orderBy(col("round"))
   }
 
+  /** Adjacent-word collocations ranked by EXACT lift (Church & Hanks'
+    * association-ratio collocation extraction, with the log dropped:
+    * PMI = log₂ lift is monotone in lift, so the ranking is identical
+    * and the score stays one exact division):
+    *   lift(l,r) = c_lr·N / (c_l·c_r)
+    * over the adjacent-pair table, where c_l/c_r are the pair-table
+    * margins and N the total pair count — every operand an exact
+    * integer, the division the only float op (CLAUDE.md rule 17), so
+    * the top-k is totally ordered by (lift desc, l, r) and replayable.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the pair groupBy, after a
+    * repartition ahead of the row-amplifying explode — rule 6); the
+    * margins and total are vocabulary²-bounded, broadcast back onto the
+    * pair table (no second corpus shuffle), and the top-k is
+    * TakeOrdered. Products accumulate as DECIMAL(38,0) (rule 18); the
+    * DOUBLE casts are exact while c_lr·N < 2^53. */
+  def collocations(docs: DataFrame, k: Int, id: Column = col("doc_id"),
+      text: Column = col("text")): DataFrame = {
+    val pc = docs
+      .repartition(id) // row-amplifying explode (rule 6)
+      .select(graft.functions.TextFunctions.tokens(text).as("t"))
+      .select(explode(
+        when(size(col("t")) < 2, // rule 16: sequence(1,0) counts DOWN
+          array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
+            j => struct(element_at(col("t"), j + 1).as("l"),
+              element_at(col("t"), j + 2).as("r"))))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l") =!= "" && col("r") =!= "")
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_xy"))
+      .materializeOnce() // feeds both margins, the total, and the join
+    val lm = pc.groupBy(col("l")).agg(sum(col("c_xy")).as("c_l"))
+    val rm = pc.groupBy(col("r")).agg(sum(col("c_xy")).as("c_r"))
+    val tot = pc.agg(sum(col("c_xy")).as("n")) // 1-row normalizer
+    def D(c: Column) = c.cast("decimal(38,0)")
+    pc.join(broadcast(lm), Seq("l")).join(broadcast(rm), Seq("r"))
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("r"), col("c_xy"), col("c_l"), col("c_r"),
+        ((D(col("c_xy")) * D(col("n"))).cast("double")
+          / (D(col("c_l")) * D(col("c_r"))).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("l"), col("r")).limit(k)
+  }
+
   /** BPE ENCODE: apply a trained merge table (in merge order) to every
     * document and report per-doc token statistics — the other half of
     * the tokenizer loop [[bpeTrain]] starts. The merge list is the

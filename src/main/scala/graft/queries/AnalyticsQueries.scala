@@ -518,6 +518,48 @@ object AnalyticsQueries {
         |FROM h ORDER BY age""".stripMargin),
       (s, d) => EventAnalytics.churnHazard(T(s, d, "events"))),
 
+    // t-closeness audit (q192): the step past q157/q167 in the privacy
+    // ladder — per QI class, total variation distance to the global
+    // sensitive distribution, with the numerator in exact integers
+    // (Σ|cs·N − gs·n_c|), tvd as ONE division, and the breach verdict
+    // as the cross-multiplied theorem 5·scaled > 4·n_c·N (t = 2/5).
+    Q("q192_t_closeness", Some(
+      """WITH src AS (
+        |  SELECT n.n_name,
+        |         CAST(c.c_acctbal * 100 AS BIGINT) // 100000 AS bal_bucket,
+        |         c.c_mktsegment AS sens
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |base AS (SELECT n_name, bal_bucket, sens, count(*) AS cs
+        |         FROM src GROUP BY 1, 2, 3),
+        |cls AS (SELECT n_name, bal_bucket, CAST(sum(cs) AS BIGINT) AS nc
+        |        FROM base GROUP BY 1, 2),
+        |gdist AS (SELECT sens, CAST(sum(cs) AS BIGINT) AS gs
+        |          FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS nn FROM base),
+        |grid AS (SELECT c.n_name, c.bal_bucket, c.nc, t.nn,
+        |                abs(COALESCE(b.cs, 0)*t.nn - g.gs*c.nc) AS term
+        |         FROM cls c CROSS JOIN gdist g CROSS JOIN tot t
+        |         LEFT JOIN base b ON b.n_name = c.n_name
+        |           AND b.bal_bucket = c.bal_bucket AND b.sens = g.sens),
+        |agg AS (SELECT n_name, bal_bucket, nc, nn,
+        |               CAST(sum(term) AS BIGINT) AS tvd_scaled
+        |        FROM grid GROUP BY 1, 2, 3, 4)
+        |SELECT n_name, bal_bucket, nc AS class_n, tvd_scaled,
+        |       CAST(tvd_scaled AS DOUBLE) / CAST(2*nc*nn AS DOUBLE) AS tvd,
+        |       5*tvd_scaled > 4*nc*nn AS breaches
+        |FROM agg ORDER BY n_name, bal_bucket""".stripMargin),
+      (s, d) => {
+        val src = T(s, d, "customer").join(T(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            expr("CAST(c_acctbal * 100 AS BIGINT) div 100000")
+              .as("bal_bucket"),
+            col("c_mktsegment").as("sens"))
+        graft.operators.Profiling.tCloseness(src,
+          Seq("n_name", "bal_bucket"), sensitive = "sens",
+          tNum = 2L, tDen = 5L)
+      }),
+
     // top entry journeys (q188): first-3-step paths per user, ranked by
     // cohort size — the Sankey feed; position-aware where q150's Markov
     // matrix is not. Unique event-key order, count-then-path total

@@ -777,7 +777,28 @@ object TextQueries {
         val m = graft.operators.Vocab.bpeTrain(s, docs(s, d), bpeRounds)
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         graft.operators.Vocab.bpeEncode(docs(s, d), m)
-      })
+      }),
+
+    // adjacent-word collocations by exact lift (t61): Church & Hanks'
+    // association ratio with the log dropped (monotone, so the same
+    // ranking with one exact division). Margins/total are pair-table
+    // sums (HUGEINT→BIGINT, rule 18); top-30 totally ordered by
+    // (lift desc, l, r).
+    Q("t61_collocations", Some(
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |pr AS (SELECT unnest(list_transform(range(1, len(t)),
+        |         i -> {'l': t[i], 'r': t[i+1]})) AS p FROM tk),
+        |pc AS (SELECT p.l AS l, p.r AS r, count(*) AS c FROM pr
+        |       WHERE p.l <> '' AND p.r <> '' GROUP BY 1, 2),
+        |lm AS (SELECT l, CAST(sum(c) AS BIGINT) AS c_l FROM pc GROUP BY 1),
+        |rm AS (SELECT r, CAST(sum(c) AS BIGINT) AS c_r FROM pc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pc)
+        |SELECT pc.l, pc.r, CAST(c AS BIGINT) AS c_xy, c_l, c_r,
+        |       CAST(c*n AS DOUBLE) / CAST(c_l*c_r AS DOUBLE) AS lift
+        |FROM pc JOIN lm USING (l) JOIN rm USING (r) CROSS JOIN tot
+        |ORDER BY lift DESC, l, r LIMIT 30""".stripMargin),
+      (s, d) => graft.operators.Vocab.collocations(docs(s, d), k = 30))
   )
 
   /** t59's round count — one constant for the Spark loop AND the

@@ -214,4 +214,23 @@ class ProfilingSpec extends SparkSpec {
     val holds = Profiling.fdViolations(df, "y->y", Seq("y"), "y").collect()(0)
     assert((holds.getLong(2), holds.getBoolean(4)) === ((0L, true)))
   }
+
+  test("tCloseness: exact scaled TVD, absent values count, strict breach") {
+    import spark.implicits._
+    // global: a=5, b=4, N=9
+    val df = (Seq.fill(3)(("g1", "a")) ++ Seq(("g1", "b")) ++
+      Seq(("g2", "a")) ++ Seq.fill(3)(("g2", "b")) ++
+      Seq(("g3", "a"))).toDF("q", "s")
+    val out = Profiling.tCloseness(df, Seq("q"), "s", tNum = 2L, tDen = 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      // g1: |3*9-5*4| + |1*9-4*4| = 14, tvd 14/72
+      ("g1", 4L, 14L, 14.0 / 72.0, false),
+      // g2: |1*9-5*4| + |3*9-4*4| = 22
+      ("g2", 4L, 22L, 22.0 / 72.0, false),
+      // g3 has NO 'b' rows: |1*9-5| + |0-4| = 8, tvd 8/18 > 2/5 -> breach
+      ("g3", 1L, 8L, 8.0 / 18.0, true)))
+  }
 }

@@ -94,6 +94,24 @@ class VocabSpec extends SparkSpec {
       (1L, "a a", "aa", 2L), (2L, "a b", "ab", 1L)))
   }
 
+  test("collocations: exact lift over adjacent pairs, margins from the pair table") {
+    import spark.implicits._
+    // doc0 pairs: (a,b),(b,a),(a,b); doc1: (a,c),(c,b) -> N=5
+    // c_l: a=3, b=1, c=1; c_r: b=3, a=1, c=1
+    val docs = Seq((0L, "a b a b"), (1L, "a c b")).toDF("doc_id", "text")
+    val out = Vocab.collocations(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val m = out.map(t => (t._1, t._2) -> t).toMap
+    assert(m(("a", "b")) === (("a", "b", 2L, 3L, 3L, 10.0 / 9.0)))
+    assert(m(("b", "a")) === (("b", "a", 1L, 1L, 1L, 5.0)))
+    assert(m(("a", "c")) === (("a", "c", 1L, 3L, 1L, 5.0 / 3.0)))
+    assert(m(("c", "b")) === (("c", "b", 1L, 1L, 3L, 5.0 / 3.0)))
+    // ranking: (b,a) 5.0 first; ties (a,c)/(c,b) broken by l
+    assert(out.take(3).map(t => (t._1, t._2)).toSeq ===
+      Seq(("b", "a"), ("a", "c"), ("c", "b")))
+  }
+
   test("bpeEncode applies the trained merges; counts and compression exact") {
     import spark.implicits._
     val docs = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
