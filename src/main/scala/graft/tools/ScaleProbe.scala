@@ -128,7 +128,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,q183,s43,s55,t54,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,q183,s43,s55,t54,t59,
     // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -509,6 +509,29 @@ object ScaleProbe {
       println(s"[probe]   SNM planted recalled: $planted/$expectSnm")
       require(planted >= expectSnm * 99 / 100,
         s"SNM recall broke at scale: $planted/$expectSnm")
+    }
+    if (on("t59")) time("t59: BPE train at n docs") {
+      // The BPE-training scale claim: after the one corpus-sized
+      // wordCounts shuffle, every merge round runs over the DISTINCT-
+      // word table (vocab-bounded — here ≤1000 seeded words + 20
+      // boilerplate-free variants), so the round loop's cost must NOT
+      // move with n. Measure the corpus-bound floor (wordCounts) and
+      // the full 6-round train; loop ≈ total − floor stays flat across
+      // probe scales (see ARCHITECTURE §scale-evidence for the 4×
+      // numbers from two runs).
+      val tF = System.nanoTime()
+      val vocabSize = graft.operators.Vocab.wordCounts(docs).count()
+      val floorSec = (System.nanoTime() - tF) / 1e9
+      val tT = System.nanoTime()
+      val merges = graft.operators.Vocab.bpeTrain(spark, docs, rounds = 6)
+        .collect()
+      val totalSec = (System.nanoTime() - tT) / 1e9
+      println(f"[probe]   vocab=$vocabSize floor=$floorSec%.1f s " +
+        f"train=$totalSec%.1f s loop≈${totalSec - floorSec}%.1f s")
+      require(merges.length == 6, s"expected 6 merges, got ${merges.length}")
+      val supports = merges.map(_.getLong(3))
+      require(supports.zip(supports.tail).forall { case (a, b) => a >= b },
+        s"merge supports must be non-increasing: ${supports.toSeq}")
     }
     if (on("s55")) time("s55/s54/t53: spectra + coreset + HLL at n vectors") {
       // n 64-dim vectors, uniform per dim EXCEPT dim 0 biased by +0.5 —
