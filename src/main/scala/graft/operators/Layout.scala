@@ -81,6 +81,71 @@ object Layout {
       .drop(dims.flatMap(d => Seq(s"__min_$d", s"__max_$d")): _*)
   }
 
+  /** Zone-map pruning audit — the number a layout decision is actually
+    * bought with: simulate parquet footer min/max skipping for a
+    * centered range-box predicate over `dims`, under two KEY-RANGE file
+    * layouts of the same table — `natural` (files = ranges of the
+    * insert/order key, what an unclustered sorted write produces) vs
+    * `zorder` (files = ranges of the Morton key). Files are ARITHMETIC
+    * key ranges (quantize(naturalKey) / zkey >> shift), exactly the
+    * file boundaries a range-partitioned sorted write creates — so the
+    * audit needs no global row_number (nothing single-partition at any
+    * corpus size) and is exactly replayable.
+    *
+    * Scale shape: ONE corpus pass computes both layouts' per-file
+    * stats via GROUPING SETS ((nf),(zf)) — a single shuffle carrying
+    * two grouping arms; the per-file frame (≤ 2^(fileBits+1) rows) is
+    * output-sized, and the verdict is integer comparisons plus two
+    * exact divisions per layout. The band thresholds are integer
+    * percentages of the dimension ranges (`lo = min + range·pctLo //
+    * 100`), so the predicate box is identical in both engines. */
+  def pruningAudit(df: DataFrame, dims: Seq[String], naturalKey: String,
+      fileBits: Int = 8, bits: Int = 16,
+      pctLo: Int = 45, pctHi: Int = 55): DataFrame = {
+    require(dims.nonEmpty && fileBits <= dims.length * bits)
+    val aggs = (dims :+ naturalKey).distinct.flatMap(d => Seq(
+      min(col(d)).cast("long").as(s"__min_$d"),
+      max(col(d)).cast("long").as(s"__max_$d")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val q = dims.map(d =>
+      quantize(col(d), col(s"__min_$d"), col(s"__max_$d"), bits))
+    val keyed = df.crossJoin(broadcast(bounds))
+      .select((Seq(
+        quantize(col(naturalKey), col(s"__min_$naturalKey"),
+          col(s"__max_$naturalKey"), fileBits).as("nf"),
+        shiftrightunsigned(interleave(q, bits),
+          dims.length * bits - fileBits).as("zf")) ++
+        dims.map(col)): _*)
+    val perFile = keyed
+      .groupingSets(Seq(Seq(col("nf")), Seq(col("zf"))), col("nf"), col("zf"))
+      .agg(count(lit(1)).as("n"),
+        dims.flatMap(d => Seq(min(col(d)).cast("long").as(s"fmin_$d"),
+          max(col(d)).cast("long").as(s"fmax_$d"))): _*)
+      .select((Seq(
+        when(col("nf").isNotNull, "natural").otherwise("zorder")
+          .as("layout"), col("n")) ++
+        dims.flatMap(d => Seq(col(s"fmin_$d"), col(s"fmax_$d")))): _*)
+    val scanned = perFile.crossJoin(broadcast(bounds))
+      .withColumn("hit", dims.map { d =>
+        val range = col(s"__max_$d") - col(s"__min_$d")
+        val lo = col(s"__min_$d") + intDiv(range * pctLo, lit(100L))
+        val hi = col(s"__min_$d") + intDiv(range * pctHi, lit(100L))
+        col(s"fmax_$d") >= lo && col(s"fmin_$d") <= hi
+      }.reduce(_ && _))
+    scanned.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_scanned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_scanned"))
+      .select(col("layout"), col("n_files"), col("n_scanned"),
+        col("rows_total"), col("rows_scanned"),
+        (col("n_scanned").cast("double") / col("n_files").cast("double"))
+          .as("scanned_file_share"),
+        (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
+          .as("scanned_row_share"))
+      .orderBy(col("layout"))
+  }
+
   /** DuckDB replay of zorderKey over `table`, generated from the SAME
     * bits/dimension constants (one definition, two engines): a bounds
     * CTE, exact integer quantization with `//`, and the identical

@@ -261,8 +261,69 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
-        .orderBy(col("zbucket")))
+        .orderBy(col("zbucket"))),
+
+    // zone-map pruning audit (q193): the layout decision as a measured
+    // number — simulated footer min/max skipping for a centered 10%
+    // range box over (l_partkey, l_suppkey), under key-range files by
+    // insert key ('natural') vs by Morton key ('zorder'). BOTH layouts'
+    // per-file stats come from ONE GROUPING SETS shuffle; the verdict
+    // is integer comparisons plus two exact divisions per layout.
+    Q("q193_pruning_audit", Some(pruningOracle),
+      (s, d) => Layout.pruningAudit(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        dims = Seq("l_partkey", "l_suppkey"), naturalKey = "l_orderkey"))
   )
+
+  /** q193: bounds CTE (dims + natural key), the generated Morton
+    * expression, GROUPING SETS per-file stats for both layouts, and the
+    * integer band thresholds — all from the same constants as the Spark
+    * side (fileBits=8, bits=16, band 45..55%). */
+  private lazy val pruningOracle: String = {
+    val (zExpr, _) = Layout.zorderSql(Seq("l_partkey", "l_suppkey"), 16)
+    val boundsCte = Seq("l_partkey", "l_suppkey", "l_orderkey").map(d =>
+      s"CAST(min($d) AS BIGINT) AS min_$d, CAST(max($d) AS BIGINT) AS max_$d")
+      .mkString("SELECT ", ", ", "")
+    s"""WITH b AS ($boundsCte FROM lineitem),
+       |k AS (
+       |  SELECT (CASE WHEN b.max_l_orderkey = b.min_l_orderkey THEN 0
+       |          ELSE (CAST(t.l_orderkey AS BIGINT) - b.min_l_orderkey) * 255
+       |               // (b.max_l_orderkey - b.min_l_orderkey) END) AS nf,
+       |         ($zExpr >> 24) AS zf, t.l_partkey, t.l_suppkey
+       |  FROM lineitem t CROSS JOIN b),
+       |s AS (SELECT nf, zf, count(*) AS n,
+       |             CAST(min(l_partkey) AS BIGINT) AS fmin_p,
+       |             CAST(max(l_partkey) AS BIGINT) AS fmax_p,
+       |             CAST(min(l_suppkey) AS BIGINT) AS fmin_s,
+       |             CAST(max(l_suppkey) AS BIGINT) AS fmax_s
+       |      FROM k GROUP BY GROUPING SETS ((nf), (zf))),
+       |p AS (SELECT CASE WHEN nf IS NOT NULL THEN 'natural'
+       |             ELSE 'zorder' END AS layout, n,
+       |             fmin_p, fmax_p, fmin_s, fmax_s FROM s),
+       |a AS (SELECT p.*,
+       |        (fmax_p >= b.min_l_partkey
+       |           + (b.max_l_partkey - b.min_l_partkey) * 45 // 100
+       |         AND fmin_p <= b.min_l_partkey
+       |           + (b.max_l_partkey - b.min_l_partkey) * 55 // 100
+       |         AND fmax_s >= b.min_l_suppkey
+       |           + (b.max_l_suppkey - b.min_l_suppkey) * 45 // 100
+       |         AND fmin_s <= b.min_l_suppkey
+       |           + (b.max_l_suppkey - b.min_l_suppkey) * 55 // 100)
+       |          AS hit
+       |      FROM p CROSS JOIN b)
+       |SELECT layout, count(*) AS n_files,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_scanned,
+       |       CAST(sum(n) AS BIGINT) AS rows_total,
+       |       CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT)
+       |         AS rows_scanned,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS scanned_file_share,
+       |       CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS DOUBLE)
+       |         / CAST(sum(n) AS DOUBLE) AS scanned_row_share
+       |FROM a GROUP BY layout ORDER BY layout""".stripMargin
+  }
 
   /** q102: bounds CTE + the generated quantize/interleave expression,
     * bucketed and spanned exactly as the Spark side. */

@@ -59,6 +59,44 @@ class LayoutSpec extends SparkSpec {
     assert(blockArea(zsorted) <= blockArea(rowMajor))
   }
 
+  test("pruningAudit matches a brute-force zone-map simulation exactly") {
+    import spark.implicits._
+    // 256 rows; x is a pseudorandom permutation of 0..255, y = x
+    // (correlated dims). Natural files spread x; zorder files cluster it.
+    val rows = (0L until 256L).map(i => (i, (i * 131) % 256, (i * 131) % 256))
+    val df = rows.toDF("id", "x", "y")
+    val out = Layout.pruningAudit(df, Seq("x", "y"), "id",
+      fileBits = 4, bits = 8, pctLo = 45, pctHi = 55)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+
+    // brute-force mirror in plain Scala (same arithmetic)
+    def quant(v: Long, lo: Long, hi: Long, bits: Int): Long =
+      if (hi == lo) 0L else (v - lo) * ((1L << bits) - 1) / (hi - lo)
+    def interleave2(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val (bandLo, bandHi) = (255L * 45 / 100, 255L * 55 / 100)
+    def audit(fileOf: ((Long, Long, Long)) => Long): (Long, Long, Long, Long) = {
+      val files = rows.groupBy(fileOf).toSeq.map { case (_, rs) =>
+        val xs = rs.map(_._2); val ys = rs.map(_._3)
+        val hit = xs.max >= bandLo && xs.min <= bandHi &&
+          ys.max >= bandLo && ys.min <= bandHi
+        (rs.size.toLong, hit)
+      }.toSeq
+      (files.size.toLong, files.count(_._2).toLong,
+        files.map(_._1).sum, files.filter(_._2).map(_._1).sum)
+    }
+    val nat = audit { case (id, _, _) => quant(id, 0, 255, 4) }
+    val zo = audit { case (_, x, y) =>
+      interleave2(quant(x, 0, 255, 8), quant(y, 0, 255, 8), 8) >> 12 }
+    assert(out("natural") === nat)
+    assert(out("zorder") === zo)
+    // the point of the layout: strictly fewer files AND rows touched
+    assert(zo._2 < nat._2 && zo._4 < nat._4)
+  }
+
   test("zorderKey appends the key from one broadcast bounds row") {
     val df = Seq((0L, 0L), (99L, 9L), (50L, 5L)).toDF("x", "y")
     val out = Layout.zorderKey(df, Seq("x", "y"), bits = 8)
