@@ -29,14 +29,13 @@ object Bench {
     // dedup family
     "d36_dedup_exact", "d38_minhash_lsh", "d44_dup_clusters",
     "d47_incremental_dedup", "d48_semantic_dedup",
-    "d51_span_removal", "d52_editdist_join", "d53_store_incremental",
+    "d52_editdist_join", "d53_store_incremental",
     "d54_bloom_decontam",
     // multimodal real-codec roundtrip
     "m48_audio_decode",
     // similarity / ANN
     "s41_knn_brute", "s43_knn_ivf", "s45_kmeans_step",
-    "s46_pq_adc", "s47_ann_recall", "s48_pq_ivf_adc",
-    "s52_pq_ivf_adc_rerank",
+    "s47_ann_recall", "s48_pq_ivf_adc", "s52_pq_ivf_adc_rerank",
     // text & curation
     "t38_tfidf", "t41_repetition", "q96_corpus_build",
     // analytics / graph / vocab
@@ -50,7 +49,9 @@ object Bench {
     "t56_bm25_topk", "s58_hybrid_rrf", "q166_kcore",
     "q168_join_cardinality",
     // lossless exact join, association mining, episode mining
-    "d57_prefix_join", "q171_basket_lift", "q173_episode_support")
+    "d57_prefix_join", "q171_basket_lift", "q173_episode_support",
+    // tokenizer loop + layout audit flagships
+    "t59_bpe_train", "t60_bpe_encode", "q193_pruning_audit")
 
   /** Degradation ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at
