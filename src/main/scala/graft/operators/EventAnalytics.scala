@@ -603,6 +603,56 @@ object EventAnalytics {
       .orderBy(col("variant"))
   }
 
+  /** Long-run (stationary) distribution of the [[transitionMatrix]]
+    * chain via integer fixed-point power iteration — where the user
+    * population settles if the observed one-step dynamics keep running,
+    * the canonical summary a transition matrix exists to produce.
+    *
+    * Exactness contract (the q148-PageRank idiom on a Markov chain):
+    * mass is carried as int64 units of 1/scale; each step computes
+    * π'(j) = Σ_i ⌊π(i)·c(i,j) / rowsum(i)⌋ — per-term floor, then an
+    * integer sum, so every round is exact and replayable (DuckDB `//`
+    * truncates identically on these non-negative operands, rule 21).
+    * Valid while scale·max(c) < 2^63 (scale=10⁹ → 9.2×10⁹ transitions
+    * per matrix cell). States are the DISTINCT `prev` types (each has
+    * rowsum ≥ 1 by construction); mass flowing into a next-only state
+    * leaves the chain, and a state receiving no mass stays in the
+    * output at 0.
+    *
+    * Scale shape: the corpus-sized work is q150's lag + pair groupBy;
+    * the collected matrix is |types|² rows — the driver-held artifact
+    * (like k-means centroids or BPE merges), iterated in exact Long
+    * arithmetic with zero per-iteration jobs. */
+  def markovStationary(
+      events: DataFrame, entity: String, step: String, key: Column,
+      iters: Int, scale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col("__k"))
+    val pairs = events
+      .select(col(entity), col(step).as("next_type"), key.as("__k"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val m = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(m.nonEmpty, "markovStationary needs at least one transition")
+    val rowsum = m.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val states = m.map(_._1).distinct.sorted
+    var pi: Map[String, Long] = states.map(_ -> scale / states.length).toMap
+    (1 to iters).foreach { _ =>
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      m.foreach { case (i, j, c) =>
+        pi.get(i).foreach(mass => next(j) += mass * c / rowsum(i)) }
+      pi = states.map(s => s -> next(s)).toMap
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.toSeq.map(s => (s, pi(s), pi(s).toDouble / scale.toDouble))
+      .toDF("state", "pi_scaled", "pi")
+      .orderBy(col("state"))
+  }
+
   /** Exact OLS trend of daily event volume: slope, intercept and r² of
     * count-per-day regressed on the day index, each as ONE division of
     * two exactly-computed integers (closed-form normal equations:

@@ -34,6 +34,45 @@ object AnalyticsQueries {
        |            FROM per GROUP BY 1)))""".stripMargin
   }
 
+  /** q194 constants — one definition drives the Scala iteration AND the
+    * generated oracle CTE chain (rule 12). */
+  private lazy val markovIters = 20
+  private lazy val markovScale = 1000000000L
+
+  /** q194 oracle: the q150 pair CTEs, then `markovIters` chained
+    * power-iteration rounds in the identical floor arithmetic
+    * (p.pi * c.n // rowsum, summed per target state), and a final LEFT
+    * JOIN back to the state set so zero-mass states keep their row. */
+  private lazy val markovOracle: String = {
+    val steps = (1 to markovIters).map { r =>
+      s"""p$r AS (SELECT c.next_type AS state,
+         |  CAST(sum(p.pi * c.n // r.rowsum) AS BIGINT) AS pi
+         |FROM p${r - 1} p JOIN c ON c.prev_type = p.state
+         |JOIN rs r ON r.prev_type = c.prev_type
+         |WHERE c.next_type IN (SELECT state FROM st)
+         |GROUP BY 1)""".stripMargin
+    }
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, $keySql AS k FROM events),
+       |lagged AS (
+       |  SELECT lag(event_type, 1) OVER (
+       |           PARTITION BY user_id ORDER BY k) AS prev_type,
+       |         event_type AS next_type FROM seq),
+       |c AS (SELECT prev_type, next_type, count(*) AS n FROM lagged
+       |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |rs AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rowsum
+       |       FROM c GROUP BY 1),
+       |st AS (SELECT DISTINCT prev_type AS state FROM c),
+       |p0 AS (SELECT state,
+       |         $markovScale // (SELECT count(*) FROM st) AS pi FROM st),
+       |${steps.mkString(",\n")}
+       |SELECT st.state, CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi_scaled,
+       |       CAST(COALESCE(p.pi, 0) AS DOUBLE)
+       |         / CAST($markovScale AS DOUBLE) AS pi
+       |FROM st LEFT JOIN p$markovIters p USING (state)
+       |ORDER BY state""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // strict-order funnel signup -> click -> purchase: one filtered
@@ -559,6 +598,18 @@ object AnalyticsQueries {
           Seq("n_name", "bal_bucket"), sensitive = "sens",
           tNum = 2L, tDen = 5L)
       }),
+
+    // Markov stationary distribution (q194): where q150's one-step
+    // dynamics settle, by integer fixed-point power iteration (mass in
+    // units of 1/1e9, per-term floor then integer sum — exact and
+    // replayable each round). The matrix is the driver-held artifact;
+    // the oracle replays the SAME 20 rounds as chained CTEs generated
+    // from the shared constants (rule 12).
+    Q("q194_markov_stationary", Some(markovOracle),
+      (s, d) => EventAnalytics.markovStationary(
+        T(s, d, "events"), entity = "user_id", step = "event_type",
+        key = EventAnalytics.eventKey(col("ts"), col("event_id")),
+        iters = markovIters, scale = markovScale)),
 
     // top entry journeys (q188): first-3-step paths per user, ranked by
     // cohort size — the Sankey feed; position-aware where q150's Markov

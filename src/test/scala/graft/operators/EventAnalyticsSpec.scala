@@ -342,6 +342,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Set(("x", "y")))
   }
 
+  test("markovStationary: exact floor-arithmetic power iteration") {
+    val ev = Seq(
+      // user 1: a,a,b -> (a,a),(a,b); user 2: b,a -> (b,a)
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "a", ts("2024-01-01 10:01:00"), 2L),
+      (1L, "b", ts("2024-01-01 10:02:00"), 3L),
+      (2L, "b", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "a", ts("2024-01-01 10:01:00"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    // c: (a,a)=1,(a,b)=1,(b,a)=1; rowsums a=2, b=1; pi0 = 500000 each
+    // r1: a=250000+500000, b=250000; r2: a=625000, b=375000;
+    // r3: a=312500+375000=687500, b=312500 (converging to 2/3, 1/3)
+    val out = EventAnalytics.markovStationary(ev, "user_id", "event_type",
+      EventAnalytics.eventKey($"ts", $"event_id"), iters = 3,
+      scale = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 687500L, 0.6875), ("b", 312500L, 0.3125)))
+  }
+
   test("olsTrend recovers an exact linear ramp (slope 2, intercept 3, r2 1)") {
     // days 0..4 with volumes 3,5,7,9,11: y = 2x + 3 exactly.
     val ev = (0 to 4).flatMap { d =>
