@@ -112,6 +112,56 @@ object Snapshot {
     * contract of long-lived parquet corpora, where position-based UNION
     * would silently misalign. Output column order: the first
     * generation's columns, then new columns in first-seen order. */
+  /** Right-to-be-forgotten cascade audit: given a root deletion
+    * predicate on the customer table, size the referential cascade
+    * (customer → orders by o_custkey → lineitem by l_orderkey) and
+    * PROVE closure — per table: rows before / removed / after, plus
+    * the count of SURVIVING rows that still reach a deleted customer
+    * (orders directly; lineitem through its surviving parent order —
+    * a genuine two-hop recheck, not the deletion rule restated). The
+    * orphan counts must come back 0; emitting them computed, not
+    * assumed, is the audit.
+    *
+    * Scale shape: the deletion key set flows through semi/anti joins
+    * (never collected, never forced broadcast — a GDPR batch can be
+    * millions of keys; AQE picks broadcast when it fits). delC/delO
+    * are materialized once each (rule 5: both feed removal counting
+    * AND an orphan path). Everything is exact int64 counts. */
+  def deleteCascadeAudit(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, rootPred: Column): DataFrame = {
+    import graft.operators.Materialize.Ops
+    val delC = customer.filter(rootPred).select(col("c_custkey"))
+      .materializeOnce()
+    val delO = orders
+      .join(delC, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).materializeOnce()
+    def row(name: String, before: DataFrame, removed: DataFrame,
+        orphans: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("b"))
+        .crossJoin(removed.agg(count(lit(1)).as("r")))
+        .crossJoin(orphans.agg(count(lit(1)).as("o")))
+        .select(lit(name).as("table_name"), col("b").as("rows_before"),
+          col("r").as("rows_removed"), (col("b") - col("r")).as("rows_after"),
+          col("o").as("orphans_after"))
+    val custRow = row("customer", customer, delC,
+      customer.limit(0)) // the root has no parent to orphan against
+    val survO = orders
+      .join(delO, orders("o_orderkey") === delO("o_orderkey"), "left_anti")
+    val ordRow = row("orders", orders, delO,
+      survO.join(delC, col("o_custkey") === col("c_custkey"), "left_semi"))
+    val survL = lineitem
+      .join(delO, lineitem("l_orderkey") === delO("o_orderkey"), "left_anti")
+    val liRemoved = lineitem
+      .join(delO, lineitem("l_orderkey") === delO("o_orderkey"), "left_semi")
+    val liOrphans = survL.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(delC, col("o_custkey") === col("c_custkey"), "left_semi")
+    val liRow = row("lineitem", lineitem, liRemoved, liOrphans)
+    custRow.unionByName(liRow).unionByName(ordRow)
+      .orderBy(col("table_name"))
+  }
+
   def unionEvolve(generations: Seq[DataFrame]): DataFrame = {
     require(generations.nonEmpty, "unionEvolve needs at least one input")
     generations.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -163,6 +163,48 @@ object SnapshotQueries {
         val gen2 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
           col("lang"), col("source"), col("n_chars"))
         Snapshot.unionEvolve(Seq(gen1, gen2)).orderBy(col("doc_id"))
-      })
+      }),
+
+    // right-to-be-forgotten cascade audit (q195): size the referential
+    // delete cascade customer → orders → lineitem under a replayable
+    // root predicate and PROVE closure — orphan counts are computed
+    // (orders directly; lineitem via its surviving parent order, a
+    // two-hop recheck), not assumed. All exact int64 counts.
+    Q("q195_delete_cascade", Some(
+      """WITH delc AS (SELECT c_custkey FROM customer
+        |              WHERE c_custkey % 17 = 0),
+        |delo AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+        |survo AS (SELECT * FROM orders
+        |          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delo)),
+        |survl AS (SELECT l_orderkey FROM lineitem
+        |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo))
+        |SELECT 'customer' AS table_name,
+        |       (SELECT count(*) FROM customer) AS rows_before,
+        |       (SELECT count(*) FROM delc) AS rows_removed,
+        |       (SELECT count(*) FROM customer)
+        |         - (SELECT count(*) FROM delc) AS rows_after,
+        |       CAST(0 AS BIGINT) AS orphans_after
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+        |       (SELECT count(*) FROM lineitem)
+        |         - (SELECT count(*) FROM lineitem
+        |            WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+        |       (SELECT count(*) FROM survl l
+        |        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |        WHERE o.o_custkey IN (SELECT c_custkey FROM delc))
+        |UNION ALL
+        |SELECT 'orders', (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM delo),
+        |       (SELECT count(*) FROM orders)
+        |         - (SELECT count(*) FROM delo),
+        |       (SELECT count(*) FROM survo
+        |        WHERE o_custkey IN (SELECT c_custkey FROM delc))
+        |ORDER BY table_name""".stripMargin),
+      (s, d) => Snapshot.deleteCascadeAudit(
+        T(s, d, "customer"), T(s, d, "orders"), T(s, d, "lineitem"),
+        rootPred = col("c_custkey") % 17 === 0))
   )
 }

@@ -103,6 +103,24 @@ class SnapshotSpec extends SparkSpec {
     assert(at300 === Array((1L, 12.0), (2L, 22.0)))
   }
 
+  test("deleteCascadeAudit sizes the cascade and proves zero orphans") {
+    import org.apache.spark.sql.functions.col
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 4L), (40L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1), (10L, 2), (20L, 1), (30L, 1), (40L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+    // delete even customers {2,4} -> orders {20,30} -> 2 lineitems
+    val out = Snapshot.deleteCascadeAudit(customer, orders, lineitem,
+      col("c_custkey") % 2 === 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("customer", 4L, 2L, 2L, 0L),
+      ("lineitem", 5L, 2L, 3L, 0L),
+      ("orders", 4L, 2L, 2L, 0L)))
+  }
+
   test("unionEvolve aligns by name and nulls columns missing from a generation") {
     val g1 = Seq((1L, "a")).toDF("id", "x")
     val g2 = Seq((2L, "b", 99L)).toDF("id", "x", "y")
