@@ -330,6 +330,101 @@ object Dedup {
       precomputedSizes = Some(sigs.select(col("doc_id"), col("sz"))))
   }
 
+  // ---- MinHash calibration (d59) ----
+
+  /** Draw constants for the REPLAYABLE minhash variant: k affine maps
+    * h_i(x) = (x·A_i + B_i) mod M over the M = 2³¹−1 ring. The ring is
+    * deliberately SMALL: every product stays below M² < 2^62, so the
+    * arithmetic is exact plain int64 on BOTH engines — no wrapping
+    * tricks (Spark 4 runs ANSI mode, where Long overflow THROWS, so
+    * wraparound hashing is only available inside custom expressions
+    * like RollingHash). One Scala definition feeds the Spark
+    * expressions AND the generated DuckDB replay (CLAUDE.md rule 12).
+    * 31-bit min-draws keep collision noise ~2⁻³¹ per draw — irrelevant
+    * for a calibration HISTOGRAM (production minhash stays 64-bit
+    * xxhash64 under d38). */
+  private[graft] val calM = 2147483647L // 2^31 - 1 (prime)
+  private[graft] val calDrawA: IndexedSeq[Long] =
+    (0 until 16).map(i => 1000003L * (2 * i + 1) % calM)
+  private[graft] val calDrawB: IndexedSeq[Long] =
+    (0 until 16).map(i => 777767777L + 104729L * i)
+  private[graft] val calFoldC = 1000003L
+  private[graft] val calJScale = 1000000L
+
+  /** MinHash ESTIMATOR calibration: for every banded candidate pair,
+    * the signature-match estimate m/k next to the exact Jaccard, rolled
+    * up per match-count bucket — the approximation contract as a
+    * measured table (d38's recall gates assert the banding finds pairs;
+    * this measures what the estimator CLAIMS about them, and how biased
+    * that claim is per bucket).
+    *
+    * The whole pipeline is cross-engine replayable: shingles hash with
+    * the RollingHash polynomial (HUGEINT-replayable), reduce into the
+    * 2³¹−1 ring via pmod (DuckDB: ((signed % M) + M) % M — identical
+    * representative), draws are the affine maps above in exact int64,
+    * and band keys are a mod-M polynomial fold of each band's mins
+    * (join-internal, never output). Exact J floor-scales to 1e-6 units
+    * BEFORE summation (rule 17: never sum raw doubles); the bucket
+    * mean is one division of exact integers.
+    *
+    * Scale shape: identical to d38 — one shingle explode shared by the
+    * signature build and the verify join (materialized once), a banded
+    * equi-join, and an output bounded by k+1 buckets. */
+  def minhashCalibration(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(k == calDrawA.length && k % bands == 0)
+    val rows = k / bands
+    val ex = spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        transform(TextFunctions.shinglesFromTokens(col("toks"), shingleN),
+          s => pmod(graft.expressions.RollingHash(s), lit(calM)))).as("sh"))
+      .materializeOnce() // feeds signatures AND the exact-Jaccard join
+    val mins = (0 until k).map(i =>
+      min(pmod(col("sh") * lit(calDrawA(i)) + lit(calDrawB(i)), lit(calM)))
+        .as(s"m$i"))
+    val sigs = ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"), mins: _*)
+      .materializeOnce() // both sides of the band self-join
+    def bandKey(b: Int): Column = // mod-M each step: ANSI forbids wrap
+      (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+        .foldLeft(lit(0L))((acc, m) =>
+          pmod(acc * lit(calFoldC) + m, lit(calM)))
+    val banded = sigs.select(col("doc_id"), col("sz"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
+      posexplode(array((0 until bands).map(bandKey): _*))
+        .as(Seq("band", "bkey")))
+    val cand = banded
+      .select(col("band"), col("bkey"), col("doc_id").as("id_a"),
+        col("sig").as("sig_a"), col("sz").as("sz_a"))
+      .join(banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("sz").as("sz_b")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)).cast("long").as("matches"))
+      .distinct()
+      .materializeOnce() // feeds the intersection join AND the rollup
+    val inter = cand.select(col("id_a"), col("id_b"))
+      .join(ex.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("matches"),
+        floor(coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))
+            .cast("double") * calJScale).cast("long").as("j6"))
+      .groupBy(col("matches").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j6")).as("sum_j6"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / k).as("est_jaccard"),
+        col("n_pairs"),
+        (col("sum_j6").cast("double")
+          / (col("n_pairs") * calJScale).cast("double")).as("mean_exact_j"))
+      .orderBy(col("bucket"))
+  }
+
   // ---- SimHash ----
 
   /** Word-hash selector for the SimHash family. Production default is

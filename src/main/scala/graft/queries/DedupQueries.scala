@@ -97,6 +97,16 @@ object DedupQueries {
       (s, d) => Dedup.containmentPairs(docs(s, d), n = 3,
         thresholdNum = 1, thresholdDen = 2, maxDf = 20)),
 
+    // MinHash ESTIMATOR calibration (d59): per banded candidate pair,
+    // the signature estimate m/k next to exact Jaccard, per-bucket —
+    // the approximation contract as a measured table. The ENTIRE
+    // pipeline (polynomial shingle hash, affine draws in the wrapping
+    // 64-bit ring, signed-order mins, band-fold keys) replays in DuckDB
+    // HUGEINT from the same Scala constants (rule 12); exact J
+    // floor-scales to 1e-6 units before summation (rule 17).
+    Q("d59_minhash_calibration", Some(minhashCalOracle),
+      (s, d) => Dedup.minhashCalibration(docs(s, d))),
+
     // duplicate CLUSTERS: connected components over the verified pair
     // set (transitive closure — A~B~C collapses even without an A~C
     // pair). Spark runs distributed min-label propagation; the oracle
@@ -950,6 +960,82 @@ object DedupQueries {
 
   /** Per-word rolling hash (the SimHash families hash a column `w`). */
   private lazy val wordHashSql: String = polyHashSql("w")
+
+  /** d59 oracle: full replay of Dedup.minhashCalibration, generated
+    * from the SAME ring/draw/fold constants. The 64-bit polynomial
+    * shingle hash reduces into the 2³¹−1 ring exactly as Spark's pmod
+    * (signed remainder, then +M, then %M), after which EVERY value and
+    * product fits plain BIGINT — no HUGEINT past the hash itself. */
+  private lazy val minhashCalOracle: String = {
+    import graft.operators.Dedup.{calDrawA, calDrawB, calFoldC, calJScale, calM}
+    val k = calDrawA.length
+    val drawRows = (0 until k).map(i =>
+      s"($i, ${calDrawA(i)}, ${calDrawB(i)})").mkString(", ")
+    // band key: mod-M fold of the band's mins — sig is 1-indexed here
+    val rows = k / 4
+    def foldExpr(b: Int): String =
+      (b * rows until (b + 1) * rows).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, j) => s"(($acc * $calFoldC + sig[${j + 1}]) % $calM)"
+      }
+    val bandedArms = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${foldExpr(b)} AS bkey FROM sig")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |           list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |             i -> array_to_string(t[i+1:i+3], ' ')),
+       |           s -> len(s) > 0))) AS s
+       |  FROM toks),
+       |ex AS (
+       |  SELECT doc_id,
+       |         ((CASE WHEN h >= $hugeSign THEN CAST(h - $hugeMod AS BIGINT)
+       |                ELSE CAST(h AS BIGINT) END % $calM) + $calM) % $calM
+       |           AS hs
+       |  FROM (SELECT doc_id, ${polyHashSql("s")} AS h FROM shs)),
+       |drw(i, a, b) AS (VALUES $drawRows),
+       |dmin AS (
+       |  SELECT doc_id, i,
+       |         min((e.hs * w.a + w.b) % $calM) AS m
+       |  FROM ex e CROSS JOIN drw w
+       |  GROUP BY 1, 2),
+       |zs AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM dmin GROUP BY 1),
+       |banded AS (
+       |$bandedArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |mm AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_filter(range(1, ${k + 1}),
+       |               i -> sa.sig[i] = sb.sig[i])) AS matches,
+       |         za.sz AS sz_a, zb.sz AS sz_b
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+       |    JOIN sig sb ON sb.doc_id = c.id_b
+       |    JOIN zs za ON za.doc_id = c.id_a
+       |    JOIN zs zb ON zb.doc_id = c.id_b),
+       |itr AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+       |    JOIN ex eb ON eb.doc_id = c.id_b AND eb.hs = ea.hs
+       |  GROUP BY 1, 2),
+       |jj AS (
+       |  SELECT mm.matches,
+       |         CAST(floor(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |           / CAST(mm.sz_a + mm.sz_b - COALESCE(i.inter, 0) AS DOUBLE)
+       |           * $calJScale) AS BIGINT) AS j6
+       |  FROM mm LEFT JOIN itr i USING (id_a, id_b))
+       |SELECT CAST(matches AS BIGINT) AS bucket,
+       |       CAST(matches AS DOUBLE) / $k AS est_jaccard,
+       |       count(*) AS n_pairs,
+       |       CAST(sum(j6) AS DOUBLE)
+       |         / CAST(count(*) * $calJScale AS DOUBLE) AS mean_exact_j
+       |FROM jj GROUP BY matches ORDER BY bucket""".stripMargin
+  }
 
   /** CTE chain ending in `fp(doc_id, hu)`: the unsigned 64-bit SimHash
     * fingerprint. `distinctWords` selects set-SimHash (each distinct

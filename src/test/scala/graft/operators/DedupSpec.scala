@@ -571,6 +571,39 @@ class DedupSpec extends SparkSpec {
     assert(out.values.sum === 7L)
   }
 
+  test("minhashCalibration: identical docs land in bucket k with exact J = 1") {
+    import spark.implicits._
+    // two byte-identical docs (J=1, all 16 draws match) plus an
+    // unrelated doc that shares no shingle with them
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    // the identical pair is the only candidate banding can surface
+    assert(out.toSeq === Seq((16L, 1.0, 1L, 1.0)))
+  }
+
+  test("minhashCalibration: half-overlapping docs bucket below k with exact J") {
+    import spark.implicits._
+    // doc2 shares a 6-token prefix with doc1 -> 4 shared 3-shingles of
+    // (6, 6) => J = 4/8 = 0.5; whether banding surfaces the pair is
+    // draw-dependent, so assert ON the surfaced rows' exactness only.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // identical pair (1,3): bucket 16, J = 1. The (1,2)/(2,3) pairs, if
+    // surfaced, carry exact J = 4/6 (doc1: 4 shingles from 6 tokens,
+    // doc2: 6 from 8, shared 4), floor-scaled to 666666/1e6.
+    assert(out.exists { case (b, _, j) => b == 16L && j == 1.0 })
+    out.filter(_._1 < 16L).foreach { case (_, _, j) =>
+      assert(j === 666666.0 / 1000000.0) }
+  }
+
   test("assortativity: a regular graph has zero denominator -> 0.0") {
     import spark.implicits._
     // triangle: every degree 2 → variance term 0; defined as 0.0
