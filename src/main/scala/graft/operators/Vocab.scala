@@ -205,6 +205,64 @@ object Vocab {
       .orderBy(col("doc_id"))
   }
 
+  /** Cavnar–Trenkle rank-profile language ID ("N-Gram-Based Text
+    * Categorization", SDAIR 1994) — the trained counterpart to the
+    * t32 heuristic: per language, the top-N character bigrams ranked by
+    * frequency form the profile; a document is classified to the
+    * profile minimizing the OUT-OF-PLACE distance Σ |doc_rank −
+    * lang_rank| (missing bigram ⇒ penalty N). Every quantity is an
+    * integer (counts, ranks, |diffs|) and every rank window carries a
+    * (count desc, bigram) total tiebreak, so the whole classifier —
+    * training AND inference — hash-matches across engines. Output is
+    * the (truth, predicted) confusion table.
+    *
+    * Scale shape: ONE corpus-sized explode feeds both the language
+    * profiles and the per-doc profiles (materialized once). Language
+    * profiles are |langs|·N rows — broadcast; the doc×candidate grid is
+    * docs·|langs| (output-sized per doc). The per-language rank window
+    * partitions by lang over bigram-vocabulary-sized frames (≤
+    * alphabet²), never corpus rows; the per-doc window partitions by
+    * doc. */
+  def ctLangConfusion(docs: DataFrame, topN: Int = 20,
+      id: Column = col("doc_id"), truth: Column = col("lang"),
+      text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .repartition(id) // row-amplifying double explode (rule 6)
+      .select(id.as("doc_id"), truth.as("truth"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("word"))
+      .select(col("doc_id"), col("truth"),
+        explode(charPairs(col("word"))).as("bg"))
+      .materializeOnce() // feeds lang profiles AND doc profiles
+    val wLang = Window.partitionBy(col("cand"))
+      .orderBy(col("c").desc, col("bg"))
+    val langProf = base.groupBy(col("truth").as("cand"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lr", row_number().over(wLang).cast("long"))
+      .filter(col("lr") <= topN)
+      .select(col("cand"), col("bg"), col("lr"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("bg"))
+    val docProf = base.groupBy(col("doc_id"), col("truth"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(wDoc).cast("long"))
+      .filter(col("dr") <= topN)
+      .select(col("doc_id"), col("truth"), col("bg"), col("dr"))
+    val langs = langProf.select(col("cand")).distinct()
+    val wPick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dist"), col("cand"))
+    docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("cand", "bg"), "left")
+      .groupBy(col("doc_id"), col("truth"), col("cand"))
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(topN.toLong)))
+        .as("dist"))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .groupBy(col("truth"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("truth"), col("pred"))
+  }
+
   /** Character-bigram familiarity: per document, the mean corpus
     * frequency of its char bigrams (with multiplicity) — a cheap
     * fluency/noise proxy: garbled or non-language text is built from

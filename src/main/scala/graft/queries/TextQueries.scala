@@ -798,8 +798,51 @@ object TextQueries {
         |       CAST(c*n AS DOUBLE) / CAST(c_l*c_r AS DOUBLE) AS lift
         |FROM pc JOIN lm USING (l) JOIN rm USING (r) CROSS JOIN tot
         |ORDER BY lift DESC, l, r LIMIT 30""".stripMargin),
-      (s, d) => graft.operators.Vocab.collocations(docs(s, d), k = 30))
+      (s, d) => graft.operators.Vocab.collocations(docs(s, d), k = 30)),
+
+    // Cavnar-Trenkle rank-profile language ID (t62): trained top-20
+    // char-bigram profiles per language, out-of-place distance, argmin
+    // classify — all integer counts/ranks/|diffs| with total tiebreaks,
+    // so training AND inference hash-match. Output is the confusion
+    // table (the trained counterpart to t57's heuristic eval).
+    Q("t62_ct_langid", Some(ctLangOracle(ctTopN)),
+      (s, d) => graft.operators.Vocab.ctLangConfusion(docs(s, d), ctTopN))
   )
+
+  /** t62's profile size — one constant for both engines (rule 12). */
+  private lazy val ctTopN = 20
+
+  private def ctLangOracle(n: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, truth, unnest(list_transform(
+       |           range(1, len(word)), i -> word[i:i+1])) AS bg
+       |  FROM (SELECT doc_id, lang AS truth,
+       |          unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents)),
+       |lp AS (SELECT truth AS cand, bg, count(*) AS c
+       |       FROM base GROUP BY 1, 2),
+       |lprof AS (SELECT cand, bg, lr FROM (
+       |            SELECT cand, bg, CAST(row_number() OVER (
+       |              PARTITION BY cand ORDER BY c DESC, bg) AS BIGINT) AS lr
+       |            FROM lp) WHERE lr <= $n),
+       |dp AS (SELECT doc_id, truth, bg, count(*) AS c
+       |       FROM base GROUP BY 1, 2, 3),
+       |dprof AS (SELECT doc_id, truth, bg, dr FROM (
+       |            SELECT doc_id, truth, bg, CAST(row_number() OVER (
+       |              PARTITION BY doc_id ORDER BY c DESC, bg) AS BIGINT) AS dr
+       |            FROM dp) WHERE dr <= $n),
+       |langs AS (SELECT DISTINCT cand FROM lprof),
+       |dist AS (SELECT d.doc_id, d.truth, l.cand,
+       |                CAST(sum(COALESCE(abs(d.dr - p.lr), $n)) AS BIGINT)
+       |                  AS dist
+       |         FROM dprof d CROSS JOIN langs l
+       |         LEFT JOIN lprof p ON p.cand = l.cand AND p.bg = d.bg
+       |         GROUP BY 1, 2, 3),
+       |pick AS (SELECT truth, cand AS pred, row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY dist, cand) AS pk
+       |         FROM dist)
+       |SELECT truth, pred, count(*) AS n_docs FROM pick WHERE pk = 1
+       |GROUP BY 1, 2 ORDER BY truth, pred""".stripMargin
 
   /** t59's round count — one constant for the Spark loop AND the
     * generated oracle CTE chain. */

@@ -112,6 +112,31 @@ class VocabSpec extends SparkSpec {
       Seq(("b", "a"), ("a", "c"), ("c", "b")))
   }
 
+  test("ctLangConfusion separates disjoint-alphabet languages perfectly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "aaab aaab"), (2L, "x", "aaba baaa"),
+      (3L, "y", "ccdd ccdd"), (4L, "y", "cdcd ddcc")
+    ).toDF("doc_id", "lang", "text")
+    val out = Vocab.ctLangConfusion(docs, topN = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("x", "x", 2L), ("y", "y", 2L)))
+  }
+
+  test("ctLangConfusion out-of-place distance: absent bigram costs topN") {
+    import spark.implicits._
+    // lang p profile (topN=2): [ab(x2 r1), bc r2]; lang q: [xy r1, yz r2]
+    // probe doc (truth p) 'abab' -> doc profile [ab r1, ba r2]:
+    //   dist to p = |1-1| + 2(ba absent) = 2; dist to q = 2 + 2 = 4 -> p
+    val docs = Seq(
+      (1L, "p", "abc ab"), (2L, "q", "xyz"), (3L, "p", "abab")
+    ).toDF("doc_id", "lang", "text")
+    val out = Vocab.ctLangConfusion(docs, topN = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq.contains(("p", "p", 2L)))
+    assert(out.toSeq.contains(("q", "q", 1L)))
+  }
+
   test("bpeEncode applies the trained merges; counts and compression exact") {
     import spark.implicits._
     val docs = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
