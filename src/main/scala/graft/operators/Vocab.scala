@@ -205,6 +205,56 @@ object Vocab {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — nodes are corpus
+    * words, edges are DISTINCT unordered adjacent-word pairs, ranks
+    * come from [[Dedup.pageRank]]'s integer fixed-point iteration (the
+    * q148 machinery re-targeted from the near-dup doc graph to a word
+    * graph), so the whole extraction hash-matches: the oracle replays
+    * the identical floor-arithmetic rounds.
+    *
+    * Scale shape: one corpus explode to the distinct pair set (the
+    * only corpus-sized shuffle); the graph itself is vocabulary²-
+    * bounded, so the id-assignment window (row_number over words — a
+    * replayable dense id, needed because pageRank keys on int64) and
+    * every PR iteration run on vocabulary-sized frames. Word→id maps
+    * broadcast. */
+  def textRank(docs: DataFrame, k: Int = 20, iters: Int = 3,
+      text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .repartition(col("doc_id")) // row-amplifying explode (rule 6)
+      .select(graft.functions.TextFunctions.tokens(text).as("t"))
+      .select(explode(
+        when(size(col("t")) < 2, // rule 16 guard
+          array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
+            j => struct(element_at(col("t"), j + 1).as("a"),
+              element_at(col("t"), j + 2).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("wa"),
+        greatest(col("a"), col("b")).as("wb"))
+      .distinct()
+      .materializeOnce() // feeds the node set AND both id joins
+    val nodes = pairs.select(col("wa").as("w"))
+      .union(pairs.select(col("wb"))).distinct()
+    val voc = nodes
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("w"))).cast("long"))
+      .materializeOnce() // vocabulary-sized; feeds two joins + readback
+    val edges = pairs
+      .join(broadcast(voc.select(col("w").as("wa"), col("id").as("id_a"))),
+        Seq("wa"))
+      .join(broadcast(voc.select(col("w").as("wb"), col("id").as("id_b"))),
+        Seq("wb"))
+      .select(col("id_a"), col("id_b"))
+    Dedup.pageRank(edges, iters)
+      .join(broadcast(voc), col("doc_id") === col("id"))
+      .select(col("w").as("word"), col("pr"))
+      .orderBy(col("pr").desc, col("word")).limit(k)
+  }
+
   /** Cavnar–Trenkle rank-profile language ID ("N-Gram-Based Text
     * Categorization", SDAIR 1994) — the trained counterpart to the
     * t32 heuristic: per language, the top-N character bigrams ranked by

@@ -806,8 +806,48 @@ object TextQueries {
     // so training AND inference hash-match. Output is the confusion
     // table (the trained counterpart to t57's heuristic eval).
     Q("t62_ct_langid", Some(ctLangOracle(ctTopN)),
-      (s, d) => graft.operators.Vocab.ctLangConfusion(docs(s, d), ctTopN))
+      (s, d) => graft.operators.Vocab.ctLangConfusion(docs(s, d), ctTopN)),
+
+    // TextRank keywords (t63): q148's integer fixed-point PageRank
+    // re-targeted to the word co-occurrence graph; oracle replays the
+    // identical floor-arithmetic rounds from the shared scale/teleport
+    // constants. Total-order top-20 by (pr desc, word).
+    Q("t63_textrank", Some(textRankOracle),
+      (s, d) => graft.operators.Vocab.textRank(docs(s, d), k = 20))
   )
+
+  /** t63 oracle: the word graph, replayable dense word ids, and the
+    * q148-style generated PR iteration CTEs from the SAME constants. */
+  private lazy val textRankOracle: String = {
+    val scale = graft.operators.Dedup.pageRankScale
+    val teleport = graft.operators.Dedup.pageRankTeleport(scale)
+    val iters = (1 to 3).map { i =>
+      s"""it$i AS (
+         |  SELECT e.dst AS v,
+         |         CAST($teleport + (85 * sum(r.pr // dg.d)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN deg dg ON dg.src = e.src
+         |  JOIN it${i - 1} r ON r.v = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |pr0 AS (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> {'a': t[i], 'b': t[i+1]})) AS p FROM tk),
+       |pp AS (SELECT DISTINCT least(p.a, p.b) AS wa, greatest(p.a, p.b) AS wb
+       |       FROM pr0 WHERE p.a <> '' AND p.b <> '' AND p.a <> p.b),
+       |nodes AS (SELECT wa AS w FROM pp UNION SELECT wb FROM pp),
+       |voc AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS id
+       |        FROM nodes),
+       |ed AS (SELECT va.id AS id_a, vb.id AS id_b FROM pp
+       |       JOIN voc va ON va.w = pp.wa JOIN voc vb ON vb.w = pp.wb),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM ed
+       |      UNION ALL SELECT id_b, id_a FROM ed),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |it0 AS (SELECT src AS v, CAST($scale AS BIGINT) AS pr FROM deg),
+       |$iters
+       |SELECT voc.w AS word, r.pr FROM it3 r JOIN voc ON voc.id = r.v
+       |ORDER BY pr DESC, word LIMIT 20""".stripMargin
+  }
 
   /** t62's profile size — one constant for both engines (rule 12). */
   private lazy val ctTopN = 20

@@ -137,6 +137,22 @@ class VocabSpec extends SparkSpec {
     assert(out.toSeq.contains(("q", "q", 1L)))
   }
 
+  test("textRank ranks the co-occurrence hub first; scores descend totally") {
+    import spark.implicits._
+    val docs = Seq((1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val out = Vocab.textRank(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === 4) // hub, alpha, beta, gamma
+    assert(out.head._1 === "hub")
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    // duplicate adjacent pair must not double an edge: rerun with a
+    // repeated doc -> identical ranks
+    val out2 = Vocab.textRank(docs.union(docs), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("bpeEncode applies the trained merges; counts and compression exact") {
     import spark.implicits._
     val docs = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
