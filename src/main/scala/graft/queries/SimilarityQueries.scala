@@ -30,6 +30,32 @@ object SimilarityQueries {
       (s, d) => Similarity.bruteForceKnn(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
+    // IVF recall-vs-nprobe curve (s60): the tuning table a user reads
+    // before picking the probe count — recall@10 of s43's search at
+    // nProbe 1/2/4 against the exact top-10, one row per knob value.
+    // Exact top-10 materializes ONCE and feeds all three arms; each
+    // recall is one exact division.
+    Q("s60_ivf_nprobe_curve", Some(ivfNprobeCurveOracle),
+      (s, d) => {
+        val e = emb(s, d)
+        val exact = Similarity.bruteForceKnn(
+          e, e.filter(col("vec_id") < 5), k = 10)
+          .select(col("q_id"), col("vec_id"))
+          .materializeOnce() // feeds the hit join + total in all 3 arms
+        Seq(1, 2, 4).map { np =>
+          val approx = Similarity.ivfSearch(
+            e, e.filter(col("vec_id") < 5), k = 10, nProbe = np)
+            .select(col("q_id"), col("vec_id"))
+          exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+            .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+            .select(lit(np.toLong).as("nprobe"), col("n_exact"),
+              col("n_hit"),
+              (col("n_hit").cast("double") / col("n_exact").cast("double"))
+                .as("recall"))
+        }.reduce(_ unionByName _).orderBy(col("nprobe"))
+      }),
+
     // multi-probe LSH approximate top-k. Deterministic end to end (the
     // planes are fixed-seed literals), so the ORACLE REPLAYS THE ACTUAL
     // APPROXIMATE SEMANTICS — signatures, Hamming-1 probe set, candidate
@@ -594,6 +620,61 @@ object SimilarityQueries {
        |SELECT label, cell AS pred, count(*) AS n
        |FROM best GROUP BY label, cell
        |ORDER BY label, pred""".stripMargin
+  }
+
+  /** s60: the IVF tuning table — for nProbe ∈ {1,2,4}, recall@10 of
+    * the probed search against the exact top-10, each arm replaying
+    * the FULL approximate semantics (same cells/centroids chain as
+    * s43, probe cut at r ≤ np, cell-local exact ranking) and the same
+    * left-semi hit counting as s47. recall is one exact division. */
+  private lazy val ivfNprobeCurveOracle: String = {
+    val dim = 64
+    val arms = Seq(1, 2, 4).map { np =>
+      s"""pc$np AS (
+         |  SELECT q_id, q_emb, cell FROM (
+         |    SELECT q_id, q_emb, cell,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS r
+         |    FROM probed)
+         |  WHERE r <= $np),
+         |ap$np AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+         |    FROM cells c JOIN pc$np p ON c.cell = p.cell AND c.vec_id <> p.q_id)
+         |  WHERE rank <= 10),
+         |row$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe,
+         |         (SELECT count(*) FROM ex) AS n_exact,
+         |         (SELECT count(*) FROM ex e JOIN ap$np a
+         |          ON a.q_id = e.q_id AND a.vec_id = e.vec_id) AS n_hit)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
+       |  FROM embeddings),
+       |csum AS (
+       |  SELECT cell, count(*) AS n,
+       |         ${fpSumColsSql(dim)}
+       |  FROM cells GROUP BY cell),
+       |centroids AS (SELECT cell, ${fpCentroidSql(dim)} AS centroid FROM csum),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT q_id, q_emb, cell, ${cosSql("q_emb", "centroid")} AS ccos
+       |  FROM q CROSS JOIN centroids),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${cosSql("q.q_emb", "e.embedding")} DESC, e.vec_id) AS rank
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 10),
+       |$arms
+       |SELECT nprobe, n_exact, n_hit,
+       |       CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+       |      UNION ALL SELECT * FROM row4)
+       |ORDER BY nprobe""".stripMargin
   }
 
   /** s43: IVF replayed exactly — 16 cells from the coarse planes,
