@@ -449,6 +449,57 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One ViT-style patch row of m58. */
+  final case class ImagePatch(
+      media_id: Long, py: Long, px: Long, n_values: Long, sum_intensity: Long)
+
+  /** ViT-style patch statistics over the REAL decode path (m58): encode
+    * the deterministic pattern to actual PNG bytes, decode with
+    * `javax.imageio`, tile the pixel grid into patch×patch cells (edge
+    * cells partial — the padding decision a patch embedder makes
+    * explicit), and emit per-cell channel-summed intensity — the
+    * patch-embedding precursor (Dosovitskiy et al., ICLR 2021), kept
+    * integer-exact so the real decode is hash-checked CELL BY CELL
+    * against the oracle's arithmetic replay (m47 checks one checksum
+    * per image; this checks every tile). Row-amplifying decode:
+    * repartition first (rule 6); the per-image tile grid is bounded
+    * (≤ ⌈24/patch⌉²), so output is O(docs). */
+  def imagePatches(spark: SparkSession, docs: DataFrame,
+      patch: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(patch >= 1)
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(syntheticPng(id)))
+          if (img == null)
+            throw new IllegalStateException(s"PNG decode failed for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val pw = (w + patch - 1) / patch
+          val ph = (h + patch - 1) / patch
+          val sums = Array.ofDim[Long](ph, pw)
+          val cnts = Array.ofDim[Long](ph, pw)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sums(y / patch)(x / patch) +=
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              cnts(y / patch)(x / patch) += 3L
+              x += 1
+            }
+            y += 1
+          }
+          for (py <- 0 until ph; px <- 0 until pw)
+            yield ImagePatch(id, py.toLong, px.toLong, cnts(py)(px),
+              sums(py)(px))
+        }
+      }.toDF().orderBy(col("media_id"), col("py"), col("px"))
+  }
+
   /** One decoded audio row of the real-codec roundtrip (m48). */
   final case class AudioDecode(
       media_id: Long, sample_rate: Long, n_samples: Long, checksum: Long)

@@ -446,6 +446,25 @@ object MultimodalQueries {
       (s, d) => Multimodal.imageDecodeRoundtrip(s, docs(s, d))
         .orderBy(col("media_id"))),
 
+    // ViT-style patch statistics over the real decode (m58): the m47
+    // roundtrip checked one checksum per image; this hash-checks EVERY
+    // 4x4 tile (edge tiles partial) — per-cell channel-summed
+    // intensity, replayed by the oracle in pure integer arithmetic.
+    Q("m58_image_patches", Some(
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 16) AS w, 8 + ((doc_id // 16) % 16) AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |ys AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS media_id, y // 4 AS py, x // 4 AS px,
+        |       3 * count(*) AS n_values,
+        |       CAST(SUM((doc_id*31 + x*7 + y*13) % 256
+        |              + (doc_id*31 + x*7 + y*13 + 101) % 256
+        |              + (doc_id*31 + x*7 + y*13 + 202) % 256) AS BIGINT)
+        |         AS sum_intensity
+        |FROM ys GROUP BY 1, 2, 3 ORDER BY media_id, py, px""".stripMargin),
+      (s, d) => Multimodal.imagePatches(s, docs(s, d))),
+
     // REAL-codec audio roundtrip (the m48 mirror of m47): per doc,
     // encode the deterministic 16-bit PCM waveform to actual WAV bytes
     // and decode them back via javax.sound.sampled — genuine codec on

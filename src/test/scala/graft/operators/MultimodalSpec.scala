@@ -227,4 +227,27 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("imagePatches: every tile of the real decode matches pixelValue arithmetic") {
+    import spark.implicits._
+    // id 0: 8x8 -> 2x2 full tiles; id 5: 13x8 -> edge column tiles of
+    // width 1 (the partial-tile contract)
+    val docs = Seq(0L, 5L).toDF("doc_id")
+    val out = Multimodal.imagePatches(spark, docs, patch = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    for (id <- Seq(0L, 5L)) {
+      val w = 8 + (id % 16).toInt; val h = 8 + ((id / 16) % 16).toInt
+      val tiles = out.keys.filter(_._1 == id)
+      assert(tiles.size === ((w + 3) / 4) * ((h + 3) / 4))
+      for (((_, py, px), (n, s)) <- out.filter(_._1._1 == id)) {
+        val xs = (px * 4 until math.min(px * 4 + 4, w)).map(_.toInt)
+        val ys = (py * 4 until math.min(py * 4 + 4, h)).map(_.toInt)
+        assert(n === xs.size.toLong * ys.size * 3)
+        val expected = (for { y <- ys; x <- xs; c <- 0 to 2 }
+          yield Multimodal.pixelValue(id, x, y, c).toLong).sum
+        assert(s === expected, s"id=$id tile=($py,$px)")
+      }
+    }
+  }
 }
