@@ -30,6 +30,30 @@ object SimilarityQueries {
       (s, d) => Similarity.bruteForceKnn(
         emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 10)),
 
+    // exact MRR of the IVF path (s61): where does the TRUE nearest
+    // neighbor land in s43's top-10? Reciprocal ranks scale by
+    // 2520 = lcm(1..10), so Σ 1/rank is exact integer arithmetic and
+    // MRR is one division (rule 17) — the standard IR readout with no
+    // float summation. A miss contributes 0.
+    Q("s61_ivf_mrr", Some(ivfMrrOracle),
+      (s, d) => {
+        val e = emb(s, d)
+        val truth = Similarity.bruteForceKnn(
+          e, e.filter(col("vec_id") < 5), k = 1)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.ivfSearch(
+          e, e.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        truth.join(approx, Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(expr("2520 DIV rank"), lit(0L)))
+              .as("sum_rr_scaled"))
+          .select(col("n_queries"),
+            col("sum_rr_scaled").cast("bigint").as("sum_rr_scaled"),
+            (col("sum_rr_scaled").cast("double")
+              / (col("n_queries") * lit(2520L)).cast("double")).as("mrr"))
+      }),
+
     // IVF recall-vs-nprobe curve (s60): the tuning table a user reads
     // before picking the probe count — recall@10 of s43's search at
     // nProbe 1/2/4 against the exact top-10, one row per knob value.
@@ -675,6 +699,50 @@ object SimilarityQueries {
        |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
        |      UNION ALL SELECT * FROM row4)
        |ORDER BY nprobe""".stripMargin
+  }
+
+  /** s61: exact top-1 truth, the s43 top-10 chain (nProbe=2), and the
+    * lcm-scaled reciprocal-rank sum — one division at the end. */
+  private lazy val ivfMrrOracle: String = {
+    val dim = 64
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
+       |  FROM embeddings),
+       |csum AS (
+       |  SELECT cell, count(*) AS n,
+       |         ${fpSumColsSql(dim)}
+       |  FROM cells GROUP BY cell),
+       |centroids AS (SELECT cell, ${fpCentroidSql(dim)} AS centroid FROM csum),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT q_id, q_emb, cell, ${cosSql("q_emb", "centroid")} AS ccos
+       |  FROM q CROSS JOIN centroids),
+       |pc AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q_id, q_emb, cell,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS r
+       |    FROM probed)
+       |  WHERE r <= 2),
+       |ap AS (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT p.q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM cells c JOIN pc p ON c.cell = p.cell AND c.vec_id <> p.q_id)
+       |  WHERE rank <= 10),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${cosSql("q.q_emb", "e.embedding")} DESC, e.vec_id) AS rank
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 1)
+       |SELECT count(*) AS n_queries,
+       |       CAST(sum(COALESCE(2520 // a.rank, 0)) AS BIGINT) AS sum_rr_scaled,
+       |       CAST(sum(COALESCE(2520 // a.rank, 0)) AS DOUBLE)
+       |         / CAST(count(*) * 2520 AS DOUBLE) AS mrr
+       |FROM ex LEFT JOIN ap a USING (q_id, vec_id)""".stripMargin
   }
 
   /** s43: IVF replayed exactly — 16 cells from the coarse planes,
