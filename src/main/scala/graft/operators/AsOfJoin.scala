@@ -42,4 +42,52 @@ object AsOfJoin {
     filled.filter(col("__asof_side") === 0)
       .drop("__asof_ts", "__asof_side")
   }
+
+  /** Forward as-of with optional tolerance: for every left row, the
+    * EARLIEST right row with `rightTs >= leftTs` (inclusive), its values
+    * nulled out when the match lies more than `toleranceSec` whole
+    * seconds ahead — the other half of the merge_asof surface
+    * (pandas/polars `direction='forward', tolerance=...`). Nulling the
+    * nearest match beyond tolerance is equivalent to excluding it: any
+    * farther row is farther still.
+    *
+    * Same union-window scale shape as [[asOfLeft]], mirrored: ONE
+    * shuffle on the key, a per-partition sort, `first(value,
+    * ignoreNulls)` over the FOLLOWING frame. Left rows sort before
+    * right rows at equal ts, so an equal-ts right row is inside the
+    * left row's frame (inclusive semantics). The tolerance compares
+    * whole-second epochs (CLAUDE.md rule 2: ≥1 s granularity stays
+    * exact under any physical ts resolution). */
+  def asOfForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      valueCols: Seq[(String, String)],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val l = left
+      .withColumn("__asof_ts", col(leftTs))
+      .withColumn("__asof_side", lit(0))
+    val r = right.select(
+      Seq(col(key), col(rightTs).as("__asof_ts"), lit(1).as("__asof_side"),
+        col(rightTs).as("__asof_mts")) ++
+        valueCols.map { case (rc, out) => col(rc).as(out) }: _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = (valueCols.map(_._2) :+ "__asof_mts").foldLeft(unioned) {
+      case (df, out) =>
+        df.withColumn(out, first(col(out), ignoreNulls = true).over(w))
+    }
+    val lefts = filled.filter(col("__asof_side") === 0)
+    val bounded = toleranceSec match {
+      case Some(t) =>
+        val inTol = col("__asof_mts").cast("long") -
+          col(leftTs).cast("long") <= t
+        valueCols.foldLeft(lefts) { case (df, (_, out)) =>
+          df.withColumn(out, when(inTol, col(out)))
+        }
+      case None => lefts
+    }
+    bounded.drop("__asof_ts", "__asof_side", "__asof_mts")
+  }
 }

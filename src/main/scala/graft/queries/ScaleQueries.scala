@@ -116,6 +116,41 @@ object ScaleQueries {
           .orderBy(col("event_id"))
       }),
 
+    // forward as-of with tolerance (q196): each click linked to the
+    // user's NEXT purchase, nulled when it is more than 3600 whole
+    // seconds ahead — merge_asof direction='forward' + tolerance. The
+    // oracle ranks the unbounded forward candidates and nulls the
+    // nearest match past tolerance (equivalent to excluding it: any
+    // farther row is farther still); second-epoch comparison keeps the
+    // bound exact under any ts resolution (rule 2).
+    Q("q196_asof_forward", Some(
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT c.event_id, p.event_id AS purchase_id, p.ts AS pts,
+        |             row_number() OVER (PARTITION BY c.event_id
+        |               ORDER BY p.ts, p.event_id) AS rn
+        |      FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |m AS (SELECT event_id, purchase_id, pts FROM j WHERE rn = 1)
+        |SELECT c.event_id, c.user_id,
+        |       CASE WHEN CAST(epoch(date_trunc('second', m.pts)) AS BIGINT)
+        |               - CAST(epoch(date_trunc('second', c.ts)) AS BIGINT)
+        |              <= 3600 THEN m.purchase_id END AS purchase_id
+        |FROM c LEFT JOIN m ON m.event_id = c.event_id
+        |ORDER BY c.event_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        AsOfJoin.asOfForward(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("event_id" -> "purchase_id"),
+          toleranceSec = Some(3600L))
+          .select(col("event_id"), col("user_id"), col("purchase_id"))
+          .orderBy(col("event_id"))
+      }),
+
     // interval (range) join via time-bucketing: every click within the 5
     // minutes before each purchase, same user. The bin equi-join replaces
     // the cross join a bare range predicate would cost (operator doc);

@@ -39,6 +39,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(14L) === None)
   }
 
+  test("asOfForward picks the earliest right row at or after; tolerance nulls") {
+    val out = AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", "ts",
+      Seq("price" -> "next_price"), toleranceSec = Some(300L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      10L -> Some(102.0), // next quote 10:10, 240 s ahead, inside 300 s
+      11L -> Some(101.0), // equal ts -> inclusive
+      12L -> Some(100.0), // next quote 10:00, 60 s ahead
+      13L -> None,        // no quote after 11:00
+      14L -> None))       // key with no quotes
+  }
+
+  test("asOfForward without tolerance keeps any following match") {
+    val out = AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", "ts",
+      Seq("price" -> "next_price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(10L) === Some(102.0) && out(12L) === Some(100.0))
+    assert(out(13L) === None && out(14L) === None)
+  }
+
   test("asOfLeft preserves every left row exactly once") {
     val out = AsOfJoin.asOfLeft(trades, quotes, "user_id", "ts", "ts",
       Seq("price" -> "quote_price"))
