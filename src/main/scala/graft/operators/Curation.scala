@@ -188,6 +188,50 @@ object Curation {
     * as any global ORDER BY — and the key is reproducible from the row
     * itself, so a re-run (or a resumed job) lands every document in the
     * same position. */
+  /** Distributional outlier detection: per document, the total
+    * variation distance between its unigram distribution and the
+    * corpus-wide one — the "does this doc even look like this corpus"
+    * signal (boilerplate, wrong-language and template docs sit far
+    * from the corpus distribution; ordinary prose sits close). The
+    * q192 integer-TVD idiom at text scale, WITHOUT the doc×vocab grid:
+    *   2·n_d·N·tvd = Σ_{w∈doc} (|c_dw·N − g_w·n_d| − g_w·n_d) + n_d·N
+    * (absent words contribute g_w·n_d each, and Σ_w g_w = N closes the
+    * remainder in one product), so the only work is the doc-word table
+    * joined to the BROADCAST vocabulary margins — one corpus explode,
+    * no grid. Products ride DECIMAL(38,0) (rule 18: c·N passes 2^63
+    * near 10⁹-token corpora... at 10¹⁴ tokens DECIMAL(38) still holds
+    * c·N ≤ 10^28); tvd is one division, the outlier verdict the
+    * cross-multiplied theorem tDen·scaled > 2·tNum·n_d·N. */
+  def tokenDistributionOutliers(docs: DataFrame, tNum: Long, tDen: Long,
+      id: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    require(tNum > 0 && tDen > 0)
+    val tk = docs.repartition(id) // row-amplifying explode (rule 6)
+      .select(id.as("doc_id"),
+        explode(TextFunctions.tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .materializeOnce() // feeds doc-word counts, margins, totals
+    val dw = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val g = tk.groupBy(col("w")).agg(count(lit(1)).as("gw")) // vocab-sized
+    val nd = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val tot = tk.agg(count(lit(1)).as("nn")) // 1-row normalizer
+    def D(c: Column) = c.cast("decimal(38,0)")
+    dw.join(broadcast(g), Seq("w"))
+      .join(nd, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("n"), col("nn"))
+      .agg(sum(abs(D(col("c")) * D(col("nn")) - D(col("gw")) * D(col("n")))
+        - D(col("gw")) * D(col("n"))).as("partial"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("partial") + D(col("n")) * D(col("nn")))
+          .cast("bigint").as("tvd_scaled"),
+        ((col("partial") + D(col("n")) * D(col("nn"))).cast("double")
+          / (D(lit(2L)) * D(col("n")) * D(col("nn"))).cast("double"))
+          .as("tvd"),
+        (D(lit(tDen)) * (col("partial") + D(col("n")) * D(col("nn"))) >
+          D(lit(2L * tNum)) * D(col("n")) * D(col("nn"))).as("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusShuffle(docs: DataFrame, seed: String = "s0"): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(":", lit(seed), col("doc_id"))).as("shuffle_key"))

@@ -808,6 +808,34 @@ object TextQueries {
     Q("t62_ct_langid", Some(ctLangOracle(ctTopN)),
       (s, d) => graft.operators.Vocab.ctLangConfusion(docs(s, d), ctTopN)),
 
+    // distributional outlier docs (t64): per-doc TVD to the corpus
+    // unigram distribution — q192's integer-TVD idiom at text scale,
+    // grid-free (absent-word mass closes in one product because
+    // Σ g_w = N). tvd is one division; the outlier verdict is the
+    // cross-multiplied theorem 5·scaled > 4·n_d·N (t = 2/5).
+    Q("t64_token_tvd", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |dw AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2),
+        |g AS (SELECT w, count(*) AS gw FROM tk GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM tk),
+        |s AS (SELECT d.doc_id, nd.n, t.nn,
+        |             sum(abs(d.c*t.nn - g.gw*nd.n) - g.gw*nd.n) AS partial
+        |      FROM dw d JOIN g USING (w)
+        |      JOIN nd ON nd.doc_id = d.doc_id CROSS JOIN tot t
+        |      GROUP BY 1, 2, 3)
+        |SELECT doc_id, n AS n_tokens,
+        |       CAST(partial + n*nn AS BIGINT) AS tvd_scaled,
+        |       CAST(partial + n*nn AS DOUBLE)
+        |         / CAST(2*n*nn AS DOUBLE) AS tvd,
+        |       5*(partial + n*nn) > 4*n*nn AS is_outlier
+        |FROM s ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.tokenDistributionOutliers(
+        docs(s, d), tNum = 2L, tDen = 5L)),
+
     // TextRank keywords (t63): q148's integer fixed-point PageRank
     // re-targeted to the word co-occurrence graph; oracle replays the
     // identical floor-arithmetic rounds from the shared scale/teleport

@@ -286,4 +286,21 @@ class CurationSpec extends SparkSpec {
     // pe = 0·0.5 + 1·0.5 = 0.5 → kappa = (0.5-0.5)/0.5 = 0 (no skill)
     assert(r.getDouble(9) === 0.0)
   }
+
+  test("tokenDistributionOutliers: exact scaled TVD with closed-form absent mass") {
+    // global: a=5, b=4, N=9 — the tCloseness spec corpus as documents.
+    // doc1 (a a a b): partial = (|27-20|-20) + (|9-16|-16) = -22,
+    //   scaled = -22 + 4*9 = 14; doc2 mirrors at 22; doc3 (a): the
+    //   absent 'b' contributes ONLY through the +n*N closure: 8.
+    val docs = Seq((1L, "a a a b"), (2L, "a b b b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenDistributionOutliers(docs, tNum = 2L, tDen = 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 14L, 14.0 / 72.0, false),
+      (2L, 4L, 22L, 22.0 / 72.0, false),
+      (3L, 1L, 8L, 8.0 / 18.0, true)))
+  }
 }
