@@ -718,6 +718,34 @@ object EventAnalytics {
       .orderBy(col(entity))
   }
 
+  /** Inter-arrival-time histogram: per-user gaps between consecutive
+    * events, bucketed by integer log₂ of the whole-second gap — the
+    * traffic-shape diagnostic (human activity is heavy-tailed across
+    * buckets; bot/replay traffic spikes one bucket). The bucket is
+    * length(bin(gap)) — the binary-representation length, an exact
+    * integer both engines compute identically (no floating log).
+    * Zero-gap pairs (same wall-clock second) land in bucket 0.
+    *
+    * Scale shape: one shuffle (partition by user), a lag window, and
+    * an output bounded by 64 buckets. */
+  def interArrivalHistogram(events: DataFrame,
+      entity: String = "user_id", ts: Column = col("ts")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col("sec"), col("eid"))
+    events
+      .select(col(entity), ts.cast("long").as("sec"),
+        col("event_id").as("eid"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(when(col("gap") === 0, lit(0L))
+        .otherwise(length(bin(col("gap"))).cast("long")).as("bucket"),
+        col("gap"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"))
+      .orderBy(col("bucket"))
+  }
+
   /** Discrete churn life table: for each activity age k (days between
     * a user's first and last event), the at-risk count (users whose
     * observed age is ≥ k), observed churns at k, right-censored users

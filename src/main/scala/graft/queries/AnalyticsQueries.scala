@@ -599,6 +599,27 @@ object AnalyticsQueries {
           tNum = 2L, tDen = 5L)
       }),
 
+    // inter-arrival histogram (q197): per-user consecutive gaps
+    // bucketed by the binary-representation length of the whole-second
+    // gap — an exact integer log2 both engines compute identically
+    // (length(bin(gap))), no floating log anywhere. Tie-free lag order
+    // rides (sec, event_id).
+    Q("q197_interarrival_hist", Some(
+      """WITH s AS (SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_id
+        |  FROM events),
+        |g AS (SELECT sec - lag(sec, 1) OVER (
+        |        PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        |      FROM s)
+        |SELECT CASE WHEN gap = 0 THEN 0
+        |            ELSE length(bin(gap)) END AS bucket,
+        |       count(*) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS min_gap,
+        |       CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, d) => EventAnalytics.interArrivalHistogram(T(s, d, "events"))),
+
     // Markov stationary distribution (q194): where q150's one-step
     // dynamics settle, by integer fixed-point power iteration (mass in
     // units of 1/1e9, per-term floor then integer sum — exact and
