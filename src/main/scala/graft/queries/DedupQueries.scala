@@ -97,6 +97,40 @@ object DedupQueries {
       (s, d) => Dedup.containmentPairs(docs(s, d), n = 3,
         thresholdNum = 1, thresholdDen = 2, maxDf = 20)),
 
+    // cluster-level train/val split (q198): the FIX for what q134's
+    // leakage audit measures — whole dup-clusters (singletons = their
+    // own cluster) hash to one side, so cross-split near-dup pairs are
+    // structurally zero, and the query COMPUTES that zero through the
+    // pair×assignment join rather than assuming it. Pair set under the
+    // brute-force oracle (rule 13, same validity as d44).
+    Q("q198_cluster_split", Some(clusterSplitOracle),
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = Dedup.minhashVerifiedPairs(dd, threshold = 0.5,
+          maxDf = 20).select(col("id_a"), col("id_b"))
+          .materializeOnce() // feeds CC AND the leak check
+        val cc = Dedup.connectedComponents(pairs)
+        val asg = dd.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cl"))
+          .withColumn("split",
+            when(pmod(col("cl"), lit(10L)) < 8, "train").otherwise("val"))
+          .materializeOnce() // feeds the rollup AND both leak joins
+        val leaked = pairs
+          .join(asg.select(col("doc_id").as("id_a"), col("split").as("sa")),
+            Seq("id_a"))
+          .join(asg.select(col("doc_id").as("id_b"), col("split").as("sb")),
+            Seq("id_b"))
+          .filter(col("sa") =!= col("sb"))
+          .agg(count(lit(1)).as("leaked_pairs"))
+        asg.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cl")).as("n_clusters"))
+          .crossJoin(broadcast(leaked))
+          .orderBy(col("split"))
+      }),
+
     // MinHash ESTIMATOR calibration (d59): per banded candidate pair,
     // the signature estimate m/k next to exact Jaccard, per-bucket —
     // the approximation contract as a measured table. The ENTIRE
@@ -611,6 +645,24 @@ object DedupQueries {
   private lazy val dupClustersOracle: String =
     s"""WITH RECURSIVE $dupClusterCtes
        |SELECT doc_id, cluster_id FROM asg ORDER BY doc_id""".stripMargin
+
+  /** q198: the d44 cluster chain, singleton docs as their own cluster,
+    * a cl%10 hash split, and the leak count COMPUTED over the pair set. */
+  private lazy val clusterSplitOracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |spl AS (
+       |  SELECT d.doc_id, COALESCE(a.cluster_id, d.doc_id) AS cl,
+       |         CASE WHEN COALESCE(a.cluster_id, d.doc_id) % 10 < 8
+       |              THEN 'train' ELSE 'val' END AS split
+       |  FROM documents d LEFT JOIN asg a ON a.doc_id = d.doc_id),
+       |leak AS (
+       |  SELECT count(*) AS leaked_pairs FROM pairs p
+       |  JOIN spl a ON a.doc_id = p.id_a
+       |  JOIN spl b ON b.doc_id = p.id_b
+       |  WHERE a.split <> b.split)
+       |SELECT split, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters,
+       |       (SELECT leaked_pairs FROM leak) AS leaked_pairs
+       |FROM spl GROUP BY split ORDER BY split""".stripMargin
 
   /** d52/q164 shared CTE chain (q-gram index, DF cap, length-banded
     * candidates) ending in `cand(id_a, id_b, sa, sb)` — one definition
