@@ -97,6 +97,25 @@ object DedupQueries {
       (s, d) => Dedup.containmentPairs(docs(s, d), n = 3,
         thresholdNum = 1, thresholdDen = 2, maxDf = 20)),
 
+    // shingle-size sensitivity curve (d60): the s60-style tuning table
+    // for dedup — exact-Jaccard pairs found at shingle n ∈ {2,3,5}
+    // (same 0.5 threshold, same df≤20 cap), with the mean similarity
+    // floor-scaled before summation (rule 17). One row per knob value:
+    // the table a user reads before picking d38's shingle width.
+    Q("d60_shingle_curve", Some(shingleCurveOracle),
+      (s, d) => Seq(2, 3, 5).map { n =>
+        graft.operators.Dedup.ngramJaccardPairs(docs(s, d), n = n,
+          threshold = 0.5, maxDf = 20)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(floor(col("jaccard") * 1000000L).cast("long")).as("s6"))
+          .select(lit(n.toLong).as("n_shingle"), col("n_pairs"),
+            coalesce(col("s6"), lit(0L)).as("sum_j6"),
+            when(col("n_pairs") === 0, lit(0.0))
+              .otherwise(coalesce(col("s6"), lit(0L)).cast("double")
+                / (col("n_pairs") * lit(1000000L)).cast("double"))
+              .as("mean_j"))
+      }.reduce(_ unionByName _).orderBy(col("n_shingle"))),
+
     // cluster-level train/val split (q198): the FIX for what q134's
     // leakage audit measures — whole dup-clusters (singletons = their
     // own cluster) hash to one side, so cross-split near-dup pairs are
@@ -645,6 +664,46 @@ object DedupQueries {
   private lazy val dupClustersOracle: String =
     s"""WITH RECURSIVE $dupClusterCtes
        |SELECT doc_id, cluster_id FROM asg ORDER BY doc_id""".stripMargin
+
+  /** d60: the d40 exact-Jaccard chain generated per shingle width with
+    * suffixed CTE names; each arm floor-scales J before summation and
+    * takes the bucket mean as one division. */
+  private lazy val shingleCurveOracle: String = {
+    def arm(n: Int): String =
+      s"""ex$n AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      list_transform(range(1, greatest(len(w) - $n, 0) + 2),
+         |                     i -> array_to_string(w[i:i+${n - 1}], ' ')))) AS sh
+         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |          FROM documents))
+         |  WHERE sh <> ''),
+         |sz$n AS (SELECT doc_id, count(*) AS sz FROM ex$n GROUP BY 1),
+         |keep$n AS (SELECT sh FROM ex$n GROUP BY sh HAVING count(*) <= 20),
+         |fil$n AS (SELECT ex$n.doc_id, ex$n.sh FROM ex$n JOIN keep$n USING (sh)),
+         |it$n AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM fil$n a JOIN fil$n b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jj$n AS (
+         |  SELECT inter / (sa.sz + sb.sz - inter) AS j
+         |  FROM it$n JOIN sz$n sa ON sa.doc_id = id_a
+         |  JOIN sz$n sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |row$n AS (
+         |  SELECT CAST($n AS BIGINT) AS n_shingle, count(*) AS n_pairs,
+         |         CAST(COALESCE(sum(CAST(floor(j * 1000000) AS BIGINT)), 0)
+         |           AS BIGINT) AS sum_j6,
+         |         CASE WHEN count(*) = 0 THEN 0.0e0
+         |              ELSE CAST(COALESCE(sum(CAST(floor(j * 1000000) AS BIGINT)), 0)
+         |                     AS DOUBLE)
+         |                   / CAST(count(*) * 1000000 AS DOUBLE) END AS mean_j
+         |  FROM jj$n)""".stripMargin
+    s"""WITH ${Seq(2, 3, 5).map(arm).mkString(",\n")}
+       |SELECT * FROM row2 UNION ALL SELECT * FROM row3
+       |UNION ALL SELECT * FROM row5
+       |ORDER BY n_shingle""".stripMargin
+  }
 
   /** q198: the d44 cluster chain, singleton docs as their own cluster,
     * a cl%10 hash split, and the leak count COMPUTED over the pair set. */
