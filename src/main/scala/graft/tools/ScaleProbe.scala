@@ -128,7 +128,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,q183,s43,s55,t54,t59,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,q183,s43,s55,t54,t59,
     // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -509,6 +509,22 @@ object ScaleProbe {
       println(s"[probe]   SNM planted recalled: $planted/$expectSnm")
       require(planted >= expectSnm * 99 / 100,
         s"SNM recall broke at scale: $planted/$expectSnm")
+    }
+    if (on("d59")) time("d59: minhash calibration at n docs") {
+      // With enough candidate pairs the calibration table must be
+      // MONOTONE: a higher signature-match bucket carries a higher
+      // mean exact Jaccard (the estimator is correlated with what it
+      // estimates). Gate-scale tables are too sparse to assert this;
+      // at probe scale it becomes a checkable property of the
+      // estimator, restricted to well-populated buckets.
+      val cal = graft.operators.Dedup.minhashCalibration(docs).collect()
+      cal.foreach(r => println(f"[probe]   bucket=${r.getLong(0)}%2d " +
+        f"est=${r.getDouble(1)}%5.3f n=${r.getLong(2)}%8d " +
+        f"meanJ=${r.getDouble(3)}%6.4f"))
+      val dense = cal.filter(_.getLong(2) >= 50)
+        .map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+      require(dense.zip(dense.tail).forall { case ((_, a), (_, b)) => a <= b },
+        s"calibration non-monotone on dense buckets: ${dense.toSeq}")
     }
     if (on("t59")) time("t59: BPE train at n docs") {
       // The BPE-training scale claim: after the one corpus-sized
