@@ -449,6 +449,54 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One resize-roundtrip row of m59. */
+  final case class ImageResize(
+      media_id: Long, src_w: Long, src_h: Long, checksum: Long)
+
+  /** Real-codec image RESIZE roundtrip (m59): decode the real PNG,
+    * resize to `target`×`target` by nearest-neighbor at the exact
+    * integer grid src_x = ⌊i·w / target⌋ — the one resize kernel an
+    * engine-external oracle can replay bit-for-bit (area-average and
+    * bilinear kernels are implementation-defined float pipelines) —
+    * then RE-ENCODE the resized image as a real PNG and decode it
+    * again before checksumming. Codec → resize → codec, every stage
+    * genuine; the checksum is [[decodeImage]]'s position-weighted sum
+    * over the target grid, replayed by the oracle from the pattern
+    * arithmetic. Row-amplifying per-item CPU work: repartition first
+    * (rule 6). */
+  def imageResizeRoundtrip(spark: SparkSession, docs: DataFrame,
+      target: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(target >= 1)
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(syntheticPng(id)))
+          if (src == null)
+            throw new IllegalStateException(s"PNG decode failed for doc $id")
+          val w = src.getWidth
+          val h = src.getHeight
+          val dst = new java.awt.image.BufferedImage(
+            target, target, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < target) {
+            var i = 0
+            while (i < target) {
+              dst.setRGB(i, j, src.getRGB(i * w / target, j * h / target))
+              i += 1
+            }
+            j += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          val (_, _, cs) = decodeImage(out.toByteArray).getOrElse(
+            throw new IllegalStateException(s"resize roundtrip failed: $id"))
+          ImageResize(id, w.toLong, h.toLong, cs)
+        }
+      }.toDF().orderBy(col("media_id"))
+  }
+
   /** One ViT-style patch row of m58. */
   final case class ImagePatch(
       media_id: Long, py: Long, px: Long, n_values: Long, sum_intensity: Long)

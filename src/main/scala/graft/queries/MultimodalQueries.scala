@@ -446,6 +446,25 @@ object MultimodalQueries {
       (s, d) => Multimodal.imageDecodeRoundtrip(s, docs(s, d))
         .orderBy(col("media_id"))),
 
+    // real-codec RESIZE roundtrip (m59): decode → exact nearest-
+    // neighbor 16×16 resize (src_x = i·w // 16, the only kernel an
+    // external oracle replays bit-for-bit) → re-encode → decode →
+    // position-weighted checksum. The oracle computes the resized
+    // pattern arithmetic with no codec on its side.
+    Q("m59_image_resize", Some(
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 16) AS w, 8 + ((doc_id // 16) % 16) AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, 16)) AS i FROM dims),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(0, 16)) AS j FROM xs),
+        |px AS (SELECT doc_id, w, h, i, j, unnest([0, 1, 2]) AS c FROM ys)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+        |  CAST(SUM(((doc_id*31 + (i*w//16)*7 + (j*h//16)*13 + c*101) % 256)
+        |           * (1 + i + 16*j + 256*c)) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.imageResizeRoundtrip(s, docs(s, d))),
+
     // ViT-style patch statistics over the real decode (m58): the m47
     // roundtrip checked one checksum per image; this hash-checks EVERY
     // 4x4 tile (edge tiles partial) — per-cell channel-summed

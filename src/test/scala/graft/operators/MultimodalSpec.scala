@@ -228,6 +228,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageResizeRoundtrip: nearest-neighbor grid matches pixelValue arithmetic") {
+    import spark.implicits._
+    val docs = Seq(0L, 7L).toDF("doc_id")
+    val out = Multimodal.imageResizeRoundtrip(spark, docs, target = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    for (id <- Seq(0L, 7L)) {
+      val w = 8 + (id % 16).toInt; val h = 8 + ((id / 16) % 16).toInt
+      val expected = (for { j <- 0 until 16; i <- 0 until 16; c <- 0 to 2 }
+        yield Multimodal.pixelValue(id, i * w / 16, j * h / 16, c).toLong *
+          (1L + i + 16L * j + 256L * c)).sum
+      assert(out(id) === ((w.toLong, h.toLong, expected)), s"id=$id")
+    }
+  }
+
   test("imagePatches: every tile of the real decode matches pixelValue arithmetic") {
     import spark.implicits._
     // id 0: 8x8 -> 2x2 full tiles; id 5: 13x8 -> edge column tiles of
