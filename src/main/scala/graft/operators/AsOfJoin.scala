@@ -58,21 +58,33 @@ object AsOfJoin {
     * left row's frame (inclusive semantics). The tolerance compares
     * whole-second epochs (CLAUDE.md rule 2: ≥1 s granularity stays
     * exact under any physical ts resolution). */
+  /** @param rightTie right column breaking ties between right rows at
+    *                  the SAME timestamp (smallest wins) — without it,
+    *                  which of two equal-ts right rows supplies the
+    *                  values is schedule-dependent. Pass the right
+    *                  side's unique id whenever equal timestamps are
+    *                  possible. */
   def asOfForward(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       valueCols: Seq[(String, String)],
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      rightTie: Option[String] = None): DataFrame = {
     val l = left
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__asof_side", lit(0))
     val r = right.select(
       Seq(col(key), col(rightTs).as("__asof_ts"), lit(1).as("__asof_side"),
-        col(rightTs).as("__asof_mts")) ++
+        col(rightTs).as("__asof_mts"),
+        rightTie.map(col).getOrElse(lit(0L)).as("__asof_tie")) ++
         valueCols.map { case (rc, out) => col(rc).as(out) }: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // left rows carry a null tie; nulls_first keeps them ahead of the
+    // equal-ts right rows they must not shadow (side already separates
+    // the sides — the tie only orders equal-ts RIGHT rows)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc,
+        col("__asof_tie").asc_nulls_first)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = (valueCols.map(_._2) :+ "__asof_mts").foldLeft(unioned) {
       case (df, out) =>
@@ -88,6 +100,6 @@ object AsOfJoin {
         }
       case None => lefts
     }
-    bounded.drop("__asof_ts", "__asof_side", "__asof_mts")
+    bounded.drop("__asof_ts", "__asof_side", "__asof_mts", "__asof_tie")
   }
 }

@@ -146,7 +146,7 @@ object ScaleQueries {
           ev.filter(col("event_type") === "purchase"),
           key = "user_id", leftTs = "ts", rightTs = "ts",
           valueCols = Seq("event_id" -> "purchase_id"),
-          toleranceSec = Some(3600L))
+          toleranceSec = Some(3600L), rightTie = Some("event_id"))
           .select(col("event_id"), col("user_id"), col("purchase_id"))
           .orderBy(col("event_id"))
       }),

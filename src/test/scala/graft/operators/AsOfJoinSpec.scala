@@ -52,6 +52,19 @@ class AsOfJoinSpec extends SparkSpec {
       14L -> None))       // key with no quotes
   }
 
+  test("asOfForward rightTie picks the smallest tie among equal-ts rights") {
+    val q2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 700.0),
+      (1L, ts("2024-01-01 10:00:00"), 3L, 300.0) // same ts, smaller id
+    ).toDF("user_id", "ts", "quote_id", "price")
+    val t2 = Seq((10L, 1L, ts("2024-01-01 09:00:00")))
+      .toDF("trade_id", "user_id", "ts")
+    val out = AsOfJoin.asOfForward(t2, q2, "user_id", "ts", "ts",
+      Seq("price" -> "next_price"), rightTie = Some("quote_id"))
+      .collect()(0)
+    assert(out.getDouble(3) === 300.0)
+  }
+
   test("asOfForward without tolerance keeps any following match") {
     val out = AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", "ts",
       Seq("price" -> "next_price"))
