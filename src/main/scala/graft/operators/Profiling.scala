@@ -182,7 +182,7 @@ object Profiling {
       .select((qi :+ col("nc") :+ col("nn") :+
         abs(D(coalesce(col("cs"), lit(0L))) * D(col("nn"))
           - D(col("gs")) * D(col("nc"))).as("term")): _*)
-    grid.groupBy((qi :+ col("nc") :+ col("nn")).map(c => c): _*)
+    grid.groupBy(qi :+ col("nc") :+ col("nn"): _*)
       .agg(sum(col("term")).as("scaled"))
       .select((qi :+ col("nc").as("class_n") :+
         col("scaled").cast("bigint").as("tvd_scaled") :+
