@@ -808,6 +808,75 @@ object TextQueries {
     Q("t62_ct_langid", Some(ctLangOracle(ctTopN)),
       (s, d) => graft.operators.Vocab.ctLangConfusion(docs(s, d), ctTopN)),
 
+    // corpus datasheet (q199): the one-row "Datasheets for Datasets"
+    // summary (Gebru et al., CACM 2021) a corpus release ships —
+    // volume, vocabulary, language mix, duplication — assembled from
+    // exact aggregates with single-division ratios (rule 17). The
+    // dup rate uses the canonical-fingerprint groups (the d36 path:
+    // cheap and exact; fuzzy rates live in d38/d44's own gates).
+    Q("q199_corpus_datasheet", Some(
+      """WITH tk AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |vol AS (SELECT count(*) AS n_tokens,
+        |               count(DISTINCT w) AS n_types FROM tk),
+        |dv AS (SELECT count(*) AS n_docs,
+        |              count(DISTINCT lang) AS n_langs,
+        |              count(DISTINCT source) AS n_sources FROM documents),
+        |tl AS (SELECT count(*) AS top_lang_docs FROM documents
+        |       GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+        |dup AS (SELECT CAST(sum(n - 1) AS BIGINT) AS dup_docs FROM (
+        |          SELECT count(*) AS n FROM documents
+        |          GROUP BY md5(array_to_string(list_sort(
+        |            string_split_regex(trim(text), '\s+')), ' '))))
+        |SELECT dv.n_docs, vol.n_tokens, vol.n_types,
+        |       CAST(vol.n_tokens AS DOUBLE) / CAST(dv.n_docs AS DOUBLE)
+        |         AS mean_doc_tokens,
+        |       CAST(vol.n_types AS DOUBLE) / CAST(vol.n_tokens AS DOUBLE)
+        |         AS ttr,
+        |       dv.n_langs, dv.n_sources,
+        |       (SELECT top_lang_docs FROM tl) AS top_lang_docs,
+        |       CAST((SELECT top_lang_docs FROM tl) AS DOUBLE)
+        |         / CAST(dv.n_docs AS DOUBLE) AS top_lang_share,
+        |       dup.dup_docs AS exact_dup_docs,
+        |       CAST(dup.dup_docs AS DOUBLE) / CAST(dv.n_docs AS DOUBLE)
+        |         AS exact_dup_rate
+        |FROM dv CROSS JOIN vol CROSS JOIN dup
+        |ORDER BY n_docs""".stripMargin),
+      (s, d) => {
+        val dd = docs(s, d)
+        val tk = dd.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val vol = tk.agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_types"))
+        val dv = dd.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        val tl = dd.groupBy(col("lang")).agg(count(lit(1)).as("tld"))
+          .orderBy(col("tld").desc, col("lang")).limit(1)
+          .select(col("tld").as("top_lang_docs"))
+        val dup = dd.groupBy(
+            graft.functions.TextFunctions.canonicalFingerprint(col("text")))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") - 1).as("dup_docs"))
+        dv.crossJoin(broadcast(vol)).crossJoin(broadcast(tl))
+          .crossJoin(broadcast(dup))
+          .select(col("n_docs"), col("n_tokens"), col("n_types"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("mean_doc_tokens"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double"))
+              .as("ttr"),
+            col("n_langs"), col("n_sources"), col("top_lang_docs"),
+            (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+              .as("top_lang_share"),
+            col("dup_docs").cast("bigint").as("exact_dup_docs"),
+            (col("dup_docs").cast("double") / col("n_docs").cast("double"))
+              .as("exact_dup_rate"))
+          .orderBy(col("n_docs"))
+      }),
+
     // distributional outlier docs (t64): per-doc TVD to the corpus
     // unigram distribution — q192's integer-TVD idiom at text scale,
     // grid-free (absent-word mass closes in one product because
