@@ -370,29 +370,42 @@ object Dedup {
     * Scale shape: identical to d38 — one shingle explode shared by the
     * signature build and the verify join (materialized once), a banded
     * equi-join, and an output bounded by k+1 buckets. */
-  def minhashCalibration(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      shingleN: Int = 3): DataFrame = {
-    require(k == calDrawA.length && k % bands == 0)
-    val rows = k / bands
-    val ex = spread(docs)
+  /** Ring-hashed shingle table: (doc_id, sh) with sh = pmod(RollingHash
+    * (shingle), M) — the d59/d61 replayable working set. */
+  private[graft] def ringShingles(docs: DataFrame, shingleN: Int): DataFrame =
+    spread(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(
         transform(TextFunctions.shinglesFromTokens(col("toks"), shingleN),
           s => pmod(graft.expressions.RollingHash(s), lit(calM)))).as("sh"))
-      .materializeOnce() // feeds signatures AND the exact-Jaccard join
+
+  /** Ring minhash signatures from [[ringShingles]]: doc_id, sz, m0..m_{k-1}. */
+  private[graft] def ringSignatures(ex: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(pmod(col("sh") * lit(calDrawA(i)) + lit(calDrawB(i)), lit(calM)))
         .as(s"m$i"))
-    val sigs = ex.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("sz"), mins: _*)
+    ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"), mins: _*)
+  }
+
+  /** Mod-M polynomial fold of mins [from, until) — the band key.
+    * Mod each step: ANSI forbids Long wraparound (rule 21a). */
+  private[graft] def ringBandKey(from: Int, until: Int): Column =
+    (from until until).map(i => col(s"m$i"))
+      .foldLeft(lit(0L))((acc, m) =>
+        pmod(acc * lit(calFoldC) + m, lit(calM)))
+
+  def minhashCalibration(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(k == calDrawA.length && k % bands == 0)
+    val rows = k / bands
+    val ex = ringShingles(docs, shingleN)
+      .materializeOnce() // feeds signatures AND the exact-Jaccard join
+    val sigs = ringSignatures(ex, k)
       .materializeOnce() // both sides of the band self-join
-    def bandKey(b: Int): Column = // mod-M each step: ANSI forbids wrap
-      (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-        .foldLeft(lit(0L))((acc, m) =>
-          pmod(acc * lit(calFoldC) + m, lit(calM)))
     val banded = sigs.select(col("doc_id"), col("sz"),
       array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
-      posexplode(array((0 until bands).map(bandKey): _*))
+      posexplode(array((0 until bands).map(b =>
+        ringBandKey(b * rows, (b + 1) * rows)): _*))
         .as(Seq("band", "bkey")))
     val cand = banded
       .select(col("band"), col("bkey"), col("doc_id").as("id_a"),
@@ -423,6 +436,57 @@ object Dedup {
         (col("sum_j6").cast("double")
           / (col("n_pairs") * calJScale).cast("double")).as("mean_exact_j"))
       .orderBy(col("bucket"))
+  }
+
+  /** Band-count S-curve (d61): the third LSH knob table (s60 tunes
+    * probe count, d60 shingle width; this tunes bands×rows). For each
+    * banding of the SAME k=16 ring signature — (2×8), (4×4), (8×2) —
+    * the measured candidate count, how many candidates verify at exact
+    * J ≥ 1/2, and precision as one division: the empirical S-curve
+    * trade (more bands → more candidates → lower precision) a user
+    * reads against 1−(1−jʳ)ᵇ before fixing d38's banding. One shingle
+    * explode and one signature build feed ALL configurations. */
+  def bandCurve(docs: DataFrame, k: Int = 16,
+      bandCounts: Seq[Int] = Seq(2, 4, 8),
+      shingleN: Int = 3): DataFrame = {
+    require(bandCounts.forall(b => b > 0 && k % b == 0))
+    val ex = ringShingles(docs, shingleN)
+      .materializeOnce() // feeds signatures AND every config's verify
+    val sigs = ringSignatures(ex, k)
+      .materializeOnce() // both join sides of every config
+    bandCounts.map { bands =>
+      val rows = k / bands
+      val banded = sigs.select(col("doc_id"), col("sz"),
+        posexplode(array((0 until bands).map(b =>
+          ringBandKey(b * rows, (b + 1) * rows)): _*))
+          .as(Seq("band", "bkey")))
+      val cand = banded
+        .select(col("band"), col("bkey"), col("doc_id").as("id_a"),
+          col("sz").as("sz_a"))
+        .join(banded.select(col("band"), col("bkey"),
+          col("doc_id").as("id_b"), col("sz").as("sz_b")),
+          Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .distinct()
+        .materializeOnce() // feeds the verify join AND both counts
+      val verified = cand
+        .join(ex.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(ex.select(col("doc_id").as("id_b"), col("sh")),
+          Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+          >= 0.5)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(lit(bands.toLong).as("bands"),
+          lit(rows.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") === 0, lit(0.0))
+            .otherwise(col("n_verified").cast("double")
+              / col("n_candidates").cast("double")).as("precision_at_half"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
   }
 
   // ---- SimHash ----

@@ -97,6 +97,14 @@ object DedupQueries {
       (s, d) => Dedup.containmentPairs(docs(s, d), n = 3,
         thresholdNum = 1, thresholdDen = 2, maxDf = 20)),
 
+    // band-count S-curve (d61): the third LSH knob table — candidates,
+    // verified (exact J ≥ 1/2) and precision for (2×8), (4×4), (8×2)
+    // bandings of the SAME 16-draw ring signature. One shingle explode
+    // and one signature build feed every configuration; precision is
+    // one exact division.
+    Q("d61_band_curve", Some(bandCurveOracle),
+      (s, d) => Dedup.bandCurve(docs(s, d))),
+
     // shingle-size sensitivity curve (d60): the s60-style tuning table
     // for dedup — exact-Jaccard pairs found at shingle n ∈ {2,3,5}
     // (same 0.5 threshold, same df≤20 cap), with the mean similarity
@@ -705,6 +713,50 @@ object DedupQueries {
        |ORDER BY n_shingle""".stripMargin
   }
 
+  /** d61: per banding of the shared ring signature — candidates from
+    * the banded self-join, verified at exact J ≥ 1/2 through the ring
+    * shingle join, precision as one division. */
+  private lazy val bandCurveOracle: String = {
+    val k = graft.operators.Dedup.calDrawA.length
+    def arm(bands: Int): String = {
+      val rows = k / bands
+      val bandedArms = (0 until bands).map(b =>
+        s"SELECT doc_id, $b AS band, ${ringFoldSql(b * rows, (b + 1) * rows)} AS bkey FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""bd$bands AS (
+         |$bandedArms),
+         |cd$bands AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bd$bands x JOIN bd$bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |vf$bands AS (
+         |  SELECT count(*) AS nv FROM (
+         |    SELECT c.id_a, c.id_b, za.sz AS sza, zb.sz AS szb,
+         |           count(*) AS inter
+         |    FROM cd$bands c JOIN ex ea ON ea.doc_id = c.id_a
+         |      JOIN ex eb ON eb.doc_id = c.id_b AND eb.hs = ea.hs
+         |      JOIN zs za ON za.doc_id = c.id_a
+         |      JOIN zs zb ON zb.doc_id = c.id_b
+         |    GROUP BY 1, 2, 3, 4)
+         |  WHERE inter / (sza + szb - inter) >= 0.5),
+         |rw$bands AS (
+         |  SELECT CAST($bands AS BIGINT) AS bands,
+         |         CAST($rows AS BIGINT) AS rows_per_band,
+         |         (SELECT count(*) FROM cd$bands) AS n_candidates,
+         |         (SELECT nv FROM vf$bands) AS n_verified)""".stripMargin
+    }
+    s"""WITH $ringCtes,
+       |${Seq(2, 4, 8).map(arm).mkString(",\n")}
+       |SELECT bands, rows_per_band, n_candidates, n_verified,
+       |       CASE WHEN n_candidates = 0 THEN 0.0e0
+       |            ELSE CAST(n_verified AS DOUBLE)
+       |                 / CAST(n_candidates AS DOUBLE) END
+       |         AS precision_at_half
+       |FROM (SELECT * FROM rw2 UNION ALL SELECT * FROM rw4
+       |      UNION ALL SELECT * FROM rw8)
+       |ORDER BY bands""".stripMargin
+  }
+
   /** q198: the d44 cluster chain, singleton docs as their own cluster,
     * a cl%10 hash split, and the leak count COMPUTED over the pair set. */
   private lazy val clusterSplitOracle: String =
@@ -1077,21 +1129,14 @@ object DedupQueries {
     * shingle hash reduces into the 2³¹−1 ring exactly as Spark's pmod
     * (signed remainder, then +M, then %M), after which EVERY value and
     * product fits plain BIGINT — no HUGEINT past the hash itself. */
-  private lazy val minhashCalOracle: String = {
-    import graft.operators.Dedup.{calDrawA, calDrawB, calFoldC, calJScale, calM}
-    val k = calDrawA.length
-    val drawRows = (0 until k).map(i =>
+  /** Shared d59/d61 ring CTE chain: polynomial shingle hash reduced
+    * into the 2³¹−1 ring, the k affine min-draws, per-doc set sizes
+    * and the ordered signature list (toks…sig). */
+  private lazy val ringCtes: String = {
+    import graft.operators.Dedup.{calDrawA, calDrawB, calM}
+    val drawRows = calDrawA.indices.map(i =>
       s"($i, ${calDrawA(i)}, ${calDrawB(i)})").mkString(", ")
-    // band key: mod-M fold of the band's mins — sig is 1-indexed here
-    val rows = k / 4
-    def foldExpr(b: Int): String =
-      (b * rows until (b + 1) * rows).foldLeft("CAST(0 AS BIGINT)") {
-        (acc, j) => s"(($acc * $calFoldC + sig[${j + 1}]) % $calM)"
-      }
-    val bandedArms = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, ${foldExpr(b)} AS bkey FROM sig")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |  FROM documents),
        |shs AS (
@@ -1113,7 +1158,25 @@ object DedupQueries {
        |  FROM ex e CROSS JOIN drw w
        |  GROUP BY 1, 2),
        |zs AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
-       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM dmin GROUP BY 1),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM dmin GROUP BY 1)""".stripMargin
+  }
+
+  /** Mod-M fold of sig[from+1 .. until] (1-indexed), the band key. */
+  private def ringFoldSql(from: Int, until: Int): String = {
+    import graft.operators.Dedup.{calFoldC, calM}
+    (from until until).foldLeft("CAST(0 AS BIGINT)") {
+      (acc, j) => s"(($acc * $calFoldC + sig[${j + 1}]) % $calM)"
+    }
+  }
+
+  private lazy val minhashCalOracle: String = {
+    import graft.operators.Dedup.{calDrawA, calJScale}
+    val k = calDrawA.length
+    val rows = k / 4
+    val bandedArms = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${ringFoldSql(b * rows, (b + 1) * rows)} AS bkey FROM sig")
+      .mkString("\nUNION ALL ")
+    s"""WITH $ringCtes,
        |banded AS (
        |$bandedArms),
        |cand AS (

@@ -604,6 +604,26 @@ class DedupSpec extends SparkSpec {
       assert(j === 666666.0 / 1000000.0) }
   }
 
+  test("bandCurve: candidate counts non-decreasing in bands; identical docs always surface") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.bandCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    out.foreach { case (b, r, cand, ver) =>
+      assert(b * r === 16L)
+      assert(cand >= 1L && ver >= 1L, s"identical pair missing at $b bands")
+      assert(ver <= cand)
+    }
+    // more bands can only surface MORE candidates (any r-run match
+    // within a wider banding is contained in a narrower band's run)
+    val cands = out.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
+  }
+
   test("assortativity: a regular graph has zero denominator -> 0.0") {
     import spark.implicits._
     // triangle: every degree 2 → variance term 0; defined as 0.0
