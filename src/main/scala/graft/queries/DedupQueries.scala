@@ -97,6 +97,37 @@ object DedupQueries {
       (s, d) => Dedup.containmentPairs(docs(s, d), n = 3,
         thresholdNum = 1, thresholdDen = 2, maxDf = 20)),
 
+    // dedup-effect datasheet (q200): the q199 corpus summary BEFORE and
+    // AFTER cluster dedup (keep the min-id doc per d44 component,
+    // singletons kept) — the before/after row a dedup run reports.
+    // Survivorship falls out of the CC labels (cluster_id IS the min
+    // member id, so survivor ⟺ doc_id = cluster_id); pair set under
+    // the brute-force oracle (rule 13).
+    Q("q200_dedup_datasheet", Some(dedupDatasheetOracle),
+      (s, d) => {
+        val dd = docs(s, d)
+        val cc = Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(dd, threshold = 0.5, maxDf = 20))
+        val kept = dd.join(cc, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull ||
+            col("cluster_id") === col("doc_id"))
+          .select(dd.columns.map(col): _*)
+        def sheet(stage: String, t: org.apache.spark.sql.DataFrame) = {
+          val tk = t.select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+            .filter(col("w") =!= "")
+          t.agg(count(lit(1)).as("n_docs"))
+            .crossJoin(broadcast(tk.agg(count(lit(1)).as("n_tokens"),
+              countDistinct(col("w")).as("n_types"))))
+            .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
+              col("n_types"),
+              (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+                .as("mean_doc_tokens"))
+        }
+        sheet("1_raw", dd).unionByName(sheet("2_deduped", kept))
+          .orderBy(col("stage"))
+      }),
+
     // band-count S-curve (d61): the third LSH knob table — candidates,
     // verified (exact J ≥ 1/2) and precision for (2×8), (4×4), (8×2)
     // bandings of the SAME 16-draw ring signature. One shingle explode
@@ -711,6 +742,28 @@ object DedupQueries {
        |SELECT * FROM row2 UNION ALL SELECT * FROM row3
        |UNION ALL SELECT * FROM row5
        |ORDER BY n_shingle""".stripMargin
+  }
+
+  /** q200: the d44 cluster chain, survivor filter (cluster_id is the
+    * min member id), and the two datasheet arms. */
+  private lazy val dedupDatasheetOracle: String = {
+    def sheetSql(stage: String, base: String): String =
+      s"""SELECT '$stage' AS stage,
+         |       (SELECT count(*) FROM $base) AS n_docs,
+         |       count(*) AS n_tokens, count(DISTINCT w) AS n_types,
+         |       CAST(count(*) AS DOUBLE)
+         |         / CAST((SELECT count(*) FROM $base) AS DOUBLE)
+         |         AS mean_doc_tokens
+         |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |      FROM $base) WHERE w <> ''""".stripMargin
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |kept AS (
+       |  SELECT d.* FROM documents d LEFT JOIN asg a ON a.doc_id = d.doc_id
+       |  WHERE a.cluster_id IS NULL OR a.cluster_id = d.doc_id)
+       |${sheetSql("1_raw", "documents")}
+       |UNION ALL
+       |${sheetSql("2_deduped", "kept")}
+       |ORDER BY stage""".stripMargin
   }
 
   /** d61: per banding of the shared ring signature — candidates from
