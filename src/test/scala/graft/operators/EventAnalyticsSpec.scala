@@ -342,6 +342,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Set(("x", "y")))
   }
 
+  test("interArrivalHistogram: bin-length buckets, zero-gap bucket 0") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:00"), 2L), // same second -> gap 0
+      (1L, ts("2024-01-01 10:00:05"), 3L), // gap 5 -> bin '101' -> bucket 3
+      (1L, ts("2024-01-01 10:00:06"), 4L), // gap 1 -> bucket 1
+      (2L, ts("2024-01-01 10:00:00"), 5L),
+      (2L, ts("2024-01-01 10:17:04"), 6L)  // gap 1024 -> bucket 11
+    ).toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.interArrivalHistogram(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 0L, 0L), (1L, 1L, 1L, 1L),
+      (3L, 1L, 5L, 5L), (11L, 1L, 1024L, 1024L)))
+  }
+
   test("markovStationary: exact floor-arithmetic power iteration") {
     val ev = Seq(
       // user 1: a,a,b -> (a,a),(a,b); user 2: b,a -> (b,a)
