@@ -45,7 +45,7 @@ object AnalyticsQueries {
     * JOIN back to the state set so zero-mass states keep their row. */
   private lazy val markovOracle: String = {
     val steps = (1 to markovIters).map { r =>
-      s"""p$r AS (SELECT c.next_type AS state,
+      s"""p$r AS MATERIALIZED (SELECT c.next_type AS state,
          |  CAST(sum(p.pi * c.n // r.rowsum) AS BIGINT) AS pi
          |FROM p${r - 1} p JOIN c ON c.prev_type = p.state
          |JOIN rs r ON r.prev_type = c.prev_type
@@ -58,11 +58,11 @@ object AnalyticsQueries {
        |  SELECT lag(event_type, 1) OVER (
        |           PARTITION BY user_id ORDER BY k) AS prev_type,
        |         event_type AS next_type FROM seq),
-       |c AS (SELECT prev_type, next_type, count(*) AS n FROM lagged
+       |c AS MATERIALIZED (SELECT prev_type, next_type, count(*) AS n FROM lagged
        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-       |rs AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rowsum
+       |rs AS MATERIALIZED (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rowsum
        |       FROM c GROUP BY 1),
-       |st AS (SELECT DISTINCT prev_type AS state FROM c),
+       |st AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM c),
        |p0 AS (SELECT state,
        |         $markovScale // (SELECT count(*) FROM st) AS pi FROM st),
        |${steps.mkString(",\n")}
@@ -386,15 +386,15 @@ object AnalyticsQueries {
     // bounded per-series grid; DuckDB replays it with a recursive CTE.
     // All int64; k = ceil-mean via integer DIV (rule 21).
     Q("q184_cusum_changepoint", Some(
-      """WITH RECURSIVE hourly AS (
+      """WITH RECURSIVE hourly AS MATERIALIZED (
         |  SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*) AS c
         |  FROM events GROUP BY 1, 2),
-        |idx AS (SELECT g, c,
+        |idx AS MATERIALIZED (SELECT g, c,
         |               row_number() OVER (PARTITION BY g ORDER BY h) AS i,
         |               count(*) OVER (PARTITION BY g) AS n,
         |               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS tot
         |        FROM hourly),
-        |kk AS (SELECT g, max(n) AS n,
+        |kk AS MATERIALIZED (SELECT g, max(n) AS n,
         |              (max(tot) + max(n) - 1) // max(n) AS k
         |       FROM idx GROUP BY 1),
         |walk(g, i, s, mx, alarm) AS (

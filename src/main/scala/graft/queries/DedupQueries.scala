@@ -1095,7 +1095,7 @@ object DedupQueries {
        |                   i -> array_to_string(w[i:i+${n - 1}], ' '))) AS sh
        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))
        |  WHERE sh <> ''),
-       |hashed AS (SELECT doc_id, ${signWrap(polyHashSql("sh"))} AS wh FROM wins),
+       |hashed AS MATERIALIZED (SELECT doc_id, ${signWrap(polyHashSql("sh"))} AS wh FROM wins),
        |dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) > 1),
        |tot AS (SELECT doc_id, count(*) AS n_windows FROM hashed GROUP BY doc_id),
        |dpd AS (SELECT h.doc_id, count(*) AS n_dup_windows
@@ -1114,13 +1114,13 @@ object DedupQueries {
     * indexed list_filter (p is 1-based, hence p-1). */
   private lazy val spanRemovalOracle: String = {
     val n = 10
-    s"""WITH toks AS (
+    s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |wins AS (
        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${n - 1}], ' ') AS win
        |  FROM (SELECT doc_id, w,
        |          unnest(range(1, greatest(len(w) - $n, 0) + 2)) AS i FROM toks)),
-       |hashed AS (SELECT doc_id, pos, ${signWrap(polyHashSql("win"))} AS wh
+       |hashed AS MATERIALIZED (SELECT doc_id, pos, ${signWrap(polyHashSql("win"))} AS wh
        |           FROM wins WHERE win <> ''),
        |dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) > 1),
        |starts AS (SELECT h.doc_id, list_sort(list(h.pos)) AS ds

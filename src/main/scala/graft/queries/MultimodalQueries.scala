@@ -87,7 +87,7 @@ object MultimodalQueries {
 
   private val m51Sql =
     s"""WITH $gridCtes,
-       |bits AS (SELECT doc_id, j, i, ${bitSql(variant = false)} AS bit FROM bs),
+       |bits AS MATERIALIZED (SELECT doc_id, j, i, ${bitSql(variant = false)} AS bit FROM bs),
        |fp AS (SELECT doc_id, ${foldSql("bit")} AS hu FROM bits GROUP BY doc_id)
        |SELECT d.doc_id AS media_id,
        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
@@ -119,25 +119,25 @@ object MultimodalQueries {
     val flat = (0 until 4).map(k =>
       s"max(CASE WHEN k = $k THEN wu END) AS wu$k").mkString(", ")
     s"""${gridCtesFor(base)},
-       |bits AS (SELECT doc_id, j, i,
+       |bits AS MATERIALIZED (SELECT doc_id, j, i,
        |    ${bitSql(variant = false)} AS bit_o,
        |    ${bitSql(variant = true)} AS bit_v
        |  FROM bs),
-       |fpo AS (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
+       |fpo AS MATERIALIZED (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
        |        FROM bits GROUP BY doc_id),
-       |fpv AS (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
+       |fpv AS MATERIALIZED (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
        |        ${foldSql("bit_v")} AS hu FROM bits GROUP BY doc_id),
        |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
        |wjs AS (SELECT doc_id, w, h, unnest(range(0, 16)) AS j2 FROM dims),
        |wbs AS (SELECT doc_id, w, h, j2, unnest(range(0, 16)) AS i2 FROM wjs),
-       |wbits AS (SELECT doc_id, j2, i2,
+       |wbits AS MATERIALIZED (SELECT doc_id, j2, i2,
        |    ${wideBitSql(variant = false)} AS wbit_o,
        |    ${wideBitSql(variant = true)} AS wbit_v
        |  FROM wbs),
        |${words("o", "")},
        |${words("v", s" + ${Multimodal.VariantOffset}")},
        |ww AS (SELECT * FROM wwords_o UNION ALL SELECT * FROM wwords_v),
-       |wflat AS (SELECT media_id, $flat FROM ww GROUP BY media_id)""".stripMargin
+       |wflat AS MATERIALIZED (SELECT media_id, $flat FROM ww GROUP BY media_id)""".stripMargin
   }
 
   private lazy val twoResCtes = twoResCtesFor("documents")
@@ -312,13 +312,13 @@ object MultimodalQueries {
 
   private val m52Sql =
     s"""WITH $gridCtes,
-       |bits AS (SELECT doc_id, j, i,
+       |bits AS MATERIALIZED (SELECT doc_id, j, i,
        |    ${bitSql(variant = false)} AS bit_o,
        |    ${bitSql(variant = true)} AS bit_v
        |  FROM bs),
-       |fpo AS (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
+       |fpo AS MATERIALIZED (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
        |        FROM bits GROUP BY doc_id),
-       |fpv AS (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
+       |fpv AS MATERIALIZED (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
        |        ${foldSql("bit_v")} AS hu FROM bits GROUP BY doc_id),
        |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
        |bands AS (SELECT media_id, hu, unnest([0,1,2,3]) AS band FROM fp),

@@ -1079,13 +1079,13 @@ object SimilarityQueries {
          |    sum(CAST(e[ii.i + 1] AS HUGEINT) * CAST(e[jj.i + 1] AS HUGEINT)) AS gsum,
          |    count(*) AS n
          |  FROM fp, idx ii, idx jj GROUP BY 1, 2)""".stripMargin,
-      "g AS (SELECT i, j, CAST(gsum // n AS BIGINT) AS g FROM gr)",
+      "g AS MATERIALIZED (SELECT i, j, CAST(gsum // n AS BIGINT) AS g FROM gr)",
       "v0 AS (SELECT i, CAST(256 AS BIGINT) AS v FROM idx)")
     val steps = (1 to powerIters).flatMap(t => Seq(
-      s"""w$t AS (SELECT g.j AS i, sum(g.g * v.v) AS w
+      s"""w$t AS MATERIALIZED (SELECT g.j AS i, sum(g.g * v.v) AS w
          |  FROM g JOIN v${t - 1} v ON g.i = v.i GROUP BY g.j)""".stripMargin,
       s"m$t AS (SELECT max(abs(w)) AS m FROM w$t)",
-      s"""v$t AS (SELECT i, CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+      s"""v$t AS MATERIALIZED (SELECT i, CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
          |    ELSE CAST((w * 256) // m AS BIGINT) END AS v
          |  FROM w$t, m$t)""".stripMargin))
     (head ++ steps).mkString(",\n")
@@ -1101,7 +1101,7 @@ object SimilarityQueries {
     * Spark expression order. */
   private lazy val abttAlignOracle: String =
     s"""WITH $powerIterCtes,
-       |uvec AS (SELECT list(v ORDER BY i) AS u, sum(v * v) AS uu
+       |uvec AS MATERIALIZED (SELECT list(v ORDER BY i) AS u, sum(v * v) AS uu
        |         FROM v$powerIters),
        |fpv AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e6) AS BIGINT)) AS e

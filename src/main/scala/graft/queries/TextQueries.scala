@@ -992,22 +992,22 @@ object TextQueries {
     * scale) pairs-exhausted round with a no-op target. */
   private def bpeChainCtes(rounds: Int): String = {
     val w0 =
-      """w0 AS (
+      """w0 AS MATERIALIZED (
         |  SELECT array_to_string(list_transform(range(1, len(word) + 1),
         |           i -> word[i:i]), ' ') AS w, cnt FROM (
         |    SELECT word, count(*) AS cnt FROM (
         |      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |      FROM documents) WHERE word <> '' GROUP BY 1))""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
          |    SELECT unnest(list_transform(range(1, len(s)),
          |             i -> s[i] || ' ' || s[i+1])) AS pair, cnt FROM (
          |      SELECT string_split(w, ' ') AS s, cnt FROM w${r - 1}))
          |  GROUP BY 1),
-         |t$r AS (SELECT pair, total FROM p$r
+         |t$r AS MATERIALIZED (SELECT pair, total FROM p$r
          |        ORDER BY total DESC, pair LIMIT 1),
-         |w$r AS (SELECT trim(replace(' '||w||' ',
+         |w$r AS MATERIALIZED (SELECT trim(replace(' '||w||' ',
          |          ' '||COALESCE((SELECT pair FROM t$r), chr(1))||' ',
          |          ' '||replace(COALESCE((SELECT pair FROM t$r), chr(1)),
          |                       ' ', '')||' ')) AS w, cnt
@@ -1031,14 +1031,14 @@ object TextQueries {
     * exact double division mirrored on the Spark side. */
   private def bpeEncodeOracle(rounds: Int): String = {
     val enc = (1 to rounds).map { r =>
-      s"""e$r AS (SELECT doc_id, n_chars, trim(replace(' '||w||' ',
+      s"""e$r AS MATERIALIZED (SELECT doc_id, n_chars, trim(replace(' '||w||' ',
          |          ' '||COALESCE((SELECT pair FROM t$r), chr(1))||' ',
          |          ' '||replace(COALESCE((SELECT pair FROM t$r), chr(1)),
          |                       ' ', '')||' ')) AS w
          |        FROM e${r - 1})""".stripMargin
     }
     s"""WITH ${bpeChainCtes(rounds)},
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT doc_id, len(word) AS n_chars,
        |         array_to_string(list_transform(range(1, len(word) + 1),
        |           i -> word[i:i]), ' ') AS w FROM (
