@@ -682,13 +682,13 @@ object DedupQueries {
     * private[queries]: q176's purity oracle composes the same chain. */
   private[queries] lazy val dupClusterCtes: String =
     s"""$ngramPairCtes,
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT id_a, id_b
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS s, id_b AS d FROM pairs
        |  UNION ALL
        |  SELECT id_b, id_a FROM pairs),
@@ -915,7 +915,7 @@ object DedupQueries {
     * BOTH engines, not just Spark. private[queries]: q70's prep
     * pipeline interpolates the same CTEs (one definition, two oracles). */
   private[queries] def ngramShingleCteFor(base: String): String =
-    s"""ex AS (
+    s"""ex AS MATERIALIZED (
       |  SELECT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
       |      SELECT doc_id,
@@ -934,10 +934,10 @@ object DedupQueries {
     * grows). */
   private[queries] def ngramPairCtesFor(base: String): String =
     s"""${ngramShingleCteFor(base)},
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
       |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 20),
-      |fil AS (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
-      |inter AS (
+      |fil AS MATERIALIZED (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
+      |inter AS MATERIALIZED (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin

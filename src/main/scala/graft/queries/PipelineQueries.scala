@@ -604,12 +604,12 @@ object PipelineQueries {
     // the brute-force exact-Jaccard oracle (rule 13).
     Q("q166_kcore", Some(
       s"""WITH RECURSIVE ${DedupQueries.ngramPairCtes},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT id_a, id_b FROM inter
          |  JOIN sizes sa ON sa.doc_id = id_a
          |  JOIN sizes sb ON sb.doc_id = id_b
          |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
-         |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
          |      UNION ALL SELECT id_b, id_a FROM pairs),
          |alive(id, rnd) AS (
          |  SELECT DISTINCT s, 0 FROM e
