@@ -12,6 +12,12 @@ object Bench {
     * (BenchHeadlineSpec asserts a worst-case line ≤ 1,700 chars; grow
     * the set only while that gate stays green). The "value" total still
     * covers every registered query.
+    *
+    * PINNED through r10+ (VERDICT r9 directive #7): while the budget
+    * ladder's 1-sample steady state holds, headline stability is the
+    * ONLY cross-round per-query signal — do not rotate names out.
+    * Additions are allowed (they create a new series without breaking
+    * an old one) while the line-length gate stays green.
     */
   private[graft] val headline: Seq[String] = Seq(
     // SQL parity surface
@@ -81,6 +87,49 @@ object Bench {
 
   private[graft] val modeNames =
     Array("none", "2samp", "1samp", "headline", "abort")
+
+  /** Staging-helper names whose FIRST invocation does one-time work
+    * (bucketed-table writes, signature/image/IVF/drift store builds,
+    * the events-stage copy). `stageWarmup` must invoke every one of
+    * these so no timed sample pays an index build — r9's 1-sample
+    * steady state put q92's bucketed write (0.190→2.248 s) and the
+    * d53/s51/t52/m55 store builds inside the only sample, poisoning
+    * cross-round deltas. StagingWarmupSpec greps the query sources and
+    * fails if a query uses a Staging/Bucketing helper not listed here.
+    * (`sinkDir` is exempt: it only mkdirs a temp dir — the batch data
+    * a sink query writes into it is the query's own work, not
+    * staging.) */
+  private[graft] val warmedStagingHelpers: Set[String] = Set(
+    "signatureStoreDir", "imageStoreDir", "ivfIndexDir",
+    "driftBaselineDir", "eventsDir", "bucketedTable", "bucketedJoin")
+
+  /** Run every one-time lazy staging path once, UNTIMED (VERDICT r9
+    * directive #1). All helpers are idempotent per-JVM caches
+    * (Staging.scala, Bucketing.scala), so one call each moves the
+    * build out of the timed samples and later query invocations hit
+    * the cache. Failures are logged, not fatal: the affected query
+    * will then pay (and surface) the cost itself. */
+  private[graft] def stageWarmup(spark: SparkSession, sfDir: String): Unit = {
+    val t0 = System.nanoTime()
+    def step(tag: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] stage warm-up '$tag' failed: $t")
+      }
+    // q92's two bucketed layouts (keys/buckets = Bucketing.bucketedJoin
+    // defaults used by the query)
+    step("bucket_lineitem")(graft.operators.Bucketing
+      .bucketedTable(spark, sfDir, "lineitem", "l_orderkey", 8))
+    step("bucket_orders")(graft.operators.Bucketing
+      .bucketedTable(spark, sfDir, "orders", "o_orderkey", 8))
+    step("sigstore")(graft.queries.Staging.signatureStoreDir(spark, sfDir))
+    step("imgstore")(graft.queries.Staging.imageStoreDir(spark, sfDir))
+    step("ivfindex")(graft.queries.Staging.ivfIndexDir(spark, sfDir))
+    step("driftbase")(graft.queries.Staging.driftBaselineDir(spark, sfDir))
+    step("events")(graft.queries.Staging.eventsDir(sfDir))
+    System.err.println(
+      f"[bench] stage warm-up done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
 
   // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
   // would print 12,345 and break the driver's JSON parse
@@ -168,6 +217,12 @@ object Bench {
       }
       files.nonEmpty
     } catch { case _: Throwable => false }
+    // One-time lazy staging (bucketed tables, signature/image/IVF/drift
+    // stores, events stage) runs here, untimed, so the 1-sample steady
+    // state times QUERIES, not index builds. Counts against the wall
+    // budget (remaining shrinks), which is correct: the ladder must see
+    // the true clock.
+    stageWarmup(spark, sfDir)
     // min of timed runs per query: single-shot timings swing ±30%
     // run-to-run from JIT/page-cache/codegen-cache state; the minimum is
     // the standard steady-state estimator and stays honest (every run

@@ -20,10 +20,15 @@ import graft.operators.Materialize.Ops
   *
   * Scale shape: one distinct shuffle at (basket, item) grain, one
   * self-join co-keyed on basket, one pair-grain groupBy. The item-count
-  * and total frames are bounded by the item domain (|items| and 1 row)
-  * and broadcast; the basket table is never broadcast and never
-  * collected. At 2^53+ basket counts the N·c_ab product would round in
-  * the double cast — far beyond any real corpus (9e15 baskets).
+  * frame is bounded by the ITEM DOMAIN — small for retail SKUs, but a
+  * 20M-row latent OOM when items are e.g. part keys at sf100 — so its
+  * two joins carry NO broadcast hint: AQE broadcasts when the measured
+  * size fits `autoBroadcastJoinThreshold` and shuffles when it doesn't
+  * (AssociationPlanSpec asserts the gate-scale plan still broadcasts,
+  * AQE-chosen). Only the 1-row total frame keeps a forced broadcast.
+  * The basket table is never broadcast and never collected. At 2^53+
+  * basket counts the N·c_ab product would round in the double cast —
+  * far beyond any real corpus (9e15 baskets).
   */
 object Association {
 
@@ -51,8 +56,8 @@ object Association {
       .agg(count(lit(1)).as("pair_orders"))
       .filter(col("pair_orders") >= minSupport)
     pairs
-      .join(broadcast(bc.select(col("b").as("b1"), col("cnt").as("c1"))), "b1")
-      .join(broadcast(bc.select(col("b").as("b2"), col("cnt").as("c2"))), "b2")
+      .join(bc.select(col("b").as("b1"), col("cnt").as("c1")), "b1")
+      .join(bc.select(col("b").as("b2"), col("cnt").as("c2")), "b2")
       .crossJoin(broadcast(n)) // 1-row normalizer
       .select(col("b1"), col("b2"), col("pair_orders"),
         ((col("n_orders") * col("pair_orders")).cast("double") /

@@ -214,14 +214,21 @@ object Vocab {
     * the identical floor-arithmetic rounds.
     *
     * Scale shape: one corpus explode to the distinct pair set (the
-    * only corpus-sized shuffle); the graph itself is vocabulary²-
-    * bounded, so the id-assignment window (row_number over words — a
-    * replayable dense id, needed because pageRank keys on int64) and
-    * every PR iteration run on vocabulary-sized frames. Word→id maps
-    * broadcast. */
+    * only corpus-sized shuffle); the graph itself is vocabulary-
+    * bounded, so every PR iteration runs on vocabulary-sized frames.
+    * Node ids are `monotonically_increasing_id` (per-partition offsets
+    * — unique by construction, no global sort, no collision risk),
+    * frozen by the materialization before reuse; a web-scale vocabulary
+    * (10⁷–10⁸ types) therefore never funnels through one partition the
+    * way a `row_number().over(Window.orderBy(...))` id would (the r9
+    * single-partition WindowExec defect). PageRank's integer fixed
+    * point never reads id VALUES — contributions, degrees and the final
+    * (word, pr) output are id-invariant — so the oracle replays with
+    * its own dense ids and still hash-matches. Word→id join sizing is
+    * left to AQE (no forced broadcast: at web scale the map is
+    * multi-GB and must shuffle; at gate scale AQE broadcasts it). */
   def textRank(docs: DataFrame, k: Int = 20, iters: Int = 3,
       text: Column = col("text")): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = docs
       .repartition(col("doc_id")) // row-amplifying explode (rule 6)
       .select(graft.functions.TextFunctions.tokens(text).as("t"))
@@ -240,17 +247,17 @@ object Vocab {
     val nodes = pairs.select(col("wa").as("w"))
       .union(pairs.select(col("wb"))).distinct()
     val voc = nodes
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("w"))).cast("long"))
-      .materializeOnce() // vocabulary-sized; feeds two joins + readback
+      .withColumn("id", monotonically_increasing_id())
+      // freeze the (nondeterministic) ids BEFORE the two joins + the
+      // readback — without this each consumer could recompute different
+      // ids; vocabulary-sized
+      .materializeOnce()
     val edges = pairs
-      .join(broadcast(voc.select(col("w").as("wa"), col("id").as("id_a"))),
-        Seq("wa"))
-      .join(broadcast(voc.select(col("w").as("wb"), col("id").as("id_b"))),
-        Seq("wb"))
+      .join(voc.select(col("w").as("wa"), col("id").as("id_a")), Seq("wa"))
+      .join(voc.select(col("w").as("wb"), col("id").as("id_b")), Seq("wb"))
       .select(col("id_a"), col("id_b"))
     Dedup.pageRank(edges, iters)
-      .join(broadcast(voc), col("doc_id") === col("id"))
+      .join(voc, col("doc_id") === col("id"))
       .select(col("w").as("word"), col("pr"))
       .orderBy(col("pr").desc, col("word")).limit(k)
   }

@@ -436,6 +436,36 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
   }
 
+  test("t63 textrank assigns vocabulary ids with NO window — no single-partition sort") {
+    // r9's defect: row_number().over(Window.orderBy(w)) funneled the
+    // whole vocabulary through ONE partition. Ids are now
+    // monotonically_increasing_id (per-partition offsets), so the
+    // executed plan must contain no Window node at all, and no
+    // cartesian can appear in the id joins.
+    val names = PlanInspect.nodeNames(run("t63_textrank"))
+    assert(!names.exists(_.contains("Window")), names)
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+  }
+
+  test("q171 basket lift broadcasts the item-count joins at gate scale (AQE-chosen)") {
+    val names = PlanInspect.nodeNames(run("q171_basket_lift"))
+    assert(names.exists(_.contains("BroadcastHashJoin")), names)
+  }
+
+  test("q171 item-count joins carry no forced broadcast hint (latent OOM guard)") {
+    // with auto-broadcast disabled the two item-count equi-joins must
+    // NOT plan as broadcast-hash — proving their broadcast above is
+    // AQE's size-based choice, not a hint that would OOM on a 20M-item
+    // domain. (The 1-row normalizer keeps its forced broadcast and
+    // plans as BroadcastNestedLoop; that is the bounded exception.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val names = PlanInspect.nodeNames(run("q171_basket_lift"))
+      assert(!names.exists(_.contains("BroadcastHashJoin")), names)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q160 SNM windows are bucket-partitioned — the no-global-sort contract") {
     // the whole point of the bucketed formulation: neither pass may
     // fall into an unpartitioned (single-task) window. The formatted
