@@ -17,7 +17,7 @@ HUGEINT-sum becomes float64 ('123.0') vs Spark int64 ('123') → mismatch.
 The fix belongs in the queries (cast final decimals to DOUBLE on both
 sides), not here.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, time
 import duckdb
 import pandas as pd
 
@@ -53,6 +53,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    timings = []  # (duckdb_sec, name) — the gate's own replay cost
     for name in sorted(oracle):
         sql = oracle[name]
         spark_dir = os.path.join(outdir, name)
@@ -62,7 +63,9 @@ def main():
             continue
         try:
             sdf = pd.read_parquet(spark_dir)
+            t0 = time.monotonic()
             ddf = con.execute(sql).df()
+            timings.append((time.monotonic() - t0, name))
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
@@ -82,6 +85,16 @@ def main():
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
+    # Oracle-cost watchdog: the gate runs under the driver's clock, and a
+    # single shared/chained CTE left un-MATERIALIZED can re-create a
+    # t59-style exponential replay (295 s -> 64 s history, CLAUDE.md rule
+    # 22). The slowest-10 table makes any such regression visible the run
+    # it lands instead of when the gate times out.
+    timings.sort(reverse=True)
+    total_oracle = sum(t for t, _ in timings)
+    print(f"\n[oracle-cost] total DuckDB replay {total_oracle:.1f}s; slowest 10:")
+    for t, name in timings[:10]:
+        print(f"[oracle-cost]   {t:6.2f}s  {name}")
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(oracle)} oracled queries")
     sys.exit(1 if n_fail else 0)

@@ -86,11 +86,26 @@ object AsOfJoin {
       .orderBy(col("__asof_ts").asc, col("__asof_side").asc,
         col("__asof_tie").asc_nulls_first)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = (valueCols.map(_._2) :+ "__asof_mts").foldLeft(unioned) {
-      case (df, out) =>
-        df.withColumn(out, first(col(out), ignoreNulls = true).over(w))
+    // ONE struct (match ts + every value) filled by a SINGLE
+    // first(ignoreNulls): per-column fills would let a NULL value in
+    // the nearest right row pull that value from a LATER row while the
+    // tolerance check uses the nearest row's timestamp — values beyond
+    // tolerance could survive, and different valueCols could come from
+    // different rows. The struct is null on left rows (a struct of
+    // nulls is NOT null, so the side guard is what makes ignoreNulls
+    // skip them); everything the match supplies now comes from exactly
+    // one right row, nulls included (merge_asof semantics).
+    val valNames = valueCols.map(_._2)
+    val packed = when(col("__asof_side") === 1,
+      struct(col("__asof_mts").as("__mts") +:
+        valNames.map(n => col(n).as(n)): _*))
+    val filled = unioned
+      .withColumn("__asof_pick", first(packed, ignoreNulls = true).over(w))
+    val lefts = valNames.foldLeft(
+      filled.filter(col("__asof_side") === 0)
+        .withColumn("__asof_mts", col("__asof_pick.__mts"))) {
+      case (df, out) => df.withColumn(out, col("__asof_pick").getField(out))
     }
-    val lefts = filled.filter(col("__asof_side") === 0)
     val bounded = toleranceSec match {
       case Some(t) =>
         val inTol = col("__asof_mts").cast("long") -
@@ -100,6 +115,7 @@ object AsOfJoin {
         }
       case None => lefts
     }
-    bounded.drop("__asof_ts", "__asof_side", "__asof_mts", "__asof_tie")
+    bounded.drop("__asof_ts", "__asof_side", "__asof_mts", "__asof_tie",
+      "__asof_pick")
   }
 }

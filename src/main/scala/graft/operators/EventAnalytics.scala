@@ -532,21 +532,35 @@ object EventAnalytics {
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(-trailHours, -1)
+    // x² and the squared/cross terms route through DECIMAL(38,0) (rule
+    // 18, as in q187/q189/q192): under ANSI mode plain int64 products
+    // THROW once hourly counts reach ~1.3e8 ((n·x−S)² passes 2^63) or
+    // x≈3e9 (Σx² overflows) — volumes a 100 TB ingest plausibly hits.
+    // The anomaly verdict compares the exact decimals; dev2/bound are
+    // emitted as DOUBLE (one correctly-rounded conversion, identical in
+    // both engines; DuckDB replays the products in HUGEINT).
     val withTrail = hourly.select(col("event_type"), col("h"), col("x"),
       coalesce(sum(col("x")).over(w), lit(0L)).as("s"),
-      coalesce(sum(col("x") * col("x")).over(w), lit(0L)).as("sxx"),
+      coalesce(sum(col("x").cast("decimal(38,0)") * col("x")).over(w),
+        lit(0L).cast("decimal(38,0)")).as("sxx"),
       count(col("x")).over(w).as("trail_n"))
-    val dev2 = (col("trail_n") * col("x") - col("s")) *
-      (col("trail_n") * col("x") - col("s"))
+    val dev = col("trail_n").cast("decimal(38,0)") * col("x") - col("s")
+    val dev2 = dev * dev
     val bound = lit(z * z) *
-      (col("trail_n") * col("sxx") - col("s") * col("s"))
+      (col("trail_n") * col("sxx") -
+        col("s").cast("decimal(38,0)") * col("s"))
     withTrail.select(col("event_type"),
         date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("x").as("n_events"), col("trail_n"),
-        when(col("trail_n") >= minTrail, dev2).otherwise(0L).as("dev2"),
-        when(col("trail_n") >= minTrail, bound).otherwise(0L).as("bound"))
-      .withColumn("is_anomaly",
-        col("trail_n") >= minTrail && col("dev2") > col("bound"))
+        when(col("trail_n") >= minTrail, dev2)
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("dev2x"),
+        when(col("trail_n") >= minTrail, bound)
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("boundx"))
+      .select(col("event_type"), col("h"), col("n_events"), col("trail_n"),
+        col("dev2x").cast("double").as("dev2"),
+        col("boundx").cast("double").as("bound"),
+        (col("trail_n") >= minTrail && col("dev2x") > col("boundx"))
+          .as("is_anomaly"))
       .orderBy(col("event_type"), col("h"))
   }
 
@@ -643,7 +657,11 @@ object EventAnalytics {
       val next = scala.collection.mutable.Map.empty[String, Long]
         .withDefaultValue(0L)
       m.foreach { case (i, j, c) =>
-        pi.get(i).foreach(mass => next(j) += mass * c / rowsum(i)) }
+        // driver-side Long math sits OUTSIDE ANSI protection: enforce the
+        // documented scale·max(c) < 2^63 validity bound loudly instead of
+        // wrapping silently past it (plan-level siblings throw via ANSI)
+        pi.get(i).foreach(mass =>
+          next(j) += Math.multiplyExact(mass, c) / rowsum(i)) }
       pi = states.map(s => s -> next(s)).toMap
     }
     val spark = events.sparkSession
@@ -727,14 +745,18 @@ object EventAnalytics {
     * Zero-gap pairs (same wall-clock second) land in bucket 0.
     *
     * Scale shape: one shuffle (partition by user), a lag window, and
-    * an output bounded by 64 buckets. */
+    * an output bounded by 64 buckets.
+    *
+    * `key` is the lag tie-break within a second (like episodeSupport /
+    * topPaths / markovStationary take theirs) — callers whose table has
+    * no `event_id` pass their own unique column. */
   def interArrivalHistogram(events: DataFrame,
-      entity: String = "user_id", ts: Column = col("ts")): DataFrame = {
+      entity: String = "user_id", ts: Column = col("ts"),
+      key: Column = col("event_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(entity)).orderBy(col("sec"), col("eid"))
     events
-      .select(col(entity), ts.cast("long").as("sec"),
-        col("event_id").as("eid"))
+      .select(col(entity), ts.cast("long").as("sec"), key.as("eid"))
       .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
       .filter(col("gap").isNotNull)
       .select(when(col("gap") === 0, lit(0L))

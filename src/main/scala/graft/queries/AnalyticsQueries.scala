@@ -958,7 +958,7 @@ object AnalyticsQueries {
         |trail AS (
         |  SELECT event_type, h, x,
         |    CAST(coalesce(sum(x) OVER w, 0) AS BIGINT) AS s,
-        |    CAST(coalesce(sum(x * x) OVER w, 0) AS BIGINT) AS sxx,
+        |    coalesce(sum(CAST(x AS HUGEINT) * x) OVER w, 0) AS sxx,
         |    CAST(count(x) OVER w AS BIGINT) AS trail_n
         |  FROM hourly
         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
@@ -966,15 +966,18 @@ object AnalyticsQueries {
         |terms AS (
         |  SELECT event_type, h, x AS n_events, trail_n,
         |    CASE WHEN trail_n >= 12
-        |         THEN (trail_n * x - s) * (trail_n * x - s)
+        |         THEN (CAST(trail_n AS HUGEINT) * x - s)
+        |            * (CAST(trail_n AS HUGEINT) * x - s)
         |         ELSE 0 END AS dev2,
         |    CASE WHEN trail_n >= 12
-        |         THEN 9 * (trail_n * sxx - s * s) ELSE 0 END AS bound
+        |         THEN 9 * (CAST(trail_n AS HUGEINT) * sxx
+        |                   - CAST(s AS HUGEINT) * s)
+        |         ELSE 0 END AS bound
         |  FROM trail)
         |SELECT event_type,
         |  strftime(CAST(h AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS h,
         |  CAST(n_events AS BIGINT) AS n_events, trail_n,
-        |  CAST(dev2 AS BIGINT) AS dev2, CAST(bound AS BIGINT) AS bound,
+        |  CAST(dev2 AS DOUBLE) AS dev2, CAST(bound AS DOUBLE) AS bound,
         |  trail_n >= 12 AND dev2 > bound AS is_anomaly
         |FROM terms
         |ORDER BY event_type, h""".stripMargin),

@@ -74,6 +74,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(13L) === None && out(14L) === None)
   }
 
+  test("asOfForward takes ALL values (and the tolerance ts) from the ONE nearest row") {
+    // nearest following right row carries a NULL value: per-column fills
+    // would pull the value from the LATER row (10:20 — beyond the 300 s
+    // tolerance measured against the nearest row's 10:01 timestamp) and
+    // mix columns across rows; the struct fill must keep the nearest
+    // row's null AND its timestamp
+    val q = Seq(
+      (1L, ts("2024-01-01 10:01:00"), Option.empty[Double], Some(5L)),
+      (1L, ts("2024-01-01 10:20:00"), Some(999.0), Option.empty[Long])
+    ).toDF("user_id", "ts", "price", "qty")
+    val t = Seq((10L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("trade_id", "user_id", "ts")
+    val out = AsOfJoin.asOfForward(t, q, "user_id", "ts", "ts",
+      Seq("price" -> "p", "qty" -> "q"), toleranceSec = Some(300L))
+      .select($"trade_id", $"p", $"q").collect()(0)
+    assert(out.isNullAt(1), "price must be the nearest row's NULL, not 999.0")
+    assert(!out.isNullAt(2) && out.getLong(2) === 5L,
+      "qty must come from the same (nearest) row")
+  }
+
   test("asOfLeft preserves every left row exactly once") {
     val out = AsOfJoin.asOfLeft(trades, quotes, "user_id", "ts", "ts",
       Seq("price" -> "quote_price"))
