@@ -63,6 +63,23 @@ object ScaleProbe {
         lit("probe").as("source"))
   }
 
+  /** Base-shape probe docs over an arbitrary id range `[from, from +
+    * count)` with NO planted dups — the same seed→words construction as
+    * [[corpus]]'s base half (corpusAt(0, n) ≡ corpus(n)'s originals), so
+    * other probes (StreamScaleProbe's ingest loop) can mint genuinely
+    * novel documents that near-dup nothing already generated. */
+  def corpusAt(spark: SparkSession, from: Long, count: Long): DataFrame =
+    spark.range(from, from + count).toDF("doc_id")
+      .withColumn("seed", xxhash64(col("doc_id")))
+      .withColumn("vocab", vocabLit)
+      .withColumn("words",
+        transform(sequence(lit(1), lit(60)), i =>
+          element_at(col("vocab"),
+            (pmod(xxhash64(col("seed") + i), lit(1000)) + 1).cast("int"))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("words")).as("text"),
+        lit("probe").as("source"))
+
   /** N base docs of 60 words each, plus one near-dup for every 20th
     * base doc: same word sequence with ONLY the last word perturbed →
     * 57 of 59 distinct 3-shingles shared, Jaccard ≈ 0.966. At that

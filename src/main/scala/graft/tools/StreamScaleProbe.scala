@@ -53,20 +53,16 @@ object StreamScaleProbe {
           .as("value"))
   }
 
-  /** Stage `chunks` LSN-ordered parquet files (ascending event_id
-    * ranges, ascending mtimes) — the multi-micro-batch arrival shape,
-    * same contract as EventPipeline.cdcChunksDir but at probe volume. */
-  private def stageChunks(
-      spark: SparkSession, ev: DataFrame, n: Long, dir: String, chunks: Int): Unit = {
+  /** Stage each frame as ONE parquet file with ascending mtimes — the
+    * multi-micro-batch arrival shape (maxFilesPerTrigger=1 then replays
+    * them in order). */
+  private def stageFrames(frames: Seq[DataFrame], dir: String): Unit = {
     val t0 = System.currentTimeMillis()
     val root = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(root)
-    (0 until chunks).foreach { i =>
-      val lo = i * n / chunks
-      val hi = (i + 1) * n / chunks
+    frames.zipWithIndex.foreach { case (df, i) =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_sprobe_c$i")
-      ev.filter(col("event_id") >= lo && col("event_id") < hi)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"probe chunk $i produced no parquet part"))
@@ -76,6 +72,18 @@ object StreamScaleProbe {
       dst.toFile.setLastModified(t0 + i * 2000L)
     }
   }
+
+  /** Stage `chunks` LSN-ordered parquet files (ascending event_id
+    * ranges, ascending mtimes) — the multi-micro-batch arrival shape,
+    * same contract as EventPipeline.cdcChunksDir but at probe volume. */
+  private def stageChunks(
+      spark: SparkSession, ev: DataFrame, n: Long, dir: String, chunks: Int): Unit =
+    stageFrames(
+      (0 until chunks).map { i =>
+        val lo = i * n / chunks
+        val hi = (i + 1) * n / chunks
+        ev.filter(col("event_id") >= lo && col("event_id") < hi)
+      }, dir)
 
   /** Collects (batchId, inputRows, triggerExecution ms, state rows)
     * per micro-batch — the latency-vs-state table the round-8 verdict
@@ -131,14 +139,31 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch) " +
       s"us_per_event=$usPerEvent (~${600000000L / usPerEvent} events in the 10-min state window)")
+    // optional 4th arg: comma-separated stage keys (join,cdc,q153,q161)
+    // — the r9 stages (join/cdc) are ~6 min at 10M events; per-stage
+    // runs let the new ingest loops be measured without re-paying them
+    val stageFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def on(k: String): Boolean = stageFilter.forall(_.contains(k))
 
     val chunksDir = s"$out/chunks"
-    time("event gen + chunk staging") {
+    if (on("join") || on("cdc") || on("q161")) time("event gen + chunk staging") {
       stageChunks(spark, events(spark, n, usPerEvent), n, chunksDir, chunks)
     }
     val collector = new ProgressCollector
     spark.streams.addListener(collector)
 
+    if (on("join")) joinStage(spark, collector, chunksDir, out)
+    if (on("cdc")) cdcStage(spark, collector, chunksDir, out, n)
+    if (on("q161")) q161Stage(spark, collector, chunksDir, out, n)
+    if (on("q153")) q153Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
+
+    spark.streams.removeListener(collector)
+    spark.stop()
+  }
+
+  private def joinStage(
+      spark: SparkSession, collector: ProgressCollector,
+      chunksDir: String, out: String): Unit = {
     // ---- stream-stream join (q83 shape) at two partition counts ----
     // rule 10 says state partitions track state volume, not the batch
     // default; with ~60k state rows the crossover is measurable
@@ -172,8 +197,12 @@ object StreamScaleProbe {
       s"stream/batch parity broke at volume (p8): stream=$c8/$h8 batch=$cb/$hb")
     require(c64 == cb && h64 == hb,
       s"stream/batch parity broke at volume (p64): stream=$c64/$h64 batch=$cb/$hb")
-    println(s"[sprobe] exactly-once: stream ≡ batch interval join at $n events — OK")
+    println(s"[sprobe] exactly-once: stream ≡ batch interval join — OK")
+  }
 
+  private def cdcStage(
+      spark: SparkSession, collector: ProgressCollector,
+      chunksDir: String, out: String, n: Long): Unit = {
     // ---- CDC upsert loop (q107 shape) ----
     val snapRoot = s"$out/snaps"
     val base = spark.range(0).select(col("id"), lit(0.0).as("val"))
@@ -200,8 +229,138 @@ object StreamScaleProbe {
     require(diff == 0 && ns == nb,
       s"cdc stream/batch parity broke at volume: $ns vs $nb, diff=$diff")
     println(s"[sprobe] exactly-once: cumulative CDC upsert ≡ one-shot merge at $n events — OK")
+  }
 
-    spark.streams.removeListener(collector)
-    spark.stop()
+  /** q161 at volume (r9 verdict #4): the streaming HLL monitor over the
+    * full event staging — per-batch latency, the bounded-partial-state
+    * contract (≤ 256·|keys| rows per batch REGARDLESS of batch volume),
+    * max-merge ≡ one-shot registers (the exactly-once-by-idempotence
+    * claim, including a simulated at-least-once replay), and the final
+    * estimate's error band. */
+  private def q161Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      chunksDir: String, out: String, n: Long): Unit = {
+    import graft.operators.Frequency
+    val regStore = s"$out/regstore"
+    time("q161 streaming HLL, all micro-batches") {
+      val q = graft.streaming.StreamingCardinality.start(spark, chunksDir, regStore)
+      try q.processAllAvailable() finally q.stop()
+    }
+    collector.report("q161 hll")
+    val batchDirs = Option(new java.io.File(regStore).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .sortBy(_.getName)
+    // bounded-state contract: each partial ≤ 4 event types × 256 buckets
+    batchDirs.foreach { d =>
+      val c = spark.read.parquet(d.getAbsolutePath).count()
+      println(s"[sprobe] q161 partial ${d.getName}: $c register rows")
+      require(c <= 4 * 256,
+        s"partial sketch ${d.getName} not bounded by keys·buckets: $c rows")
+    }
+    val all = spark.read.parquet(s"$chunksDir/chunk_*")
+    val merged = spark.read
+      .parquet(batchDirs.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .groupBy(col("event_type"), col("b")).agg(max(col("pmax")).as("pmax"))
+      .localCheckpoint()
+    val direct = graft.streaming.StreamingCardinality
+      .batchRegisters(all, oracleHash = false)
+    val regDiff = merged.exceptAll(direct)
+      .unionByName(direct.exceptAll(merged)).count()
+    require(regDiff == 0,
+      s"max-merged partials diverged from one-shot registers: $regDiff rows")
+    // at-least-once replay: re-merging with a DUPLICATE of one partial
+    // must change nothing (idempotence measured, not assumed)
+    val replay = spark.read
+      .parquet((batchDirs.map(_.getAbsolutePath) :+
+        batchDirs.head.getAbsolutePath).toIndexedSeq: _*)
+      .groupBy(col("event_type"), col("b")).agg(max(col("pmax")).as("pmax"))
+    val replayDiff = replay.exceptAll(merged)
+      .unionByName(merged.exceptAll(replay)).count()
+    require(replayDiff == 0,
+      s"duplicate-partial replay changed the merge: $replayDiff rows")
+    val exact = all.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val est = graft.streaming.StreamingCardinality
+      .estimateFromStore(spark, regStore, exact).collect()
+    est.foreach(r => println(f"[sprobe] q161 ${r.getString(0)}%-9s " +
+      f"est=${r.getDouble(4)}%10.1f exact=${r.getLong(5)}%8d " +
+      f"rel_err=${r.getDouble(6)}%.4f"))
+    require(est.nonEmpty && est.forall(_.getDouble(6) < 0.2),
+      s"q161 rel_err out of band at volume")
+    println(s"[sprobe] exactly-once: streamed HLL ≡ one-shot registers at $n events — OK")
+  }
+
+  /** q153 at volume (r9 verdict #4): dedup-at-the-door over many
+    * micro-batches against a persisted signature store seeded with
+    * `nDocs` settled documents — per-batch latency and store-append
+    * growth as batches land (the axis the 2-batch gate can't see).
+    * Batches alternate NOVEL (fresh docs that must all survive and be
+    * appended) and DUP (near-dups of settled corpus docs that must be
+    * flagged corpus_dup at the d53 banding contract ≥99.9%). */
+  private def q153Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      out: String, nDocs: Long): Unit = {
+    val docsDir = s"$out/ingest_docs"
+    val storeDir = s"$out/ingest_store"
+    val sinkRoot = s"$out/ingest_sink"
+    val corpus = ScaleProbe.corpus(spark, nDocs).localCheckpoint()
+    val base = corpus.filter(col("doc_id") < nDocs)
+    val dups = corpus.filter(col("doc_id") >= nDocs) // nDocs/20 planted near-dups
+    val dupChunk = nDocs / 100 // 5 dup batches
+    val novChunk = nDocs / 20 // 5 novel batches
+    println(s"[sprobe] q153 corpus=$nDocs settled, 5 novel batches × $novChunk " +
+      s"+ 5 dup batches × $dupChunk")
+    time("q153 store seed (one-time)") {
+      graft.operators.Dedup.writeSignatureStore(base, storeDir)
+    }
+    time("q153 doc chunk staging") {
+      // interleave novel/dup arrivals: batch 2i = novel, 2i+1 = dups
+      stageFrames((0 until 5).flatMap { i =>
+        Seq(
+          ScaleProbe.corpusAt(spark, 2 * nDocs + i * novChunk, novChunk),
+          dups.filter(col("doc_id") >= nDocs + i * dupChunk &&
+            col("doc_id") < nDocs + (i + 1) * dupChunk))
+      }, docsDir)
+    }
+    time("q153 streaming ingest dedup, 10 micro-batches") {
+      val q = graft.streaming.IngestDedup.start(
+        spark, docsDir, storeDir, sinkRoot, threshold = 0.5, maxDf = 200)
+      try q.processAllAvailable() finally q.stop()
+    }
+    collector.report("q153 ingest")
+    // per-batch decisions + cumulative store growth (signatures rows)
+    val sigBase = spark.read.parquet(s"$storeDir/signatures").count()
+    var appended = 0L
+    var dupFlagged = 0L
+    var dupTotal = 0L
+    (0 until 10).foreach { b =>
+      val dec = spark.read.parquet(s"$sinkRoot/decisions/batch_$b")
+        .localCheckpoint()
+      val total = dec.count()
+      val isDup = b % 2 == 1
+      val flagged = dec.filter(col("reason") === "corpus_dup").count()
+      val kept = dec.filter(col("keep")).count()
+      val sigTag = new java.io.File(f"$storeDir/signatures/batch_$b%05d")
+      val sigRows =
+        if (sigTag.isDirectory) spark.read.parquet(sigTag.getAbsolutePath).count()
+        else 0L
+      appended += sigRows
+      println(f"[sprobe] q153 batch=$b%2d ${if (isDup) "dup  " else "novel"} " +
+        f"docs=$total%7d corpus_dup=$flagged%7d kept=$kept%7d " +
+        f"store_append=$sigRows%7d store_now=${sigBase + appended}%8d")
+      if (isDup) { dupFlagged += flagged; dupTotal += total }
+      else {
+        require(kept == total,
+          s"novel batch $b lost docs to false dedup: kept $kept/$total")
+        require(sigRows == kept,
+          s"store append drifted from survivors in batch $b: $sigRows vs $kept")
+      }
+    }
+    require(dupTotal == 5 * dupChunk, s"dup batches drifted: $dupTotal")
+    require(dupFlagged >= dupTotal * 999 / 1000,
+      s"store-path recall broke across batches: $dupFlagged/$dupTotal")
+    println(s"[sprobe] q153 recall $dupFlagged/$dupTotal across 5 dup batches; " +
+      s"store grew $sigBase → ${sigBase + appended} signatures (survivors only) — OK")
   }
 }
