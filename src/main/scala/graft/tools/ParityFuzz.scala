@@ -1,0 +1,313 @@
+package graft.tools
+
+import scala.util.Random
+
+/** Differential SQL fuzz for the parity dialect (VERDICT r9 directive
+  * #6): a seeded generator over the SURVEY.md §2 grammar fence —
+  * projection / filter / join / group+having / distinct / order+limit /
+  * IN- and scalar subqueries, with the dialect's quirk surface (`^` as
+  * power, LIKE-as-anchored-regex, pandas CAST names, `||` concat) —
+  * each case rendered THREE ways from one AST (rule 12's one-definition
+  * pattern, applied to test generation):
+  *
+  *   - `dfsql`:    the reference dialect, executed through the facade
+  *                 (`DataSource.query` → Dialect.lower → Catalyst);
+  *   - `sparkSql`: plain Spark SQL with the quirks pre-lowered by the
+  *                 GENERATOR (independent of Dialect.scala), over
+  *                 `fz_`-prefixed views — the in-suite differential leg
+  *                 (ParityFuzzSpec: facade ≡ native, values compared);
+  *   - `duckSql`:  DuckDB SQL — the cross-engine leg, exercised by
+  *                 `tools.FuzzDump` + `scripts/check_oracle.py` exactly
+  *                 like the Verify gate (run it whenever the dialect or
+  *                 generator changes).
+  *
+  * Constructs with known benign cross-engine representation gaps follow
+  * the gate rules: sums render `CAST(... AS BIGINT)` on the DuckDB side
+  * (HUGEINT), no doubles are summed, no LIMIT without a unique total
+  * order. Every divergence the fuzz ever finds must be pinned as a
+  * named regression case in ParityFuzzSpec.
+  */
+object ParityFuzz {
+
+  /** One generated case; `name` is stable for a given (seed, index). */
+  final case class FuzzCase(
+      name: String, dfsql: String, sparkSql: String, duckSql: String)
+
+  /** A fragment rendered for the three engines. */
+  private final case class R(df: String, sp: String, dk: String) {
+    def +(o: R): R = R(df + o.df, sp + o.sp, dk + o.dk)
+  }
+  private def same(s: String) = R(s, s, s)
+
+  private final case class Tbl(
+      name: String, pk: String, ints: Seq[String], strs: Seq[String]) {
+    def ref: R = R(name, "fz_" + name, name)
+    def cols: Seq[String] = ints ++ strs
+  }
+  private val region =
+    Tbl("region", "r_regionkey", Seq("r_regionkey"), Seq("r_name"))
+  private val nation =
+    Tbl("nation", "n_nationkey", Seq("n_nationkey", "n_regionkey"),
+      Seq("n_name"))
+  private val customer =
+    Tbl("customer", "c_custkey", Seq("c_custkey", "c_nationkey"),
+      Seq("c_name", "c_mktsegment"))
+  private val tables = Seq(region, nation, customer)
+
+  /** The tables the fixtures need registered (facade + views + DuckDB). */
+  val tableNames: Seq[String] = tables.map(_.name)
+
+  private def pick[A](rnd: Random, xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+
+  // ---- expressions ----
+
+  private def intExpr(rnd: Random, t: Tbl, depth: Int = 0): R = {
+    val atom = same(pick(rnd, t.ints))
+    if (depth >= 2) atom
+    else rnd.nextInt(5) match {
+      case 0 => atom
+      case 1 => // arithmetic with a small literal; all operands ≥ 0
+        val k = 2 + rnd.nextInt(6)
+        val op = pick(rnd, Seq("+", "-", "*", "%"))
+        val a = intExpr(rnd, t, depth + 1)
+        if (op == "-") R(s"(${a.df} + $k - $k)", s"(${a.sp} + $k - $k)",
+          s"(${a.dk} + $k - $k)") // keep values non-negative for % safety
+        else R(s"(${a.df} $op $k)", s"(${a.sp} $op $k)", s"(${a.dk} $op $k)")
+      case 2 =>
+        val a = intExpr(rnd, t, depth + 1)
+        val b = intExpr(rnd, t, depth + 1)
+        R(s"(${a.df} + ${b.df})", s"(${a.sp} + ${b.sp})", s"(${a.dk} + ${b.dk})")
+      case _ => atom
+    }
+  }
+
+  private def strExpr(rnd: Random, t: Tbl): R = {
+    val c = pick(rnd, t.strs)
+    rnd.nextInt(4) match {
+      case 0 => same(c)
+      case 1 => same(s"UPPER($c)")
+      case 2 => same(s"LOWER($c)")
+      case _ =>
+        val c2 = pick(rnd, t.strs)
+        same(s"($c || '_' || $c2)")
+    }
+  }
+
+  /** The dialect-quirk items: `^` power, pandas CAST names. */
+  private def quirkExpr(rnd: Random, t: Tbl): R = {
+    val c = pick(rnd, t.ints)
+    rnd.nextInt(3) match {
+      case 0 =>
+        val k = 2 + rnd.nextInt(2)
+        R(s"($c ^ $k)", s"POWER($c, $k)", s"POWER($c, $k)")
+      case 1 =>
+        R(s"CAST($c AS str)", s"CAST($c AS STRING)", s"CAST($c AS VARCHAR)")
+      case _ =>
+        R(s"CAST($c AS float64)", s"CAST($c AS DOUBLE)", s"CAST($c AS DOUBLE)")
+    }
+  }
+
+  private def selectItem(rnd: Random, t: Tbl): R =
+    rnd.nextInt(4) match {
+      case 0 => intExpr(rnd, t)
+      case 1 => strExpr(rnd, t)
+      case 2 => quirkExpr(rnd, t)
+      case _ => same(pick(rnd, t.cols))
+    }
+
+  // ---- predicates ----
+
+  private val regexPats = Seq("A.*", "C.*", "[A-M].*", ".*a.*", "I.*N.*")
+
+  private def pred(rnd: Random, t: Tbl, depth: Int = 0): R =
+    rnd.nextInt(if (depth >= 2) 5 else 7) match {
+      case 0 =>
+        val a = intExpr(rnd, t)
+        val op = pick(rnd, Seq("=", "!=", "<", "<=", ">", ">="))
+        val k = rnd.nextInt(30)
+        R(s"${a.df} $op $k", s"${a.sp} $op $k", s"${a.dk} $op $k")
+      case 1 => // dialect LIKE = anchored regex (re.match semantics)
+        val c = pick(rnd, t.strs)
+        val p = pick(rnd, regexPats)
+        R(s"$c LIKE '$p'", s"$c RLIKE '^(?:$p)'",
+          s"regexp_matches($c, '^(?:$p)')")
+      case 2 => same(s"${pick(rnd, t.cols)} IS NOT NULL")
+      case 3 =>
+        val c = pick(rnd, t.ints)
+        val ks = Seq.fill(3)(rnd.nextInt(25)).distinct.mkString(", ")
+        same(s"$c IN ($ks)")
+      case 4 =>
+        val c = pick(rnd, t.strs)
+        same(s"$c IS NULL")
+      case 5 =>
+        val a = pred(rnd, t, depth + 1)
+        val b = pred(rnd, t, depth + 1)
+        val op = pick(rnd, Seq("AND", "OR"))
+        R(s"(${a.df} $op ${b.df})", s"(${a.sp} $op ${b.sp})",
+          s"(${a.dk} $op ${b.dk})")
+      case _ =>
+        val a = pred(rnd, t, depth + 1)
+        R(s"(NOT ${a.df})", s"(NOT ${a.sp})", s"(NOT ${a.dk})")
+    }
+
+  // ---- aggregates ----
+
+  private def aggItem(rnd: Random, t: Tbl, alias: String): R =
+    rnd.nextInt(4) match {
+      case 0 => same(s"COUNT(*) AS $alias")
+      case 1 =>
+        val e = intExpr(rnd, t)
+        R(s"SUM(${e.df}) AS $alias", s"SUM(${e.sp}) AS $alias",
+          s"CAST(SUM(${e.dk}) AS BIGINT) AS $alias")
+      case 2 =>
+        val c = pick(rnd, t.ints)
+        val f = pick(rnd, Seq("MIN", "MAX"))
+        same(s"$f($c) AS $alias")
+      case _ =>
+        val c = pick(rnd, t.strs)
+        val f = pick(rnd, Seq("MIN", "MAX"))
+        same(s"$f($c) AS $alias")
+    }
+
+  // ---- query shapes ----
+
+  private def aliased(items: Seq[R]): Seq[R] =
+    items.zipWithIndex.map { case (r, i) =>
+      R(s"${r.df} AS e$i", s"${r.sp} AS e$i", s"${r.dk} AS e$i")
+    }
+
+  private def joinList(rs: Seq[R], sep: String = ", "): R =
+    R(rs.map(_.df).mkString(sep), rs.map(_.sp).mkString(sep),
+      rs.map(_.dk).mkString(sep))
+
+  private def genCase(rnd: Random, idx: Int): FuzzCase = {
+    val t = pick(rnd, tables)
+    val shape = rnd.nextInt(8)
+    val q: R = shape match {
+      case 0 => // projection [+ filter]
+        val items = joinList(aliased(Seq.fill(1 + rnd.nextInt(3))(selectItem(rnd, t))))
+        val w = if (rnd.nextBoolean()) {
+          val p = pred(rnd, t)
+          R(s" WHERE ${p.df}", s" WHERE ${p.sp}", s" WHERE ${p.dk}")
+        } else same("")
+        same("SELECT ") + items + same(" FROM ") + t.ref + w
+      case 1 => // DISTINCT
+        val items = joinList(aliased(Seq.fill(1 + rnd.nextInt(2))(selectItem(rnd, t))))
+        same("SELECT DISTINCT ") + items + same(" FROM ") + t.ref
+      case 2 => // inner/left join
+        val (l, r2, cond) = pick(rnd, Seq(
+          (nation, region, "n_regionkey = r_regionkey"),
+          (customer, nation, "c_nationkey = n_nationkey")))
+        val jt = pick(rnd, Seq("JOIN", "LEFT JOIN"))
+        val items = joinList(aliased(
+          Seq(selectItem(rnd, l), selectItem(rnd, r2))))
+        val w = if (rnd.nextBoolean()) {
+          val p = pred(rnd, l)
+          R(s" WHERE ${p.df}", s" WHERE ${p.sp}", s" WHERE ${p.dk}")
+        } else same("")
+        same("SELECT ") + items + same(" FROM ") + l.ref +
+          same(s" $jt ") + r2.ref + same(s" ON $cond") + w
+      case 3 => // group by [+ having]
+        val g = pick(rnd, t.ints)
+        val aggs = joinList((1 to (1 + rnd.nextInt(2)))
+          .map(i => aggItem(rnd, t, s"a$i")))
+        val hv =
+          if (rnd.nextBoolean()) same(s" HAVING COUNT(*) >= ${1 + rnd.nextInt(2)}")
+          else same("")
+        same(s"SELECT $g AS g, ") + aggs + same(" FROM ") + t.ref +
+          same(s" GROUP BY $g") + hv
+      case 4 => // total order + limit/offset over the pk (unique)
+        val extra = aliased(Seq(selectItem(rnd, t))).head
+        val lim = 3 + rnd.nextInt(7)
+        val off = if (rnd.nextBoolean()) s" OFFSET ${rnd.nextInt(4)}" else ""
+        same(s"SELECT ${t.pk} AS pk, ") + extra + same(" FROM ") + t.ref +
+          same(s" ORDER BY ${t.pk} LIMIT $lim$off")
+      case 5 => // IN (subquery)
+        val (outer, inner, oKey, iKey) = pick(rnd, Seq(
+          (nation, region, "n_regionkey", "r_regionkey"),
+          (customer, nation, "c_nationkey", "n_nationkey")))
+        val p = pred(rnd, inner)
+        val items = joinList(aliased(Seq(selectItem(rnd, outer))))
+        same("SELECT ") + items + same(" FROM ") + outer.ref +
+          same(s" WHERE $oKey IN (SELECT $iKey FROM ") + inner.ref +
+          same(" WHERE ") + p + same(")")
+      case 6 => // scalar subquery
+        val items = joinList(aliased(Seq(selectItem(rnd, nation))))
+        val f = pick(rnd, Seq("MIN", "MAX"))
+        same("SELECT ") + items + same(" FROM ") + nation.ref +
+          same(s" WHERE n_nationkey >= (SELECT $f(r_regionkey) FROM ") +
+          region.ref + same(")")
+      case _ => // quirk showcase: every dialect rewrite in one statement
+        val c = pick(rnd, t.ints)
+        val s = pick(rnd, t.strs)
+        val p = pick(rnd, regexPats)
+        R(s"SELECT ($c ^ 2) AS e0, CAST($c AS str) AS e1, " +
+            s"($s || '!') AS e2 FROM ${t.name} WHERE $s LIKE '$p'",
+          s"SELECT POWER($c, 2) AS e0, CAST($c AS STRING) AS e1, " +
+            s"($s || '!') AS e2 FROM fz_${t.name} WHERE $s RLIKE '^(?:$p)'",
+          s"SELECT POWER($c, 2) AS e0, CAST($c AS VARCHAR) AS e1, " +
+            s"($s || '!') AS e2 FROM ${t.name} " +
+            s"WHERE regexp_matches($s, '^(?:$p)')")
+    }
+    FuzzCase(f"fz$idx%03d_s$shape", q.df, q.sp, q.dk)
+  }
+
+  /** Deterministic case list for (seed, n). */
+  def cases(seed: Long, n: Int): Seq[FuzzCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map(i => genCase(rnd, i))
+  }
+}
+
+/** Dump the fuzz cases through the FACADE in the Verify layout, so
+  * `scripts/check_oracle.py <sfDir> <outDir>` replays the duckSql side
+  * in DuckDB and value-compares — the cross-engine leg of the fuzz.
+  *
+  * Usage: runMain graft.tools.FuzzDump [sfDir] [outDir] [seed] [n]
+  */
+object FuzzDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_fuzz")
+    val seed = args.lift(2).map(_.toLong).getOrElse(42L)
+    val n = args.lift(3).map(_.toInt).getOrElse(200)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meta = java.nio.file.Files.createTempDirectory("graft_fuzz_meta")
+    val ds = new graft.catalog.DataSource(spark, meta.toString,
+      initialCache = new graft.catalog.DoNothingCache)
+    ParityFuzz.tableNames.foreach(t =>
+      ds.addTable(graft.catalog.FileTable(t, s"$sfDir/$t.parquet")))
+    new java.io.File(outDir).mkdirs()
+    val cases = ParityFuzz.cases(seed, n)
+    var failed = 0
+    cases.foreach { c =>
+      try ds.queryDF(c.dfsql).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${c.name}")
+      catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzz] ${c.name} FAILED: ${e.getMessage}\n  ${c.dfsql}")
+      }
+    }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    }
+    val json = cases.map(c => s""""${c.name}": "${esc(c.duckSql)}"""")
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    System.err.println(s"[fuzz] SUMMARY: ${cases.size - failed}/${cases.size} dumped, $failed failed (seed=$seed)")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
