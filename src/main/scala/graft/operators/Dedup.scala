@@ -629,6 +629,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[winnowingPairs]] constants — one definition for the operator AND
+    * the generated d62 oracle (rule 12). k-gram size 3, window 4: the
+    * winnowing guarantee then detects any shared run of ≥ w+k−1 = 6
+    * tokens while fingerprinting only ~2/(w+1) of positions. */
+  val winnowK: Int = 3
+  val winnowW: Int = 4
+  val winnowMaxDf: Int = 20
+  val winnowMinShared: Long = 2L
+
+  /** Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-gram, slide
+    * a w-hash window, keep each window's MINIMUM hash as a fingerprint;
+    * documents sharing ≥ minShared fingerprints pair up. The guarantee
+    * that distinguishes it from plain k-gram sampling: any shared
+    * substring of ≥ w+k−1 tokens shares at least one fingerprint, while
+    * the fingerprint density stays ~2/(w+1) — sparse, position-robust
+    * local dedup between MinHash (whole-doc) and d49's exhaustive
+    * window table (every position).
+    *
+    * Exactness: min-of-window over the same signed hashes is engine-
+    * independent; the gate runs oracleHash = true (the HUGEINT-
+    * replayable polynomial, as d49); production defaults to xxhash64
+    * under spec. Ties inside a window collapse to the same VALUE, so
+    * value-distinct fingerprints are identical both sides.
+    *
+    * Scale shape: per-doc array lambdas (codegen'd, no explode until
+    * the fingerprints — already ~2/(w+1) sparse); the pair join is the
+    * standard df-capped inverted index (the d58 shape), so boilerplate
+    * fingerprints never explode the candidate set. repartition before
+    * the row-amplifying explode (rule 6 via spread). */
+  /** The (doc_id, fp) winnowing-fingerprint table [[winnowingPairs]]
+    * joins on — exposed so callers can persist it as a store (the d53
+    * pattern) or audit density. Distinct per doc. */
+  def winnowingFingerprints(
+      docs: DataFrame, k: Int = winnowK, w: Int = winnowW,
+      oracleHash: Boolean = false): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      // k-gram strings, then their hashes — each built as a materialized
+      // column BEFORE the next lambda references it (rule 4)
+      .withColumn("shs", TextFunctions.windowsFromTokens(col("toks"), k))
+      .withColumn("hs", transform(col("shs"), s => wordHash(s, oracleHash)))
+      .withColumn("fps",
+        when(size(col("hs")) < w, array().cast("array<bigint>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(col("hs")) - (w - 1)),
+            j => array_min(slice(col("hs"), j, lit(w)))))))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  def winnowingPairs(
+      docs: DataFrame, k: Int = winnowK, w: Int = winnowW,
+      maxDf: Int = winnowMaxDf, minShared: Long = winnowMinShared,
+      oracleHash: Boolean = false): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w, oracleHash)
+      .materializeOnce() // feeds the df cap AND both join sides
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDf).select(col("fp"))
+    val fil = fps.join(keep, Seq("fp")).materializeOnce()
+    fil.select(col("fp"), col("doc_id").as("id_a"))
+      .join(fil.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The removal half of substring-level dedup (Lee et al. ACL 2022):
     * rewrite each document with every corpus-duplicated n-token span cut
     * out. A token survives iff NO duplicated window covers its position;
@@ -1342,6 +1409,89 @@ object Dedup {
     }
     ranks.select(col("v").as("doc_id"), col("pr"))
       .orderBy(col("pr").desc, col("doc_id"))
+  }
+
+  /** Synchronous rounds for [[labelPropagation]] — shared with the
+    * generated oracle CTE chain (rule 12). Fixed rounds (not
+    * convergence) because sync LPA can oscillate on bipartite-ish
+    * structure; a fixed budget is the standard determinization and
+    * makes the replay exact. */
+  val lpaRounds: Int = 4
+
+  /** Label-propagation community detection (Raghavan, Albert & Kumara,
+    * Phys. Rev. E 2007), determinized: every node starts as its own
+    * label; each synchronous round re-labels every node with the MODE
+    * of its neighbors' labels, ties broken by the smallest label — an
+    * exact integer argmax, so every round (and the final assignment)
+    * replays bit-for-bit in SQL. Distinct from [[connectedComponents]]:
+    * CC's min-label fixpoint finds REACHABILITY classes; LPA's mode
+    * update finds densely-connected COMMUNITIES inside them (a chain of
+    * weakly-joined cliques is one component but several communities).
+    *
+    * Scale shape: per round, ONE equi-join (labels ⋈ edges on src) and
+    * one (node, label)-grain count, then a per-node argmax window —
+    * partitioned by node, bounded by that node's distinct neighbor
+    * labels (≤ degree), never corpus-wide. State between rounds is one
+    * row per node, materialized (rule 5). No driver-side data. */
+  def labelPropagation(pairs: DataFrame, rounds: Int = lpaRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .materializeOnce() // one join per round reads it
+    var labels = e.select(col("dst").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lab"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, col("v") === col("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("v"), col("lab"))
+        .materializeOnce()
+    }
+    labels.select(col("v").as("doc_id"), col("lab").as("community"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multi-source BFS hop distance, `rounds` levels deep: every node
+    * whose id ≡ 0 (mod `seedMod`) is a 0-hop seed; each round relaxes
+    * dist(v) = min(dist(v), min over in-neighbors + 1). All-integer
+    * min-relaxation — associative, order-independent, exactly
+    * replayable as chained SQL CTEs. The crawl-frontier diagnostic:
+    * how much of the dup graph sits within k hops of a seed set
+    * (e.g. a trusted-domain whitelist).
+    *
+    * Scale shape: per round one equi-join (frontier ⋈ edges) + one
+    * min-groupBy at node grain — the [[pageRank]] shape with min
+    * instead of sum; reached-set state materialized between rounds
+    * (rule 5). Rounds are a fixed budget: hop-limited neighborhoods
+    * are the useful query at web scale (full BFS diameter is not). */
+  /** [[bfsHops]] constants, shared with the oracle generator. seedMod
+    * 10 puts ~10% of graph nodes in the seed set — dense enough that
+    * the gate corpus' sparse dup graph still exercises multi-round
+    * expansion (mod 50 reached 2 rows at sf0.01: all seeds isolated). */
+  val bfsSeedMod: Long = 10L
+  val bfsRounds: Int = 4
+
+  def bfsHops(
+      pairs: DataFrame, seedMod: Long = bfsSeedMod,
+      rounds: Int = bfsRounds): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .materializeOnce()
+    var dist = e.select(col("dst").as("v")).distinct()
+      .filter(pmod(col("v"), lit(seedMod)) === 0)
+      .select(col("v"), lit(0L).as("h"))
+      .materializeOnce()
+    for (_ <- 1 to rounds) {
+      dist = dist.unionByName(
+          e.join(dist, col("v") === col("src"))
+            .select(col("dst").as("v"), (col("h") + 1L).as("h")))
+        .groupBy(col("v")).agg(min(col("h")).as("h"))
+        .materializeOnce()
+    }
+    dist.select(col("v").as("doc_id"), col("h").as("hops"))
+      .orderBy(col("doc_id"))
   }
 
   /** Probe-iteration count of the most recent [[kCore]] run. */

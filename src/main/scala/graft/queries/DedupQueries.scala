@@ -136,6 +136,42 @@ object DedupQueries {
     Q("d61_band_curve", Some(bandCurveOracle),
       (s, d) => Dedup.bandCurve(docs(s, d))),
 
+    // winnowing fingerprint pairs (d62): the MOSS algorithm (Schleimer
+    // et al. SIGMOD'03) — min-hash-per-window fingerprints at ~2/(w+1)
+    // density with the ≥ w+k−1 shared-run guarantee, pairs via the
+    // df-capped inverted index. Gate runs the HUGEINT-replayable
+    // polynomial hash (rule 12); xxhash64 production default under
+    // DedupSpec (the sampling is hash-dependent, the shared-run
+    // guarantee is not). The oracle replays window minima positionally.
+    Q("d62_winnowing", Some(winnowingOracle),
+      (s, d) => Dedup.winnowingPairs(docs(s, d), oracleHash = true)),
+
+    // Fellegi–Sunter record-linkage score histogram (d63): integer
+    // agreement weights per field over nation-blocked customer pairs —
+    // the table a practitioner reads to place the match/non-match
+    // thresholds. Fields and weights interpolate from ONE Scala list
+    // into both engines (rule 12); blocks over maxBlock are skipped on
+    // both sides (the capBuckets contract).
+    Q("d63_record_linkage", Some(recordLinkageOracle),
+      (s, d) => graft.operators.Linkage.fellegiSunterHistogram(
+        graft.Tables.load(s, d, "customer"),
+        id = col("c_custkey"), block = col("c_nationkey"),
+        fields = fsFields.map { case (e, _, wa, wd) =>
+          graft.operators.Linkage.FieldWeight(expr(e), wa, wd) },
+        maxBlock = fsMaxBlock)),
+
+    // blocking-quality audit (d64): pair completeness + reduction ratio
+    // (Christen's metrics) of q160's n_chars-bucket blocking key,
+    // against the LOSSLESS exact-Jaccard truth (d57's prefix join —
+    // no cap, no LSH recall caveat). Candidate counts come from block
+    // SIZES, never pair enumeration; both ratios are single divisions
+    // of exact integers.
+    Q("d64_blocking_audit", Some(blockingAuditOracle),
+      (s, d) => graft.operators.Linkage.blockingAudit(
+        Dedup.prefixJaccardJoin(docs(s, d)).select(col("id_a"), col("id_b")),
+        docs(s, d).select(col("doc_id"),
+          expr(s"n_chars DIV $snmWidth").as("bk")))),
+
     // shingle-size sensitivity curve (d60): the s60-style tuning table
     // for dedup — exact-Jaccard pairs found at shingle n ∈ {2,3,5}
     // (same 0.5 threshold, same df≤20 cap), with the mean similarity
@@ -1082,6 +1118,106 @@ object DedupQueries {
        |FROM dir d JOIN sizes s ON s.doc_id = d.doc_id
        |WHERE 2 * d.inter >= s.sz
        |ORDER BY d.doc_id, d.container_id""".stripMargin
+
+  /** d63's field list — (expr valid in BOTH engines, field tag, agree
+    * weight, disagree weight). floor(double/1000.0) is one correctly-
+    * rounded division + floor, identical cross-engine; equality is
+    * compared engine-internally, never emitted. */
+  private lazy val fsFields: Seq[(String, String, Long, Long)] = Seq(
+    ("c_mktsegment", "segment", 8L, -2L),
+    ("floor(c_acctbal / 1000.0)", "balance_band", 11L, -1L),
+    ("c_acctbal < 0", "balance_sign", 5L, -5L))
+  private lazy val fsMaxBlock: Long = 1000L
+
+  private lazy val recordLinkageOracle: String = {
+    // fields projected once with stable names, compared per pair side
+    val proj = fsFields.zipWithIndex
+      .map { case ((e, _, _, _), i) => s"$e AS f$i" }.mkString(", ")
+    val caseSql = fsFields.zipWithIndex.map { case ((_, _, wa, wd), i) =>
+      s"(CASE WHEN a.f$i = b.f$i THEN $wa ELSE $wd END)"
+    }.mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT c_custkey AS rid, c_nationkey AS bk, $proj FROM customer),
+       |ok AS (SELECT bk FROM p GROUP BY bk HAVING count(*) <= $fsMaxBlock),
+       |f AS MATERIALIZED (SELECT p.* FROM p JOIN ok USING (bk))
+       |SELECT score, count(*) AS n_pairs FROM (
+       |  SELECT $caseSql AS score
+       |  FROM f a JOIN f b ON a.bk = b.bk AND a.rid < b.rid)
+       |GROUP BY score ORDER BY score""".stripMargin
+  }
+
+  private lazy val blockingAuditOracle: String =
+    s"""WITH $ngramShingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |kd AS MATERIALIZED (
+       |  SELECT doc_id, n_chars // $snmWidth AS bk FROM documents),
+       |nr AS (SELECT count(*) AS n_records FROM kd),
+       |cd AS (SELECT CAST(coalesce(sum((m * (m - 1)) // 2), 0) AS BIGINT)
+       |         AS n_cand
+       |       FROM (SELECT count(*) AS m FROM kd GROUP BY bk)),
+       |nt AS (SELECT count(*) AS n_true FROM tp),
+       |fd AS (SELECT count(*) AS n_found FROM tp
+       |       JOIN kd a ON a.doc_id = tp.id_a
+       |       JOIN kd b ON b.doc_id = tp.id_b
+       |       WHERE a.bk = b.bk)
+       |SELECT n_records, n_true, n_cand, n_found,
+       |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+       |    AS pairs_completeness,
+       |  CAST(1 AS DOUBLE) - CAST(n_cand AS DOUBLE)
+       |    / CAST((n_records * (n_records - 1)) // 2 AS DOUBLE)
+       |    AS reduction_ratio
+       |FROM nr, cd, nt, fd""".stripMargin
+
+  /** d62: positional replay of Dedup.winnowingPairs — the same
+    * truncating k-gram slice as ngramShingleCte (WITHOUT distinct:
+    * position order matters), the polynomial hash per k-gram, window
+    * minima via a per-doc positional range join, then the df-capped
+    * fingerprint inverted index. Every constant interpolates from the
+    * operator's own vals. */
+  private lazy val winnowingOracle: String = {
+    import graft.operators.Dedup.{winnowK, winnowMaxDf, winnowMinShared, winnowW}
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id, list_filter(
+       |    list_transform(range(0, greatest(len(t) - $winnowK, 0) + 1),
+       |                   i -> array_to_string(t[i+1:i+$winnowK], ' ')),
+       |    s -> len(s) > 0) AS shs
+       |  FROM tk),
+       |pos AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(shs) + 1),
+       |           i -> {'i': i, 'sh': shs[i]})) AS p
+       |  FROM shl),
+       |hrow AS MATERIALIZED (
+       |  SELECT doc_id, i, ${signWrap(polyHashSql("sh"))} AS h FROM (
+       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM pos)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM hrow GROUP BY doc_id),
+       |wj AS (SELECT doc_id, unnest(range(1, n - $winnowW + 2)) AS j
+       |       FROM cnt WHERE n >= $winnowW),
+       |wmins AS (
+       |  SELECT wj.doc_id AS doc_id, wj.j AS j, min(hrow.h) AS fp
+       |  FROM wj JOIN hrow ON hrow.doc_id = wj.doc_id
+       |    AND hrow.i >= wj.j AND hrow.i < wj.j + $winnowW
+       |  GROUP BY 1, 2),
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wmins),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $winnowMaxDf),
+       |fil AS MATERIALIZED (
+       |  SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM fil a JOIN fil b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** d49: the positional-window mirror of Dedup.duplicatedSpanStats —
     * same truncating slice as ngramShingleCte but parametrized to 10

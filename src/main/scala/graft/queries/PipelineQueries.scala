@@ -159,6 +159,30 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality"), col("sample_u"))
         .orderBy(col("doc_id"))),
 
+    // deterministic systematic resampling (q203): one pick per stride
+    // of cumulative n_chars weight, in doc_id order — the data-mixing
+    // primitive (weighted upsampling with fixed sample size and zero
+    // spacing variance; contrast q97's independent coin flips). All
+    // int64 DIV arithmetic; the oracle replays with a plain global
+    // cumsum window while the operator runs the two-pass distributed
+    // prefix sum (bucket offsets + per-bucket windows) — same numbers,
+    // scale-safe plan, equality IS the gate.
+    Q("q203_systematic_resample", Some(
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, n_chars AS w FROM documents),
+         |tot AS (SELECT sum(w) AS totw FROM base),
+         |cums AS (
+         |  SELECT id, w, sum(w) OVER (ORDER BY id) AS cum FROM base)
+         |SELECT id AS doc_id, CAST(w AS BIGINT) AS w,
+         |       CAST(cum AS BIGINT) AS cum
+         |FROM cums, tot
+         |WHERE cum // (1 + totw // $resampleTarget)
+         |    > (cum - w) // (1 + totw // $resampleTarget)
+         |ORDER BY doc_id""".stripMargin),
+      (s, d) => Sampling.systematicSample(
+        Tables.load(s, d, "documents"), id = "doc_id",
+        weightCol = "n_chars", target = resampleTarget)),
+
     // one-scan table profile (null rates, exact cardinalities, ranges)
     // over every documents column; oracle SQL generated from the same
     // column list
@@ -436,6 +460,27 @@ object PipelineQueries {
         graft.operators.Dedup.minhashVerifiedPairs(
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20),
         iters = 3)),
+
+    // label-propagation communities (q201): the mode-update fixpoint
+    // over the near-dup graph — finds densely-connected communities
+    // INSIDE connected components (a chain of weakly-joined cliques is
+    // one CC but several communities). Determinized: fixed rounds,
+    // ties to the smallest label, so the oracle replays every round as
+    // generated CTEs from the shared constants (rule 12); pair set is
+    // the brute-force exact-Jaccard oracle (rule 13).
+    Q("q201_label_propagation", Some(labelPropagationOracle),
+      (s, d) => graft.operators.Dedup.labelPropagation(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
+    // multi-source BFS hop distance (q202): how much of the dup graph
+    // sits within k hops of the seed set (doc_id ≡ 0 mod 50) — the
+    // crawl-frontier / trust-propagation diagnostic. All-integer
+    // min-relaxation, rounds replayed as generated CTEs (rules 12/13).
+    Q("q202_bfs_hops", Some(bfsHopsOracle),
+      (s, d) => graft.operators.Dedup.bfsHops(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
     // degree assortativity of the near-dup graph (q172): global mixing
     // statistic complementing q136's closure rate — cliques (template
@@ -1198,6 +1243,9 @@ object PipelineQueries {
     * by 2^52, so both engines compute the identical IEEE value. The hex
     * digits fold through strpos on the hex alphabet (DuckDB has no
     * hex-string-to-int cast). */
+  /** q203's sample-size target — one constant, two engines. */
+  private lazy val resampleTarget: Long = 50L
+
   private lazy val weightedSampleOracle: String = {
     s"""WITH scored AS (
        |  SELECT doc_id,
@@ -1252,6 +1300,62 @@ object PipelineQueries {
        |$iters
        |SELECT v AS doc_id, pr FROM it3
        |ORDER BY pr DESC, doc_id""".stripMargin
+  }
+
+  /** Shared prelude for the q201/q202 graph replays: brute-force pairs
+    * at the 0.5 threshold (rule 13) and the doubled edge list, both
+    * MATERIALIZED — `e` is consumed once per generated round (rule 22). */
+  private lazy val graphEdgeCtes: String =
+    s"""${DedupQueries.ngramPairCtes},
+       |gpairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |e AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM gpairs
+       |  UNION ALL SELECT id_b, id_a FROM gpairs)""".stripMargin
+
+  /** q201: the lpaRounds mode-update rounds, generated from the SAME
+    * constants the operator uses. Each round: neighbor-label counts,
+    * then the (count desc, label asc) argmax window per node. */
+  private lazy val labelPropagationOracle: String = {
+    val rounds = graft.operators.Dedup.lpaRounds
+    val iters = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT e.dst AS v, l.lab, count(*) AS c
+         |  FROM e JOIN lp${r - 1} l ON l.v = e.src GROUP BY 1, 2),
+         |lp$r AS MATERIALIZED (SELECT v, lab FROM (
+         |  SELECT v, lab, row_number() OVER (
+         |    PARTITION BY v ORDER BY c DESC, lab) AS rk FROM c$r)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+       |lp0 AS MATERIALIZED (SELECT DISTINCT dst AS v, dst AS lab FROM e),
+       |$iters
+       |SELECT v AS doc_id, lab AS community FROM lp$rounds
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q202: the bfsRounds min-relaxations; each round's frame is
+    * consumed twice (carry + relax), so every d_r is MATERIALIZED
+    * (rule 22 — an inlined chain re-runs the whole prefix per
+    * consumer, exponentially). */
+  private lazy val bfsHopsOracle: String = {
+    val rounds = graft.operators.Dedup.bfsRounds
+    val seedMod = graft.operators.Dedup.bfsSeedMod
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT v, min(h) AS h FROM (
+         |  SELECT v, h FROM d${r - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS v, d.h + 1 AS h
+         |  FROM e JOIN d${r - 1} d ON d.v = e.src) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT dst AS v, 0 AS h FROM e WHERE dst % $seedMod = 0),
+       |$iters
+       |SELECT v AS doc_id, CAST(h AS BIGINT) AS hops FROM d$rounds
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q149's probe points; the oracle interpolates them e-suffixed (rule

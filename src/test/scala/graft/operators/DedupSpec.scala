@@ -407,6 +407,101 @@ class DedupSpec extends SparkSpec {
       "no 4-core exists in a 4-clique")
   }
 
+  test("winnowingPairs: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    // docs 1/2 share a 6-token run (= winnowW + winnowK - 1) embedded in
+    // otherwise-disjoint text; doc 3 shares nothing. The winnowing
+    // guarantee: ANY shared run of that length yields ≥1 common
+    // fingerprint — with minShared = 1 the (1,2) pair MUST appear and no
+    // pair with 3 may.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"red green blue $shared yellow purple orange pink brown teal"),
+      (3L, "completely different words with no overlap at all here okay")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs)
+  }
+
+  test("winnowingPairs: the shared-run GUARANTEE holds under either hash") {
+    // winnowing's sampling is hash-DEPENDENT (which k-gram wins a
+    // window's min depends on the hash), so the incidental pair sets of
+    // the two modes legitimately differ — but the guarantee is not
+    // hash-shaped: a shared ≥ w+k−1 run yields a common fingerprint
+    // under ANY hash, because the run contains a full common window and
+    // both docs take the same minimum over it. Assert the planted pair
+    // under both modes.
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"red green blue $shared yellow purple orange pink brown teal")
+    ).toDF("doc_id", "text")
+    Seq(false, true).foreach { oh =>
+      val pairs = Dedup.winnowingPairs(docs, minShared = 1L, oracleHash = oh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"oracleHash=$oh missed the planted pair")
+    }
+  }
+
+  test("winnowing fingerprints are ~2/(w+1) sparse vs exhaustive windows") {
+    // the point of winnowing over d49: it fingerprints a FRACTION of
+    // positions. On the gate corpus the distinct-fingerprint count per
+    // doc must be well under the window count (density bound with slack
+    // for distinct-collapse).
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(sum(greatest(size(col("t")) - 2, lit(0))).as("n_kgrams"))
+      .head().getLong(0)
+    val nFp = Dedup.winnowingFingerprints(docs).count()
+    assert(nFp * 2 < toks, s"fingerprints not sparse: $nFp of $toks k-grams")
+  }
+
+  test("labelPropagation: two bridged cliques become two communities (one CC)") {
+    import spark.implicits._
+    // 4-cliques {1..4} and {11..14} joined by one bridge edge 4-11:
+    // reachability sees ONE component, but the mode update converges to
+    // label 1 on the left clique and 11 on the right (hand-traced: the
+    // bridge's single vote never outweighs a clique's 3)
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val pairs = (cliqueA ++ cliqueB :+ ((4L, 11L))).toDF("id_a", "id_b")
+    val lpa = Dedup.labelPropagation(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpa === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L), lpa)
+    val cc = Dedup.connectedComponents(pairs)
+      .select("cluster_id").distinct().count()
+    assert(cc === 1L, "the same graph must be ONE connected component")
+  }
+
+  test("labelPropagation is deterministic across runs") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L)).toDF("id_a", "id_b")
+    val a = Dedup.labelPropagation(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.labelPropagation(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("bfsHops: multi-source min-relaxation on a path, hop budget respected") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5-6-10 with seeds {0, 10} (ids ≡ 0 mod 10):
+    // distances relax from BOTH ends; min wins where fronts meet, and
+    // nothing beyond `rounds` hops is reported
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.bfsHops(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 0L, 10L -> 0L, 1L -> 1L, 6L -> 1L,
+      2L -> 2L, 5L -> 2L, 3L -> 3L, 4L -> 3L), out)
+  }
+
   test("assortativity: star graph is perfectly disassortative (r = -1)") {
     import spark.implicits._
     // star 1-{2,3,4}: stubs m2=6; hub stubs carry (x,y)=(3,1)×3, leaf

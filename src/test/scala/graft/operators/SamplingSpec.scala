@@ -78,4 +78,35 @@ class SamplingSpec extends SparkSpec {
     }
     assert(binTotals.length > 1) // corpus actually spans multiple bins
   }
+
+  test("systematicSample matches the sequential reference fold exactly") {
+    import spark.implicits._
+    // skewed weights incl. one heavier than any plausible stride
+    val rows = (0L until 200L).map(i => (i, 1L + (i % 7) * 3L + (if (i == 57L) 400L else 0L)))
+    val df = rows.toDF("doc_id", "n_chars")
+    val target = 20L
+    val tot = rows.map(_._2).sum
+    val stride = 1 + tot / target
+    // sequential reference: cum in id order, pick if a multiple of the
+    // stride falls inside (cum-w, cum]
+    var cum = 0L
+    val expected = rows.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      if (cum / stride > before / stride) Some((id, w, cum)) else None
+    }
+    val got = Sampling.systematicSample(df, "doc_id", "n_chars", target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._1 == 57L), "the heavy doc straddles a stride — must be picked")
+    assert(got.size <= target && got.size >= target / 2, got.size)
+  }
+
+  test("systematicSample is bucket-count invariant (distributed ≡ sequential prefix sum)") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, 1L + i % 13)).toDF("doc_id", "n_chars")
+    def run(b: Int) = Sampling.systematicSample(df, "doc_id", "n_chars", 40L, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(run(1) === run(64))
+    assert(run(7) === run(64))
+  }
 }
