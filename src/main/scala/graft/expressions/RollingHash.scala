@@ -55,6 +55,19 @@ object RollingHash {
   def apply(c: Column): Column =
     CatalystBridge.column(RollingHash(CatalystBridge.expression(c)))
 
+  /** Driver-side evaluation of the SAME fold — for bounded off-plan
+    * artifacts (the consistent-hash vnode ring) that must hash
+    * identically to the plan-level expression. Plain Scala Long
+    * arithmetic wraps (driver code is outside ANSI), which is exactly
+    * the expression's defined semantics. */
+  def evalString(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
   /** Register as a SQL function (`SELECT rolling_hash(text) …`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -382,6 +382,91 @@ object Curation {
     tvdRank(feats, topK)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the integer
+    * `value` distributions of groups `ga` and `gb`:
+    * D = max_x |F_a(x) − F_b(x)|, computed as an INTEGER rational max —
+    * the per-value numerator |cum_a(x)·n_b − cum_b(x)·n_a| is maximized
+    * exactly (DECIMAL(38,0) products, rule 18: cum·n passes 2^63 at
+    * ~3e9 rows/side), and the single division happens once at the
+    * output. The distribution-shift test to run between two crawl
+    * sources before mixing them — sensitive to SHAPE where t64's TVD
+    * sees hashed-bucket mass and q205's χ² sees categorical counts.
+    *
+    * Scale shape: one groupBy collapses both samples to the merged
+    * VALUE SUPPORT (count-of-counts: bounded by the feature's domain —
+    * for n_chars, max document length — not corpus size); the cumsum
+    * window runs over that support (the q149 histogram-window
+    * argument). One 1-row normalizer crossJoin. */
+  def ksStatistic(
+      df: DataFrame, group: Column, value: Column,
+      ga: String, gb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"), value.cast("long").as("x"))
+      .filter(col("g").isin(ga, gb))
+    val hist = base.groupBy(col("x")).agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("x"),
+      sum(col("ca")).over(w).as("fa"), sum(col("cb")).over(w).as("fb"))
+    val tot = base.agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("na"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("nb"))
+    def D(c: Column) = c.cast("decimal(38,0)")
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(D(col("fa")) * col("nb") - D(col("fb")) * col("na")).as("num"))
+      .groupBy(col("na"), col("nb")).agg(max(col("num")).as("dnum"))
+      .select(col("na"), col("nb"),
+        col("dnum").cast("double").as("d_num"),
+        (col("dnum").cast("double") /
+          (D(col("na")) * col("nb")).cast("double")).as("ks_d"))
+  }
+
+  /** Pearson χ² test of homogeneity over the `rowKey` × `colKey`
+    * contingency table (zero cells included — the full key cross
+    * product contributes). Per-cell terms (O·N − R·C)²/(N·R·C) are
+    * computed with an exact DECIMAL(38,0) inner difference cast to
+    * DOUBLE before the square (the square of an exact 1e24-scale
+    * integer cannot stay in decimal38; the cast is one correctly-
+    * rounded op), then summed by a SEQUENTIAL fold over the
+    * (rowKey, colKey)-sorted cell list — rule 3's determinized-
+    * double-sum idiom, replayed by DuckDB's ordered list_sum. Output:
+    * one row (n, n_rows, n_cols, dof, chi2).
+    *
+    * Scale shape: one corpus groupBy to cell grain; everything after
+    * runs on the cells frame (≤ |rows|·|cols| — domain-bounded), and
+    * the fold collapses it on a single bounded row. */
+  def chiSquareHomogeneity(
+      df: DataFrame, rowKey: Column, colKey: Column): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.select(rowKey.as("r"), colKey.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+      .materializeOnce() // feeds margins AND the full-cross left join
+    val rsum = cells.groupBy(col("r")).agg(sum(col("o")).as("rs"))
+    val csum = cells.groupBy(col("c")).agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("nr"), countDistinct(col("c")).as("nc"))
+    val full = rsum.crossJoin(csum) // domain-bounded cross product
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val terms = full.crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("nr"), col("nc"), col("n"),
+        ((D(col("o")) * col("n") - D(col("rs")) * col("cs"))
+          .cast("double") * (D(col("o")) * col("n") - D(col("rs")) * col("cs"))
+          .cast("double") /
+          (D(col("n")) * col("rs") * col("cs")).cast("double")).as("term"))
+    terms
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sort_array(collect_list(struct(col("r"), col("c"), col("term"))))
+        .as("ts"))
+      .select(col("n"), col("nr").as("n_rows"), col("nc").as("n_cols"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        aggregate(transform(col("ts"), t => t.getField("term")),
+          lit(0.0), (acc, x) => acc + x).as("chi2"))
+  }
+
   /** The TVD arithmetic over an ALREADY-AGGREGATED (f, a_cnt, b_cnt)
     * feature frame — shared by tokenDrift (both slices in one pass)
     * and driftAgainstBaseline (slice A read from a persisted store).

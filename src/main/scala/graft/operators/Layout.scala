@@ -167,4 +167,77 @@ object Layout {
     } yield s"((($q >> $i) & 1) << ${i * k + j})"
     (terms.mkString("(", " | ", ")"), boundsCte)
   }
+
+  /** [[consistentShardAudit]] vnode count — shared with the oracle. */
+  val shardVnodes: Int = 16
+
+  /** Consistent-hash ring placement + rebalance audit (Karger et al.
+    * STOC'97; the memcached/Dynamo placement scheme): each of n shards
+    * owns `vnodes` ring positions (the rolling hash of "s&lt;i&gt;#&lt;j&gt;");
+    * a row lands on the first vnode clockwise from its own hash
+    * (smallest position ≥ h, wrapping to the global minimum). The audit
+    * assigns every row under `nBefore` AND `nAfter` shards and reports,
+    * per before-shard, how many rows MOVE — the property the scheme
+    * exists for: growing n → n+1 relocates only ~1/(n+1) of rows
+    * (hash-mod-n placement relocates ~1 − 1/(n+1), i.e. nearly all).
+    *
+    * Exactness: ring positions come from the SAME rolling-hash fold on
+    * both engines (RollingHash.evalString driver-side — a bounded
+    * n·vnodes artifact, like k-means centroids — replayed by the
+    * polynomial SQL); assignment is a per-row array scan of the sorted
+    * (position, shard) structs — codegen'd, no join, no shuffle until
+    * the final per-shard rollup. Ties (p, then shard id) are totally
+    * ordered on both sides.
+    *
+    * Scale shape: the ring is O(n·vnodes) and travels as a literal; the
+    * corpus is scanned once and shuffles once (the output rollup). At
+    * 1000 shards × 16 vnodes the array scan is 16k comparisons/row —
+    * switch to a binary-search Expression if that ever dominates; the
+    * AUDIT shape (counts per shard, one division) is unchanged. */
+  def consistentShardAudit(
+      df: DataFrame, id: Column, nBefore: Int, nAfter: Int,
+      vnodes: Int = shardVnodes): DataFrame = {
+    // the raw polynomial fold is LINEAR — short/sequential keys cluster
+    // into a narrow band (and even a second fold only perturbs the low
+    // byte for keys differing in the last digit). The mix is the fold
+    // applied twice through the REVERSED decimal string of the first
+    // hash — the varying low digits become the second fold's highest-
+    // order coefficients (×1000003^18 apart, wrapped), which is the
+    // avalanche this placement needs. Both engines print and reverse
+    // the intermediate BIGINT identically; same definition ring-side
+    // and row-side: h2 = fold(reverse(str(fold(key)))).
+    def mix(s: String): Long =
+      graft.expressions.RollingHash.evalString(
+        graft.expressions.RollingHash.evalString(s).toString.reverse)
+    def ring(n: Int): Seq[(Long, Int)] =
+      (for (s <- 0 until n; v <- 0 until vnodes)
+        yield (mix(s"s$s#$v"), s))
+        .sortBy(t => (t._1, t._2))
+    def assign(h: Column, r: Seq[(Long, Int)]): Column = {
+      val arr = array(r.map { case (p, s) =>
+        struct(lit(p).as("p"), lit(s).as("s")) }: _*)
+      // ANSI mode: element_at(…, 1) on the empty wrap case THROWS, so
+      // the branch must be a size guard, not a coalesce
+      val cand = filter(arr, e => e.getField("p") >= h)
+      val pick = when(size(cand) > 0, element_at(cand, 1))
+        .otherwise(element_at(arr, 1))
+      pick.getField("s")
+    }
+    val hashed = df
+      .select(graft.expressions.RollingHash(
+        reverse(graft.expressions.RollingHash(id.cast("string"))
+          .cast("string"))).as("h"))
+    hashed
+      .select(assign(col("h"), ring(nBefore)).as("shard"),
+        assign(col("h"), ring(nAfter)).as("after"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("after") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("n_moved"),
+        (col("n_moved").cast("double") / col("n_docs").cast("double"))
+          .as("moved_frac"))
+      .orderBy(col("shard"))
+  }
 }

@@ -183,6 +183,19 @@ object PipelineQueries {
         Tables.load(s, d, "documents"), id = "doc_id",
         weightCol = "n_chars", target = resampleTarget)),
 
+    // consistent-hash ring rebalance audit (q204): per-shard counts and
+    // moved fraction when the ring grows 8 → 9 shards — the placement
+    // property the scheme exists for (≈1/9 of rows move; hash-mod
+    // placement would move ≈8/9). Ring and rows hash with the SAME
+    // rolling-hash fold on both engines (driver-built vnode ring is a
+    // bounded artifact; DuckDB rebuilds it in SQL from the same label
+    // scheme); assignment is a per-row sorted-struct array scan —
+    // no join, no shuffle before the rollup.
+    Q("q204_consistent_sharding", Some(consistentShardingOracle),
+      (s, d) => graft.operators.Layout.consistentShardAudit(
+        Tables.load(s, d, "documents"), col("doc_id"),
+        nBefore = shardsBefore, nAfter = shardsAfter)),
+
     // one-scan table profile (null rates, exact cardinalities, ranges)
     // over every documents column; oracle SQL generated from the same
     // column list
@@ -1245,6 +1258,52 @@ object PipelineQueries {
     * hex-string-to-int cast). */
   /** q203's sample-size target — one constant, two engines. */
   private lazy val resampleTarget: Long = 50L
+
+  /** q204's ring sizes — one definition, two engines. */
+  private lazy val shardsBefore: Int = 8
+  private lazy val shardsAfter: Int = 9
+
+  private lazy val consistentShardingOracle: String = {
+    val v = graft.operators.Layout.shardVnodes
+    // double fold (the operator's mix): fold → signed decimal string →
+    // fold again; both engines print the intermediate BIGINT identically
+    def ringCte(name: String, n: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT s, ${DedupQueries.signWrap(DedupQueries.polyHashSql("h1s"))} AS p
+         |  FROM (SELECT s, reverse(CAST(h1 AS VARCHAR)) AS h1s FROM (
+         |    SELECT CAST(i // $v AS BIGINT) AS s,
+         |           ${DedupQueries.signWrap(DedupQueries.polyHashSql("lbl"))} AS h1
+         |    FROM (SELECT i, 's' || CAST(i // $v AS VARCHAR) || '#' ||
+         |                 CAST(i % $v AS VARCHAR) AS lbl
+         |          FROM (SELECT unnest(range(0, ${n * v})) AS i)))))""".stripMargin
+    def assignCte(name: String, ring: String, out: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |         coalesce(m.s, (SELECT s FROM $ring ORDER BY p, s LIMIT 1))
+         |           AS $out
+         |  FROM dh d LEFT JOIN (
+         |    SELECT doc_id, s FROM (
+         |      SELECT d2.doc_id, r.s, row_number() OVER (
+         |        PARTITION BY d2.doc_id ORDER BY r.p, r.s) AS rk
+         |      FROM dh d2 JOIN $ring r ON r.p >= d2.h)
+         |    WHERE rk = 1) m USING (doc_id))""".stripMargin
+    s"""WITH ${ringCte("r8", shardsBefore)},
+       |${ringCte("r9", shardsAfter)},
+       |dh AS MATERIALIZED (
+       |  SELECT doc_id, ${DedupQueries.signWrap(DedupQueries.polyHashSql("h1s"))} AS h
+       |  FROM (SELECT doc_id, reverse(CAST(h1 AS VARCHAR)) AS h1s FROM (
+       |    SELECT doc_id, ${DedupQueries.signWrap(DedupQueries.polyHashSql("ds"))} AS h1
+       |    FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)))),
+       |${assignCte("a8", "r8", "s8")},
+       |${assignCte("a9", "r9", "s9")}
+       |SELECT a8.s8 AS shard, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN a9.s9 <> a8.s8 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_moved,
+       |       CAST(sum(CASE WHEN a9.s9 <> a8.s8 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS moved_frac
+       |FROM a8 JOIN a9 USING (doc_id)
+       |GROUP BY a8.s8 ORDER BY shard""".stripMargin
+  }
 
   private lazy val weightedSampleOracle: String = {
     s"""WITH scored AS (

@@ -910,7 +910,66 @@ object TextQueries {
     // identical floor-arithmetic rounds from the shared scale/teleport
     // constants. Total-order top-20 by (pr desc, word).
     Q("t63_textrank", Some(textRankOracle),
-      (s, d) => graft.operators.Vocab.textRank(docs(s, d), k = 20))
+      (s, d) => graft.operators.Vocab.textRank(docs(s, d), k = 20)),
+
+    // exact two-sample KS distance (t66): max CDF gap between src0 and
+    // src1's n_chars distributions as an integer rational max (decimal
+    // products, one division at the output) — shape-sensitive drift
+    // where t64's TVD sees hashed token mass. Support-sized windows.
+    Q("t66_ks_drift", Some(
+      """WITH base AS (
+        |  SELECT source AS g, n_chars AS x FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |hist AS (
+        |  SELECT x, sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM base GROUP BY x),
+        |cum AS (
+        |  SELECT x, sum(ca) OVER (ORDER BY x) AS fa,
+        |         sum(cb) OVER (ORDER BY x) AS fb FROM hist),
+        |tot AS (
+        |  SELECT sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb
+        |  FROM base)
+        |SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+        |       CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE) AS d_num,
+        |       CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
+        |         / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+        |FROM cum c, tot t GROUP BY t.na, t.nb""".stripMargin),
+      (s, d) => graft.operators.Curation.ksStatistic(
+        docs(s, d), col("source"), col("n_chars"), "src0", "src1")),
+
+    // Pearson χ² homogeneity of the lang × source contingency (t67):
+    // zero cells included, exact decimal inner differences, per-cell
+    // double terms summed by the rule-3 SEQUENTIAL fold over the
+    // (lang, source)-sorted cell list — DuckDB replays with an ordered
+    // list_sum. The categorical drift test beside t66's shape test.
+    Q("t67_chi_square", Some(
+      """WITH cells AS (
+        |  SELECT lang AS r, source AS c, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rs AS (SELECT r, sum(o) AS rsum FROM cells GROUP BY r),
+        |cs AS (SELECT c, sum(o) AS csum FROM cells GROUP BY c),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+        |               count(DISTINCT c) AS nc FROM cells),
+        |fl AS (
+        |  SELECT rs.r, cs.c, rs.rsum, cs.csum, coalesce(cells.o, 0) AS o
+        |  FROM rs CROSS JOIN cs
+        |  LEFT JOIN cells ON cells.r = rs.r AND cells.c = cs.c),
+        |terms AS (
+        |  SELECT f.r, f.c, t.n, t.nr, t.nc,
+        |         CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
+        |       * CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
+        |       / CAST(CAST(t.n AS HUGEINT) * f.rsum * f.csum AS DOUBLE) AS term
+        |  FROM fl f CROSS JOIN tot t)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+        |       CAST(nc AS BIGINT) AS n_cols,
+        |       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |       list_sum(list_transform(list({'r': r, 'c': c, 't': term}
+        |                  ORDER BY r, c), x -> x.t)) AS chi2
+        |FROM terms GROUP BY n, nr, nc""".stripMargin),
+      (s, d) => graft.operators.Curation.chiSquareHomogeneity(
+        docs(s, d), col("lang"), col("source")))
   )
 
   /** t63 oracle: the word graph, replayable dense word ids, and the

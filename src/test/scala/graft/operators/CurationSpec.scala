@@ -303,4 +303,40 @@ class CurationSpec extends SparkSpec {
       (2L, 4L, 22L, 22.0 / 72.0, false),
       (3L, 1L, 8L, 8.0 / 18.0, true)))
   }
+
+  test("ksStatistic: hand-computed integer rational max") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {3,4,5}: numerators |fa*nb - fb*na| over the
+    // merged support are 3,6,6,3,0 -> D = 6/9 = 2/3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 3L), ("b", 4L), ("b", 5L)).toDF("g", "x")
+    val r = Curation.ksStatistic(df, col("g"), col("x"), "a", "b").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 6.0)
+    assert(r.getDouble(3) === 6.0 / 9.0)
+  }
+
+  test("ksStatistic: identical samples have D = 0") {
+    import spark.implicits._
+    val vals = Seq(5L, 9L, 9L, 14L)
+    val df = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("g", "x")
+    val r = Curation.ksStatistic(df, col("g"), col("x"), "a", "b").head()
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("chiSquareHomogeneity: homogeneous table -> 0; diagonal 2x2 -> N") {
+    import spark.implicits._
+    // perfectly homogeneous 2x2 (same column mix in both rows)
+    val hom = (Seq.fill(6)(("r1", "c1")) ++ Seq.fill(3)(("r1", "c2")) ++
+      Seq.fill(4)(("r2", "c1")) ++ Seq.fill(2)(("r2", "c2")))
+      .toDF("rk", "ck")
+    val h = Curation.chiSquareHomogeneity(hom, col("rk"), col("ck")).head()
+    assert(h.getDouble(4) === 0.0, h)
+    // complete dependence: O = [[10,0],[0,10]] -> chi2 = N = 20, dof 1
+    val dep = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c2")))
+      .toDF("rk", "ck")
+    val d = Curation.chiSquareHomogeneity(dep, col("rk"), col("ck")).head()
+    assert(d.getLong(0) === 20L && d.getLong(3) === 1L)
+    assert(d.getDouble(4) === 20.0, d)
+  }
 }

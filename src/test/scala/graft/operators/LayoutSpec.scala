@@ -106,4 +106,20 @@ class LayoutSpec extends SparkSpec {
     // max row: both dims quantize to 255 -> all 16 low bits set
     assert(rows(2).getAs[Long]("zkey") === 65535L)
   }
+
+  test("consistentShardAudit: total placement, bounded move fraction, n->n is a no-op") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val out = Layout.consistentShardAudit(ids, col("doc_id"), 8, 9).collect()
+    // every row lands on exactly one before-shard in [0, 8)
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    assert(out.map(_.getLong(1)).sum === 2000L)
+    // the consistent-hashing property: growing 8 -> 9 moves ~1/9 of
+    // rows (hash-mod would move ~8/9); loose band around the mean
+    val movedFrac = out.map(_.getLong(2)).sum.toDouble / 2000.0
+    assert(movedFrac > 0.02 && movedFrac < 0.35, movedFrac)
+    // unchanged ring moves nothing
+    val same = Layout.consistentShardAudit(ids, col("doc_id"), 8, 8).collect()
+    assert(same.map(_.getLong(2)).sum === 0L)
+  }
 }
