@@ -57,7 +57,11 @@ object Bench {
     // lossless exact join, association mining, episode mining
     "d57_prefix_join", "q171_basket_lift", "q173_episode_support",
     // tokenizer loop + layout audit flagships
-    "t59_bpe_train", "t60_bpe_encode", "q193_pruning_audit")
+    "t59_bpe_train", "t60_bpe_encode", "q193_pruning_audit",
+    // round-10 family flagship (ADDITION only — the pre-r10 set above
+    // is pinned; one entry is all the 1700-char worst-case line gate
+    // leaves room for): winnowing, the heaviest new query
+    "d62_winnowing")
 
   /** Degradation ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at

@@ -664,19 +664,30 @@ object Dedup {
     * pattern) or audit density. Distinct per doc. */
   def winnowingFingerprints(
       docs: DataFrame, k: Int = winnowK, w: Int = winnowW,
-      oracleHash: Boolean = false): DataFrame =
-    spread(docs)
+      oracleHash: Boolean = false): DataFrame = {
+    val hashes = spread(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       // k-gram strings, then their hashes — each built as a materialized
       // column BEFORE the next lambda references it (rule 4)
       .withColumn("shs", TextFunctions.windowsFromTokens(col("toks"), k))
-      .withColumn("hs", transform(col("shs"), s => wordHash(s, oracleHash)))
-      .withColumn("fps",
+      .select(col("doc_id"),
+        transform(col("shs"), s => wordHash(s, oracleHash)).as("hs"))
+      // HARD lineage cut, not just a separate select: the window stage
+      // below references `hs` once per WINDOW (inside the transform
+      // lambda), and CollapseProject inlines a same-stage alias into
+      // every reference — re-evaluating the whole shingle+hash chain
+      // per window, O(windows·shingles·fold) per doc (measured: 233 s
+      // at sf0.1 vs ~1 s with the cut). Rule 4's trap, one projection
+      // deeper.
+      .materializeOnce()
+    hashes
+      .select(col("doc_id"),
         when(size(col("hs")) < w, array().cast("array<bigint>"))
           .otherwise(array_distinct(transform(
             sequence(lit(1), size(col("hs")) - (w - 1)),
-            j => array_min(slice(col("hs"), j, lit(w)))))))
+            j => array_min(slice(col("hs"), j, lit(w)))))).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
 
   def winnowingPairs(
       docs: DataFrame, k: Int = winnowK, w: Int = winnowW,
