@@ -466,6 +466,45 @@ class PlanPropertiesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q203 systematic resample: the corpus-side cumsum window is bucket-partitioned") {
+    // the operator's whole point vs a naive global cumsum: the window
+    // that sees corpus rows partitions by the id-range bucket; only the
+    // ≤buckets-row offsets frame may run unpartitioned. Assert at least
+    // one bkt-partitioned windowspec and that no window sorts the raw
+    // id without a partition.
+    val plan = PlanInspect.formatted(run("q203_systematic_resample"))
+    val specs = "windowspecdefinition\\(([^)]*?)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.exists(_.contains("bkt")), specs)
+    // the unpartitioned offsets window orders by bkt (bucket totals),
+    // never by the per-row id — an id-ordered unpartitioned window
+    // would be the r9 t63 defect reborn
+    val unpartitionedOverId = specs.exists(s =>
+      !s.contains("bkt#") && s.contains("id#") && !s.contains("partition"))
+    assert(!unpartitionedOverId, specs)
+  }
+
+  test("q204 consistent sharding assigns with NO join and no window — a per-row scan") {
+    val names = PlanInspect.nodeNames(run("q204_consistent_sharding"))
+    assert(!names.exists(_.contains("Join")), names)
+    assert(!names.exists(_.contains("Window")), names)
+    // one shuffle for the final per-shard rollup (plus AQE reads); the
+    // assignment itself adds none
+    assert(names.exists(_.contains("HashAggregate")), names)
+  }
+
+  test("d63 record linkage pairs stay an equi-join on the block — no cartesian") {
+    val names = PlanInspect.nodeNames(run("d63_record_linkage"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("d62 winnowing pair join is an equi-join on fingerprints — no cartesian") {
+    val names = PlanInspect.nodeNames(run("d62_winnowing"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
   test("q160 SNM windows are bucket-partitioned — the no-global-sort contract") {
     // the whole point of the bucketed formulation: neither pass may
     // fall into an unpartitioned (single-task) window. The formatted
