@@ -424,6 +424,49 @@ object Curation {
           (D(col("na")) * col("nb")).cast("double")).as("ks_d"))
   }
 
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) between the integer
+    * `value` distributions of groups `ga`/`gb`, via count-of-counts
+    * mid-ranks: for a distinct value with group counts (ca, cb) and
+    * `before` items below it, every a-item there carries DOUBLED
+    * mid-rank 2·before + (ca+cb) + 1 — an integer, so the tie-corrected
+    * rank sum R2 = Σ ca·(2·before + c + 1) and the doubled statistic
+    * u2 = R2 − na(na+1) stay exact (DECIMAL(38,0) products, rule 18).
+    * auc = u2 / (2·na·nb) = P(a>b) + ½P(a=b) is the common-language
+    * effect size, emitted as one division of exact integers. The
+    * rank-based sibling of [[ksStatistic]]: KS asks "do the CDFs ever
+    * separate", U asks "does one distribution stochastically dominate".
+    *
+    * Scale shape: identical to ksStatistic — corpus collapses to the
+    * merged value support first; the cumsum window is support-sized. */
+  def mannWhitney(
+      df: DataFrame, group: Column, value: Column,
+      ga: String, gb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(group.as("g"), value.cast("long").as("x"))
+      .filter(col("g").isin(ga, gb))
+    val hist = base.groupBy(col("x")).agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("ca"), (col("ca") + col("cb")).as("c"),
+      coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)).as("before"))
+    val tot = base.agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("na"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("nb"))
+    cum
+      .agg(sum(D(col("ca")) * (lit(2L) * col("before") + col("c") + 1L))
+        .as("r2"))
+      .crossJoin(broadcast(tot)) // 1-row normalizer
+      .select(col("na"), col("nb"),
+        (col("r2") - D(col("na")) * (col("na") + 1L)).cast("double")
+          .as("u2_a"),
+        ((col("r2") - D(col("na")) * (col("na") + 1L)).cast("double") /
+          (lit(2L).cast("decimal(38,0)") * col("na") * col("nb"))
+            .cast("double")).as("auc"))
+  }
+
   /** Pearson χ² test of homogeneity over the `rowKey` × `colKey`
     * contingency table (zero cells included — the full key cross
     * product contributes). Per-cell terms (O·N − R·C)²/(N·R·C) are

@@ -1392,6 +1392,41 @@ object Dedup {
       pairs: DataFrame, iters: Int = 3,
       scale: Long = pageRankScale): DataFrame = {
     val teleport = pageRankTeleport(scale)
+    rankFixpoint(pairs, iters,
+      init = _ => lit(scale), teleportFor = _ => lit(teleport))
+  }
+
+  /** [[trustRank]] seed class — shared with the oracle generator. */
+  val trustSeedMod: Long = 10L
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    * PageRank with the teleport mass restricted to a TRUSTED SEED SET —
+    * here the hash class doc_id ≡ 0 (mod seedMod), standing in for a
+    * whitelisted-domain list. Trust flows outward from seeds along
+    * near-dup edges and decays with distance; unreachable spam farms
+    * score 0 no matter how densely they interlink — the propagation
+    * complement of q202's hop distance (BFS says "how far", TrustRank
+    * says "how much reaches you"). Same integer fixed point as
+    * [[pageRank]] (per-term floor, decimal sums), so the rounds replay
+    * bit-for-bit: pr₀ = scale·[seed];
+    * prₖ(v) = teleport·[seed v] + ⌊85·Σ ⌊prₖ₋₁(u)/deg(u)⌋⌋/100. */
+  def trustRank(
+      pairs: DataFrame, seedMod: Long = trustSeedMod, iters: Int = 3,
+      scale: Long = pageRankScale): DataFrame = {
+    val teleport = pageRankTeleport(scale)
+    def seed(v: Column) = pmod(v, lit(seedMod)) === 0
+    rankFixpoint(pairs, iters,
+      init = v => when(seed(v), lit(scale)).otherwise(lit(0L)),
+      teleportFor = v => when(seed(v), lit(teleport)).otherwise(lit(0L)))
+  }
+
+  /** The shared integer rank fixed point of [[pageRank]]/[[trustRank]]:
+    * undirected edges, per-term floor shares, DECIMAL(38,0) sums, a
+    * node-dependent teleport term. One join + one groupBy per round
+    * (rule 5 materialization on the static frames). */
+  private def rankFixpoint(
+      pairs: DataFrame, iters: Int,
+      init: Column => Column, teleportFor: Column => Column): DataFrame = {
     // undirected graph: every pair contributes both directions; the
     // edge table feeds one join per iteration plus the degree aggregate
     // (rule 5 — materialize once)
@@ -1403,7 +1438,7 @@ object Dedup {
     // join against the (small) rank table
     val edges = e.join(deg, Seq("src")).materializeOnce()
     val nodes = deg.select(col("src").as("v")).materializeOnce()
-    var ranks = nodes.select(col("v"), lit(scale).as("pr"))
+    var ranks = nodes.select(col("v"), init(col("v")).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, col("v") === col("src"))
@@ -1414,7 +1449,7 @@ object Dedup {
       // join + coalesce keeps the operator correct on directed inputs
       ranks = nodes.join(sums, col("v") === col("dst"), "left")
         .select(col("v"),
-          (lit(teleport) + expr(
+          (teleportFor(col("v")) + expr(
             "CAST(85 AS DECIMAL(38,0)) * coalesce(s, CAST(0 AS DECIMAL(38,0))) DIV 100"))
             .cast("long").as("pr"))
     }

@@ -486,6 +486,16 @@ object PipelineQueries {
         graft.operators.Dedup.minhashVerifiedPairs(
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
+    // TrustRank (q205): PageRank with teleport mass restricted to the
+    // trusted seed class (doc_id ≡ 0 mod 10) — trust propagates outward
+    // over dup edges and decays; unreachable farms score 0. Same integer
+    // fixed point as q148, rounds replayed from shared constants
+    // (rules 12/13).
+    Q("q205_trustrank", Some(trustRankOracle),
+      (s, d) => graft.operators.Dedup.trustRank(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
     // multi-source BFS hop distance (q202): how much of the dup graph
     // sits within k hops of the seed set (doc_id ≡ 0 mod 50) — the
     // crawl-frontier / trust-propagation diagnostic. All-integer
@@ -1393,6 +1403,32 @@ object PipelineQueries {
        |$iters
        |SELECT v AS doc_id, lab AS community FROM lp$rounds
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q205: the q148 iteration chain with the seed-restricted teleport,
+    * generated from the SAME scale/teleport/seedMod constants. */
+  private lazy val trustRankOracle: String = {
+    val scale = graft.operators.Dedup.pageRankScale
+    val teleport = graft.operators.Dedup.pageRankTeleport(scale)
+    val m = graft.operators.Dedup.trustSeedMod
+    val iters = (1 to 3).map { i =>
+      s"""it$i AS (
+         |  SELECT e.dst AS v,
+         |         CAST(CASE WHEN e.dst % $m = 0 THEN $teleport ELSE 0 END
+         |              + (85 * sum(r.pr // dg.d)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN deg dg ON dg.src = e.src
+         |  JOIN it${i - 1} r ON r.v = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |it0 AS (SELECT DISTINCT dst AS v,
+       |          CAST(CASE WHEN dst % $m = 0 THEN $scale ELSE 0 END AS BIGINT)
+       |            AS pr
+       |        FROM e),
+       |$iters
+       |SELECT v AS doc_id, pr FROM it3
+       |ORDER BY pr DESC, doc_id""".stripMargin
   }
 
   /** q202: the bfsRounds min-relaxations; each round's frame is

@@ -969,7 +969,39 @@ object TextQueries {
         |                  ORDER BY r, c), x -> x.t)) AS chi2
         |FROM terms GROUP BY n, nr, nc""".stripMargin),
       (s, d) => graft.operators.Curation.chiSquareHomogeneity(
-        docs(s, d), col("lang"), col("source")))
+        docs(s, d), col("lang"), col("source"))),
+
+    // exact Mann–Whitney U / AUC effect size (t68): tie-corrected
+    // doubled mid-ranks by count-of-counts — the stochastic-dominance
+    // sibling of t66's KS. All-integer until the two output divisions.
+    Q("t68_mann_whitney", Some(
+      """WITH base AS (
+        |  SELECT source AS g, n_chars AS x FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |hist AS (
+        |  SELECT x, sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM base GROUP BY x),
+        |cum AS (
+        |  SELECT ca, ca + cb AS c,
+        |         coalesce(sum(ca + cb) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS bfr
+        |  FROM hist),
+        |tot AS (
+        |  SELECT sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb
+        |  FROM base),
+        |r AS (SELECT sum(CAST(ca AS HUGEINT) * (2 * bfr + c + 1)) AS r2
+        |      FROM cum)
+        |SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+        |       CAST(r.r2 - CAST(t.na AS HUGEINT) * (t.na + 1) AS DOUBLE)
+        |         AS u2_a,
+        |       CAST(r.r2 - CAST(t.na AS HUGEINT) * (t.na + 1) AS DOUBLE)
+        |         / CAST(2 * CAST(t.na AS HUGEINT) * t.nb AS DOUBLE) AS auc
+        |FROM r, tot t""".stripMargin),
+      (s, d) => graft.operators.Curation.mannWhitney(
+        docs(s, d), col("source"), col("n_chars"), "src0", "src1"))
   )
 
   /** t63 oracle: the word graph, replayable dense word ids, and the

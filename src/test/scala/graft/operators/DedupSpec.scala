@@ -502,6 +502,27 @@ class DedupSpec extends SparkSpec {
       2L -> 2L, 5L -> 2L, 3L -> 3L, 4L -> 3L), out)
   }
 
+  test("trustRank: trust decays from seeds; unreachable components score 0") {
+    import spark.implicits._
+    // path 0-1-2 with seed {0} (≡0 mod 10), plus a disjoint seedless
+    // pair 5-6: trust must decay along the path and the pair must end
+    // at exactly 0 however densely it links
+    val g = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.trustRank(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every seed-reachable node carries trust; among the two degree-1
+    // ENDPOINTS the seed beats the 2-hop node (the middle node's degree-2
+    // in-flow legitimately exceeds both — rank is not a pure distance)
+    assert(out(0L) > 0L && out(1L) > 0L && out(2L) > 0L, out)
+    assert(out(0L) > out(2L), out)
+    assert(out(5L) === 0L && out(6L) === 0L, out)
+    // pageRank on the same graph gives the seedless pair POSITIVE rank —
+    // the property trustRank exists to change
+    val pr = Dedup.pageRank(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr(5L) > 0L)
+  }
+
   test("assortativity: star graph is perfectly disassortative (r = -1)") {
     import spark.implicits._
     // star 1-{2,3,4}: stubs m2=6; hub stubs carry (x,y)=(3,1)×3, leaf
