@@ -156,6 +156,7 @@ object StreamScaleProbe {
     if (on("cdc")) cdcStage(spark, collector, chunksDir, out, n)
     if (on("q161")) q161Stage(spark, collector, chunksDir, out, n)
     if (on("q153")) q153Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
+    if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
 
     spark.streams.removeListener(collector)
     spark.stop()
@@ -289,6 +290,70 @@ object StreamScaleProbe {
     require(est.nonEmpty && est.forall(_.getDouble(6) < 0.2),
       s"q161 rel_err out of band at volume")
     println(s"[sprobe] exactly-once: streamed HLL ≡ one-shot registers at $n events — OK")
+  }
+
+  /** q154 at volume: the IMAGE ingest loop — decode-heavy micro-batches
+    * against a persisted dHash store. Batches alternate NOVEL originals
+    * (kept + appended) and VARIANT re-encodes; crucially, two variant
+    * batches target images that entered the store as PRIOR NOVEL
+    * BATCHES, not the seeded corpus — the settled-corpus-GROWS property
+    * the 2-batch gate cannot see. Recall contract is m52's banding
+    * (≥95%); novel batches must come back fully kept. */
+  private def q154Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      out: String, nImg: Long): Unit = {
+    import graft.operators.Multimodal
+    val specDir = s"$out/img_specs"
+    val storeDir = s"$out/img_store"
+    val sinkRoot = s"$out/img_sink"
+    val chunk = nImg / 10
+    println(s"[sprobe] q154 image store=$nImg seeded, 8 batches × $chunk " +
+      "(even=novel originals, odd=variants; batches 3/7 re-encode PRIOR novels)")
+    time("q154 image store seed (one-time, decode-heavy)") {
+      Multimodal.writeImageSignatureStore(spark,
+        spark.range(nImg).toDF("doc_id"), storeDir)
+    }
+    import spark.implicits._
+    def spec(from: Long, n: Long, variant: Boolean) =
+      spark.range(from, from + n).toDF("doc_id")
+        .select(col("doc_id"), lit(variant).as("variant"))
+    val batches = Seq(
+      spec(2 * nImg, chunk, variant = false), // b0 novel
+      spec(0, chunk, variant = true), // b1 variants of seeded corpus
+      spec(2 * nImg + chunk, chunk, variant = false), // b2 novel
+      spec(2 * nImg, chunk, variant = true), // b3 variants of b0's novels
+      spec(2 * nImg + 2 * chunk, chunk, variant = false), // b4 novel
+      spec(chunk, chunk, variant = true), // b5 variants of seeded corpus
+      spec(2 * nImg + 3 * chunk, chunk, variant = false), // b6 novel
+      spec(2 * nImg + chunk, chunk, variant = true)) // b7 variants of b2
+    time("q154 spec chunk staging")(stageFrames(batches, specDir))
+    time("q154 streaming image ingest, 8 micro-batches") {
+      val q = graft.streaming.IngestImageDedup.start(
+        spark, specDir, storeDir, sinkRoot)
+      try q.processAllAvailable() finally q.stop()
+    }
+    collector.report("q154 image ingest")
+    var dupFlagged = 0L
+    var dupTotal = 0L
+    (0 until 8).foreach { b =>
+      val dec = spark.read.parquet(s"$sinkRoot/decisions/batch_$b")
+        .localCheckpoint()
+      val total = dec.count()
+      val flagged = dec.filter(col("reason") === "corpus_dup").count()
+      val kept = dec.filter(col("keep")).count()
+      val isVar = b % 2 == 1
+      val tag = if (isVar) { if (b == 3 || b == 7) "var-of-novel" else "var-of-seed" }
+      else "novel"
+      println(f"[sprobe] q154 batch=$b%2d $tag%-12s imgs=$total%6d " +
+        f"corpus_dup=$flagged%6d kept=$kept%6d")
+      if (isVar) { dupFlagged += flagged; dupTotal += total }
+      else require(kept == total,
+        s"novel image batch $b lost images: kept $kept/$total")
+    }
+    require(dupFlagged >= dupTotal * 95 / 100,
+      s"image store-path recall broke across batches: $dupFlagged/$dupTotal")
+    println(s"[sprobe] q154 recall $dupFlagged/$dupTotal across 4 variant batches " +
+      "(incl. variants of PRIOR-batch novels) — settled corpus grows — OK")
   }
 
   /** q153 at volume (r9 verdict #4): dedup-at-the-door over many
