@@ -467,6 +467,46 @@ object Curation {
             .cast("double")).as("auc"))
   }
 
+  /** Exact quantile normalization of group `gb`'s integer `value`
+    * distribution onto group `ga`'s (the batch-effect correction /
+    * corpus length-matching primitive): each distinct b-value x maps to
+    * the smallest a-value y whose CDF position reaches x's —
+    * mapped(x) = min{ y : cum_a(y)·n_b ≥ cum_b(x)·n_a }, an integer
+    * cross-multiplied quantile lookup with NO division anywhere
+    * (DECIMAL(38,0) products, rule 18). Always defined: the largest
+    * a-value satisfies the inequality for every x.
+    *
+    * Scale shape: both samples collapse to their value supports
+    * (count-of-counts); the threshold join is support×support bounded —
+    * domain-sized on both sides, never corpus rows — and plans as a
+    * broadcast non-equi join over the (bounded) a-support. Output: one
+    * row per distinct b-value, total order. */
+  def quantileNormalize(
+      df: DataFrame, group: Column, value: Column,
+      ga: String, gb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(group.as("g"), value.cast("long").as("x"))
+      .filter(col("g").isin(ga, gb))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cum(gname: String, xc: String, fc: String) = base
+      .filter(col("g") === gname)
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .select(col("x").as(xc), sum(col("c")).over(w).as(fc))
+    val ca = cum(ga, "y", "fa")
+    val cb = cum(gb, "x", "fb")
+    val nb = base.groupBy().agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("na"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("nb"))
+    cb.crossJoin(broadcast(nb)) // 1-row normalizer
+      .join(broadcast(ca), D(col("fa")) * col("nb") >= D(col("fb")) * col("na"))
+      .groupBy(col("x"), col("fb"))
+      .agg(min(col("y")).as("mapped"))
+      .select(col("x"), col("fb").as("cum_b"), col("mapped"))
+      .orderBy(col("x"))
+  }
+
   /** Pearson χ² test of homogeneity over the `rowKey` × `colKey`
     * contingency table (zero cells included — the full key cross
     * product contributes). Per-cell terms (O·N − R·C)²/(N·R·C) are

@@ -1001,6 +1001,31 @@ object TextQueries {
         |         / CAST(2 * CAST(t.na AS HUGEINT) * t.nb AS DOUBLE) AS auc
         |FROM r, tot t""".stripMargin),
       (s, d) => graft.operators.Curation.mannWhitney(
+        docs(s, d), col("source"), col("n_chars"), "src0", "src1")),
+
+    // exact quantile normalization (t69): map src1's n_chars
+    // distribution onto src0's by integer cross-multiplied rank lookup
+    // — no division anywhere; the corpus length-matching primitive.
+    Q("t69_quantile_norm", Some(
+      """WITH base AS (
+        |  SELECT source AS g, n_chars AS x FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |ca AS (SELECT x AS y, sum(c) OVER (ORDER BY x) AS fa
+        |       FROM (SELECT x, count(*) AS c FROM base
+        |             WHERE g = 'src0' GROUP BY x)),
+        |cb AS (SELECT x, sum(c) OVER (ORDER BY x) AS fb
+        |       FROM (SELECT x, count(*) AS c FROM base
+        |             WHERE g = 'src1' GROUP BY x)),
+        |tot AS (
+        |  SELECT sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb
+        |  FROM base)
+        |SELECT b.x, CAST(b.fb AS BIGINT) AS cum_b,
+        |       CAST(min(a.y) AS BIGINT) AS mapped
+        |FROM cb b CROSS JOIN tot t
+        |JOIN ca a ON a.fa * t.nb >= b.fb * t.na
+        |GROUP BY b.x, b.fb ORDER BY b.x""".stripMargin),
+      (s, d) => graft.operators.Curation.quantileNormalize(
         docs(s, d), col("source"), col("n_chars"), "src0", "src1"))
   )
 

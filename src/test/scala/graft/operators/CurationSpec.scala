@@ -364,4 +364,30 @@ class CurationSpec extends SparkSpec {
     val r = Curation.mannWhitney(df, col("g"), col("x"), "a", "b").head()
     assert(r.getDouble(3) === 0.5)
   }
+
+  test("quantileNormalize: identity on identical distributions; hand-computed shift") {
+    import spark.implicits._
+    val vals = Seq(1L, 3L, 3L, 9L)
+    val same = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("g", "x")
+    val id = Curation.quantileNormalize(same, col("g"), col("x"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(id.forall { case (x, m) => x == m }, id.toSeq)
+    // b = a + 10 elementwise: every b-value maps back to its a twin
+    val shifted = (vals.map(("a", _)) ++ vals.map(v => ("b", v + 10L)))
+      .toDF("g", "x")
+    val m = Curation.quantileNormalize(shifted, col("g"), col("x"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(m === Map(11L -> 1L, 13L -> 3L, 19L -> 9L), m)
+  }
+
+  test("quantileNormalize: unequal sizes use cross-multiplied ranks (no division)") {
+    import spark.implicits._
+    // a = {10, 20} (n=2), b = {1, 2, 3, 4} (n=4): fb*na/nb thresholds
+    // 0.5,1,1.5,2 -> b-values 1,2 map to 10 (fa=1 >= fb*2/4), 3,4 -> 20
+    val df = (Seq(10L, 20L).map(("a", _)) ++ Seq(1L, 2L, 3L, 4L).map(("b", _)))
+      .toDF("g", "x")
+    val m = Curation.quantileNormalize(df, col("g"), col("x"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(m === Map(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L), m)
+  }
 }
