@@ -1420,6 +1420,76 @@ object Dedup {
       teleportFor = v => when(seed(v), lit(teleport)).otherwise(lit(0L)))
   }
 
+  /** [[hits]] constants — shared with the oracle generator. */
+  val hitsScale: Long = 1000000L
+  val hitsRounds: Int = 3
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the
+    * duplicate→first-seen DAG: every near-dup pair is directed
+    * copy→original (higher id → lower id — ids are ingest order; a
+    * copy "cites" its original, the citation-graph convention), so
+    * AUTHORITIES are the most-copied originals and HUBS are copies
+    * that aggregate authoritative originals (hub mass = Σ auth of
+    * cited originals — citing one strong original outranks citing many
+    * obscure ones, Kleinberg's mutual reinforcement). Integer determinization: both vectors start at `scale`;
+    * each round computes raw sums a(v) = Σ h(u→v), h(u) = Σ a(u→v),
+    * then renormalizes x ← x·scale DIV max(x) — max is a 1-row
+    * aggregate (broadcast, never collected), division is DIV, so every
+    * round replays bit-for-bit in SQL. Fixed rounds (convergence-free
+    * determinism, like [[labelPropagation]]).
+    *
+    * Scale shape: per round two equi-joins + two node-grain aggregates
+    * + two 1-row max frames; state is one row per node, materialized
+    * (rule 5). Output: (doc_id, hub, auth), total order. */
+  def hits(
+      pairs: DataFrame, rounds: Int = hitsRounds,
+      scale: Long = hitsScale): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    // copy→original orientation; pairs arrive with id_a < id_b
+    val e = pairs.select(greatest(col("id_a"), col("id_b")).as("src"),
+      least(col("id_a"), col("id_b")).as("dst"))
+      .distinct()
+      .materializeOnce() // two joins per round read it
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct().materializeOnce()
+    var hv = nodes.select(col("v"), lit(scale).as("h"))
+    var av = nodes.select(col("v"), lit(scale).as("a"))
+    for (_ <- 1 to rounds) {
+      // raw authority = Σ hub over in-edges; raw hub = Σ auth over
+      // out-edges (from the PREVIOUS auth vector — the classic
+      // synchronous update order: auth first, then hubs from new auth)
+      val rawA = nodes.join(
+          e.join(hv, col("v") === col("src"))
+            .groupBy(col("dst")).agg(sum(D(col("h"))).as("s")),
+          col("v") === col("dst"), "left")
+        .select(col("v"),
+          coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("x"))
+        .materializeOnce() // feeds its own max AND the rescale
+      val maxA = rawA.agg(max(col("x")).as("mx"))
+      av = rawA.crossJoin(broadcast(maxA))
+        .select(col("v"),
+          when(col("mx") > 0, expr(s"CAST($scale AS DECIMAL(38,0)) * x DIV mx"))
+            .otherwise(lit(0L)).cast("long").as("a"))
+        .materializeOnce()
+      val rawH = nodes.join(
+          e.join(av, col("v") === col("dst"))
+            .groupBy(col("src")).agg(sum(D(col("a"))).as("s")),
+          col("v") === col("src"), "left")
+        .select(col("v"),
+          coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("x"))
+        .materializeOnce()
+      val maxH = rawH.agg(max(col("x")).as("mx"))
+      hv = rawH.crossJoin(broadcast(maxH))
+        .select(col("v"),
+          when(col("mx") > 0, expr(s"CAST($scale AS DECIMAL(38,0)) * x DIV mx"))
+            .otherwise(lit(0L)).cast("long").as("h"))
+        .materializeOnce()
+    }
+    nodes.join(hv, Seq("v")).join(av, Seq("v"))
+      .select(col("v").as("doc_id"), col("h").as("hub"), col("a").as("auth"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared integer rank fixed point of [[pageRank]]/[[trustRank]]:
     * undirected edges, per-term floor shares, DECIMAL(38,0) sums, a
     * node-dependent teleport term. One join + one groupBy per round

@@ -496,6 +496,17 @@ object PipelineQueries {
         graft.operators.Dedup.minhashVerifiedPairs(
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
+    // HITS hubs/authorities (q206): Kleinberg's mutual reinforcement on
+    // the copy→original DAG (a copy "cites" its original) — authorities
+    // = most-copied originals, hubs = copies aggregating authoritative
+    // originals. Integer rounds with
+    // max-renormalization (x·scale DIV max), replayed as generated CTEs
+    // from the shared constants (rules 12/13).
+    Q("q206_hits", Some(hitsOracle),
+      (s, d) => graft.operators.Dedup.hits(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
     // multi-source BFS hop distance (q202): how much of the dup graph
     // sits within k hops of the seed set (doc_id ≡ 0 mod 50) — the
     // crawl-frontier / trust-propagation diagnostic. All-integer
@@ -1429,6 +1440,48 @@ object PipelineQueries {
        |$iters
        |SELECT v AS doc_id, pr FROM it3
        |ORDER BY pr DESC, doc_id""".stripMargin
+  }
+
+  /** q206: the hitsRounds auth/hub updates with max-renormalization,
+    * generated from the operator's own constants. Every per-round frame
+    * is MATERIALIZED (ra/rh feed their own max AND the rescale —
+    * rule 22). */
+  private lazy val hitsOracle: String = {
+    val scale = graft.operators.Dedup.hitsScale
+    val rounds = graft.operators.Dedup.hitsRounds
+    val iters = (1 to rounds).map { r =>
+      s"""ra$r AS MATERIALIZED (
+         |  SELECT n.v, coalesce(s.s, 0) AS x FROM hnodes n LEFT JOIN (
+         |    SELECT ed.dst AS v, sum(h.h) AS s FROM ed
+         |    JOIN hv${r - 1} h ON h.v = ed.src GROUP BY ed.dst) s
+         |  ON s.v = n.v),
+         |ma$r AS (SELECT max(x) AS mx FROM ra$r),
+         |av$r AS MATERIALIZED (
+         |  SELECT v, CAST(CASE WHEN mx > 0 THEN ($scale * x) // mx
+         |                      ELSE 0 END AS BIGINT) AS a
+         |  FROM ra$r, ma$r),
+         |rh$r AS MATERIALIZED (
+         |  SELECT n.v, coalesce(s.s, 0) AS x FROM hnodes n LEFT JOIN (
+         |    SELECT ed.src AS v, sum(a.a) AS s FROM ed
+         |    JOIN av$r a ON a.v = ed.dst GROUP BY ed.src) s
+         |  ON s.v = n.v),
+         |mh$r AS (SELECT max(x) AS mx FROM rh$r),
+         |hv$r AS MATERIALIZED (
+         |  SELECT v, CAST(CASE WHEN mx > 0 THEN ($scale * x) // mx
+         |                      ELSE 0 END AS BIGINT) AS h
+         |  FROM rh$r, mh$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+       |ed AS MATERIALIZED (SELECT id_b AS src, id_a AS dst FROM gpairs),
+       |hnodes AS MATERIALIZED (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT src AS v FROM ed UNION SELECT dst FROM ed)),
+       |hv0 AS (SELECT v, CAST($scale AS BIGINT) AS h FROM hnodes),
+       |$iters
+       |SELECT n.v AS doc_id, h.h AS hub, a.a AS auth
+       |FROM hnodes n JOIN hv$rounds h ON h.v = n.v
+       |JOIN av$rounds a ON a.v = n.v
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q202: the bfsRounds min-relaxations; each round's frame is

@@ -523,6 +523,27 @@ class DedupSpec extends SparkSpec {
     assert(pr(5L) > 0L)
   }
 
+  test("hits: the most-copied original is the top authority; its copies are hubs") {
+    import spark.implicits._
+    // original 0 copied by 1,2,3; originals 10,11 each copied once by 12
+    // (12 duplicates TWO distinct originals). Citation orientation
+    // (copy→original): auth(0) must dominate auth(10)/auth(11); hubs
+    // reward citing STRONG authorities — 1 (citing the top authority)
+    // maxes out, while 12's two weak originals still earn positive hub
+    // mass (the mutual-reinforcement shape, hand-checkable).
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 12L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.hits(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._2 === Dedup.hitsScale, out) // top authority at max
+    assert(out(0L)._2 > out(10L)._2 && out(0L)._2 > out(11L)._2, out)
+    assert(out(1L)._1 === Dedup.hitsScale, out) // cites the top authority
+    assert(out(12L)._1 > 0L && out(12L)._1 < out(1L)._1, out)
+    // originals never point anywhere → hub 0; leaf copies are cited by
+    // nobody → auth 0
+    assert(out(0L)._1 === 0L && out(1L)._2 === 0L, out)
+  }
+
   test("assortativity: star graph is perfectly disassortative (r = -1)") {
     import spark.implicits._
     // star 1-{2,3,4}: stubs m2=6; hub stubs carry (x,y)=(3,1)×3, leaf
