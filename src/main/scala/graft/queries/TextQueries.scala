@@ -1026,8 +1026,97 @@ object TextQueries {
         |JOIN ca a ON a.fa * t.nb >= b.fb * t.na
         |GROUP BY b.x, b.fb ORDER BY b.x""".stripMargin),
       (s, d) => graft.operators.Curation.quantileNormalize(
-        docs(s, d), col("source"), col("n_chars"), "src0", "src1"))
+        docs(s, d), col("source"), col("n_chars"), "src0", "src1")),
+
+    // split-drift report (q207): the "did my split skew anything" check
+    // a pipeline runs right after q86's hash split — KS distance and
+    // Mann–Whitney AUC on length, χ² on language, all between the
+    // train/test assignments, one (metric, value) row each. Pure
+    // composition of t66/t67/t68's operators with the q134 split
+    // expression; a clean split shows D≈0, AUC≈0.5, small χ².
+    Q("q207_split_drift", Some(splitDriftOracle),
+      (s, d) => {
+        import graft.operators.{Curation, Sampling}
+        val split = when(Sampling.hashBucket(col("doc_id"), 100) < 80, "train")
+          .when(Sampling.hashBucket(col("doc_id"), 100) < 90, "val")
+          .otherwise("test")
+        val base = docs(s, d)
+          .select(split.as("g"), col("n_chars"), col("lang"))
+        val ks = Curation
+          .ksStatistic(base, col("g"), col("n_chars"), "train", "test")
+          .select(lit("ks_n_chars").as("metric"), col("ks_d").as("value"))
+        val mw = Curation
+          .mannWhitney(base, col("g"), col("n_chars"), "train", "test")
+          .select(lit("auc_n_chars").as("metric"), col("auc").as("value"))
+        val chi = Curation.chiSquareHomogeneity(
+            base.filter(col("g").isin("train", "test")),
+            col("g"), col("lang"))
+          .select(lit("chi2_lang").as("metric"), col("chi2").as("value"))
+        ks.unionByName(mw).unionByName(chi).orderBy(col("metric"))
+      })
   )
+
+  /** q207: the t66/t68/t67 SQL shapes over the q134 split expression,
+    * unioned to (metric, value) rows. */
+  private lazy val splitDriftOracle: String =
+    s"""WITH sbase AS (
+       |  SELECT CASE WHEN (doc_id * 104729) % 100 < 80 THEN 'train'
+       |              WHEN (doc_id * 104729) % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS g, n_chars AS x, lang
+       |  FROM documents),
+       |bt AS MATERIALIZED (SELECT * FROM sbase WHERE g IN ('train', 'test')),
+       |hist AS MATERIALIZED (
+       |  SELECT x, sum(CASE WHEN g = 'train' THEN 1 ELSE 0 END) AS ca,
+       |         sum(CASE WHEN g = 'test' THEN 1 ELSE 0 END) AS cb
+       |  FROM bt GROUP BY x),
+       |cum AS (SELECT x, sum(ca) OVER (ORDER BY x) AS fa,
+       |               sum(cb) OVER (ORDER BY x) AS fb FROM hist),
+       |tot AS MATERIALIZED (
+       |  SELECT sum(CASE WHEN g = 'train' THEN 1 ELSE 0 END) AS na,
+       |         sum(CASE WHEN g = 'test' THEN 1 ELSE 0 END) AS nb
+       |  FROM bt),
+       |ks AS (
+       |  SELECT 'ks_n_chars' AS metric,
+       |         CAST(max(abs(c.fa * t.nb - c.fb * t.na)) AS DOUBLE)
+       |           / CAST(t.na * t.nb AS DOUBLE) AS value
+       |  FROM cum c, tot t GROUP BY t.na, t.nb),
+       |cum2 AS (
+       |  SELECT ca, ca + cb AS c,
+       |         coalesce(sum(ca + cb) OVER (ORDER BY x
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS bfr
+       |  FROM hist),
+       |mw AS (
+       |  SELECT 'auc_n_chars' AS metric,
+       |         CAST(r.r2 - CAST(t.na AS HUGEINT) * (t.na + 1) AS DOUBLE)
+       |           / CAST(2 * CAST(t.na AS HUGEINT) * t.nb AS DOUBLE) AS value
+       |  FROM (SELECT sum(CAST(ca AS HUGEINT) * (2 * bfr + c + 1)) AS r2
+       |        FROM cum2) r, tot t),
+       |cells AS (SELECT g AS r, lang AS c2, count(*) AS o
+       |          FROM bt GROUP BY 1, 2),
+       |crs AS (SELECT r, sum(o) AS rsum FROM cells GROUP BY r),
+       |ccs AS (SELECT c2, sum(o) AS csum FROM cells GROUP BY c2),
+       |ctot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+       |                count(DISTINCT c2) AS nc FROM cells),
+       |cfl AS (
+       |  SELECT crs.r, ccs.c2, crs.rsum, ccs.csum, coalesce(cells.o, 0) AS o
+       |  FROM crs CROSS JOIN ccs
+       |  LEFT JOIN cells ON cells.r = crs.r AND cells.c2 = ccs.c2),
+       |cterms AS (
+       |  SELECT f.r, f.c2, t.n, t.nr, t.nc,
+       |         CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
+       |       * CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
+       |       / CAST(CAST(t.n AS HUGEINT) * f.rsum * f.csum AS DOUBLE) AS term
+       |  FROM cfl f CROSS JOIN ctot t),
+       |chi AS (
+       |  SELECT 'chi2_lang' AS metric,
+       |         list_sum(list_transform(list({'r': r, 'c': c2, 't': term}
+       |                    ORDER BY r, c2), x -> x.t)) AS value
+       |  FROM cterms GROUP BY n, nr, nc)
+       |SELECT metric, value FROM (
+       |  SELECT * FROM ks UNION ALL SELECT * FROM mw
+       |  UNION ALL SELECT * FROM chi)
+       |ORDER BY metric""".stripMargin
 
   /** t63 oracle: the word graph, replayable dense word ids, and the
     * q148-style generated PR iteration CTEs from the SAME constants. */
