@@ -68,29 +68,37 @@ object Bench {
     * rc=124 with no JSON line; the first r8 boot ran ~10 min) — so the
     * suite must ALWAYS print its summary line before any plausible
     * driver timeout. Modes only escalate, never relax:
-    *   0 = normal (min-stable, ≤3 samples)   1 = ≤2 samples
-    *   2 = 1 sample                          3 = headline-only, 1 sample
-    *   4 = abort (skip all remaining queries, print the line)
+    *   0 = normal (min-stable, ≤3 samples)   1 = ≤2 samples everywhere
+    *   2 = two-tier: headline ≤2, tail 1     3 = 1 sample everywhere
+    *   4 = headline-only, 1 sample
+    *   5 = abort (skip all remaining queries, print the line)
+    * Mode 2 is the designed steady state (VERDICT r10 directive #1):
+    * 1-sample noise on sub-2 s queries is 1.3–1.7× and produced phantom
+    * regressions three rounds running (r9 q92, r10 d57/t53), so the
+    * pinned headline set — the only cross-round per-query signal —
+    * keeps min-of-2 even when the long tail drops to a single sample.
     * Escalation compares remaining budget to remaining work, using
     * measured per-mode seconds/query wall costs (r8 clean boot:
     * ~1.94 s/q at the min-stable ≤3-sample protocol incl. overhead;
-    * ~0.8 s/q at 1 sample; headline = ~1/4 of the suite), re-evaluated
-    * before every query so a slow boot or ambient contention degrades
-    * exactly as far as the clock demands and no further.
+    * ~0.8 s/q at 1 sample; two-tier ≈ 0.8 × (1 + headline cost share)
+    * ≈ 0.95; headline = ~1/5 of the suite), re-evaluated before every
+    * query so a slow boot or ambient contention degrades exactly as
+    * far as the clock demands and no further.
     */
   private[graft] def escalateMode(current: Int, remainingSec: Double, queriesLeft: Int): Int = {
     val left = math.max(1, queriesLeft).toDouble
     val m =
       if (remainingSec >= 2.2 * left) 0
-      else if (remainingSec >= 1.4 * left) 1
-      else if (remainingSec >= 0.8 * left) 2
-      else if (remainingSec >= math.max(15.0, 0.3 * left)) 3
-      else 4
+      else if (remainingSec >= 1.5 * left) 1
+      else if (remainingSec >= 0.95 * left) 2
+      else if (remainingSec >= 0.75 * left) 3
+      else if (remainingSec >= math.max(15.0, 0.3 * left)) 4
+      else 5
     math.max(current, m)
   }
 
   private[graft] val modeNames =
-    Array("none", "2samp", "1samp", "headline", "abort")
+    Array("none", "2samp", "2tier", "1samp", "headline", "abort")
 
   /** Staging-helper names whose FIRST invocation does one-time work
     * (bucketed-table writes, signature/image/IVF/drift store builds,
@@ -146,7 +154,8 @@ object Bench {
     */
   private[graft] def renderLine(
       results: Seq[(String, Double)], failed: Seq[String], warmed: Boolean,
-      degraded: String, skipped: Int, sfDir: String): String = {
+      degraded: String, skipped: Int, sfDir: String,
+      hsMin: Int = 0): String = {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
       .mkString("{", ",", "}")
@@ -155,7 +164,11 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val skippedField = if (skipped == 0) "" else s""","skipped":$skipped"""
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"warm":$warmed,"degraded":"$degraded"$skippedField$failedField,"queries":$qs,"sf":"$sfDir"}"""
+    // hs_min = MIN sample count across timed headline queries — the
+    // one-number proof that the round's headline timings are min-of-≥2
+    // (0 = unknown/none timed, omitted)
+    val hsField = if (hsMin <= 0) "" else s""","hs_min":$hsMin"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"warm":$warmed,"degraded":"$degraded"$hsField$skippedField$failedField,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -237,6 +250,7 @@ object Bench {
     // process.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val sampleCounts = scala.collection.mutable.Map.empty[String, Int]
     var skipped = 0
     var mode = 0
     var sinceGc = 0
@@ -249,7 +263,7 @@ object Bench {
       if (mode != prevMode)
         System.err.println(f"[bench] budget guard: mode ${modeNames(prevMode)}" +
           f" -> ${modeNames(mode)} (remaining=$remaining%.1fs, left=$queriesLeft)")
-      val skip = mode >= 4 || (mode == 3 && !headlineSet.contains(name))
+      val skip = mode >= 5 || (mode == 4 && !headlineSet.contains(name))
       if (skip) { skipped += 1 }
       else {
         // localCheckpoint blocks are reclaimed by the ContextCleaner only
@@ -292,7 +306,15 @@ object Bench {
           val s = ts.sorted
           s.size >= 2 && s(1) / s(0) > 1.10
         }
-        val maxSamples = mode match { case 0 => 3; case 1 => 2; case _ => 1 }
+        // two-tier (mode 2): headline queries keep min-of-2 — they are
+        // the pinned cross-round series and 1samp noise produced three
+        // rounds of phantom regressions; the long tail drops to 1
+        val maxSamples = mode match {
+          case 0 => 3
+          case 1 => 2
+          case 2 => if (headlineSet.contains(name)) 2 else 1
+          case _ => 1
+        }
         var times = first.toSeq
         while ((times.size < 2 || minUnstable(times)) && times.size < maxSamples)
           times ++= sample()
@@ -302,11 +324,14 @@ object Bench {
         // diagnosed from its log tail instead of guessed at (BENCH_r07)
         System.err.println(f"[bench] $name samples=${times.size} " +
           f"min=${if (times.isEmpty) -1.0 else times.min}%.3f wall=${(t1 - tq0) / 1e9}%.3f")
+        sampleCounts(name) = times.size
         resultsBuf += name -> (if (times.isEmpty) -1.0 else times.min)
       }
     }
+    val hsMin = headline.flatMap(sampleCounts.get)
+      .reduceOption(math.min).getOrElse(0)
     val line = renderLine(resultsBuf.toSeq, failed.toSeq, warmed,
-      modeNames(mode), skipped, sfDir)
+      modeNames(mode), skipped, sfDir, hsMin)
     // Stop Spark BEFORE printing: the JSON must be the literal last line of
     // stdout (the driver parses only the tail), so no shutdown chatter may
     // follow it.

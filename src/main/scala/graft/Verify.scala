@@ -35,7 +35,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    val total = SparkEntry.queries.count(kv => keep(kv._1))
+    // VERDICT r10 directive #3: the cross-engine FUZZ leg runs inside
+    // the standard gate — the same fixed (seed, n) differential cases
+    // the in-suite ParityFuzzSpec checks facade≡Spark are dumped into
+    // this outDir and their DuckDB SQL merged into oracle_sql.json, so
+    // check_oracle.py value-compares fz_* cases every round and a
+    // dialect regression fails the GATE, not a manually-run memory.
+    // Skipped in subset mode (local single-query iteration) — the
+    // driver always runs full mode. A fuzz case that throws lands in
+    // `failed` like any registered query: loud, absent from the gate.
+    val fuzzSql: Seq[(String, String)] =
+      if (only.isDefined) Seq.empty
+      else {
+        val (fuzzFailed, sqls) = graft.tools.FuzzDump.dumpCases(
+          spark, sfDir, outDir,
+          graft.tools.FuzzDump.GateSeed, graft.tools.FuzzDump.GateN)
+        failed ++= fuzzFailed
+        sqls
+      }
+    val total = SparkEntry.queries.count(kv => keep(kv._1)) + fuzzSql.size
     // name any table registerAll had to skip: a skipped table is the
     // usual ROOT CAUSE of the sql-surface failures above, and without
     // this line the SUMMARY can't distinguish "table skipped" from
@@ -62,7 +80,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = (SparkEntry.oracleSql.filter(kv => keep(kv._1)).toSeq ++ fuzzSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

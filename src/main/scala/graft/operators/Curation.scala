@@ -394,22 +394,23 @@ object Curation {
     *
     * Scale shape: one groupBy collapses both samples to the merged
     * VALUE SUPPORT (count-of-counts: bounded by the feature's domain —
-    * for n_chars, max document length — not corpus size); the cumsum
-    * window runs over that support (the q149 histogram-window
-    * argument). One 1-row normalizer crossJoin. */
+    * for n_chars, max document length — not corpus size); the CDFs
+    * come from [[Prefix.cumsum]]'s bucketed distributed prefix sum, so
+    * even a high-cardinality support (raw timestamps, hashes) never
+    * lands on one partition (VERDICT r10 directive #2 — exact, so the
+    * global-window oracle is unchanged). One 1-row normalizer
+    * crossJoin. */
   def ksStatistic(
       df: DataFrame, group: Column, value: Column,
       ga: String, gb: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(group.as("g"), value.cast("long").as("x"))
       .filter(col("g").isin(ga, gb))
     val hist = base.groupBy(col("x")).agg(
       sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
       sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.select(col("x"),
-      sum(col("ca")).over(w).as("fa"), sum(col("cb")).over(w).as("fb"))
+    val cum = Prefix.cumsum(hist, "x",
+        Seq("ca" -> "fa", "cb" -> "fb"), inclusive = true)
+      .select(col("x"), col("fa"), col("fb"))
     val tot = base.agg(
       sum(when(col("g") === ga, 1L).otherwise(0L)).as("na"),
       sum(when(col("g") === gb, 1L).otherwise(0L)).as("nb"))
@@ -437,21 +438,22 @@ object Curation {
     * separate", U asks "does one distribution stochastically dominate".
     *
     * Scale shape: identical to ksStatistic — corpus collapses to the
-    * merged value support first; the cumsum window is support-sized. */
+    * merged value support first; `before` comes from the exclusive
+    * [[Prefix.cumsum]], so no single-partition window exists for ANY
+    * support cardinality. */
   def mannWhitney(
       df: DataFrame, group: Column, value: Column,
       ga: String, gb: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def D(c: Column) = c.cast("decimal(38,0)")
     val base = df.select(group.as("g"), value.cast("long").as("x"))
       .filter(col("g").isin(ga, gb))
     val hist = base.groupBy(col("x")).agg(
-      sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
-      sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.select(col("ca"), (col("ca") + col("cb")).as("c"),
-      coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)).as("before"))
+        sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cc", col("ca") + col("cb"))
+    val cum = Prefix.cumsum(hist, "x",
+        Seq("cc" -> "before"), inclusive = false)
+      .select(col("ca"), col("cc").as("c"), col("before"))
     val tot = base.agg(
       sum(when(col("g") === ga, 1L).otherwise(0L)).as("na"),
       sum(when(col("g") === gb, 1L).otherwise(0L)).as("nb"))
@@ -484,16 +486,16 @@ object Curation {
   def quantileNormalize(
       df: DataFrame, group: Column, value: Column,
       ga: String, gb: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def D(c: Column) = c.cast("decimal(38,0)")
     val base = df.select(group.as("g"), value.cast("long").as("x"))
       .filter(col("g").isin(ga, gb))
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def cum(gname: String, xc: String, fc: String) = base
-      .filter(col("g") === gname)
-      .groupBy(col("x")).agg(count(lit(1)).as("c"))
-      .select(col("x").as(xc), sum(col("c")).over(w).as(fc))
+    // per-group CDF via the distributed prefix sum (directive #2): the
+    // support-sized frame never collapses to one partition
+    def cum(gname: String, xc: String, fc: String) = Prefix.cumsum(
+        base.filter(col("g") === gname)
+          .groupBy(col("x")).agg(count(lit(1)).as("c")),
+        "x", Seq("c" -> fc), inclusive = true)
+      .select(col("x").as(xc), col(fc))
     val ca = cum(ga, "y", "fa")
     val cb = cum(gb, "x", "fb")
     val nb = base.groupBy().agg(
@@ -505,6 +507,113 @@ object Curation {
       .agg(min(col("y")).as("mapped"))
       .select(col("x"), col("fb").as("cum_b"), col("mapped"))
       .orderBy(col("x"))
+  }
+
+  /** Welch's unequal-variance t statistic between the integer `value`
+    * distributions of groups `ga`/`gb` (Welch, Biometrika 1947) — the
+    * mean-shift test beside t66's shape test and t68's dominance test:
+    * "did the new crawl change AVERAGE document length" with no
+    * equal-variance assumption.
+    *
+    * Exactness: the sufficient statistics (n, Σx, Σx²) are EXACT
+    * DECIMAL(38,0) sums; the statistic is then a fixed double DAG over
+    * those exact inputs — every step one correctly-rounded IEEE op
+    * identical in both engines (the q133 contract: sqrt of / on exact
+    * inputs), so the oracle hash-matches with no tolerance. Output one
+    * row: (na, nb, mean_a, mean_b, t_stat, dof — Welch–Satterthwaite).
+    *
+    * Scale shape: ONE aggregation pass over the corpus (partial+final,
+    * no join, no window), then 1-row arithmetic. */
+  def welchT(
+      df: DataFrame, group: Column, value: Column,
+      ga: String, gb: String): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val zero = lit(0L).cast("decimal(38,0)")
+    val base = df.select(group.as("g"), value.cast("long").as("x"))
+      .filter(col("g").isin(ga, gb))
+    val m = base.agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("na"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("g") === ga, D(col("x"))).otherwise(zero)).as("sa"),
+      sum(when(col("g") === gb, D(col("x"))).otherwise(zero)).as("sb"),
+      sum(when(col("g") === ga, D(col("x")) * col("x")).otherwise(zero)).as("qa"),
+      sum(when(col("g") === gb, D(col("x")) * col("x")).otherwise(zero)).as("qb"))
+    def d(n: String) = col(n).cast("double")
+    // the double DAG, mirrored operation-for-operation by the oracle:
+    // mean = S/n; var = (Q - S*S/n)/(n-1); se2 = var/n;
+    // t = (ma-mb)/sqrt(se2a+se2b); dof = (se2a+se2b)^2 /
+    //     (se2a^2/(na-1) + se2b^2/(nb-1))
+    m.select(col("na"), col("nb"),
+        (d("sa") / d("na")).as("mean_a"), (d("sb") / d("nb")).as("mean_b"),
+        ((d("qa") - d("sa") * d("sa") / d("na")) / (d("na") - lit(1.0)))
+          .as("var_a"),
+        ((d("qb") - d("sb") * d("sb") / d("nb")) / (d("nb") - lit(1.0)))
+          .as("var_b"))
+      .select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+        (col("var_a") / col("na").cast("double")).as("se2_a"),
+        (col("var_b") / col("nb").cast("double")).as("se2_b"),
+        (col("na").cast("double") - lit(1.0)).as("dfa"),
+        (col("nb").cast("double") - lit(1.0)).as("dfb"))
+      .select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
+          .as("t_stat"),
+        (((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b"))) /
+          (col("se2_a") * col("se2_a") / col("dfa") +
+            col("se2_b") * col("se2_b") / col("dfb"))).as("dof"))
+  }
+
+  /** Cramér's V association strength of the `rowKey` × `colKey`
+    * contingency (Cramér, 1946): √(χ²/(n·min(r−1, c−1))) — the
+    * normalized, size-free companion of [[chiSquareHomogeneity]]
+    * (χ² grows with n even for a fixed association; V ∈ [0,1] is the
+    * number a pipeline thresholds on, e.g. "is lang entangled with
+    * source"). One double DAG over the chi2 output row. */
+  def cramersV(df: DataFrame, rowKey: Column, colKey: Column): DataFrame =
+    chiSquareHomogeneity(df, rowKey, colKey)
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))
+          .as("v"))
+
+  /** Shuffle-quality audit of a deterministic corpus order: the lag-1
+    * same-key adjacency count in the shuffled order vs its expectation
+    * under a uniform random permutation. A bad shuffle (runs of one
+    * source/domain surviving) shows ratio ≫ 1; a healthy one sits near
+    * 1 — the check a pipeline runs on its curriculum BEFORE training,
+    * since residual clumping inflates gradient correlation.
+    *
+    * The order is the modular-permutation hash h = id·2654435761 mod
+    * 1000000007 (injective while ids < the prime — same convention as
+    * Sampling.hashBucket, replayable in any engine; NOT the md5 order
+    * of corpusShuffle, which has no integer form for ranking). Ranks
+    * come from [[Prefix.cumsum]] — no global window at any cardinality
+    * — and adjacency is one equi-join on rank+1.
+    *
+    * Expectation, exact: E[same] = Σ_k c_k(c_k−1)/n (decimal sums;
+    * the (n−1) pair count cancels); emitted as a double alongside the
+    * observed count and their ratio. */
+  def shuffleAudit(df: DataFrame, id: Column, key: Column): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(id.as("did"), key.as("k"))
+      .withColumn("h", pmod(col("did") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("one", lit(1L))
+    val ranked = Prefix.cumsum(base, "h", Seq("one" -> "rk"),
+        inclusive = true)
+      .select(col("rk"), col("k")).materializeOnce() // both join sides
+    val adj = ranked.join(
+      ranked.select((col("rk") - 1).as("rk"), col("k").as("k2")), Seq("rk"))
+    val obs = adj.agg(count(lit(1)).as("n_adj"),
+      sum(when(col("k") === col("k2"), 1L).otherwise(0L)).as("same_adj"))
+    val exp = base.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        coalesce(sum(D(col("c")) * (col("c") - 1)),
+          lit(0L).cast("decimal(38,0)")).as("s2"))
+    obs.crossJoin(broadcast(exp)) // 1-row normalizer
+      .select(col("n"), col("n_adj"), col("same_adj"),
+        (col("s2").cast("double") / col("n").cast("double"))
+          .as("expected_same"),
+        (col("same_adj").cast("double") /
+          (col("s2").cast("double") / col("n").cast("double"))).as("ratio"))
   }
 
   /** Pearson χ² test of homogeneity over the `rowKey` × `colKey`

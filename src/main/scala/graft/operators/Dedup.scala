@@ -1456,8 +1456,8 @@ object Dedup {
     var av = nodes.select(col("v"), lit(scale).as("a"))
     for (_ <- 1 to rounds) {
       // raw authority = Σ hub over in-edges; raw hub = Σ auth over
-      // out-edges (from the PREVIOUS auth vector — the classic
-      // synchronous update order: auth first, then hubs from new auth)
+      // out-edges — the classic update order: auth first, then hubs
+      // from the just-updated auth vector (Kleinberg JACM '99)
       val rawA = nodes.join(
           e.join(hv, col("v") === col("src"))
             .groupBy(col("dst")).agg(sum(D(col("h"))).as("s")),

@@ -58,11 +58,15 @@ object Linkage {
     * report how many true pairs the scheme keeps and how much of the
     * quadratic comparison space it prunes.
     *
-    * Exactness: candidate counts are Σ_b C(m_b, 2) summed as
-    * DECIMAL(38,0) (rule 18 — m² passes 2^63 only past ~3e9-record
-    * blocks, but the sum across blocks can overflow much earlier);
-    * the two ratios are single divisions of exact integers (rule 17's
-    * one-op family, plus one subtraction for the reduction ratio).
+    * Exactness: the candidate count is Σ_b m_b·(m_b−1) with BOTH the
+    * per-block product and the sum in DECIMAL (rule 18 + ANSI rule
+    * 21a: a plain-Long m·(m−1) THROWS past m ≈ 3.04e9, realistic at
+    * 100 TB, and the cross-block sum overflows int64 far earlier). The
+    * /2 never happens in integer space: `n_cand` is reported as DOUBLE
+    * (cand2/2 — exact below 2^53, the honest type for an audit count
+    * that can legitimately pass int64), and the reduction ratio
+    * divides cand2 by the DECIMAL total-pair product directly, so no
+    * halving is needed anywhere.
     *
     * Scale shape: one groupBy at block grain for the candidate count
     * (NEVER enumerating candidate pairs — the count comes from block
@@ -71,9 +75,12 @@ object Linkage {
   def blockingAudit(truth: DataFrame, keyed: DataFrame): DataFrame = {
     val k = keyed.select(col("doc_id"), col("bk")).materializeOnce()
     val nRec = k.agg(count(lit(1)).as("n_records"))
+    // cand2 = 2 * n_candidate_pairs = Σ_b m·(m−1); DECIMAL(19,0) factors
+    // so the product is (38,0) — never a Long op that ANSI could throw on
     val cand = k.groupBy(col("bk")).agg(count(lit(1)).as("m"))
-      .agg(coalesce(sum(expr("(m * (m - 1) DIV 2)").cast("decimal(38,0)")),
-        lit(0L).cast("decimal(38,0)")).cast("long").as("n_cand"))
+      .agg(coalesce(sum(col("m").cast("decimal(19,0)") *
+          (col("m") - lit(1)).cast("decimal(19,0)")),
+        lit(0L).cast("decimal(38,0)")).as("cand2"))
     val t = truth.select(col("id_a"), col("id_b")).materializeOnce()
     val nTrue = t.agg(count(lit(1)).as("n_true"))
     val found = t
@@ -84,11 +91,16 @@ object Linkage {
     nRec.crossJoin(broadcast(nTrue)) // 1-row normalizers throughout
       .crossJoin(broadcast(cand))
       .crossJoin(broadcast(found))
-      .select(col("n_records"), col("n_true"), col("n_cand"), col("n_found"),
+      .select(col("n_records"), col("n_true"),
+        (col("cand2").cast("double") / lit(2.0)).as("n_cand"),
+        col("n_found"),
         (col("n_found").cast("double") / col("n_true").cast("double"))
           .as("pairs_completeness"),
-        (lit(1.0) - col("n_cand").cast("double") /
-          expr("n_records * (n_records - 1) DIV 2").cast("double"))
+        // 1 − cand2 / (n·(n−1)): both sides stay un-halved, the total
+        // product goes through the same DECIMAL route as cand2
+        (lit(1.0) - col("cand2").cast("double") /
+          (col("n_records").cast("decimal(19,0)") *
+            (col("n_records") - lit(1)).cast("decimal(19,0)")).cast("double"))
           .as("reduction_ratio"))
   }
 }

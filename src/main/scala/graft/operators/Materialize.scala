@@ -58,10 +58,31 @@ object Materialize {
     }
   }
 
+  /** Like `once`, but GUARANTEES a lineage cut. `persist(DISK_ONLY_2)`
+    * keeps lineage, so a frame holding NONDETERMINISTIC values
+    * (`monotonically_increasing_id`, `rand`) could recompute DIFFERENT
+    * values if both replicas of a block die mid-query — silently
+    * corrupting any join keyed on those values. Frames that assign ids
+    * must call this instead: under `persist` it falls back to
+    * `localCheckpoint` (cuts lineage; single-copy, same loss risk as
+    * `local` but never *wrong*), the other strategies already cut. */
+  def cut(df: DataFrame): DataFrame = {
+    val strategy =
+      try df.sparkSession.conf.get(ConfKey, "local")
+      catch { case _: Throwable => "local" }
+    strategy match {
+      case "reliable" => df.checkpoint()
+      case _          => df.localCheckpoint()
+    }
+  }
+
   /** Postfix form so call sites keep reading like the plan they build:
     * `df.join(...).groupBy(...).agg(...).materializeOnce()`.
     */
   implicit class Ops(private val df: DataFrame) extends AnyVal {
     def materializeOnce(): DataFrame = Materialize.once(df)
+
+    /** Lineage-cutting variant for nondeterministic-value frames. */
+    def materializeCut(): DataFrame = Materialize.cut(df)
   }
 }

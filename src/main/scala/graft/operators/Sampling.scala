@@ -99,6 +99,36 @@ object Sampling {
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / capacity))
   }
 
+  /** Exact stratified train/val/test split: within every stratum, rows
+    * order by the modular-permutation hash h = id·2654435761 mod
+    * 1000000007 (replayable in any engine; injective while ids < the
+    * prime) and the first ⌊n_s·trainPct/100⌋ become train, up to
+    * ⌊n_s·(trainPct+valPct)/100⌋ val, the rest test — EXACT per-stratum
+    * quotas, where the [[splitLabel]] hash split is only proportional
+    * in expectation (a 30-doc stratum can easily land 0 test docs).
+    * The per-stratum ranks come from the GROUPED [[Prefix.cumsum]], so
+    * no stratum ever sorts on a single partition regardless of its
+    * size. All quota arithmetic is integer DIV (≡ DuckDB //, rule 21).
+    */
+  def stratifiedSplit(
+      df: DataFrame, id: String, stratum: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val base = df.select(col(id).as("doc_id"), col(stratum).as("stratum"))
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("one", lit(1L))
+    val ranked = Prefix.cumsum(base, "h", Seq("one" -> "rk"),
+      inclusive = true, groupCols = Seq("stratum"))
+    val sizes = base.groupBy(col("stratum")).agg(count(lit(1)).as("ns"))
+    ranked.join(broadcast(sizes), Seq("stratum")) // stratum-grain: tiny
+      .withColumn("split",
+        when(col("rk") <= expr(s"ns * $trainPct DIV 100"), "train")
+          .when(col("rk") <= expr(s"ns * ${trainPct + valPct} DIV 100"), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("stratum"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic systematic sampling by cumulative integer weight
     * (the classic survey-sampling scheme, PPS-systematic form: one
     * pick per stride of total weight, in id order) — the data-mixing

@@ -250,8 +250,11 @@ object Vocab {
       .withColumn("id", monotonically_increasing_id())
       // freeze the (nondeterministic) ids BEFORE the two joins + the
       // readback — without this each consumer could recompute different
-      // ids; vocabulary-sized
-      .materializeOnce()
+      // ids; vocabulary-sized. materializeCut, not materializeOnce:
+      // only a lineage CUT makes the freeze unconditional — under the
+      // persist strategy a lost DISK_ONLY_2 block would recompute
+      // FRESH ids and silently corrupt the edge joins
+      .materializeCut()
     val edges = pairs
       .join(voc.select(col("w").as("wa"), col("id").as("id_a")), Seq("wa"))
       .join(voc.select(col("w").as("wb"), col("id").as("id_b")), Seq("wb"))

@@ -1161,19 +1161,20 @@ object DedupQueries {
        |kd AS MATERIALIZED (
        |  SELECT doc_id, n_chars // $snmWidth AS bk FROM documents),
        |nr AS (SELECT count(*) AS n_records FROM kd),
-       |cd AS (SELECT CAST(coalesce(sum((m * (m - 1)) // 2), 0) AS BIGINT)
-       |         AS n_cand
+       |cd AS (SELECT coalesce(sum(CAST(m AS HUGEINT) * (m - 1)), 0)
+       |         AS cand2
        |       FROM (SELECT count(*) AS m FROM kd GROUP BY bk)),
        |nt AS (SELECT count(*) AS n_true FROM tp),
        |fd AS (SELECT count(*) AS n_found FROM tp
        |       JOIN kd a ON a.doc_id = tp.id_a
        |       JOIN kd b ON b.doc_id = tp.id_b
        |       WHERE a.bk = b.bk)
-       |SELECT n_records, n_true, n_cand, n_found,
+       |SELECT n_records, n_true,
+       |  CAST(cand2 AS DOUBLE) / 2 AS n_cand, n_found,
        |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
        |    AS pairs_completeness,
-       |  CAST(1 AS DOUBLE) - CAST(n_cand AS DOUBLE)
-       |    / CAST((n_records * (n_records - 1)) // 2 AS DOUBLE)
+       |  CAST(1 AS DOUBLE) - CAST(cand2 AS DOUBLE)
+       |    / CAST(CAST(n_records AS HUGEINT) * (n_records - 1) AS DOUBLE)
        |    AS reduction_ratio
        |FROM nr, cd, nt, fd""".stripMargin
 

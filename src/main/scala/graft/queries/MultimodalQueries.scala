@@ -26,27 +26,8 @@ object MultimodalQueries {
   // the pixel arithmetic is emitted from the SAME constants
   // Multimodal.texturedPixelValue uses — one definition, two engines,
   // no drift (CLAUDE.md rule 12; the DedupQueries.simhashFpCtes pattern).
-
-  /** DuckDB expression for texturedPixelValue(doc_id, x, y, c, variant). */
-  private def pvSql(x: String, y: String, c: Int, variant: Boolean): String = {
-    val bump =
-      if (variant) s" + CASE WHEN (($x)*7 + (($y))*3) % 23 = 0 THEN 64 ELSE 0 END"
-      else ""
-    val t = s"((doc_id*2654435761) % 65536 + 131*($x) + 197*($y) + 31*($x)*($y) + ${101 * c})"
-    val u = s"(($t)*($t) + 3*($t)) % 65521"
-    val v = s"((($u))*(($u)) + 7*(($u))) % 65521"
-    s"((($v)$bump) % 256)"
-  }
-
-  /** Luminance (channel sum) at a sample point. */
-  private def gSql(x: String, y: String, variant: Boolean): String =
-    (0 until 3).map(c => pvSql(x, y, c, variant)).mkString("(", " + ", ")")
-
-  /** dHash bit at grid cell (j, i): right sample brighter than left. */
-  private def bitSql(variant: Boolean): String =
-    s"""CASE WHEN ${gSql("(i+1)*w//9", "j*h//8", variant)}
-       |         > ${gSql("i*w//9", "j*h//8", variant)}
-       |    THEN 1 ELSE 0 END""".stripMargin
+  // The t → u → v → bump → %256 chain below (lumCtesFor) mirrors
+  // texturedPixelValue line for line, as chained CTE columns.
 
   /** MSB-first row-major fold of 64 bits, mod 2^64 (HUGEINT). */
   private def foldSql(bit: String, order: String = "j, i"): String =
@@ -54,16 +35,60 @@ object MultimodalQueries {
        |    list(CAST($bit AS HUGEINT) ORDER BY $order)),
        |  (acc, x) -> (acc * 2 + x) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
-  /** dims + 8×8 grid CTEs shared by m51/m52; parameterized on the
-    * document set so q154 can run its bounded subset (the pixel replay
-    * over the FULL sf0.1 corpus twice — batch and store sides — blew
-    * DuckDB's memory; the bounded loop is the q153 convention). */
+  /** Point-grain luminance chain for one sample grid: the textured-
+    * pixel polynomial evaluated ONCE per (doc, sample point, channel)
+    * through chained CTEs (t → u → v as columns), then luminance (the
+    * 3-channel sum, original and variant — t/u/v are SHARED because the
+    * variant bump lands after v) grouped to point grain. The first cut
+    * inlined the whole t→u→v textual expansion into every cell
+    * comparison (~12 evaluations of t per bit); this chain plus the
+    * adjacent-point self-join for bits cut the image family from 24.2 s
+    * of the 69 s sf0.01 DuckDB gate (VERDICT r10 directive #6).
+    * Emits `lum$tag(doc_id, $ic, $jc, g_o, g_v)` over the sample points
+    * x = $ic·w DIV nx ($ic ∈ [0, nx)), y = $jc·h DIV ny ($jc ∈ [0, ny))
+    * — the same points the cell comparisons used textually (cell i
+    * compares points i and i+1, so an n-cell row has n+1 points). */
+  private def lumCtesFor(tag: String, ic: String, jc: String,
+      nx: Int, ny: Int): String =
+    s"""p${tag}i AS (SELECT doc_id, w, h, unnest(range(0, $nx)) AS $ic FROM dims),
+       |p${tag}j AS (SELECT doc_id, w, h, $ic, unnest(range(0, $ny)) AS $jc
+       |             FROM p${tag}i),
+       |p$tag AS (SELECT doc_id, $ic, $jc,
+       |            ($ic*w)//$nx AS x, ($jc*h)//$ny AS y FROM p${tag}j),
+       |c$tag AS (SELECT doc_id, $ic, $jc, x, y, unnest([0,1,2]) AS c FROM p$tag),
+       |t$tag AS (SELECT doc_id, $ic, $jc, x, y,
+       |            ((doc_id*2654435761) % 65536 + 131*x + 197*y + 31*x*y
+       |             + 101*c) AS t
+       |          FROM c$tag),
+       |u$tag AS (SELECT doc_id, $ic, $jc, x, y, (t*t + 3*t) % 65521 AS u
+       |          FROM t$tag),
+       |v$tag AS (SELECT doc_id, $ic, $jc, x, y, (u*u + 7*u) % 65521 AS v
+       |          FROM u$tag),
+       |lum$tag AS MATERIALIZED (
+       |  SELECT doc_id, $ic, $jc, sum(v % 256) AS g_o,
+       |    sum((v + CASE WHEN (x*7 + y*3) % 23 = 0 THEN 64 ELSE 0 END) % 256)
+       |      AS g_v
+       |  FROM v$tag GROUP BY doc_id, $ic, $jc)""".stripMargin
+
+  /** dims + the 8×8 dHash grid shared by m51/m52/m54/m55/q154:
+    * `bits(doc_id, j, i, bit_o, bit_v)` — bit = right sample brighter
+    * than left, via the adjacent-point self-join over `lum8`.
+    * Parameterized on the document set so q154 can run its bounded
+    * subset (the pixel replay over the FULL sf0.1 corpus twice — batch
+    * and store sides — blew DuckDB's memory; the bounded loop is the
+    * q153 convention). */
   private def gridCtesFor(base: String): String =
     s"""dims AS (
       |  SELECT doc_id, 18 + (doc_id % 14) AS w, 18 + ((doc_id // 14) % 14) AS h
       |  FROM $base),
-      |js AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM dims),
-      |bs AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM js)""".stripMargin
+      |${lumCtesFor("8", "i", "j", 9, 8)},
+      |bits AS MATERIALIZED (
+      |  SELECT a.doc_id, a.j, a.i,
+      |    CASE WHEN b.g_o > a.g_o THEN 1 ELSE 0 END AS bit_o,
+      |    CASE WHEN b.g_v > a.g_v THEN 1 ELSE 0 END AS bit_v
+      |  FROM lum8 a JOIN lum8 b
+      |    ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+      |  WHERE a.i < 8)""".stripMargin
 
   private val gridCtes = gridCtesFor("documents")
 
@@ -87,18 +112,11 @@ object MultimodalQueries {
 
   private val m51Sql =
     s"""WITH $gridCtes,
-       |bits AS MATERIALIZED (SELECT doc_id, j, i, ${bitSql(variant = false)} AS bit FROM bs),
-       |fp AS (SELECT doc_id, ${foldSql("bit")} AS hu FROM bits GROUP BY doc_id)
+       |fp AS (SELECT doc_id, ${foldSql("bit_o")} AS hu FROM bits GROUP BY doc_id)
        |SELECT d.doc_id AS media_id,
        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
        |  CAST($reSign AS BIGINT) AS dhash
        |FROM fp JOIN dims d USING (doc_id) ORDER BY media_id""".stripMargin
-
-  /** Wide-hash bit at 16×17-grid cell (j2, i2). */
-  private def wideBitSql(variant: Boolean): String =
-    s"""CASE WHEN ${gSql("(i2+1)*w//17", "j2*h//16", variant)}
-       |         > ${gSql("i2*w//17", "j2*h//16", variant)}
-       |    THEN 1 ELSE 0 END""".stripMargin
 
   /** Σ over the four 64-bit words × four 16-bit chunks of
     * popcount(xor) — the 256-bit Hamming distance between unsigned
@@ -109,7 +127,9 @@ object MultimodalQueries {
 
   /** Shared CTE prefix for the two-resolution queries (m54/m55): both
     * fingerprints of every original and variant image — `fpo`/`fpv`/
-    * `fp` (64-bit hu per media_id) and `wflat` (the four wide words). */
+    * `fp` (64-bit hu per media_id) and `wflat` (the four wide words).
+    * The wide 16×16-cell grid (17 sample columns) gets its own
+    * point-grain luminance chain (`lum17`), same shape as the 8×8. */
   private def twoResCtesFor(base: String): String = {
     def words(tag: String, off: String) =
       s"""wwords_$tag AS (
@@ -119,21 +139,19 @@ object MultimodalQueries {
     val flat = (0 until 4).map(k =>
       s"max(CASE WHEN k = $k THEN wu END) AS wu$k").mkString(", ")
     s"""${gridCtesFor(base)},
-       |bits AS MATERIALIZED (SELECT doc_id, j, i,
-       |    ${bitSql(variant = false)} AS bit_o,
-       |    ${bitSql(variant = true)} AS bit_v
-       |  FROM bs),
        |fpo AS MATERIALIZED (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
        |        FROM bits GROUP BY doc_id),
        |fpv AS MATERIALIZED (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,
        |        ${foldSql("bit_v")} AS hu FROM bits GROUP BY doc_id),
        |fp AS (SELECT * FROM fpo UNION ALL SELECT * FROM fpv),
-       |wjs AS (SELECT doc_id, w, h, unnest(range(0, 16)) AS j2 FROM dims),
-       |wbs AS (SELECT doc_id, w, h, j2, unnest(range(0, 16)) AS i2 FROM wjs),
-       |wbits AS MATERIALIZED (SELECT doc_id, j2, i2,
-       |    ${wideBitSql(variant = false)} AS wbit_o,
-       |    ${wideBitSql(variant = true)} AS wbit_v
-       |  FROM wbs),
+       |${lumCtesFor("17", "i2", "j2", 17, 16)},
+       |wbits AS MATERIALIZED (
+       |  SELECT a.doc_id, a.j2, a.i2,
+       |    CASE WHEN b.g_o > a.g_o THEN 1 ELSE 0 END AS wbit_o,
+       |    CASE WHEN b.g_v > a.g_v THEN 1 ELSE 0 END AS wbit_v
+       |  FROM lum17 a JOIN lum17 b
+       |    ON b.doc_id = a.doc_id AND b.j2 = a.j2 AND b.i2 = a.i2 + 1
+       |  WHERE a.i2 < 16),
        |${words("o", "")},
        |${words("v", s" + ${Multimodal.VariantOffset}")},
        |ww AS (SELECT * FROM wwords_o UNION ALL SELECT * FROM wwords_v),
@@ -312,10 +330,6 @@ object MultimodalQueries {
 
   private val m52Sql =
     s"""WITH $gridCtes,
-       |bits AS MATERIALIZED (SELECT doc_id, j, i,
-       |    ${bitSql(variant = false)} AS bit_o,
-       |    ${bitSql(variant = true)} AS bit_v
-       |  FROM bs),
        |fpo AS MATERIALIZED (SELECT doc_id AS media_id, ${foldSql("bit_o")} AS hu
        |        FROM bits GROUP BY doc_id),
        |fpv AS MATERIALIZED (SELECT doc_id + ${Multimodal.VariantOffset} AS media_id,

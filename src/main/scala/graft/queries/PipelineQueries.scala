@@ -508,7 +508,8 @@ object PipelineQueries {
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
     // multi-source BFS hop distance (q202): how much of the dup graph
-    // sits within k hops of the seed set (doc_id ≡ 0 mod 50) — the
+    // sits within k hops of the seed set (doc_id ≡ 0 mod
+    // Dedup.bfsSeedMod) — the
     // crawl-frontier / trust-propagation diagnostic. All-integer
     // min-relaxation, rounds replayed as generated CTEs (rules 12/13).
     Q("q202_bfs_hops", Some(bfsHopsOracle),

@@ -944,30 +944,7 @@ object TextQueries {
     // double terms summed by the rule-3 SEQUENTIAL fold over the
     // (lang, source)-sorted cell list — DuckDB replays with an ordered
     // list_sum. The categorical drift test beside t66's shape test.
-    Q("t67_chi_square", Some(
-      """WITH cells AS (
-        |  SELECT lang AS r, source AS c, count(*) AS o
-        |  FROM documents GROUP BY 1, 2),
-        |rs AS (SELECT r, sum(o) AS rsum FROM cells GROUP BY r),
-        |cs AS (SELECT c, sum(o) AS csum FROM cells GROUP BY c),
-        |tot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
-        |               count(DISTINCT c) AS nc FROM cells),
-        |fl AS (
-        |  SELECT rs.r, cs.c, rs.rsum, cs.csum, coalesce(cells.o, 0) AS o
-        |  FROM rs CROSS JOIN cs
-        |  LEFT JOIN cells ON cells.r = rs.r AND cells.c = cs.c),
-        |terms AS (
-        |  SELECT f.r, f.c, t.n, t.nr, t.nc,
-        |         CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
-        |       * CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
-        |       / CAST(CAST(t.n AS HUGEINT) * f.rsum * f.csum AS DOUBLE) AS term
-        |  FROM fl f CROSS JOIN tot t)
-        |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
-        |       CAST(nc AS BIGINT) AS n_cols,
-        |       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
-        |       list_sum(list_transform(list({'r': r, 'c': c, 't': term}
-        |                  ORDER BY r, c), x -> x.t)) AS chi2
-        |FROM terms GROUP BY n, nr, nc""".stripMargin),
+    Q("t67_chi_square", Some(chiSquareLangSourceSql),
       (s, d) => graft.operators.Curation.chiSquareHomogeneity(
         docs(s, d), col("lang"), col("source"))),
 
@@ -1027,6 +1004,34 @@ object TextQueries {
         |GROUP BY b.x, b.fb ORDER BY b.x""".stripMargin),
       (s, d) => graft.operators.Curation.quantileNormalize(
         docs(s, d), col("source"), col("n_chars"), "src0", "src1")),
+
+    // Welch's unequal-variance t (t70): the mean-shift member of the
+    // drift family (t66 shape / t68 dominance / t67 categorical) —
+    // exact decimal sufficient statistics (n, Σx, Σx²), then one fixed
+    // double DAG mirrored op-for-op by the oracle (the q133 contract).
+    Q("t70_welch_ttest", Some(welchOracle),
+      (s, d) => graft.operators.Curation.welchT(
+        docs(s, d), col("source"), col("n_chars"), "src0", "src1")),
+
+    // Cramér's V (t71): the size-free association strength √(χ²/(n·
+    // min(r−1,c−1))) over the lang × source contingency — χ² grows
+    // with n even at fixed association; V is the thresholdable number.
+    Q("t71_cramers_v", Some(
+      s"""SELECT n, n_rows, n_cols, chi2,
+         |  sqrt(chi2 / (CAST(n AS DOUBLE)
+         |    * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) AS v
+         |FROM ($chiSquareLangSourceSql)""".stripMargin),
+      (s, d) => graft.operators.Curation.cramersV(
+        docs(s, d), col("lang"), col("source"))),
+
+    // shuffle-quality audit (q208): lag-1 same-source adjacency in the
+    // modular-permutation order vs the exact uniform-permutation
+    // expectation Σc(c−1)/n — residual clumping in a training
+    // curriculum shows ratio ≫ 1. Ranks via Prefix.cumsum (no global
+    // window at any cardinality), adjacency one equi-join on rank+1.
+    Q("q208_shuffle_audit", Some(shuffleAuditOracle),
+      (s, d) => graft.operators.Curation.shuffleAudit(
+        docs(s, d), col("doc_id"), col("source"))),
 
     // split-drift report (q207): the "did my split skew anything" check
     // a pipeline runs right after q86's hash split — KS distance and
@@ -1120,6 +1125,89 @@ object TextQueries {
 
   /** t63 oracle: the word graph, replayable dense word ids, and the
     * q148-style generated PR iteration CTEs from the SAME constants. */
+  /** t67 + t71: the zero-cell-complete χ² replay over lang × source,
+    * factored so Cramér's V wraps the identical statistic. */
+  private lazy val chiSquareLangSourceSql: String =
+    """WITH cells AS (
+      |  SELECT lang AS r, source AS c, count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rs AS (SELECT r, sum(o) AS rsum FROM cells GROUP BY r),
+      |cs AS (SELECT c, sum(o) AS csum FROM cells GROUP BY c),
+      |tot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+      |               count(DISTINCT c) AS nc FROM cells),
+      |fl AS (
+      |  SELECT rs.r, cs.c, rs.rsum, cs.csum, coalesce(cells.o, 0) AS o
+      |  FROM rs CROSS JOIN cs
+      |  LEFT JOIN cells ON cells.r = rs.r AND cells.c = cs.c),
+      |terms AS (
+      |  SELECT f.r, f.c, t.n, t.nr, t.nc,
+      |         CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
+      |       * CAST(CAST(f.o AS HUGEINT) * t.n - CAST(f.rsum AS HUGEINT) * f.csum AS DOUBLE)
+      |       / CAST(CAST(t.n AS HUGEINT) * f.rsum * f.csum AS DOUBLE) AS term
+      |  FROM fl f CROSS JOIN tot t)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+      |       CAST(nc AS BIGINT) AS n_cols,
+      |       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |       list_sum(list_transform(list({'r': r, 'c': c, 't': term}
+      |                  ORDER BY r, c), x -> x.t)) AS chi2
+      |FROM terms GROUP BY n, nr, nc""".stripMargin
+
+  /** t70: the Welch DAG replay — exact HUGEINT sufficient statistics,
+    * then the same double operations Curation.welchT applies, step for
+    * step (mean → var → se² → t, dof). */
+  private lazy val welchOracle: String =
+    """WITH base AS (
+      |  SELECT source AS g, n_chars AS x FROM documents
+      |  WHERE source IN ('src0', 'src1')),
+      |m AS (
+      |  SELECT sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+      |         sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb,
+      |         sum(CASE WHEN g = 'src0' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sa,
+      |         sum(CASE WHEN g = 'src1' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sb,
+      |         sum(CASE WHEN g = 'src0' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qa,
+      |         sum(CASE WHEN g = 'src1' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qb
+      |  FROM base),
+      |v AS (
+      |  SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+      |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+      |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+      |       / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) AS var_a,
+      |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+      |       / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) AS var_b
+      |  FROM m),
+      |s AS (
+      |  SELECT na, nb, mean_a, mean_b,
+      |    var_a / CAST(na AS DOUBLE) AS se2_a,
+      |    var_b / CAST(nb AS DOUBLE) AS se2_b,
+      |    CAST(na AS DOUBLE) - 1 AS dfa, CAST(nb AS DOUBLE) - 1 AS dfb
+      |  FROM v)
+      |SELECT na, nb, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_stat,
+      |  ((se2_a + se2_b) * (se2_a + se2_b))
+      |    / (se2_a * se2_a / dfa + se2_b * se2_b / dfb) AS dof
+      |FROM s""".stripMargin
+
+  /** q208: row_number over the modular-permutation order (the global
+    * window is fine HERE — DuckDB is the single-node oracle; the Spark
+    * side uses Prefix.cumsum), lag-1 adjacency, exact expectation. */
+  private lazy val shuffleAuditOracle: String =
+    """WITH base AS (SELECT doc_id AS did, source AS k FROM documents),
+      |h AS (SELECT did, k, (did * 2654435761) % 1000000007 AS h FROM base),
+      |r AS (SELECT k, row_number() OVER (ORDER BY h) AS rk FROM h),
+      |adj AS (SELECT a.k AS k, b.k AS k2 FROM r a JOIN r b ON b.rk = a.rk + 1),
+      |obs AS (SELECT count(*) AS n_adj,
+      |        sum(CASE WHEN k = k2 THEN 1 ELSE 0 END) AS same_adj FROM adj),
+      |e AS (SELECT sum(c) AS n,
+      |        coalesce(sum(CAST(c AS HUGEINT) * (c - 1)), 0) AS s2
+      |      FROM (SELECT count(*) AS c FROM base GROUP BY k))
+      |SELECT CAST(e.n AS BIGINT) AS n, CAST(obs.n_adj AS BIGINT) AS n_adj,
+      |  CAST(obs.same_adj AS BIGINT) AS same_adj,
+      |  CAST(e.s2 AS DOUBLE) / CAST(e.n AS DOUBLE) AS expected_same,
+      |  CAST(obs.same_adj AS DOUBLE)
+      |    / (CAST(e.s2 AS DOUBLE) / CAST(e.n AS DOUBLE)) AS ratio
+      |FROM obs, e""".stripMargin
+
   private lazy val textRankOracle: String = {
     val scale = graft.operators.Dedup.pageRankScale
     val teleport = graft.operators.Dedup.pageRankTeleport(scale)

@@ -266,18 +266,19 @@ object ParityFuzz {
   * Usage: runMain graft.tools.FuzzDump [sfDir] [outDir] [seed] [n]
   */
 object FuzzDump {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = args.lift(1).getOrElse("/tmp/graft_fuzz")
-    val seed = args.lift(2).map(_.toLong).getOrElse(42L)
-    val n = args.lift(3).map(_.toInt).getOrElse(200)
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** The gate's fixed fuzz corpus (VERDICT r10 directive #3): Verify
+    * embeds exactly these so every round's CORRECTNESS gate replays the
+    * same seeded cases — change them only with a new spec run. */
+  val GateSeed = 42L
+  val GateN = 200
+
+  /** Dump the (seed, n) case results through the FACADE into `outDir`
+    * in the Verify layout. Returns (failedNames, name -> duckSql).
+    * Shared by the standalone main and `graft.Verify`'s in-gate leg, so
+    * the cross-engine fuzz can never drift from what the gate checks. */
+  def dumpCases(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outDir: String, seed: Long, n: Int): (Seq[String], Seq[(String, String)]) = {
     val meta = java.nio.file.Files.createTempDirectory("graft_fuzz_meta")
     val ds = new graft.catalog.DataSource(spark, meta.toString,
       initialCache = new graft.catalog.DoNothingCache)
@@ -285,15 +286,32 @@ object FuzzDump {
       ds.addTable(graft.catalog.FileTable(t, s"$sfDir/$t.parquet")))
     new java.io.File(outDir).mkdirs()
     val cases = ParityFuzz.cases(seed, n)
-    var failed = 0
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.foreach { c =>
       try ds.queryDF(c.dfsql).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${c.name}")
       catch { case e: Throwable =>
-        failed += 1
+        failed += c.name
         System.err.println(s"[fuzz] ${c.name} FAILED: ${e.getMessage}\n  ${c.dfsql}")
       }
     }
+    (failed.toSeq, cases.map(c => c.name -> c.duckSql))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_fuzz")
+    val seed = args.lift(2).map(_.toLong).getOrElse(GateSeed)
+    val n = args.lift(3).map(_.toInt).getOrElse(GateN)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (failedNames, sqls) = dumpCases(spark, sfDir, outDir, seed, n)
+    val failed = failedNames.size
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -301,12 +319,12 @@ object FuzzDump {
       case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
       case ch => ch.toString
     }
-    val json = cases.map(c => s""""${c.name}": "${esc(c.duckSql)}"""")
+    val json = sqls.map { case (name, sql) => s""""$name": "${esc(sql)}"""" }
       .mkString("{", ", ", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir, "oracle_sql.json"),
       json.getBytes("UTF-8"))
-    System.err.println(s"[fuzz] SUMMARY: ${cases.size - failed}/${cases.size} dumped, $failed failed (seed=$seed)")
+    System.err.println(s"[fuzz] SUMMARY: ${sqls.size - failed}/${sqls.size} dumped, $failed failed (seed=$seed)")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

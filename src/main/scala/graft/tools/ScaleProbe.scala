@@ -145,8 +145,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,t56,q166) — a full run at large n is
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,q183,s43,s55,t54,t59,
+    // codec,m52,m55,curation,q155,q148,q201,q203,q206,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -688,6 +688,104 @@ object ScaleProbe {
       require(diff == 0, "distributed prefix sum diverged from sequential")
       require(picks <= target && picks >= target * 9 / 10,
         s"pick count drifted: $picks vs target $target")
+    }
+    if (on("q206")) time("q206: HITS on planted copy farms") {
+      // background: sparse random copy->original pairs (avg degree ~1).
+      // Planted (ids >= n so they can't collide with background):
+      //   - a STAR original O with 200 high-id copies -> O must be the
+      //     unique max-authority node (auth == scale exactly after the
+      //     renormalize: x*scale DIV max sends the argmax to scale);
+      //   - a SUPER HUB H citing the star original PLUS 10 mid
+      //     originals (50 copies each): raw hub(H) = auth(O) + sigma
+      //     auth(mid) STRICTLY exceeds every single-citation copy of O
+      //     (whose raw hub is exactly auth(O)), so H must be the
+      //     unique max-hub node — structurally, not by margin luck.
+      // Also the int64-bounds contract: every hub/auth in [0, scale].
+      import spark.implicits._
+      val bg = spark.range(n).select(col("id").as("id_a"),
+        pmod(xxhash64(col("id") * 13 + 3), lit(n)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val O = n + 1L
+      val starCopies = (1L to 200L).map(i => (O, n + 1000L + i))
+      val H = n + 500L
+      val midOrig = (0L until 10L).map(j => n + 10L + j)
+      val midCopies = for (o <- midOrig; i <- 1L to 50L)
+        yield (o, n + 10000L + (o - n - 10L) * 50L + i)
+      val hubEdges = (O, H) +: midOrig.map(o => (o, H))
+      val planted = (starCopies ++ midCopies ++ hubEdges)
+        .toDF("id_a", "id_b") // (original=lower, copy=higher) everywhere
+      val t0 = System.nanoTime()
+      val hits = graft.operators.Dedup.hits(bg.unionByName(planted))
+        .localCheckpoint()
+      val nodes = hits.count()
+      println(f"[probe]   HITS: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"($nodes nodes)")
+      val scale = graft.operators.Dedup.hitsScale
+      val bounds = hits.agg(min(col("hub")), max(col("hub")),
+        min(col("auth")), max(col("auth"))).head()
+      require(bounds.getLong(0) >= 0 && bounds.getLong(1) == scale &&
+        bounds.getLong(2) >= 0 && bounds.getLong(3) == scale,
+        s"renormalization bounds broke at scale: $bounds")
+      val topAuth = hits.filter(col("auth") === scale)
+        .select("doc_id").as[Long].collect().toSet
+      require(topAuth == Set(O),
+        s"star original is not the unique max authority: $topAuth")
+      val topHub = hits.filter(col("hub") === scale)
+        .select("doc_id").as[Long].collect().toSet
+      require(topHub == Set(H),
+        s"super hub is not the unique max hub: $topHub")
+      println(s"[probe]   max-auth=$topAuth (star original) " +
+        s"max-hub=$topHub (super hub); all values in [0,$scale] — OK")
+    }
+    if (on("d63")) time("d63/d64: F-S linkage under a skewed block distribution") {
+      // one GIANT block (20% of all records on a single key — the
+      // skew that would go quadratic) among uniform ~40-record blocks:
+      // the maxBlock cap must skip the giant block ENTIRELY, the
+      // histogram must equal sigma C(m,2) over the KEPT blocks (pair
+      // counts derived from block sizes — never enumerated), and the
+      // blockingAudit candidate count must cover ALL blocks (audit
+      // semantics: report the scheme as designed, cap-free).
+      import graft.operators.Linkage
+      val recs = spark.range(n).select(col("id").as("rid"),
+        when(pmod(col("id"), lit(5)) === 0, lit(0L))
+          .otherwise(expr("id DIV 50 + 1")).as("bk"),
+        pmod(col("id"), lit(97)).as("f1"),
+        pmod(col("id"), lit(11)).as("f2"))
+        .localCheckpoint()
+      val maxBlock = 1000L
+      val t0 = System.nanoTime()
+      val hist = Linkage.fellegiSunterHistogram(recs, col("rid"), col("bk"),
+        Seq(Linkage.FieldWeight(col("f1"), 8L, -2L),
+          Linkage.FieldWeight(col("f2"), 3L, -1L)), maxBlock)
+        .localCheckpoint()
+      val histPairs = hist.agg(coalesce(sum(col("n_pairs")), lit(0L)))
+        .head().getLong(0)
+      println(f"[probe]   histogram: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(${hist.count()} score rows, $histPairs pairs)")
+      // expected pairs from block sizes alone (kept blocks only)
+      val expected = recs.groupBy(col("bk")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= maxBlock)
+        .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+      val giant = recs.filter(col("bk") === 0).count()
+      require(giant > maxBlock, s"probe setup: giant block only $giant rows")
+      require(histPairs == expected,
+        s"skew cap drifted: histogram $histPairs pairs vs size-derived $expected")
+      val audit = graft.operators.Linkage.blockingAudit(
+        // truth = consecutive-id pairs: most share a DIV-50 block
+        // (found), the rest straddle a boundary or the giant block
+        // (missed) -> pairs_completeness strictly inside (0, 1)
+        spark.range(n - 1).select(col("id").as("id_a"),
+          (col("id") + 1L).as("id_b")),
+        recs.select(col("rid").as("doc_id"), col("bk"))).head()
+      val nCand = audit.getDouble(2)
+      // audit is cap-free: giant block's C(giant,2) dominates
+      val giantPairs = giant.toDouble * (giant - 1).toDouble / 2.0
+      require(nCand >= giantPairs,
+        s"audit lost the giant block: n_cand=$nCand < $giantPairs")
+      println(f"[probe]   audit: n_cand=$nCand%.3e (giant block " +
+        f"C($giant,2)=$giantPairs%.3e included), " +
+        f"pc=${audit.getDouble(4)}%.4f rr=${audit.getDouble(5)}%.6f — OK")
     }
     if (on("q148")) time("q148: PageRank (3 iters, synthetic edges)") {
       // 8 out-edges per doc over a hash-derived topology

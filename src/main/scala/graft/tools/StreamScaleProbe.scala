@@ -107,6 +107,10 @@ object StreamScaleProbe {
       }
       batches.clear()
     }
+
+    /** Per-batch trigger times (ms), without clearing — for stages that
+      * assert latency flatness before report() prints and resets. */
+    def triggerMs: Seq[Long] = synchronized(batches.map(_._3).toList)
   }
 
   private def time[A](label: String)(body: => A): A = {
@@ -139,7 +143,7 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch) " +
       s"us_per_event=$usPerEvent (~${600000000L / usPerEvent} events in the 10-min state window)")
-    // optional 4th arg: comma-separated stage keys (join,cdc,q153,q161)
+    // optional 4th arg: comma-separated stage keys (join,cdc,q153,q154,q158,q161)
     // — the r9 stages (join/cdc) are ~6 min at 10M events; per-stage
     // runs let the new ingest loops be measured without re-paying them
     val stageFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
@@ -157,6 +161,7 @@ object StreamScaleProbe {
     if (on("q161")) q161Stage(spark, collector, chunksDir, out, n)
     if (on("q153")) q153Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
     if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
+    if (on("q158")) q158Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
 
     spark.streams.removeListener(collector)
     spark.stop()
@@ -427,5 +432,114 @@ object StreamScaleProbe {
       s"store-path recall broke across batches: $dupFlagged/$dupTotal")
     println(s"[sprobe] q153 recall $dupFlagged/$dupTotal across 5 dup batches; " +
       s"store grew $sigBase → ${sigBase + appended} signatures (survivors only) — OK")
+  }
+
+  /** q158 at volume (r10 verdict #5 — the last ingest loop without a
+    * probe stage): decontam-on-ingest over 10 micro-batches against a
+    * once-settled benchmark. The operator's scale claim is FLATNESS —
+    * no store fold-back, so per-batch latency must not grow as the
+    * flag/clean sinks accumulate — plus exactness: each batch's flag
+    * set must EQUAL the batch-mode operator on the same batch (the
+    * bloom phase is performance-only), and flags ∪ clean must
+    * partition the batch. Every batch carries the same composition
+    * (novel docs + near-dup copies of BENCH docs + near-dup copies of
+    * non-bench docs), so the latency series is comparable batch to
+    * batch. */
+  private def q158Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      out: String, nDocs: Long): Unit = {
+    val docsDir = s"$out/decon_docs"
+    val sinkRoot = s"$out/decon_sink"
+    val corpus = ScaleProbe.corpus(spark, nDocs).localCheckpoint()
+    // bench = every 20th doc in the low half; the planted dups of those
+    // docs (59/60 words shared -> certain shingle overlap) are the
+    // per-batch positives, dups of HIGH-half docs the planted negatives
+    val bench = corpus
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") < nDocs / 2)
+      .localCheckpoint()
+    val dups = corpus.filter(col("doc_id") >= nDocs).localCheckpoint()
+    val batches = 10
+    val dupChunk = nDocs / 20 / batches // all planted dups, spread evenly
+    val novChunk = nDocs / 20
+    println(s"[sprobe] q158 bench=${bench.count()} docs settled, " +
+      s"$batches batches x ($novChunk novel + $dupChunk dups; dup src<n/2 => contaminated)")
+    val staged = (0 until batches).map { i =>
+      ScaleProbe.corpusAt(spark, 3 * nDocs + i * novChunk, novChunk)
+        .unionByName(dups
+          .filter(col("doc_id") >= nDocs + i * dupChunk &&
+            col("doc_id") < nDocs + (i + 1) * dupChunk)
+          .select(col("doc_id"), col("text"), col("source")))
+        .localCheckpoint()
+    }
+    time("q158 batch staging")(stageFrames(staged, docsDir))
+    val wall = new Array[Double](batches)
+    time("q158 streaming decontam, 10 micro-batches") {
+      val q = graft.streaming.IngestDecontam.start(
+        spark, docsDir, bench, sinkRoot)
+      try {
+        // foreachBatch sinks emit no state rows; measure wall per batch
+        // by draining one staged file at a time is not possible with
+        // processAllAvailable, so read the listener's trigger times
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // flatness: identical batch composition, growing sinks — the mean
+    // of the last 3 triggers must not exceed 2x the first 3 (a growing
+    // per-batch cost would mean the stateless claim silently broke)
+    val trig = collector.triggerMs
+    if (trig.size >= 6) {
+      val head3 = trig.take(3).sum.toDouble / 3
+      val tail3 = trig.takeRight(3).sum.toDouble / 3
+      require(tail3 <= 2 * head3 + 500,
+        s"q158 per-batch latency grew with sink size: first3=$head3 ms last3=$tail3 ms")
+    }
+    collector.report("q158 decontam")
+    val benchSh = graft.operators.Dedup.benchmarkShingles(bench)
+      .localCheckpoint()
+    var flaggedTotal = 0L
+    (0 until batches).foreach { b =>
+      val t0 = System.nanoTime()
+      val flags = spark.read.parquet(s"$sinkRoot/flags/batch_$b")
+        .localCheckpoint()
+      val clean = spark.read.parquet(s"$sinkRoot/clean/batch_$b")
+      val batchDf = staged(b)
+      // batch-mode oracle on the same batch: EXACT set equality
+      val oracle = graft.operators.Dedup
+        .decontaminateAgainst(batchDf, benchSh).localCheckpoint()
+      val diff = flags.exceptAll(oracle).unionByName(oracle.exceptAll(flags))
+        .count()
+      require(diff == 0, s"batch $b flags diverged from batch-mode oracle: $diff rows")
+      // flags ∪ clean partitions the batch (ids, disjoint, complete)
+      val nb = batchDf.count()
+      val nf = flags.count()
+      val nc = clean.count()
+      require(nf + nc == nb, s"batch $b lost docs: $nf flags + $nc clean != $nb")
+      val overlap = flags.select(col("doc_id"))
+        .join(clean.select(col("doc_id")), Seq("doc_id")).count()
+      require(overlap == 0, s"batch $b flags/clean overlap: $overlap")
+      // all planted positives flagged (dup of a bench doc always
+      // overlaps); chance flags among novel/negative docs stay rare
+      val plantedPos = batchDf
+        .filter(col("doc_id") >= nDocs &&
+          (col("doc_id") - nDocs) * 20 < nDocs / 2)
+        .count()
+      val posFlagged = flags
+        .filter(col("doc_id") >= nDocs && (col("doc_id") - nDocs) * 20 < nDocs / 2)
+        .count()
+      require(posFlagged == plantedPos,
+        s"batch $b planted contamination missed: $posFlagged/$plantedPos")
+      // chance-overlap budget: a novel doc carries ~58 shingles against
+      // a ~|bench|·58-shingle set over the ~1e9 3-gram space — ≈1.7%
+      // of novel docs share ≥1 shingle by chance (measured 1.6% at the
+      // 5k-doc bench); 3% bounds it without masking real over-flagging
+      require(nf <= plantedPos + nb * 3 / 100,
+        s"batch $b over-flagged: $nf vs $plantedPos planted (+3% chance budget)")
+      flaggedTotal += nf
+      wall(b) = (System.nanoTime() - t0) / 1e9
+      println(f"[sprobe] q158 batch=$b%2d docs=$nb%7d flagged=$nf%6d " +
+        f"(planted $plantedPos%6d) clean=$nc%7d verify=${wall(b)}%5.1f s")
+    }
+    println(s"[sprobe] q158 flags ≡ batch oracle on all $batches batches " +
+      s"($flaggedTotal flagged total); sinks grew with zero re-read — OK")
   }
 }

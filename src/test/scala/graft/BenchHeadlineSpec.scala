@@ -24,7 +24,8 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // a 4-digit total, max degraded tag, 3-digit skip count.
     val results = Bench.headline.map(_ -> 999.999) :+ ("zz_total_pad" -> 9999.999)
     val line = Bench.renderLine(results, Nil, warmed = false,
-      degraded = "headline", skipped = 999, sfDir = "/root/testdata/sf0.1")
+      degraded = "headline", skipped = 999, sfDir = "/root/testdata/sf0.1",
+      hsMin = 3)
     // 1750: the observed driver tail window is ~2000 chars; this render
     // is already pessimistic (999.999-second values are +1–2 chars per
     // query over any real degraded run), so 250 chars of margin on TOP
@@ -35,6 +36,13 @@ class BenchHeadlineSpec extends AnyFunSuite {
       s"worst-case bench line ${line.length} chars (> 1750): trim Bench.headline " +
         s"(${Bench.headline.size} entries) before adding more")
     assert(line.contains("\"degraded\":\"headline\"") && line.contains("\"skipped\":999"))
+    assert(line.contains("\"hs_min\":3"))
+  }
+
+  test("hs_min field is omitted when no headline query was timed") {
+    val line = Bench.renderLine(Seq("q01_projection" -> 0.1), Nil,
+      warmed = true, degraded = "none", skipped = 0, sfDir = "x", hsMin = 0)
+    assert(!line.contains("hs_min"))
   }
 
   test("abort-mode line (all queries skipped) still renders valid short JSON") {
@@ -61,12 +69,15 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(escalateMode(0, remainingSec = 600, queriesLeft = 180) === 0)
     // modes only ratchet up, never relax even if budget recovers
     assert(escalateMode(2, remainingSec = 600, queriesLeft = 10) === 2)
-    // squeeze: 180 queries left, 200 s remaining -> fewer samples
-    assert(escalateMode(0, remainingSec = 200, queriesLeft = 180) >= 2)
+    // the designed steady state: ~1.1 s/query lands in two-tier (mode 2:
+    // headline min-of-2, tail 1samp) — NOT all-1samp
+    assert(escalateMode(0, remainingSec = 320, queriesLeft = 293) === 2)
+    // squeeze: 180 queries left, 150 s remaining -> all-1samp
+    assert(escalateMode(0, remainingSec = 150, queriesLeft = 180) === 3)
     // nearly out: headline-only
-    assert(escalateMode(0, remainingSec = 60, queriesLeft = 180) === 3)
+    assert(escalateMode(0, remainingSec = 60, queriesLeft = 180) === 4)
     // out: abort (must still print the line)
-    assert(escalateMode(0, remainingSec = 5, queriesLeft = 180) === 4)
-    assert(escalateMode(0, remainingSec = -3, queriesLeft = 1) === 4)
+    assert(escalateMode(0, remainingSec = 5, queriesLeft = 180) === 5)
+    assert(escalateMode(0, remainingSec = -3, queriesLeft = 1) === 5)
   }
 }

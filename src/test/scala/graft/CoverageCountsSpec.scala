@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** README.md is the coverage map the round gate audits against, and its
+  * verification numbers went stale twice (r10 "what's missing" #4:
+  * 291/476 claimed vs 293/477 actual). These tests DERIVE every count
+  * the README claims from the code itself, so the coverage map can't
+  * lag the registry again — adding a query or a test without refreshing
+  * the README fails CI with the correct number in the message.
+  */
+class CoverageCountsSpec extends AnyFunSuite {
+
+  private lazy val readme = Files.readString(Paths.get("README.md"))
+
+  test("README registered-query count matches SparkEntry.queries") {
+    val n = SparkEntry.queries.size
+    assert(readme.contains(s"All $n registered queries hash-match"),
+      s"README stale: the registry has $n queries")
+    assert(readme.contains(s"across the $n registered"),
+      s"README bench paragraph stale: the registry has $n queries")
+  }
+
+  test("README gate total = registered queries + in-gate fuzz cases") {
+    val gate = SparkEntry.queries.size + graft.tools.FuzzDump.GateN
+    assert(readme.contains(s"$gate/$gate DuckDB hash-match"),
+      s"README stale: the gate now checks $gate entries " +
+        s"(${SparkEntry.queries.size} queries + ${graft.tools.FuzzDump.GateN} fuzz)")
+  }
+
+  test("README suite-case count matches the test sources") {
+    // every case in this repo is a funsuite `test(` at (indented) line
+    // start — the same proxy as `grep -rc '^\s*test('`, which matches
+    // the scalatest-reported total exactly today; a new style (e.g.
+    // scalacheck `property(`) would undercount and fail here, which is
+    // the correct prompt to extend this counter
+    val testRe = """(?m)^\s*test\(""".r
+    val cases = Files.walk(Paths.get("src/test")).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(p => testRe.findAllIn(
+        // count at line grain, not file grain
+        Files.readAllLines(p).asScala.mkString("\n")).size)
+      .sum
+    assert(readme.contains(s"full ScalaTest suite ($cases cases)"),
+      s"README stale: test sources define $cases cases")
+  }
+}

@@ -390,4 +390,54 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(m === Map(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L), m)
   }
+
+  test("welchT: hand-computed statistic from exact moments") {
+    import spark.implicits._
+    // a = {1,2,3}: mean 2, var 1; b = {2,4,6,8}: mean 5, var 20/3
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(2L, 4L, 6L, 8L).map(("b", _))).toDF("g", "x")
+    val r = Curation.welchT(df, col("g"), col("x"), "a", "b").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 5.0)
+    // replay the documented double DAG exactly
+    val va = (14.0 - 6.0 * 6.0 / 3.0) / 2.0
+    val vb = (120.0 - 20.0 * 20.0 / 4.0) / 3.0
+    val se2a = va / 3.0; val se2b = vb / 4.0
+    assert(r.getDouble(4) === (2.0 - 5.0) / math.sqrt(se2a + se2b))
+    assert(r.getDouble(5) ===
+      (se2a + se2b) * (se2a + se2b) /
+        (se2a * se2a / 2.0 + se2b * se2b / 3.0))
+  }
+
+  test("cramersV: perfect association is 1, independence is 0") {
+    import spark.implicits._
+    val perfect = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("r", "c")
+    val p = Curation.cramersV(perfect, col("r"), col("c")).head()
+    assert(p.getDouble(4) === 1.0, p)
+    val indep = (for (r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 3)
+      yield (r, c)).toDF("r", "c")
+    val i = Curation.cramersV(indep, col("r"), col("c")).head()
+    assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0, i)
+  }
+
+  test("shuffleAudit: single-key corpus has ratio exactly 1; expectation is exact") {
+    import spark.implicits._
+    // all one key: every adjacent pair matches, same_adj = n-1, and
+    // E[same] = n(n-1)/n = n-1 -> ratio exactly 1.0
+    val one = (0L until 20L).map((_, "k")).toDF("id", "k")
+    val r = Curation.shuffleAudit(one, col("id"), col("k")).head()
+    assert(r.getLong(0) === 20L && r.getLong(1) === 19L && r.getLong(2) === 19L)
+    assert(r.getDouble(3) === 19.0 && r.getDouble(4) === 1.0)
+    // mixed keys: replay the modular-permutation order in Scala and
+    // count adjacent same-key pairs independently
+    val keys = (0L until 30L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val df = keys.toDF("id", "k")
+    val byOrder = keys.sortBy { case (i, _) => i * 2654435761L % 1000000007L }
+    val expectSame = byOrder.sliding(2).count(w => w(0)._2 == w(1)._2)
+    val m = Curation.shuffleAudit(df, col("id"), col("k")).head()
+    assert(m.getLong(2) === expectSame.toLong, m)
+    // exact expectation: sum c(c-1)/n with c = {10, 20}, n = 30
+    assert(m.getDouble(3) === (10.0 * 9 + 20.0 * 19) / 30.0)
+  }
 }

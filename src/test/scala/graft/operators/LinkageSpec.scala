@@ -43,7 +43,7 @@ class LinkageSpec extends SparkSpec {
     val row = Linkage.blockingAudit(truth, keyed).head()
     assert(row.getLong(0) === 6L) // n_records
     assert(row.getLong(1) === 2L) // n_true
-    assert(row.getLong(2) === 4L) // n_cand
+    assert(row.getDouble(2) === 4.0) // n_cand (DOUBLE: cand2/2, rule 18)
     assert(row.getLong(3) === 1L) // n_found
     assert(row.getDouble(4) === 0.5) // pairs_completeness
     assert(row.getDouble(5) === 1.0 - 4.0 / 15.0) // reduction_ratio

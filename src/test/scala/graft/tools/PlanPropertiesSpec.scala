@@ -505,6 +505,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
   }
 
+  test("KS/Mann-Whitney/quantile-norm/split-drift windows are ALL bucket-partitioned") {
+    // VERDICT r10 directive #2: the support cumsum used to run as an
+    // unpartitioned window (`WindowExec: No Partition Defined`) — fine
+    // for domain-bounded integral features, a single-partition corpus
+    // sort for a high-cardinality caller. Prefix.cumsum replaces it with
+    // the q203 bucketed prefix sum; pin that EVERY window in these plans
+    // partitions by the bucket (the offsets frame uses a triangular
+    // join, so no window at all may appear without p_bkt).
+    for (q <- Seq("t66_ks_drift", "t68_mann_whitney", "t69_quantile_norm",
+        "q207_split_drift")) {
+      val plan = PlanInspect.formatted(run(q))
+      val specs = "windowspecdefinition\\(([^)]*?)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$q: expected bucketed cumsum windows")
+      assert(specs.forall(_.contains("p_bkt")), s"$q: $specs")
+    }
+  }
+
   test("q160 SNM windows are bucket-partitioned — the no-global-sort contract") {
     // the whole point of the bucketed formulation: neither pass may
     // fall into an unpartitioned (single-task) window. The formatted
