@@ -70,6 +70,88 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[mmrRerank]] constants — shared with the oracle generator.
+    * λ = mmrLambdaNum/mmrLambdaDen: integer weights, so the score DAG
+    * is literal-drift-free (rule 14 without needing dlit). */
+  val mmrLambdaNum = 7L
+  val mmrLambdaDen = 10L
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): from each query's exact top-`m` shortlist, greedily select
+    * `k` results maximizing λ·sim(q,d) − (1−λ)·max_{s∈sel} sim(d,s) —
+    * the standard diversification pass between retrieval and a RAG
+    * prompt (near-duplicate hits burn context; MMR trades a little
+    * relevance for coverage). First pick = pure top-1 (empty selected
+    * set ⇒ zero penalty).
+    *
+    * Determinism: every similarity is the rule-3 sequential fold,
+    * λ-weights are integers, and every argmax tiebreaks by vec_id —
+    * the greedy trajectory is unique and the oracle replays it round
+    * for round (chained generated CTEs, rules 12/13/22).
+    *
+    * Scale shape: the only corpus-sized work is the shortlist pass
+    * (s41's broadcast-query scan here; swap in the IVF/PQ shortlist at
+    * volume — the MMR stage is shortlist-agnostic). Everything after
+    * runs on per-query frames bounded by m: the pairwise-sim table is
+    * ≤ m(m−1) rows/query built over a SEMI-JOIN-scoped embedding set
+    * (never a corpus materialization), each of the k−1 rounds is one
+    * bounded join + an m-bounded per-query argmax window, and round
+    * state is materialized (rule 5). */
+  def mmrRerank(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    val lNum = lit(mmrLambdaNum)
+    val lInv = lit(mmrLambdaDen - mmrLambdaNum)
+    val lDen = lit(mmrLambdaDen)
+    val short = bruteForceKnn(corpus, queries, m)
+      .materializeOnce() // read by the pair table and every round
+    // pairwise sims within each query's shortlist, over embeddings
+    // scoped by a semi-join to the shortlist ids (bounded, broadcast)
+    val scoped = corpus
+      .join(broadcast(short.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .materializeOnce() // ≤ |queries|·m rows
+    val pairs = short.select(col("q_id"), col("vec_id").as("id_a"))
+      .join(short.select(col("q_id"), col("vec_id").as("id_b")), Seq("q_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .join(broadcast(scoped.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))), Seq("id_a"))
+      .join(broadcast(scoped.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))), Seq("id_b"))
+      .select(col("q_id"), col("id_a"), col("id_b"),
+        cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
+      .materializeOnce() // read by every round's penalty join
+    var sel = short.filter(col("rank") === 1)
+      .select(col("q_id"), col("vec_id"),
+        (lNum * col("cos") / lDen).as("score"), lit(1L).as("mmr_rank"))
+      .materializeOnce()
+    for (r <- 2 to k) {
+      val cand = short.select(col("q_id"), col("vec_id"), col("cos"))
+        .join(sel.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+      val pen = pairs
+        .join(sel.select(col("q_id"), col("vec_id").as("id_b")),
+          Seq("q_id", "id_b"))
+        .groupBy(col("q_id"), col("id_a")).agg(max(col("sim")).as("mx"))
+        .select(col("q_id"), col("id_a").as("vec_id"), col("mx"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val pick = cand.join(pen, Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          ((lNum * col("cos") - lInv * col("mx")) / lDen).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("score"),
+          lit(r.toLong).as("mmr_rank"))
+      sel = sel.unionByName(pick).materializeOnce() // next round's state
+    }
+    sel.orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per
     * query, the top-k most similar corpus vectors whose cosine sits
     * BELOW `dupCeiling` — similar enough to be informative negatives,

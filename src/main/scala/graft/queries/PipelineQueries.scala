@@ -183,6 +183,29 @@ object PipelineQueries {
         Tables.load(s, d, "documents"), id = "doc_id",
         weightCol = "n_chars", target = resampleTarget)),
 
+    // exact stratified split (q209): per-stratum quotas hit EXACTLY
+    // (⌊n_s·80/100⌋ train, next decile val, rest test in the
+    // modular-permutation hash order) where q86's hash split is only
+    // proportional in expectation — a 30-doc stratum can land zero
+    // test docs there. Ranks via the GROUPED Prefix.cumsum: no stratum
+    // ever sorts on one partition, whatever its size. Full membership
+    // oracled, not just the quota counts.
+    Q("q209_stratified_split", Some(
+      """WITH base AS (
+        |  SELECT doc_id, source AS stratum,
+        |         (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+        |r AS (SELECT doc_id, stratum,
+        |        row_number() OVER (PARTITION BY stratum ORDER BY h) AS rk
+        |      FROM base),
+        |s AS (SELECT stratum, count(*) AS ns FROM base GROUP BY stratum)
+        |SELECT r.doc_id, r.stratum,
+        |  CASE WHEN r.rk <= (s.ns * 80) // 100 THEN 'train'
+        |       WHEN r.rk <= (s.ns * 90) // 100 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r JOIN s USING (stratum) ORDER BY doc_id""".stripMargin),
+      (s, d) => Sampling.stratifiedSplit(
+        Tables.load(s, d, "documents"), id = "doc_id", stratum = "source")),
+
     // consistent-hash ring rebalance audit (q204): per-shard counts and
     // moved fraction when the ring grows 8 → 9 shards — the placement
     // property the scheme exists for (≈1/9 of rows move; hash-mod

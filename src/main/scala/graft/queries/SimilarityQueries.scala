@@ -337,8 +337,69 @@ object SimilarityQueries {
     // probe latency. Exact counts; two single-division doubles; the
     // cell assignment replays the SAME plane literals as s43/s51.
     Q("s59_ivf_balance", Some(ivfBalanceOracle),
-      (s, d) => Similarity.ivfBalance(emb(s, d)))
+      (s, d) => Similarity.ivfBalance(emb(s, d))),
+
+    // MMR diversified re-rank (s62): greedy λ·relevance −
+    // (1−λ)·redundancy selection over the exact top-20 shortlist —
+    // the diversification pass between retrieval and a RAG prompt.
+    // Integer λ-weights, fold cosines, vec_id tiebreaks: the greedy
+    // trajectory is unique, and the oracle replays every round as a
+    // generated CTE chain (rules 12/13/22).
+    Q("s62_mmr_rerank", Some(mmrOracle),
+      (s, d) => Similarity.mmrRerank(
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 5, m = 20))
   )
+
+  /** s62: the shortlist + pairwise-sim tables MATERIALIZED once, then
+    * each greedy round as cand/pen/score/pick CTEs chained off the
+    * previous selection — one definition of λ and the round count for
+    * both engines (Similarity.mmrLambda*, k, m interpolated). */
+  private lazy val mmrOracle: String = {
+    val k = 5
+    val m = 20
+    val lNum = Similarity.mmrLambdaNum
+    val lInv = Similarity.mmrLambdaDen - Similarity.mmrLambdaNum
+    val lDen = Similarity.mmrLambdaDen
+    val rounds = (2 to k).map { r =>
+      s"""cand$r AS (SELECT sl.q_id, sl.vec_id, sl.cos FROM sl
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |    WHERE s.q_id = sl.q_id AND s.vec_id = sl.vec_id)),
+         |pen$r AS (SELECT ps.q_id, ps.id_a AS vec_id, max(ps.sim) AS mx
+         |  FROM ps JOIN sel${r - 1} s
+         |    ON s.q_id = ps.q_id AND s.vec_id = ps.id_b
+         |  GROUP BY 1, 2),
+         |sc$r AS (SELECT c.q_id, c.vec_id,
+         |    ($lNum * c.cos - $lInv * p.mx) / $lDen AS score
+         |  FROM cand$r c JOIN pen$r p USING (q_id, vec_id)),
+         |pick$r AS (SELECT q_id, vec_id, score, $r AS mmr_rank FROM (
+         |    SELECT sc$r.*, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS rn FROM sc$r) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 5),
+       |sl AS MATERIALIZED (
+       |  SELECT q_id, vec_id, cos, rank FROM (
+       |    SELECT q_id, vec_id, cos, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM (SELECT q.q_id, e.vec_id,
+       |            ${cosSql("q.q_emb", "e.embedding")} AS cos
+       |          FROM embeddings e JOIN q ON e.vec_id <> q.q_id))
+       |  WHERE rank <= $m),
+       |ps AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, vec_id, ($lNum * cos) / $lDen AS score, 1 AS mmr_rank
+       |  FROM sl WHERE rank = 1),
+       |$rounds
+       |SELECT q_id, vec_id, score, CAST(mmr_rank AS BIGINT) AS mmr_rank
+       |FROM sel$k ORDER BY q_id, mmr_rank""".stripMargin
+  }
 
   /** s58 oracle: t56's CTE chain (shared definition) + the s41 dense
     * scoring + integer RRF. */

@@ -109,4 +109,26 @@ class SamplingSpec extends SparkSpec {
     assert(run(1) === run(64))
     assert(run(7) === run(64))
   }
+
+  test("stratifiedSplit: exact per-stratum quotas, a partition, deterministic") {
+    val out = Sampling.stratifiedSplit(docs, "doc_id", "source")
+      .localCheckpoint()
+    // exact quotas per stratum: floor(n*0.8) train, floor(n*0.9)-floor(n*0.8)
+    // val, the rest test -- EXACT, not in-expectation
+    val counts = out.groupBy($"stratum", $"split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (st, n) =>
+      assert(counts.getOrElse((st, "train"), 0L) === n * 80 / 100, st)
+      assert(counts.getOrElse((st, "val"), 0L) === n * 90 / 100 - n * 80 / 100, st)
+      assert(counts.getOrElse((st, "test"), 0L) === n - n * 90 / 100, st)
+    }
+    // a partition of the corpus
+    assert(out.count() === docs.count())
+    assert(out.select($"doc_id").distinct().count() === docs.count())
+    // deterministic run-to-run
+    val again = Sampling.stratifiedSplit(docs, "doc_id", "source")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }

@@ -319,4 +319,40 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getDouble(1) > 0.99, top.toSeq)
     assert(top.forall(r => r.getDouble(1) <= 1.0 + 1e-12), top.toSeq)
   }
+
+  test("mmrRerank diversifies: the redundant near-twin loses to the distinct hit") {
+    // q = e0; a-cluster at cos 0.85 (ids 1, 2 -- parallel vectors, so
+    // sim(a1,a2) = 1); b at cos 0.8 but only 0.68 similar to the
+    // cluster; c is noise. Plain top-2 = (a1, a2); MMR round 2 scores
+    // a2 at 0.7*0.85 - 0.3*1.0 = 0.295 vs b at 0.7*0.8 - 0.3*0.68 =
+    // 0.356 -- the diversification flip this operator exists for.
+    val q = Array(1f, 0f, 0f, 0f)
+    val a1 = Array(0.85f, 0.52678f, 0f, 0f)
+    val a2 = a1.map(_ * 1.02f) // same direction: cos ties, id breaks
+    val b = Array(0.8f, 0f, 0.6f, 0f)
+    val c = Array(0.1f, 0f, 0f, 0.99f)
+    val df = Seq((0L, q), (1L, a1), (2L, a2), (3L, b), (4L, c))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(df, df.filter($"vec_id" === 0), k = 2, m = 4)
+      .select($"mmr_rank", $"vec_id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 3L)), out)
+    // sanity: plain top-2 would have been the redundant pair (1, 2)
+    val plain = Similarity.bruteForceKnn(df, df.filter($"vec_id" === 0), k = 2)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L), plain)
+  }
+
+  test("mmrRerank first pick equals the exact top-1 and emits k rows per query") {
+    val df = (0L to 9L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(df, df.filter($"vec_id" < 2), k = 4, m = 8)
+      .localCheckpoint()
+    assert(out.count() === 8L) // 2 queries x k
+    val top1 = Similarity.bruteForceKnn(df, df.filter($"vec_id" < 2), k = 1)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val first = out.filter($"mmr_rank" === 1)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(first === top1)
+    // selections are distinct per query
+    assert(out.select($"q_id", $"vec_id").distinct().count() === 8L)
+  }
 }
