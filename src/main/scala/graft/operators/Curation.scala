@@ -509,6 +509,34 @@ object Curation {
       .orderBy(col("x"))
   }
 
+  /** Calibration report (reliability diagram) of a [0,1] `score`
+    * against a binary `label` — the check a pipeline runs before
+    * thresholding a quality/toxicity/educational-value classifier:
+    * equal-width score bins, per-bin observed positive rate vs the
+    * bin-midpoint confidence, and the |gap| that an ECE would weight.
+    * Scale shape: ONE corpus groupBy to bin grain (≤ `buckets` rows);
+    * every reported number is exact-integer-derived (counts), with the
+    * rates/midpoints as single double divisions — no double is ever
+    * SUMMED (rule 3), which is also why the scalar ECE is left to the
+    * caller (a ≤`buckets`-row ordered fold, q?-style) rather than
+    * emitted here. The top bin is closed ([…, 1.0] clamps in). */
+  def calibrationReport(
+      df: DataFrame, score: Column, label: Column,
+      buckets: Int = 10): DataFrame = {
+    val b = least(floor(score * lit(buckets)).cast("long"),
+      lit(buckets - 1L))
+    df.select(b.as("bucket"), when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("obs_rate"),
+        ((col("bucket").cast("double") + lit(0.5)) / lit(buckets.toDouble))
+          .as("conf_mid"))
+      .withColumn("gap", abs(col("obs_rate") - col("conf_mid")))
+      .orderBy(col("bucket"))
+  }
+
   /** Welch's unequal-variance t statistic between the integer `value`
     * distributions of groups `ga`/`gb` (Welch, Biometrika 1947) — the
     * mean-shift test beside t66's shape test and t68's dominance test:

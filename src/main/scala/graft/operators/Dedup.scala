@@ -748,6 +748,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Longest shared token run per near-dup pair — the "how much is
+    * actually copied" alignment diagnostic a curator reads AFTER pair
+    * detection (a 6-token quote, a repeated template header, or a
+    * wholesale copy all pass a Jaccard threshold; this tells them
+    * apart). For each pair, positional k-token windows of both sides
+    * match on equal window text; a match at offsets (pa, pb) sits on
+    * alignment diagonal pa−pb, and the longest CONSECUTIVE run of
+    * matches on any one diagonal, plus k−1, is the longest shared
+    * token span. With repeated windows inside one document several
+    * alignments exist and the BEST is reported — the MOSS-style
+    * reading, and the useful one.
+    *
+    * Scale shape: the positional window explode is per-doc bounded and
+    * repartitioned first (rule 6); pairing fans windows out by the
+    * (bounded, capped) pair list before the text-keyed equi-join; the
+    * island trick (pa − row_number) runs in windows partitioned by
+    * (pair, diagonal) — bounded by DOCUMENT length, never corpus-sized.
+    * Output: one row per pair, total order. */
+  def sharedSpans(
+      docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.windowsFromTokens(col("toks"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .materializeOnce() // both pair sides read it
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val m = p
+      .join(wins.select(col("doc_id").as("id_a"), col("pos").as("pa"),
+        col("w")), Seq("id_a"))
+      .join(wins.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+        col("w")), Seq("id_b", "w"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val wIsl = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m.withColumn("isl", col("pa") - row_number().over(wIsl))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_aligned"))
+      .select(col("id_a"), col("id_b"),
+        (col("max_run") + lit(k - 1)).cast("bigint").as("shared_tokens"),
+        col("n_aligned").cast("bigint").as("n_aligned"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-document novelty: the fraction of a document's distinct n-gram
     * shingles whose FIRST corpus occurrence (lowest doc_id) is this
     * document — the curation-side complement of duplicatedSpanStats. In

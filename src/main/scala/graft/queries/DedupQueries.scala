@@ -566,6 +566,17 @@ object DedupQueries {
     Q("d50_novelty", Some(noveltyOracle),
       (s, d) => Dedup.noveltyScores(docs(s, d), n = 3)),
 
+    // longest shared token run per verified near-dup pair (d65): the
+    // "how much is copied" alignment diagnostic — a quote, a template
+    // header, and a wholesale copy all pass a Jaccard threshold; the
+    // longest consecutive diagonal run of matching positional k-token
+    // windows (+k−1) tells them apart. Pairs from the MinHash gate
+    // (rule 13: brute-force oracle, valid at 100% recall).
+    Q("d65_shared_spans", Some(sharedSpansOracle),
+      (s, d) => Dedup.sharedSpans(docs(s, d),
+        Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20),
+        k = 3)),
+
     // the removal half of substring dedup: documents rewritten with every
     // corpus-duplicated 10-token span cut out (token survives iff no
     // duplicated window covers its position)
@@ -980,6 +991,47 @@ object DedupQueries {
 
   private[queries] lazy val ngramPairCtes: String =
     ngramPairCtesFor("documents")
+
+  /** d65: brute-force J≥0.5 pairs (rule 13), then the positional-window
+    * alignment replay — filtered window list with 0-based positions
+    * (mirroring posexplode-after-filter exactly), the text-keyed match
+    * join, and the pa − row_number island trick per (pair, diagonal). */
+  private lazy val sharedSpansOracle: String = {
+    val k = 3
+    s"""WITH $ngramPairCtes,
+       |tp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |       FROM documents),
+       |pw AS MATERIALIZED (
+       |  SELECT doc_id, x.p AS pos, x.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |             i -> {'p': i - 1, 'w': ws[i]})) AS x
+       |    FROM (SELECT doc_id, list_filter(
+       |            list_transform(range(1, greatest(len(t) - $k, 0) + 2),
+       |              i -> array_to_string(t[i:i+${k - 1}], ' ')),
+       |            s -> len(s) > 0) AS ws
+       |          FROM tk))),
+       |m AS (
+       |  SELECT tp.id_a, tp.id_b, a.pos AS pa, b.pos AS pb,
+       |         a.pos - b.pos AS diag
+       |  FROM tp JOIN pw a ON a.doc_id = tp.id_a
+       |  JOIN pw b ON b.doc_id = tp.id_b AND b.w = a.w),
+       |runs AS (
+       |  SELECT id_a, id_b, diag, pa,
+       |         pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+       |                                 ORDER BY pa) AS isl
+       |  FROM m),
+       |rc AS (SELECT id_a, id_b, diag, isl, count(*) AS run
+       |       FROM runs GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |  CAST(max(run) + ${k - 1} AS BIGINT) AS shared_tokens,
+       |  CAST(sum(run) AS BIGINT) AS n_aligned
+       |FROM rc GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Incremental-dedup oracle shared by d47 (recompute path) and d53
     * (persisted-store path): batch = doc_id % 10 == 9, brute-force

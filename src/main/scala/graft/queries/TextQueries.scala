@@ -147,19 +147,12 @@ object TextQueries {
 
     // quality scoring: length/stopword/punctuation heuristics
     Q("t33_quality", Some(
-      """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |  round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      s"""SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
         |        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-        |      / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio,
-        |  round(
-        |    least(length(text) / 500.0, 1.0) * 0.4
-        |    + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |          x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-        |        / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
-        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-        |        / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
-        |    6) AS quality
+        |      / len(string_split_regex(trim(text), '\\s+')), 6) AS stop_ratio,
+        |  $qualityExprSql AS quality
         |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => docs(s, d).select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
@@ -1033,6 +1026,25 @@ object TextQueries {
       (s, d) => graft.operators.Curation.shuffleAudit(
         docs(s, d), col("doc_id"), col("source"))),
 
+    // calibration report (t72): reliability diagram of the t33 quality
+    // score against a long-doc outcome — per-bin counts exact, rates
+    // and midpoints single divisions, no double ever summed (rule 3).
+    // The diagnostic a pipeline reads before thresholding a filter.
+    Q("t72_calibration", Some(
+      s"""WITH s AS (SELECT $qualityExprSql AS score,
+         |            n_chars >= 300 AS y FROM documents),
+         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+         |             CASE WHEN y THEN 1 ELSE 0 END AS yi FROM s)
+         |SELECT bucket, count(*) AS n, CAST(sum(yi) AS BIGINT) AS n_pos,
+         |  CAST(sum(yi) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS obs_rate,
+         |  (CAST(bucket AS DOUBLE) + 0.5) / 10.0 AS conf_mid,
+         |  abs(CAST(sum(yi) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      - (CAST(bucket AS DOUBLE) + 0.5) / 10.0) AS gap
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, d) => graft.operators.Curation.calibrationReport(
+        docs(s, d), graft.functions.TextFunctions.qualityScore(col("text")),
+        col("n_chars") >= 300)),
+
     // split-drift report (q207): the "did my split skew anything" check
     // a pipeline runs right after q86's hash split — KS distance and
     // Mann–Whitney AUC on length, χ² on language, all between the
@@ -1125,6 +1137,18 @@ object TextQueries {
 
   /** t63 oracle: the word graph, replayable dense word ids, and the
     * q148-style generated PR iteration CTEs from the SAME constants. */
+  /** The TextFunctions.qualityScore replay — factored so t33 and the
+    * t72 calibration report share one definition (rule 12). */
+  private lazy val qualityExprSql: String =
+    """round(
+      |    least(length(text) / 500.0, 1.0) * 0.4
+      |    + least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |          x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |        / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE), 1.0)) * 0.2,
+      |    6)""".stripMargin
+
   /** t67 + t71: the zero-cell-complete χ² replay over lang × source,
     * factored so Cramér's V wraps the identical statistic. */
   private lazy val chiSquareLangSourceSql: String =

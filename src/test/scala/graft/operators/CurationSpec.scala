@@ -421,6 +421,19 @@ class CurationSpec extends SparkSpec {
     assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0, i)
   }
 
+  test("calibrationReport: hand-computed bins; score 1.0 clamps into the top bin") {
+    import spark.implicits._
+    val df = Seq((0.05, true), (0.05, false), (0.32, false),
+      (0.95, true), (1.0, true)).toDF("score", "y")
+    val out = Curation.calibrationReport(df, col("score"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 1L, 0.5, 0.05, 0.45),
+      (3L, 1L, 0L, 0.0, 0.35, 0.35),
+      (9L, 2L, 2L, 1.0, 0.95, 1.0 - 0.95)))
+  }
+
   test("shuffleAudit: single-key corpus has ratio exactly 1; expectation is exact") {
     import spark.implicits._
     // all one key: every adjacent pair matches, same_adj = n-1, and

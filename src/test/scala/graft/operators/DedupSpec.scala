@@ -769,4 +769,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(0) === 3L)
     assert(r.getDouble(4) === 0.0)
   }
+
+  test("sharedSpans: hand-planted 5-token copy reported exactly; separate quotes don't merge") {
+    import spark.implicits._
+    // A and B share the contiguous run "a b c d e" (5 tokens -> 3
+    // consecutive 3-token windows on one diagonal -> 3 + 2 = 5) and,
+    // at a DIFFERENT alignment, the 3-token quote "q r s" (1 window).
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e q r s x3", "src0"),
+      (2L, "y1 a b c d e y2 y3 y4 q r s", "src0")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.sharedSpans(docs, pairs, k = 3).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(2) === 5L, r.toSeq) // longest run, not the sum
+    assert(r.head.getLong(3) === 4L, r.toSeq) // 3 + 1 aligned windows
+  }
 }
