@@ -282,6 +282,45 @@ object Profiling {
       .orderBy(col(group), col("q"))
   }
 
+  /** Exact WEIGHTED per-group quantiles: quantile qn/den is the
+    * smallest value whose within-group cumulative WEIGHT satisfies
+    * cum·den ≥ qn·totalW — all-integer cross-multiplication
+    * (DECIMAL(38,0) products, rule 18), no division anywhere. The
+    * token-budget form of [[exactQuantiles]]: with weight = token
+    * count, "below which doc length does the 90th percentile of
+    * TRAINING TOKENS sit" — the number batching and truncation
+    * policies actually need (a doc-count percentile underweights the
+    * long documents that dominate the token budget).
+    *
+    * Scale shape: one groupBy to the (group, value) histogram, then
+    * cumulative weights from the GROUPED [[Prefix.cumsum]] — neither a
+    * big group nor a high-cardinality support ever lands on one
+    * partition (exactQuantiles' per-group histogram window is fine for
+    * bounded domains; this one is unconditionally scale-safe). The
+    * quantile fan-out is a constant-size explode; totals are
+    * group-grain (broadcast). */
+  def weightedQuantiles(
+      df: DataFrame, group: String, value: String, weight: String,
+      qs: Seq[Int], den: Int = 100): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= den),
+      s"quantile numerators must lie in (0, $den]: $qs")
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val hist = df.groupBy(col(group), col(value))
+      .agg(sum(col(weight).cast("long")).as("cw"))
+    val cum = graft.operators.Prefix.cumsum(hist, value,
+      Seq("cw" -> "cum"), inclusive = true, groupCols = Seq(group))
+    val tot = hist.groupBy(col(group)).agg(sum(col("cw")).as("tw"))
+    cum.join(broadcast(tot), Seq(group))
+      .select(col(group), col(value), col("cum"), col("tw"),
+        explode(array(qs.map(n => lit(n.toLong)): _*)).as("qn"))
+      .filter(D(col("cum")) * lit(den.toLong) >= D(col("qn")) * col("tw"))
+      .groupBy(col(group), col("qn").as("q_num"))
+      .agg(min(col(value)).cast("bigint").as("q_value"))
+      .select(col(group), col("q_num"), lit(den.toLong).as("q_den"),
+        col("q_value"))
+      .orderBy(col(group), col("q_num"))
+  }
+
   /** Declarative data-quality expectations (Deequ/Great-Expectations-
     * shaped): each row-level check is a boolean predicate counted in ONE
     * wide aggregation over the table — k checks never cost k scans.

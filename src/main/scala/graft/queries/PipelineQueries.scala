@@ -770,6 +770,31 @@ object PipelineQueries {
         Tables.load(s, d, "documents"), group = "lang", value = "n_chars",
         qs = quantileProbes)),
 
+    // exact TOKEN-WEIGHTED length quantiles per source (q210): the
+    // percentile of the TRAINING BUDGET, not of documents — a
+    // doc-count percentile underweights the long docs that dominate
+    // tokens. Integer cross-multiplied selection (cum·den ≥ qn·totW,
+    // decimal products, zero divisions); cumulative weights via the
+    // grouped Prefix.cumsum, so no group or support size ever lands
+    // on one partition.
+    Q("q210_weighted_quantiles", Some(
+      """WITH hist AS (SELECT source, n_chars AS v, sum(n_chars) AS cw
+        |              FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v, cw,
+        |          sum(cw) OVER (PARTITION BY source ORDER BY v) AS cum
+        |        FROM hist),
+        |tot AS (SELECT source, sum(cw) AS tw FROM hist GROUP BY source),
+        |f AS (SELECT c.source, c.v, q.qn
+        |      FROM cum c JOIN tot t USING (source)
+        |      CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS qn) q
+        |      WHERE c.cum * 100 >= q.qn * t.tw)
+        |SELECT source, CAST(qn AS BIGINT) AS q_num,
+        |  CAST(100 AS BIGINT) AS q_den, CAST(min(v) AS BIGINT) AS q_value
+        |FROM f GROUP BY source, qn ORDER BY source, q_num""".stripMargin),
+      (s, d) => Profiling.weightedQuantiles(
+        Tables.load(s, d, "documents"), group = "source", value = "n_chars",
+        weight = "n_chars", qs = Seq(25, 50, 75, 90))),
+
     // one BPE-training merge step: adjacent character pairs ranked by
     // corpus frequency, counted over the DISTINCT-word frequency table
     // (sublinear in corpus size), weighted by word count. Both engines

@@ -146,7 +146,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
     // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,q206,t56,q166) — a full run at large n is
+    // codec,m52,m55,curation,q155,q148,q201,q203,q206,prefix,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -688,6 +688,37 @@ object ScaleProbe {
       require(diff == 0, "distributed prefix sum diverged from sequential")
       require(picks <= target && picks >= target * 9 / 10,
         s"pick count drifted: $picks vs target $target")
+    }
+    if (on("prefix")) time("Prefix.cumsum: bucket/group invariance at corpus-scale support") {
+      // the r11 directive-#2 cure, measured where it matters: a
+      // HIGH-CARDINALITY support (one distinct xxhash value per doc —
+      // the shape that used to become a single-partition sort). The
+      // 256-bucket decomposition must equal the 1-bucket sequential
+      // computation row-for-row, grouped and ungrouped.
+      val base = docs
+        .select(xxhash64(col("doc_id")).as("x"),
+          pmod(col("doc_id"), lit(7)).as("g"))
+        .groupBy(col("x"), col("g")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val support = base.count()
+      def run(buckets: Int, grouped: Boolean) = graft.operators.Prefix
+        .cumsum(base, "x", Seq("c" -> "cum"), inclusive = true,
+          buckets = buckets,
+          groupCols = if (grouped) Seq("g") else Nil)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val many = run(256, grouped = false)
+      val tMany = (System.nanoTime() - t0) / 1e9
+      val one = run(1, grouped = false)
+      val diff = many.exceptAll(one).unionByName(one.exceptAll(many)).count()
+      require(diff == 0, s"ungrouped decomposition diverged: $diff rows")
+      val gMany = run(256, grouped = true)
+      val gOne = run(1, grouped = true)
+      val gDiff = gMany.exceptAll(gOne).unionByName(gOne.exceptAll(gMany)).count()
+      require(gDiff == 0, s"grouped decomposition diverged: $gDiff rows")
+      println(f"[probe]   support=$support distinct values; 256-bucket pass " +
+        f"$tMany%.1f s; bucketed==sequential diff rows: $diff (ungrouped), " +
+        s"$gDiff (7 groups) — exact")
     }
     if (on("q206")) time("q206: HITS on planted copy farms") {
       // background: sparse random copy->original pairs (avg degree ~1).

@@ -233,4 +233,20 @@ class ProfilingSpec extends SparkSpec {
       // g3 has NO 'b' rows: |1*9-5| + |0-4| = 8, tvd 8/18 > 2/5 -> breach
       ("g3", 1L, 8L, 8.0 / 18.0, true)))
   }
+
+  test("weightedQuantiles: the token-weighted median sits in the long doc") {
+    import spark.implicits._
+    // group a: values 1,2 (weight 1 each) and 10 (weight 8): total 10.
+    // Doc-count median would be 2; the WEIGHTED median (and p75/p90)
+    // is 10 because the long doc owns 80% of the weight. p10 -> 1.
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 10L, 8L),
+      ("b", 5L, 3L), ("b", 7L, 1L)).toDF("g", "v", "w")
+    val out = Profiling.weightedQuantiles(df, "g", "v", "w",
+        qs = Seq(10, 50, 75, 90))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", 10L, 1L), ("a", 50L, 10L), ("a", 75L, 10L), ("a", 90L, 10L),
+      // b: cum(5)=3 of 4 -> covers 10/50/75 (3*100 >= 75*4); 90 -> 7
+      ("b", 10L, 5L), ("b", 50L, 5L), ("b", 75L, 5L), ("b", 90L, 7L)))
+  }
 }
