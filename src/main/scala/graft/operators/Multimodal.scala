@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.Ops
+
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns next to typed metadata, and per-item decode/feature-extraction
   * runs partition-wise over an iterator (the Scala analog of
@@ -223,7 +225,7 @@ object Multimodal {
     * mirror of syntheticPng/syntheticWav. Frames are 8-bit indexed
     * grayscale (an explicit 256-gray palette), which the GIF palette
     * holds exactly, so the container roundtrips losslessly. */
-  def syntheticGif(id: Long): Array[Byte] = {
+  def syntheticGif(id: Long, fromFrame: Int = 0): Array[Byte] = {
     val (w, h, nFrames) = videoDims(id)
     val gray = Array.tabulate[Byte](256)(_.toByte)
     val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
@@ -232,7 +234,9 @@ object Multimodal {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    var f = 0
+    // fromFrame > 0 emits the TRIMMED clip (frames [fromFrame, nFrames))
+    // — the re-cut-video variant the near-dup operator plants
+    var f = fromFrame
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
@@ -657,6 +661,63 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** One distinct decoded-frame checksum of a video (original or
+    * trimmed variant). */
+  final case class VideoFp(media_id: Long, fp: Long)
+
+  /** Video near-duplicate pairs over the REAL codec path (m60): each
+    * doc contributes its GIF plus a TRIMMED variant (the clip re-cut
+    * without the first frame — media_id + VariantOffset; the common
+    * re-upload edit), both genuinely decoded; videos compare as the
+    * exact Jaccard of their DISTINCT frame-checksum sets through the
+    * d40-shaped df-capped inverted index. A trimmed pair shares
+    * (nf−1)/nf of its frames, so every planted pair clears J ≥ 1/2 at
+    * the 2-frame minimum and unrelated videos share ~nothing (the
+    * checksum carries doc_id). Frame-level matching is what survives
+    * re-containering; a whole-file hash catches none of it.
+    *
+    * Scale shape: decode is partition-wise after a repartition (rule
+    * 6); per-video frame sets are tiny (≤8), the join is keyed by
+    * checksum with the df cap bounding any shared-frame blowup; sizes
+    * and verification run at pair grain. Lossless GIF ⇒ the oracle
+    * replays the checksums in pure integer SQL and the Jaccard join
+    * exactly. */
+  def videoNearDup(
+      spark: SparkSession, docs: DataFrame, threshold: Double = 0.5,
+      maxDf: Int = 20): DataFrame = {
+    import spark.implicits._
+    val fps = docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          def cks(from: Int) = decodeGifFrames(syntheticGif(id, from))
+            .getOrElse(throw new IllegalStateException(
+              s"GIF roundtrip failed for doc $id"))
+            .frameChecksums.distinct
+          cks(0).iterator.map(VideoFp(id, _)) ++
+            cks(1).iterator.map(VideoFp(id + VariantOffset, _))
+        }
+      }.toDF().materializeOnce() // sizes, df cap, and both join sides
+    val sizes = fps.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val fil = fps.join(keep, Seq("fp"))
+    val inter = fil.select(col("fp"), col("media_id").as("id_a"))
+      .join(fil.select(col("fp"), col("media_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("media_id").as("id_a"), col("sz").as("sa")),
+        Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("sz").as("sb")),
+        Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("inter").cast("bigint").as("n_inter"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** One sampled frame of a video payload. */

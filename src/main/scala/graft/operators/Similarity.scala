@@ -70,6 +70,53 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Centroid drift between two embedding populations (s63): the
+    * cosine between the two groups' centroid vectors — the
+    * embedding-space drift monitor ("did the new crawl / new encoder
+    * version shift the representation mass"), complementing the
+    * value-space drift family (t66/t68/t64).
+    *
+    * Determinism without double sums (rule 3): each dimension
+    * quantizes to fixed point — round(v·2^scaleBits), EXACT in double
+    * because a float's ≤24-bit mantissa shifted by 2^20 stays exact,
+    * and ties round away from zero identically in both engines. The
+    * quantization is part of the operator CONTRACT (~1e-6 relative),
+    * not an error term. Per-(group, dim) sums are exact DECIMAL, and
+    * cosine is scale-invariant, so the SUM vectors stand in for the
+    * centroids with no division; the final dot/norms are decimal
+    * products cast to double for the one sqrt/divide DAG (the q133
+    * exact-inputs-then-IEEE contract).
+    *
+    * Scale shape: one dim-bounded explode, one groupBy to
+    * (group, dim) grain — ≤ 2·dims output rows — then a dims-sized
+    * join and a 1-row reduction. Corpus passes once. */
+  def centroidDrift(
+      df: DataFrame, group: Column, vecCol: String, ga: Long, gb: Long,
+      scaleBits: Int = 20): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val scale = math.pow(2.0, scaleBits)
+    val base = df.select(group.cast("long").as("g"), col(vecCol).as("e"))
+      .filter(col("g").isin(ga, gb))
+      .select(col("g"), posexplode(col("e")))
+      .select(col("g"), col("pos").as("d"),
+        round(col("col").cast("double") * lit(scale)).cast("long").as("q"))
+    val sums = base.groupBy(col("g"), col("d"))
+      .agg(sum(D(col("q"))).as("s"), count(lit(1)).as("n"))
+    val a = sums.filter(col("g") === ga)
+      .select(col("d"), col("s").as("sa"), col("n").as("na"))
+    val b = sums.filter(col("g") === gb)
+      .select(col("d"), col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("d"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(D(col("sa")) * col("sb")).as("dot"),
+        sum(D(col("sa")) * col("sa")).as("qa"),
+        sum(D(col("sb")) * col("sb")).as("qb"))
+      .select(col("na"), col("nb"),
+        (col("dot").cast("double") /
+          (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
+          .as("centroid_cos"))
+  }
+
   /** [[mmrRerank]] constants — shared with the oracle generator.
     * λ = mmrLambdaNum/mmrLambdaDen: integer weights, so the score DAG
     * is literal-drift-free (rule 14 without needing dlit). */

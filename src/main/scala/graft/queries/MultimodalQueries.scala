@@ -349,6 +349,49 @@ object MultimodalQueries {
        |SELECT id_a, id_b, CAST($hammingSql AS BIGINT) AS hamming
        |FROM cand WHERE $hammingSql <= 12 ORDER BY id_a, id_b""".stripMargin
 
+  /** m60: frame checksums replayed in integer SQL for originals
+    * (frames [0, nf)) and trimmed variants (frames [1, nf), media_id
+    * offset), DISTINCT per video, then the exact df-capped Jaccard
+    * join — the same arithmetic the decoded GIFs must reproduce. */
+  private lazy val m60Sql = {
+    val off = Multimodal.VariantOffset
+    s"""WITH dims AS (
+       |  SELECT doc_id, 8 + (doc_id % 12) AS w, 8 + ((doc_id // 12) % 12) AS h,
+       |         2 + (doc_id % 7) AS nf
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, doc_id AS media_id, w, h, unnest(range(0, nf)) AS f
+       |  FROM dims
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + $off AS media_id, w, h,
+       |         unnest(range(1, nf)) AS f
+       |  FROM dims),
+       |xs AS (SELECT doc_id, media_id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+       |ys AS (SELECT doc_id, media_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs),
+       |ck AS (
+       |  SELECT media_id, f,
+       |    SUM(((doc_id*31 + f*17 + x*7 + y*13) % 256) * (1 + x + w*y)) AS fp
+       |  FROM ys GROUP BY media_id, f),
+       |fps AS MATERIALIZED (SELECT DISTINCT media_id, fp FROM ck),
+       |sizes AS (SELECT media_id, count(*) AS sz FROM fps GROUP BY media_id),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+       |fil AS MATERIALIZED (SELECT fps.media_id, fps.fp
+       |                     FROM fps JOIN keep USING (fp)),
+       |inter AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS inter
+       |  FROM fil a JOIN fil b ON a.fp = b.fp AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_inter,
+       |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+       |    AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.media_id = id_a
+       |JOIN sizes sb ON sb.media_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+       |      >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // binary-column metadata: byte length + sha256 of the payload
@@ -705,6 +748,16 @@ object MultimodalQueries {
     Q("m56_audio_neardup", Some(m56Sql),
       (s, d) => Multimodal.audioNearDupPairs(s, docs(s, d))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Video near-dup pairs over the REAL codec path (m60): every doc's
+    // GIF plus a TRIMMED re-cut (first frame dropped — the re-upload
+    // edit), both genuinely decoded; videos pair by exact Jaccard of
+    // their distinct frame-checksum sets through the df-capped
+    // inverted index. Frame-level matching survives re-containering
+    // where a file hash catches nothing; lossless GIF ⇒ the oracle
+    // replays checksums and the join in pure integer SQL.
+    Q("m60_video_neardup", Some(m60Sql),
+      (s, d) => Multimodal.videoNearDup(s, docs(s, d))),
 
     // Energy-profile audio fingerprint over the REAL codec path (m53):
     // decode the WAV, split the DECODED PCM into 16-sample frames, one

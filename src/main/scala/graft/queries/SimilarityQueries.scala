@@ -347,7 +347,33 @@ object SimilarityQueries {
     // generated CTE chain (rules 12/13/22).
     Q("s62_mmr_rerank", Some(mmrOracle),
       (s, d) => Similarity.mmrRerank(
-        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 5, m = 20))
+        emb(s, d), emb(s, d).filter(col("vec_id") < 5), k = 5, m = 20)),
+
+    // centroid drift between two labeled embedding populations (s63):
+    // cosine of the group centroids — the embedding-space drift
+    // monitor beside the value-space family (t66/t68/t64). Fixed-point
+    // per-dim sums (exact in double: float mantissa · 2^20; ties away
+    // from zero in both engines), decimal products, one sqrt/divide
+    // DAG; cosine is scale-invariant so sums stand in for means.
+    Q("s63_centroid_drift", Some(
+      """WITH base AS (
+        |  SELECT g, x.d AS d,
+        |    CAST(round(CAST(x.v AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM (SELECT CAST(label AS BIGINT) AS g,
+        |          unnest(list_transform(range(1, len(embedding) + 1),
+        |            i -> {'d': i - 1, 'v': embedding[i]})) AS x
+        |        FROM embeddings WHERE label IN (0, 1))),
+        |sums AS (SELECT g, d, sum(q) AS s, count(*) AS n
+        |         FROM base GROUP BY 1, 2),
+        |j AS (SELECT a.d, a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+        |      FROM sums a JOIN sums b ON a.d = b.d AND a.g = 0 AND b.g = 1)
+        |SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+        |  CAST(sum(sa * sb) AS DOUBLE)
+        |    / (sqrt(CAST(sum(sa * sa) AS DOUBLE))
+        |       * sqrt(CAST(sum(sb * sb) AS DOUBLE))) AS centroid_cos
+        |FROM j""".stripMargin),
+      (s, d) => Similarity.centroidDrift(
+        emb(s, d), col("label"), "embedding", ga = 0L, gb = 1L))
   )
 
   /** s62: the shortlist + pairwise-sim tables MATERIALIZED once, then

@@ -265,4 +265,16 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("videoNearDup: every trimmed re-cut pairs with its source at J=(nf-1)/nf, nothing else") {
+    import spark.implicits._
+    val ids = Seq(5L, 12L, 20L) // nf = 7, 7, 8 frames
+    val out = Multimodal.videoNearDup(spark, ids.toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val off = Multimodal.VariantOffset
+    assert(out.toSeq === Seq(
+      (5L, 5L + off, 6L, 6.0 / 7.0),
+      (12L, 12L + off, 6L, 6.0 / 7.0),
+      (20L, 20L + off, 7L, 7.0 / 8.0)), out.toSeq)
+  }
 }

@@ -355,4 +355,20 @@ class SimilaritySpec extends SparkSpec {
     // selections are distinct per query
     assert(out.select($"q_id", $"vec_id").distinct().count() === 8L)
   }
+
+  test("centroidDrift: identical populations give cos 1; opposite give -1") {
+    import spark.implicits._
+    val v1 = Array(0.5f, 0.25f, -0.125f, 1.0f)
+    val v2 = Array(0.1f, 0.9f, 0.3f, -0.2f)
+    val same = Seq((0L, v1), (0L, v2), (1L, v1), (1L, v2))
+      .toDF("label", "embedding")
+    val r1 = Similarity.centroidDrift(same, col("label"), "embedding", 0L, 1L)
+      .head()
+    assert(r1.getLong(0) === 2L && r1.getLong(1) === 2L)
+    assert(r1.getDouble(2) === 1.0, r1)
+    val opp = Seq((0L, v1), (1L, v1.map(-_))).toDF("label", "embedding")
+    val r2 = Similarity.centroidDrift(opp, col("label"), "embedding", 0L, 1L)
+      .head()
+    assert(r2.getDouble(2) === -1.0, r2)
+  }
 }
