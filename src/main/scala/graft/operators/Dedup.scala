@@ -748,6 +748,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * how many duplicate clusters span both sources and how many
+    * cross-source near-dup doc pairs they contain — the provenance /
+    * licensing diagnostic ("which crawl is mirroring which") that d44's
+    * per-doc cluster list doesn't surface. Diagonal rows count
+    * within-source duplication (C(c,2) per cluster).
+    *
+    * Exactness under ANSI (rule 21a, the d64 lesson): per-cluster
+    * products run in DECIMAL — the sum accumulates DOUBLED pair counts
+    * (c·(c−1) same-source, 2·c_a·c_b cross) so no integer halving
+    * happens until the final exact /2.
+    *
+    * Scale shape: membership collapses to (cluster, source) grain
+    * FIRST (one groupBy), so the per-cluster "quadratic" is the
+    * sources-per-cluster self-join — bounded by |sources|, never by
+    * cluster size; the matrix output is |sources|² at most. */
+  def crossSourceDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val cc = connectedComponents(pairs)
+    val mem = cc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("source")).agg(count(lit(1)).as("c"))
+      .materializeOnce() // both sides of the source-pair self-join
+    val b = mem.select(col("cluster_id"), col("source").as("src_b"),
+      col("c").as("cb"))
+    mem.select(col("cluster_id"), col("source").as("src_a"), col("c").as("ca"))
+      .join(b, Seq("cluster_id"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("src_a") === col("src_b"),
+            D(col("ca")) * (col("ca") - 1))
+          .otherwise(D(col("ca")) * col("cb") * 2)).as("pairs2"))
+      .select(col("src_a"), col("src_b"), col("n_clusters"),
+        (col("pairs2") / lit(2)).cast("bigint").as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Longest shared token run per near-dup pair — the "how much is
     * actually copied" alignment diagnostic a curator reads AFTER pair
     * detection (a 6-token quote, a repeated template header, or a

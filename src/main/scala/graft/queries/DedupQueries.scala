@@ -244,6 +244,29 @@ object DedupQueries {
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
         .orderBy(col("doc_id"))),
 
+    // cross-source duplication matrix (q211): which source is
+    // mirroring which — per unordered source pair, clusters spanning
+    // both and the cross-source near-dup pair count (diagonal =
+    // within-source duplication). Membership collapses to
+    // (cluster, source) grain first, so no per-cluster quadratic;
+    // doubled decimal pair counts, one exact final /2 (rule 21a).
+    // Rule 13 pair set; oracle extends the d44 recursive-CC replay.
+    Q("q211_cross_source_dups", Some(
+      s"""WITH RECURSIVE $dupClusterCtes,
+         |mem AS (SELECT a.cluster_id, d.source, count(*) AS c
+         |        FROM asg a JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         |SELECT m1.source AS src_a, m2.source AS src_b,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(CASE WHEN m1.source = m2.source
+         |         THEN CAST(m1.c AS HUGEINT) * (m1.c - 1)
+         |         ELSE CAST(m1.c AS HUGEINT) * m2.c * 2 END) // 2 AS BIGINT)
+         |    AS n_pairs
+         |FROM mem m1 JOIN mem m2
+         |  ON m1.cluster_id = m2.cluster_id AND m1.source <= m2.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
+      (s, d) => Dedup.crossSourceDups(docs(s, d),
+        Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))),
+
     // incremental clusters (d56): the dup GRAPH's index-not-recompute
     // edition — a prior run's (doc_id, cluster_id) assignment is
     // star-compressed into doc→label edges and only TODAY'S new pairs

@@ -785,4 +785,20 @@ class DedupSpec extends SparkSpec {
     assert(r.head.getLong(2) === 5L, r.toSeq) // longest run, not the sum
     assert(r.head.getLong(3) === 4L, r.toSeq) // 3 + 1 aligned windows
   }
+
+  test("crossSourceDups: hand-computed source-pair matrix incl. diagonal") {
+    import spark.implicits._
+    // cluster A = {1(s0), 2(s0), 3(s1)}, cluster B = {4(s1), 5(s1)}
+    val docs = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"), (4L, "s1"),
+      (5L, "s1"), (6L, "s9")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.crossSourceDups(docs, pairs)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("s0", "s0", 1L, 1L), // C(2,2) inside cluster A
+      ("s0", "s1", 1L, 2L), // 2 x 1 cross pairs in cluster A
+      ("s1", "s1", 2L, 1L)  // A contributes 0, B contributes C(2,2)
+    ), out.toSeq)
+  }
 }
