@@ -138,7 +138,14 @@ object ParityFuzz {
         same(s"$c IN ($ks)")
       case 4 =>
         val c = pick(rnd, t.strs)
-        same(s"$c IS NULL")
+        // alternate with the §2 IS TRUE/FALSE quirk on a comparison
+        if (rnd.nextBoolean()) same(s"$c IS NULL")
+        else {
+          val ic = pick(rnd, t.ints)
+          val k = rnd.nextInt(20)
+          val form = pick(rnd, Seq("TRUE", "FALSE"))
+          same(s"($ic >= $k) IS $form")
+        }
       case 5 =>
         val a = pred(rnd, t, depth + 1)
         val b = pred(rnd, t, depth + 1)
@@ -153,7 +160,10 @@ object ParityFuzz {
   // ---- aggregates ----
 
   private def aggItem(rnd: Random, t: Tbl, alias: String): R =
-    rnd.nextInt(4) match {
+    rnd.nextInt(5) match {
+      case 4 =>
+        val c = pick(rnd, t.cols)
+        same(s"COUNT(DISTINCT $c) AS $alias")
       case 0 => same(s"COUNT(*) AS $alias")
       case 1 =>
         val e = intExpr(rnd, t)
@@ -182,8 +192,25 @@ object ParityFuzz {
 
   private def genCase(rnd: Random, idx: Int): FuzzCase = {
     val t = pick(rnd, tables)
-    val shape = rnd.nextInt(8)
+    val shape = rnd.nextInt(10)
     val q: R = shape match {
+      case 8 => // FROM (subquery) derived table (q13 shape)
+        val g = pick(rnd, t.ints)
+        val h = 1 + rnd.nextInt(3)
+        same(s"SELECT g, a1 FROM (SELECT $g AS g, COUNT(*) AS a1 FROM ") +
+          t.ref + same(s" GROUP BY $g) t WHERE a1 >= $h")
+      case 9 => // GROUP BY expression + HAVING on the AGG ALIAS: the
+        // dialect makes SELECT aliases visible in HAVING, so the df leg
+        // references a1 while the pre-lowered legs repeat the aggregate
+        val c = pick(rnd, t.ints)
+        val m = 2 + rnd.nextInt(4)
+        val h = 1 + rnd.nextInt(2)
+        R(s"SELECT ($c % $m) AS g, COUNT(*) AS a1 FROM ${t.name} " +
+            s"GROUP BY $c % $m HAVING a1 >= $h",
+          s"SELECT ($c % $m) AS g, COUNT(*) AS a1 FROM fz_${t.name} " +
+            s"GROUP BY $c % $m HAVING COUNT(*) >= $h",
+          s"SELECT ($c % $m) AS g, COUNT(*) AS a1 FROM ${t.name} " +
+            s"GROUP BY ($c % $m) HAVING COUNT(*) >= $h")
       case 0 => // projection [+ filter]
         val items = joinList(aliased(Seq.fill(1 + rnd.nextInt(3))(selectItem(rnd, t))))
         val w = if (rnd.nextBoolean()) {

@@ -47,8 +47,10 @@ class ParityFuzzSpec extends SparkSpec {
   test("seeded differential fuzz: facade dialect ≡ native Spark SQL (120 cases)") {
     val cases = ParityFuzz.cases(42L, 120)
     // cover every shape at least once — a generator regression that
-    // stopped emitting a shape would silently shrink coverage
-    assert(cases.map(_.name.takeRight(2)).distinct.size == 8, "shape coverage")
+    // stopped emitting a shape would silently shrink coverage (10
+    // shapes since r11: +derived table, +group-by-expression with
+    // HAVING on the select ALIAS)
+    assert(cases.map(_.name.takeRight(2)).distinct.size == 10, "shape coverage")
     cases.foreach { c =>
       val (fc, fr) = canon(ds.queryDF(c.dfsql))
       val (nc, nr) = canon(spark.sql(c.sparkSql))
