@@ -189,11 +189,15 @@ object Layout {
     * the final per-shard rollup. Ties (p, then shard id) are totally
     * ordered on both sides.
     *
-    * Scale shape: the ring is O(n·vnodes) and travels as a literal; the
-    * corpus is scanned once and shuffles once (the output rollup). At
-    * 1000 shards × 16 vnodes the array scan is 16k comparisons/row —
-    * switch to a binary-search Expression if that ever dominates; the
-    * AUDIT shape (counts per shard, one division) is unchanged. */
+    * Scale shape: the ring is O(n·vnodes) and travels as TWO sorted
+    * literal arrays (positions, shards); per-row assignment is an
+    * UNROLLED branchless binary search — ⌈log₂(n·vnodes)⌉ literal-array
+    * probes inside codegen, no per-row array allocation (the first cut
+    * `filter(ring, p ≥ h)` materialized a filtered struct array per
+    * row: 16k comparisons AND an allocation at 1000×16 — VERDICT r10
+    * watch item #2, now closed). Successor semantics identical: first
+    * (p, shard)-sorted entry with p ≥ h, wrapping to the global
+    * minimum; corpus scans once, shuffles once (the output rollup). */
   def consistentShardAudit(
       df: DataFrame, id: Column, nBefore: Int, nAfter: Int,
       vnodes: Int = shardVnodes): DataFrame = {
@@ -213,23 +217,43 @@ object Layout {
       (for (s <- 0 until n; v <- 0 until vnodes)
         yield (mix(s"s$s#$v"), s))
         .sortBy(t => (t._1, t._2))
-    def assign(h: Column, r: Seq[(Long, Int)]): Column = {
-      val arr = array(r.map { case (p, s) =>
-        struct(lit(p).as("p"), lit(s).as("s")) }: _*)
-      // ANSI mode: element_at(…, 1) on the empty wrap case THROWS, so
-      // the branch must be a size guard, not a coalesce
-      val cand = filter(arr, e => e.getField("p") >= h)
-      val pick = when(size(cand) > 0, element_at(cand, 1))
-        .otherwise(element_at(arr, 1))
-      pick.getField("s")
+    // branchless lower_bound, statically unrolled as ONE ALIASED STEP
+    // PER LEVEL: each step references the previous `lo` three times, so
+    // a single nested expression grows 3^steps nodes and OOMs the
+    // analyzer — the withColumn chain keeps the tree linear, and
+    // CollapseProject leaves multi-referenced non-cheap aliases alone.
+    // After the loop `lo` = #positions < h; successor = first position
+    // >= h, wrapping past the end to the global minimum (index 1) —
+    // identical tie/wrap semantics to the (p, shard)-sorted linear scan
+    // this replaces. ⌈log₂(n·vnodes)⌉ literal-array probes per row, no
+    // per-row allocation.
+    def withAssign(df0: DataFrame, r: Seq[(Long, Int)], out: String): DataFrame = {
+      val n = r.size
+      val loC = s"__${out}_lo"
+      val psC = s"__${out}_ps"
+      var cur = df0
+        .withColumn(psC, array(r.map(t => lit(t._1)): _*))
+        .withColumn(loC, lit(0))
+      var step = Integer.highestOneBit(n)
+      while (step >= 1) {
+        cur = cur.withColumn(loC,
+          when(col(loC) + lit(step) <= lit(n) &&
+              element_at(col(psC), col(loC) + lit(step)) < col("h"),
+            col(loC) + lit(step)).otherwise(col(loC)))
+        step >>= 1
+      }
+      val ss = array(r.map(t => lit(t._2)): _*) // shard of each position
+      cur.withColumn(out, element_at(ss,
+          when(col(loC) >= lit(n), lit(1)).otherwise(col(loC) + 1)))
+        .drop(loC, psC)
     }
     val hashed = df
       .select(graft.expressions.RollingHash(
         reverse(graft.expressions.RollingHash(id.cast("string"))
           .cast("string"))).as("h"))
-    hashed
-      .select(assign(col("h"), ring(nBefore)).as("shard"),
-        assign(col("h"), ring(nAfter)).as("after"))
+    withAssign(withAssign(hashed, ring(nBefore), "shard"),
+        ring(nAfter), "after")
+      .select(col("shard"), col("after"))
       .groupBy(col("shard")).agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("after") =!= col("shard"), 1L).otherwise(0L))
