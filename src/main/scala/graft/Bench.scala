@@ -62,6 +62,11 @@ object Bench {
     // is pinned; one entry is all the 1700-char worst-case line gate
     // leaves room for): winnowing, the heaviest new query
     "d62_winnowing")
+    // r11 additions were considered and REJECTED by the line-length
+    // gate below (worst-case 1778 > 1750 with d65+m60 added): the
+    // driver tail window is the binding constraint, and the gate's
+    // instruction is to trim, not raise. New-family series can start
+    // only if an existing entry is ever retired.
 
   /** Degradation ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at

@@ -145,8 +145,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,q206,prefix,t56,q166) — a full run at large n is
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,q183,s43,s55,t54,t59,
+    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -719,6 +719,50 @@ object ScaleProbe {
       println(f"[probe]   support=$support distinct values; 256-bucket pass " +
         f"$tMany%.1f s; bucketed==sequential diff rows: $diff (ungrouped), " +
         s"$gDiff (7 groups) — exact")
+    }
+    if (on("d65")) time("d65: shared-span alignment on the planted pairs") {
+      // every planted dup replays its source's 60 words except the
+      // LAST: word 60 sits only in the window starting at 58, so the
+      // two 58-window lists agree on a 57-window prefix run ->
+      // shared_tokens = 57 + 2 = 59 for EVERY pair — except the ~1/1000
+      // where the perturbed hash redraws the SAME vocab word (then the
+      // docs are identical: 60). A structural assertion at corpus
+      // volume, plus the positional-window machinery's wall clock.
+      val pairs = graft.operators.Dedup.minhashVerifiedPairs(
+        docs, threshold = 0.5, maxDf = 200)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val planted = pairs
+        .filter(col("id_b") >= n && col("id_a") === (col("id_b") - n) * 20)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val spans = graft.operators.Dedup.sharedSpans(docs, planted, k = 3)
+        .localCheckpoint()
+      val total = spans.count()
+      val at59 = spans.filter(col("shared_tokens") === 59).count()
+      val at60 = spans.filter(col("shared_tokens") === 60).count()
+      println(f"[probe]   spans: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"$at59/$total pairs at shared_tokens=59, $at60 full-collision (=60)")
+      require(total == planted.count() && at59 + at60 == total &&
+        at60 <= total / 200,
+        s"shared-span guarantee broke at scale: 59s=$at59 60s=$at60 of $total")
+    }
+    if (on("q204")) time("q204: ring binary search at 1000 shards x 16 vnodes") {
+      // the watch-item scale: 16,000 ring entries used to mean 16k
+      // comparisons + a filtered-array allocation PER ROW; the r11
+      // unrolled lower_bound does 14 literal-array probes. Verdicts:
+      // runs at corpus volume, and growing 1000 -> 1001 shards moves
+      // ~1/1001 of rows (the property the scheme exists for).
+      val t0 = System.nanoTime()
+      val audit = graft.operators.Layout
+        .consistentShardAudit(docs, col("doc_id"), 1000, 1001)
+        .localCheckpoint()
+      val agg = audit.agg(sum(col("n_docs")), sum(col("n_moved"))).head()
+      val (nd, nm) = (agg.getLong(0), agg.getLong(1))
+      val frac = nm.toDouble / nd
+      println(f"[probe]   assigned $nd rows in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        f"moved $nm (${frac * 100}%.3f%% vs theory ${100.0 / 1001}%.3f%%)")
+      require(frac > 0.0003 && frac < 0.003,
+        s"rebalance fraction off theory at scale: $frac")
     }
     if (on("q206")) time("q206: HITS on planted copy farms") {
       // background: sparse random copy->original pairs (avg degree ~1).
