@@ -253,7 +253,8 @@ object DedupQueries {
     // Rule 13 pair set; oracle extends the d44 recursive-CC replay.
     Q("q211_cross_source_dups", Some(
       s"""WITH RECURSIVE $dupClusterCtes,
-         |mem AS (SELECT a.cluster_id, d.source, count(*) AS c
+         |mem AS MATERIALIZED (
+         |        SELECT a.cluster_id, d.source, count(*) AS c
          |        FROM asg a JOIN documents d USING (doc_id) GROUP BY 1, 2)
          |SELECT m1.source AS src_a, m2.source AS src_b,
          |  count(*) AS n_clusters,

@@ -355,7 +355,7 @@ object MultimodalQueries {
     * join — the same arithmetic the decoded GIFs must reproduce. */
   private lazy val m60Sql = {
     val off = Multimodal.VariantOffset
-    s"""WITH dims AS (
+    s"""WITH dims AS MATERIALIZED (
        |  SELECT doc_id, 8 + (doc_id % 12) AS w, 8 + ((doc_id // 12) % 12) AS h,
        |         2 + (doc_id % 7) AS nf
        |  FROM documents),
@@ -373,7 +373,8 @@ object MultimodalQueries {
        |    SUM(((doc_id*31 + f*17 + x*7 + y*13) % 256) * (1 + x + w*y)) AS fp
        |  FROM ys GROUP BY media_id, f),
        |fps AS MATERIALIZED (SELECT DISTINCT media_id, fp FROM ck),
-       |sizes AS (SELECT media_id, count(*) AS sz FROM fps GROUP BY media_id),
+       |sizes AS MATERIALIZED (
+       |       SELECT media_id, count(*) AS sz FROM fps GROUP BY media_id),
        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
        |fil AS MATERIALIZED (SELECT fps.media_id, fps.fp
        |                     FROM fps JOIN keep USING (fp)),

@@ -191,7 +191,7 @@ object PipelineQueries {
     // ever sorts on one partition, whatever its size. Full membership
     // oracled, not just the quota counts.
     Q("q209_stratified_split", Some(
-      """WITH base AS (
+      """WITH base AS MATERIALIZED (
         |  SELECT doc_id, source AS stratum,
         |         (doc_id * 2654435761) % 1000000007 AS h FROM documents),
         |r AS (SELECT doc_id, stratum,
@@ -778,7 +778,8 @@ object PipelineQueries {
     // grouped Prefix.cumsum, so no group or support size ever lands
     // on one partition.
     Q("q210_weighted_quantiles", Some(
-      """WITH hist AS (SELECT source, n_chars AS v, sum(n_chars) AS cw
+      """WITH hist AS MATERIALIZED (
+        |              SELECT source, n_chars AS v, sum(n_chars) AS cw
         |              FROM documents GROUP BY 1, 2),
         |cum AS (SELECT source, v, cw,
         |          sum(cw) OVER (PARTITION BY source ORDER BY v) AS cum

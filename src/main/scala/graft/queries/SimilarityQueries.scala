@@ -363,7 +363,8 @@ object SimilarityQueries {
         |          unnest(list_transform(range(1, len(embedding) + 1),
         |            i -> {'d': i - 1, 'v': embedding[i]})) AS x
         |        FROM embeddings WHERE label IN (0, 1))),
-        |sums AS (SELECT g, d, sum(q) AS s, count(*) AS n
+        |sums AS MATERIALIZED (
+        |         SELECT g, d, sum(q) AS s, count(*) AS n
         |         FROM base GROUP BY 1, 2),
         |j AS (SELECT a.d, a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
         |      FROM sums a JOIN sums b ON a.d = b.d AND a.g = 0 AND b.g = 1)

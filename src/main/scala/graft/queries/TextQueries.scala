@@ -1216,9 +1216,11 @@ object TextQueries {
     * window is fine HERE — DuckDB is the single-node oracle; the Spark
     * side uses Prefix.cumsum), lag-1 adjacency, exact expectation. */
   private lazy val shuffleAuditOracle: String =
-    """WITH base AS (SELECT doc_id AS did, source AS k FROM documents),
+    """WITH base AS MATERIALIZED (
+      |  SELECT doc_id AS did, source AS k FROM documents),
       |h AS (SELECT did, k, (did * 2654435761) % 1000000007 AS h FROM base),
-      |r AS (SELECT k, row_number() OVER (ORDER BY h) AS rk FROM h),
+      |r AS MATERIALIZED (
+      |  SELECT k, row_number() OVER (ORDER BY h) AS rk FROM h),
       |adj AS (SELECT a.k AS k, b.k AS k2 FROM r a JOIN r b ON b.rk = a.rk + 1),
       |obs AS (SELECT count(*) AS n_adj,
       |        sum(CASE WHEN k = k2 THEN 1 ELSE 0 END) AS same_adj FROM adj),
