@@ -610,10 +610,10 @@ object Curation {
     * 1 — the check a pipeline runs on its curriculum BEFORE training,
     * since residual clumping inflates gradient correlation.
     *
-    * The order is the modular-permutation hash h = id·2654435761 mod
-    * 1000000007 (injective while ids < the prime — same convention as
-    * Sampling.hashBucket, replayable in any engine; NOT the md5 order
-    * of corpusShuffle, which has no integer form for ranking). Ranks
+    * The order is [[Sampling.orderHash]] — the modular-permutation
+    * hash, injective while ids < the prime, overflow-free at any id
+    * (rule 21a), replayable in any engine; NOT the md5 order of
+    * corpusShuffle, which has no integer form for ranking. Ranks
     * come from [[Prefix.cumsum]] — no global window at any cardinality
     * — and adjacency is one equi-join on rank+1.
     *
@@ -623,7 +623,7 @@ object Curation {
   def shuffleAudit(df: DataFrame, id: Column, key: Column): DataFrame = {
     def D(c: Column) = c.cast("decimal(38,0)")
     val base = df.select(id.as("did"), key.as("k"))
-      .withColumn("h", pmod(col("did") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("h", Sampling.orderHash(col("did")))
       .withColumn("one", lit(1L))
     val ranked = Prefix.cumsum(base, "h", Seq("one" -> "rk"),
         inclusive = true)

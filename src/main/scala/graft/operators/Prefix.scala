@@ -48,7 +48,11 @@ object Prefix {
     * plus the current row when `inclusive`. `xCol` must be integral,
     * non-null, and UNIQUE per row within its group (callers pass
     * histogram supports or injective order hashes); summed columns must
-    * be non-null integers (LongType). */
+    * be non-null integers (LongType); `groupCols` values must be
+    * NON-NULL (the offsets equi-join is null-rejecting — a NULL group
+    * would silently drop its rows, where groupBy would keep them). The
+    * input is materialized once (rule 5): three plan branches read it
+    * (the min/max normalizer, the bucket totals, and the final pass). */
   def cumsum(
       df: DataFrame, xCol: String, sums: Seq[(String, String)],
       inclusive: Boolean, buckets: Int = 256,
@@ -56,10 +60,11 @@ object Prefix {
     require(sums.nonEmpty, "at least one column to accumulate")
     import org.apache.spark.sql.expressions.Window
     def D(c: Column) = c.cast("decimal(38,0)")
-    val mnmx = df.agg(min(col(xCol)).as("p_mn"), max(col(xCol)).as("p_mx"))
+    val in = df.materializeOnce()
+    val mnmx = in.agg(min(col(xCol)).as("p_mn"), max(col(xCol)).as("p_mx"))
     // width = span DIV buckets + 1 ≥ 1 (never a zero divisor); bkt is a
     // monotone nondecreasing map of x into ~[0, buckets]
-    val bucketed = df.crossJoin(broadcast(mnmx))
+    val bucketed = in.crossJoin(broadcast(mnmx))
       .withColumn("p_bkt",
         floor((D(col(xCol)) - D(col("p_mn"))) /
           (floor((D(col("p_mx")) - D(col("p_mn"))) / lit(buckets)) + lit(1)))

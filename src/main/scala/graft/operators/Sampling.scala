@@ -24,6 +24,25 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(id * lit(HashPrime), lit(buckets.toLong))
 
+  /** Modular-permutation ORDER hash (q208/q209 and their oracles —
+    * one definition, two engines): injective while ids < OrderPrime
+    * (swap a larger prime ring past 1e9 ids). Rule 21a-safe: reducing
+    * the id AND the multiplier into the ring first keeps every product
+    * under (OrderPrime−1)·OrderMul ≈ 6.5e17, so the plan-level Long
+    * arithmetic can never hit the ANSI overflow throw at ANY id —
+    * unlike the raw id·2654435761 form, which throws past id ≈ 3.47e9.
+    * Values are IDENTICAL to the raw form for ids < OrderPrime
+    * (x·c ≡ x·(c mod M) mod M). */
+  val OrderPrime = 1000000007L
+  val OrderMul = 2654435761L % OrderPrime // 654435747
+
+  def orderHash(id: Column): Column =
+    pmod(pmod(id, lit(OrderPrime)) * lit(OrderMul), lit(OrderPrime))
+
+  /** The DuckDB rendering of [[orderHash]] (rule 12). */
+  def orderHashSql(id: String): String =
+    s"(($id % $OrderPrime) * $OrderMul) % $OrderPrime"
+
   /** Stratified sample: keep a per-stratum percentage of rows, decided by
     * the id hash (e.g. 50% of 'en' docs, 10% of everything else). The
     * map is applied via a CASE expression — no shuffle at all; the sample
@@ -115,7 +134,7 @@ object Sampling {
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
     val base = df.select(col(id).as("doc_id"), col(stratum).as("stratum"))
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("h", orderHash(col("doc_id")))
       .withColumn("one", lit(1L))
     val ranked = Prefix.cumsum(base, "h", Seq("one" -> "rk"),
       inclusive = true, groupCols = Seq("stratum"))

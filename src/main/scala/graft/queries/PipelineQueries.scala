@@ -191,9 +191,10 @@ object PipelineQueries {
     // ever sorts on one partition, whatever its size. Full membership
     // oracled, not just the quota counts.
     Q("q209_stratified_split", Some(
-      """WITH base AS MATERIALIZED (
+      s"""WITH base AS MATERIALIZED (
         |  SELECT doc_id, source AS stratum,
-        |         (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+        |         ${graft.operators.Sampling.orderHashSql("doc_id")} AS h
+        |  FROM documents),
         |r AS (SELECT doc_id, stratum,
         |        row_number() OVER (PARTITION BY stratum ORDER BY h) AS rk
         |      FROM base),

@@ -1152,7 +1152,7 @@ object TextQueries {
   /** t67 + t71: the zero-cell-complete χ² replay over lang × source,
     * factored so Cramér's V wraps the identical statistic. */
   private lazy val chiSquareLangSourceSql: String =
-    """WITH cells AS (
+    """WITH cells AS MATERIALIZED (
       |  SELECT lang AS r, source AS c, count(*) AS o
       |  FROM documents GROUP BY 1, 2),
       |rs AS (SELECT r, sum(o) AS rsum FROM cells GROUP BY r),
@@ -1216,9 +1216,10 @@ object TextQueries {
     * window is fine HERE — DuckDB is the single-node oracle; the Spark
     * side uses Prefix.cumsum), lag-1 adjacency, exact expectation. */
   private lazy val shuffleAuditOracle: String =
-    """WITH base AS MATERIALIZED (
+    s"""WITH base AS MATERIALIZED (
       |  SELECT doc_id AS did, source AS k FROM documents),
-      |h AS (SELECT did, k, (did * 2654435761) % 1000000007 AS h FROM base),
+      |h AS (SELECT did, k, ${graft.operators.Sampling.orderHashSql("did")} AS h
+      |      FROM base),
       |r AS MATERIALIZED (
       |  SELECT k, row_number() OVER (ORDER BY h) AS rk FROM h),
       |adj AS (SELECT a.k AS k, b.k AS k2 FROM r a JOIN r b ON b.rk = a.rk + 1),

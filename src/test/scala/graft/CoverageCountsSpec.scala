@@ -39,12 +39,15 @@ class CoverageCountsSpec extends AnyFunSuite {
     // scalacheck `property(`) would undercount and fail here, which is
     // the correct prompt to extend this counter
     val testRe = """(?m)^\s*test\(""".r
-    val cases = Files.walk(Paths.get("src/test")).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .map(p => testRe.findAllIn(
-        // count at line grain, not file grain
-        Files.readAllLines(p).asScala.mkString("\n")).size)
-      .sum
+    val walk = Files.walk(Paths.get("src/test"))
+    val cases =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .map(p => testRe.findAllIn(
+          // count at line grain, not file grain
+          Files.readAllLines(p).asScala.mkString("\n")).size)
+        .sum
+      finally walk.close()
     assert(readme.contains(s"full ScalaTest suite ($cases cases)"),
       s"README stale: test sources define $cases cases")
   }
