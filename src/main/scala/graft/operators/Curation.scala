@@ -509,8 +509,10 @@ object Curation {
       .orderBy(col("x"))
   }
 
-  /** Calibration report (reliability diagram) of a [0,1] `score`
-    * against a binary `label` — the check a pipeline runs before
+  /** Calibration report (reliability diagram — DeGroot & Fienberg,
+    * The Statistician 1983; the per-bin |gap| is what ECE weights, Guo
+    * et al. ICML 2017) of a [0,1] `score` against a binary `label` —
+    * the check a pipeline runs before
     * thresholding a quality/toxicity/educational-value classifier:
     * equal-width score bins, per-bin observed positive rate vs the
     * bin-midpoint confidence, and the |gap| that an ECE would weight.

@@ -667,7 +667,9 @@ object Multimodal {
     * trimmed variant). */
   final case class VideoFp(media_id: Long, fp: Long)
 
-  /** Video near-duplicate pairs over the REAL codec path (m60): each
+  /** Video near-duplicate pairs over the REAL codec path (m60) — the
+    * frame-fingerprint-set formulation of near-duplicate video
+    * detection (Wu, Hauptmann & Ngo, CIVR 2007 practice): each
     * doc contributes its GIF plus a TRIMMED variant (the clip re-cut
     * without the first frame — media_id + VariantOffset; the common
     * re-upload edit), both genuinely decoded; videos compare as the
