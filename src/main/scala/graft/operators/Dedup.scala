@@ -748,6 +748,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus growth curve (the Heaps-law view a collection team reads to
+    * decide when a source is mined out): cumulative distinct n-gram
+    * shingles against ingest order, at `buckets` ingest deciles — each
+    * decile's row says how much content that slice of the crawl added
+    * that the corpus had NOT already collected. First-seen attribution
+    * is exact (min doc_id per shingle — [[noveltyScores]]' machinery at
+    * curve grain); deciles cut by doc-id RANK (exact under id gaps),
+    * with ranks from [[Prefix.cumsum]] so no global sort ever happens.
+    *
+    * Scale shape: one shingle explode + one groupBy to shingle grain
+    * for first-seen, one rank pass, then everything runs at decile
+    * grain — the cumulative sum is a ≤buckets² triangular self-join,
+    * deliberately windowless (rule 23's no-unpartitioned-window
+    * discipline applied to its own 10-row output). */
+  def growthCurve(
+      docs: DataFrame, n: Int = 3, buckets: Int = 10): DataFrame = {
+    val ids = docs.select(col("doc_id")).withColumn("one", lit(1L))
+    val ranked = Prefix.cumsum(ids, "doc_id", Seq("one" -> "rk"),
+      inclusive = true)
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr(s"((rk - 1) * $buckets) DIV n").as("decile"))
+    val firstSeen = shingleTable(docs, n)
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+    val cnt = firstSeen
+      .join(dec.select(col("doc_id").as("fd"), col("decile")), Seq("fd"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_shingles"))
+    val grid = docs.sparkSession.range(buckets).toDF("decile")
+    val filled = grid.join(cnt, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("new_shingles"), lit(0L)).as("new_shingles"))
+      .materializeOnce() // both sides of the cumulative self-join
+    filled
+      .join(filled.select(col("decile").as("d2"), col("new_shingles").as("s2")),
+        col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("new_shingles"))
+      .agg(sum(col("s2")).as("cum_shingles"))
+      .select(col("decile"), col("new_shingles"), col("cum_shingles"))
+      .orderBy(col("decile"))
+  }
+
   /** Cross-source duplication matrix: for every unordered source pair,
     * how many duplicate clusters span both sources and how many
     * cross-source near-dup doc pairs they contain — the provenance /

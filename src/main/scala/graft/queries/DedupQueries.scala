@@ -244,6 +244,33 @@ object DedupQueries {
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))
         .orderBy(col("doc_id"))),
 
+    // corpus growth curve (d66): cumulative distinct shingles vs
+    // ingest order at ten rank deciles — the Heaps-law saturation
+    // signal ("is this source mined out"). First-seen exact; ranks via
+    // Prefix.cumsum; the 10-row cumulative is a triangular self-join,
+    // not a window (rule 23 applied to the operator's own output).
+    Q("d66_growth_curve", Some(
+      s"""WITH $ngramShingleCte,
+         |fs AS MATERIALIZED (SELECT sh, min(doc_id) AS fd FROM ex GROUP BY sh),
+         |r AS MATERIALIZED (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |dec AS (SELECT doc_id, ((rk - 1) * 10) // n AS decile FROM r, nn),
+         |cnt AS (SELECT d.decile, count(*) AS new_shingles
+         |        FROM fs JOIN dec d ON d.doc_id = fs.fd GROUP BY 1),
+         |filled AS MATERIALIZED (
+         |  SELECT g.d AS decile,
+         |         CAST(coalesce(cnt.new_shingles, 0) AS BIGINT) AS new_shingles
+         |  FROM (SELECT unnest(range(0, 10)) AS d) g
+         |  LEFT JOIN cnt ON cnt.decile = g.d)
+         |SELECT a.decile, a.new_shingles,
+         |  CAST(sum(b.new_shingles) AS BIGINT) AS cum_shingles
+         |FROM filled a JOIN filled b ON b.decile <= a.decile
+         |GROUP BY a.decile, a.new_shingles
+         |ORDER BY a.decile""".stripMargin),
+      (s, d) => Dedup.growthCurve(docs(s, d), n = 3)),
+
     // cross-source duplication matrix (q211): which source is
     // mirroring which — per unordered source pair, clusters spanning
     // both and the cross-source near-dup pair count (diagonal =

@@ -801,4 +801,20 @@ class DedupSpec extends SparkSpec {
       ("s1", "s1", 2L, 1L)  // A contributes 0, B contributes C(2,2)
     ), out.toSeq)
   }
+
+  test("growthCurve: hand-computed first-seen attribution and zero-filled deciles") {
+    import spark.implicits._
+    // 5 docs over 10 buckets -> occupied deciles 0,2,4,6,8 (rank-cut);
+    // doc1 repeats doc0's only shingle (0 new), doc3 adds 1 of its 2
+    val docs = Seq(
+      (0L, "a b c", "s"), (1L, "a b c", "s"), (2L, "x y z w", "s"),
+      (3L, "a b c x", "s"), (4L, "k k k", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.growthCurve(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 1L), (1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L),
+      (4L, 2L, 3L), (5L, 0L, 3L), (6L, 1L, 4L), (7L, 0L, 4L),
+      (8L, 1L, 5L), (9L, 0L, 5L)), out.toSeq)
+  }
 }
