@@ -331,7 +331,13 @@ object Bench {
           case _ => 1
         }
         var times = first.toSeq
-        while ((times.size < 2 || minUnstable(times)) && times.size < maxSamples)
+        // a FAILED first sample must not enter the retry loop: sample()
+        // returns None on a throw, so `times` would never grow and the
+        // min-stable condition would spin forever re-running a
+        // deterministically broken query — hanging the whole bench past
+        // the driver's clock with no JSON line (the rc=124 void class)
+        while (first.nonEmpty &&
+            (times.size < 2 || minUnstable(times)) && times.size < maxSamples)
           times ++= sample()
         val t1 = System.nanoTime()
         // per-query wall accounting to stderr (never stdout — the JSON must

@@ -847,13 +847,20 @@ object Dedup {
   def sharedSpans(
       docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = spread(docs)
+    val p = pairs.select(col("id_a"), col("id_b")).materializeOnce()
+    // only docs that appear in a pair ever reach the span joins — scope
+    // the window explode by a semi-join BEFORE tokenizing (the mmrRerank
+    // `scoped` pattern): near-dup pairs touch a small fraction of the
+    // corpus, so this turns a corpus-sized explode+materialize into a
+    // pair-bounded one
+    val ids = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b"))).distinct()
+    val wins = spread(docs.join(ids, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(TextFunctions.windowsFromTokens(col("toks"), k)))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
       .materializeOnce() // both pair sides read it
-    val p = pairs.select(col("id_a"), col("id_b"))
     val m = p
       .join(wins.select(col("doc_id").as("id_a"), col("pos").as("pa"),
         col("w")), Seq("id_a"))
