@@ -612,10 +612,17 @@ object Curation {
     * 1 — the check a pipeline runs on its curriculum BEFORE training,
     * since residual clumping inflates gradient correlation.
     *
-    * The order is [[Sampling.orderHash]] — the modular-permutation
-    * hash, injective while ids < the prime, overflow-free at any id
-    * (rule 21a), replayable in any engine; NOT the md5 order of
-    * corpusShuffle, which has no integer form for ranking. Ranks
+    * The order is the q204 AVALANCHE mix — the rolling-hash fold
+    * applied through the reversed decimal string of a first fold
+    * (Layout.consistentShardAudit's convention, SQL-replayable). A
+    * LINEAR modular permutation ([[Sampling.orderHash]]) is itself
+    * measurably clumped as a shuffle: consecutive ranks differ by the
+    * constant stride C⁻¹ mod P, so any key correlated with an id
+    * residue class reads as runs — measured ratio 3.61 on an id-mod-7
+    * key at 525k docs before the switch (ScaleProbe r11ops). Hash
+    * uniqueness is the d36-style 64-bit contract, not structural
+    * (fine: the audit reads a ratio, and Prefix's per-row-unique
+    * requirement fails softly as ±1 rank on a collision). Ranks
     * come from [[Prefix.cumsum]] — no global window at any cardinality
     * — and adjacency is one equi-join on rank+1.
     *
@@ -625,7 +632,9 @@ object Curation {
   def shuffleAudit(df: DataFrame, id: Column, key: Column): DataFrame = {
     def D(c: Column) = c.cast("decimal(38,0)")
     val base = df.select(id.as("did"), key.as("k"))
-      .withColumn("h", Sampling.orderHash(col("did")))
+      .withColumn("h", graft.expressions.RollingHash(
+        reverse(graft.expressions.RollingHash(col("did").cast("string"))
+          .cast("string"))))
       .withColumn("one", lit(1L))
     val ranked = Prefix.cumsum(base, "h", Seq("one" -> "rk"),
         inclusive = true)

@@ -1218,8 +1218,13 @@ object TextQueries {
   private lazy val shuffleAuditOracle: String =
     s"""WITH base AS MATERIALIZED (
       |  SELECT doc_id AS did, source AS k FROM documents),
-      |h AS (SELECT did, k, ${graft.operators.Sampling.orderHashSql("did")} AS h
-      |      FROM base),
+      |h AS (
+      |  SELECT did, k,
+      |    ${DedupQueries.signWrap(DedupQueries.polyHashSql("h1s"))} AS h
+      |  FROM (SELECT did, k, reverse(CAST(h1 AS VARCHAR)) AS h1s FROM (
+      |    SELECT did, k,
+      |      ${DedupQueries.signWrap(DedupQueries.polyHashSql("ds"))} AS h1
+      |    FROM (SELECT did, k, CAST(did AS VARCHAR) AS ds FROM base)))),
       |r AS MATERIALIZED (
       |  SELECT k, row_number() OVER (ORDER BY h) AS rk FROM h),
       |adj AS (SELECT a.k AS k, b.k AS k2 FROM r a JOIN r b ON b.rk = a.rk + 1),

@@ -146,7 +146,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
     // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,t56,q166) — a full run at large n is
+    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -745,6 +745,71 @@ object ScaleProbe {
       require(total == planted.count() && at59 + at60 == total &&
         at60 <= total / 200,
         s"shared-span guarantee broke at scale: 59s=$at59 60s=$at60 of $total")
+    }
+    if (on("r11ops")) time("r11 stats ops at corpus scale (q208/q210/s63)") {
+      // q210 vs q149 cross-operator equality: with unit weights the
+      // weighted quantile (cum*den >= qn*totW) and the type-1 quantile
+      // (cum >= ceil(q*n)) are the SAME integer condition, computed by
+      // DIFFERENT decompositions (grouped Prefix.cumsum vs per-group
+      // histogram windows) — assert they agree exactly at volume.
+      val weighted = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(7)).cast("string").as("g"),
+        (length(col("text")) % 997).cast("long").as("v"))
+        .withColumn("one", lit(1L)).localCheckpoint()
+      val t0 = System.nanoTime()
+      val wq = graft.operators.Profiling.weightedQuantiles(
+        weighted, "g", "v", "one", qs = Seq(25, 50, 75, 90))
+        .select(col("g"), (col("q_num").cast("double") / 100).as("q"),
+          col("q_value")).localCheckpoint()
+      val eq = graft.operators.Profiling.exactQuantiles(
+        weighted, "g", "v", qs = Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("g"), col("q"), col("q_value").cast("bigint").as("q_value"))
+      val qDiff = wq.exceptAll(eq).unionByName(eq.exceptAll(wq)).count()
+      println(f"[probe]   q210 vs q149 (unit weights): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, diff rows: $qDiff")
+      require(qDiff == 0, s"weighted/type-1 quantiles diverged: $qDiff")
+      // q208: an id-residue key is well shuffled under the AVALANCHE
+      // order (ratio ~1 — under the earlier LINEAR modular order this
+      // same key measured 3.61, which is WHY the operator switched);
+      // a key derived from the order hash's own high bits is maximally
+      // clumped and must read as such
+      val t1 = System.nanoTime()
+      val good = graft.operators.Curation.shuffleAudit(
+        weighted, col("doc_id"), col("g")).head()
+      val mixCol = graft.expressions.RollingHash(
+        reverse(graft.expressions.RollingHash(col("doc_id").cast("string"))
+          .cast("string")))
+      val clumped = graft.operators.Curation.shuffleAudit(
+        weighted.withColumn("ck", shiftright(mixCol, 58)),
+        col("doc_id"), col("ck")).head()
+      println(f"[probe]   q208: ${(System.nanoTime() - t1) / 1e9}%.1f s; " +
+        f"id-residue ratio=${good.getDouble(4)}%.4f (want ~1), " +
+        f"order-highbits ratio=${clumped.getDouble(4)}%.3f (want >>1)")
+      require(good.getDouble(4) > 0.9 && good.getDouble(4) < 1.1,
+        s"well-mixed key read as clumped: ${good.getDouble(4)}")
+      require(clumped.getDouble(4) > 5,
+        s"planted clumping not detected: ${clumped.getDouble(4)}")
+      // s63: ids 2k and 2k+1 share a vector (seed = id DIV 2), so the
+      // parity groups hold the SAME vector multiset — their exact
+      // fixed-point centroid sums are EQUAL and the cosine sits within
+      // 1 ulp of 1 (sqrt(x)*sqrt(x) vs x). A drifted decomposition or a
+      // nondeterministic double sum would miss by far more than 1e-9.
+      val dims = sequence(lit(1), lit(64))
+      def comp(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+          - lit(1.0)).cast("float")
+      val vecs = spark.range(n).toDF("vec_id")
+        .withColumn("embedding",
+          transform(dims, i => comp(expr("vec_id DIV 2") * 64 + i)))
+      val t2 = System.nanoTime()
+      val r0 = graft.operators.Similarity.centroidDrift(
+        vecs, pmod(col("vec_id"), lit(2)).cast("long"), "embedding",
+        ga = 0L, gb = 1L).head()
+      println(f"[probe]   s63: ${(System.nanoTime() - t2) / 1e9}%.1f s; " +
+        f"paired-population cos=${r0.getDouble(2)}%.15f " +
+        s"(na=${r0.getLong(0)}, nb=${r0.getLong(1)})")
+      require(math.abs(r0.getDouble(2) - 1.0) < 1e-9,
+        s"identical populations drifted: ${r0.getDouble(2)}")
     }
     if (on("q204")) time("q204: ring binary search at 1000 shards x 16 vnodes") {
       // the watch-item scale: 16,000 ring entries used to mean 16k

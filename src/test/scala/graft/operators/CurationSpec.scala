@@ -442,11 +442,14 @@ class CurationSpec extends SparkSpec {
     val r = Curation.shuffleAudit(one, col("id"), col("k")).head()
     assert(r.getLong(0) === 20L && r.getLong(1) === 19L && r.getLong(2) === 19L)
     assert(r.getDouble(3) === 19.0 && r.getDouble(4) === 1.0)
-    // mixed keys: replay the modular-permutation order in Scala and
-    // count adjacent same-key pairs independently
+    // mixed keys: replay the avalanche-mix order in Scala and count
+    // adjacent same-key pairs independently
+    import graft.expressions.RollingHash.evalString
+    def mix(i: Long): Long =
+      evalString(evalString(i.toString).toString.reverse)
     val keys = (0L until 30L).map(i => (i, if (i % 3 == 0) "a" else "b"))
     val df = keys.toDF("id", "k")
-    val byOrder = keys.sortBy { case (i, _) => i * 2654435761L % 1000000007L }
+    val byOrder = keys.sortBy { case (i, _) => mix(i) }
     val expectSame = byOrder.sliding(2).count(w => w(0)._2 == w(1)._2)
     val m = Curation.shuffleAudit(df, col("id"), col("k")).head()
     assert(m.getLong(2) === expectSame.toLong, m)
