@@ -655,6 +655,117 @@ object Curation {
           (col("s2").cast("double") / col("n").cast("double"))).as("ratio"))
   }
 
+  /** Spearman rank correlation (tie-corrected; Spearman, Am. J.
+    * Psychol. 1904) between two integer features — the monotone-
+    * association readout a pipeline checks between proxy signals
+    * ("does char length actually track token count / quality score")
+    * before substituting the cheap one for the expensive one. Pearson
+    * on mid-ranks, with the t68 DOUBLED-mid-rank trick so every rank is
+    * an integer: a distinct value with count ck and `before` items
+    * below it carries doubled mid-rank 2·before + ck + 1.
+    *
+    * Exactness: the five sufficient statistics (Σc·rx, Σc·ry, Σc·rx²,
+    * Σc·ry², Σc·rx·ry) are exact DECIMAL(38,0) sums over the JOINT
+    * support (bounded: Σc·rx·ry ≤ n·(2n+1)² < 1e38 up to n ≈ 1e12),
+    * doubling cancels in the correlation, and the statistic is one
+    * fixed double DAG over the exact sums — the q133/t70 contract, so
+    * the oracle hash-matches with no tolerance.
+    *
+    * Scale shape: one corpus groupBy to the joint (x, y) support;
+    * marginal doubled ranks via [[Prefix.cumsum]] (no global window at
+    * any support cardinality); two support-sized equi-joins; one
+    * 1-row aggregate. */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val joint = df
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .materializeOnce() // feeds both marginal passes AND the moments
+    def ranks(k: String, rk: String) = Prefix.cumsum(
+        joint.groupBy(col(k)).agg(sum(col("c")).as("ck")),
+        k, Seq("ck" -> "bk"), inclusive = false)
+      .select(col(k), (lit(2L) * col("bk") + col("ck") + 1L).as(rk))
+    val m = joint
+      .join(ranks("x", "rx"), Seq("x"))
+      .join(ranks("y", "ry"), Seq("y"))
+      .agg(sum(col("c")).as("n"),
+        sum(D(col("c")) * col("rx")).as("sx"),
+        sum(D(col("c")) * col("ry")).as("sy"),
+        sum(D(col("c")) * col("rx") * col("rx")).as("sxx"),
+        sum(D(col("c")) * col("ry") * col("ry")).as("syy"),
+        sum(D(col("c")) * col("rx") * col("ry")).as("sxy"))
+    def d(nm: String) = col(nm).cast("double")
+    // the double DAG, mirrored op-for-op by the oracle:
+    // rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²));
+    // a constant margin (zero rank variance) has no defined rho → NaN,
+    // guarded explicitly because ANSI mode throws on x/0 even for
+    // doubles (never hit by the oracled corpus)
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    m.select(col("n").cast("bigint").as("n"),
+      when(vx === 0.0 || vy === 0.0, lit(Double.NaN))
+        .otherwise((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt(vx * vy)).as("rho"))
+  }
+
+  /** Kendall rank correlation τ-b (tie-corrected; Kendall, Biometrika
+    * 1938) between two integer features — the concordance companion of
+    * [[spearman]]: counts agreeing vs disagreeing PAIRS, so it reads as
+    * "probability a random pair sorts the same way under both
+    * features" and is robust where Spearman's squared rank gaps
+    * overweight far-apart swaps.
+    *
+    * All-pairs arithmetic on the JOINT support only: concordant
+    * C = Σ c₁c₂ over support cells with x₁<x₂ ∧ y₁<y₂, discordant D
+    * likewise with y₁>y₂ — exact DECIMAL(38,0) products; the doubled
+    * tie terms 2n₁ = Σ cx(cx−1), 2n₂ = Σ cy(cy−1) and the doubled pair
+    * total 2n₀ = n(n−1) stay decimal-exact, and
+    * τ_b = 2(C−D) / √((2n₀−2n₁)(2n₀−2n₂)) is one double DAG over
+    * exact inputs (the product of two ~n² terms cannot stay in
+    * decimal38 — each factor casts to double first, the q136 idiom).
+    *
+    * Scale shape: one corpus groupBy to the joint support, then a
+    * support×support inequality self-join — domain-bounded on both
+    * sides (never corpus rows; the [[quantileNormalize]] contract), so
+    * the operator is for DOMAIN-BOUNDED features (lengths, counts,
+    * grades), not raw hashes. Margins are support-sized aggregates. */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val zero = lit(0L).cast("decimal(38,0)")
+    val joint = df
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .materializeOnce() // self-joined + two margin passes (rule 5)
+    val cd = joint.join(
+        joint.select(col("x").as("x2"), col("y").as("y2"),
+          col("c").as("c2")),
+        col("x") < col("x2"))
+      .agg(
+        coalesce(sum(when(col("y") < col("y2"), D(col("c")) * col("c2"))),
+          zero).as("conc"),
+        coalesce(sum(when(col("y") > col("y2"), D(col("c")) * col("c2"))),
+          zero).as("disc"))
+    def ties(k: String, out: String) = joint
+      .groupBy(col(k)).agg(sum(col("c")).as("ck"))
+      .agg(coalesce(sum(D(col("ck")) * (col("ck") - 1)), zero).as(out))
+    val tot = joint.agg(sum(col("c")).as("n"))
+      .select(col("n"), (D(col("n")) * (col("n") - 1)).as("t0"))
+    cd.crossJoin(broadcast(tot)) // 1-row frames throughout
+      .crossJoin(broadcast(ties("x", "t1")))
+      .crossJoin(broadcast(ties("y", "t2")))
+      .select(col("n").cast("bigint").as("n"),
+        col("conc").cast("double").as("conc"),
+        col("disc").cast("double").as("disc"),
+        // all-tied margin → zero denominator → τ undefined (NaN),
+        // guarded because ANSI throws on double x/0 (never hit by the
+        // oracled corpus)
+        when(col("t0") === col("t1") || col("t0") === col("t2"),
+          lit(Double.NaN))
+          .otherwise(lit(2.0) * (col("conc") - col("disc")).cast("double") /
+            sqrt((col("t0") - col("t1")).cast("double") *
+              (col("t0") - col("t2")).cast("double"))).as("tau_b"))
+  }
+
   /** Pearson χ² test of homogeneity over the `rowKey` × `colKey`
     * contingency table (zero cells included — the full key cross
     * product contributes). Per-cell terms (O·N − R·C)²/(N·R·C) are

@@ -325,6 +325,86 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Determinized DBSCAN (Ester et al., KDD '96) over the embedding
+    * space with cosine ≥ `threshold` as the ε-neighborhood: core
+    * points have ≥ `minPts` neighbors INCLUDING self, clusters are
+    * connected components of the core–core ε-graph, border points
+    * attach to the SMALLEST cluster id among their core neighbors
+    * (classic DBSCAN leaves the choice arbitrary — taking min is the
+    * determinization, same move as d44's min-label components), noise
+    * gets cluster −1. The density-based companion of d48's SemDeDup:
+    * finds dense regions without a cluster count and NAMES the noise,
+    * which is exactly the "mine the residue" curation readout.
+    *
+    * Exactness/oracle: the ε-join here is the EXACT all-pairs cosine
+    * (sequential-fold, rule 3 — bitwise equal to DuckDB's replay), so
+    * the oracle is the brute-force DBSCAN verbatim; no recall
+    * assumption anywhere. Scale shape: the all-pairs join is the
+    * embeddings-corpus quadratic — right for the gate corpus and for
+    * per-cell refinement; at 100 TB the pair PROPOSER swaps to
+    * [[embeddingNearDupes]]'s multi-table LSH (d41/d48 machinery)
+    * with this same downstream, trading the exact-oracle contract for
+    * the d48 replay contract. Everything downstream of the pair set is
+    * corpus-linear: one symmetric explode, one count groupBy, the d44
+    * min-label CC (bounded rounds), one border min-join. */
+  def dbscan(
+      corpus: DataFrame, threshold: Double, minPts: Int): DataFrame = {
+    val side = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val pairs = side
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a"))
+      .join(side.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")),
+        col("id_a") < col("id_b"))
+      .filter(cosinePre(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .materializeOnce() // feeds counts, the core graph, border joins
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb")),
+        struct(col("id_b").as("id"), col("id_a").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
+      .materializeOnce()
+    val ncnt = corpus.select(col("vec_id"))
+      .join(sym.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .select(col("id").as("vec_id"), col("n")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n"), lit(0L)).as("n_neighbors"))
+      .materializeOnce()
+    val core = ncnt.filter(col("n_neighbors") + 1 >= minPts)
+      .select(col("vec_id")).materializeOnce()
+    val coreEdges = sym
+      .join(core.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .join(core.select(col("vec_id").as("nb")), Seq("nb"), "left_semi")
+      .select(col("id").as("id_a"), col("nb").as("id_b"))
+    // components cover only cores WITH a core neighbor; isolated cores
+    // are their own singleton cluster
+    val coreLbl = core
+      .join(graft.operators.Dedup.connectedComponents(coreEdges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .materializeOnce() // feeds the core output AND the border join
+    val border = sym
+      .join(core.select(col("vec_id").as("id")), Seq("id"), "left_anti")
+      .join(coreLbl.select(col("vec_id").as("nb"), col("cluster_id")),
+        Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("id").as("vec_id"), col("cluster_id"))
+    ncnt
+      .join(coreLbl.select(col("vec_id"), col("cluster_id").as("core_cl")),
+        Seq("vec_id"), "left")
+      .join(border.select(col("vec_id"), col("cluster_id").as("bord_cl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_neighbors"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("bord_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("bord_cl"), lit(-1L)).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style coarse quantization: centroids from an aggregation over a
     * deterministic coarse key, queries probe the nearest `nProbe`
     * centroids, search restricted to those cells. Demonstrates the

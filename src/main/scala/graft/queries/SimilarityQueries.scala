@@ -54,6 +54,46 @@ object SimilarityQueries {
               / (col("n_queries") * lit(2520L)).cast("double")).as("mrr"))
       }),
 
+    // nDCG@10 of the exact cosine run against same-label relevance
+    // (s64): the graded-ranking readout beside s61's MRR and s60's
+    // recall — position-discounted, so it sees WHERE the relevant hits
+    // land, not just whether they land. DCG weights 1/log2(i+1) are
+    // INTEGER-scaled Scala constants (⌊1e12/log2(i+1)⌉, one definition
+    // feeding both engines — rule 12), so per-query DCG is an exact
+    // integer sum with no float summation (rule 3); nDCG is one
+    // division. The ideal list draws from the whole corpus:
+    // r_avail = min(k, same-label corpus count − 1).
+    Q("s64_ndcg", Some(ndcgOracle),
+      (s, d) => {
+        val e = emb(s, d)
+        val run = Similarity.bruteForceKnn(
+          e, e.filter(col("vec_id") < 5), k = 10)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val lbl = e.select(col("vec_id"), col("label"))
+        val q = lbl.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+        val wArr = array(ndcgW.map(lit): _*)
+        val iArr = array(ndcgIdcg.map(lit): _*) // idcg at r_avail = 1..10
+        val dcg = run.join(lbl, Seq("vec_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .groupBy(col("q_id"), col("q_label"))
+          .agg(sum(when(col("label") === col("q_label"),
+            element_at(wArr, col("rank"))).otherwise(0L)).as("dcg_scaled"))
+        val lc = e.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        dcg.join(broadcast(lc), col("q_label") === col("label"))
+          .withColumn("r_avail", least(lit(10L), col("cnt") - 1))
+          .select(col("q_id"), col("r_avail"),
+            col("dcg_scaled").cast("bigint").as("dcg_scaled"),
+            when(col("r_avail") < 1, lit(0L))
+              .otherwise(element_at(iArr, col("r_avail").cast("int")))
+              .as("idcg_scaled"))
+          .withColumn("ndcg",
+            when(col("idcg_scaled") > 0,
+              col("dcg_scaled").cast("double") /
+                col("idcg_scaled").cast("double")).otherwise(lit(0.0)))
+          .orderBy(col("q_id"))
+      }),
+
     // IVF recall-vs-nprobe curve (s60): the tuning table a user reads
     // before picking the probe count — recall@10 of s43's search at
     // nProbe 1/2/4 against the exact top-10, one row per knob value.
@@ -122,6 +162,17 @@ object SimilarityQueries {
             count(lit(1)).as("n_members"))
           .orderBy(col("cluster_id"))
       }),
+
+    // determinized DBSCAN over the embedding space (d67): density-based
+    // clustering with cosine ≥ 0.40 as the ε-neighborhood and
+    // minPts = 3 — finds dense regions WITHOUT a cluster count and
+    // names the noise (the "mine the residue" curation readout beside
+    // d48's threshold-dedup). The ε-join is the exact all-pairs cosine,
+    // so the oracle is brute-force DBSCAN verbatim: counts, core set,
+    // recursive reachability over core–core edges, min-label border
+    // attachment — no recall assumption anywhere.
+    Q("d67_dbscan", Some(dbscanOracle),
+      (s, d) => Similarity.dbscan(emb(s, d), threshold = 0.40, minPts = 3)),
 
     // IVF-style coarse-quantized search (centroid probe → cell-local
     // scan). The fixed-point centroid sum (Similarity.ivfSearch) makes
@@ -791,6 +842,98 @@ object SimilarityQueries {
 
   /** s61: exact top-1 truth, the s43 top-10 chain (nProbe=2), and the
     * lcm-scaled reciprocal-rank sum — one division at the end. */
+  /** d67's brute-force DBSCAN replay: the exact ε-pair set (same
+    * sequential-fold cosine), neighbor counts, the core cut, min-label
+    * reachability over core–core edges (d44's recursive-CTE idiom),
+    * isolated cores as singleton clusters, border = min core-neighbor
+    * label, noise −1. Shared frames MATERIALIZED (rule 22). */
+  private lazy val dbscanOracle: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40),
+       |sym AS MATERIALIZED (
+       |  SELECT id_a AS id, id_b AS nb FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |ncnt AS MATERIALIZED (
+       |  SELECT e.vec_id, coalesce(c.n, 0) AS n_neighbors
+       |  FROM embeddings e LEFT JOIN (
+       |    SELECT id, count(*) AS n FROM sym GROUP BY id) c
+       |    ON c.id = e.vec_id),
+       |core AS MATERIALIZED (
+       |  SELECT vec_id FROM ncnt WHERE n_neighbors + 1 >= 3),
+       |ce AS MATERIALIZED (
+       |  SELECT s.id AS s, s.nb AS d FROM sym s
+       |  JOIN core c1 ON c1.vec_id = s.id
+       |  JOIN core c2 ON c2.vec_id = s.nb),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM ce
+       |  UNION
+       |  SELECT ce.s, w.lbl FROM ce JOIN walk w ON w.id = ce.d),
+       |asg AS (SELECT id, min(lbl) AS cl FROM walk GROUP BY id),
+       |corelbl AS MATERIALIZED (
+       |  SELECT c.vec_id, coalesce(a.cl, c.vec_id) AS cl
+       |  FROM core c LEFT JOIN asg a ON a.id = c.vec_id),
+       |border AS MATERIALIZED (
+       |  SELECT s.id AS vec_id, min(cl.cl) AS cl
+       |  FROM sym s JOIN corelbl cl ON cl.vec_id = s.nb
+       |  WHERE s.id NOT IN (SELECT vec_id FROM core)
+       |  GROUP BY s.id)
+       |SELECT n.vec_id, CAST(n.n_neighbors AS BIGINT) AS n_neighbors,
+       |  CASE WHEN c.cl IS NOT NULL THEN 'core'
+       |       WHEN b.cl IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  CAST(coalesce(c.cl, b.cl, -1) AS BIGINT) AS cluster_id
+       |FROM ncnt n
+       |LEFT JOIN corelbl c ON c.vec_id = n.vec_id
+       |LEFT JOIN border b ON b.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+
+  /** Integer-scaled DCG weights ⌊1e12 / log2(i+1)⌉ for ranks 1..10 —
+    * ONE Scala definition feeds both the Spark literals and the
+    * generated oracle VALUES (rule 12), so the two engines cannot
+    * drift and no libm log is ever evaluated inside a query. */
+  private lazy val ndcgW: Seq[Long] =
+    (1 to 10).map(i =>
+      Math.round(1e12 / (Math.log(i + 1.0) / Math.log(2.0))))
+
+  /** Ideal-DCG prefix sums: idcg(r) = Σ_{i≤r} w(i), r = 1..10. */
+  private lazy val ndcgIdcg: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+
+  private lazy val ndcgOracle: String = {
+    val wVals = ndcgW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+    val iVals = (0L +: ndcgIdcg).zipWithIndex
+      .map { case (v, r) => s"($r, $v)" }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < 5),
+       |ranked AS (
+       |  SELECT q_id, q_label, label,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT q.q_id, q.q_label, e.vec_id, e.label,
+       |           ${cosSql("q.q_emb", "e.embedding")} AS cos
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.q_id)),
+       |w(rank, w) AS (VALUES $wVals),
+       |iv(r_avail, idcg) AS (VALUES $iVals),
+       |dcg AS (
+       |  SELECT q_id, q_label,
+       |         sum(CASE WHEN label = q_label THEN w ELSE 0 END) AS dcg
+       |  FROM ranked JOIN w USING (rank) GROUP BY q_id, q_label),
+       |lc AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label)
+       |SELECT d.q_id, least(10, lc.cnt - 1) AS r_avail,
+       |       CAST(d.dcg AS BIGINT) AS dcg_scaled,
+       |       CAST(iv.idcg AS BIGINT) AS idcg_scaled,
+       |       CASE WHEN iv.idcg > 0
+       |         THEN CAST(d.dcg AS DOUBLE) / CAST(iv.idcg AS DOUBLE)
+       |         ELSE 0.0 END AS ndcg
+       |FROM dcg d JOIN lc ON lc.label = d.q_label
+       |JOIN iv ON iv.r_avail = least(10, lc.cnt - 1)
+       |ORDER BY q_id""".stripMargin
+  }
+
   private lazy val ivfMrrOracle: String = {
     val dim = 64
     s"""WITH cells AS (

@@ -1045,6 +1045,81 @@ object TextQueries {
         docs(s, d), graft.functions.TextFunctions.qualityScore(col("text")),
         col("n_chars") >= 300)),
 
+    // Spearman rank correlation (t73): does char length track token
+    // count? Tie-corrected via t68's doubled mid-ranks (all integer),
+    // exact decimal sufficient statistics over the JOINT support, one
+    // double DAG at the output (the t70 contract). Marginal ranks come
+    // from Prefix.cumsum — no global window at any cardinality; the
+    // oracle keeps plain windows (exact decomposition, rule 23).
+    Q("t73_spearman", Some(
+      """WITH base AS (
+        |  SELECT n_chars AS x,
+        |         len(string_split_regex(trim(text), '\s+')) AS y
+        |  FROM documents),
+        |joint AS MATERIALIZED (
+        |  SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
+        |mx AS (
+        |  SELECT x, 2 * bx + ck + 1 AS rx FROM (
+        |    SELECT x, ck, coalesce(sum(ck) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bx
+        |    FROM (SELECT x, sum(c) AS ck FROM joint GROUP BY x))),
+        |my AS (
+        |  SELECT y, 2 * b_y + ck + 1 AS ry FROM (
+        |    SELECT y, ck, coalesce(sum(ck) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_y
+        |    FROM (SELECT y, sum(c) AS ck FROM joint GROUP BY y))),
+        |m AS (
+        |  SELECT sum(c) AS n,
+        |         sum(CAST(c AS HUGEINT) * rx) AS sx,
+        |         sum(CAST(c AS HUGEINT) * ry) AS sy,
+        |         sum(CAST(c AS HUGEINT) * rx * rx) AS sxx,
+        |         sum(CAST(c AS HUGEINT) * ry * ry) AS syy,
+        |         sum(CAST(c AS HUGEINT) * rx * ry) AS sxy
+        |  FROM joint JOIN mx USING (x) JOIN my USING (y))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+        |FROM m""".stripMargin),
+      (s, d) => graft.operators.Curation.spearman(
+        docs(s, d), col("n_chars"), tokenCount(col("text")))),
+
+    // Kendall τ-b (t74): the concordant/discordant-PAIR companion of
+    // t73 — all-pairs counting on the joint support only (a domain-
+    // bounded support×support inequality join, the t69 contract), tie
+    // terms as doubled decimal-exact margins, one double DAG output.
+    Q("t74_kendall", Some(
+      """WITH base AS (
+        |  SELECT n_chars AS x,
+        |         len(string_split_regex(trim(text), '\s+')) AS y
+        |  FROM documents),
+        |joint AS MATERIALIZED (
+        |  SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
+        |cd AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS conc,
+        |    coalesce(sum(CASE WHEN a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS disc
+        |  FROM joint a JOIN joint b ON a.x < b.x),
+        |t1 AS (SELECT coalesce(sum(CAST(ck AS HUGEINT) * (ck - 1)), 0) AS t1
+        |       FROM (SELECT sum(c) AS ck FROM joint GROUP BY x)),
+        |t2 AS (SELECT coalesce(sum(CAST(ck AS HUGEINT) * (ck - 1)), 0) AS t2
+        |       FROM (SELECT sum(c) AS ck FROM joint GROUP BY y)),
+        |tot AS (SELECT n, CAST(n AS HUGEINT) * (n - 1) AS t0
+        |        FROM (SELECT sum(c) AS n FROM joint))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(conc AS DOUBLE) AS conc, CAST(disc AS DOUBLE) AS disc,
+        |  2.0 * CAST(conc - disc AS DOUBLE)
+        |    / sqrt(CAST(t0 - t1 AS DOUBLE) * CAST(t0 - t2 AS DOUBLE))
+        |    AS tau_b
+        |FROM cd, tot, t1, t2""".stripMargin),
+      (s, d) => graft.operators.Curation.kendallTau(
+        docs(s, d), col("n_chars"), tokenCount(col("text")))),
+
     // split-drift report (q207): the "did my split skew anything" check
     // a pipeline runs right after q86's hash split — KS distance and
     // Mann–Whitney AUC on length, χ² on language, all between the

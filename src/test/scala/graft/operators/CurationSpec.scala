@@ -434,6 +434,79 @@ class CurationSpec extends SparkSpec {
       (9L, 2L, 2L, 1.0, 0.95, 1.0 - 0.95)))
   }
 
+  test("spearman: matches the brute-force mid-rank Pearson, ties included") {
+    import spark.implicits._
+    // hand data with ties in both margins
+    val xs = Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L)
+    val ys = Seq(1L, 2L, 2L, 2L, 1L, 3L, 3L)
+    val df = xs.zip(ys).toDF("x", "y")
+    // brute-force doubled mid-ranks in Scala
+    def dranks(v: Seq[Long]): Seq[Long] = {
+      val sorted = v.sorted
+      v.map { a =>
+        val before = sorted.count(_ < a)
+        val cnt = sorted.count(_ == a)
+        2L * before + cnt + 1L
+      }
+    }
+    val rx = dranks(xs); val ry = dranks(ys)
+    val n = xs.size.toDouble
+    val sx = rx.sum.toDouble; val sy = ry.sum.toDouble
+    val sxx = rx.map(r => r * r).sum.toDouble
+    val syy = ry.map(r => r * r).sum.toDouble
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum.toDouble
+    // the same double DAG as the operator, op for op
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val r = Curation.spearman(df, col("x"), col("y")).head()
+    assert(r.getLong(0) === xs.size.toLong)
+    assert(r.getDouble(1) === want)
+    // perfect monotone, no ties: rho is exactly the DAG value of equal
+    // rank vectors (and numerically 1 within one ulp)
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val rho1 = Curation.spearman(mono, col("x"), col("y")).head().getDouble(1)
+    assert(math.abs(rho1 - 1.0) < 1e-12)
+    // reversal flips the sign exactly
+    val anti = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("x", "y")
+    val rhoM = Curation.spearman(anti, col("x"), col("y")).head().getDouble(1)
+    assert(rhoM === -rho1)
+  }
+
+  test("kendallTau: concordant/discordant counts match all-pairs brute force") {
+    import spark.implicits._
+    val xs = Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 5L)
+    val ys = Seq(2L, 1L, 2L, 3L, 1L, 3L, 4L, 4L)
+    val pts = xs.zip(ys)
+    val df = pts.toDF("x", "y")
+    // brute force over element pairs
+    val pairs = for {
+      i <- pts.indices; j <- pts.indices if i < j
+    } yield (pts(i), pts(j))
+    val conc = pairs.count { case ((x1, y1), (x2, y2)) =>
+      (x1 - x2) * (y1 - y2) > 0 }
+    val disc = pairs.count { case ((x1, y1), (x2, y2)) =>
+      (x1 - x2) * (y1 - y2) < 0 }
+    val nn = pts.size.toLong
+    val t0 = nn * (nn - 1)
+    val t1 = xs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+    val t2 = ys.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+    val want = 2.0 * (conc - disc).toDouble /
+      math.sqrt((t0 - t1).toDouble * (t0 - t2).toDouble)
+    val r = Curation.kendallTau(df, col("x"), col("y")).head()
+    assert(r.getLong(0) === nn)
+    assert(r.getDouble(1) === conc.toDouble)
+    assert(r.getDouble(2) === disc.toDouble)
+    assert(r.getDouble(3) === want)
+    // all-tied x (single support value): denominator is 0 -> tau NaN,
+    // conc = disc = 0 (no pair has x1 < x2)
+    val flat = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
+    val f = Curation.kendallTau(flat, col("x"), col("y")).head()
+    assert(f.getDouble(1) === 0.0 && f.getDouble(2) === 0.0)
+    assert(f.getDouble(3).isNaN, "all-tied margin has no defined tau")
+    val sFlat = Curation.spearman(flat, col("x"), col("y")).head()
+    assert(sFlat.getDouble(1).isNaN, "constant margin has no defined rho")
+  }
+
   test("shuffleAudit: single-key corpus has ratio exactly 1; expectation is exact") {
     import spark.implicits._
     // all one key: every adjacent pair matches, same_adj = n-1, and

@@ -103,4 +103,28 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b, "query derivation must be deterministic")
     assert(a.length === 6 && a.map(_._1).distinct === List(0L, 1L))
   }
+
+  test("s64_ndcg: per-query nDCG@10 invariants and the shared weight table") {
+    // independent replica of the rule-12 constants
+    val w = (1 to 10).map(i =>
+      Math.round(1e12 / (Math.log(i + 1.0) / Math.log(2.0))))
+    assert(w.head === 1000000000000L) // 1/log2(2) = 1
+    assert(w === w.sorted.reverse, "discounts must decrease with rank")
+    val idcg = w.scanLeft(0L)(_ + _).tail
+    val rows = graft.SparkEntry.queries("s64_ndcg")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 5, "one row per fixed query vector")
+    rows.foreach { r =>
+      val rAvail = r.getLong(1)
+      val dcg = r.getLong(2); val ideal = r.getLong(3)
+      val ndcg = r.getDouble(4)
+      assert(rAvail >= 0L && rAvail <= 10L)
+      assert(ideal === (if (rAvail < 1) 0L else idcg(rAvail.toInt - 1)),
+        s"idcg must be the prefix sum at r_avail=$rAvail")
+      assert(dcg >= 0L && dcg <= ideal,
+        "DCG cannot exceed the ideal ordering's DCG")
+      if (ideal > 0)
+        assert(ndcg === dcg.toDouble / ideal.toDouble && ndcg <= 1.0)
+    }
+  }
 }

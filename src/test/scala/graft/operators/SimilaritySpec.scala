@@ -371,4 +371,34 @@ class SimilaritySpec extends SparkSpec {
       .head()
     assert(r2.getDouble(2) === -1.0, r2)
   }
+
+  test("dbscan: planted geometry yields the hand-derived core/border/noise split") {
+    import spark.implicits._
+    // unit circle: cosine(u(α), u(β)) = cos(α−β); threshold 0.95 ≈ 18.2°
+    def u(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // cluster A at 0°/5°/10° (all pairwise ≤ 10° → mutual neighbors),
+    // a border at 25° (only 10° is within 18.2°), noise at 90°, and an
+    // ISOLATED core at 240° whose two neighbors (230°, 250°) are 20°
+    // apart from each other — non-core, so 240° has no core neighbor
+    // and must become its own singleton cluster
+    val pts = Seq(0.0 -> 0L, 5.0 -> 1L, 10.0 -> 2L, 25.0 -> 3L,
+      90.0 -> 4L, 240.0 -> 5L, 230.0 -> 6L, 250.0 -> 7L)
+    val df = pts.map { case (deg, id) => (id, u(deg)) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dbscan(df, threshold = 0.95, minPts = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) === ((2L, "core", 0L)))
+    assert(out(1L) === ((2L, "core", 0L)))
+    assert(out(2L) === ((3L, "core", 0L)))
+    assert(out(3L) === ((1L, "border", 0L)), "border attaches to cluster 0")
+    assert(out(4L) === ((0L, "noise", -1L)))
+    assert(out(5L) === ((2L, "core", 5L)), "isolated core = singleton cluster")
+    assert(out(6L) === ((1L, "border", 5L)))
+    assert(out(7L) === ((1L, "border", 5L)))
+  }
 }
