@@ -1743,6 +1743,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** k-truss of the near-dup graph (Cohen, NSA tech report 2008; the
+    * triangle-reinforced sibling of [[kCore]]): iteratively delete
+    * every edge supported by fewer than k−2 triangles until none
+    * remains. Where the k-core keeps any sufficiently-degreed node, the
+    * truss demands COHESION — an edge survives only if its endpoints
+    * share k−2 common neighbors — so on a dup graph it isolates the
+    * template-spam near-cliques and sheds the threshold-artifact
+    * chains and stars that even the 2-core keeps.
+    *
+    * Runs EXACTLY `rounds` synchronous peel rounds (the unrolled-round
+    * contract generated into the oracle, rule 12) and then THROWS if
+    * the result is not a fixpoint — a cap-truncated replay can never
+    * silently diverge (the q166 convention). Shape per round: triangle
+    * support = two self-joins of the shrinking edge list (join on the
+    * shared endpoint, then a left-semi probe for the closing edge —
+    * the q136 wedge→triangle shape at edge grain) + one map-side
+    * combined count; each round re-materializes (rule 5: the next
+    * round self-joins it three ways). Rounds are peel-depth-bounded;
+    * edge support only shrinks, so the sync peel is confluent. */
+  def kTruss(pairs: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 3, "k-truss is defined for k >= 3")
+    def support(edges: DataFrame): DataFrame =
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .join(edges.select(col("src").as("u"), col("dst").as("w")),
+          Seq("u"))
+        .filter(col("w") =!= col("v"))
+        .join(edges.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+        .select(col("u").as("src"), col("v").as("dst"), col("sup"))
+    var edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .materializeOnce()
+    for (_ <- 0 until rounds)
+      edges = edges
+        .join(support(edges), Seq("src", "dst"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
+        .select(col("src"), col("dst"))
+        .materializeOnce() // self-joined three ways next round (rule 5)
+    val fin = edges
+      .join(support(edges), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+      .materializeOnce() // feeds the fixpoint check AND the output
+    val notSettled = fin.filter(col("support") < (k - 2).toLong).count()
+    if (notSettled > 0)
+      throw new IllegalStateException(
+        s"kTruss did not reach a fixpoint in $rounds rounds " +
+          s"($notSettled under-supported edges remain) — raise rounds " +
+          "(the oracle's unrolled replay must match)")
+    fin.filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("support"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Probe-iteration count of the most recent [[kCore]] run. */
   @volatile private[graft] var kCoreRoundsLastRun: Int = 0
 
@@ -1959,6 +2017,34 @@ object Dedup {
     * via an inverted-index equi-join. `maxDf` drops shingles appearing in
     * more than that many documents — the skew guard that keeps the join
     * from exploding on boilerplate shingles at scale. */
+  /** Rare-shingle co-occurrence graph: an edge joins two documents that
+    * share at least `minShared` distinct shingles whose document
+    * frequency lies in [minDf, maxDf] — the graph that rare shared
+    * BOILERPLATE induces (every df=m shingle contributes an m-clique),
+    * which is why it is the natural substrate for [[kTruss]]'s
+    * template-farm detection: unlike the Jaccard dup graph, a
+    * co-rare-shingle edge survives heavy paraphrase as long as the
+    * shared rare strings remain.
+    *
+    * Scale shape: the d40 inverted-index economics — one DF groupBy,
+    * a self-join bounded by Σ df² with df ≤ maxDf (the cap IS the cost
+    * model), one map-side-combined pair count. */
+  def coRareShinglePairs(
+      docs: DataFrame, n: Int = 3, minDf: Int = 2, maxDf: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    val ex = shingleTable(docs, n).materializeOnce() // DF + both sides
+    val fil = ex.join(
+      ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf && col("df") <= maxDf).select(col("sh")),
+      Seq("sh"))
+    fil.select(col("sh"), col("doc_id").as("id_a"))
+      .join(fil.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {

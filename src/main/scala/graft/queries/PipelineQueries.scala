@@ -734,6 +734,20 @@ object PipelineQueries {
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20),
         k = 2)),
 
+    // k-truss template-farm detection (q212): the triangle-reinforced
+    // sibling of q166's k-core, on the RARE-SHINGLE co-occurrence
+    // graph (docs sharing ≥2 shingles of df ∈ [2,8] — rare boilerplate
+    // induces per-shingle cliques, so cohesive trusses ARE template
+    // farms while chance co-occurrence chains dissolve). Exactly 6
+    // synchronous peel rounds, unrolled into generated MATERIALIZED
+    // CTEs (rule 12/22); the operator THROWS if 6 rounds is not a
+    // fixpoint, so the cap-truncated replay can never silently diverge
+    // (measured fixpoint: 2 rounds at both SFs).
+    Q("q212_ktruss", Some(kTrussOracle),
+      (s, d) => graft.operators.Dedup.kTruss(
+        graft.operators.Dedup.coRareShinglePairs(
+          Tables.load(s, d, "documents")), k = 4, rounds = 6)),
+
     // relative (within-domain) quality filter: keep the top half of
     // each source by quality score — CCNet/RefinedWeb-style curation
     // where thresholds are per-domain, not global. percent_rank has a
@@ -1583,6 +1597,44 @@ object PipelineQueries {
   /** q161: the per-key t53 HLL arithmetic over raw events — valid as
     * the STREAM's oracle because register max-merge over any batch
     * partition of the events equals the registers of the whole. */
+  /** q212's unrolled k-truss replay: 6 synchronous peel rounds, each a
+    * (support, surviving-edges) CTE pair generated from the SAME
+    * (k, rounds) constants the operator runs (rule 12), all
+    * MATERIALIZED (rule 22 — every round is consumed twice). */
+  private lazy val kTrussOracle: String = {
+    val k = 4
+    val rounds = 6
+    def supSql(r: Any, in: String) =
+      s"""sup$r AS MATERIALIZED (
+         |  SELECT e1.s AS u, e1.d AS v, count(*) AS sup
+         |  FROM $in e1 JOIN $in e2 ON e2.s = e1.s AND e2.d <> e1.d
+         |  JOIN $in e3 ON e3.s = e1.d AND e3.d = e2.d
+         |  GROUP BY 1, 2)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      s"""${supSql(r, s"e$r")},
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.s, e.d FROM e$r e
+         |  LEFT JOIN sup$r t ON t.u = e.s AND t.v = e.d
+         |  WHERE coalesce(t.sup, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupQueries.ngramShingleCte},
+       |keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) BETWEEN 2 AND 8),
+       |fil AS MATERIALIZED (SELECT ex.doc_id, ex.sh FROM ex JOIN keep USING (sh)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fil a JOIN fil b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |$roundCtes,
+       |${supSql("F", s"e$rounds")}
+       |SELECT e.s AS id_a, e.d AS id_b,
+       |  CAST(coalesce(t.sup, 0) AS BIGINT) AS support
+       |FROM e$rounds e LEFT JOIN supF t ON t.u = e.s AND t.v = e.d
+       |WHERE e.s < e.d ORDER BY id_a, id_b""".stripMargin
+  }
+
   private lazy val streamCardinalityOracle: String = {
     import graft.operators.Frequency.{HllAlphaScaled, HllBuckets, HllCap}
     val alpha = SimilarityQueries.dlit(HllAlphaScaled)

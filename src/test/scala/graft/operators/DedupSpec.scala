@@ -407,6 +407,32 @@ class DedupSpec extends SparkSpec {
       "no 4-core exists in a 4-clique")
   }
 
+  test("kTruss: cliques survive, triangles and bridges peel at k=4; throws off fixpoint") {
+    import spark.implicits._
+    // 5-clique {0..4} ∪ disjoint triangle {10,11,12} ∪ bridge 4–10
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (clique ++ Seq((10L, 11L), (11L, 12L), (10L, 12L),
+      (4L, 10L))).toDF("id_a", "id_b")
+    // k=4 (support >= 2): only the 5-clique survives, every edge in
+    // exactly 3 triangles
+    val t4 = Dedup.kTruss(pairs, k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t4.toSeq === clique.map { case (a, b) => (a, b, 3L) },
+      s"4-truss must be the 5-clique: ${t4.toSeq}")
+    // k=3 (support >= 1): clique AND triangle survive; the bridge (in
+    // no triangle) peels
+    val t3 = Dedup.kTruss(pairs, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 === (clique.toSet ++ Set((10L, 11L), (10L, 12L), (11L, 12L))))
+    // a replay cap short of the fixpoint must throw, never truncate
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.kTruss(tri, k = 4, rounds = 0).collect()
+    }
+    // ...and with one round the same graph settles to empty
+    assert(Dedup.kTruss(tri, k = 4, rounds = 1).count() === 0L)
+  }
+
   test("winnowingPairs: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
     import spark.implicits._
     // docs 1/2 share a 6-token run (= winnowW + winnowK - 1) embedded in
