@@ -54,6 +54,18 @@ object TextFunctions {
       (lit(1.0) - punctPenalty) * lit(0.2), 6)
   }
 
+  /** Vowel-group count of one token — the classic one-pass syllable
+    * estimator (each maximal [aeiouy]+ run ≈ one syllable). */
+  def vowelGroups(token: Column): Column =
+    regexp_count(token, lit("[aeiouyAEIOUY]+"))
+
+  /** Monosyllabic-token count: tokens whose syllable estimate is exactly
+    * 1 — the word-difficulty numerator of the FORCAST readability
+    * formula (Caylor et al., 1973), the standard readability index that
+    * needs NO sentence segmentation (this corpus has none). */
+  def monosyllableCount(text: Column): Column =
+    size(filter(tokens(text), w => vowelGroups(w) === 1))
+
   /** Marker-word count: non-overlapping occurrences of ` marker ` in the
     * space-padded text (regex scan semantics are identical in Java regex
     * and RE2, so this is oracle-portable). */

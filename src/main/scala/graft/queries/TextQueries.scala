@@ -1120,6 +1120,73 @@ object TextQueries {
       (s, d) => graft.operators.Curation.kendallTau(
         docs(s, d), col("n_chars"), tokenCount(col("text")))),
 
+    // FORCAST readability (t75): grade = 20 − 15·(monosyllables/words),
+    // the standard readability index needing NO sentence segmentation
+    // (this corpus has none) — syllables estimated as vowel-group runs.
+    // Integer counts, one mirrored double DAG; n_words ≥ 1 always
+    // (split of a trimmed string is never empty), so no zero divisor.
+    Q("t75_readability", Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> len(regexp_extract_all(w, '[aeiouyAEIOUY]+')) = 1))
+        |    AS BIGINT) AS n_mono,
+        |  20.0 - 15.0 * (
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> len(regexp_extract_all(w, '[aeiouyAEIOUY]+')) = 1))
+        |      AS DOUBLE)
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+        |    AS forcast_grade
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d).select(col("doc_id"),
+        tokenCount(col("text")).cast("bigint").as("n_words"),
+        monosyllableCount(col("text")).cast("bigint").as("n_mono"),
+        (lit(20.0) - lit(15.0) *
+          (monosyllableCount(col("text")).cast("double") /
+            tokenCount(col("text")).cast("double"))).as("forcast_grade"))
+        .orderBy(col("doc_id"))),
+
+    // word burstiness (t76): variance-to-mean ratio of per-doc counts
+    // over ALL docs (zeros closed in one product because Σc and Σc² are
+    // corpus sums — Church & Gale, 1995) — content words clump (VMR ≫
+    // 1), function words spread (VMR ≈ 1). Exact decimal moments, one
+    // double DAG, top-20 by (vmr desc, word) via orderBy+limit.
+    Q("t76_burstiness", Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok
+        |       WHERE w <> '' GROUP BY 1, 2),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |st AS (SELECT w, sum(c) AS t, sum(CAST(c AS HUGEINT) * c) AS sq
+        |       FROM tf GROUP BY w HAVING sum(c) >= 50)
+        |SELECT w AS word, CAST(t AS BIGINT) AS n_occ,
+        |  (CAST(sq AS DOUBLE)
+        |     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(t AS DOUBLE) AS vmr
+        |FROM st, nn
+        |ORDER BY vmr DESC, word LIMIT 20""".stripMargin),
+      (s, d) => {
+        val tf = docs(s, d)
+          .repartition(col("doc_id")) // row-amplifying explode (rule 6)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        val n = docs(s, d).agg(count(lit(1)).as("n"))
+        tf.groupBy(col("w"))
+          .agg(sum(col("c")).as("t"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"))
+          .filter(col("t") >= 50)
+          .crossJoin(broadcast(n)) // 1-row normalizer
+          .select(col("w").as("word"), col("t").cast("bigint").as("n_occ"),
+            ((col("sq").cast("double") -
+              col("t").cast("double") * col("t").cast("double") /
+                col("n").cast("double")) /
+              col("t").cast("double")).as("vmr"))
+          .orderBy(col("vmr").desc, col("word")).limit(20)
+      }),
+
     // split-drift report (q207): the "did my split skew anything" check
     // a pipeline runs right after q86's hash split — KS distance and
     // Mann–Whitney AUC on length, χ² on language, all between the

@@ -998,6 +998,46 @@ object ScaleProbe {
       require(cliqueRows == 6, s"planted clique damaged: $cliqueRows/6")
       require(chainRows == 0, s"chain survived the peel: $chainRows rows")
     }
+    if (on("q212")) time("q212: k-truss peel (planted template farms)") {
+      // random sparse background (avg degree ≈ 4: two independent
+      // out-edges per node — separate seeds per endpoint, rule 19) is
+      // triangle-free almost surely at this density, so the 4-truss
+      // must be EXACTLY the planted farms: one 6-clique per 1000 nodes
+      // (every edge in 4 triangles). The assertion is two-sided —
+      // every farm edge survives with support ≥ 4 AND nothing else
+      // survives — and the fixpoint-throw contract rides the same run
+      // (rounds=6 not a fixpoint ⇒ kTruss itself aborts the probe).
+      val r1 = spark.range(n).select(col("id").as("id_a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(n)).as("id_b"))
+      val r2 = spark.range(n).select(col("id").as("id_a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(n)).as("id_b"))
+      val farms = spark.range(n / 1000)
+        .select(explode(expr(
+          """transform(flatten(transform(sequence(0, 4), a ->
+            |  transform(sequence(a + 1, 5), b -> struct(a, b)))),
+            |  p -> struct(id * 1000 + p.a AS id_a,
+            |              id * 1000 + p.b AS id_b))""".stripMargin)).as("e"))
+        .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+      val edges = r1.unionByName(r2)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .unionByName(farms).distinct()
+      val truss = graft.operators.Dedup.kTruss(edges, k = 4, rounds = 6)
+        .localCheckpoint()
+      val total = truss.count()
+      val farmEdges = truss.filter(
+        col("id_a") % 1000 <= 5 && col("id_b") % 1000 <= 5 &&
+          col("id_a") / 1000 === col("id_b") / 1000 &&
+          col("support") >= 4).count()
+      val expected = (n / 1000) * 15
+      println(s"[probe]   4-truss edges: $total " +
+        s"(farm edges intact: $farmEdges/$expected)")
+      require(farmEdges == expected,
+        s"planted farms damaged: $farmEdges/$expected")
+      require(total == expected,
+        s"background edges leaked into the truss: ${total - expected}")
+    }
     spark.stop()
   }
 }

@@ -111,4 +111,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1L) === ((3L, 1L)))
     assert(out(2L) === ((0L, 0L)))
   }
+
+  test("vowelGroups / monosyllableCount: FORCAST word-difficulty counters") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "strength table beautiful xyz"), // 1, 2 (a,e), 3 (eau,i,u), 1 (y)
+      (2L, "zzz qqq"),                      // 0-vowel tokens are not mono
+      (3L, "")                              // trim("") -> [""] -> 0 mono
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      graft.functions.TextFunctions.monosyllableCount(col("text")).as("m"),
+      graft.functions.TextFunctions.vowelGroups(lit("beautiful")).as("vg"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L)._1 === 2, "strength + xyz are monosyllabic; table has 2 groups")
+    assert(out(2L)._1 === 0)
+    assert(out(3L)._1 === 0)
+    assert(out(1L)._2 === 3, "b-eau-t-i-f-u-l has three vowel-group runs")
+  }
 }
