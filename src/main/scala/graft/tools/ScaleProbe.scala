@@ -1028,7 +1028,9 @@ object ScaleProbe {
       val total = truss.count()
       val farmEdges = truss.filter(
         col("id_a") % 1000 <= 5 && col("id_b") % 1000 <= 5 &&
-          col("id_a") / 1000 === col("id_b") / 1000 &&
+          // rule 17: `/` on longs is DOUBLE division in both engines —
+          // integer farm identity needs DIV
+          expr("id_a DIV 1000") === expr("id_b DIV 1000") &&
           col("support") >= 4).count()
       val expected = (n / 1000) * 15
       println(s"[probe]   4-truss edges: $total " +
