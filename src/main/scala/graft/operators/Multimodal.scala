@@ -663,6 +663,84 @@ object Multimodal {
       }
   }
 
+  /** One adjacent-frame transition of a decoded video. */
+  final case class SceneCut(
+      media_id: Long, frame_idx: Long, sad: Long, mad: Double,
+      is_cut: Boolean)
+
+  /** Per-frame grayscale pixel arrays of a decoded GIF (row-major),
+    * via the same javax.imageio reader path as [[decodeGifFrames]]. */
+  private def gifPixelFrames(
+      bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      val first = reader.read(0)
+      val w = first.getWidth
+      val h = first.getHeight
+      val frames = Array.tabulate(n) { f =>
+        val img = if (f == 0) first else reader.read(f)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = img.getRGB(x, y) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      (w, h, frames)
+    } finally reader.dispose()
+  }
+
+  /** Scene-cut detection over the REAL codec path (m61): decode the
+    * GIF, take the sum of absolute pixel differences (SAD) between
+    * each adjacent frame pair, and flag a cut when the mean absolute
+    * difference exceeds `tau` gray levels — the classic pixel-domain
+    * shot-boundary detector (Boreczky & Rowe, SPIE Storage & Retrieval
+    * '96), the segmentation step a video-curation pipeline runs before
+    * frame sampling so samples don't straddle shots.
+    *
+    * Lossless container ⇒ the decoded pixels equal the generator
+    * arithmetic, so the oracle replays SAD in pure integer SQL; the
+    * cut verdict is the cross-multiplied integer predicate
+    * sad > tau·w·h (rule 17) and mad is one exact-int division.
+    *
+    * Scale shape: per-video sequential scan inside mapPartitions —
+    * decode once, stream the adjacent pairs; the row amplification is
+    * frames-per-video bounded, repartitioned first (rule 6). */
+  def videoSceneCuts(
+      spark: SparkSession, docs: DataFrame, tau: Int = 35): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h, frames) = gifPixelFrames(syntheticGif(id))
+          (1 until frames.length).iterator.map { f =>
+            val a = frames(f - 1)
+            val b = frames(f)
+            var sad = 0L
+            var i = 0
+            while (i < a.length) {
+              sad += math.abs(b(i) - a(i))
+              i += 1
+            }
+            SceneCut(id, f.toLong, sad,
+              sad.toDouble / (w * h).toDouble,
+              sad > tau.toLong * w * h)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** One distinct decoded-frame checksum of a video (original or
     * trimmed variant). */
   final case class VideoFp(media_id: Long, fp: Long)

@@ -760,6 +760,31 @@ object MultimodalQueries {
     Q("m60_video_neardup", Some(m60Sql),
       (s, d) => Multimodal.videoNearDup(s, docs(s, d))),
 
+    // scene-cut detection over the real codec path (m61): adjacent-
+    // frame SAD on the decoded pixels, cut when mean abs diff > 35
+    // gray levels (cross-multiplied integer predicate, rule 17) — the
+    // shot segmentation a video pipeline runs before frame sampling.
+    // Lossless GIF ⇒ the oracle replays the pixel arithmetic exactly.
+    Q("m61_video_scene_cuts", Some(
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 12) AS w, 8 + ((doc_id // 12) % 12) AS h,
+        |         2 + (doc_id % 7) AS nf
+        |  FROM documents),
+        |fs AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fs),
+        |ys AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs),
+        |d AS (
+        |  SELECT doc_id, w, h, f,
+        |         SUM(abs((doc_id*31 + f*17 + x*7 + y*13) % 256
+        |               - (doc_id*31 + (f-1)*17 + x*7 + y*13) % 256)) AS sad
+        |  FROM ys GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(sad AS BIGINT) AS sad,
+        |  CAST(sad AS DOUBLE) / CAST(w*h AS DOUBLE) AS mad,
+        |  sad > 35*w*h AS is_cut
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin),
+      (s, d) => Multimodal.videoSceneCuts(s, docs(s, d))),
+
     // Energy-profile audio fingerprint over the REAL codec path (m53):
     // decode the WAV, split the DECODED PCM into 16-sample frames, one
     // bit per adjacent frame pair (later frame louder). Lossless PCM ⇒

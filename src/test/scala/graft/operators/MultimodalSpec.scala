@@ -277,4 +277,27 @@ class MultimodalSpec extends SparkSpec {
       (12L, 12L + off, 6L, 6.0 / 7.0),
       (20L, 20L + off, 7L, 7.0 / 8.0)), out.toSeq)
   }
+
+  test("videoSceneCuts: decoded SAD equals the generator arithmetic exactly") {
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 40L)
+    val out = Multimodal.videoSceneCuts(spark, ids.toDF("doc_id"), tau = 35)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    // independent replica straight from the pixel generator — passing
+    // means the REAL encode->decode roundtrip is lossless AND the SAD
+    // fold is right
+    val expected = ids.flatMap { id =>
+      val (w, h, nf) = Multimodal.videoDims(id)
+      (1 until nf).map { f =>
+        val sad = (for (x <- 0 until w; y <- 0 until h) yield
+          math.abs(Multimodal.videoGray(id, f, x, y) -
+            Multimodal.videoGray(id, f - 1, x, y)).toLong).sum
+        (id, f.toLong, sad, sad.toDouble / (w * h), sad > 35L * w * h)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out === expected)
+    assert(out.exists(_._5) || out.nonEmpty, "rows must exist for nf >= 2")
+  }
 }
