@@ -360,6 +360,20 @@ object Similarity {
       .filter(cosinePre(col("emb_a"), col("emb_b"),
         col("nrm_a"), col("nrm_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
+    dbscanFromPairs(corpus, pairs, minPts)
+  }
+
+  /** DBSCAN downstream over an ALREADY-PROPOSED ε-pair set — the seam
+    * the 100 TB path plugs into: [[dbscan]] feeds it the exact
+    * all-pairs join (gate contract), the scale path feeds it
+    * [[embeddingNearDupes]]'s multi-table LSH candidates (the d41/d48
+    * machinery; ScaleProbe's d67 stage measures that swap against a
+    * planted clustering at 100k vectors). Everything here is
+    * corpus-linear: one symmetric explode, one count groupBy, the d44
+    * min-label CC, one border min-join. */
+  def dbscanFromPairs(
+      corpus: DataFrame, epsPairs: DataFrame, minPts: Int): DataFrame = {
+    val pairs = epsPairs.select(col("id_a"), col("id_b"))
       .materializeOnce() // feeds counts, the core graph, border joins
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("nb")),

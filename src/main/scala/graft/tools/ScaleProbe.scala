@@ -146,7 +146,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
     // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166) — a full run at large n is
+    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166,q212,d67) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -997,6 +997,63 @@ object ScaleProbe {
         s"(rounds=${graft.operators.Dedup.kCoreRoundsLastRun})")
       require(cliqueRows == 6, s"planted clique damaged: $cliqueRows/6")
       require(chainRows == 0, s"chain survived the peel: $chainRows rows")
+    }
+    if (on("d67")) time("d67: LSH-proposed DBSCAN (planted clusters)") {
+      import spark.implicits._
+      // the documented 100 TB swap, measured: dbscanFromPairs fed by
+      // embeddingNearDupes' multi-table LSH instead of the exact
+      // all-pairs join. Corpus: 5k planted 10-member clusters (shared
+      // ±1 base, per-member magnitude jitter → within-group cos
+      // ≈ 0.9997) + an equal mass of random ±1 singletons (inter-group
+      // cos > 0.9 needs 61/64 sign agreement — ~2⁻⁴⁰ per pair, absent
+      // at this volume). Expected output is fully derivable: grouped
+      // ids are core in cluster ⌊id/10⌋·10, singletons are noise.
+      def mix(a: Long, b: Long): Long = {
+        var z = a * 0x9E3779B97F4A7C15L + b
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val nv = math.min(n, 100000L) // vector corpus is O(n·dim) wide
+      val vecs = spark.range(nv).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val grouped = id < nv / 2
+          val seed = if (grouped) id / 10 else 1000000000L + id
+          val emb = Array.tabulate(64) { d =>
+            val s = if ((mix(seed, d.toLong) & 1L) == 0L) 1f else -1f
+            val j =
+              if (grouped)
+                1f + 0.01f * math.floorMod(mix(id, 4096L + d), 5L)
+              else 1f
+            s * j
+          }
+          (id, emb)
+        }
+      }.toDF("vec_id", "embedding").localCheckpoint()
+      val pairs = graft.operators.Similarity.embeddingNearDupes(
+        vecs, threshold = 0.9, nBits = 16, tables = 4)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val planted = pairs.filter(
+        col("id_b") < nv / 2 &&
+          expr("id_a DIV 10") === expr("id_b DIV 10")).count()
+      val expectedPairs = (nv / 20) * 45
+      println(s"[probe]   planted pair recall: $planted/$expectedPairs")
+      require(planted >= expectedPairs * 999 / 1000,
+        s"LSH pair recall broke: $planted/$expectedPairs")
+      val got = graft.operators.Similarity
+        .dbscanFromPairs(vecs, pairs, minPts = 4)
+        .select(col("vec_id"), col("role"), col("cluster_id"))
+        .localCheckpoint()
+      val expect = spark.range(nv).select(col("id").as("vec_id"),
+        when(col("id") < nv / 2, lit("core")).otherwise(lit("noise"))
+          .as("role"),
+        when(col("id") < nv / 2, col("id") - col("id") % 10)
+          .otherwise(lit(-1L)).as("cluster_id"))
+      val extra = got.except(expect).count()
+      val missing = expect.except(got).count()
+      println(s"[probe]   clustering vs planted: extra=$extra missing=$missing")
+      require(extra == 0 && missing == 0,
+        s"LSH-proposed DBSCAN diverged from the planted clustering")
     }
     if (on("q212")) time("q212: k-truss peel (planted template farms)") {
       // random sparse background (avg degree ≈ 4: two independent
