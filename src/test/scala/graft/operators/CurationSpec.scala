@@ -507,6 +507,27 @@ class CurationSpec extends SparkSpec {
     assert(sFlat.getDouble(1).isNaN, "constant margin has no defined rho")
   }
 
+  test("kendallTau vs mannWhitney: the binary-X identity conc−disc = na·nb − u2 holds exactly") {
+    // for X = group indicator (0/1) and Y = value: cross-group pairs
+    // split into W (b wins) + L (a wins) + T (ties); Kendall counts
+    // conc−disc = W−L and Mann–Whitney's doubled statistic is
+    // u2_a = 2L+T, so conc−disc = na·nb − u2_a — an exact integer
+    // theorem tying the two operators' independent decompositions
+    // together on real data
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("source").isin("src0", "src1"))
+    val k = Curation.kendallTau(docs,
+      when(col("source") === "src0", 0L).otherwise(1L), col("n_chars"))
+      .head()
+    val m = Curation.mannWhitney(docs,
+      col("source"), col("n_chars"), "src0", "src1").head()
+    val na = m.getLong(0).toDouble
+    val nb = m.getLong(1).toDouble
+    val u2a = m.getDouble(2)
+    assert(k.getDouble(1) - k.getDouble(2) === na * nb - u2a,
+      s"conc=${k.getDouble(1)} disc=${k.getDouble(2)} na=$na nb=$nb u2=$u2a")
+  }
+
   test("shuffleAudit: single-key corpus has ratio exactly 1; expectation is exact") {
     import spark.implicits._
     // all one key: every adjacent pair matches, same_adj = n-1, and
