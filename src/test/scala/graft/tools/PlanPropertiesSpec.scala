@@ -513,8 +513,10 @@ class PlanPropertiesSpec extends SparkSpec {
     // the q203 bucketed prefix sum; pin that EVERY window in these plans
     // partitions by the bucket (the offsets frame uses a triangular
     // join, so no window at all may appear without p_bkt).
+    // t73 joined the family in r11: its marginal doubled mid-ranks are
+    // Prefix.cumsum consumers too (rule 23)
     for (q <- Seq("t66_ks_drift", "t68_mann_whitney", "t69_quantile_norm",
-        "q207_split_drift")) {
+        "q207_split_drift", "t73_spearman")) {
       val plan = PlanInspect.formatted(run(q))
       val specs = "windowspecdefinition\\(([^)]*?)\\)".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq
