@@ -748,6 +748,103 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- content-defined chunking (CDC) ----
+
+  /** [[cdcChunkTable]] constants — one definition for the operator AND
+    * the generated d68 oracle (rule 12). Hash window k = 4 tokens,
+    * divisor 8: a cut fires after a window whose hash ≡ 0 (mod 8), so
+    * chunks average ~8 + k tokens with no alignment to any fixed grid. */
+  val cdcK: Int = 4
+  val cdcDiv: Int = 8
+
+  /** Content-defined chunking (the rsync / LBFS / FastCDC family —
+    * Muthitacharoen, Chen & Mazières, "A low-bandwidth network file
+    * system", SOSP 2001): split each document into variable-length
+    * chunks whose boundaries depend only on LOCAL content (a rolling
+    * window hash hitting 0 mod `div`), so an insertion near the head of
+    * a document shifts every byte offset yet leaves every chunk after
+    * the edit region IDENTICAL — the self-synchronization property
+    * fixed-grid chunking lacks, and the reason chunk stores (backup
+    * dedup, CAS blob stores, diff transfer) use CDC. Emits one row per
+    * (doc, chunk): ordinal, 64-bit chunk-content hash, token length.
+    *
+    * Boundary rule, exactly and engine-replayably: window i (1-based,
+    * covering tokens i..i+k−1) cuts AFTER its last token iff
+    * pmod(hash(window), div) == 0 and a token follows (i+k ≤ n). Every
+    * position is tested independently — no min/max chunk clamps, so no
+    * sequential scan; the whole per-doc computation is array lambdas.
+    *
+    * Scale shape: repartition before the row-amplifying explode (rule
+    * 6); two hard lineage cuts (rule 4's corollary — `hs` and `starts`
+    * are array-built columns referenced from later per-element
+    * expressions); then one explode to chunk grain. Nothing quadratic,
+    * nothing windowed. Production hash xxhash64; oracleHash swaps the
+    * DuckDB-replayable polynomial (rule 12). */
+  def cdcChunkTable(docs: DataFrame, k: Int = cdcK, div: Int = cdcDiv,
+      oracleHash: Boolean = false): DataFrame = {
+    val hashed = spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("shs", TextFunctions.windowsFromTokens(col("toks"), k))
+      .select(col("doc_id"), col("toks"),
+        transform(col("shs"), s => wordHash(s, oracleHash)).as("hs"))
+      .materializeOnce() // hard cut: hs is referenced per boundary test
+    val starts = hashed
+      .select(col("doc_id"), col("toks"),
+        // chunk start positions, 1-based: token 1 always; token i+k for
+        // every boundary window i. Strictly increasing (distinct i →
+        // distinct i+k ≥ k+1 > 1). sequence guarded per rule 16.
+        concat(array(lit(1)),
+          when(size(col("hs")) < 1, array().cast("array<int>"))
+            .otherwise(transform(
+              filter(sequence(lit(1), size(col("hs"))),
+                i => pmod(element_at(col("hs"), i), lit(div.toLong)) === 0
+                  && (i + lit(k) <= size(col("toks")))),
+              i => (i + lit(k)).cast("int")))).as("starts"))
+      .materializeOnce() // hard cut: starts feeds per-chunk expressions
+    starts
+      .select(col("doc_id"), col("toks"), col("starts"),
+        posexplode(col("starts")).as(Seq("ci", "st")))
+      // chunk end: the token before the next start, or the last token.
+      // CaseWhen evaluates lazily, so the out-of-bounds element_at on
+      // the last chunk is never touched (ANSI-safe, rule 21a).
+      .withColumn("en",
+        when(col("ci") + 2 > size(col("starts")), size(col("toks")))
+          .otherwise(element_at(col("starts"), (col("ci") + lit(2)).cast("int")) - 1))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        wordHash(array_join(
+          slice(col("toks"), col("st"), col("en") - col("st") + 1), " "),
+          oracleHash).as("ch"),
+        (col("en") - col("st") + 1).cast("long").as("clen"))
+  }
+
+  /** Per-document chunk-store dedup statistics over [[cdcChunkTable]]:
+    * how many of a document's CDC chunks (and what fraction of its
+    * tokens) already exist elsewhere in the corpus chunk store — the
+    * d49 substring-dedup view at CHUNK grain, i.e. what a
+    * content-addressed store would actually deduplicate. Chunks
+    * partition the token array, so sum(clen) = token count exactly
+    * (pinned by spec). One groupBy to chunk-hash grain + one equi-join
+    * back; `dup_token_frac` is a single division of exact int64s. */
+  def cdcChunkStats(docs: DataFrame, k: Int = cdcK, div: Int = cdcDiv,
+      oracleHash: Boolean = false): DataFrame = {
+    val ch = cdcChunkTable(docs, k, div, oracleHash)
+      .materializeOnce() // feeds the dup-hash set AND both per-doc aggs
+    val dup = ch.groupBy(col("ch")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("ch"))
+    val tot = ch.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"), sum(col("clen")).as("n_tokens"))
+    val dupAgg = ch.join(dup, Seq("ch")).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_dup_chunks"), sum(col("clen")).as("dup_tokens"))
+    tot.join(dupAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus growth curve (the Heaps-law view a collection team reads to
     * decide when a source is mined out): cumulative distinct n-gram
     * shingles against ingest order, at `buckets` ingest deciles — each

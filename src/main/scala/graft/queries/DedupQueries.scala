@@ -271,6 +271,16 @@ object DedupQueries {
          |ORDER BY a.decile""".stripMargin),
       (s, d) => Dedup.growthCurve(docs(s, d), n = 3)),
 
+    // content-defined chunking dedup (d68): the chunk-store view — each
+    // doc split at rolling-hash boundaries (rsync/LBFS CDC, so chunks
+    // self-synchronize across insertions), per-doc count/token-fraction
+    // of chunks already present elsewhere in the corpus store. Gate
+    // runs the HUGEINT-replayable polynomial (rule 12); production
+    // defaults to xxhash64 under CdcSpec, where the self-sync
+    // invariant (edit locality) is pinned hash-agnostically.
+    Q("d68_cdc_chunks", Some(cdcChunkOracle),
+      (s, d) => Dedup.cdcChunkStats(docs(s, d), oracleHash = true)),
+
     // cross-source duplication matrix (q211): which source is
     // mirroring which — per unordered source pair, clusters spanning
     // both and the cross-source near-dup pair count (diagonal =
@@ -1321,6 +1331,67 @@ object DedupQueries {
        |FROM fil a JOIN fil b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** d68: positional replay of Dedup.cdcChunkStats — the d62 window
+    * machinery (truncating k-gram slice, polynomial hash) feeding the
+    * boundary rule pmod(h, div) = 0 ∧ i+k ≤ n, chunk frames rebuilt
+    * with a per-doc lead() over the start positions (the oracle may
+    * window freely — rule 23 binds the Spark plan only), then the same
+    * dup-hash set and per-doc aggregates. Constants interpolate from
+    * the operator's own vals. */
+  private lazy val cdcChunkOracle: String = {
+    import graft.operators.Dedup.{cdcDiv, cdcK}
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id, list_filter(
+       |    list_transform(range(0, greatest(len(t) - $cdcK, 0) + 1),
+       |                   i -> array_to_string(t[i+1:i+$cdcK], ' ')),
+       |    s -> len(s) > 0) AS shs
+       |  FROM tk),
+       |pos AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(shs) + 1),
+       |           i -> {'i': i, 'sh': shs[i]})) AS p
+       |  FROM shl),
+       |hrow AS (
+       |  SELECT doc_id, i, ${signWrap(polyHashSql("sh"))} AS h FROM (
+       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM pos)),
+       |bnd AS (
+       |  SELECT hrow.doc_id, hrow.i + $cdcK AS st
+       |  FROM hrow JOIN tk ON tk.doc_id = hrow.doc_id
+       |  WHERE ((h % $cdcDiv) + $cdcDiv) % $cdcDiv = 0
+       |    AND hrow.i + $cdcK <= len(tk.t)),
+       |sts AS (
+       |  SELECT doc_id, 1 AS st FROM tk
+       |  UNION ALL SELECT doc_id, st FROM bnd),
+       |ord AS (
+       |  SELECT doc_id, st,
+       |    lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt
+       |  FROM sts),
+       |chunks AS (
+       |  SELECT o.doc_id,
+       |    array_to_string(t[o.st:coalesce(o.nxt - 1, len(t))], ' ') AS cs,
+       |    coalesce(o.nxt - 1, len(t)) - o.st + 1 AS clen
+       |  FROM ord o JOIN tk ON tk.doc_id = o.doc_id),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id, ${signWrap(polyHashSql("cs"))} AS ch, clen
+       |  FROM chunks),
+       |dup AS (SELECT ch FROM ch GROUP BY ch HAVING count(*) > 1),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks,
+       |          CAST(sum(clen) AS BIGINT) AS n_tokens
+       |        FROM ch GROUP BY doc_id),
+       |dpd AS (SELECT c.doc_id, count(*) AS n_dup_chunks,
+       |          CAST(sum(c.clen) AS BIGINT) AS dup_tokens
+       |        FROM ch c JOIN dup USING (ch) GROUP BY c.doc_id)
+       |SELECT t.doc_id, t.n_chunks, t.n_tokens,
+       |  coalesce(d.n_dup_chunks, 0) AS n_dup_chunks,
+       |  coalesce(d.dup_tokens, 0) AS dup_tokens,
+       |  CAST(coalesce(d.dup_tokens, 0) AS DOUBLE)
+       |    / CAST(t.n_tokens AS DOUBLE) AS dup_token_frac
+       |FROM tot t LEFT JOIN dpd d USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   /** d49: the positional-window mirror of Dedup.duplicatedSpanStats —
