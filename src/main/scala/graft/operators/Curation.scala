@@ -1033,4 +1033,48 @@ object Curation {
         .as(Seq("pos", "line")))
       .filter(length(col("line")) > 0)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"))
+
+  /** Self-BLEU-style corpus overlap precision (the diversity readout of
+    * Zhu et al., "Texygen: a benchmarking platform for text generation
+    * models", SIGIR 2018, at corpus scale): per document and n-gram
+    * order, the CLIPPED modified n-gram precision of the document
+    * against the rest of the corpus — numerator Σ_g min(c_doc(g),
+    * c_corpus(g) − c_doc(g)), denominator the document's total n-gram
+    * count. p_n → 1 marks a document whose phrasing the corpus already
+    * contains wholesale (low diversity / templated); p_n → 0 marks
+    * novel text. Emitted as exact integer numerator/denominator per
+    * order plus the single-division ratio (rule 17) — no geometric
+    * mean, so no float summation anywhere.
+    *
+    * Scale shape: per order, one explode → (doc, gram) groupBy (map-
+    * side combined) → gram-grain corpus counts → one equi-join back.
+    * `hashGrams` (production default) shuffles 8-byte xxhash64 keys
+    * instead of gram strings; the gate runs exact strings (the count
+    * contract is hash-free, so the oracle needs no polynomial replay). */
+  def selfOverlapPrecision(docs: DataFrame, ns: Seq[Int] = Seq(2, 3),
+      hashGrams: Boolean = true): DataFrame = {
+    val words = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .materializeOnce() // feeds every order's explode
+    val perN = ns.map { n =>
+      val grams = words.select(col("doc_id"),
+          explode(TextFunctions.windowsFromTokens(col("toks"), n)).as("gs"))
+        .select(col("doc_id"),
+          (if (hashGrams) xxhash64(col("gs")) else col("gs")).as("g"))
+      val dc = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cd"))
+        .materializeOnce() // feeds corpus counts AND the clip join
+      val cc = dc.groupBy(col("g")).agg(sum(col("cd")).as("ct"))
+      dc.join(cc, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(sum(least(col("cd"), col("ct") - col("cd"))).as(s"num$n"),
+          sum(col("cd")).as(s"den$n"))
+    }
+    perN.reduce((a, b) => a.join(b, Seq("doc_id")))
+      .select(col("doc_id") +: ns.flatMap(n => Seq(
+        col(s"num$n"), col(s"den$n"),
+        (col(s"num$n").cast("double") / col(s"den$n").cast("double"))
+          .as(s"p$n"))): _*)
+      .orderBy(col("doc_id"))
+  }
 }

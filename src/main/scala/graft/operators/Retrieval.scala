@@ -160,4 +160,48 @@ object Retrieval {
         col("rrf_score"), col("n_arms"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** [[phraseSearch]]'s fixed query set — ONE definition feeding the
+    * operator and the generated t78 oracle (rule 12). */
+  val phraseQueries: Seq[String] =
+    Seq("table scan", "merge join", "sort merge join")
+
+  /** Exact phrase search over a positional inverted index — the
+    * serving-side counterpart of t56's BM25 bag-of-words ranking
+    * (positional postings and adjacency intersection per Manning,
+    * Raghavan & Schütze, "Introduction to Information Retrieval" §2.4):
+    * the corpus explodes ONCE to (doc_id, pos, term) postings, and each
+    * m-term phrase resolves as m−1 equi-joins on (doc_id, start) where
+    * start = pos − term_offset — every join keyed, selectivity applied
+    * at the term filter (which Catalyst pushes into the shared postings
+    * scan), nothing quadratic, overlapping matches counted on both
+    * engines alike. Emits per phrase the corpus totals and the top
+    * `topDocs` documents by match count (phrase-partitioned window —
+    * bounded by matching docs, rule 23 satisfied). */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String] = phraseQueries,
+      topDocs: Int = 3): DataFrame = {
+    val postings = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .materializeOnce() // one index, every phrase probes it
+    val perPhrase = phrases.map { p =>
+      val terms = p.split(" ").toSeq
+      terms.zipWithIndex.map { case (t, i) =>
+        postings.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("start"))
+      }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+        .select(lit(p).as("phrase"), col("doc_id"), col("n_matches"))
+    }.reduce(_ unionByName _).materializeOnce() // totals AND top docs
+    val tot = perPhrase.groupBy(col("phrase")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_matches")).as("total_matches"))
+    val byMatches = Window.partitionBy(col("phrase"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+    perPhrase.withColumn("rnk", row_number().over(byMatches).cast("bigint"))
+      .filter(col("rnk") <= topDocs)
+      .join(tot, Seq("phrase"))
+      .select(col("phrase"), col("rnk"), col("doc_id"), col("n_matches"),
+        col("n_docs"), col("total_matches"))
+      .orderBy(col("phrase"), col("rnk"))
+  }
 }

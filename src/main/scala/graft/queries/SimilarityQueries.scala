@@ -94,6 +94,16 @@ object SimilarityQueries {
           .orderBy(col("q_id"))
       }),
 
+    // margin-based bitext mining (s65): the CCMatrix/LASER criterion —
+    // cos minus each side's mean k-NN cosine (hubness-cancelling
+    // "distance" margin), mutual argmax across the two parity sides.
+    // Neighborhood means sum floor-scaled int64 cosines (rule 17);
+    // the margin double DAG mirrors textually. Probe batch broadcast,
+    // per-side windows partitioned (rule 23); the 100 TB path swaps the
+    // dense scored frame for an LSH/IVF shortlist into the same scorer.
+    Q("s65_bitext_mining", Some(bitextOracle),
+      (s, d) => Similarity.bitextMine(emb(s, d))),
+
     // IVF recall-vs-nprobe curve (s60): the tuning table a user reads
     // before picking the probe count — recall@10 of s43's search at
     // nProbe 1/2/4 against the exact top-10, one row per knob value.
@@ -568,6 +578,52 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** s65: textual mirror of Similarity.bitextMine — the same cosine
+    * fold, floor-scaled k-NN neighborhood sums (exact ints), the same
+    * double DAG for the margin, mutual argmax with id tiebreaks. The
+    * probe bound (vec_id < 20, even) and k = 4 mirror the operator's
+    * defaults; scored/marg are shared frames (rule 22). */
+  private lazy val bitextOracle: String =
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding AS x_emb FROM embeddings
+       |           WHERE vec_id < 20 AND vec_id % 2 = 0),
+       |yy AS (SELECT vec_id AS y_id, embedding AS y_emb FROM embeddings
+       |       WHERE vec_id % 2 = 1),
+       |scored AS MATERIALIZED (
+       |  SELECT x_id, y_id, cos,
+       |         CAST(floor(cos * 1e12) AS BIGINT) AS c12
+       |  FROM (SELECT x_id, y_id, ${cosSql("x_emb", "y_emb")} AS cos
+       |        FROM yy JOIN x ON y_id <> x_id)),
+       |kx AS (SELECT x_id, CAST(sum(c12) AS BIGINT) AS sx, count(*) AS nx
+       |       FROM (SELECT x_id, c12, row_number() OVER (
+       |               PARTITION BY x_id ORDER BY cos DESC, y_id) AS r
+       |             FROM scored)
+       |       WHERE r <= 4 GROUP BY x_id),
+       |ky AS (SELECT y_id, CAST(sum(c12) AS BIGINT) AS sy, count(*) AS ny
+       |       FROM (SELECT y_id, c12, row_number() OVER (
+       |               PARTITION BY y_id ORDER BY cos DESC, x_id) AS r
+       |             FROM scored)
+       |       WHERE r <= 4 GROUP BY y_id),
+       |marg AS MATERIALIZED (
+       |  SELECT s.x_id, s.y_id, s.cos,
+       |         s.cos - 0.5e0 *
+       |           (CAST(sx AS DOUBLE) / (CAST(nx AS DOUBLE) * 1e12)
+       |            + CAST(sy AS DOUBLE) / (CAST(ny AS DOUBLE) * 1e12))
+       |           AS margin
+       |  FROM scored s JOIN kx USING (x_id) JOIN ky USING (y_id)),
+       |bx AS (SELECT x_id, y_id, cos, margin
+       |       FROM (SELECT *, row_number() OVER (
+       |               PARTITION BY x_id ORDER BY margin DESC, y_id) AS rb
+       |             FROM marg)
+       |       WHERE rb = 1),
+       |byy AS (SELECT x_id, y_id
+       |        FROM (SELECT x_id, y_id, row_number() OVER (
+       |                PARTITION BY y_id ORDER BY margin DESC, x_id) AS rb
+       |              FROM marg)
+       |        WHERE rb = 1)
+       |SELECT bx.x_id, bx.y_id, bx.cos, bx.margin
+       |FROM bx JOIN byy USING (x_id, y_id)
+       |ORDER BY bx.x_id""".stripMargin
 
   /** The prefix zero-norm guard mirrored from Similarity
     * .prefixDimRecall's `cut` — the fold's squared norm. */

@@ -1187,6 +1187,59 @@ object TextQueries {
           .orderBy(col("vmr").desc, col("word")).limit(20)
       }),
 
+    // self-BLEU-style corpus overlap precision (t77): per doc and
+    // n-gram order (2, 3), the clipped modified precision against the
+    // REST of the corpus — Σ min(c_doc, c_corpus − c_doc) over the
+    // doc's grams / the doc's gram count. The Texygen diversity
+    // readout as exact integer num/den plus one division (rule 17);
+    // no geometric mean, so no float summation. Gate runs exact gram
+    // STRINGS (count contract is hash-free); production shuffles
+    // 8-byte xxhash64 keys instead, under CurationSpec.
+    Q("t77_self_bleu", Some(
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 2, 0) + 2),
+        |      i -> array_to_string(w[i:i+1], ' '))) AS g FROM t)
+        |  WHERE g <> ''),
+        |dc2 AS MATERIALIZED (
+        |  SELECT doc_id, g, count(*) AS cd FROM g2 GROUP BY 1, 2),
+        |cc2 AS (SELECT g, sum(cd) AS ct FROM dc2 GROUP BY g),
+        |a2 AS (SELECT dc2.doc_id,
+        |         CAST(sum(least(cd, ct - cd)) AS BIGINT) AS num2,
+        |         CAST(sum(cd) AS BIGINT) AS den2
+        |       FROM dc2 JOIN cc2 USING (g) GROUP BY 1),
+        |g3 AS (SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 3, 0) + 2),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS g FROM t)
+        |  WHERE g <> ''),
+        |dc3 AS MATERIALIZED (
+        |  SELECT doc_id, g, count(*) AS cd FROM g3 GROUP BY 1, 2),
+        |cc3 AS (SELECT g, sum(cd) AS ct FROM dc3 GROUP BY g),
+        |a3 AS (SELECT dc3.doc_id,
+        |         CAST(sum(least(cd, ct - cd)) AS BIGINT) AS num3,
+        |         CAST(sum(cd) AS BIGINT) AS den3
+        |       FROM dc3 JOIN cc3 USING (g) GROUP BY 1)
+        |SELECT a2.doc_id, num2, den2,
+        |  CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE) AS p2,
+        |  num3, den3,
+        |  CAST(num3 AS DOUBLE) / CAST(den3 AS DOUBLE) AS p3
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        |ORDER BY a2.doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.selfOverlapPrecision(
+        docs(s, d), hashGrams = false)),
+
+    // exact phrase search (t78): positional inverted index + adjacency
+    // intersection (IIR §2.4) — the serving-side counterpart of t56's
+    // BM25. One postings explode, m−1 keyed joins per phrase, per-
+    // phrase totals + top-3 docs. Oracle is GENERATED from the same
+    // Retrieval.phraseQueries constants (rule 12).
+    Q("t78_phrase_search", Some(phraseSearchOracle),
+      (s, d) => graft.operators.Retrieval.phraseSearch(docs(s, d))),
+
     // split-drift report (q207): the "did my split skew anything" check
     // a pipeline runs right after q86's hash split — KS distance and
     // Mann–Whitney AUC on length, χ² on language, all between the
@@ -1682,4 +1735,44 @@ object TextQueries {
        |  CAST(tvd_num AS DOUBLE) / CAST(a_tot AS DOUBLE)
        |    / CAST(b_tot AS DOUBLE) / 2.0 AS tvd
        |FROM s WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  /** t78: the positional-postings mirror of Retrieval.phraseSearch —
+    * per-phrase arm CTEs generated from the SAME phraseQueries list
+    * (rule 12), adjacency via pos-offset equi-joins on the shared
+    * MATERIALIZED postings (rule 22). */
+  private lazy val phraseSearchOracle: String = {
+    val qs = graft.operators.Retrieval.phraseQueries
+    val arms = qs.zipWithIndex.map { case (p, k) =>
+      val terms = p.split(" ")
+      val joins = terms.indices.tail.map(i =>
+        s"JOIN po a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i")
+        .mkString(" ")
+      val conds = terms.zipWithIndex
+        .map { case (t, i) => s"a$i.term = '$t'" }.mkString(" AND ")
+      s"""pp$k AS (SELECT '$p' AS phrase, a0.doc_id AS doc_id,
+         |  count(*) AS n_matches FROM po a0 $joins
+         |  WHERE $conds GROUP BY 2)""".stripMargin
+    }.mkString(",\n")
+    val union = qs.indices.map(k => s"SELECT * FROM pp$k")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |po AS MATERIALIZED (
+       |  SELECT doc_id, p.i - 1 AS pos, p.t AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |      i -> {'i': i, 't': w[i]})) AS p FROM tk)),
+       |$arms,
+       |u AS MATERIALIZED ($union),
+       |tot AS (SELECT phrase, count(*) AS n_docs,
+       |          CAST(sum(n_matches) AS BIGINT) AS total_matches
+       |        FROM u GROUP BY phrase),
+       |r AS (SELECT phrase, doc_id, n_matches, row_number() OVER (
+       |        PARTITION BY phrase ORDER BY n_matches DESC, doc_id) AS rnk
+       |      FROM u)
+       |SELECT r.phrase, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id,
+       |  r.n_matches, tot.n_docs, tot.total_matches
+       |FROM r JOIN tot USING (phrase) WHERE r.rnk <= 3
+       |ORDER BY r.phrase, r.rnk""".stripMargin
+  }
 }

@@ -145,7 +145,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
-    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,q183,s43,s55,t54,t59,
+    // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,d68,s65,q183,s43,s55,t54,t59,
     // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166,q212,d67) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
@@ -628,6 +628,73 @@ object ScaleProbe {
         s"$total total, planted $planted/${n / 20}")
       require(planted == n / 20,
         s"winnowing guarantee broke at scale: $planted/${n / 20}")
+    }
+    if (on("d68")) time("d68: CDC chunking self-sync at n docs") {
+      // the CDC edit-locality guarantee at volume: every planted dup
+      // differs from its source in ONLY the last of 60 tokens, and no
+      // k=4 window containing token 60 can cut (i+k ≤ n fails), so the
+      // boundary SETS are provably identical — the chunk sequences must
+      // match everywhere except the final chunk. A stronger claim than
+      // a recall rate: per pair, mismatches == 1 AND at the last
+      // ordinal (== 0 only when the differing word collides, ~1/1000).
+      val ct = graft.operators.Dedup.cdcChunkTable(docs).localCheckpoint()
+      val nChunks = ct.count()
+      val toks = docs.select(
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .agg(sum(size(col("t")))).head().getLong(0)
+      println(f"[probe]   chunks: $nChunks%,d over $toks%,d tokens " +
+        // expected chunks/doc = windows/div + 1 ≈ 8.1 → mean len ≈ 7.4
+        f"(mean len ${toks.toDouble / nChunks}%.2f; expected ≈ 7.4)")
+      val src = ct.filter(col("doc_id") < n && col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("chunk_idx"), col("ch").as("ch_a"))
+      val dup = ct.filter(col("doc_id") >= n)
+        .select(((col("doc_id") - n) * 20).as("doc_id"),
+          col("chunk_idx"), col("ch").as("ch_b"))
+      val j = src.join(dup, Seq("doc_id", "chunk_idx"), "full")
+        .localCheckpoint() // feeds mismatch agg AND the tail check
+      val per = j.groupBy(col("doc_id")).agg(
+        sum(when(col("ch_a").isNull || col("ch_b").isNull
+          || col("ch_a") =!= col("ch_b"), 1L).otherwise(0L)).as("mm"),
+        max(col("chunk_idx")).as("mxi"))
+      val bad = per.filter(col("mm") > 1).count()
+      val one = per.filter(col("mm") === 1).count()
+      val pairs = per.count()
+      // ...and the single mismatch sits at the LAST ordinal
+      val offEnd = j.filter(col("ch_a") =!= col("ch_b"))
+        .join(per.select(col("doc_id"), col("mxi")), Seq("doc_id"))
+        .filter(col("chunk_idx") =!= col("mxi")).count()
+      println(s"[probe]   planted pairs: $pairs; exactly-1-mismatch: " +
+        s"$one; >1: $bad; mismatches off the last ordinal: $offEnd")
+      require(bad == 0 && offEnd == 0 && pairs == n / 20,
+        s"CDC self-sync broke at scale: bad=$bad offEnd=$offEnd")
+      require(one >= pairs * 95 / 100,
+        s"suspiciously few differing pairs: $one/$pairs")
+    }
+    if (on("s65")) time("s65: bitext margin mining, 10 probes vs n-vector pool") {
+      // the batched-mining economics at volume: 10 probe vectors against
+      // an n-vector opposite pool (the dense per-batch path IS the scale
+      // path — the probe side broadcasts, the pool is scanned once).
+      // Planted couples at cos ≈ 0.9997 over a random background; all
+      // 10 must come back as mutual-margin partners.
+      val dims = sequence(lit(1), lit(64))
+      def comp(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+          - lit(1.0)).cast("float")
+      val pool = spark.range(n).select(
+        (col("id") * 2 + 1).as("vec_id"),
+        transform(dims, i => comp(col("id") * 64 + i)).as("embedding"))
+      val probes = spark.range(10).select(
+        (col("id") * 2).as("vec_id"),
+        transform(dims, i =>
+          (comp(col("id") * 64 + i) + lit(0.005f)).cast("float"))
+          .as("embedding"))
+      val mined = graft.operators.Similarity
+        .bitextMine(pool.unionByName(probes)).collect()
+      val ok = mined.count(r => r.getLong(1) == r.getLong(0) + 1
+        && r.getDouble(3) > 0.0)
+      println(s"[probe]   mined ${mined.length} pairs, planted couples " +
+        s"recovered $ok/10; sample=${mined.take(2).toSeq}")
+      require(ok == 10, s"margin mining lost planted couples: $ok/10")
     }
     if (on("q201")) time("q201/q205: LPA + TrustRank on planted communities") {
       // two planted 8-cliques bridged by ONE edge, dropped into a sparse

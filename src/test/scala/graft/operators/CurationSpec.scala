@@ -550,4 +550,32 @@ class CurationSpec extends SparkSpec {
     // exact expectation: sum c(c-1)/n with c = {10, 20}, n = 30
     assert(m.getDouble(3) === (10.0 * 9 + 20.0 * 19) / 30.0)
   }
+
+  // ---- self-BLEU-style corpus overlap precision (t77) ----
+
+  test("selfOverlapPrecision: hand-computed clipped counts, both gram keys") {
+    val tiny = Seq(
+      (0L, "a b a b c"), (1L, "a b c d"), (2L, "x y z"), (3L, "q")
+    ).toDF("doc_id", "text")
+    for (hashGrams <- Seq(false, true)) {
+      val out = Curation.selfOverlapPrecision(tiny, hashGrams = hashGrams)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+      // bigrams: doc0 {a b:2, b a:1, b c:1}; corpus a b:3, b c:2 →
+      // clipped min(2,1)+min(1,0)+min(1,1) = 2 of 4
+      assert(out(0L) === ((2L, 4L, 1L, 3L)), s"hashGrams=$hashGrams")
+      assert(out(1L) === ((2L, 3L, 1L, 2L)), s"hashGrams=$hashGrams")
+      assert(out(2L) === ((0L, 2L, 0L, 1L)), s"hashGrams=$hashGrams")
+      // 1-token doc: the truncated window is its only (novel) gram
+      assert(out(3L) === ((0L, 1L, 0L, 1L)), s"hashGrams=$hashGrams")
+    }
+  }
+
+  test("selfOverlapPrecision: hashed grams reproduce the exact-string run") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val a = Curation.selfOverlapPrecision(docs, hashGrams = false)
+    val b = Curation.selfOverlapPrecision(docs, hashGrams = true)
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
 }

@@ -127,4 +127,38 @@ class RetrievalSpec extends SparkSpec {
         assert(ndcg === dcg.toDouble / ideal.toDouble && ndcg <= 1.0)
     }
   }
+
+  // ---- exact phrase search (t78) ----
+
+  test("phraseSearch: hand-computed matches, overlaps counted, ranks total") {
+    val tiny = Seq(
+      (0L, "a b a b a"), // "a b" at 0,2; "a b a" at 0,2 (overlapping)
+      (1L, "a b c"),
+      (2L, "c c c")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval
+      .phraseSearch(tiny, phrases = Seq("a b", "a b a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("a b", 1L, 0L, 2L, 2L, 3L),
+      ("a b", 2L, 1L, 1L, 2L, 3L),
+      ("a b a", 1L, 0L, 2L, 1L, 2L)))
+  }
+
+  test("phraseSearch: default phrase set returns ranked hits on the corpus") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val out = graft.operators.Retrieval.phraseSearch(docs).collect()
+    assert(out.nonEmpty)
+    // per phrase: ranks are 1..≤3 and match counts are non-increasing
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      val ms = sorted.map(_.getLong(3))
+      assert(ms.zip(ms.tail).forall { case (a, b) => a >= b })
+      // totals are shared across the phrase's rows and bound the top docs
+      assert(rows.map(_.getLong(4)).distinct.length === 1)
+      assert(rows.forall(r => r.getLong(3) <= r.getLong(5)))
+    }
+  }
 }

@@ -401,4 +401,76 @@ class SimilaritySpec extends SparkSpec {
     assert(out(6L) === ((1L, "border", 5L)))
     assert(out(7L) === ((1L, "border", 5L)))
   }
+
+  // ---- margin-based bitext mining (s65) ----
+
+  /** The hubness construction the margin criterion exists for: every
+    * probe's RAW-cosine best partner is one hub vector (a shared
+    * dominant direction), so raw mutual-best mines exactly ONE pair and
+    * loses the rest; the margin subtracts each side's neighborhood mean,
+    * demoting the hub (whose own neighborhood is uniformly hot) and
+    * recovering all four planted couples. */
+  private lazy val hubbed = {
+    // 5 dims; g = e4 the hub direction. xs (even ids) = g + 0.5·e_i;
+    // planted partners (odd id 2i+1) = e_i + 0.2·g — FURTHER from their
+    // x than the hub is (cos ≈ 0.61 vs 0.89); hub (id 9) = g.
+    def e(i: Int, a: Float, gw: Float): Array[Float] = {
+      val v = Array.fill(5)(0f); v(i) = a; v(4) += gw; v
+    }
+    Seq(
+      (0L, e(0, 0.5f, 1f)), (2L, e(1, 0.5f, 1f)),
+      (4L, e(2, 0.5f, 1f)), (6L, e(3, 0.5f, 1f)),
+      (1L, e(0, 1f, 0.2f)), (3L, e(1, 1f, 0.2f)),
+      (5L, e(2, 1f, 0.2f)), (7L, e(3, 1f, 0.2f)),
+      (9L, e(0, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bitextMine: margin recovers all planted couples the hub eats under raw cosine") {
+    // raw-cosine mutual best, computed inline as the baseline
+    import org.apache.spark.sql.expressions.Window
+    val x = hubbed.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+    val y = hubbed.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
+    val scored = y.join(broadcast(x), col("y_id") =!= col("x_id"))
+      .select(col("x_id"), col("y_id"),
+        Similarity.cosine(col("x_emb"), col("y_emb")).as("cos"))
+    val bx = scored.withColumn("r", row_number().over(
+        Window.partitionBy("x_id").orderBy(col("cos").desc, col("y_id"))))
+      .filter(col("r") === 1).select("x_id", "y_id")
+    val by = scored.withColumn("r", row_number().over(
+        Window.partitionBy("y_id").orderBy(col("cos").desc, col("x_id"))))
+      .filter(col("r") === 1).select("x_id", "y_id")
+    val rawPairs = bx.join(by, Seq("x_id", "y_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hub is every x's raw argmax, so raw mutuality mines ONE pair
+    assert(rawPairs === Set((0L, 9L)), s"raw baseline drifted: $rawPairs")
+
+    val mined = Similarity.bitextMine(hubbed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(mined.map(p => (p._1, p._2)).toSet ===
+      Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)),
+      s"margin mining missed planted couples: ${mined.toSeq}")
+    assert(mined.forall(_._3 > 0.0), "planted couples should score positive margin")
+  }
+
+  test("bitextMine: hand-computed margin on an exact-cosine frame") {
+    // x = (1,0); ys on the exact-value grid: cos ∈ {1, 0.8, 0.6, 0, -1}
+    val tiny = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0f)), (3L, Array(4f, 3f)), (5L, Array(0f, 1f)),
+      (7L, Array(-1f, 0f)), (9L, Array(3f, 4f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(tiny).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert(r.getDouble(2) === 1.0)
+    // top-4 of x: cos {1, 0.8, 0.6, 0} → scaled sum 2.4e12 over 4 terms;
+    // y1's neighborhood is just x (cos 1). Same double DAG as the op.
+    val expected = 1.0 - 0.5 *
+      (2.4e12 / (4.0 * 1e12) + 1.0e12 / (1.0 * 1e12))
+    assert(r.getDouble(3) === expected)
+  }
 }

@@ -505,6 +505,43 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
   }
 
+  test("d68 CDC chunking is windowless and join-keyed (array lambdas only)") {
+    // the operator's whole scale claim: boundary tests are per-doc array
+    // lambdas, never a positional window; the only joins are keyed
+    val plan = PlanInspect.formatted(run("d68_cdc_chunks"))
+    assert(!plan.contains("windowspecdefinition"), "no window may appear")
+    val names = PlanInspect.nodeNames(run("d68_cdc_chunks"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("t77 self-BLEU is windowless; gram joins are equi-joins") {
+    val plan = PlanInspect.formatted(run("t77_self_bleu"))
+    assert(!plan.contains("windowspecdefinition"), "no window may appear")
+    val names = PlanInspect.nodeNames(run("t77_self_bleu"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+  }
+
+  test("t78 phrase adjacency joins are equi-joins on (doc, start)") {
+    val names = PlanInspect.nodeNames(run("t78_phrase_search"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names)
+    assert(names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")), names)
+  }
+
+  test("s65 bitext windows all partition by a side id") {
+    // the probe-vs-pool scan is a deliberate broadcast nested loop (the
+    // s41 contract); the windows must never be unpartitioned
+    val plan = PlanInspect.formatted(run("s65_bitext_mining"))
+    val specs = "windowspecdefinition\\(([^)]*?)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(s => s.contains("x_id") || s.contains("y_id")), specs)
+    val names = PlanInspect.nodeNames(run("s65_bitext_mining"))
+    assert(!names.exists(_.contains("CartesianProduct")), names)
+  }
+
   test("KS/Mann-Whitney/quantile-norm/split-drift windows are ALL bucket-partitioned") {
     // VERDICT r10 directive #2: the support cumsum used to run as an
     // unpartitioned window (`WindowExec: No Partition Defined`) — fine
