@@ -609,6 +609,47 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Voice-activity segmentation over the REAL decode path (the
+    * adaptive energy-threshold VAD baseline — Rabiner & Sambur, "An
+    * algorithm for determining the endpoints of isolated utterances",
+    * Bell Syst. Tech. J. 1975): frames from [[audioFrameEnergy]]
+    * (actual WAV decode, partition-wise) classify active iff their
+    * energy exceeds the CLIP MEAN — written as the integer
+    * cross-multiplication energy·n_frames > total_energy (rule 17), so
+    * the adaptive threshold never divides. Consecutive active frames
+    * merge into segments via the island trick (frame_no − row_number,
+    * window partitioned per clip — bounded by frames-per-clip, rule
+    * 23). Emits per clip the frame and segment counts, the longest
+    * segment, and the speech ratio (one division of exact int64s).
+    * All-silent clips emit zeros rather than vanishing. */
+  def audioVadSegments(spark: SparkSession, docs: DataFrame,
+      frame: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val en = audioFrameEnergy(spark, docs, frame)
+      .materializeOnce() // feeds the clip stats AND the activity cut
+    val stats = en.groupBy(col("media_id")).agg(
+      count(lit(1)).as("n_frames"), sum(col("energy")).as("tot_energy"))
+      .materializeOnce() // feeds the activity join AND the final frame
+    val act = en.join(stats, Seq("media_id"))
+      .filter(col("energy") * col("n_frames") > col("tot_energy"))
+      .withColumn("isl", col("frame_no") - row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("frame_no"))))
+    val segs = act.groupBy(col("media_id"), col("isl"))
+      .agg(count(lit(1)).as("seg_len"))
+    val perClip = segs.groupBy(col("media_id")).agg(
+      count(lit(1)).as("n_segments"),
+      max(col("seg_len")).as("longest_segment"),
+      sum(col("seg_len")).as("n_active"))
+    stats.join(perClip, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+        (coalesce(col("n_active"), lit(0L)).cast("double")
+          / col("n_frames").cast("double")).as("speech_ratio"))
+      .orderBy(col("media_id"))
+  }
+
   /** One decoded video row of the real-codec roundtrip (m49). */
   final case class VideoDecode(
       media_id: Long, width: Long, height: Long, n_frames: Long, checksum: Long)

@@ -535,6 +535,62 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental IVF insert WITHOUT retraining the coarse quantizer
+    * (s66 — the index-maintenance half of the s51 store pattern, and
+    * how production IVF deployments actually absorb arrivals between
+    * periodic retrains): new vectors are assigned cells by the SAME
+    * fixed hyperplanes and appended to the postings; the centroid
+    * artifact is untouched, so probe ordering keeps serving from the
+    * frozen quantizer. Cell assignment is a pure function of the
+    * embedding (stateless planes), so append-then-search must equal a
+    * from-scratch search whose quantizer was trained on the BASE only
+    * — the d53 store ≡ recompute contract with "recompute" precisely
+    * scoped to the frozen-quantizer arm (a full retrain may legally
+    * differ; IvfIndexSpec pins both statements). */
+  def appendIvfIndex(delta: DataFrame, path: String, dim: Int = 64,
+      subdir: Option[String] = None): Unit = {
+    val planes = hyperplanes(4, dim, seed = 7L)
+    val assigned = delta.withColumn("cell", signature(col("embedding"), planes))
+    subdir match {
+      // batch-keyed subdir, OVERWRITE: a replayed micro-batch rewrites
+      // its own postings instead of duplicating them — at-least-once
+      // delivery becomes exactly-once state (the q161 contract for the
+      // vector index). searchIvfIndex reads recursively, so nested
+      // batch dirs serve like the flat layout.
+      case Some(sd) =>
+        assigned.write.mode("overwrite").parquet(s"$path/cells/$sd")
+      case None =>
+        assigned.write.mode("append").parquet(s"$path/cells")
+    }
+  }
+
+  /** Compact the postings of a persisted IVF index — the ASYNC
+    * maintenance half of the s67 ingest loop (streaming appends one
+    * file per micro-batch; the small-file problem is deferred here
+    * instead of paid synchronously on the write path). Postings are
+    * rewritten cell-clustered (repartition on `cell`), so a probe
+    * after compaction touches contiguous row groups instead of one
+    * fragment per historical batch; content is untouched — search
+    * before ≡ search after is the spec-pinned contract. The swap is
+    * write-to-temp + directory rename; on a real deployment the
+    * rename is the metastore/manifest commit, same shape. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      files: Int = 4): Unit = {
+    import java.nio.file.{Files, Paths}
+    val cellsDir = s"$path/cells"
+    val tmp = s"$path/cells_compacting"
+    spark.read.option("recursiveFileLookup", "true").parquet(cellsDir)
+      .repartition(files, col("cell"))
+      .write.mode("overwrite").parquet(tmp)
+    val old = Paths.get(s"$path/cells_old")
+    Files.move(Paths.get(cellsDir), old)
+    Files.move(Paths.get(tmp), Paths.get(cellsDir))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(old.toFile)
+  }
+
   /** IVF search against a PERSISTED index (s51) — identical output to
     * ivfSearch over the same corpus by construction (floats and the
     * fixed-point centroids round-trip parquet bit-exactly, and the

@@ -785,6 +785,47 @@ object MultimodalQueries {
         |FROM d ORDER BY media_id, frame_idx""".stripMargin),
       (s, d) => Multimodal.videoSceneCuts(s, docs(s, d))),
 
+    // Adaptive energy-threshold VAD segmentation over the real codec
+    // path (m62): m57's decoded frame energies classify active above
+    // the CLIP MEAN via integer cross-multiplication (rule 17 — the
+    // adaptive threshold never divides); consecutive active frames
+    // merge via the island trick (clip-partitioned window, frames/clip
+    // bounded). Lossless PCM ⇒ the oracle replays energies
+    // arithmetically and the segmentation as integer SQL.
+    Q("m62_audio_vad", Some(
+      s"""WITH ns AS (
+        |  SELECT doc_id, 64 + (doc_id % 192) AS n FROM documents),
+        |ix AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ns),
+        |fx AS MATERIALIZED (
+        |  SELECT doc_id, i // 32 AS frame_no,
+        |         CAST(sum(((doc_id*31 + i*7919) % 65536 - 32768)
+        |           * ((doc_id*31 + i*7919) % 65536 - 32768)) AS BIGINT)
+        |           AS energy
+        |  FROM ix GROUP BY 1, 2),
+        |st AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS nf, CAST(sum(energy) AS BIGINT) AS te
+        |  FROM fx GROUP BY doc_id),
+        |act AS (SELECT fx.doc_id AS doc_id, frame_no,
+        |          frame_no - row_number() OVER (
+        |            PARTITION BY fx.doc_id ORDER BY frame_no) AS isl
+        |        FROM fx JOIN st USING (doc_id)
+        |        WHERE energy * nf > te),
+        |segs AS (SELECT doc_id, isl, count(*) AS seg_len
+        |         FROM act GROUP BY 1, 2),
+        |pc AS (SELECT doc_id, count(*) AS n_segments,
+        |         max(seg_len) AS longest_segment,
+        |         CAST(sum(seg_len) AS BIGINT) AS n_active
+        |       FROM segs GROUP BY doc_id)
+        |SELECT st.doc_id AS media_id, st.nf AS n_frames,
+        |  coalesce(pc.n_active, 0) AS n_active,
+        |  coalesce(pc.n_segments, 0) AS n_segments,
+        |  coalesce(pc.longest_segment, 0) AS longest_segment,
+        |  CAST(coalesce(pc.n_active, 0) AS DOUBLE)
+        |    / CAST(st.nf AS DOUBLE) AS speech_ratio
+        |FROM st LEFT JOIN pc USING (doc_id)
+        |ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.audioVadSegments(s, docs(s, d))),
+
     // Energy-profile audio fingerprint over the REAL codec path (m53):
     // decode the WAV, split the DECODED PCM into 16-sample frames, one
     // bit per adjacent frame pair (later frame louder). Lossless PCM ⇒

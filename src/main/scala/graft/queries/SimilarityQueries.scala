@@ -205,6 +205,63 @@ object SimilarityQueries {
         s, emb(s, d).filter(col("vec_id") < 5),
         Staging.ivfIndexDir(s, d), k = 10, nProbe = 2)),
 
+    // incremental IVF insert without retraining (s66): the delta batch
+    // is cell-assigned by the SAME frozen planes and appended to the
+    // postings; the centroid artifact never changes. The oracle is the
+    // frozen-quantizer recompute arm (centroids from the base slice,
+    // postings over the union) — store ≡ recompute scoped exactly to
+    // what no-retrain insert promises; IvfIndexSpec additionally pins
+    // that the append left the centroid files byte-identical.
+    Q("s66_ivf_insert", Some(ivfInsertOracle),
+      (s, d) => Similarity.searchIvfIndex(
+        s, emb(s, d).filter(col("vec_id") < 5),
+        Staging.ivfInsertDir(s, d), k = 10, nProbe = 2)),
+
+    // streaming vector ingest into the IVF store (s67): the s66 insert
+    // run as an online loop — the delta arrives as three file batches,
+    // each cell-assigned by the frozen quantizer and idempotently
+    // landed in a batch-keyed postings subdir inside foreachBatch.
+    // Stream ≡ batch by construction (assignment is stateless, postings
+    // are a set), so the query shares s66's frozen-quantizer oracle,
+    // which never saw a stream — the q153 proof shape for vectors.
+    Q("s67_stream_ivf_ingest", Some(ivfInsertOracle),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val e = emb(s, d)
+        val root = Files.createTempDirectory("graft_s67")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val index = s"$root/index"
+        Similarity.writeIvfIndex(
+          e.filter(col("vec_id") < 5 || col("vec_id") >= 100), index)
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val t0 = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory(s"graft_s67_b$i")
+          e.filter(col("vec_id") >= 5 && col("vec_id") < 100
+              && pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"s67 batch $i produced no parquet part"))
+          val dst = Paths.get(in, s"batch_$i.parquet")
+          Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(t0 + i * 2000L)
+        }
+        graft.streaming.EventPipeline.withStreamPartitions(s, 8) {
+          val q = graft.streaming.IngestVectors.start(
+            s, in, index, s"$root/chk")
+          try q.processAllAvailable() finally q.stop()
+        }
+        Similarity.searchIvfIndex(
+          s, e.filter(col("vec_id") < 5), index, k = 10, nProbe = 2)
+      }),
+
     // random-projection first-pass ANN: corpus and queries reduced to 16
     // dims by fixed-seed JL planes, exact top-k in the reduced space.
     // Every reduced component is the proven sequential fold, so the
@@ -1035,7 +1092,16 @@ object SimilarityQueries {
   /** s43: IVF replayed exactly — 16 cells from the coarse planes,
     * fixed-point integer centroid sums (order-independent, bit-equal to
     * Spark's), nProbe=2 probe ranking, cell-local exact cosine top-k. */
-  private lazy val knnIvfOracle: String = {
+  private lazy val knnIvfOracle: String = knnIvfOracleFor("")
+
+  /** s66: identical chain, but the quantizer (csum → centroids) trains
+    * on the BASE slice only — the frozen-quantizer recompute arm the
+    * no-retrain insert must equal. Cell assignment itself is stateless
+    * (fixed planes), so `cells` stays the full corpus. */
+  private lazy val ivfInsertOracle: String =
+    knnIvfOracleFor("WHERE vec_id < 5 OR vec_id >= 100")
+
+  private def knnIvfOracleFor(centroidWhere: String): String = {
     val dim = 64
     val sumCols = fpSumColsSql(dim)
     val centroid = fpCentroidSql(dim)
@@ -1045,7 +1111,7 @@ object SimilarityQueries {
        |csum AS (
        |  SELECT cell, count(*) AS n,
        |         $sumCols
-       |  FROM cells GROUP BY cell),
+       |  FROM cells $centroidWhere GROUP BY cell),
        |centroids AS (SELECT cell, $centroid AS centroid FROM csum),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb
        |      FROM embeddings WHERE vec_id < 5),

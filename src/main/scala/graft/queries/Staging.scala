@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 /** Per-process staging of the events file into a clean directory for the
   * streaming-source queries (a file stream needs a directory containing
   * only its inputs). One staged copy per sfDir per JVM — repeated query
@@ -74,6 +76,25 @@ object Staging {
       val dir = Files.createTempDirectory("graft_ivfindex")
       graft.operators.Similarity.writeIvfIndex(
         graft.Tables.load(spark, sfDir, "embeddings"), dir.toString)
+      rmOnExit(dir)
+      dir.toString
+    })
+
+  private val ivfInsertDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-JVM IVF index for the s66 gate: quantizer trained on the BASE
+    * slice only (queries + vec_id ≥ 100), then the delta batch
+    * (5 ≤ vec_id < 100) appended WITHOUT retraining — the
+    * index-maintenance store. */
+  def ivfInsertDir(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    ivfInsertDirs.getOrElseUpdate(sfDir, {
+      val dir = Files.createTempDirectory("graft_ivfinsert")
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      graft.operators.Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") < 5 || col("vec_id") >= 100), dir.toString)
+      graft.operators.Similarity.appendIvfIndex(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 100), dir.toString)
       rmOnExit(dir)
       dir.toString
     })

@@ -25,4 +25,128 @@ class IvfIndexSpec extends SparkSpec {
       "persisted-index search diverged from the recompute path")
     assert(fromStore.nonEmpty)
   }
+
+  // ---- incremental insert without retraining (s66) ----
+
+  private def centroidBytes(dir: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir, "centroids")
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f))
+      .map(f => (p.relativize(f).toString, java.nio.file.Files.size(f)))
+      .toSeq.sortBy(_._1)
+    finally walk.close()
+  }
+
+  test("appendIvfIndex leaves the centroid artifact untouched") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ins_a").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 100), dir)
+    val before = centroidBytes(dir)
+    val beforeHash = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "centroids")).count()
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") < 100), dir)
+    assert(centroidBytes(dir) === before, "append must not touch centroids")
+    assert(java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "centroids")).count() === beforeHash)
+  }
+
+  test("append path equals bulk assignment under the same frozen quantizer") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val base = emb.filter(col("vec_id") < 5 || col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") >= 5 && col("vec_id") < 100)
+    val queries = emb.filter(col("vec_id") < 5)
+    // arm A: base index + no-retrain append (the s66 object under test)
+    val dirA = java.nio.file.Files.createTempDirectory("ivf_ins_b").toString
+    Similarity.writeIvfIndex(base, dirA)
+    Similarity.appendIvfIndex(delta, dirA)
+    // arm B: postings bulk-written from the UNION in one shot, then the
+    // quantizer swapped back to the base-trained artifact — the same
+    // logical index reached by a different code path
+    val dirB = java.nio.file.Files.createTempDirectory("ivf_ins_c").toString
+    Similarity.writeIvfIndex(emb, dirB)
+    val cb = java.nio.file.Paths.get(dirB, "centroids")
+    org.apache.commons.io.FileUtils.deleteDirectory(cb.toFile)
+    val baseOnly = java.nio.file.Files.createTempDirectory("ivf_ins_d").toString
+    Similarity.writeIvfIndex(base, baseOnly)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      java.nio.file.Paths.get(baseOnly, "centroids").toFile, cb.toFile)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val a = rows(Similarity.searchIvfIndex(spark, queries, dirA, k = 10))
+    val b = rows(Similarity.searchIvfIndex(spark, queries, dirB, k = 10))
+    assert(a === b, "append path diverged from bulk assignment")
+    assert(a.nonEmpty)
+  }
+
+  test("a replayed ingest batch rewrites its subdir — search is unchanged (s67)") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val base = emb.filter(col("vec_id") < 5 || col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") >= 5 && col("vec_id") < 100)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_replay").toString
+    Similarity.writeIvfIndex(base, dir)
+    Similarity.appendIvfIndex(delta, dir, subdir = Some("batch_0"))
+    def rows() = Similarity.searchIvfIndex(spark, queries, dir, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val once = rows()
+    // at-least-once delivery: the SAME batch id fires again
+    Similarity.appendIvfIndex(delta, dir, subdir = Some("batch_0"))
+    assert(rows() === once, "a replayed batch must not duplicate postings")
+    // ...whereas a blind flat append WOULD have duplicated them — the
+    // subdir overwrite is load-bearing, not cosmetic
+    Similarity.appendIvfIndex(delta, dir)
+    assert(rows() !== once, "sanity: flat re-append must be visible")
+  }
+
+  test("compactIvfIndex collapses batch fragments; search is unchanged") {
+    import scala.jdk.CollectionConverters._
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val base = emb.filter(col("vec_id") >= 100)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    Similarity.writeIvfIndex(base, dir)
+    // a few streamed batches fragment the postings
+    (0 until 4).foreach { i =>
+      Similarity.appendIvfIndex(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 100
+          && pmod(col("vec_id"), lit(4)) === i),
+        dir, subdir = Some(s"batch_$i"))
+    }
+    def parquetFiles(): Int = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "cells"))
+      try walk.iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    def rows() = Similarity.searchIvfIndex(spark, queries, dir, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val before = rows()
+    val fragmented = parquetFiles()
+    Similarity.compactIvfIndex(spark, dir, files = 2)
+    assert(parquetFiles() < fragmented,
+      s"compaction did not reduce files ($fragmented)")
+    assert(parquetFiles() <= 2)
+    assert(rows() === before, "compaction changed search results")
+  }
+
+  test("an inserted near-dup of a query becomes servable at rank 1") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ins_e").toString
+    Similarity.writeIvfIndex(emb, dir)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val jittered = q0.getSeq[Float](1).toArray
+      .zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
+    val delta = Seq((99999L, jittered)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0)) // match the store schema
+    Similarity.appendIvfIndex(delta, dir)
+    val top = Similarity.searchIvfIndex(spark,
+      emb.filter(col("vec_id") === 0), dir, k = 10).collect()
+    assert(top.head.getLong(1) === 99999L,
+      s"inserted near-dup not served: ${top.take(3).toSeq}")
+  }
 }

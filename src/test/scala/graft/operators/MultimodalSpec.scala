@@ -137,6 +137,43 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getLong(3) === last * last, "partial-frame energy")
   }
 
+  test("audioVadSegments: independent Scala replay of the segmentation (m62)") {
+    import spark.implicits._
+    // 400-500 covers the corpus's multi-segment clips (443, 475, 476)
+    val ids = (400L until 500L)
+    val docs = ids.toDF("doc_id")
+    val out = Multimodal.audioVadSegments(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    var sawMultiSegment = false
+    ids.foreach { id =>
+      // independent replay: generate the PCM, frame it, adaptive
+      // threshold (energy·nf > total), scan for islands
+      val n = Multimodal.audioSampleCount(id)
+      val energies = (0 until n).map(Multimodal.audioSample(id, _))
+        .grouped(32).map(_.map(s => s.toLong * s).sum).toSeq
+      val total = energies.sum
+      val active = energies.map(_ * energies.length > total)
+      val segLens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      active.foreach { a =>
+        if (a) {
+          if (segLens.isEmpty || segLens.last < 0) segLens += 1L
+          else segLens(segLens.length - 1) += 1L
+        } else if (segLens.nonEmpty && segLens.last > 0) segLens += -1L
+      }
+      val segs = segLens.filter(_ > 0)
+      if (segs.length > 1) sawMultiSegment = true
+      val (nf, na, ns, lg, ratio) = out(id)
+      assert(nf === energies.length.toLong, s"doc $id frames")
+      assert(na === active.count(identity).toLong, s"doc $id active")
+      assert(ns === segs.length.toLong, s"doc $id segments")
+      assert(lg === (if (segs.isEmpty) 0L else segs.max), s"doc $id longest")
+      assert(ratio === na.toDouble / nf, s"doc $id ratio")
+    }
+    // the corpus must actually exercise gap-split segmentation
+    assert(sawMultiSegment, "threshold degenerated: no clip has 2+ segments")
+  }
+
   test("real javax.sound decode: WAV payloads get true rate/count, text falls back to stub") {
     val wav = Multimodal.syntheticWav(42L)
     val real = Multimodal.decode(
