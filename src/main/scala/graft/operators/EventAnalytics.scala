@@ -805,6 +805,56 @@ object EventAnalytics {
       .orderBy(col("age"))
   }
 
+  /** Kaplan–Meier product-limit survival curve (Kaplan & Meier,
+    * "Nonparametric estimation from incomplete observations", JASA
+    * 1958) over [[churnHazard]]'s life table: S(t) = Π_{s ≤ t}
+    * (1 − deaths_s / at_risk_s), with users last seen on the corpus's
+    * final day right-censored — the retention curve a growth team
+    * actually plots, completing q191's per-age hazard with the
+    * cumulative estimator.
+    *
+    * Exactness: deaths/at_risk are exact int64 counts; the running
+    * product is a SEQUENTIAL ascending-age left fold in doubles, and
+    * the oracle replays the identical multiplication sequence
+    * (list_reduce over the age-ordered list), so every S(t) is
+    * bit-equal — float products cannot be reassociated (unlike the
+    * Prefix.cumsum integer sums), which is why the fold is explicit.
+    *
+    * Scale shape: everything up to the support is the churnHazard
+    * chain (one user-grain groupBy + an age-grain groupBy); the fold
+    * then runs on ONE row holding the age support — bounded by the
+    * CALENDAR (distinct integer day-ages ≤ observation horizon), the
+    * same domain-bounded contract as the q191 window it builds on. */
+  def kaplanMeier(events: DataFrame, entity: String = "user_id",
+      ts: Column = col("ts")): DataFrame = {
+    val h = churnHazard(events, entity, ts)
+      .select(col("age"), col("at_risk"), col("deaths"), col("censored"))
+    val outT = "array<struct<age:bigint,at_risk:bigint,deaths:bigint," +
+      "censored:bigint,s:double>>"
+    h.agg(sort_array(collect_list(struct(
+        col("age"), col("at_risk"), col("deaths"), col("censored"))))
+        .as("sup"))
+      .select(aggregate(col("sup"),
+        struct(lit(1.0).as("acc"), array().cast(outT).as("out")),
+        (st, x) => {
+          val s = st.getField("acc") * (lit(1.0) -
+            x.getField("deaths").cast("double") /
+              x.getField("at_risk").cast("double"))
+          struct(s.as("acc"),
+            concat(st.getField("out"), array(struct(
+              x.getField("age").as("age"),
+              x.getField("at_risk").as("at_risk"),
+              x.getField("deaths").as("deaths"),
+              x.getField("censored").as("censored"),
+              s.as("s")))).as("out"))
+        }).getField("out").as("out"))
+      .select(explode(col("out")).as("r"))
+      .select(col("r.age").as("age"), col("r.at_risk").as("at_risk"),
+        col("r.deaths").as("deaths"), col("r.censored").as("censored"),
+        col("r.s").as("survival"))
+      .orderBy(col("age"))
+  }
+
   /** Linear multi-touch attribution with EXACT integer credit: every
     * conversion distributes `unit` credit units over its qualifying
     * touches (same user, inside the lookback window ending at the

@@ -536,17 +536,7 @@ object AnalyticsQueries {
     // division — the Kaplan-Meier table in count form. The at-risk
     // reverse-cumulative window runs over DISTINCT ages (output-sized).
     Q("q191_churn_hazard", Some(
-      """WITH u AS (SELECT user_id, min(date_trunc('day', ts)) AS f,
-        |                  max(date_trunc('day', ts)) AS l
-        |           FROM events GROUP BY 1),
-        |a AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS age,
-        |             CASE WHEN l = (SELECT max(date_trunc('day', ts))
-        |                            FROM events) THEN 1 ELSE 0 END AS cens
-        |      FROM u),
-        |h AS (SELECT age, count(*) AS n_at_age,
-        |             CAST(sum(1 - cens) AS BIGINT) AS deaths,
-        |             CAST(sum(cens) AS BIGINT) AS censored
-        |      FROM a GROUP BY 1)
+      s"""WITH $lifeTableCtes
         |SELECT age,
         |       CAST(sum(n_at_age) OVER (ORDER BY age ROWS BETWEEN
         |         CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk,
@@ -556,6 +546,32 @@ object AnalyticsQueries {
         |         AS DOUBLE) AS hazard
         |FROM h ORDER BY age""".stripMargin),
       (s, d) => EventAnalytics.churnHazard(T(s, d, "events"))),
+
+    // Kaplan-Meier survival curve (q213): q191's life table completed
+    // with the product-limit estimator S(t) = prod(1 - d/n) — the
+    // running float product replayed as the IDENTICAL ascending-age
+    // multiplication sequence on both sides (list_reduce over the
+    // ordered list; float products can't be reassociated, so the fold
+    // is explicit, not a window). Support bounded by calendar days.
+    Q("q213_kaplan_meier", Some(
+      s"""WITH $lifeTableCtes,
+        |sup AS MATERIALIZED (
+        |  SELECT age,
+        |         CAST(sum(n_at_age) OVER (ORDER BY age ROWS BETWEEN
+        |           CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |           AS at_risk,
+        |         deaths, censored
+        |  FROM h)
+        |SELECT s1.age, s1.at_risk, s1.deaths, s1.censored,
+        |  (SELECT list_reduce(
+        |     list_prepend(CAST(1.0 AS DOUBLE),
+        |       list(1.0 - CAST(s2.deaths AS DOUBLE)
+        |                    / CAST(s2.at_risk AS DOUBLE)
+        |            ORDER BY s2.age)),
+        |     (a, x) -> a * x)
+        |   FROM sup s2 WHERE s2.age <= s1.age) AS survival
+        |FROM sup s1 ORDER BY s1.age""".stripMargin),
+      (s, d) => EventAnalytics.kaplanMeier(T(s, d, "events"))),
 
     // t-closeness audit (q192): the step past q157/q167 in the privacy
     // ladder — per QI class, total variation distance to the global
@@ -987,4 +1003,21 @@ object AnalyticsQueries {
   /** q151's quantile probes; interpolated e-suffixed into the oracle
     * (rule 14) so both engines parse the identical double. */
   private lazy val latencyProbes: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** The q191/q213 shared life table: user first/last day, integer
+    * day-age, final-day right-censoring, age-grain death/censor counts
+    * (ends with CTE `h`). One definition, both estimators. */
+  private lazy val lifeTableCtes: String =
+    """u AS (SELECT user_id, min(date_trunc('day', ts)) AS f,
+      |                  max(date_trunc('day', ts)) AS l
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS age,
+      |             CASE WHEN l = (SELECT max(date_trunc('day', ts))
+      |                            FROM events) THEN 1 ELSE 0 END AS cens
+      |      FROM u),
+      |h AS MATERIALIZED (
+      |      SELECT age, count(*) AS n_at_age,
+      |             CAST(sum(1 - cens) AS BIGINT) AS deaths,
+      |             CAST(sum(cens) AS BIGINT) AS censored
+      |      FROM a GROUP BY 1)""".stripMargin
 }

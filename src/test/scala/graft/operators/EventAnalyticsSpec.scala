@@ -418,4 +418,23 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 2L, 1L, 0L, 0.5),
       (3L, 1L, 0L, 1L, 0.0)))
   }
+
+  test("kaplanMeier: hand-computed product-limit curve with censoring") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")), // age 2, death
+      (2L, ts("2024-01-01 11:00:00")), (2L, ts("2024-01-03 09:00:00")), // age 2, death
+      (3L, ts("2024-01-01 10:00:00")), (3L, ts("2024-01-06 10:00:00")), // age 5, death
+      (4L, ts("2024-01-04 10:00:00")), (4L, ts("2024-01-11 10:00:00")), // age 7, censored (gmax)
+      (5L, ts("2024-01-11 09:00:00")) // age 0, censored (gmax day)
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.kaplanMeier(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // S(0) = 1·(1−0/5); S(2) = ·(1−2/4); S(5) = ·(1−1/2); S(7) = ·(1−0/1)
+    assert(out.toSeq === Seq(
+      (0L, 5L, 0L, 1L, 1.0),
+      (2L, 4L, 2L, 0L, 0.5),
+      (5L, 2L, 1L, 0L, 0.25),
+      (7L, 1L, 0L, 1L, 0.25)))
+  }
 }
