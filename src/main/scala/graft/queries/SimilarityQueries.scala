@@ -218,7 +218,7 @@ object SimilarityQueries {
         Staging.ivfInsertDir(s, d), k = 10, nProbe = 2)),
 
     // streaming vector ingest into the IVF store (s67): the s66 insert
-    // run as an online loop — the delta arrives as three file batches,
+    // run as an online loop — the delta arrives as two file batches,
     // each cell-assigned by the frozen quantizer and idempotently
     // landed in a batch-keyed postings subdir inside foreachBatch.
     // Stream ≡ batch by construction (assignment is stateless, postings
@@ -241,10 +241,10 @@ object SimilarityQueries {
         val in = s"$root/in"
         Files.createDirectories(Paths.get(in))
         val t0 = System.currentTimeMillis()
-        (0 until 3).foreach { i =>
+        (0 until 2).foreach { i =>
           val tmp = Files.createTempDirectory(s"graft_s67_b$i")
           e.filter(col("vec_id") >= 5 && col("vec_id") < 100
-              && pmod(col("vec_id"), lit(3)) === i)
+              && pmod(col("vec_id"), lit(2)) === i)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
             .find(_.getName.endsWith(".parquet"))

@@ -85,6 +85,39 @@ class CdcSpec extends SparkSpec {
     assert(t.find(_.getLong(0) == 31L).get.getLong(3) === 1L)
   }
 
+  test("property: partition + self-sync hold on 60 random docs with random edits") {
+    // seeded ScalaCheck-style sweep without fixture bias: random token
+    // streams of random lengths, each given a random-length head
+    // insertion; the partition property and the suffix-chunk guarantee
+    // must hold for every single one (they are theorems, not averages)
+    val rnd = new scala.util.Random(20260816L)
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(200)
+      val base = (0 until n).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+      val ins = (0 until 1 + rnd.nextInt(6)).map(_ => s"z${rnd.nextInt(9)}")
+        .mkString(" ")
+      (i.toLong, base, ins)
+    }
+    val frame = docs.flatMap { case (id, base, ins) =>
+      Seq((id * 2, base), (id * 2 + 1, s"$ins $base"))
+    }.toDF("doc_id", "text")
+    val t = Dedup.cdcChunkTable(frame).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3)))
+      }
+    docs.foreach { case (id, base, _) =>
+      val orig = t(id * 2); val edit = t(id * 2 + 1)
+      // partition: lengths sum to the token count
+      assert(orig.map(_._2).sum === base.split(" ").length.toLong, s"doc $id")
+      // self-sync: every original chunk after the first boundary
+      // reappears verbatim in the edited doc's chunk set
+      val editSet = edit.map(_._1).toSet
+      val missing = orig.drop(1).filterNot(c => editSet.contains(c._1))
+      assert(missing.isEmpty, s"doc $id lost suffix chunks: ${missing.take(3)}")
+    }
+  }
+
   test("boundary density is near 1/div on the real corpus") {
     val t = Dedup.cdcChunkTable(docs)
     val n = t.groupBy().agg(sum("clen").as("toks"), count(lit(1)).as("chunks"))
