@@ -1034,6 +1034,52 @@ object Curation {
       .filter(length(col("line")) > 0)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"))
 
+  /** Adjusted Rand Index between two complete partitions of the same
+    * item set (Hubert & Arabie, "Comparing partitions", J. of
+    * Classification 1985) — the chance-corrected agreement score, used
+    * here as the dedup-QA readout: how much do two DEFINITIONS of
+    * "duplicate" (e.g. MinHash-Jaccard clusters vs winnowing-
+    * fingerprint clusters) agree about the corpus? ARI = 1 iff the
+    * partitions are identical, ≈ 0 for independent ones.
+    *
+    * Exactness (rules 18/21a): the pair-count sums Σ n(n−1) run DOUBLED
+    * in DECIMAL(38,0) (no Long product, no halving until the final
+    * double DAG); the statistic is then one fixed shape of double ops
+    * over exactly-agreed inputs, mirrored textually by the oracle, with
+    * the degenerate all-singleton case (denominator 0) pinned to the
+    * identical-partition convention ARI = 1 behind a lazy CaseWhen.
+    *
+    * Scale shape: one equi-join to the joint assignment, one groupBy to
+    * contingency grain (bounded by |clusters_a|·|clusters_b| touched
+    * cells, each cell a real co-occurrence), marginal groupBys at
+    * cluster grain, three 1-row frames cross-joined (broadcast
+    * normalizers). Nothing quadratic in items. */
+  def adjustedRandIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    val joint = a.select(col("doc_id"), col("cluster_id").as("x"))
+      .join(b.select(col("doc_id"), col("cluster_id").as("y")), Seq("doc_id"))
+    val cont = joint.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("nij"))
+      .materializeOnce() // feeds the cell sum AND both marginals
+    val s1 = cont.agg(sum(col("nij")).as("n"),
+      sum(col("nij").cast("decimal(38,0)") * (col("nij") - 1)).as("sij2"))
+    val s2 = cont.groupBy(col("x")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(col("ai").cast("decimal(38,0)") * (col("ai") - 1)).as("sa2"))
+    val s3 = cont.groupBy(col("y")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(col("bj").cast("decimal(38,0)") * (col("bj") - 1)).as("sb2"))
+    val e = col("sa2").cast("double") * col("sb2").cast("double") /
+      (col("n").cast("double") * (col("n") - 1))
+    val denom = (col("sa2").cast("double") + col("sb2").cast("double")) /
+      lit(2.0) - e
+    s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3)) // 1-row normalizers
+      .select(col("n").cast("bigint").as("n_items"),
+        col("sa2").cast("double").as("sa2"),
+        col("sb2").cast("double").as("sb2"),
+        col("sij2").cast("double").as("sij2"),
+        when(denom === 0.0, lit(1.0))
+          .otherwise((col("sij2").cast("double") - e) / denom).as("ari"))
+      .orderBy(col("n_items"))
+  }
+
   /** Self-BLEU-style corpus overlap precision (the diversity readout of
     * Zhu et al., "Texygen: a benchmarking platform for text generation
     * models", SIGIR 2018, at corpus scale): per document and n-gram

@@ -1091,6 +1091,40 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Semantic (embedding-space) benchmark decontamination — d45's
+    * shingle-overlap check at the level modern eval suites actually
+    * leak (paraphrases, translations, reformattings that share no
+    * n-grams): per corpus vector, the maximum cosine against the
+    * benchmark set and a flag at `threshold` — the "semantic dedup
+    * against the test set" pass described for GPT-4/PaLM-class data
+    * pipelines (e.g. Chowdhery et al., PaLM, JMLR 2023 §dataset
+    * contamination). Nearest benchmark item breaks cosine ties by id
+    * (a per-doc window bounded by |bench|, rule 23). The benchmark
+    * side broadcasts (the s41 contract); one corpus scan, no shuffle
+    * of the pool. */
+  def semanticDecontam(emb: DataFrame, benchMaxId: Long = 5L,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bench = emb.filter(col("vec_id") < benchMaxId)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        norm(col("embedding")).as("b_norm"))
+    val scored = emb.filter(col("vec_id") >= benchMaxId)
+      .withColumn("c_norm", norm(col("embedding")))
+      .join(broadcast(bench), col("vec_id") =!= col("b_id"))
+      .select(col("vec_id"), col("b_id"),
+        cosinePre(col("b_emb"), col("embedding"),
+          col("b_norm"), col("c_norm")).as("cos"))
+    scored
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("b_id").as("nearest_bench"),
+        col("cos").as("max_cos"),
+        (col("cos") >= threshold).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * parallel corpus mining with multilingual sentence embeddings",
     * ACL 2019 — the CCMatrix/LASER mining criterion): candidate pair

@@ -281,6 +281,30 @@ object DedupQueries {
     Q("d68_cdc_chunks", Some(cdcChunkOracle),
       (s, d) => Dedup.cdcChunkStats(docs(s, d), oracleHash = true)),
 
+    // dedup-definition agreement (q214): Adjusted Rand Index between
+    // the MinHash-Jaccard clustering (d44's partition) and the
+    // winnowing-fingerprint clustering (d62's pairs through the same
+    // CC), singletons completed as their own clusters — the QA table
+    // for "do my two duplicate definitions agree". MinHash pairs under
+    // the rule-13 brute-force oracle; winnowing replayed positionally;
+    // doubled DECIMAL pair sums (rule 18); the degenerate all-singleton
+    // denominator pins to ARI = 1 behind a lazy CaseWhen (rule 21a).
+    Q("q214_cluster_agreement", Some(clusterAgreementOracle),
+      (s, d) => {
+        val dd = docs(s, d)
+        def complete(cc: org.apache.spark.sql.DataFrame) =
+          dd.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        val mh = Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(dd, threshold = 0.5, maxDf = 20)
+            .select(col("id_a"), col("id_b")))
+        val wn = Dedup.connectedComponents(
+          Dedup.winnowingPairs(dd, oracleHash = true)
+            .select(col("id_a"), col("id_b")))
+        graft.operators.Curation.adjustedRandIndex(complete(mh), complete(wn))
+      }),
+
     // cross-source duplication matrix (q211): which source is
     // mirroring which — per unordered source pair, clusters spanning
     // both and the cross-source near-dup pair count (diagonal =
@@ -1297,40 +1321,98 @@ object DedupQueries {
     * minima via a per-doc positional range join, then the df-capped
     * fingerprint inverted index. Every constant interpolates from the
     * operator's own vals. */
-  private lazy val winnowingOracle: String = {
+  /** The d62 chain as prefixable CTEs ending in `<p>wpairs` (id_a,
+    * id_b, n_shared) — prefixed so q214 can compose it beside the
+    * `ngramPairCtes` chain without CTE-name collisions (both use
+    * keep/fil bare). */
+  private def winnowingPairCtesFor(p: String): String = {
     import graft.operators.Dedup.{winnowK, winnowMaxDf, winnowMinShared, winnowW}
-    s"""WITH tk AS (
+    s"""${p}tk AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |  FROM documents),
-       |shl AS (
+       |${p}shl AS (
        |  SELECT doc_id, list_filter(
        |    list_transform(range(0, greatest(len(t) - $winnowK, 0) + 1),
        |                   i -> array_to_string(t[i+1:i+$winnowK], ' ')),
        |    s -> len(s) > 0) AS shs
-       |  FROM tk),
-       |pos AS (
+       |  FROM ${p}tk),
+       |${p}pos AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(shs) + 1),
        |           i -> {'i': i, 'sh': shs[i]})) AS p
-       |  FROM shl),
-       |hrow AS MATERIALIZED (
+       |  FROM ${p}shl),
+       |${p}hrow AS MATERIALIZED (
        |  SELECT doc_id, i, ${signWrap(polyHashSql("sh"))} AS h FROM (
-       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM pos)),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM hrow GROUP BY doc_id),
-       |wj AS (SELECT doc_id, unnest(range(1, n - $winnowW + 2)) AS j
-       |       FROM cnt WHERE n >= $winnowW),
-       |wmins AS (
-       |  SELECT wj.doc_id AS doc_id, wj.j AS j, min(hrow.h) AS fp
-       |  FROM wj JOIN hrow ON hrow.doc_id = wj.doc_id
-       |    AND hrow.i >= wj.j AND hrow.i < wj.j + $winnowW
+       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM ${p}pos)),
+       |${p}cnt AS (SELECT doc_id, count(*) AS n FROM ${p}hrow GROUP BY doc_id),
+       |${p}wj AS (SELECT doc_id, unnest(range(1, n - $winnowW + 2)) AS j
+       |       FROM ${p}cnt WHERE n >= $winnowW),
+       |${p}wmins AS (
+       |  SELECT wj.doc_id AS doc_id, wj.j AS j, min(h.h) AS fp
+       |  FROM ${p}wj wj JOIN ${p}hrow h ON h.doc_id = wj.doc_id
+       |    AND h.i >= wj.j AND h.i < wj.j + $winnowW
        |  GROUP BY 1, 2),
-       |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wmins),
-       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $winnowMaxDf),
-       |fil AS MATERIALIZED (
-       |  SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-       |FROM fil a JOIN fil b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
+       |${p}fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM ${p}wmins),
+       |${p}keep AS (SELECT fp FROM ${p}fps GROUP BY fp
+       |            HAVING count(*) <= $winnowMaxDf),
+       |${p}fil AS MATERIALIZED (
+       |  SELECT f.doc_id, f.fp FROM ${p}fps f JOIN ${p}keep USING (fp)),
+       |${p}wpairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM ${p}fil a JOIN ${p}fil b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared)""".stripMargin
+  }
+
+  private lazy val winnowingOracle: String =
+    s"""WITH ${winnowingPairCtesFor("")}
+       |SELECT id_a, id_b, n_shared FROM wpairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** q214: d44's recursive-CC replay (asg) beside the w-prefixed d62
+    * chain pushed through its own recursive CC (wasg), singleton
+    * completion, the contingency table, and the ARI double DAG —
+    * mirrored op-for-op with the Spark side including the /2 and the
+    * n·(n−1) product order. */
+  private lazy val clusterAgreementOracle: String = {
+    val e = """CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE)
+              |           / (CAST(n AS DOUBLE) * (n - 1))""".stripMargin
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |${winnowingPairCtesFor("w")},
+       |wedges AS MATERIALIZED (
+       |  SELECT id_a AS s, id_b AS d FROM wwpairs
+       |  UNION ALL SELECT id_b, id_a FROM wwpairs),
+       |wwalk(id, lbl) AS (
+       |  SELECT s, s FROM wedges
+       |  UNION
+       |  SELECT e.s, w.lbl FROM wedges e JOIN wwalk w ON w.id = e.d),
+       |wasg AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+       |         FROM wwalk GROUP BY id),
+       |pa AS MATERIALIZED (
+       |  SELECT d.doc_id, coalesce(asg.cluster_id, d.doc_id) AS x
+       |  FROM documents d LEFT JOIN asg USING (doc_id)),
+       |pb AS MATERIALIZED (
+       |  SELECT d.doc_id, coalesce(wasg.cluster_id, d.doc_id) AS y
+       |  FROM documents d LEFT JOIN wasg USING (doc_id)),
+       |cont AS MATERIALIZED (
+       |  SELECT x, y, count(*) AS nij
+       |  FROM pa JOIN pb USING (doc_id) GROUP BY 1, 2),
+       |s1 AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |         sum(CAST(nij AS HUGEINT) * (nij - 1)) AS sij2 FROM cont),
+       |s2 AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS sa2
+       |       FROM (SELECT sum(nij) AS ai FROM cont GROUP BY x)),
+       |s3 AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1)) AS sb2
+       |       FROM (SELECT sum(nij) AS bj FROM cont GROUP BY y))
+       |SELECT n AS n_items,
+       |  CAST(sa2 AS DOUBLE) AS sa2, CAST(sb2 AS DOUBLE) AS sb2,
+       |  CAST(sij2 AS DOUBLE) AS sij2,
+       |  CASE WHEN (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)) / 2.0e0
+       |         - $e = 0 THEN 1.0e0
+       |    ELSE (CAST(sij2 AS DOUBLE) - $e)
+       |      / ((CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)) / 2.0e0
+       |         - $e)
+       |  END AS ari
+       |FROM s1, s2, s3
+       |ORDER BY n_items""".stripMargin
   }
 
   /** d68: positional replay of Dedup.cdcChunkStats — the d62 window

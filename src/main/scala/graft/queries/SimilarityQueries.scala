@@ -94,6 +94,14 @@ object SimilarityQueries {
           .orderBy(col("q_id"))
       }),
 
+    // semantic benchmark decontamination (d69): d45's check in
+    // embedding space — per corpus vector the max cosine against the
+    // benchmark set (vec_id < 5) and a flag at 0.8, nearest item with
+    // id tiebreak. Catches the paraphrase/translation leakage that
+    // shares no n-grams. Threshold literal through dlit (rule 14).
+    Q("d69_semantic_decontam", Some(semanticDecontamOracle),
+      (s, d) => Similarity.semanticDecontam(emb(s, d))),
+
     // margin-based bitext mining (s65): the CCMatrix/LASER criterion —
     // cos minus each side's mean k-NN cosine (hubness-cancelling
     // "distance" margin), mutual argmax across the two parity sides.
@@ -635,6 +643,26 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** d69: the same cosine fold, max/argmax via a rank window with the
+    * id tiebreak, flag compared against the dlit'd threshold. */
+  private lazy val semanticDecontamOracle: String =
+    s"""WITH bench AS (
+       |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+       |  WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT e.vec_id, b.b_id,
+       |         ${cosSql("b.b_emb", "e.embedding")} AS cos
+       |  FROM embeddings e JOIN bench b ON e.vec_id <> b.b_id
+       |  WHERE e.vec_id >= 5),
+       |ranked AS (
+       |  SELECT vec_id, b_id, cos, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, b_id) AS r
+       |  FROM scored)
+       |SELECT vec_id, b_id AS nearest_bench, cos AS max_cos,
+       |       cos >= ${dlit(0.8)} AS flagged
+       |FROM ranked WHERE r = 1
+       |ORDER BY vec_id""".stripMargin
 
   /** s65: textual mirror of Similarity.bitextMine — the same cosine
     * fold, floor-scaled k-NN neighborhood sums (exact ints), the same

@@ -143,7 +143,7 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch) " +
       s"us_per_event=$usPerEvent (~${600000000L / usPerEvent} events in the 10-min state window)")
-    // optional 4th arg: comma-separated stage keys (join,cdc,q153,q154,q158,q161)
+    // optional 4th arg: comma-separated stage keys (join,cdc,q153,q154,q158,q161,s67)
     // — the r9 stages (join/cdc) are ~6 min at 10M events; per-stage
     // runs let the new ingest loops be measured without re-paying them
     val stageFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
@@ -162,6 +162,7 @@ object StreamScaleProbe {
     if (on("q153")) q153Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
     if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
     if (on("q158")) q158Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
+    if (on("s67")) s67Stage(spark, collector, out, nVec = math.max(100000L, n / 20L))
 
     spark.streams.removeListener(collector)
     spark.stop()
@@ -432,6 +433,92 @@ object StreamScaleProbe {
       s"store-path recall broke across batches: $dupFlagged/$dupTotal")
     println(s"[sprobe] q153 recall $dupFlagged/$dupTotal across 5 dup batches; " +
       s"store grew $sigBase → ${sigBase + appended} signatures (survivors only) — OK")
+  }
+
+  /** s67 at volume: the streaming vector-ingest loop against a growing
+    * IVF store. Scale claims measured: (1) FLATNESS — the write path is
+    * one projection + one partition-local parquet write per batch, so
+    * trigger latency must not grow as the postings accumulate; (2)
+    * exactly-once — the final postings count equals base + arrivals
+    * exactly (batch-keyed overwrite subdirs); (3) serving — a query
+    * whose near-dups arrived spread across every batch must get ALL of
+    * them back from the store at top ranks. Run the stage alone (the
+    * flatness read uses the shared listener). */
+  private def s67Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      out: String, nVec: Long): Unit = {
+    // stage is re-runnable: a stale checkpoint from a prior run would
+    // mark the staged files already-processed against a REBUILT base
+    // (zero ingested batches, postings assert trips on the wrong thing)
+    Seq("s67_ivf", "s67_in", "s67_chk").foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$out/$d"))
+    }
+    val dims = sequence(lit(1), lit(64))
+    def comp(seed: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+        - lit(1.0)).cast("float")
+    val base = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(dims, i => comp(col("id") * 64 + i)).as("embedding"),
+      lit(0).as("label"))
+    val index = s"$out/s67_ivf"
+    time("s67 base index build")(
+      graft.operators.Similarity.writeIvfIndex(base, index))
+    val batches = 10
+    val bSize = nVec / 25
+    println(s"[sprobe] s67 base=$nVec vectors, $batches batches x " +
+      s"${bSize + 1} arrivals (1 planted near-dup of vec 0 per batch)")
+    val staged = (0 until batches).map { b =>
+      val off = nVec + b.toLong * bSize
+      spark.range(bSize).select((col("id") + off).as("vec_id"),
+          transform(dims, i => comp((col("id") + off) * 64 + i))
+            .as("embedding"),
+          lit(0).as("label"))
+        .unionByName(spark.range(1).select(
+          lit(10 * nVec + b).cast("long").as("vec_id"),
+          // lit(0L) * 64 + i keeps the seed LONG: xxhash64 is
+          // type-sensitive, so an INT seed would hash to an unrelated
+          // vector instead of vec 0's (the s43 stage's exact idiom)
+          transform(dims, i => (comp(lit(0L) * 64 + i) + lit(0.004f))
+            .cast("float")).as("embedding"),
+          lit(0).as("label")))
+        .localCheckpoint()
+    }
+    time("s67 batch staging")(stageFrames(staged, s"$out/s67_in"))
+    time(s"s67 streaming ingest, $batches micro-batches") {
+      val q = graft.streaming.IngestVectors.start(
+        spark, s"$out/s67_in", index, s"$out/s67_chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val trig = collector.triggerMs
+    if (trig.size >= 6) {
+      val head3 = trig.take(3).sum.toDouble / 3
+      val tail3 = trig.takeRight(3).sum.toDouble / 3
+      require(tail3 <= 2 * head3 + 500,
+        s"s67 per-batch latency grew with store size: " +
+          s"first3=$head3 ms last3=$tail3 ms")
+    }
+    collector.report("s67 vector ingest")
+    val total = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/cells").count()
+    require(total == nVec + batches * (bSize + 1),
+      s"s67 postings count off (not exactly-once?): $total")
+    // nProbe = 16 (all cells): this asserts the arrivals are PRESENT
+    // and SERVABLE through the store search path — quantizer recall on
+    // RANDOM vectors is meaningless (sign-bucket centroids of isotropic
+    // noise are ~zero, so centroid-cosine probe order is arbitrary;
+    // measured: the planted copies share the query's cell, but that
+    // cell ranks outside any top-2 probe), and recall-vs-nProbe has its
+    // own probes (s43/s60) on clustered data where probing works.
+    val got = graft.operators.Similarity.searchIvfIndex(spark,
+      base.filter(col("vec_id") === 0), index, k = batches, nProbe = 16)
+      .collect().map(_.getLong(1)).toSet
+    val want = (0 until batches).map(b => 10 * nVec + b).toSet
+    println(s"[sprobe] s67 postings=$total " +
+      s"planted arrivals served=${got.intersect(want).size}/$batches")
+    require(got == want, s"s67 planted arrivals not served: $got")
   }
 
   /** q158 at volume (r10 verdict #5 — the last ingest loop without a

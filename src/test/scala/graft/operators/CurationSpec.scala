@@ -551,6 +551,27 @@ class CurationSpec extends SparkSpec {
     assert(m.getDouble(3) === (10.0 * 9 + 20.0 * 19) / 30.0)
   }
 
+  // ---- Adjusted Rand Index (q214) ----
+
+  test("adjustedRandIndex: hand-computed, identity = 1, singleton guard") {
+    def part(assign: Seq[(Long, Long)]) = assign.toDF("doc_id", "cluster_id")
+    val a = part(Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 3L))
+    val b = part(Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
+    val r = Curation.adjustedRandIndex(a, b).collect()(0)
+    assert(r.getLong(0) === 6L)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) === ((6.0, 12.0, 4.0)))
+    val e = 6.0 * 12.0 / (6.0 * 5)
+    assert(r.getDouble(4) === (4.0 - e) / ((6.0 + 12.0) / 2.0 - e))
+    // identical partitions score exactly 1
+    val same = Curation.adjustedRandIndex(a, a).collect()(0)
+    assert(same.getDouble(4) === 1.0)
+    // two all-singleton partitions are identical: the degenerate
+    // denominator pins to 1 instead of throwing (ANSI rule 21a)
+    val singles = part((1L to 6L).map(i => i -> (i + 10L)))
+    val deg = Curation.adjustedRandIndex(singles, singles).collect()(0)
+    assert(deg.getDouble(4) === 1.0)
+  }
+
   // ---- self-BLEU-style corpus overlap precision (t77) ----
 
   test("selfOverlapPrecision: hand-computed clipped counts, both gram keys") {

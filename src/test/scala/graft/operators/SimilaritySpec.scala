@@ -402,6 +402,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(7L) === ((1L, "border", 5L)))
   }
 
+  // ---- semantic decontamination (d69) ----
+
+  test("semanticDecontam flags the planted paraphrase, passes orthogonal docs") {
+    // bench: ids 0-4 on distinct axes; corpus: 10 = jittered copy of
+    // bench 2 (the paraphrase), 11 = orthogonal, 12 = mild mixture
+    def axis(i: Int, extra: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(8)(0f); v(i) = 1f
+      extra.foreach { case (j, x) => v(j) += x }; v
+    }
+    val emb = Seq(
+      (0L, axis(0)), (1L, axis(1)), (2L, axis(2)), (3L, axis(3)), (4L, axis(4)),
+      (10L, axis(2, 5 -> 0.05f)), // near-copy of bench 2
+      (11L, axis(6)), // orthogonal to every bench item
+      (12L, axis(0, 1 -> 1f)) // equal mixture of bench 0 and 1: cos ~ 0.707
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontam(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(10L)._1 === 2L && out(10L)._3, s"paraphrase must flag: $out")
+    assert(out(10L)._2 > 0.99)
+    assert(out(11L)._2 === 0.0 && !out(11L)._3)
+    assert(out(11L)._1 === 0L, "tie on cos 0 breaks to the smallest bench id")
+    assert(!out(12L)._3, "a 0.707 mixture stays under the 0.8 cut")
+    assert(out(12L)._1 === 0L)
+  }
+
   // ---- margin-based bitext mining (s65) ----
 
   /** The hubness construction the margin criterion exists for: every
