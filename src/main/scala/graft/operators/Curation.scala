@@ -113,6 +113,59 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Ordered filter-funnel attrition report — the per-stage survival
+    * table every corpus build publishes (the C4/Gopher/RefinedWeb
+    * papers all report it): documents flowing through language →
+    * length → mean-word-length → stopword → repetition → exact-dedup
+    * gates IN ORDER, with survivors, per-stage removals, the stage
+    * attrition rate and cumulative survival. Gates reuse
+    * [[gopherFilters]]' exact flags; the dedup keeper is min doc_id
+    * per canonical fingerprint (the d36 contract).
+    *
+    * Scale shape: flags are one codegen pass; the keeper map is one
+    * fingerprint groupBy + an equi-join back; the funnel itself is ONE
+    * conditional aggregate (7 sums in one pass) fanned out to stage
+    * rows by a 7-arm union over the 1-row frame. Rates are single
+    * divisions of exact int64s with zero-denominator guards (ANSI,
+    * rule 21a). */
+  def filterFunnel(docs: DataFrame, lang: String = "en"): DataFrame = {
+    val flags = gopherFilters(docs)
+      .select(col("doc_id"), col("len_ok"), col("mean_len_ok"),
+        col("stop_ok"), col("rep_ok"))
+    val withFp = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.canonicalFingerprint(col("text")).as("fp"))
+    val keepers = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val g = withFp.join(flags, Seq("doc_id")).join(keepers, Seq("fp"))
+      .select(col("doc_id"),
+        (col("lang") === lang).as("g1"), col("len_ok").as("g2"),
+        col("mean_len_ok").as("g3"), col("stop_ok").as("g4"),
+        col("rep_ok").as("g5"), (col("doc_id") === col("keep_id")).as("g6"))
+    def surv(k: Int): Column = {
+      val cond = (1 to k).map(i => col(s"g$i")).reduceOption(_ && _)
+      cond.map(c => sum(when(c, 1L).otherwise(0L)))
+        .getOrElse(count(lit(1)).cast("long"))
+    }
+    val row = g.agg(surv(0).as("s0"), surv(1).as("s1"), surv(2).as("s2"),
+      surv(3).as("s3"), surv(4).as("s4"), surv(5).as("s5"), surv(6).as("s6"))
+      .materializeOnce() // feeds all seven stage arms
+    val names = Seq("raw", "language", "length", "mean_word_len",
+      "stopword", "repetition", "exact_dedup")
+    names.zipWithIndex.map { case (nm, k) =>
+      val s = col(s"s$k")
+      val prev = if (k == 0) s else col(s"s${k - 1}")
+      row.select(lit(k.toLong).as("stage_ord"), lit(nm).as("stage"),
+        s.as("survivors"),
+        (if (k == 0) lit(0L) else (prev - s)).as("removed"),
+        (if (k == 0) lit(0.0)
+         else when(prev === 0L, lit(0.0))
+           .otherwise((prev - s).cast("double") / prev.cast("double")))
+          .as("attrition_rate"),
+        when(col("s0") === 0L, lit(0.0))
+          .otherwise(s.cast("double") / col("s0").cast("double"))
+          .as("cum_survival"))
+    }.reduce(_ unionByName _).orderBy(col("stage_ord"))
+  }
+
   /** Agreement audit between two document filters — the QA step a
     * pipeline runs when swapping one quality gate for another (e.g. a
     * heuristic score replacing the Gopher rules): confusion counts of

@@ -373,6 +373,15 @@ object TextQueries {
         |FROM m ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.Curation.gopherFilters(docs(s, d))),
 
+    // filter-funnel attrition report (t80): the per-stage survival
+    // table a corpus build publishes — language → length → mean-len →
+    // stopword → repetition → exact-dedup gates IN ORDER, survivors /
+    // removed / attrition / cumulative survival per stage. Gates are
+    // t42's exact flags; keeper = min doc_id per canonical fingerprint
+    // (d36); one conditional aggregate fanned to 7 stage rows.
+    Q("t80_filter_funnel", Some(filterFunnelOracle),
+      (s, d) => graft.operators.Curation.filterFunnel(docs(s, d))),
+
     // DSIR-style importance weights (Xie et al., NeurIPS 2023): hashed-
     // unigram target-vs-source feature mass per document, target =
     // English docs. Gate runs oracle-hash mode (rolling-hash polynomial,
@@ -1735,6 +1744,66 @@ object TextQueries {
        |  CAST(tvd_num AS DOUBLE) / CAST(a_tot AS DOUBLE)
        |    / CAST(b_tot AS DOUBLE) / 2.0 AS tvd
        |FROM s WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  /** t80: t42's metric CTE plus the canonical-fingerprint keeper map,
+    * the 7 funnel sums in one aggregate, stage rows generated as a
+    * UNION ALL over the 1-row frame (arms built in Scala — one stage
+    * list, both engines). */
+  private lazy val filterFunnelOracle: String = {
+    val names = Seq("raw", "language", "length", "mean_word_len",
+      "stopword", "repetition", "exact_dedup")
+    def survSql(k: Int): String =
+      if (k == 0) "count(*)"
+      else "CAST(sum(CASE WHEN " +
+        (1 to k).map(i => s"g$i").mkString(" AND ") +
+        " THEN 1 ELSE 0 END) AS BIGINT)"
+    val sums = (0 to 6).map(k => s"${survSql(k)} AS s$k").mkString(",\n  ")
+    val arms = names.zipWithIndex.map { case (nm, k) =>
+      val prev = if (k == 0) s"s$k" else s"s${k - 1}"
+      val removed = if (k == 0) "CAST(0 AS BIGINT)" else s"$prev - s$k"
+      val attr =
+        if (k == 0) "0.0e0"
+        else s"""CASE WHEN $prev = 0 THEN 0.0e0
+                |    ELSE CAST($prev - s$k AS DOUBLE) / CAST($prev AS DOUBLE)
+                |    END""".stripMargin
+      s"""SELECT CAST($k AS BIGINT) AS stage_ord, '$nm' AS stage,
+         |  s$k AS survivors, $removed AS removed,
+         |  $attr AS attrition_rate,
+         |  CASE WHEN s0 = 0 THEN 0.0e0
+         |    ELSE CAST(s$k AS DOUBLE) / CAST(s0 AS DOUBLE) END
+         |    AS cum_survival
+         |FROM r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT doc_id, text, lang,
+       |         string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6)
+       |    AS mean_word_len,
+       |  round(len(list_filter(w, x -> x IN
+       |    ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+       |        / len(w), 6) AS stop_frac,
+       |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6)
+       |    AS dup_word_frac,
+       |  md5(array_to_string(list_sort(w), ' ')) AS fp
+       |  FROM s),
+       |kp AS (SELECT fp, min(doc_id) AS keep_id FROM m GROUP BY fp),
+       |g AS (SELECT m.doc_id,
+       |  m.lang = 'en' AS g1,
+       |  m.n_words >= 25 AND m.n_words <= 200 AS g2,
+       |  m.mean_word_len >= 3.0 AND m.mean_word_len <= 12.0 AS g3,
+       |  m.stop_frac >= 0.02 AS g4,
+       |  m.dup_word_frac <= 0.55 AS g5,
+       |  m.doc_id = kp.keep_id AS g6
+       |  FROM m JOIN kp USING (fp)),
+       |r AS MATERIALIZED (SELECT
+       |  $sums
+       |FROM g)
+       |$arms
+       |ORDER BY stage_ord""".stripMargin
+  }
 
   /** t78: the positional-postings mirror of Retrieval.phraseSearch —
     * per-phrase arm CTEs generated from the SAME phraseQueries list

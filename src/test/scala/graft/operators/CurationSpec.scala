@@ -551,6 +551,31 @@ class CurationSpec extends SparkSpec {
     assert(m.getDouble(3) === (10.0 * 9 + 20.0 * 19) / 30.0)
   }
 
+  // ---- filter funnel (t80) ----
+
+  test("filterFunnel: one victim per stage, hand-computed attrition") {
+    val good = "the " + (1 to 25).map(i => f"word$i%02d").mkString(" ")
+    val docs = Seq(
+      (0L, good, "en"),                                    // survives all
+      (1L, good, "en"),                                    // exact dup of 0
+      (2L, good, "fr"),                                    // language gate
+      (3L, "the word01 word02", "en"),                     // length gate
+      (4L, (1 to 26).map(i => f"word$i%02d").mkString(" "), "en"), // no stopword
+      (5L, "the " + ("word01 " * 24).trim + " word02", "en") // repetition
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.filterFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, "raw", 6L, 0L), (1L, "language", 5L, 1L),
+      (2L, "length", 4L, 1L), (3L, "mean_word_len", 4L, 0L),
+      (4L, "stopword", 3L, 1L), (5L, "repetition", 2L, 1L),
+      (6L, "exact_dedup", 1L, 1L)))
+    val rates = Curation.filterFunnel(docs).collect()
+      .map(r => (r.getDouble(4), r.getDouble(5)))
+    assert(rates(1)._1 === 1.0 / 6 && rates(6)._1 === 0.5)
+    assert(rates(6)._2 === 1.0 / 6)
+  }
+
   // ---- Adjusted Rand Index (q214) ----
 
   test("adjustedRandIndex: hand-computed, identity = 1, singleton guard") {
