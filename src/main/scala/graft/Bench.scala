@@ -117,7 +117,7 @@ object Bench {
     * a sink query writes into it is the query's own work, not
     * staging.) */
   private[graft] val warmedStagingHelpers: Set[String] = Set(
-    "signatureStoreDir", "imageStoreDir", "ivfIndexDir", "ivfInsertDir",
+    "signatureStoreDir", "imageStoreDir", "ivfIndexDir", "ivfInsertDir", "ivfDeleteDir",
     "driftBaselineDir", "eventsDir", "bucketedTable", "bucketedJoin")
 
   /** Run every one-time lazy staging path once, UNTIMED (VERDICT r9
@@ -143,6 +143,7 @@ object Bench {
     step("imgstore")(graft.queries.Staging.imageStoreDir(spark, sfDir))
     step("ivfindex")(graft.queries.Staging.ivfIndexDir(spark, sfDir))
     step("ivfinsert")(graft.queries.Staging.ivfInsertDir(spark, sfDir))
+    step("ivfdelete")(graft.queries.Staging.ivfDeleteDir(spark, sfDir))
     step("driftbase")(graft.queries.Staging.driftBaselineDir(spark, sfDir))
     step("events")(graft.queries.Staging.eventsDir(sfDir))
     System.err.println(

@@ -579,7 +579,10 @@ object Similarity {
     import java.nio.file.{Files, Paths}
     val cellsDir = s"$path/cells"
     val tmp = s"$path/cells_compacting"
-    spark.read.option("recursiveFileLookup", "true").parquet(cellsDir)
+    // compaction applies tombstones physically: the rewrite reads the
+    // LIVE view, so deleted postings drop out of the new files and the
+    // tombstone set can be cleared in the same swap
+    livePostings(spark, path)
       .repartition(files, col("cell"))
       .write.mode("overwrite").parquet(tmp)
     val old = Paths.get(s"$path/cells_old")
@@ -589,6 +592,7 @@ object Similarity {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(old.toFile)
+    rm(new java.io.File(s"$path/tombstones"))
   }
 
   /** IVF search against a PERSISTED index (s51) — identical output to
@@ -601,9 +605,35 @@ object Similarity {
       spark: SparkSession, queries: DataFrame, path: String,
       k: Int, nProbe: Int = 2): DataFrame =
     ivfSearchCore(
-      spark.read.option("recursiveFileLookup", "true").parquet(s"$path/cells"),
+      livePostings(spark, path),
       spark.read.parquet(s"$path/centroids"),
       queries, k, nProbe)
+
+  /** The index's live postings: cells minus tombstones (s68). The
+    * tombstone set is tiny relative to the postings (deletes between
+    * compactions), so the anti-join broadcasts; an index with no
+    * tombstone dir reads exactly as before. */
+  private def livePostings(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/cells")
+    if (!new java.io.File(s"$path/tombstones").exists()) cells
+    else cells.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Logical delete from a persisted IVF index (s68 — the third
+    * lifecycle verb beside [[appendIvfIndex]] and [[compactIvfIndex]],
+    * the standard LSM-ish tombstone pattern): deleted ids append to a
+    * tombstone set that [[searchIvfIndex]] anti-joins at read time; no
+    * postings rewrite on the delete path. [[compactIvfIndex]] later
+    * applies tombstones physically and clears them. Idempotent by
+    * construction (the tombstone set is a set — re-deleting an id, or
+    * an at-least-once retry, changes nothing a reader can observe). */
+  def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
 
   private def ivfSearchCore(
       cells: DataFrame, centroids: DataFrame, queries: DataFrame,

@@ -225,6 +225,17 @@ object SimilarityQueries {
         s, emb(s, d).filter(col("vec_id") < 5),
         Staging.ivfInsertDir(s, d), k = 10, nProbe = 2)),
 
+    // tombstone delete from the IVF store (s68): the third lifecycle
+    // verb — deleted ids append to a tombstone set the search
+    // anti-joins at read time (no postings rewrite on the delete
+    // path); compaction applies them physically. The oracle is the
+    // s66 arm with the tombstoned slice simply absent — logical
+    // delete must be observationally identical to never-ingested.
+    Q("s68_ivf_delete", Some(ivfDeleteOracle),
+      (s, d) => Similarity.searchIvfIndex(
+        s, emb(s, d).filter(col("vec_id") < 5),
+        Staging.ivfDeleteDir(s, d), k = 10, nProbe = 2)),
+
     // streaming vector ingest into the IVF store (s67): the s66 insert
     // run as an online loop — the delta arrives as two file batches,
     // each cell-assigned by the frozen quantizer and idempotently
@@ -1129,13 +1140,23 @@ object SimilarityQueries {
   private lazy val ivfInsertOracle: String =
     knnIvfOracleFor("WHERE vec_id < 5 OR vec_id >= 100")
 
-  private def knnIvfOracleFor(centroidWhere: String): String = {
+  /** s68: the s66 store with the tombstoned slice gone — the recompute
+    * arm for delete-then-serve is simply "those rows never existed"
+    * (centroids unaffected: the deleted ids are delta, never trained
+    * on). Bounds interpolate from Staging's constants. */
+  private lazy val ivfDeleteOracle: String =
+    knnIvfOracleFor("WHERE vec_id < 5 OR vec_id >= 100",
+      s"WHERE NOT (vec_id >= ${Staging.ivfDeleteLo} " +
+        s"AND vec_id < ${Staging.ivfDeleteHi})")
+
+  private def knnIvfOracleFor(centroidWhere: String,
+      cellsWhere: String = ""): String = {
     val dim = 64
     val sumCols = fpSumColsSql(dim)
     val centroid = fpCentroidSql(dim)
     s"""WITH cells AS (
        |  SELECT vec_id, embedding, ${sigSql("embedding", ivfPlanes)} AS cell
-       |  FROM embeddings),
+       |  FROM embeddings $cellsWhere),
        |csum AS (
        |  SELECT cell, count(*) AS n,
        |         $sumCols

@@ -99,6 +99,34 @@ object Staging {
       dir.toString
     })
 
+  /** The s68 tombstoned id range [lo, hi) — one definition for the
+    * staging delete AND the generated oracle filter. A strict subset of
+    * the delta (5 ≤ id < 100), so the frozen quantizer is unaffected. */
+  val ivfDeleteLo: Long = 5L
+  val ivfDeleteHi: Long = 30L
+
+  private val ivfDeleteDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-JVM IVF index for the s68 gate: the s66 construction (base
+    * quantizer + appended delta) plus a tombstone delete of
+    * [ivfDeleteLo, ivfDeleteHi) — deletes stay logical until a
+    * compaction; the gate serves THROUGH the tombstones. */
+  def ivfDeleteDir(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    ivfDeleteDirs.getOrElseUpdate(sfDir, {
+      val dir = Files.createTempDirectory("graft_ivfdelete")
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      graft.operators.Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") < 5 || col("vec_id") >= 100), dir.toString)
+      graft.operators.Similarity.appendIvfIndex(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 100), dir.toString)
+      graft.operators.Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") >= ivfDeleteLo && col("vec_id") < ivfDeleteHi)
+          .select(col("vec_id")), dir.toString)
+      rmOnExit(dir)
+      dir.toString
+    })
+
   private val driftDirs = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Per-JVM persisted drift baseline for the t52 gate: the English

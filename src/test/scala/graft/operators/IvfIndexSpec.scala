@@ -132,6 +132,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows() === before, "compaction changed search results")
   }
 
+  test("tombstone delete: logical = never-ingested; compaction applies + clears (s68)") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    Similarity.writeIvfIndex(emb, dir)
+    // plant a near-dup of query 0, then delete it: it must vanish
+    val q0 = emb.filter(col("vec_id") === 0).collect()(0)
+    val jit = q0.getSeq[Float](1).toArray
+      .zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
+    Similarity.appendIvfIndex(
+      Seq((88888L, jit)).toDF("vec_id", "embedding").withColumn("label", lit(0)),
+      dir, subdir = Some("batch_0"))
+    def rows() = Similarity.searchIvfIndex(spark, queries, dir, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(rows().exists(_(1) == 88888L), "planted arrival must serve first")
+    Similarity.deleteFromIvfIndex(Seq(88888L).toDF("vec_id"), dir)
+    val afterDelete = rows()
+    assert(!afterDelete.exists(_(1) == 88888L), "tombstoned id still served")
+    // idempotent: re-deleting changes nothing a reader can observe
+    Similarity.deleteFromIvfIndex(Seq(88888L).toDF("vec_id"), dir)
+    assert(rows() === afterDelete)
+    // compaction applies the tombstones physically and clears them
+    Similarity.compactIvfIndex(spark, dir, files = 2)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must clear the tombstone set")
+    assert(rows() === afterDelete, "compaction changed the live view")
+    val remaining = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/cells").filter(col("vec_id") === 88888L).count()
+    assert(remaining === 0L, "compaction left the deleted posting on disk")
+  }
+
   test("an inserted near-dup of a query becomes servable at rank 1") {
     import spark.implicits._
     val emb = graft.Tables.load(spark, sf0001, "embeddings")
