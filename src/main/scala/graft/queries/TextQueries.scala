@@ -382,6 +382,32 @@ object TextQueries {
     Q("t80_filter_funnel", Some(filterFunnelOracle),
       (s, d) => graft.operators.Curation.filterFunnel(docs(s, d))),
 
+    // tokenizer fertility by language (t81): subword-ish tokens per
+    // whitespace word, per language — the table a team reads before
+    // committing to a tokenizer (high fertility = that language pays
+    // more compute per word; the multilingual-tokenizer-fairness
+    // readout of Ács/Petrov-style analyses). Exact int64 sums, one
+    // division per row (rule 17); one corpus pass, 5-row output.
+    Q("t81_token_fertility", Some(
+      """WITH a AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_words,
+        |    CAST(sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpeish
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_bpeish,
+        |  CAST(n_bpeish AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+        |FROM a ORDER BY lang""".stripMargin),
+      (s, d) => docs(s, d).groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("n_words"),
+          sum(bpeishTokenCount(col("text")).cast("long")).as("n_bpeish"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpeish"),
+          (col("n_bpeish").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+        .orderBy(col("lang"))),
+
     // DSIR-style importance weights (Xie et al., NeurIPS 2023): hashed-
     // unigram target-vs-source feature mass per document, target =
     // English docs. Gate runs oracle-hash mode (rolling-hash polynomial,

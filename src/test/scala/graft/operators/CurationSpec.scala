@@ -551,6 +551,24 @@ class CurationSpec extends SparkSpec {
     assert(m.getDouble(3) === (10.0 * 9 + 20.0 * 19) / 30.0)
   }
 
+  // ---- tokenizer fertility (t81's arithmetic, spec'd directly) ----
+
+  test("token fertility: subword segmentation counts per language, hand-computed") {
+    import graft.functions.TextFunctions.{bpeishTokenCount, tokenCount}
+    // "hello, world! 123abc" → 3 whitespace words; bpe-ish splits to
+    // hello , world ! 123 abc = 6 → fertility 2.0; the plain doc stays 1.0
+    val docs = Seq(
+      (0L, "hello, world! 123abc", "xx"),
+      (1L, "plain words only here", "yy")
+    ).toDF("doc_id", "text", "lang")
+    val out = docs.groupBy(col("lang")).agg(
+        sum(tokenCount(col("text")).cast("long")).as("w"),
+        sum(bpeishTokenCount(col("text")).cast("long")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("xx") === ((3L, 6L)))
+    assert(out("yy") === ((4L, 4L)))
+  }
+
   // ---- filter funnel (t80) ----
 
   test("filterFunnel: one victim per stage, hand-computed attrition") {
