@@ -1099,8 +1099,11 @@ object Curation {
     * in DECIMAL(38,0) (no Long product, no halving until the final
     * double DAG); the statistic is then one fixed shape of double ops
     * over exactly-agreed inputs, mirrored textually by the oracle, with
-    * the degenerate all-singleton case (denominator 0) pinned to the
-    * identical-partition convention ARI = 1 behind a lazy CaseWhen.
+    * BOTH degenerate cases pinned to the identical-partition convention
+    * ARI = 1 behind lazy CaseWhens: all-singleton partitions
+    * (denominator 0), and n ≤ 1 joint items (where the expectation term
+    * e would divide by n·(n−1) = 0 — ANSI throws, rule 21a, so the
+    * n ≤ 1 branch comes FIRST and keeps e unevaluated).
     *
     * Scale shape: one equi-join to the joint assignment, one groupBy to
     * contingency grain (bounded by |clusters_a|·|clusters_b| touched
@@ -1128,7 +1131,8 @@ object Curation {
         col("sa2").cast("double").as("sa2"),
         col("sb2").cast("double").as("sb2"),
         col("sij2").cast("double").as("sij2"),
-        when(denom === 0.0, lit(1.0))
+        when(col("n") <= 1, lit(1.0)) // before e: n(n-1)=0 would throw
+          .when(denom === 0.0, lit(1.0))
           .otherwise((col("sij2").cast("double") - e) / denom).as("ari"))
       .orderBy(col("n_items"))
   }

@@ -781,9 +781,15 @@ object EventAnalytics {
     * Scale shape: one groupBy user (the corpus shuffle), then the age
     * histogram; the at-risk reverse-cumulative window runs over
     * DISTINCT ages — output-sized at any corpus size (the zipfCurve /
-    * count-of-counts argument). */
+    * count-of-counts argument). That contract is ENFORCED, not assumed
+    * (r11 directive #7): every age entering the window must be a
+    * calendar-day count in [0, maxAgeDays], so the window's input is
+    * bounded by the observation horizon by construction. A caller that
+    * feeds a non-day-grain age (e.g. a raw seconds diff) fails loudly
+    * with the contract named instead of silently building the
+    * unbounded-global-window scale bug rule 23 exists to prevent. */
   def churnHazard(events: DataFrame, entity: String = "user_id",
-      ts: Column = col("ts")): DataFrame = {
+      ts: Column = col("ts"), maxAgeDays: Long = 40000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val users = events.groupBy(col(entity))
       .agg(min(to_date(ts)).as("f"), max(to_date(ts)).as("l"))
@@ -795,6 +801,14 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_at_age"),
         sum(lit(1L) - col("cens")).as("deaths"),
         sum(col("cens")).as("censored"))
+      // the guard rides on the output column so pruning can't drop it;
+      // assert_true is NULL on success, so the `when` passes age through
+      .select(when(assert_true(col("age").between(0L, maxAgeDays),
+          lit(s"churnHazard contract: age support must be calendar-day " +
+            s"grain in [0, $maxAgeDays] (got a value outside) — feed " +
+            "day-floored timestamps or raise maxAgeDays")).isNull,
+          col("age")).as("age"),
+        col("n_at_age"), col("deaths"), col("censored"))
     val atRisk = Window.orderBy(col("age"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     hist.select(col("age"), sum(col("n_at_age")).over(atRisk).as("at_risk"),

@@ -573,12 +573,26 @@ object Similarity {
     * fragment per historical batch; content is untouched — search
     * before ≡ search after is the spec-pinned contract. The swap is
     * write-to-temp + directory rename; on a real deployment the
-    * rename is the metastore/manifest commit, same shape. */
+    * rename is the metastore/manifest commit, same shape. Crash
+    * safety: stale `cells_old`/`cells_compacting` left by an
+    * interrupted prior run are deleted at entry (the live `cells`
+    * dir is never the leftover, so a retry always restarts from a
+    * consistent source); between the two moves there is a brief
+    * window with no `cells` dir — a plain-filesystem stand-in for
+    * what a manifest commit makes atomic, acceptable because
+    * compaction is the single-writer maintenance path. */
   def compactIvfIndex(spark: SparkSession, path: String,
       files: Int = 4): Unit = {
     import java.nio.file.{Files, Paths}
     val cellsDir = s"$path/cells"
     val tmp = s"$path/cells_compacting"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // re-entrancy: clear debris from a crashed earlier compaction
+    // BEFORE starting, or the moves below throw FileAlreadyExists
+    rm(new java.io.File(s"$path/cells_old"))
+    rm(new java.io.File(tmp))
     // compaction applies tombstones physically: the rewrite reads the
     // LIVE view, so deleted postings drop out of the new files and the
     // tombstone set can be cleared in the same swap
@@ -588,9 +602,6 @@ object Similarity {
     val old = Paths.get(s"$path/cells_old")
     Files.move(Paths.get(cellsDir), old)
     Files.move(Paths.get(tmp), Paths.get(cellsDir))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     rm(old.toFile)
     rm(new java.io.File(s"$path/tombstones"))
   }

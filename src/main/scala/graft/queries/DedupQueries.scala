@@ -1340,9 +1340,12 @@ object DedupQueries {
        |  SELECT doc_id, unnest(list_transform(range(1, len(shs) + 1),
        |           i -> {'i': i, 'sh': shs[i]})) AS p
        |  FROM ${p}shl),
+       |${p}uh AS MATERIALIZED ${distinctHashSql(
+             s"(SELECT p.sh AS sh FROM ${p}pos)", "sh", "h")},
        |${p}hrow AS MATERIALIZED (
-       |  SELECT doc_id, i, ${signWrap(polyHashSql("sh"))} AS h FROM (
-       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM ${p}pos)),
+       |  SELECT q.doc_id, q.i, u.h FROM (
+       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM ${p}pos) q
+       |  JOIN ${p}uh u USING (sh)),
        |${p}cnt AS (SELECT doc_id, count(*) AS n FROM ${p}hrow GROUP BY doc_id),
        |${p}wj AS (SELECT doc_id, unnest(range(1, n - $winnowW + 2)) AS j
        |       FROM ${p}cnt WHERE n >= $winnowW),
@@ -1405,7 +1408,8 @@ object DedupQueries {
        |SELECT n AS n_items,
        |  CAST(sa2 AS DOUBLE) AS sa2, CAST(sb2 AS DOUBLE) AS sb2,
        |  CAST(sij2 AS DOUBLE) AS sij2,
-       |  CASE WHEN (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)) / 2.0e0
+       |  CASE WHEN n <= 1 THEN 1.0e0
+       |    WHEN (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)) / 2.0e0
        |         - $e = 0 THEN 1.0e0
        |    ELSE (CAST(sij2 AS DOUBLE) - $e)
        |      / ((CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)) / 2.0e0
@@ -1437,9 +1441,12 @@ object DedupQueries {
        |  SELECT doc_id, unnest(list_transform(range(1, len(shs) + 1),
        |           i -> {'i': i, 'sh': shs[i]})) AS p
        |  FROM shl),
+       |huq AS MATERIALIZED ${distinctHashSql(
+             "(SELECT p.sh AS sh FROM pos)", "sh", "h")},
        |hrow AS (
-       |  SELECT doc_id, i, ${signWrap(polyHashSql("sh"))} AS h FROM (
-       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM pos)),
+       |  SELECT q.doc_id, q.i, u.h FROM (
+       |    SELECT doc_id, p.i AS i, p.sh AS sh FROM pos) q
+       |  JOIN huq u USING (sh)),
        |bnd AS (
        |  SELECT hrow.doc_id, hrow.i + $cdcK AS st
        |  FROM hrow JOIN tk ON tk.doc_id = hrow.doc_id
@@ -1457,9 +1464,10 @@ object DedupQueries {
        |    array_to_string(t[o.st:coalesce(o.nxt - 1, len(t))], ' ') AS cs,
        |    coalesce(o.nxt - 1, len(t)) - o.st + 1 AS clen
        |  FROM ord o JOIN tk ON tk.doc_id = o.doc_id),
+       |uch AS MATERIALIZED ${distinctHashSql("chunks", "cs", "ch")},
        |ch AS MATERIALIZED (
-       |  SELECT doc_id, ${signWrap(polyHashSql("cs"))} AS ch, clen
-       |  FROM chunks),
+       |  SELECT c.doc_id, u.ch AS ch, c.clen
+       |  FROM chunks c JOIN uch u USING (cs)),
        |dup AS (SELECT ch FROM ch GROUP BY ch HAVING count(*) > 1),
        |tot AS (SELECT doc_id, count(*) AS n_chunks,
        |          CAST(sum(clen) AS BIGINT) AS n_tokens
@@ -1488,7 +1496,9 @@ object DedupQueries {
        |                   i -> array_to_string(w[i:i+${n - 1}], ' '))) AS sh
        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))
        |  WHERE sh <> ''),
-       |hashed AS MATERIALIZED (SELECT doc_id, ${signWrap(polyHashSql("sh"))} AS wh FROM wins),
+       |uh AS MATERIALIZED ${distinctHashSql("wins", "sh", "wh")},
+       |hashed AS MATERIALIZED (
+       |  SELECT w.doc_id, u.wh FROM wins w JOIN uh u USING (sh)),
        |dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) > 1),
        |tot AS (SELECT doc_id, count(*) AS n_windows FROM hashed GROUP BY doc_id),
        |dpd AS (SELECT h.doc_id, count(*) AS n_dup_windows
@@ -1513,8 +1523,10 @@ object DedupQueries {
        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${n - 1}], ' ') AS win
        |  FROM (SELECT doc_id, w,
        |          unnest(range(1, greatest(len(w) - $n, 0) + 2)) AS i FROM toks)),
-       |hashed AS MATERIALIZED (SELECT doc_id, pos, ${signWrap(polyHashSql("win"))} AS wh
-       |           FROM wins WHERE win <> ''),
+       |uh AS MATERIALIZED ${distinctHashSql(
+             "(SELECT win FROM wins WHERE win <> '')", "win", "wh")},
+       |hashed AS MATERIALIZED (
+       |  SELECT w.doc_id, w.pos, u.wh FROM wins w JOIN uh u USING (win)),
        |dup AS (SELECT wh FROM hashed GROUP BY wh HAVING count(*) > 1),
        |starts AS (SELECT h.doc_id, list_sort(list(h.pos)) AS ds
        |           FROM hashed h JOIN dup USING (wh) GROUP BY h.doc_id),
@@ -1567,8 +1579,21 @@ object DedupQueries {
        |                       i -> CAST(ord($c[i]) AS HUGEINT))),
        |      (acc, x) -> (acc * 1000003 + x) % $hugeMod)""".stripMargin
 
-  /** Per-word rolling hash (the SimHash families hash a column `w`). */
-  private lazy val wordHashSql: String = polyHashSql("w")
+  /** Subquery hashing column `c` of `src` ONCE PER DISTINCT VALUE and
+    * sign-wrapping the result as `alias` (point-grain factoring, the
+    * r11-directive treatment that took the image replays 24.2 → 7.5 s,
+    * applied r12 to the polynomial-hash family — it was 14.7 s of the
+    * 55 s gate). Two structural savings over the old inline
+    * `signWrap(polyHashSql(c))`: the sign-wrap CASE no longer pastes
+    * (and re-evaluates) the whole character fold into all THREE of its
+    * references, and repeated strings — string duplication being the
+    * entire point of a dedup corpus — hash once instead of once per
+    * occurrence. Values are bit-identical; consumers equi-join back on
+    * `c`. Measured: d49's replay 4.3 → 0.4 s at sf0.01. */
+  private def distinctHashSql(src: String, c: String, alias: String): String =
+    s"""(SELECT $c, ${signWrap("hh")} AS $alias FROM (
+       |    SELECT $c, ${polyHashSql(c)} AS hh
+       |    FROM (SELECT DISTINCT $c FROM $src)))""".stripMargin
 
   /** d59 oracle: full replay of Dedup.minhashCalibration, generated
     * from the SAME ring/draw/fold constants. The 64-bit polynomial
@@ -1591,12 +1616,14 @@ object DedupQueries {
        |             i -> array_to_string(t[i+1:i+3], ' ')),
        |           s -> len(s) > 0))) AS s
        |  FROM toks),
-       |ex AS (
-       |  SELECT doc_id,
+       |ush AS MATERIALIZED (
+       |  SELECT s,
        |         ((CASE WHEN h >= $hugeSign THEN CAST(h - $hugeMod AS BIGINT)
        |                ELSE CAST(h AS BIGINT) END % $calM) + $calM) % $calM
        |           AS hs
-       |  FROM (SELECT doc_id, ${polyHashSql("s")} AS h FROM shs)),
+       |  FROM (SELECT s, ${polyHashSql("s")} AS h
+       |        FROM (SELECT DISTINCT s FROM shs))),
+       |ex AS (SELECT doc_id, hs FROM shs JOIN ush USING (s)),
        |drw(i, a, b) AS (VALUES $drawRows),
        |dmin AS (
        |  SELECT doc_id, i,
@@ -1659,23 +1686,41 @@ object DedupQueries {
 
   /** CTE chain ending in `fp(doc_id, hu)`: the unsigned 64-bit SimHash
     * fingerprint. `distinctWords` selects set-SimHash (each distinct
-    * token votes once) vs occurrence voting. */
+    * token votes once) vs occurrence voting.
+    *
+    * Replay factored to point grain (r12): the old chain hashed every
+    * word OCCURRENCE and ran 64 HUGEINT divmod CASEs per occurrence row
+    * inside the vote aggregate — the dominant cost of the d39/d42/d43
+    * replays. Now the polynomial hash AND the 64 ±1 bit extractions run
+    * once per DISTINCT word (`vbits`, vocabulary grain), and the per-doc
+    * votes are the exact integer sum Σ c·s_i over (doc, word, count)
+    * grain — occurrence voting with c = count(*), set voting with c = 1
+    * over distinct (doc, word). Same integers, same fingerprints. */
   private def simhashFpCtes(distinctWords: Boolean): String = {
-    val voteCols = (0 until 64).map(i =>
-      s"sum(CASE WHEN (h // ${pow2(i)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+    val bitCols = (0 until 64).map(i =>
+      s"CASE WHEN (hh // ${pow2(i)}) % 2 = 1 THEN 1 ELSE -1 END AS s$i")
+      .mkString(",\n         ")
+    val voteCols = (0 until 64).map(i => s"sum(c * s$i) AS v$i")
       .mkString(",\n         ")
     val fpTerms = (0 until 64).map(i =>
       s"CASE WHEN v$i > 0 THEN ${pow2(i)} ELSE CAST(0 AS HUGEINT) END")
       .mkString("\n       + ")
-    val sel = if (distinctWords) "SELECT DISTINCT doc_id, w" else "SELECT doc_id, w"
+    val cnt =
+      if (distinctWords)
+        "SELECT doc_id, w, 1 AS c FROM (SELECT DISTINCT doc_id, w FROM words)"
+      else "SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w"
     s"""words AS (
-       |  $sel FROM (
-       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-       |    FROM documents)),
-       |hashed AS (SELECT doc_id, $wordHashSql AS h FROM words),
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |wcnt AS MATERIALIZED ($cnt),
+       |vbits AS MATERIALIZED (
+       |  SELECT w,
+       |         $bitCols
+       |  FROM (SELECT w, ${polyHashSql("w")} AS hh
+       |        FROM (SELECT DISTINCT w FROM wcnt))),
        |votes AS (SELECT doc_id,
        |         $voteCols
-       |       FROM hashed GROUP BY doc_id),
+       |       FROM wcnt JOIN vbits USING (w) GROUP BY doc_id),
        |fp AS (SELECT doc_id, ($fpTerms) AS hu FROM votes)""".stripMargin
   }
 

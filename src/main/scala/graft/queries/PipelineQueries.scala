@@ -1055,12 +1055,14 @@ object PipelineQueries {
         val survivors = scoped.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        // CONTRACT: the pack window below is GLOBAL (unpartitioned →
-        // single task). Its input must stay bounded by the mix cap
-        // applied here — mixCap docs per source, a few hundred rows
-        // total. Any edit that removes/raises this cap materially must
-        // switch the packing to the partitioned Sampling.packBins
-        // (q87) instead of sending an unbounded corpus through one task.
+        // CONTRACT: the pack window inside packMixedGlobal is GLOBAL
+        // (unpartitioned → single task). Its input must stay bounded by
+        // the mix cap applied here — mixCap docs per source, a few
+        // hundred rows total — and the helper ENFORCES that with a loud
+        // per-run assert (r11 directive #7). Any edit that removes/
+        // raises this cap materially must switch the packing to the
+        // partitioned Sampling.packBins (q87) instead of sending an
+        // unbounded corpus through one task.
         val mixCap = 10
         val mixed = scoped.join(survivors, Seq("doc_id"))
           .withColumn("rn", row_number().over(
@@ -1069,13 +1071,7 @@ object PipelineQueries {
           .filter(col("rn") <= mixCap)
           .select(col("doc_id"), col("n_tokens"),
             md5(concat_ws(":", lit("s0"), col("doc_id"))).as("skey"))
-        val packWin = Window.orderBy(col("skey"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-        mixed
-          .select(col("doc_id"), col("n_tokens"),
-            floor(coalesce(sum(col("n_tokens")).over(packWin), lit(0L)) / 2048)
-              .cast("bigint").as("bin"))
-          .orderBy(col("doc_id"))
+        packMixedGlobal(mixed, maxRows = mixCap * 64L)
       }),
 
     Q("q95_json_roundtrip", Some(formatRoundtripOracle),
@@ -1664,5 +1660,36 @@ object PipelineQueries {
        |    / CAST(exd.n_exact AS DOUBLE) AS rel_err
        |FROM s JOIN exd ON s.event_type = exd.event_type
        |ORDER BY s.event_type""".stripMargin
+  }
+
+  /** q96's pack step: sequential first-fit-by-shuffled-key binning at
+    * 2048 tokens per bin over a GLOBAL (single-task) running sum —
+    * legal ONLY because the input is mix-capped to a few hundred rows.
+    * The cap is a domain contract, so it is ENFORCED here (r11
+    * directive #7), not assumed: a full-frame count rides the window's
+    * own partitioning (no extra shuffle, no extra job) and assert_true
+    * fails the query loudly — naming the partitioned swap-in — the
+    * moment anyone feeds an uncapped corpus through it. The guard is
+    * woven into the output column so column pruning cannot drop it;
+    * assert_true returns NULL on success, so `when(... .isNull, bin)`
+    * is exactly `bin` on every legal input. */
+  private[graft] def packMixedGlobal(
+      mixed: org.apache.spark.sql.DataFrame, maxRows: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packWin = Window.orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val full = Window.orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bin = floor(coalesce(sum(col("n_tokens")).over(packWin), lit(0L)) / 2048)
+      .cast("bigint")
+    mixed
+      .select(col("doc_id"), col("n_tokens"),
+        when(assert_true(count(lit(1)).over(full) <= maxRows,
+          lit(s"packMixedGlobal contract: the global pack window is " +
+            s"bounded by the mix cap (≤ $maxRows rows); an uncapped " +
+            "corpus must use the partitioned Sampling.packBins instead"))
+          .isNull, bin).as("bin"))
+      .orderBy(col("doc_id"))
   }
 }

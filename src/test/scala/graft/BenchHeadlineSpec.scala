@@ -20,23 +20,64 @@ class BenchHeadlineSpec extends AnyFunSuite {
 
   test("worst-case bench JSON line stays well under the driver's 2000-char tail") {
     // Render the actual line with pessimistic widths: every headline
-    // query present at a 3-digit-seconds value (already a broken bench),
-    // a 4-digit total, max degraded tag, 3-digit skip count.
+    // query present at the display clamp (any larger value renders
+    // identically — asserted below), a 4-digit total, max degraded tag,
+    // 3-digit skip count and rotation offset.
     val results = Bench.headline.map(_ -> 999.999) :+ ("zz_total_pad" -> 9999.999)
     val line = Bench.renderLine(results, Nil, warmed = false,
       degraded = "headline", skipped = 999, sfDir = "/root/testdata/sf0.1",
-      hsMin = 3)
+      hsMin = 3, rot = 999)
     // 1750: the observed driver tail window is ~2000 chars; this render
-    // is already pessimistic (999.999-second values are +1–2 chars per
-    // query over any real degraded run), so 250 chars of margin on TOP
-    // of that pessimism still means a real line sits ~1600. Raised from
-    // 1700 in r10 to admit the d62 family flagship; do NOT raise again —
-    // trim instead.
+    // is pessimistic (99.999-clamped values are +1 char per query over
+    // any real degraded run), so 250 chars of margin on TOP of that
+    // pessimism still means a real line sits ~1600. Raised from 1700 in
+    // r10 to admit the d62 family flagship; do NOT raise again — trim
+    // (or find another structural saving like the r12 display clamp)
+    // instead.
     assert(line.length <= 1750,
       s"worst-case bench line ${line.length} chars (> 1750): trim Bench.headline " +
         s"(${Bench.headline.size} entries) before adding more")
     assert(line.contains("\"degraded\":\"headline\"") && line.contains("\"skipped\":999"))
-    assert(line.contains("\"hs_min\":3"))
+    assert(line.contains("\"hs_min\":3") && line.contains("\"rot\":999"))
+    // the display clamp IS the length bound: per-query values can never
+    // render wider than 99.999 (total stays unclamped)
+    assert(line.contains(":99.999") && !line.contains(":999.999"),
+      "per-query display clamp missing — the 1750 gate math relies on it")
+    // the total must stay UNclamped — it sums the true values
+    val trueTotal = Bench.headline.size * 999.999 + 9999.999
+    assert(line.contains(f""""value":$trueTotal%.3f"""))
+  }
+
+  test("tail rotation resumes where the previous round's timed tail ended") {
+    val dir = java.nio.file.Files.createTempDirectory("benchrot").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.write(body) finally w.close()
+    }
+    // no file at all -> plain alphabetical walk
+    assert(Bench.nextRotation(267, dir) === 0)
+    // a pre-r12 artifact (driver wrapper, no "rot"): n_queries=161 with
+    // a 58-entry queries map -> timed tail 103, resume at 103
+    val qmap = (1 to 58).map(i => s""""q$i":0.1""").mkString(",")
+    write("BENCH_r11.json",
+      s"""{"n":11,"parsed":{"n_queries":161,"queries":{$qmap}}}""")
+    assert(Bench.nextRotation(267, dir) === 103)
+    // an r12+ artifact carries rot explicitly; the newest file wins
+    write("BENCH_r12.json",
+      s"""{"n":12,"parsed":{"rot":103,"n_queries":161,"queries":{$qmap}}}""")
+    assert(Bench.nextRotation(267, dir) === (103 + 103) % 267)
+    // raw (unwrapped) line parses the same way
+    write("BENCH_r13.json",
+      s"""{"rot":206,"n_queries":161,"queries":{$qmap}}""")
+    assert(Bench.nextRotation(267, dir) === (206 + 103) % 267)
+    // headline-only round (queries map = everything timed): hold position
+    write("BENCH_r14.json",
+      s"""{"rot":42,"n_queries":58,"queries":{$qmap}}""")
+    assert(Bench.nextRotation(267, dir) === 42)
+    // garbage file -> safe 0, never a throw
+    write("BENCH_r15.json", "not json at all")
+    assert(Bench.nextRotation(267, dir) === 0)
+    dir.listFiles().foreach(_.delete()); dir.delete()
   }
 
   test("hs_min field is omitted when no headline query was timed") {

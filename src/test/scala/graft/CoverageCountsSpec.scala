@@ -30,6 +30,14 @@ class CoverageCountsSpec extends AnyFunSuite {
     assert(readme.contains(s"$gate/$gate DuckDB hash-match"),
       s"README stale: the gate now checks $gate entries " +
         s"(${SparkEntry.queries.size} queries + ${graft.tools.FuzzDump.GateN} fuzz)")
+    // the breakdown parenthetical below the gate line went stale in r11
+    // (ADVICE r11 #3) because only the headline substring was derived —
+    // pin the arithmetic too
+    assert(readme.contains(s"($gate = ${SparkEntry.queries.size} " +
+      s"registered queries + ${graft.tools.FuzzDump.GateN} seeded fuzz"),
+      s"README stale: breakdown parenthetical must read " +
+        s"($gate = ${SparkEntry.queries.size} registered queries + " +
+        s"${graft.tools.FuzzDump.GateN} seeded fuzz cases ...)")
   }
 
   test("README suite-case count matches the test sources") {
