@@ -3,9 +3,13 @@ package graft.tools
 import scala.util.Random
 
 /** Differential SQL fuzz for the parity dialect (VERDICT r9 directive
-  * #6): a seeded generator over the SURVEY.md §2 grammar fence —
+  * #6; grammar extended r11 with derived tables / HAVING aliases /
+  * IS TRUE / COUNT DISTINCT, and r12 with the self-join output-naming
+  * collision shape, RIGHT JOIN, and join→aggregate composites): a
+  * seeded generator over the SURVEY.md §2 grammar fence —
   * projection / filter / join / group+having / distinct / order+limit /
-  * IN- and scalar subqueries, with the dialect's quirk surface (`^` as
+  * IN- and scalar subqueries / join-naming collisions, with the
+  * dialect's quirk surface (`^` as
   * power, LIKE-as-anchored-regex, pandas CAST names, `||` concat) —
   * each case rendered THREE ways from one AST (rule 12's one-definition
   * pattern, applied to test generation):
@@ -192,8 +196,47 @@ object ParityFuzz {
 
   private def genCase(rnd: Random, idx: Int): FuzzCase = {
     val t = pick(rnd, tables)
-    val shape = rnd.nextInt(10)
+    val shape = rnd.nextInt(12)
     val q: R = shape match {
+      case 10 => // self-join output-naming collision (r11 directive #6):
+        // both sides expose the SAME column names, so the facade must
+        // emit `alias.col` for every collided output (JoinNaming;
+        // reference base_data_source.py:493-506). The pre-lowered legs
+        // pin the EXPECTED names explicitly (backticks / double quotes),
+        // so the contract is checked by schema AND values, cross-engine.
+        val st = pick(rnd, tables)
+        val key = pick(rnd, st.ints)
+        val c = pick(rnd, st.strs)
+        val kmax = 2 + rnd.nextInt(8)
+        R(
+          s"SELECT a.${st.pk}, b.${st.pk}, a.$c, b.$c FROM ${st.name} AS a " +
+            s"INNER JOIN ${st.name} AS b ON a.$key = b.$key " +
+            s"WHERE a.${st.pk} < $kmax",
+          s"SELECT a.${st.pk} AS `a.${st.pk}`, b.${st.pk} AS `b.${st.pk}`, " +
+            s"a.$c AS `a.$c`, b.$c AS `b.$c` FROM fz_${st.name} AS a " +
+            s"INNER JOIN fz_${st.name} AS b ON a.$key = b.$key " +
+            s"WHERE a.${st.pk} < $kmax",
+          s"""SELECT a.${st.pk} AS "a.${st.pk}", b.${st.pk} AS "b.${st.pk}", """ +
+            s"""a.$c AS "a.$c", b.$c AS "b.$c" FROM ${st.name} AS a """ +
+            s"INNER JOIN ${st.name} AS b ON a.$key = b.$key " +
+            s"WHERE a.${st.pk} < $kmax")
+      case 11 => // join feeding an aggregate (the q03-over-q09 composite
+        // the grammar never composed before): grouping key from the
+        // RIGHT side, summed expression from the LEFT
+        val (l, r2, lk, rk, g) = pick(rnd, Seq(
+          (customer, nation, "c_nationkey", "n_nationkey", "n_regionkey"),
+          (nation, region, "n_regionkey", "r_regionkey", "r_regionkey")))
+        val su = pick(rnd, l.ints)
+        val hv =
+          if (rnd.nextBoolean()) s" HAVING COUNT(*) >= ${1 + rnd.nextInt(3)}"
+          else ""
+        R(
+          s"SELECT $g AS g, COUNT(*) AS a1, SUM($su) AS a2 FROM ${l.name} " +
+            s"JOIN ${r2.name} ON $lk = $rk GROUP BY $g$hv",
+          s"SELECT $g AS g, COUNT(*) AS a1, SUM($su) AS a2 FROM fz_${l.name} " +
+            s"JOIN fz_${r2.name} ON $lk = $rk GROUP BY $g$hv",
+          s"SELECT $g AS g, COUNT(*) AS a1, CAST(SUM($su) AS BIGINT) AS a2 " +
+            s"FROM ${l.name} JOIN ${r2.name} ON $lk = $rk GROUP BY $g$hv")
       case 8 => // FROM (subquery) derived table (q13 shape)
         val g = pick(rnd, t.ints)
         val h = 1 + rnd.nextInt(3)
@@ -225,7 +268,7 @@ object ParityFuzz {
         val (l, r2, cond) = pick(rnd, Seq(
           (nation, region, "n_regionkey = r_regionkey"),
           (customer, nation, "c_nationkey = n_nationkey")))
-        val jt = pick(rnd, Seq("JOIN", "LEFT JOIN"))
+        val jt = pick(rnd, Seq("JOIN", "LEFT JOIN", "RIGHT JOIN"))
         val items = joinList(aliased(
           Seq(selectItem(rnd, l), selectItem(rnd, r2))))
         val w = if (rnd.nextBoolean()) {
@@ -313,6 +356,11 @@ object FuzzDump {
       ds.addTable(graft.catalog.FileTable(t, s"$sfDir/$t.parquet")))
     new java.io.File(outDir).mkdirs()
     val cases = ParityFuzz.cases(seed, n)
+    // generator stats (r11 directive #6's Done criterion): the shape
+    // histogram proves the join/naming/IN nodes are measurably present
+    val hist = cases.groupBy(_.name.split("_s").last).toSeq
+      .sortBy(_._1.toInt).map { case (s, cs) => s"s$s=${cs.size}" }
+    System.err.println(s"[fuzz] shape histogram: ${hist.mkString(" ")}")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.foreach { c =>
       try ds.queryDF(c.dfsql).coalesce(1).write.mode("overwrite")

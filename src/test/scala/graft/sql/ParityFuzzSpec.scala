@@ -38,7 +38,9 @@ class ParityFuzzSpec extends SparkSpec {
     * stringified values (the driver comparator's shape). */
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.sorted.toSeq
-    val rows = df.select(cols.map(col): _*).collect()
+    // backtick-quote: the r12 collision shape emits LITERAL dotted names
+    // (`a.n_name`), which a bare col() would mis-parse as qualified refs
+    val rows = df.select(cols.map(c => col(s"`$c`")): _*).collect()
       .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
       .toSeq.sortBy(_.mkString(""))
     (cols, rows)
@@ -47,10 +49,12 @@ class ParityFuzzSpec extends SparkSpec {
   test("seeded differential fuzz: facade dialect ≡ native Spark SQL (120 cases)") {
     val cases = ParityFuzz.cases(42L, 120)
     // cover every shape at least once — a generator regression that
-    // stopped emitting a shape would silently shrink coverage (10
-    // shapes since r11: +derived table, +group-by-expression with
-    // HAVING on the select ALIAS)
-    assert(cases.map(_.name.takeRight(2)).distinct.size == 10, "shape coverage")
+    // stopped emitting a shape would silently shrink coverage (12
+    // shapes since r12: +self-join output-naming collision,
+    // +join→aggregate composite; 10 since r11: +derived table,
+    // +group-by-expression with HAVING on the select ALIAS)
+    assert(cases.map(_.name.split("_s").last).distinct.size == 12,
+      "shape coverage")
     cases.foreach { c =>
       val (fc, fr) = canon(ds.queryDF(c.dfsql))
       val (nc, nr) = canon(spark.sql(c.sparkSql))
