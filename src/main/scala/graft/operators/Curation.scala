@@ -1180,4 +1180,35 @@ object Curation {
           .as(s"p$n"))): _*)
       .orderBy(col("doc_id"))
   }
+
+  /** Blocklist screening: per document, occurrence counts for a term
+    * list plus a density flag — the toxicity/spam/boilerplate keyword
+    * pass every production corpus filter runs before anything
+    * model-based (e.g. the C4 "bad words" filter, Raffel et al., JMLR
+    * 2020 §2.2). Matching is one whole-word alternation regex compiled
+    * once — ONE scan of the text per document regardless of list size,
+    * not a scan per term — and the flag is the integer cross-multiplied
+    * density test hits·1000 ≥ per_mille·tokens (rule 17: no division).
+    *
+    * Scale shape: a pure per-row map (regexp_count + tokenCount); no
+    * shuffle, no state. At 100 TB this is the cheapest full-corpus pass
+    * there is; a 10k-term production list compiles into an Aho–Corasick
+    * automaton behind the same per-partition map, with this regex
+    * alternation as the reference semantics. Terms must be \\w-only
+    * (the \\b anchors and the alternation are then identical in Java
+    * and RE2 regex dialects, which is what makes the pass oracle-able
+    * verbatim). */
+  def blocklistScreen(docs: DataFrame, terms: Seq[String],
+      perMille: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("\\w+")),
+      s"blocklist terms must be word-character-only: $terms")
+    val pat = terms.mkString("\\b(", "|", ")\\b")
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_hits"), col("n_tokens"),
+        (col("n_hits") * 1000L >= lit(perMille.toLong) * col("n_tokens"))
+          .as("flagged"))
+      .orderBy(col("doc_id"))
+  }
 }

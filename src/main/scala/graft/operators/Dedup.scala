@@ -2367,4 +2367,55 @@ object Dedup {
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Transitivity audit of a near-duplicate pair set: counts open
+    * wedges (a–b and a–c verified, b–c not) vs closed triangles. A
+    * threshold-verified similarity relation is NOT transitive, and the
+    * closure rate is the standard QA readout for where the threshold
+    * sits: ≈1 means the pair set behaves like true duplicate classes
+    * (connected-components clustering over it is safe); low closure
+    * means chains of borderline pairs are gluing distinct documents
+    * into one cluster — exactly the d44 failure mode this audits.
+    *
+    * Counting: wedges at the CENTER vertex — Σ_v C(deg v, 2), computed
+    * from degrees (never enumerated per pair at the sum level); closed
+    * wedges = 3·triangles, via the q136 oriented a<b<c triangle join.
+    * Degree sums run DOUBLED in DECIMAL(38,0) (deg² passes 2^63 on a
+    * hub-heavy graph at scale, rule 18 — the q135/q136 lesson) and the
+    * closure rate is one final double division, guarded for the
+    * zero-wedge degenerate (rule 21a).
+    *
+    * Scale shape: one degree groupBy + the oriented edge-edge-semi
+    * triangle join (the q136 shape: both joins on edge keys, AQE
+    * handles hub skew). Output is one row. */
+  def transitivityAudit(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
+      .materializeOnce() // feeds degrees AND the triangle join
+    val deg = edges.select(col("id_a").as("v"))
+      .unionAll(edges.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum((col("d").cast("decimal(38,0)")) * (col("d") - 1)),
+        lit(0).cast("decimal(38,0)")).as("w2")) // empty graph ⇒ 0, not NULL
+    // oriented triangles a<b<c (q136): wedge (a,b),(a,c) closed by (b,c)
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.id_a") === col("e2.id_a") &&
+        col("e1.id_b") < col("e2.id_b"))
+      .join(edges.as("e3"), col("e3.id_a") === col("e1.id_b") &&
+        col("e3.id_b") === col("e2.id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = edges.agg(count(lit(1)).as("n_pairs"))
+    val w = col("w2").cast("double") / lit(2.0)
+    nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_pairs"), col("n_nodes"),
+        (col("w2").cast("decimal(38,0)") / lit(2)).cast("bigint")
+          .as("n_wedges"),
+        col("n_triangles"),
+        when(col("w2") === 0, lit(null).cast("double"))
+          .otherwise(col("n_triangles").cast("double") * 3.0 / w)
+          .as("closure_rate"))
+      .orderBy(col("n_pairs"))
+  }
 }

@@ -914,4 +914,51 @@ object EventAnalytics {
         countDistinct(col("conv_id")).as("n_conversions"))
       .orderBy(col("event_type"))
   }
+
+  /** Periodicity detection via lagged autocorrelation of the hourly
+    * event-count series (the Box–Jenkins sample ACF, computed at the
+    * chosen lags): r(L) = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+    * over the aligned pairs (h_t, h_{t+L}) — a daily-traffic corpus
+    * peaks at L = 24. Every sum is an exact integer (counts and count
+    * products) carried in DECIMAL(38,0) — hourly counts at 100 TB put
+    * n·Σxy far past 2^63 (rule 18) — and the statistic is then one
+    * fixed shape of double ops over exactly-agreed integers (the ARI
+    * pattern), with a lazy guard pinning the zero-variance degenerate
+    * to NULL on both engines (rule 21a: ANSI throws on x/0.0).
+    *
+    * Scale shape: the corpus collapses to HOUR grain in one map-side-
+    * combined groupBy; the per-lag self-join and all sums run on the
+    * calendar-bounded hourly table (the q191 at-risk argument — 8,760
+    * rows per year no matter how many events), broadcast on both
+    * sides. */
+  def hourlyAutocorrelation(events: DataFrame,
+      lags: Seq[Int] = Seq(1, 6, 12, 24)): DataFrame = {
+    val hourly = events
+      // DIV, not `/`: int64 `/` is a DOUBLE quotient in both engines
+      .select(graft.operators.Layout
+        .intDiv(unix_timestamp(col("ts")), lit(3600L)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val lagged = lags.map { l =>
+      hourly.select(col("h"), col("c").as("x"))
+        .join(hourly.select((col("h") - l).as("h"), col("c").as("y")),
+          Seq("h"))
+        .select(lit(l.toLong).as("lag"), col("x"), col("y"))
+    }.reduce(_.unionByName(_))
+    val d = (c: String) => col(c).cast("double")
+    val sums = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val num = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    val vx = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    sums.select(col("lag"), col("n_pairs"),
+        d("sxy").as("sxy"), d("sxx").as("sxx"), d("syy").as("syy"),
+        when(vx * vy === 0.0, lit(null).cast("double"))
+          .otherwise(num / sqrt(vx * vy)).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

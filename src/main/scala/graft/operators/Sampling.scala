@@ -198,4 +198,91 @@ object Sampling {
       .select(col("id").as("doc_id"), col("w"), col("cum"))
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-τ source mixing with Hamilton (largest-remainder)
+    * apportionment — the budget-CONSERVING completion of q133's
+    * truncating allocator: q133's ⌊B·w_s/ΣW⌋ leaves up to |sources|−1
+    * budget units unassigned, which a real corpus build cannot ship
+    * (the mixture must sum to the token budget exactly). Hamilton's
+    * method (the classic seats-to-states apportionment) hands the
+    * leftover units to the largest remainders, so Σ alloc = B exactly
+    * — the same conservation trick linearAttribution uses per
+    * conversion, promoted to the corpus mixture. τ is fixed at 0.5
+    * (sampling ∝ √count flattens the source distribution; Lample &
+    * Conneau, NeurIPS 2019 §3.1): one correctly-rounded IEEE sqrt,
+    * floor-scaled to int64 BEFORE any summation (rule 17, the q133
+    * pattern) — everything after the floor is exact integer
+    * arithmetic, bit-replayable in DuckDB.
+    *
+    * Exactness (rule 18): B·w_s and the remainder comparisons run in
+    * DECIMAL(38,0) (HUGEINT on the oracle side) — at 100 TB counts,
+    * B·w can pass 2^63 — with only per-source outputs cast back.
+    *
+    * Scale shape: one count per source (map-side combined), then all
+    * windows run at SOURCE grain — bounded by the catalog of sources,
+    * not the corpus (the q96 pack-window argument, but bounded by
+    * construction rather than by a cap). */
+  def hamiltonAlloc(df: DataFrame, sourceCol: String,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs")) * lit(1e6)).cast("long"))
+    val tot = counts.agg(sum(col("w").cast("decimal(38,0)")).as("totw"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("prod", col("w").cast("decimal(38,0)") * lit(budget))
+      // decimal `/` rounds at scale 6, which can flip a floor at the
+      // boundary — take the EXACT remainder first, then divide the
+      // exactly-divisible difference (an integer quotient survives the
+      // scale-6 rounding unchanged)
+      .withColumn("rem", col("prod") % col("totw"))
+      .withColumn("base",
+        ((col("prod") - col("rem")) / col("totw")).cast("bigint"))
+    // source-grain windows (bounded by the source catalog)
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val leftover = scored.agg((lit(budget) -
+      sum(col("base"))).cast("bigint").as("left"))
+    scored.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem).cast("bigint"))
+      .select(col("source"), col("n_docs"), col("w"),
+        col("base"),
+        when(col("rk") <= col("left"), lit(1L)).otherwise(lit(0L)).as("extra"),
+        (col("base") + when(col("rk") <= col("left"), lit(1L))
+          .otherwise(lit(0L))).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** Curriculum interleave: order the corpus easiest-first WITHIN each
+    * source, then round-robin across sources — the deterministic
+    * "difficulty-ordered, source-balanced" training order (curriculum
+    * learning per Bengio et al., ICML 2009, with the interleave keeping
+    * any window of the stream source-diverse). Position arithmetic is
+    * pure integers: global_pos = rank_in_source · |sources| + source_idx
+    * — an injective map, no global window over the corpus (rule 23:
+    * the only unpartitioned window runs at SOURCE grain).
+    *
+    * Scale shape: one per-source window (partitioned), one broadcast of
+    * the source index; the emitted order is a COLUMN, so the corpus
+    * never funnels through a single task to get its curriculum. */
+  def curriculumInterleave(df: DataFrame, sourceCol: String,
+      difficulty: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col("doc_id"), col(sourceCol).as("source"),
+      difficulty.cast("long").as("difficulty"))
+    val srcIdx = scored.select(col("source")).distinct()
+      // source-grain window (bounded by the source catalog)
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("bigint"))
+    val nSrc = srcIdx.count()
+    val wIn = Window.partitionBy(col("source"))
+      .orderBy(col("difficulty"), col("doc_id"))
+    scored.join(broadcast(srcIdx), Seq("source"))
+      .withColumn("rank_in_source",
+        (row_number().over(wIn) - 1).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("difficulty"),
+        col("rank_in_source"),
+        (col("rank_in_source") * lit(nSrc) + col("src_idx"))
+          .as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
 }

@@ -582,7 +582,7 @@ object Similarity {
     * what a manifest commit makes atomic, acceptable because
     * compaction is the single-writer maintenance path. */
   def compactIvfIndex(spark: SparkSession, path: String,
-      files: Int = 4): Unit = {
+      files: Int = 0): Unit = {
     import java.nio.file.{Files, Paths}
     val cellsDir = s"$path/cells"
     val tmp = s"$path/cells_compacting"
@@ -596,9 +596,27 @@ object Similarity {
     // compaction applies tombstones physically: the rewrite reads the
     // LIVE view, so deleted postings drop out of the new files and the
     // tombstone set can be cleared in the same swap
-    livePostings(spark, path)
-      .repartition(files, col("cell"))
-      .write.mode("overwrite").parquet(tmp)
+    val live = livePostings(spark, path)
+    // Layout sized to the DATA, never a constant (the repo's own 100 TB
+    // rule applied to its own maintenance verb): the original fixed
+    // 4-file rewrite produced single-row-group files, and a parquet
+    // scan cannot split below a row group — post-compaction search ran
+    // 3.6x SLOWER than the fragmented store it replaced (measured, r12
+    // s68 probe at 650k live postings: 42 fragments ≈ 32 scan tasks,
+    // 4 monolithic files ≈ 4). ~128k postings per file keeps files
+    // real-sized while the 8 MB row-group cap keeps every file
+    // splittable, so maxSplitBytes-driven parallelism survives the
+    // rewrite; sortWithinPartitions(cell) clusters each file by cell
+    // for row-group min/max pruning on probed-cell scans.
+    val nFiles =
+      if (files > 0) files
+      else math.max(4L, (live.count() + (1L << 17) - 1) >> 17).toInt
+    live
+      .repartition(nFiles, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", (8L << 20).toString)
+      .parquet(tmp)
     val old = Paths.get(s"$path/cells_old")
     Files.move(Paths.get(cellsDir), old)
     Files.move(Paths.get(tmp), Paths.get(cellsDir))

@@ -535,6 +535,47 @@ object AnalyticsQueries {
     // deaths / right-censored counts and the hazard as one exact
     // division — the Kaplan-Meier table in count form. The at-risk
     // reverse-cumulative window runs over DISTINCT ages (output-sized).
+    // periodicity detection (q216): lagged sample autocorrelation of
+    // the hourly event-count series — the daily-cycle readout (acf
+    // peaks at lag 24 on diurnal traffic). Count sums and count
+    // products in DECIMAL(38,0)/HUGEINT (rule 18); the statistic is one
+    // fixed double DAG over exactly-agreed integers (the ARI pattern)
+    // with the zero-variance degenerate pinned to NULL (rule 21a). All
+    // per-lag work runs on the calendar-bounded hourly table.
+    Q("q216_autocorr", Some(
+      """WITH hourly AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag, a.c AS x, b.c AS y
+        |  FROM (VALUES (1), (6), (12), (24)) l(lag)
+        |  JOIN hourly a ON true
+        |  JOIN hourly b ON b.h = a.h + l.lag),
+        |sums AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM lagged GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |  CAST(syy AS DOUBLE) AS syy,
+        |  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0e0
+        |    THEN NULL
+        |    ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS acf
+        |FROM sums ORDER BY lag""".stripMargin),
+      (s, d) => EventAnalytics.hourlyAutocorrelation(T(s, d, "events"))),
+
     Q("q191_churn_hazard", Some(
       s"""WITH $lifeTableCtes
         |SELECT age,

@@ -43,6 +43,14 @@ object DedupQueries {
       (s, d) => Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5,
         maxDf = 20)),
 
+    // transitivity audit of the verified near-dup relation (d70): open
+    // wedges vs closed triangles over the d38 pair set — the threshold-
+    // QA readout for whether CC clustering (d44) is safe. Pairs from
+    // the MinHash gate ⇒ brute-force pair oracle (rule 13).
+    Q("d70_transitivity", Some(transitivityOracle),
+      (s, d) => Dedup.transitivityAudit(
+        Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))),
+
     // SimHash near-dup pairs (bit-vote fingerprint, banded). Hamming ≤ 3:
     // unweighted simhash over a shared small vocabulary sits near the
     // false-positive cliff by ~6 bits, so the cut stays tight.
@@ -1222,6 +1230,38 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d70: degree/wedge/triangle audit over the d38 brute-force pair set
+    * (rule 13), mirroring Dedup.transitivityAudit op-for-op — doubled
+    * degree sums in HUGEINT, the oriented a<b<c triangle semi-join, and
+    * the same double DAG for the closure rate (3·tri / (w2/2)). */
+  private lazy val transitivityOracle: String =
+    s"""WITH $ngramPairCtes,
+       |vp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |deg AS (SELECT v, count(*) AS d FROM (
+       |    SELECT id_a AS v FROM vp UNION ALL SELECT id_b FROM vp)
+       |  GROUP BY v),
+       |wed AS (SELECT count(*) AS n_nodes,
+       |          coalesce(sum(CAST(d AS HUGEINT) * (d - 1)),
+       |            CAST(0 AS HUGEINT)) AS w2
+       |        FROM deg),
+       |tri AS (SELECT count(*) AS n_triangles
+       |        FROM vp e1 JOIN vp e2
+       |          ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+       |        WHERE EXISTS (SELECT 1 FROM vp e3
+       |          WHERE e3.id_a = e1.id_b AND e3.id_b = e2.id_b)),
+       |ne AS (SELECT count(*) AS n_pairs FROM vp)
+       |SELECT n_pairs, n_nodes,
+       |  CAST(w2 // 2 AS BIGINT) AS n_wedges, n_triangles,
+       |  CASE WHEN w2 = 0 THEN NULL
+       |    ELSE CAST(n_triangles AS DOUBLE) * 3.0e0
+       |      / (CAST(w2 AS DOUBLE) / 2.0e0)
+       |  END AS closure_rate
+       |FROM ne, wed, tri ORDER BY n_pairs""".stripMargin
 
   /** d57: the UNCAPPED brute-force pair join — deliberately no keep/fil
     * CTE, because prefix filtering is lossless and must reproduce the

@@ -848,6 +848,59 @@ object PipelineQueries {
       (s, d) => graft.operators.Curation.temperatureMix(
         Tables.load(s, d, "documents"), budget = 1000000L)),
 
+    // q133's budget-CONSERVING completion (q215): Hamilton largest-
+    // remainder apportionment of the same √n-tempered weights — the
+    // floor allocation plus leftover units to the largest remainders,
+    // so Σ alloc = budget EXACTLY (the property a shipped mixture
+    // needs). All-integer after the one floor-scaled sqrt; products in
+    // DECIMAL(38,0)/HUGEINT (rule 18).
+    Q("q215_hamilton_alloc", Some(
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |      FROM c),
+        |t AS (SELECT sum(CAST(w AS HUGEINT)) AS totw FROM w),
+        |s AS (SELECT source, n_docs, w,
+        |        CAST(w AS HUGEINT) * 1000000 AS prod, totw
+        |      FROM w, t),
+        |s2 AS (SELECT *, prod % totw AS rem,
+        |         (prod - (prod % totw)) // totw AS base FROM s),
+        |lo AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS lft FROM s2),
+        |rk AS (SELECT *, row_number()
+        |         OVER (ORDER BY rem DESC, source) AS rk FROM s2)
+        |SELECT source, n_docs, w, CAST(base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base AS BIGINT)
+        |    + CAST(CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk, lo ORDER BY source""".stripMargin),
+      (s, d) => graft.operators.Sampling.hamiltonAlloc(
+        Tables.load(s, d, "documents"), "source", budget = 1000000L)),
+
+    // deterministic curriculum order (q217): easiest-first within each
+    // source (difficulty = n_chars), round-robin across sources via the
+    // injective position map rank·|sources| + src_idx — no global
+    // window over the corpus (rule 23), the order is a COLUMN.
+    Q("q217_curriculum", Some(
+      """WITH scored AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS difficulty
+        |  FROM documents),
+        |si AS (SELECT source,
+        |         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |           AS src_idx
+        |       FROM (SELECT DISTINCT source FROM scored)),
+        |ns AS (SELECT count(*) AS n FROM si)
+        |SELECT s.doc_id, s.source, s.difficulty,
+        |  CAST(row_number() OVER (PARTITION BY s.source
+        |    ORDER BY s.difficulty, s.doc_id) - 1 AS BIGINT) AS rank_in_source,
+        |  CAST(row_number() OVER (PARTITION BY s.source
+        |    ORDER BY s.difficulty, s.doc_id) - 1 AS BIGINT)
+        |    * (SELECT n FROM ns) + si.src_idx AS global_pos
+        |FROM scored s JOIN si USING (source)
+        |ORDER BY global_pos""".stripMargin),
+      (s, d) => graft.operators.Sampling.curriculumInterleave(
+        Tables.load(s, d, "documents"), "source",
+        difficulty = col("n_chars"))),
+
     // exact distributed heavy hitters over the token stream: per-partition
     // Misra–Gries summaries propose candidates, an exact recount + the
     // integer support filter keeps precisely the true heavy hitters — so

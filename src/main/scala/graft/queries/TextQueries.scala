@@ -16,6 +16,13 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** t82's blocklist — ONE definition feeding both engines (rule 12).
+    * Terms are corpus-vocabulary words standing in for a bad-word list;
+    * \w-only is REQUIRED (cross-dialect \b, enforced by the operator). */
+  private val blockTerms = Seq("slow", "merge", "spark", "hash")
+  private val blockPerMille = 20
+  private val blockPat = blockTerms.mkString("\\b(", "|", ")\\b")
+
   val all: Seq[Q] = Seq(
 
     // token / char / punctuation statistics
@@ -372,6 +379,27 @@ object TextQueries {
         |    AND stop_frac >= 0.02 AND dup_word_frac <= 0.55 AS keep
         |FROM m ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.Curation.gopherFilters(docs(s, d))),
+
+    // blocklist screening (t82): per-doc whole-word occurrence counts
+    // for a keyword list in ONE regex pass + the integer cross-
+    // multiplied density flag (rule 17). The pattern interpolates from
+    // ONE Scala constant into both engines (rule 12); \w-only terms
+    // keep \b semantics identical between Java and RE2 dialects.
+    // DuckDB has no regexp_count -> len(regexp_extract_all) (rule 7).
+    Q("t82_blocklist", Some(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$blockPat')) AS BIGINT)
+         |    AS n_hits,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$blockPat')) AS BIGINT)
+         |      * 1000
+         |    >= $blockPerMille
+         |      * CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |    AS flagged
+         |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Curation.blocklistScreen(
+        docs(s, d), blockTerms, perMille = blockPerMille)),
 
     // filter-funnel attrition report (t80): the per-stage survival
     // table a corpus build publishes — language → length → mean-len →

@@ -146,7 +146,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
     // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,d68,s65,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166,q212,d67) — a full run at large n is
+    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166,q212,d67,d69,q213,q214) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -1164,6 +1164,153 @@ object ScaleProbe {
       require(total == expected,
         s"background edges leaked into the truss: ${total - expected}")
     }
+    if (on("d69")) time("d69: semantic decontam, |bench|-bounded broadcast") {
+      // r11 directive #3b: measure the economics the operator documents
+      // — a 512-item benchmark (100× the gate's 5) BROADCASTS, the
+      // corpus is scanned once with a |bench|-bounded per-doc argmax,
+      // and nothing shuffles the pool. Planted: every 500th corpus
+      // vector is a +0.004 perturbation of a bench vector (the
+      // "paraphrase" the operator exists to catch — near-1 cosine, must
+      // flag at 0.8); organic isotropic 64-dim vectors concentrate near
+      // cos 0 (max over 512 benchs ≈ 0.45) and must never flag.
+      val benchN = 512L
+      val dims = sequence(lit(1), lit(64))
+      def comp(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+          - lit(1.0)).cast("float")
+      val bench = spark.range(benchN).select(col("id").as("vec_id"),
+        transform(dims, i => comp(col("id") * 64 + i)).as("embedding"))
+      val organic = spark.range(n).filter(col("id") % 500 =!= 0)
+        .select((col("id") + benchN).as("vec_id"),
+          transform(dims, i => comp((col("id") + benchN) * 64 + i))
+            .as("embedding"))
+      val planted = spark.range(n).filter(col("id") % 500 === 0)
+        .select((col("id") + benchN).as("vec_id"),
+          // seed arithmetic stays LONG end to end (rule 19); the source
+          // bench vector is (id DIV 500) mod benchN
+          transform(dims, i =>
+            (comp(pmod(expr("id DIV 500"), lit(benchN)) * 64 + i)
+              + lit(0.004f)).cast("float")).as("embedding"))
+      val emb = bench.unionByName(organic).unionByName(planted)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val res = graft.operators.Similarity
+        .semanticDecontam(emb, benchMaxId = benchN, threshold = 0.8)
+      val rows = res.collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // broadcast economics, asserted on the SAME QueryExecution
+      // (rule 8): the bench side must be a broadcast join, and no
+      // SortMergeJoin may appear anywhere in the final plan
+      val names = graft.tools.PlanInspect
+        .nodes(res.queryExecution.executedPlan)
+        .map(_.getClass.getSimpleName)
+      require(names.exists(_.contains("BroadcastNestedLoopJoin")) ||
+        names.exists(_.contains("BroadcastHashJoin")),
+        s"bench side did not broadcast: ${names.distinct}")
+      require(!names.exists(_.contains("SortMergeJoin")),
+        s"corpus got shuffled into a sort-merge join: ${names.distinct}")
+      val plantedRows = rows.filter(r => (r.getLong(0) - benchN) % 500 == 0)
+      val organicFlagged = rows.count(r =>
+        (r.getLong(0) - benchN) % 500 != 0 && r.getBoolean(3))
+      println(f"[probe]   $dt%.1f s for ${rows.length} docs vs $benchN bench; " +
+        s"planted flagged=${plantedRows.count(_.getBoolean(3))}/${plantedRows.length}, " +
+        s"organic flagged=$organicFlagged")
+      require(rows.length == n, s"per-doc argmax lost docs: ${rows.length}")
+      require(plantedRows.forall(_.getBoolean(3)),
+        "a planted paraphrase escaped the semantic flag")
+      require(plantedRows.forall(r =>
+        r.getLong(1) == pmodLong(((r.getLong(0) - benchN) / 500), benchN)),
+        "a planted paraphrase matched the wrong bench item")
+      require(organicFlagged == 0,
+        s"organic vectors false-flagged: $organicFlagged")
+    }
+    if (on("q213")) time("q213: Kaplan–Meier life table ≡ driver enumeration") {
+      // r11 directive #3c: the calendar-bounded-fold contract as a
+      // measured number. nU users with constructed ages (u % 365 days,
+      // first day u % 97) — the distributed life table AND the one-row
+      // sequential S(t) product must equal a driver-side enumeration of
+      // the same design BIT-FOR-BIT (the fold is ascending-age ordered,
+      // so the double products are reproducible, not just close).
+      val nU = math.max(35405L, n) // ensures the CRT user with gmax exists
+      val users = spark.range(nU).select(col("id").as("user_id"),
+        (col("id") % 97).as("f"),
+        ((col("id") % 97) + (col("id") % 365)).as("l"))
+      val ev = users.select(col("user_id"),
+          timestamp_seconds(col("f") * 86400L).as("ts"))
+        .unionByName(users.select(col("user_id"),
+          timestamp_seconds(col("l") * 86400L).as("ts")))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val km = graft.operators.EventAnalytics.kaplanMeier(ev)
+        .collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // driver enumeration: age = u % 365; censored iff last == gmax
+      // (= 460: u ≡ 96 mod 97 AND u ≡ 364 mod 365, present since
+      // nU ≥ 35405 by CRT)
+      val deaths = new Array[Long](365); val cens = new Array[Long](365)
+      var u = 0L
+      while (u < nU) {
+        val age = (u % 365).toInt
+        if (u % 97 == 96 && age == 364) cens(age) += 1 else deaths(age) += 1
+        u += 1
+      }
+      val atRisk = new Array[Long](365)
+      atRisk(364) = deaths(364) + cens(364)
+      for (k <- 363 to 0 by -1)
+        atRisk(k) = atRisk(k + 1) + deaths(k) + cens(k)
+      var acc = 1.0
+      val expS = (0 until 365).map { k =>
+        acc *= 1.0 - deaths(k).toDouble / atRisk(k).toDouble; acc
+      }
+      println(f"[probe]   $dt%.1f s, ${km.length} ages (calendar-bounded), " +
+        f"S(364)=${km.last.getDouble(4)}%.6f")
+      require(km.length == 365, s"age support not calendar-bounded: ${km.length}")
+      km.foreach { r =>
+        val k = r.getLong(0).toInt
+        require(r.getLong(1) == atRisk(k) && r.getLong(2) == deaths(k) &&
+          r.getLong(3) == cens(k),
+          s"life table row diverged at age $k: $r vs " +
+            s"(${atRisk(k)}, ${deaths(k)}, ${cens(k)})")
+        require(r.getDouble(4) == expS(k), // bit-equal: same ordered fold
+          s"S($k) fold diverged: ${r.getDouble(4)} vs ${expS(k)}")
+      }
+    }
+    if (on("q214")) time("q214: ARI exact integer sums at volume") {
+      // r11 directive #3c: the contingency-grain claim as numbers. Two
+      // constructed partitions of n items — A = blocks of 4; B = A with
+      // every id ≡ 0 (mod 97) split off as a singleton — have exactly
+      // enumerable pair sums (97 > 4, so a block never loses two
+      // members). The operator's DECIMAL(38,0) doubled sums and its
+      // fixed double DAG must reproduce them exactly.
+      val items = n - n % 4
+      val a = spark.range(items).select(col("id").as("doc_id"),
+        expr("id DIV 4").as("cluster_id"))
+      val b = spark.range(items).select(col("id").as("doc_id"),
+        when(col("id") % 97 === 0, col("id") + items)
+          .otherwise(expr("id DIV 4")).as("cluster_id"))
+      val t0 = System.nanoTime()
+      val r = graft.operators.Curation.adjustedRandIndex(a, b).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nBlocks = items / 4
+      val mult = (items - 1) / 97 + 1 // multiples of 97 in [0, items)
+      val sij2 = (nBlocks - mult) * 12.0 + mult * 6.0
+      val sa2 = nBlocks * 12.0
+      val sb2 = sij2 // same composition: intact 4-blocks + 3-blocks
+      val e = sa2 * sb2 / (items.toDouble * (items - 1))
+      val denom = (sa2 + sb2) / 2.0 - e
+      val ari = (sij2 - e) / denom
+      println(f"[probe]   $dt%.1f s over $items items " +
+        f"(${nBlocks + mult} B-clusters); ari=${r.getDouble(4)}%.12f " +
+        f"expected=$ari%.12f")
+      require(r.getLong(0) == items && r.getDouble(1) == sa2 &&
+        r.getDouble(2) == sb2 && r.getDouble(3) == sij2,
+        s"pair sums diverged: $r vs ($items, $sa2, $sb2, $sij2)")
+      require(r.getDouble(4) == ari, // same double DAG, bit-equal
+        s"ARI diverged: ${r.getDouble(4)} vs $ari")
+    }
     spark.stop()
   }
+
+  /** Floor-mod for the probe assertions (Scala % is sign-preserving). */
+  private def pmodLong(x: Long, m: Long): Long = ((x % m) + m) % m
 }

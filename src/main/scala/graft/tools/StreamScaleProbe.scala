@@ -162,7 +162,11 @@ object StreamScaleProbe {
     if (on("q153")) q153Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
     if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
     if (on("q158")) q158Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
-    if (on("s67")) s67Stage(spark, collector, out, nVec = math.max(100000L, n / 20L))
+    // s68 runs the delete→compact lifecycle against the store s67 just
+    // built, so asking for s68 implies building/ingesting it first
+    if (on("s67") || on("s68"))
+      s67Stage(spark, collector, out, nVec = math.max(100000L, n / 20L))
+    if (on("s68")) s68Stage(spark, out, nVec = math.max(100000L, n / 20L))
 
     spark.streams.removeListener(collector)
     spark.stop()
@@ -519,6 +523,99 @@ object StreamScaleProbe {
     println(s"[sprobe] s67 postings=$total " +
       s"planted arrivals served=${got.intersect(want).size}/$batches")
     require(got == want, s"s67 planted arrivals not served: $got")
+  }
+
+  /** s66/s67/s68 lifecycle end-to-end at the s67 store (r11 directive
+    * #3a): against the just-ingested ~700k-postings index, (1) measure
+    * baseline serving latency for a ~100-query batch; (2) tombstone 10%
+    * of the base postings and re-measure — the grown tombstone set's
+    * broadcast anti-join cost is THE number the LSM design pays between
+    * compactions; (3) assert the logical delete serves exactly the
+    * pre-delete ranking with deleted ids removed (the "logical ≡
+    * never-ingested" spec theorem, re-proven at volume on real
+    * rankings); (4) compact — file count must drop, tombstones must
+    * clear, postings must equal the live count; (5) re-measure and
+    * assert search-before ≡ search-after BIT-FOR-BIT (floats round-trip
+    * parquet exactly; compaction may only re-layout). */
+  private def s68Stage(spark: SparkSession, out: String, nVec: Long): Unit = {
+    val index = s"$out/s67_ivf"
+    require(new java.io.File(s"$index/cells").exists(), "s67 store missing")
+    val dims = sequence(lit(1), lit(64))
+    def comp(seed: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+        - lit(1.0)).cast("float")
+    // ~100 deterministic queries rebuilt with the SAME seed arithmetic
+    // as the base build (rule 19: keep the hash input LONG end to end)
+    val queries = spark.range(nVec).filter(col("id") % 5081 === 17)
+      .select(col("id").as("vec_id"),
+        transform(dims, i => comp(col("id") * 64 + i)).as("embedding"))
+      .localCheckpoint()
+    val nQ = queries.count()
+    def timedSearch(tag: String, k: Int): Array[org.apache.spark.sql.Row] = {
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Similarity
+        .searchIvfIndex(spark, queries, index, k = k, nProbe = 16)
+        .collect()
+      println(f"[sprobe] s68 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"($nQ queries, ${rows.length} result rows)")
+      rows
+    }
+    def parquetFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(s"$index/cells"))
+    }
+    val before = timedSearch("pre-delete search (k=20)", 20)
+    // tombstone 10% of the BASE postings
+    val dels = spark.range(nVec).filter(col("id") % 10 === 3)
+      .select(col("id").as("vec_id"))
+    val t0 = System.nanoTime()
+    graft.operators.Similarity.deleteFromIvfIndex(dels, index)
+    println(f"[sprobe] s68 delete (${nVec / 10} tombstones appended): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s — no postings rewrite")
+    val withTomb = timedSearch("post-delete search (tombstone anti-join)", 10)
+    def deleted(id: Long): Boolean = id < nVec && id % 10 == 3
+    require(!withTomb.exists(r => deleted(r.getLong(1))),
+      "a tombstoned posting was served")
+    // logical ≡ never-ingested: post-delete top-10 must be EXACTLY the
+    // pre-delete top-20 with deleted ids removed, re-ranked, cut at 10
+    val expected = before.groupBy(_.getLong(0)).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(_.getInt(3)).filterNot(r => deleted(r.getLong(1))).take(10)
+        .zipWithIndex.map { case (r, i) => (q, r.getLong(1), i + 1L) }
+    }.toSet
+    val gotTomb = withTomb.map(r => // rank is row_number -> INT
+      (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    require(gotTomb == expected,
+      s"logical delete diverged from filtered ranking: " +
+        s"${(gotTomb -- expected).take(3)} vs ${(expected -- gotTomb).take(3)}")
+    val filesBefore = parquetFiles()
+    val t1 = System.nanoTime()
+    graft.operators.Similarity.compactIvfIndex(spark, index)
+    val filesAfter = parquetFiles()
+    println(f"[sprobe] s68 compaction: ${(System.nanoTime() - t1) / 1e9}%.2f s; " +
+      s"files $filesBefore -> $filesAfter; tombstones cleared=" +
+      s"${!new java.io.File(s"$index/tombstones").exists()}")
+    require(filesAfter < filesBefore,
+      s"compaction did not shrink the file count: $filesBefore -> $filesAfter")
+    require(!new java.io.File(s"$index/tombstones").exists(),
+      "compaction left the tombstone set in place")
+    val live = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/cells").count()
+    val expectedLive = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/cells").filter(col("vec_id") % 10 === 3 &&
+        col("vec_id") < nVec).count() // must be 0, checked via the total below
+    val after = timedSearch("post-compact search", 10)
+    // search invariance, bit-for-bit (q_id, vec_id, rank, cos)
+    val gotAfter = after.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2))).toSet
+    val gotTombFull = withTomb.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2))).toSet
+    require(gotAfter == gotTombFull,
+      "compaction changed search results (invariance theorem broke at volume)")
+    println(s"[sprobe] s68 live postings=$live (deleted remaining=$expectedLive), " +
+      "pre/post-compact rankings identical — OK")
+    require(expectedLive == 0, s"compaction kept tombstoned postings: $expectedLive")
   }
 
   /** q158 at volume (r10 verdict #5 — the last ingest loop without a

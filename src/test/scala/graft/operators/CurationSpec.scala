@@ -642,4 +642,24 @@ class CurationSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L)
     assert(b.exceptAll(a).count() === 0L)
   }
+
+  test("blocklistScreen counts whole words once per occurrence and flags by density") {
+    val df = Seq(
+      (1L, "slow merge slow hash fast"),     // 4 hits / 5 tokens -> flagged
+      (2L, "slowly merged hashing sparky"),  // substrings must NOT match
+      (3L, "scan filter row column batch")   // 0 hits
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistScreen(df,
+        Seq("slow", "merge", "spark", "hash"), perMille = 200)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((4L, 5L, true)))
+    assert(out(2L) === ((0L, 4L, false)), "\\b anchors failed on substrings")
+    assert(out(3L) === ((0L, 5L, false)))
+    // non-word-character terms are rejected loudly (the cross-dialect
+    // \\b contract only holds for \\w-only terms)
+    intercept[IllegalArgumentException] {
+      Curation.blocklistScreen(df, Seq("a.b"))
+    }
+  }
 }

@@ -843,4 +843,21 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 3L), (5L, 0L, 3L), (6L, 1L, 4L), (7L, 0L, 4L),
       (8L, 1L, 5L), (9L, 0L, 5L)), out.toSeq)
   }
+
+  test("transitivityAudit counts wedges at centers and closed triangles") {
+    // triangle {1,2,3} plus pendant edge (1,4): degrees 3/2/2/1 ->
+    // wedges sigma C(d,2) = 3+1+1+0 = 5; triangles = 1; closure = 3/5
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (2L, 1L) /* reversed duplicate must not double-count */)
+      .toDF("id_a", "id_b")
+    val r = Dedup.transitivityAudit(pairs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 4L, 5L, 1L)))
+    assert(r.getDouble(4) === 0.6)
+    // empty pair set: zero wedges -> NULL rate, zero counts, no throw
+    val e = Dedup.transitivityAudit(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).head()
+    assert((e.getLong(0), e.getLong(2), e.getLong(3)) === ((0L, 0L, 0L)))
+    assert(e.isNullAt(4))
+  }
 }

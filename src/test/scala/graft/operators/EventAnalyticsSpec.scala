@@ -437,4 +437,25 @@ class EventAnalyticsSpec extends SparkSpec {
       (5L, 2L, 1L, 0L, 0.25),
       (7L, 1L, 0L, 1L, 0.25)))
   }
+
+  test("hourlyAutocorrelation: exact 1.0 at the planted period") {
+    // counts perfectly periodic with period 24 (c = 1 + hour-of-day):
+    // every aligned pair at lag 24 has x == y, so the sample ACF is
+    // EXACTLY 1.0 (vx == vy == num and sqrt(v**2) == |v| for doubles
+    // this small); lag 12 pairs anti-phase halves and must come out
+    // strictly below 1.
+    val ev = (0 until 24 * 10).flatMap { h =>
+      Seq.fill(1 + h % 24)(h.toLong)
+    }.toDF("h").select(timestamp_seconds($"h" * 3600L + 30L).as("ts"))
+    val acf = EventAnalytics.hourlyAutocorrelation(ev, lags = Seq(12, 24))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(acf(24L) === 1.0, s"periodic series must autocorrelate exactly: $acf")
+    assert(acf(12L) < 0.0, s"anti-phase lag should be negative: $acf")
+    // degenerate: constant series has zero variance -> NULL, not a throw
+    val const = (0 until 48).map(_.toLong).toDF("h")
+      .select(timestamp_seconds($"h" * 3600L).as("ts"))
+    val row = EventAnalytics.hourlyAutocorrelation(const, lags = Seq(24))
+      .collect().head
+    assert(row.isNullAt(5), s"zero-variance acf must be NULL: $row")
+  }
 }

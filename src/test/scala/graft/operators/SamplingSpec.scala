@@ -131,4 +131,42 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.stratifiedSplit(docs, "doc_id", "source")
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("hamiltonAlloc conserves the budget exactly and floors correctly") {
+    // 3 sources with counts 100/400/900 -> sqrt weights 10e6/20e6/30e6
+    // (exact integers after the floor-scale), shares 1/6, 2/6, 3/6 of
+    // budget 100 -> base 16/33/50 (floor), leftover 1 goes to the
+    // largest remainder: 100·10/60 = 16 rem 40, 100·20/60 = 33 rem 20,
+    // 100·30/60 = 50 rem 0 -> source "a" gets the extra seat.
+    val df = (Seq.fill(100)("a") ++ Seq.fill(400)("b") ++ Seq.fill(900)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val out = Sampling.hamiltonAlloc(df, "source", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") === ((16L, 1L, 17L)))
+    assert(out("b") === ((33L, 0L, 33L)))
+    assert(out("c") === ((50L, 0L, 50L)))
+    assert(out.values.map(_._3).sum === 100L, "budget not conserved")
+  }
+
+  test("curriculumInterleave: injective positions, round-robin, easy-first") {
+    // two equal sources -> positions are DENSE 0..n-1 and alternate
+    val df = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) "x" else "y", 100L - i)).toDF("doc_id", "src", "diff")
+    val out = Sampling.curriculumInterleave(df, "src", col("diff"))
+      .collect()
+    val pos = out.map(_.getLong(4))
+    assert(pos.toSet === (0L until 20L).toSet, "positions not dense/injective")
+    // within a source, difficulty ascends with rank
+    val bySrc = out.groupBy(_.getString(1))
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(sorted.toSeq === sorted.sorted.toSeq, "not easiest-first")
+    }
+    // round-robin: consecutive global positions come from different sources
+    val bySrcAt = out.map(r => r.getLong(4) -> r.getString(1)).toMap
+    (0L until 19L).foreach(p =>
+      assert(bySrcAt(p) != bySrcAt(p + 1), s"positions $p,${p + 1} same source"))
+  }
 }
