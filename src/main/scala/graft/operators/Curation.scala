@@ -1198,6 +1198,47 @@ object Curation {
     * (the \\b anchors and the alternation are then identical in Java
     * and RE2 regex dialects, which is what makes the pass oracle-able
     * verbatim). */
+  /** Type-coverage curve (t84): the token mass covered by the top-k
+    * vocabulary types for each k — the number a tokenizer/vocab-size
+    * decision actually needs (Zipf's law says a tiny head covers most
+    * of the stream; this measures YOUR corpus's head instead of
+    * assuming the law). Emitted as exact integers (top-k mass, total,
+    * integer per-mille via the exact-remainder floor) plus the one
+    * double share division.
+    *
+    * Scale shape: one explode → type-grain groupBy (map-side
+    * combined); each top-k is a TakeOrdered (orderBy+limit — no global
+    * window, no full sort: Spark keeps k rows per partition and merges
+    * on the driver); the per-k aggregates run on ≤ k rows. Sums in
+    * DECIMAL(38,0): total token mass at 100 TB passes what int32 holds
+    * and rule 18 says never bet on 2^63 either. */
+  def typeCoverage(docs: DataFrame, ks: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+    val types = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .materializeOnce() // the total agg and every top-k read it
+    val tot = types.agg(sum(col("c").cast("decimal(38,0)")).as("tot"),
+      count(lit(1)).as("n_types"))
+    val perK = ks.map { k =>
+      types.orderBy(col("c").desc, col("w")).limit(k)
+        .agg(sum(col("c").cast("decimal(38,0)")).as("mass"),
+          count(lit(1)).as("types_used"))
+        .select(lit(k.toLong).as("k"), col("types_used"), col("mass"))
+    }.reduce(_.unionByName(_))
+    val pm1000 = col("mass") * 1000 // decimal
+    perK.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types"), col("types_used"),
+        col("mass").cast("bigint").as("top_mass"),
+        col("tot").cast("bigint").as("total_tokens"),
+        // exact floor: remainder first (decimal `/` rounds at scale 6)
+        ((pm1000 - pm1000 % col("tot")) / col("tot")).cast("bigint")
+          .as("per_mille"),
+        (col("mass").cast("double") / col("tot").cast("double"))
+          .as("share"))
+      .orderBy(col("k"))
+  }
+
   def blocklistScreen(docs: DataFrame, terms: Seq[String],
       perMille: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("\\w+")),

@@ -2388,6 +2388,36 @@ object Dedup {
     * Scale shape: one degree groupBy + the oriented edge-edge-semi
     * triangle join (the q136 shape: both joins on edge keys, AQE
     * handles hub skew). Output is one row. */
+  /** Per-cluster cohesion report over the verified-pair graph (d71):
+    * for each connected component, its size, internal edge count, and
+    * density 2E / (s·(s−1)) — the companion readout to the global d70
+    * closure rate. Density ≈ 1 marks a true duplicate class (clique);
+    * a large sparse component is the chain-gluing failure d44's CC
+    * clustering is vulnerable to, localized to the cluster that needs
+    * a higher threshold or a split pass.
+    *
+    * Exactness: counts exact; s·(s−1) in DECIMAL(38,0) (a pathological
+    * giant component could pass 2^63, rule 18); the density is one
+    * fixed double division. Every CC-of-pairs cluster has ≥ 2 members,
+    * so the denominator is never 0.
+    *
+    * Scale shape: the CC itself (d44's machinery), one size groupBy,
+    * one edge→cluster equi-join at pair grain. Output at cluster
+    * grain. */
+  def clusterCohesion(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).materializeOnce()
+    val asg = connectedComponents(p).materializeOnce() // sizes + edge join
+    val sz = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+    val eg = p.join(asg.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    sz.join(eg, Seq("cluster_id"))
+      .select(col("cluster_id"), col("size"), col("n_edges"),
+        ((col("n_edges") * 2).cast("double") /
+          (col("size").cast("decimal(38,0)") * (col("size") - 1))
+            .cast("double")).as("density"))
+      .orderBy(col("cluster_id"))
+  }
+
   def transitivityAudit(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .filter(col("id_a") < col("id_b")).distinct()

@@ -526,13 +526,59 @@ object Similarity {
     * serving path cannot afford per query batch. Index size = corpus
     * rows (vec_id, embedding, cell) + 16 centroid rows. */
   def writeIvfIndex(
-      corpus: DataFrame, path: String, dim: Int = 64): Unit = {
-    val planes = hyperplanes(4, dim, seed = 7L)
+      corpus: DataFrame, path: String, dim: Int = 64,
+      nBits: Int = 4, seed: Long = 7L): Unit = {
+    val planes = hyperplanes(nBits, dim, seed)
+    writeIndexFiles(corpus.drop("cell"), planes, dim,
+      s"$path/cells", s"$path/centroids")
+  }
+
+  /** Assign cells under `planes` and write the postings + centroid
+    * files — the shared write path of [[writeIvfIndex]] (fresh build)
+    * and [[retrainIvfIndex]] (versioned rebuild). */
+  private def writeIndexFiles(corpus: DataFrame,
+      planes: Array[Array[Double]], dim: Int,
+      cellsPath: String, centroidsPath: String): Unit = {
     val cells = corpus.withColumn("cell", signature(col("embedding"), planes))
       .materializeOnce()
-    cells.write.mode("overwrite").parquet(s"$path/cells")
+    cells.write.mode("overwrite").parquet(cellsPath)
     fixedPointCentroids(cells, dim).drop("n")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(centroidsPath)
+  }
+
+  /** Retrain the coarse quantizer — the FOURTH lifecycle verb beside
+    * [[appendIvfIndex]] (insert), [[deleteFromIvfIndex]] (delete), and
+    * [[compactIvfIndex]] (maintain). The frozen-quantizer contract
+    * (s66) deliberately never retrains on the write path; when enough
+    * drift/growth accumulates, THIS verb rebuilds the planes with a
+    * new (nBits, seed), re-assigns the LIVE postings (tombstones apply
+    * physically, as in compaction), and swaps the versioned rebuild in
+    * blue/green — readers before the swap see the old index, after it
+    * the new one, never a mix (the cells/centroids pair moves
+    * together). Result ≡ a from-scratch [[writeIvfIndex]] over the
+    * live vectors with the same (nBits, seed) — the spec-pinned
+    * contract (IvfIndexSpec), the retrain analog of d53's
+    * store ≡ recompute. */
+  def retrainIvfIndex(spark: SparkSession, path: String, dim: Int = 64,
+      nBits: Int = 5, seed: Long = 11L): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // re-entrancy, as in compaction: clear debris from a crashed run
+    Seq("retrain_cells", "retrain_centroids", "cells_old", "centroids_old")
+      .foreach(d => rm(new java.io.File(s"$path/$d")))
+    writeIndexFiles(livePostings(spark, path).drop("cell"),
+      hyperplanes(nBits, dim, seed), dim,
+      s"$path/retrain_cells", s"$path/retrain_centroids")
+    Files.move(Paths.get(s"$path/cells"), Paths.get(s"$path/cells_old"))
+    Files.move(Paths.get(s"$path/centroids"),
+      Paths.get(s"$path/centroids_old"))
+    Files.move(Paths.get(s"$path/retrain_cells"), Paths.get(s"$path/cells"))
+    Files.move(Paths.get(s"$path/retrain_centroids"),
+      Paths.get(s"$path/centroids"))
+    Seq("cells_old", "centroids_old", "tombstones")
+      .foreach(d => rm(new java.io.File(s"$path/$d")))
   }
 
   /** Incremental IVF insert WITHOUT retraining the coarse quantizer

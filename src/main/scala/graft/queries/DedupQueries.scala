@@ -51,6 +51,23 @@ object DedupQueries {
       (s, d) => Dedup.transitivityAudit(
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))),
 
+    // per-cluster cohesion (d71): d70's closure rate localized — size,
+    // internal edges, density per connected component. Same rule-13
+    // oracle family (recursive-CC replay over the brute-force pairs).
+    Q("d71_cluster_cohesion", Some(
+      s"""WITH RECURSIVE $dupClusterCtes,
+         |sz AS (SELECT cluster_id, count(*) AS size FROM asg GROUP BY 1),
+         |eg AS (SELECT a.cluster_id, count(*) AS n_edges
+         |       FROM pairs p JOIN asg a ON a.doc_id = p.id_a GROUP BY 1)
+         |SELECT s.cluster_id, s.size, e.n_edges,
+         |  CAST(2 * e.n_edges AS DOUBLE)
+         |    / CAST(CAST(s.size AS HUGEINT) * (s.size - 1) AS DOUBLE)
+         |    AS density
+         |FROM sz s JOIN eg e USING (cluster_id)
+         |ORDER BY s.cluster_id""".stripMargin),
+      (s, d) => Dedup.clusterCohesion(
+        Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))),
+
     // SimHash near-dup pairs (bit-vote fingerprint, banded). Hamming ≤ 3:
     // unweighted simhash over a shared small vocabulary sits near the
     // false-positive cliff by ~6 bits, so the cut stays tight.

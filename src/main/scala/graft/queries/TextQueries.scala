@@ -380,6 +380,32 @@ object TextQueries {
         |FROM m ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.Curation.gopherFilters(docs(s, d))),
 
+    // type-coverage curve (t84): token mass under the top-k vocabulary
+    // types — the corpus-measured Zipf head a vocab-size decision
+    // reads. Exact integer mass/per-mille + one double share; top-k by
+    // (count desc, type) on both engines.
+    Q("t84_type_coverage", Some(
+      """WITH ty AS MATERIALIZED (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |tot AS (SELECT sum(CAST(c AS HUGEINT)) AS tot,
+        |          count(*) AS n_types FROM ty),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn
+        |       FROM ty),
+        |top AS (SELECT k.k, count(*) AS types_used,
+        |          sum(CAST(c AS HUGEINT)) AS mass
+        |        FROM (VALUES (1), (4), (16)) k(k)
+        |        JOIN rk ON rk.rn <= k.k GROUP BY k.k)
+        |SELECT CAST(k AS BIGINT) AS k, n_types, types_used,
+        |  CAST(mass AS BIGINT) AS top_mass, CAST(tot AS BIGINT) AS total_tokens,
+        |  CAST((mass * 1000 - (mass * 1000) % tot) // tot AS BIGINT)
+        |    AS per_mille,
+        |  CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM top, tot ORDER BY k""".stripMargin),
+      (s, d) => graft.operators.Curation.typeCoverage(docs(s, d))),
+
     // blocklist screening (t82): per-doc whole-word occurrence counts
     // for a keyword list in ONE regex pass + the integer cross-
     // multiplied density flag (rule 17). The pattern interpolates from

@@ -662,4 +662,14 @@ class CurationSpec extends SparkSpec {
       Curation.blocklistScreen(df, Seq("a.b"))
     }
   }
+
+  test("typeCoverage: exact head mass, per-mille floor, dense ks") {
+    val df = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Curation.typeCoverage(df, ks = Seq(1, 4)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // counts: a=3, b=2, c=1; total 6, 3 types
+    assert(out(1L) === ((3L, 1L, 3L, 6L, 500L, 0.5)))
+    assert(out(4L) === ((3L, 3L, 6L, 6L, 1000L, 1.0)))
+  }
 }

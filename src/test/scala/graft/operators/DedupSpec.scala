@@ -860,4 +860,17 @@ class DedupSpec extends SparkSpec {
     assert((e.getLong(0), e.getLong(2), e.getLong(3)) === ((0L, 0L, 0L)))
     assert(e.isNullAt(4))
   }
+
+  test("clusterCohesion reports size/edges/density per component") {
+    // clique {1,2,3} (density 1), edge {5,6} (density 1),
+    // path 7-8-9 (3 nodes, 2 edges -> density 2/3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L),
+      (7L, 8L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterCohesion(pairs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(5L) === ((2L, 1L, 1.0)))
+    assert(out(7L) === ((3L, 2L, 4.0 / 6.0)))
+  }
 }

@@ -181,4 +181,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(top.head.getLong(1) === 99999L,
       s"inserted near-dup not served: ${top.take(3).toSeq}")
   }
+
+  // ---- quantizer retrain, the 4th lifecycle verb (s70) ----
+
+  test("retrainIvfIndex equals a from-scratch build over the live vectors") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq
+    // lived-in store: base build + append + tombstoned deletes
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rt_a").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 50), dir)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") < 50), dir)
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), dir)
+    Similarity.retrainIvfIndex(spark, dir, nBits = 5, seed = 11L)
+    // retrain applies tombstones physically and clears them
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "retrain left the tombstone set")
+    val live = emb.filter(col("vec_id") % 7 =!= 3)
+    val total = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/cells")
+    assert(total.count() === live.count())
+    // the new quantizer really is new: 5 planes -> cells beyond 4-bit
+    assert(total.agg(max(col("cell"))).head().getLong(0) > 15L,
+      "retrained cells still in the 4-bit range — planes not rebuilt")
+    // blue/green result ≡ from-scratch build with the same (nBits, seed)
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_rt_b").toString
+    Similarity.writeIvfIndex(live, fresh, nBits = 5, seed = 11L)
+    assert(rows(Similarity.searchIvfIndex(spark, queries, dir, k = 10)) ===
+      rows(Similarity.searchIvfIndex(spark, queries, fresh, k = 10)),
+      "retrained store diverged from the from-scratch rebuild")
+  }
 }
