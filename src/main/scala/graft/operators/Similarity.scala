@@ -1230,6 +1230,61 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The documented scale path of [[semanticDecontam]] (d73): the
+    * dense |corpus|·|bench| cosine scan replaced by a multi-probe LSH
+    * shortlist — each corpus vector pays exact cosines ONLY against
+    * bench items whose sign-signature sits within Hamming 1 of its own
+    * (the s42 multi-probe move with the roles flipped: the BENCH side
+    * is the tiny one, so its signed buckets explode the nBits+1 probe
+    * masks and broadcast). A vector with no shortlisted bench item is
+    * unflagged with NULL nearest/max — the honest "nothing near"
+    * readout. Approximate BY DESIGN: near-duplicates at contamination
+    * cosines (≥ threshold ≈ 0.8+) collide with probability ≈ 1 under
+    * one probe bit, which the 525k probe measures (planted-paraphrase
+    * recall + speedup vs the dense pass); the d73 oracle replays the
+    * shortlist itself, so the gate checks the mechanics exactly, and
+    * DecontamParitySpec pins ANN ≡ dense on flagged sets.
+    *
+    * Scale shape: one signature map over the corpus (per-row), one
+    * broadcast of |bench|·(nBits+1) probe rows, exact cosines only on
+    * collisions, per-doc argmax window bounded by the shortlist. */
+  def semanticDecontamAnn(emb: DataFrame, benchMaxId: Long = 5L,
+      threshold: Double = 0.8, nBits: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(nBits, dim, seed)
+    val masks = (0L +: (0 until nBits).map(i => 1L << i)).map(lit(_))
+    val bench = emb.filter(col("vec_id") < benchMaxId)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        norm(col("embedding")).as("b_norm"),
+        signature(col("embedding"), planes).as("b_sig"))
+      .withColumn("mask", explode(array(masks: _*)))
+      .withColumn("probe_sig", expr("b_sig ^ mask"))
+    val corpus = emb.filter(col("vec_id") >= benchMaxId)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("c_norm"),
+        signature(col("embedding"), planes).as("sig"))
+      .materializeOnce() // candidate join + the keep-all left join
+    // one (corpus, bench) pair has ONE xor value, matched by at most
+    // one mask — no duplicate candidates, no distinct needed
+    val best = corpus
+      .join(broadcast(bench), col("sig") === col("probe_sig") &&
+        col("vec_id") =!= col("b_id"))
+      .select(col("vec_id"), col("b_id"),
+        cosinePre(col("b_emb"), col("embedding"),
+          col("b_norm"), col("c_norm")).as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("r") === 1)
+    corpus.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("b_id").as("nearest_bench"),
+        col("cos").as("max_cos"),
+        coalesce(col("cos") >= threshold, lit(false)).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * parallel corpus mining with multilingual sentence embeddings",
     * ACL 2019 — the CCMatrix/LASER mining criterion): candidate pair

@@ -102,6 +102,16 @@ object SimilarityQueries {
     Q("d69_semantic_decontam", Some(semanticDecontamOracle),
       (s, d) => Similarity.semanticDecontam(emb(s, d))),
 
+    // d69's documented scale path (d73): exact cosines only against the
+    // Hamming-≤1 LSH shortlist of the (broadcast) benchmark buckets —
+    // the |corpus|·|bench| dense scan becomes per-collision work. The
+    // oracle replays the SHORTLIST itself (plane-literal signatures +
+    // the xor-mask membership), so the gate pins the mechanics exactly;
+    // recall economics are probed at 525k and DecontamParitySpec pins
+    // ANN ≡ dense flag sets.
+    Q("d73_decontam_ann", Some(decontamAnnOracle),
+      (s, d) => Similarity.semanticDecontamAnn(emb(s, d))),
+
     // margin-based bitext mining (s65): the CCMatrix/LASER criterion —
     // cos minus each side's mean k-NN cosine (hubness-cancelling
     // "distance" margin), mutual argmax across the two parity sides.
@@ -674,6 +684,36 @@ object SimilarityQueries {
        |       cos >= ${dlit(0.8)} AS flagged
        |FROM ranked WHERE r = 1
        |ORDER BY vec_id""".stripMargin
+
+  /** d73: shortlist replay of Similarity.semanticDecontamAnn — the
+    * plane-literal signatures (the s42 machinery, same planes), the
+    * Hamming-≤1 membership as an xor-IN-masks predicate (one pair has
+    * one xor value ⟺ Spark's single-mask equi-join), the same argmax
+    * window and the keep-all left join for "nothing near" rows. */
+  private lazy val decontamAnnOracle: String = {
+    val maskList = (0L +: (0 until 8).map(i => 1L << i)).mkString(", ")
+    s"""WITH sigs AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |         ${sigSql("embedding", lshPlanes)} AS sig
+       |  FROM embeddings),
+       |bench AS (SELECT vec_id AS b_id, embedding AS b_emb, sig AS b_sig
+       |          FROM sigs WHERE vec_id < 5),
+       |corpus AS (SELECT vec_id, embedding, sig FROM sigs WHERE vec_id >= 5),
+       |cand AS (
+       |  SELECT c.vec_id, b.b_id, ${cosSql("b.b_emb", "c.embedding")} AS cos
+       |  FROM corpus c JOIN bench b
+       |    ON c.vec_id <> b.b_id AND xor(c.sig, b.b_sig) IN ($maskList)),
+       |best AS (
+       |  SELECT vec_id, b_id, cos FROM (
+       |    SELECT vec_id, b_id, cos, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, b_id) AS r
+       |    FROM cand)
+       |  WHERE r = 1)
+       |SELECT c.vec_id, best.b_id AS nearest_bench, best.cos AS max_cos,
+       |       coalesce(best.cos >= ${dlit(0.8)}, false) AS flagged
+       |FROM corpus c LEFT JOIN best ON best.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
 
   /** s65: textual mirror of Similarity.bitextMine — the same cosine
     * fold, floor-scaled k-NN neighborhood sums (exact ints), the same

@@ -1223,6 +1223,26 @@ object ScaleProbe {
         "a planted paraphrase matched the wrong bench item")
       require(organicFlagged == 0,
         s"organic vectors false-flagged: $organicFlagged")
+      // d73: the LSH-shortlist path on the SAME corpus — measure the
+      // speedup the shortlist buys and the recall it costs (planted
+      // paraphrases sit at cos ≈ 1, where a probe-bit collision is
+      // near-certain; organic vectors must stay unflagged)
+      val t1 = System.nanoTime()
+      val annRows = graft.operators.Similarity
+        .semanticDecontamAnn(emb, benchMaxId = benchN, threshold = 0.8)
+        .collect()
+      val annDt = (System.nanoTime() - t1) / 1e9
+      val annPlanted = annRows.filter(r => (r.getLong(0) - benchN) % 500 == 0)
+      val annOrganic = annRows.count(r =>
+        (r.getLong(0) - benchN) % 500 != 0 && r.getBoolean(3))
+      println(f"[probe]   d73 ANN shortlist: $annDt%.1f s (dense was $dt%.1f s, " +
+        f"${dt / annDt}%.1fx); planted flagged=" +
+        s"${annPlanted.count(_.getBoolean(3))}/${annPlanted.length}, " +
+        s"organic flagged=$annOrganic")
+      require(annRows.length == n, s"ANN lost corpus rows: ${annRows.length}")
+      require(annPlanted.forall(_.getBoolean(3)),
+        "ANN shortlist missed a planted paraphrase (probe-bit recall broke)")
+      require(annOrganic == 0, s"ANN false-flagged organics: $annOrganic")
     }
     if (on("q213")) time("q213: Kaplan–Meier life table ≡ driver enumeration") {
       // r11 directive #3c: the calendar-bounded-fold contract as a
