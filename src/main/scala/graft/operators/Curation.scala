@@ -1239,6 +1239,49 @@ object Curation {
       .orderBy(col("k"))
   }
 
+  /** PII pattern classes — ONE definition feeding the Spark columns
+    * AND (interpolated) the DuckDB oracle (rule 12). Deliberately
+    * RE2-compatible (no backreferences, no lookaround) so the Java and
+    * DuckDB regex engines agree token-for-token; each pattern is the
+    * conservative high-precision form a redaction pass wants (a missed
+    * exotic format costs a second pass; a false positive mangles
+    * text). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** PII scan + redaction (t85): per document, occurrence counts per
+    * PII class and the text with every match replaced by its
+    * `[CLASS]` token — the pass every shipped training corpus runs
+    * (and the one regulators ask about first). Counts are computed on
+    * the ORIGINAL text; redaction chains the replaces in the fixed
+    * declaration order, so overlapping classes resolve
+    * deterministically on both engines (SSN before phone would change
+    * `123-45-6789`'s fate — the order IS the contract, hence one
+    * shared pattern list).
+    *
+    * Scale shape: a pure per-row map (regexp_count + regexp_replace);
+    * no shuffle, no state — the cheapest kind of full-corpus pass. */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (name, pat)) =>
+        regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+      .withColumn("n_pii",
+        piiPatterns.map { case (n, _) => col(s"n_$n") }.reduce(_ + _))
+      .select(col("doc_id") +:
+        piiPatterns.map { case (n, _) => col(s"n_$n") } :+
+        col("n_pii") :+ (col("n_pii") > 0).as("has_pii") :+
+        col("redacted"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   def blocklistScreen(docs: DataFrame, terms: Seq[String],
       perMille: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("\\w+")),

@@ -51,6 +51,38 @@ object DedupQueries {
       (s, d) => Dedup.transitivityAudit(
         Dedup.minhashVerifiedPairs(docs(s, d), threshold = 0.5, maxDf = 20))),
 
+    // per-source dedup-rate report (q219): the pipeline-dashboard
+    // number — how much of each source the near-dup pass removes
+    // (min-id survives its cluster; everything else in a cluster is
+    // removed). Composes d44's CC with the source label; rule-13
+    // oracle family (recursive-CC replay).
+    Q("q219_dedup_rate_by_source", Some(
+      s"""WITH RECURSIVE $dupClusterCtes
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN asg.cluster_id IS NOT NULL
+         |    AND d.doc_id <> asg.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN asg.cluster_id IS NOT NULL
+         |    AND d.doc_id <> asg.cluster_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS removal_rate
+         |FROM documents d LEFT JOIN asg ON asg.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (s, d) => {
+        val dd = docs(s, d)
+        val cc = Dedup.connectedComponents(
+          Dedup.minhashVerifiedPairs(dd, threshold = 0.5, maxDf = 20))
+        val removed = when(col("cluster_id").isNotNull &&
+          col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L)
+        dd.join(cc, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(removed).as("n_removed"))
+          .select(col("source"), col("n_docs"), col("n_removed"),
+            (col("n_removed").cast("double") / col("n_docs").cast("double"))
+              .as("removal_rate"))
+          .orderBy(col("source"))
+      }),
+
     // per-cluster cohesion (d71): d70's closure rate localized — size,
     // internal edges, density per connected component. Same rule-13
     // oracle family (recursive-CC replay over the brute-force pairs).

@@ -16,6 +16,29 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** t85: counts per PII class (rule 7: DuckDB regexp_count is
+    * len(regexp_extract_all)) and the SAME declaration-order chained
+    * redaction, generated from Curation.piiPatterns. */
+  private lazy val piiScanOracle: String = {
+    import graft.operators.Curation.piiPatterns
+    val countCols = piiPatterns.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n        |  ")
+    val total = piiPatterns.map { case (n, _) => s"n_$n" }.mkString(" + ")
+    val redacted = piiPatterns.foldLeft("text") { case (acc, (n, p)) =>
+      s"regexp_replace($acc, '$p', '[${n.toUpperCase}]', 'g')"
+    }
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |  $countCols,
+       |  $redacted AS redacted
+       |  FROM documents)
+       |SELECT doc_id, ${piiPatterns.map { case (n, _) => s"n_$n" }
+        .mkString(", ")},
+       |  $total AS n_pii, ($total) > 0 AS has_pii, redacted
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** t82's blocklist — ONE definition feeding both engines (rule 12).
     * Terms are corpus-vocabulary words standing in for a bad-word list;
     * \w-only is REQUIRED (cross-dialect \b, enforced by the operator). */
@@ -405,6 +428,16 @@ object TextQueries {
         |  CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM top, tot ORDER BY k""".stripMargin),
       (s, d) => graft.operators.Curation.typeCoverage(docs(s, d))),
+
+    // PII scan + redaction (t85): per-class counts on the original
+    // text and the deterministically-ordered chained redaction — both
+    // engines driven by ONE pattern list (Curation.piiPatterns, rule
+    // 12). The synthetic corpus is PII-free (counts 0, redacted ≡
+    // text — itself a worthwhile no-false-positive assertion at
+    // corpus scale); CurationSpec drives real PII through both the
+    // counters and the redactor.
+    Q("t85_pii_scan", Some(piiScanOracle),
+      (s, d) => graft.operators.Curation.piiScan(docs(s, d))),
 
     // blocklist screening (t82): per-doc whole-word occurrence counts
     // for a keyword list in ONE regex pass + the integer cross-

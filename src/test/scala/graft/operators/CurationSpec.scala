@@ -672,4 +672,29 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) === ((3L, 1L, 3L, 6L, 500L, 0.5)))
     assert(out(4L) === ((3L, 3L, 6L, 6L, 1000L, 1.0)))
   }
+
+  test("piiScan counts each class and redacts in declaration order") {
+    val df = Seq(
+      (1L, "mail a@b.co and b.user+x@sub.example.org end"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "ssn 123-45-6789 ip 10.0.255.1"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScan(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // (n_email, n_phone, n_ssn, n_ipv4, n_pii, has_pii)
+    def tup(id: Long) = (out(id).getLong(1), out(id).getLong(2),
+      out(id).getLong(3), out(id).getLong(4), out(id).getLong(5),
+      out(id).getBoolean(6))
+    assert(tup(1L) === ((2L, 0L, 0L, 0L, 2L, true)))
+    assert(tup(2L) === ((0L, 2L, 0L, 0L, 2L, true)))
+    // an SSN also matches the phone shape (ddd-dd-dddd vs ddd-ddd-dddd:
+    // it does NOT — phone needs 3-3-4; counts stay disjoint here)
+    assert(tup(3L) === ((0L, 0L, 1L, 1L, 2L, true)))
+    assert(tup(4L) === ((0L, 0L, 0L, 0L, 0L, false)))
+    assert(out(1L).getString(7) === "mail [EMAIL] and [EMAIL] end")
+    assert(out(2L).getString(7) === "call [PHONE] or [PHONE]")
+    assert(out(3L).getString(7) === "ssn [SSN] ip [IPV4]")
+    assert(out(4L).getString(7) === "clean text with no identifiers at all")
+  }
 }
