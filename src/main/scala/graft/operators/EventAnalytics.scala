@@ -915,6 +915,41 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Watermark-delay audit (q220): how late do events actually arrive?
+    * Each event's LATENESS is the high-water mark of event time among
+    * everything that arrived before it, minus its own event time — the
+    * exact quantity a Structured Streaming watermark trades against
+    * dropped data, measured on the batch corpus so the q83-family jobs
+    * can pick `withWatermark` delays from numbers instead of folklore.
+    * Arrival order is simulated with the injective `Sampling.orderHash`
+    * permutation of event_id (a deterministic stand-in for network
+    * reordering, same hash both engines — rule 12).
+    *
+    * The running max over arrival order is rule 23's forbidden global
+    * window verbatim — it runs on [[Prefix.cummax]] (bucket maxima +
+    * triangular prefix-max, bit-equal to the window by associativity);
+    * the oracle keeps the plain global window. Latenesses stay in
+    * exact integer µs end to end.
+    *
+    * Scale shape: one per-row map (hash + epoch µs), the cummax
+    * decomposition (no unpartitioned window at any cardinality), one
+    * event-type-grain groupBy. */
+  def watermarkAudit(events: DataFrame,
+      lateSec: Seq[Long] = Seq(60L, 600L)): DataFrame = {
+    val ev = events.select(col("event_type"),
+      unix_micros(col("ts")).as("tsus"),
+      graft.operators.Sampling.orderHash(col("event_id")).as("arr"))
+    val wm = graft.operators.Prefix.cummax(ev, "arr", "tsus", "wm")
+      .withColumn("late_us", col("wm") - col("tsus"))
+    val lateCols = lateSec.map(s =>
+      sum(when(col("late_us") > s * 1000000L, 1L).otherwise(0L))
+        .as(s"late_${s}s"))
+    val aggs = lateCols :+ max(col("late_us")).as("max_late_us")
+    wm.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+      .orderBy(col("event_type"))
+  }
+
   /** Periodicity detection via lagged autocorrelation of the hourly
     * event-count series (the Box–Jenkins sample ACF, computed at the
     * chosen lags): r(L) = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))

@@ -104,4 +104,49 @@ object Prefix {
     }
     withCum.drop("p_bkt" +: sums.indices.map(i => s"p_off_$i"): _*)
   }
+
+  /** Running MAX in ascending `xCol` order — the prefix-max sibling of
+    * [[cumsum]], same three-step decomposition (max is associative and
+    * commutative like integer addition, so bucket-local maxima plus
+    * the max of all lower buckets' maxima ≡ the global ordered running
+    * max exactly). INCLUSIVE of the current row — the watermark shape
+    * (q220's "largest event time seen so far, including me") that rule
+    * 23 forbids writing as a bare global window. `xCol` integral,
+    * non-null, unique per group; `maxCol` non-null LongType; the empty
+    * lower-bucket prefix uses Long.MinValue as the max identity. */
+  def cummax(
+      df: DataFrame, xCol: String, maxCol: String, outCol: String,
+      buckets: Int = 256, groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val in = df.materializeOnce()
+    val mnmx = in.agg(min(col(xCol)).as("p_mn"), max(col(xCol)).as("p_mx"))
+    val bucketed = in.crossJoin(broadcast(mnmx))
+      .withColumn("p_bkt",
+        floor((D(col(xCol)) - D(col("p_mn"))) /
+          (floor((D(col("p_mx")) - D(col("p_mn"))) / lit(buckets)) + lit(1)))
+          .cast("int"))
+      .drop("p_mn", "p_mx")
+    val gb = groupCols :+ "p_bkt"
+    val bw = bucketed.groupBy(gb.map(col): _*)
+      .agg(max(col(maxCol)).as("p_bm"))
+      .materializeOnce() // both sides of the triangular join
+    val lower = bw.select(
+      (groupCols.map(g => col(g).as(s"p_lg_$g")) :+ col("p_bkt").as("p_lb"))
+        :+ col("p_bm").as("p_lm"): _*)
+    val lowerCond = groupCols
+      .map(g => col(g) === col(s"p_lg_$g"))
+      .foldLeft(col("p_lb") < col("p_bkt"))(_ && _)
+    val offsets = bw
+      .join(broadcast(lower), lowerCond, "left")
+      .groupBy(gb.map(col): _*)
+      .agg(coalesce(max(col("p_lm")), lit(Long.MinValue)).as("p_offm"))
+      .select(gb.map(col) :+ col("p_offm"): _*)
+    val wB = Window.partitionBy(gb.map(col): _*).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), gb)
+      .withColumn(outCol,
+        greatest(col("p_offm"), max(col(maxCol)).over(wB)))
+      .drop("p_bkt", "p_offm")
+  }
 }

@@ -535,6 +535,31 @@ object AnalyticsQueries {
     // deaths / right-censored counts and the hazard as one exact
     // division — the Kaplan-Meier table in count form. The at-risk
     // reverse-cumulative window runs over DISTINCT ages (output-sized).
+    // watermark-delay audit (q220): per-event lateness against the
+    // arrival-order high-water mark of event time (arrival = the
+    // orderHash permutation, one definition both engines), counted at
+    // the candidate watermark delays — the measured basis for q83's
+    // withWatermark choice. Spark runs Prefix.cummax (rule 23); the
+    // oracle keeps the plain global running-max window.
+    Q("q220_watermark_audit", Some(
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) AS tsus,
+         |         ${graft.operators.Sampling.orderHashSql("event_id")} AS arr
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, tsus,
+         |    max(tsus) OVER (ORDER BY arr
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+         |  FROM e)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN wm - tsus > 60000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS late_60s,
+         |  CAST(sum(CASE WHEN wm - tsus > 600000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS late_600s,
+         |  CAST(max(wm - tsus) AS BIGINT) AS max_late_us
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => EventAnalytics.watermarkAudit(T(s, d, "events"))),
+
     // periodicity detection (q216): lagged sample autocorrelation of
     // the hourly event-count series — the daily-cycle readout (acf
     // peaks at lag 24 on diurnal traffic). Count sums and count

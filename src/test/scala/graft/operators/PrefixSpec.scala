@@ -69,4 +69,24 @@ class PrefixSpec extends SparkSpec {
     assert(specs.nonEmpty, plan)
     assert(specs.forall(_.contains("p_bkt")), specs)
   }
+
+  test("cummax equals the global ordered running max exactly") {
+    val df = frame(5000).withColumnRenamed("c1", "v")
+    val got = Prefix.cummax(df, "x", "v", "m", buckets = 16)
+      .select("x", "m")
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("x"), max(col("v")).over(w).as("m"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // grouped form: each group's running max is independent
+    val g = frame(2000).withColumn("g", pmod(col("x"), lit(3)).cast("long"))
+      .withColumnRenamed("c2", "v")
+      // pmod of negative x is still non-negative; keys non-null as required
+    val gotG = Prefix.cummax(g, "x", "v", "m", buckets = 8,
+        groupCols = Seq("g")).select("g", "x", "m")
+    val wg = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantG = g.select(col("g"), col("x"), max(col("v")).over(wg).as("m"))
+    assert(gotG.exceptAll(wantG).isEmpty && wantG.exceptAll(gotG).isEmpty)
+  }
 }

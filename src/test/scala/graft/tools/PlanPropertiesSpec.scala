@@ -573,4 +573,15 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(specs.nonEmpty, plan)
     assert(specs.forall(_.contains("bucket")), specs)
   }
+
+  test("q220 watermark audit: the running max windows by the range bucket") {
+    // Prefix.cummax, the prefix-MAX sibling of rule 23's cumsum: the
+    // window that sees event rows must partition by p_bkt; no window
+    // may order the raw arrival hash without a partition (the r9 t63
+    // defect shape).
+    val plan = PlanInspect.formatted(run("q220_watermark_audit"))
+    val specs = "windowspecdefinition\\(([^)]*?)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("p_bkt")), specs)
+  }
 }
