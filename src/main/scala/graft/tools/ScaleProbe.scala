@@ -786,6 +786,23 @@ object ScaleProbe {
       println(f"[probe]   support=$support distinct values; 256-bucket pass " +
         f"$tMany%.1f s; bucketed==sequential diff rows: $diff (ungrouped), " +
         s"$gDiff (7 groups) — exact")
+      // r12: the prefix-MAX sibling under the same standard of evidence
+      // (q220's running high-water mark) — 256-bucket decomposition ≡
+      // 1-bucket sequential, at the same high-cardinality support
+      val mBase = base.withColumn("v", pmod(xxhash64(col("x"), lit(5)),
+        lit(1000000L)))
+      def runMax(buckets: Int) = graft.operators.Prefix
+        .cummax(mBase, "x", "v", "m", buckets = buckets)
+        .select(col("x"), col("m")).localCheckpoint()
+      val t1 = System.nanoTime()
+      val mMany = runMax(256)
+      val tMax = (System.nanoTime() - t1) / 1e9
+      val mOne = runMax(1)
+      val mDiff = mMany.exceptAll(mOne).unionByName(mOne.exceptAll(mMany))
+        .count()
+      require(mDiff == 0, s"cummax decomposition diverged: $mDiff rows")
+      println(f"[probe]   cummax 256-bucket pass $tMax%.1f s; " +
+        s"bucketed==sequential diff rows: $mDiff — exact")
     }
     if (on("d65")) time("d65: shared-span alignment on the planted pairs") {
       // every planted dup replays its source's 60 words except the
