@@ -609,6 +609,40 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Per-clip loudness + normalization gain over the REAL decode path
+    * (m63): exact integer mean square (Σs² DIV n) and the power-of-4
+    * shift toward the target mean square (RMS 8192 ≈ −12 dBFS for
+    * int16 — the headroom a normalization pass levels to): each
+    * amplitude DOUBLING quadruples the mean square, so
+    * gain_shifts = +⌊log₂(target DIV ms)⌋ DIV 2 doublings when quiet,
+    * −(⌊log₂(ms DIV target)⌋ DIV 2) halvings when hot, with
+    * ⌊log₂ x⌋ = length(bin(x)) − 1 — exact integers, no
+    * transcendentals, replayable verbatim (the q-gap bucket trick).
+    * Silent clips pin shift 0 (a gain on silence is undefined — lazy
+    * guard, rule 21a). Sums stay in int64 by construction (s² < 2³⁰,
+    * n ≤ 255 here; at real clip lengths the sum column is the one to
+    * widen, and the oracle's HUGEINT side already is).
+    *
+    * Scale shape: partition-wise decode (audioFrameEnergy) then one
+    * clip-grain groupBy — no shuffle beyond it. */
+  def audioLoudness(spark: SparkSession, docs: DataFrame,
+      targetMs: Long = 8192L * 8192L): DataFrame = {
+    val sq = audioFrameEnergy(spark, docs)
+      .groupBy(col("media_id"))
+      .agg(sum(col("n_samples")).as("n_samples"),
+        sum(col("energy")).as("sum_sq"))
+      .withColumn("mean_sq", expr("sum_sq DIV n_samples"))
+    sq.select(col("media_id"), col("n_samples"), col("sum_sq"),
+        col("mean_sq"),
+        when(col("mean_sq") === 0, lit(0L))
+          .when(col("mean_sq") < targetMs,
+            expr(s"CAST((length(bin($targetMs DIV mean_sq)) - 1) DIV 2 AS BIGINT)"))
+          .otherwise(expr(
+            s"CAST(-((length(bin(mean_sq DIV $targetMs)) - 1) DIV 2) AS BIGINT)"))
+          .as("gain_shifts"))
+      .orderBy(col("media_id"))
+  }
+
   /** Voice-activity segmentation over the REAL decode path (the
     * adaptive energy-threshold VAD baseline — Rabiner & Sambur, "An
     * algorithm for determining the endpoints of isolated utterances",

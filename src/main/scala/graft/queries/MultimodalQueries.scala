@@ -569,6 +569,33 @@ object MultimodalQueries {
     // in int64; the oracle regenerates the PCM arithmetically and
     // replays the framing with integer // (truncation = floor on these
     // non-negative indexes; DuckDB HUGEINT sum cast to BIGINT).
+    // per-clip loudness + normalization gain over the real decode
+    // (m63): exact integer mean square and the power-of-4 shift toward
+    // RMS 8192 — log2 via the bin-length trick (the q-gap bucket
+    // replay), silent clips pinned to shift 0. The oracle regenerates
+    // the PCM arithmetically (the m48/m57 contract: WAV is lossless,
+    // so decode totals ≡ waveform arithmetic).
+    Q("m63_audio_loudness", Some(
+      """WITH ns AS (
+        |  SELECT doc_id, 64 + (doc_id % 192) AS n FROM documents),
+        |ix AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ns),
+        |sq AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |         CAST(sum(((doc_id*31 + i*7919) % 65536 - 32768)
+        |           * ((doc_id*31 + i*7919) % 65536 - 32768)) AS BIGINT)
+        |           AS sum_sq
+        |       FROM ix GROUP BY doc_id, n),
+        |m AS (SELECT doc_id, n_samples, sum_sq,
+        |        sum_sq // n_samples AS mean_sq FROM sq)
+        |SELECT doc_id AS media_id, n_samples, sum_sq,
+        |  CAST(mean_sq AS BIGINT) AS mean_sq,
+        |  CAST(CASE WHEN mean_sq = 0 THEN 0
+        |    WHEN mean_sq < 67108864
+        |      THEN (length(bin(67108864 // mean_sq)) - 1) // 2
+        |    ELSE -((length(bin(mean_sq // 67108864)) - 1) // 2)
+        |  END AS BIGINT) AS gain_shifts
+        |FROM m ORDER BY media_id""".stripMargin),
+      (s, d) => Multimodal.audioLoudness(s, docs(s, d))),
+
     Q("m57_audio_energy", Some(
       """WITH ns AS (
         |  SELECT doc_id, 64 + (doc_id % 192) AS n FROM documents),

@@ -337,4 +337,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out === expected)
     assert(out.exists(_._5) || out.nonEmpty, "rows must exist for nf >= 2")
   }
+
+  test("audioLoudness: integer mean square and power-of-4 gain shifts") {
+    val docs = graft.Tables.load(spark, sf0001, "documents").limit(50)
+    val out = Multimodal.audioLoudness(spark, docs).collect()
+    assert(out.length === 50)
+    val T = 8192L * 8192L
+    out.foreach { r =>
+      val (n, ss, ms, g) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ms === ss / n, s"mean square drifted for ${r.getLong(0)}")
+      val expG =
+        if (ms == 0) 0L
+        else if (ms < T) ((63 - java.lang.Long.numberOfLeadingZeros(T / ms)) / 2).toLong
+        else -((63 - java.lang.Long.numberOfLeadingZeros(ms / T)) / 2).toLong
+      assert(g === expG, s"gain shift drifted for ms=$ms")
+      // the shift's CONTRACT: applying g amplitude doublings moves the
+      // mean square to within one doubling band of the target
+      if (ms > 0) {
+        val adjusted =
+          if (g >= 0) BigInt(ms) << (2 * g).toInt
+          else BigInt(ms) >> (-2 * g).toInt
+        assert(adjusted > BigInt(T) / 8 && adjusted <= BigInt(T) * 8,
+          s"adjusted mean square $adjusted not near target $T (g=$g)")
+      }
+    }
+  }
 }
