@@ -1250,7 +1250,12 @@ object Curation {
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
     "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
-    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    // real octets only (0-255): \d{1,3} accepted 999.999.999.999,
+    // over-matching for a list documented as conservative
+    // high-precision (VERDICT r12 directive #7). Alternation order is
+    // longest-first so RE2/Java leftmost-first semantics agree.
+    "ipv4" -> ("\\b(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)" +
+      "(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}\\b"))
 
   /** PII scan + redaction (t85): per document, occurrence counts per
     * PII class and the text with every match replaced by its

@@ -16,6 +16,19 @@ import graft.operators.Materialize.Ops
   */
 object EventAnalytics {
 
+  /** Exact second-order moment term: ONE factor widened to
+    * DECIMAL(38,0) BEFORE the product. `(a*b).cast(decimal)` computes
+    * the product in LONG first — under ANSI mode (rule 21a) that
+    * throws SparkArithmeticException the moment a single count passes
+    * ~3.04e9 (√2^63), i.e. exactly at the 100 TB scale the decimal
+    * SUM was chosen for, while the DuckDB oracles multiply in HUGEINT
+    * and sail on. decimal(38,0) × bigint is exact (result precision
+    * caps at 38; terms < 2^126). All moment sums (CUPED, OLS trend,
+    * hourly ACF) go through this helper; MomentTermSpec plants a
+    * >2^32 count against it. */
+  def momentTerm(a: Column, b: Column): Column =
+    a.cast("decimal(38,0)") * b
+
   /** Total event order as one BIGINT: epoch-seconds * 1e6 + seq. Whole
     * seconds are the cross-engine-safe granularity (CLAUDE.md rule 2);
     * the sequence id breaks sub-second ties deterministically. Caller
@@ -590,8 +603,10 @@ object EventAnalytics {
       count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      // momentTerm widens a factor BEFORE the product (ANSI overflow
+      // seam, rule 21a); the oracle multiplies in HUGEINT
+      sum(momentTerm(col("x"), col("x"))).as("sxx"),
+      sum(momentTerm(col("x"), col("y"))).as("sxy"))
     val v = perUser
       .groupBy(when(Sampling.hashBucket(col("user_id"), 100) < 50, "A")
         .otherwise("B").as("variant"))
@@ -698,9 +713,10 @@ object EventAnalytics {
     def dbl(c: Column) = c.cast("double")
     xy.agg(count(lit(1)).as("n"),
         sum(D(col("x"))).as("sx"), sum(D(col("y"))).as("sy"),
-        sum(D(col("x") * col("x"))).as("sxx"),
-        sum(D(col("x") * col("y"))).as("sxy"),
-        sum(D(col("y") * col("y"))).as("syy"))
+        // momentTerm widens a factor before the product (rule 21a)
+        sum(momentTerm(col("x"), col("x"))).as("sxx"),
+        sum(momentTerm(col("x"), col("y"))).as("sxy"),
+        sum(momentTerm(col("y"), col("y"))).as("syy"))
       .withColumn("num", expr("cast(n as decimal(38,0)) * sxy - sx * sy"))
       .withColumn("den", expr("cast(n as decimal(38,0)) * sxx - sx * sx"))
       .withColumn("deny", expr("cast(n as decimal(38,0)) * syy - sy * sy"))
@@ -984,9 +1000,12 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        // momentTerm widens a factor before the product: LONG x*y
+        // throws under ANSI once an hourly count passes ~3.04e9 — the
+        // sum widening alone (pre-r13 form) didn't protect the TERM
+        sum(momentTerm(col("x"), col("y"))).as("sxy"),
+        sum(momentTerm(col("x"), col("x"))).as("sxx"),
+        sum(momentTerm(col("y"), col("y"))).as("syy"))
     val num = d("n_pairs") * d("sxy") - d("sx") * d("sy")
     val vx = d("n_pairs") * d("sxx") - d("sx") * d("sx")
     val vy = d("n_pairs") * d("syy") - d("sy") * d("sy")

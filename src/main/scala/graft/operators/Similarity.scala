@@ -553,9 +553,16 @@ object Similarity {
     * drift/growth accumulates, THIS verb rebuilds the planes with a
     * new (nBits, seed), re-assigns the LIVE postings (tombstones apply
     * physically, as in compaction), and swaps the versioned rebuild in
-    * blue/green — readers before the swap see the old index, after it
-    * the new one, never a mix (the cells/centroids pair moves
-    * together). Result ≡ a from-scratch [[writeIvfIndex]] over the
+    * blue/green. The swap is four sequential renames, so — like
+    * compaction — it is a plain-filesystem stand-in for a manifest
+    * commit: single-writer, and a reader racing between the cells move
+    * and the centroids move can observe new cells with the old
+    * quantizer's centroids (acceptable on the single-writer
+    * maintenance path; a real deployment commits both in one manifest
+    * swap). Crash-re-entrant: a retry detects a mid-swap state (live
+    * dir missing, `_old` present) and restores the old index before
+    * clearing rebuild debris, so no crash point loses the only copy
+    * of the postings. Result ≡ a from-scratch [[writeIvfIndex]] over the
     * live vectors with the same (nBits, seed) — the spec-pinned
     * contract (IvfIndexSpec), the retrain analog of d53's
     * store ≡ recompute. */
@@ -565,7 +572,18 @@ object Similarity {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    // re-entrancy, as in compaction: clear debris from a crashed run
+    // Re-entrancy, as in compaction — but NEVER delete `_old` while it
+    // may be the only copy: a crash between the swap renames leaves the
+    // live dir missing and `_old` holding the index, and the previous
+    // unconditional cleanup would have destroyed it on retry (ADVICE
+    // r12, medium). Restore any mid-swap state FIRST, then clear
+    // rebuild debris. (If the crash landed after the cells move of the
+    // new index, the restored pair can mix old/new assignments — the
+    // retrain below recomputes every cell from the posting CONTENT
+    // (vec_id, embedding), which is invariant under assignment, so the
+    // rebuilt index is still exactly from-scratch-equal.)
+    restoreIfMidSwap(path, "cells")
+    restoreIfMidSwap(path, "centroids")
     Seq("retrain_cells", "retrain_centroids", "cells_old", "centroids_old")
       .foreach(d => rm(new java.io.File(s"$path/$d")))
     writeIndexFiles(livePostings(spark, path).drop("cell"),
@@ -579,6 +597,20 @@ object Similarity {
       Paths.get(s"$path/centroids"))
     Seq("cells_old", "centroids_old", "tombstones")
       .foreach(d => rm(new java.io.File(s"$path/$d")))
+  }
+
+  /** Mid-swap crash recovery shared by [[retrainIvfIndex]] and
+    * [[compactIvfIndex]]: if the live dir is missing and its `_old`
+    * sibling exists, the previous run died between the two swap
+    * renames and `_old` is the ONLY copy — move it back before any
+    * debris cleanup may touch it. Renames are atomic per-directory, so
+    * exactly one of (live, old) can hold the data. */
+  private def restoreIfMidSwap(path: String, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = new java.io.File(s"$path/$dir")
+    val old = new java.io.File(s"$path/${dir}_old")
+    if (!live.exists() && old.exists())
+      Files.move(Paths.get(old.getPath), Paths.get(live.getPath))
   }
 
   /** Incremental IVF insert WITHOUT retraining the coarse quantizer
@@ -620,10 +652,11 @@ object Similarity {
     * before ≡ search after is the spec-pinned contract. The swap is
     * write-to-temp + directory rename; on a real deployment the
     * rename is the metastore/manifest commit, same shape. Crash
-    * safety: stale `cells_old`/`cells_compacting` left by an
-    * interrupted prior run are deleted at entry (the live `cells`
-    * dir is never the leftover, so a retry always restarts from a
-    * consistent source); between the two moves there is a brief
+    * safety: a retry first restores a mid-swap state (live `cells`
+    * missing, `cells_old` present → move it back; a crash between the
+    * renames leaves `_old` as the ONLY copy, so it must never be
+    * treated as debris), then deletes stale
+    * `cells_old`/`cells_compacting`; between the two moves there is a brief
     * window with no `cells` dir — a plain-filesystem stand-in for
     * what a manifest commit makes atomic, acceptable because
     * compaction is the single-writer maintenance path. */
@@ -635,8 +668,11 @@ object Similarity {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    // re-entrancy: clear debris from a crashed earlier compaction
-    // BEFORE starting, or the moves below throw FileAlreadyExists
+    // Re-entrancy: restore a mid-swap state FIRST (a crash between the
+    // two renames leaves `cells` missing and `cells_old` as the only
+    // copy — deleting it here would destroy the index, ADVICE r12),
+    // THEN clear debris so the moves below can't hit FileAlreadyExists.
+    restoreIfMidSwap(path, "cells")
     rm(new java.io.File(s"$path/cells_old"))
     rm(new java.io.File(tmp))
     // compaction applies tombstones physically: the rewrite reads the

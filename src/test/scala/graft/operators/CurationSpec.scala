@@ -697,4 +697,17 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getString(7) === "ssn [SSN] ip [IPV4]")
     assert(out(4L).getString(7) === "clean text with no identifiers at all")
   }
+
+  test("ipv4 pattern accepts only real octets (r12 directive #7)") {
+    val df = Seq(
+      (1L, "edge 255.255.255.255 and 0.0.0.0 and 192.168.1.254 ok"),
+      (2L, "not ips: 999.999.999.999 or 256.1.1.1 or 1.2.3.456"),
+      (3L, "embedded 1234.1.2.3 and trailing 1.2.3.4567")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScan(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap // n_ipv4
+    assert(out(1L) === 3L)
+    assert(out(2L) === 0L)
+    assert(out(3L) === 0L)
+  }
 }

@@ -215,4 +215,45 @@ class IvfIndexSpec extends SparkSpec {
       rows(Similarity.searchIvfIndex(spark, queries, fresh, k = 10)),
       "retrained store diverged from the from-scratch rebuild")
   }
+
+  // ---- mid-swap crash recovery (ADVICE r12, medium) ----
+
+  test("a retry after a mid-swap crash restores the index, never destroys it") {
+    import java.nio.file.{Files, Paths}
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 7)
+    def rows(dir: String) = Similarity
+      .searchIvfIndex(spark, queries, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq
+
+    // compaction: simulate a crash between the two swap renames —
+    // `cells` gone, `cells_old` the only copy, `cells_compacting`
+    // half-written debris. The pre-r13 entry cleanup deleted BOTH
+    // copies here; the retry must instead restore and succeed.
+    val cDir = java.nio.file.Files.createTempDirectory("ivf_crash_c").toString
+    Similarity.writeIvfIndex(emb, cDir)
+    val before = rows(cDir)
+    Files.move(Paths.get(s"$cDir/cells"), Paths.get(s"$cDir/cells_old"))
+    Files.createDirectories(Paths.get(s"$cDir/cells_compacting"))
+    Files.write(Paths.get(s"$cDir/cells_compacting/_partial"),
+      Array[Byte](1, 2, 3))
+    Similarity.compactIvfIndex(spark, cDir, files = 2)
+    assert(rows(cDir) === before,
+      "post-crash compaction retry changed (or lost) the index")
+
+    // retrain: crash with BOTH live dirs swapped out — `_old` holds the
+    // only copy of cells and centroids; retrain debris is present.
+    val rDir = java.nio.file.Files.createTempDirectory("ivf_crash_r").toString
+    Similarity.writeIvfIndex(emb, rDir)
+    Files.move(Paths.get(s"$rDir/cells"), Paths.get(s"$rDir/cells_old"))
+    Files.move(Paths.get(s"$rDir/centroids"),
+      Paths.get(s"$rDir/centroids_old"))
+    Files.createDirectories(Paths.get(s"$rDir/retrain_cells"))
+    Similarity.retrainIvfIndex(spark, rDir, nBits = 5, seed = 11L)
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_crash_f").toString
+    Similarity.writeIvfIndex(emb, fresh, nBits = 5, seed = 11L)
+    assert(rows(rDir) === rows(fresh),
+      "post-crash retrain retry diverged from the from-scratch rebuild")
+  }
 }
