@@ -67,44 +67,66 @@ object Bench {
     // display clamp (99.999 s — see renderLine), worth 61 worst-case
     // chars, NOT from raising the 1750 gate: CDC chunking, density
     // clustering, and the persisted-IVF serving path.
-    "d68_cdc_chunks", "d67_dbscan", "s51_knn_ivf_store")
+    // r13 (VERDICT r12 directives #1b/#3): the benched DBSCAN series
+    // moved from the gate-mode exact quadratic arm (d67_dbscan, the
+    // suite's most expensive query at 4.1–5.3 s — it stays registered
+    // for the oracle gate and rotates through the tail) to the LSH
+    // production arm a 100 TB run would execute. The d67 headline
+    // series ends at r12; d67b starts a new one.
+    "d68_cdc_chunks", "d67b_dbscan", "s51_knn_ivf_store")
 
-  /** Degradation ladder for the wall-clock budget guard. Bench loss is
+  /** Sampling ladder for the wall-clock budget guard. Bench loss is
     * the only failure mode that has cost whole rounds (r7 was killed at
     * rc=124 with no JSON line; the first r8 boot ran ~10 min) — so the
     * suite must ALWAYS print its summary line before any plausible
     * driver timeout. Modes only escalate, never relax:
     *   0 = normal (min-stable, ≤3 samples)   1 = ≤2 samples everywhere
     *   2 = two-tier: headline ≤2, tail 1     3 = 1 sample everywhere
-    *   4 = headline-only, 1 sample
-    *   5 = abort (skip all remaining queries, print the line)
     * Mode 2 is the designed steady state (VERDICT r10 directive #1):
     * 1-sample noise on sub-2 s queries is 1.3–1.7× and produced phantom
     * regressions three rounds running (r9 q92, r10 d57/t53), so the
     * pinned headline set — the only cross-round per-query signal —
     * keeps min-of-2 even when the long tail drops to a single sample.
-    * Escalation compares remaining budget to remaining work, using
-    * measured per-mode seconds/query wall costs (r8 clean boot:
-    * ~1.94 s/q at the min-stable ≤3-sample protocol incl. overhead;
-    * ~0.8 s/q at 1 sample; two-tier ≈ 0.8 × (1 + headline cost share)
-    * ≈ 0.95; headline = ~1/5 of the suite), re-evaluated before every
-    * query so a slow boot or ambient contention degrades exactly as
-    * far as the clock demands and no further.
-    */
+    *
+    * SINCE r13 the ladder governs only SAMPLE COUNTS; which queries run
+    * is the greedy clock floor in the main loop. The pre-r13 ladder had
+    * two further modes (headline-only, abort) that skipped the WHOLE
+    * remaining tail the moment the budget couldn't cover ALL of it —
+    * all-or-nothing semantics that left two independent r12 runs with
+    * ≤79 of 338 queries timed (VERDICT r12 #1: the suite outgrew the
+    * 480 s budget, so "fit everything or skip everything" became "skip
+    * everything"). With the r12 rotation pointer, cross-round coverage
+    * wants as MANY timed tail queries per round as fit — each round
+    * times a maximal prefix of the rotated tail, the next round resumes
+    * where the timed tail ended, and the union covers the registry in
+    * ⌈tail/timed⌉ rounds. Escalation thresholds are the measured
+    * per-mode seconds/query wall costs (r8 clean boot: ~1.94 s/q at the
+    * ≤3-sample protocol incl. overhead; ~0.8 s/q at 1 sample; two-tier
+    * ≈ 0.95), re-evaluated before every query. */
   private[graft] def escalateMode(current: Int, remainingSec: Double, queriesLeft: Int): Int = {
     val left = math.max(1, queriesLeft).toDouble
     val m =
       if (remainingSec >= 2.2 * left) 0
       else if (remainingSec >= 1.5 * left) 1
       else if (remainingSec >= 0.95 * left) 2
-      else if (remainingSec >= 0.75 * left) 3
-      else if (remainingSec >= math.max(15.0, 0.3 * left)) 4
-      else 5
+      else 3
     math.max(current, m)
   }
 
   private[graft] val modeNames =
-    Array("none", "2samp", "2tier", "1samp", "headline", "abort")
+    Array("none", "2samp", "2tier", "1samp")
+
+  /** Greedy clock floor (r13): a query runs iff the remaining budget
+    * covers its worst plausible cost plus the end-of-run work (render +
+    * spark.stop + stdout flush). Worst observed single query at sf0.1
+    * is ~5.3 s; a 2.3×-slow boot (the worst seen) puts that near 13 s;
+    * the line render/stop is ~2-5 s. 25 s covers the sum with margin,
+    * so the JSON line always prints — the same guarantee the old
+    * abort mode gave, without discarding the tail queries that DID
+    * fit. Once remaining < floor it stays below (the clock is
+    * monotone), so the skipped set is exactly the rotated-tail
+    * suffix, which is what nextRotation's resume arithmetic assumes. */
+  private[graft] val safetyFloorSec: Double = 25.0
 
   /** Staging-helper names whose FIRST invocation does one-time work
     * (bucketed-table writes, signature/image/IVF/drift store builds,
@@ -338,7 +360,7 @@ object Bench {
       if (mode != prevMode)
         System.err.println(f"[bench] budget guard: mode ${modeNames(prevMode)}" +
           f" -> ${modeNames(mode)} (remaining=$remaining%.1fs, left=$queriesLeft)")
-      val skip = mode >= 5 || (mode == 4 && !headlineSet.contains(name))
+      val skip = remaining < safetyFloorSec
       if (skip) { skipped += 1 }
       else {
         // localCheckpoint blocks are reclaimed by the ContextCleaner only
@@ -417,8 +439,12 @@ object Bench {
     }
     val hsMin = headline.flatMap(sampleCounts.get)
       .reduceOption(math.min).getOrElse(0)
+    // degraded = sampling mode; "+cut" marks a clock-floor-trimmed tail
+    // (the skipped field carries how much — rotation resumes there next
+    // round, so a cut is expected steady state, not a failure)
+    val degraded = if (skipped > 0) modeNames(mode) + "+cut" else modeNames(mode)
     val line = renderLine(resultsBuf.toSeq, failed.toSeq, warmed,
-      modeNames(mode), skipped, sfDir, hsMin, rot)
+      degraded, skipped, sfDir, hsMin, rot)
     // Stop Spark BEFORE printing: the JSON must be the literal last line of
     // stdout (the driver parses only the tail), so no shutdown chatter may
     // follow it.

@@ -1353,6 +1353,58 @@ object Dedup {
             / col("n_wedges").cast("double")).as("closure_rate"))
   }
 
+  /** Link prediction over the near-dup graph (q222) — ranked
+    * candidate pairs the verifier should look at NEXT: two documents
+    * that share many duplicate-neighbors but carry no edge themselves
+    * are the classic "LSH missed it / threshold straddled it"
+    * candidates, so this is the entity-resolution completion step
+    * (Liben-Nowell & Kleinberg, CIKM '03) run on the d44 machinery.
+    * Scores, all exact integers: common-neighbor count (the strongest
+    * cheap predictor), an integerized Adamic–Adar
+    * Σ_x 1000 DIV ⌊log₂ deg(x)⌋ (common neighbors discounted by how
+    * promiscuous they are; every common neighbor has deg ≥ 2 so the
+    * divisor is ≥ 1 — no degenerate branch), and the
+    * preferential-attachment product deg(a)·deg(b) as the final
+    * tiebreak before ids. ⌊log₂⌋ is length(bin(n))−1, the m63 idiom.
+    *
+    * Scale shape: wedges come from the symmetric edge list joined on
+    * the CENTER vertex — Σ deg(x)² work, the q136 bound, governed
+    * upstream by the pair set's maxDf hub cap; existing edges drop out
+    * via one anti-join; the global top-k is orderBy+limit
+    * (TakeOrdered — per-partition partial top-k, never a full sort). */
+  def linkPrediction(pairs: DataFrame, topK: Int = 25): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .materializeOnce() // wedge sides, anti-join probe, degree agg
+    val sym = e.select(explode(array(
+        struct(col("a").as("v"), col("b").as("x")),
+        struct(col("b").as("v"), col("a").as("x")))).as("s"))
+      .select(col("s.v").as("v"), col("s.x").as("x"))
+      .materializeOnce()
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .materializeOnce() // center discount + endpoint products
+    // candidate pair (v, w) per shared neighbor x, oriented v < w
+    val throughX = sym.select(col("x"), col("v"))
+      .join(sym.select(col("x"), col("v").as("w")), Seq("x"))
+      .filter(col("v") < col("w"))
+      .join(deg, Seq("x")) // deg(x) for the Adamic–Adar discount
+      .withColumn("aa_term", expr("1000 DIV (length(bin(d)) - 1)"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("aa_term")).as("aa_milli"))
+    val nonEdges = throughX
+      .join(e.select(col("a").as("v"), col("b").as("w")),
+        Seq("v", "w"), "left_anti")
+    nonEdges
+      .join(deg.select(col("x").as("v"), col("d").as("deg_a")), Seq("v"))
+      .join(deg.select(col("x").as("w"), col("d").as("deg_b")), Seq("w"))
+      .select(col("v").as("id_a"), col("w").as("id_b"),
+        col("common_neighbors"), col("aa_milli").cast("bigint").as("aa_milli"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"))
+      .orderBy(col("common_neighbors").desc, col("aa_milli").desc,
+        col("pref_attach").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
   /** Newman modularity of an ARBITRARY node partition over the
     * near-dup pair graph (Newman & Girvan 2004): Q = Σ_c [e_c/m −
     * (d_c/2m)²] for membership classes c — here typically the SOURCE

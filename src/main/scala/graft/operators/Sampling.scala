@@ -171,6 +171,66 @@ object Sampling {
     * output-sized-window idiom); (2) a per-bucket window ordered by id,
     * plus the broadcast offset. The corpus shuffles once (by bucket)
     * and no partition ever holds more than ~1/buckets of it. */
+  /** Weight-proportional THRESHOLD sampling with the exact
+    * Horvitz–Thompson accounting readout (q221) — the sample-based
+    * bookkeeping a 100 TB pipeline runs instead of full scans
+    * (threshold/priority sampling: Duffield, Lund & Thorup, JACM '07).
+    * A doc with weight w (its token count) is kept iff
+    * u52 < w·2^`rShift`, where u52 is a deterministic 52-bit uniform
+    * from a salted hash of the id — inclusion probability
+    * π = min(1, w/2^(52−rShift)) with NO floats anywhere: the decision
+    * is one int64 compare. The HT estimator of each source's total
+    * token mass is Σ_kept w/π, which collapses to
+    *   w                    for certain rows   (w ≥ 2^(52−rShift))
+    *   2^(52−rShift)        for sampled rows   (w/π = 2^(52−rShift))
+    * — exact integers because the rate is a power of two. Output per
+    * source: true mass vs HT estimate and the signed per-mille error,
+    * all int64 (err via DIV, truncating identically in both engines,
+    * rule 21).
+    *
+    * Hash contract (rule 12): gate runs `oracleHash` (md5 52-bit, the
+    * q97 derivation — replayable in DuckDB); production default is
+    * xxhash64 masked to 52 bits, equivalence-of-shape under
+    * SamplingSpec. The polynomial RollingHash is unusable here for the
+    * q97 reason (near-linear in the id — no avalanche).
+    *
+    * Scale shape: a pure per-row filter + one source-grain groupBy
+    * (map-side combined); the sample fraction is rate-controlled, so
+    * the kept set — the thing downstream audits touch — is ~W/2^(52−r)
+    * rows no matter the corpus size. */
+  /** q221's rate exponent — π = min(1, w/2^(52−HtShift)); shared with
+    * the generated oracle (rule 12). */
+  val HtShift = 42
+
+  def htTokenEstimate(
+      docs: DataFrame, rShift: Int = HtShift, salt: String = "ht",
+      oracleHash: Boolean = false): DataFrame = {
+    require(rShift > 0 && rShift < 52, s"rShift out of range: $rShift")
+    val certainAt = 1L << (52 - rShift) // w >= this -> always kept
+    val key = concat(lit(salt + ":"), col("doc_id").cast("string"))
+    val u52 =
+      if (oracleHash)
+        conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+      else
+        pmod(xxhash64(key), lit(1L << 52))
+    val scored = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("w"))
+      .withColumn("kept", u52 < col("w") * lit(1L << rShift))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("w")).as("true_tokens"),
+        sum(when(!col("kept"), 0L)
+          .when(col("w") >= certainAt, col("w"))
+          .otherwise(lit(certainAt))).as("ht_tokens"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("true_tokens"), col("ht_tokens"),
+        expr("(ht_tokens - true_tokens) * 1000 DIV true_tokens")
+          .as("err_permille"))
+      .orderBy(col("source"))
+  }
+
   def systematicSample(
       df: DataFrame, id: String, weightCol: String, target: Long,
       buckets: Int = 64): DataFrame = {

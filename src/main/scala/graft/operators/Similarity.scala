@@ -720,6 +720,30 @@ object Similarity {
       spark.read.parquet(s"$path/centroids"),
       queries, k, nProbe)
 
+  /** IVF cell-balance audit (s71): postings-per-cell histogram of a
+    * persisted index plus the hot-cell factor (max·cells/total,
+    * per-mille — 1000 = perfectly balanced) — the serving-skew readout
+    * that sizes nProbe budgets and tells the maintenance scheduler
+    * when a retrain (s70) is due: a probe's worst-case latency is the
+    * hottest cell it touches. Exact integers end-to-end (shares and
+    * the factor via DIV, rule 21); tombstones respected, so the audit
+    * describes what searches actually scan.
+    *
+    * Scale shape: one cell-grain groupBy over the postings (map-side
+    * combined, ≤ 2^nBits rows out) + a 1-row broadcast of totals —
+    * the cheapest possible full-index pass. */
+  def ivfCellBalance(spark: SparkSession, path: String): DataFrame = {
+    val per = livePostings(spark, path)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_postings"))
+    val tot = per.agg(sum(col("n_postings")).as("t"),
+      max(col("n_postings")).as("mx"), count(lit(1)).as("nc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_postings"),
+        expr("n_postings * 1000 DIV t").as("share_permille"),
+        expr("mx * nc * 1000 DIV t").as("hotcell_factor_permille"))
+      .orderBy(col("cell"))
+  }
+
   /** The index's live postings: cells minus tombstones (s68). The
     * tombstone set is tiny relative to the postings (deletes between
     * compactions), so the anti-join broadcasts; an index with no

@@ -356,6 +356,62 @@ object Vocab {
       .orderBy(col("doc_id"))
   }
 
+  /** Integer bigram surprisal (t86) — the CCNet/perplexity-proxy
+    * quality filter (Wenzek et al., LREC 2020) with the language model
+    * integerized so both engines replay it bit-for-bit: for each
+    * adjacent token pair (prev, cur), the surprisal proxy is
+    * ⌊log₂ c(prev)⌋ − ⌊log₂ c(prev,cur)⌋ bits (≥ 0, since a bigram
+    * count can't exceed its prefix unigram count), with ⌊log₂⌋ as
+    * length(bin(n))−1 — the m63 idiom, exact integers, no libm. A
+    * document made of common transitions scores near 0 bits/bigram;
+    * garbled or boilerplate-spliced text scores high — the same signal
+    * a KenLM perplexity filter thresholds, minus the float model.
+    *
+    * Scale shape: one token explode (corpus-grain, repartitioned per
+    * rule 6, materialized once — it feeds the unigram model AND the
+    * pair stream, rule 5); the pair stream derives from a lag window
+    * partitioned BY DOCUMENT (bounded partitions — rule 23 does not
+    * apply); the unigram/bigram models are vocabulary-bounded
+    * aggregates joined back by key. No global window, no driver loop. */
+  def surprisal(docs: DataFrame, id: Column = col("doc_id"),
+      text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .repartition(id) // row-amplifying explode (rule 6)
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(text))
+          .as(Seq("pos", "w")))
+      .materializeOnce() // feeds the unigram model AND the pair stream
+    val uni = broadcast(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("prev", lag(col("w"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("w").as("cur"))
+      .materializeOnce() // feeds the bigram model AND the per-doc score
+    // bigram model unhinted: vocabulary² — bounded, AQE broadcasts it
+    // while small; at corpus scale it stays a key-equi shuffle join
+    val bi = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+    def lg2(c: Column): Column = length(bin(c)) - lit(1)
+    val perDoc = pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select(col("w").as("prev"), col("c1")), Seq("prev"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((lg2(col("c1")) - lg2(col("c2"))).cast("long")).as("sum_bits"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).cast("bigint")
+          .as("surprisal_bits"),
+        coalesce(col("sum_bits").cast("double")
+          / col("n_bigrams").cast("double"), lit(0.0)).as("bits_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' own top-k
     * word vocabulary — the tokenizer-coverage / domain-shift signal a
     * vocab build is validated with (a corpus whose docs are mostly OOV

@@ -818,11 +818,11 @@ object AnalyticsQueries {
          |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY key) AS t1,
          |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY key) AS t2
          |  FROM e),
-         |grams0 AS (SELECT DISTINCT user_id,
+         |grams0 AS MATERIALIZED (SELECT DISTINCT user_id,
          |             event_type || '>' || t1 || '>' || t2 AS g
          |           FROM seq WHERE t2 IS NOT NULL),
          |keep AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 200),
-         |grams AS (SELECT grams0.* FROM grams0 JOIN keep USING (g)),
+         |grams AS MATERIALIZED (SELECT grams0.* FROM grams0 JOIN keep USING (g)),
          |sizes AS (SELECT user_id, count(*) AS n FROM grams GROUP BY user_id),
          |q AS (SELECT user_id AS q_id, g FROM grams WHERE user_id < 5),
          |inter AS (SELECT q.q_id, c.user_id, count(*) AS inter_n

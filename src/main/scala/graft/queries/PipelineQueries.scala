@@ -1305,8 +1305,97 @@ object PipelineQueries {
         |ORDER BY c_custkey""".stripMargin),
       (s, d) => Tables.load(s, d, "customer").select(col("c_custkey"))
         .except(Tables.load(s, d, "orders").select(col("o_custkey").as("c_custkey")))
-        .orderBy(col("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // Horvitz–Thompson token accounting over weight-proportional
+    // threshold sampling (q221): the sample-based bookkeeping a 100 TB
+    // pipeline runs instead of full scans — inclusion is one int64
+    // compare, the HT estimate collapses to exact integers because the
+    // sampling rate is a power of two (Sampling.htTokenEstimate). Gate
+    // runs the md5-52-bit oracle hash (rule 12); xxhash64 production
+    // default under SamplingSpec.
+    Q("q221_ht_estimate", Some(htEstimateOracle),
+      (s, d) => Sampling.htTokenEstimate(
+        Tables.load(s, d, "documents"), oracleHash = true)),
+
+    // link prediction on the near-dup graph (q222): common-neighbor /
+    // integer Adamic–Adar / preferential-attachment ranking of
+    // NON-edges — the "which pair should the verifier look at next"
+    // entity-resolution completion step. Exact integers end-to-end;
+    // pair set is the brute-force exact-Jaccard oracle (rule 13).
+    Q("q222_link_prediction", Some(linkPredictionOracle),
+      (s, d) => graft.operators.Dedup.linkPrediction(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20)))
   )
+
+  /** q221's oracle: the md5-52-bit uniform (the q97 derivation), the
+    * threshold compare, and the power-of-two HT arithmetic — every
+    * constant interpolated from the SAME Scala values the operator
+    * uses (rule 12). */
+  private lazy val htEstimateOracle: String = {
+    val rShift = Sampling.HtShift
+    val rate = 1L << rShift // w * rate vs u52
+    val certainAt = 1L << (52 - rShift)
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+       |    'ht:' || CAST(doc_id AS VARCHAR) AS k
+       |  FROM documents),
+       |u AS (
+       |  SELECT source, w,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, 14),
+       |          i -> CAST(strpos('0123456789abcdef', md5(k)[i]) - 1 AS BIGINT))),
+       |      (acc, x) -> acc * 16 + x) AS u52
+       |  FROM scored),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(CASE WHEN u52 < w * $rate THEN 1 ELSE 0 END) AS n_sampled,
+       |    sum(w) AS t,
+       |    sum(CASE WHEN u52 >= w * $rate THEN 0
+       |             WHEN w >= $certainAt THEN w
+       |             ELSE $certainAt END) AS h
+       |  FROM u GROUP BY source)
+       |SELECT source, n_docs,
+       |  CAST(n_sampled AS BIGINT) AS n_sampled,
+       |  CAST(t AS BIGINT) AS true_tokens,
+       |  CAST(h AS BIGINT) AS ht_tokens,
+       |  CAST((h - t) * 1000 // t AS BIGINT) AS err_permille
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** q222's oracle: the exact-Jaccard pair set (rule 13), the wedge
+    * join on the shared neighbor, the NOT EXISTS non-edge filter, and
+    * the same integer scores. */
+  private lazy val linkPredictionOracle: String =
+    s"""WITH ${DedupQueries.ngramPairCtes},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS v, b AS x FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS MATERIALIZED (SELECT x, count(*) AS d FROM sym GROUP BY x),
+       |cand AS (
+       |  SELECT s1.v AS v, s2.v AS w, count(*) AS common_neighbors,
+       |         CAST(sum(1000 // (length(bin(dg.d)) - 1)) AS BIGINT)
+       |           AS aa_milli
+       |  FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.v < s2.v
+       |  JOIN deg dg ON dg.x = s1.x
+       |  GROUP BY s1.v, s2.v),
+       |ne AS (
+       |  SELECT c.* FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.v AND e.b = c.w))
+       |SELECT ne.v AS id_a, ne.w AS id_b, common_neighbors, aa_milli,
+       |  da.d * db.d AS pref_attach
+       |FROM ne JOIN deg da ON da.x = ne.v JOIN deg db ON db.x = ne.w
+       |ORDER BY common_neighbors DESC, aa_milli DESC, pref_attach DESC,
+       |  id_a, id_b
+       |LIMIT 25""".stripMargin
 
   /** Shared aggregation for the format round-trip queries (q93/q94):
     * per-lang row count and char sum over the read-back frame.

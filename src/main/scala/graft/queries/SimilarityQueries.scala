@@ -202,6 +202,20 @@ object SimilarityQueries {
     Q("d67_dbscan", Some(dbscanOracle),
       (s, d) => Similarity.dbscan(emb(s, d), threshold = 0.40, minPts = 3)),
 
+    // the PRODUCTION arm of d67 (VERDICT r12 directive #3): the ε-pair
+    // proposer swaps from the exact quadratic join to the multi-table
+    // LSH shortlist (d41/d48 machinery — what a 100 TB run executes),
+    // with the SAME corpus-linear DBSCAN downstream. The oracle
+    // replays the actual LSH proposal (shared plane constants), so the
+    // hash match covers the real pipeline with no recall assumption;
+    // the benched d67-series now times this arm, keeping the exact arm
+    // for the gate/oracle contract.
+    Q("d67b_dbscan", Some(dbscanLshOracle),
+      (s, d) => Similarity.dbscanFromPairs(emb(s, d),
+        Similarity.embeddingNearDupes(emb(s, d),
+          threshold = 0.40, nBits = 4, tables = 4),
+        minPts = 3)),
+
     // IVF-style coarse-quantized search (centroid probe → cell-local
     // scan). The fixed-point centroid sum (Similarity.ivfSearch) makes
     // the whole pipeline order-independent, so the oracle replays it
@@ -222,6 +236,19 @@ object SimilarityQueries {
       (s, d) => Similarity.searchIvfIndex(
         s, emb(s, d).filter(col("vec_id") < 5),
         Staging.ivfIndexDir(s, d), k = 10, nProbe = 2)),
+
+    // LIVE-store cell-balance audit (s71): s59's histogram computed
+    // the way a maintenance scheduler actually runs it — over the
+    // persisted postings THROUGH the tombstone anti-join, so the
+    // audit describes what searches scan between compactions (s59
+    // recomputes from the raw corpus and cannot see deletes). Runs
+    // against the s68 store (tombstoned, uncompacted); the oracle is
+    // the never-ingested arm's histogram over the shared plane
+    // literals. Ratios are integer DIV + the hot-cell factor
+    // (max·cells/total per-mille), the number that schedules a
+    // retrain (s70).
+    Q("s71_store_balance", Some(storeBalanceOracle),
+      (s, d) => Similarity.ivfCellBalance(s, Staging.ivfDeleteDir(s, d))),
 
     // incremental IVF insert without retraining (s66): the delta batch
     // is cell-assigned by the SAME frozen planes and appended to the
@@ -1039,11 +1066,16 @@ object SimilarityQueries {
     * reachability over core–core edges (d44's recursive-CTE idiom),
     * isolated cores as singleton clusters, border = min core-neighbor
     * label, noise −1. Shared frames MATERIALIZED (rule 22). */
-  private lazy val dbscanOracle: String =
-    s"""WITH RECURSIVE pairs AS MATERIALIZED (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40),
+  /** DBSCAN oracle with the ε-pair PROPOSER parameterized — one
+    * downstream definition (counts, core set, recursive core-CC,
+    * border min-join), two instantiations (rule 12): d67 passes the
+    * brute-force all-pairs body (exact contract, no recall
+    * assumption), d67b the multi-table LSH replay (the d48 contract:
+    * the oracle replays the ACTUAL approximate proposal, so the hash
+    * match checks the real production pipeline, not a recall claim).
+    * `proposerCtes` must end by defining `pairs(id_a, id_b)`. */
+  private def dbscanOracleFrom(proposerCtes: String): String =
+    s"""WITH RECURSIVE $proposerCtes,
        |sym AS MATERIALIZED (
        |  SELECT id_a AS id, id_b AS nb FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -1080,6 +1112,48 @@ object SimilarityQueries {
        |LEFT JOIN corelbl c ON c.vec_id = n.vec_id
        |LEFT JOIN border b ON b.vec_id = n.vec_id
        |ORDER BY n.vec_id""".stripMargin
+
+  /** d67's gate arm: exact all-pairs ε-join (brute-force DBSCAN
+    * verbatim — the oracle-mode convention of rules 12/13). */
+  private lazy val dbscanOracle: String = dbscanOracleFrom(
+    s"""pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40)""".stripMargin)
+
+  /** d67b's production arm: the ε-pairs proposed by the SAME
+    * multi-table LSH the 100 TB run would use (d48's 4×4-bit replay,
+    * planes from the shared Scala constants), exact cosine ≥ 0.40 on
+    * candidates only. */
+  private lazy val dbscanLshOracle: String = {
+    val tables = (0 until 4).map(t => Similarity.hyperplanes(4, 64, seed = 42L + t))
+    val sigCols = tables.zipWithIndex.map { case (p, t) =>
+      s"${sigSql("embedding", p)} AS sig$t"
+    }.mkString(",\n  ")
+    val unions = (0 until 4).map(t =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sigs a " +
+        s"JOIN sigs b ON a.sig$t = b.sig$t AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+    // DISTINCT is load-bearing: under WITH RECURSIVE, DuckDB (1.0.0)
+    // does NOT cross-branch-dedupe a UNION inside a NON-self-referential
+    // CTE (measured: cand carried 30,479 rows vs 28,939 distinct at
+    // sf0.01; minimal repro returns 6 rows where plain WITH returns 3).
+    // d48 survives because connected components are insensitive to
+    // duplicate edges; DBSCAN's n_neighbors COUNT is not.
+    dbscanOracleFrom(
+      s"""sigs AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |  $sigCols
+         |  FROM embeddings),
+         |cand AS (
+         |  $unions),
+         |pairs AS MATERIALIZED (
+         |  SELECT DISTINCT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40)""".stripMargin)
+  }
 
   /** Integer-scaled DCG weights ⌊1e12 / log2(i+1)⌉ for ranks 1..10 —
     * ONE Scala definition feeds both the Spark literals and the
@@ -1172,6 +1246,24 @@ object SimilarityQueries {
     * fixed-point integer centroid sums (order-independent, bit-equal to
     * Spark's), nProbe=2 probe ranking, cell-local exact cosine top-k. */
   private lazy val knnIvfOracle: String = knnIvfOracleFor("")
+
+  /** s71: the live view of the s68 store is "the tombstoned slice
+    * never existed" (the s68 contract), so the oracle recomputes the
+    * histogram from the shared plane literals over exactly that
+    * slice, then the integer-DIV ratios. */
+  private lazy val storeBalanceOracle: String =
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT ${sigSql("embedding", ivfPlanes)} AS cell FROM embeddings
+       |  WHERE NOT (vec_id >= ${Staging.ivfDeleteLo}
+       |         AND vec_id < ${Staging.ivfDeleteHi})),
+       |per AS MATERIALIZED (
+       |  SELECT cell, count(*) AS n_postings FROM cells GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n_postings) AS BIGINT) AS t,
+       |               max(n_postings) AS mx, count(*) AS nc FROM per)
+       |SELECT cell, n_postings,
+       |  CAST(n_postings * 1000 // t AS BIGINT) AS share_permille,
+       |  CAST(mx * nc * 1000 // t AS BIGINT) AS hotcell_factor_permille
+       |FROM per, tot ORDER BY cell""".stripMargin
 
   /** s66: identical chain, but the quantizer (csum → centroids) trains
     * on the BASE slice only — the frozen-quantizer recompute arm the

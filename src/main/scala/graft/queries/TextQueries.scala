@@ -439,6 +439,43 @@ object TextQueries {
     Q("t85_pii_scan", Some(piiScanOracle),
       (s, d) => graft.operators.Curation.piiScan(docs(s, d))),
 
+    // integer bigram surprisal (t86): the CCNet perplexity-proxy
+    // quality filter with the LM integerized — per-pair bits are
+    // ⌊log₂ c(prev)⌋ − ⌊log₂ c(prev,cur)⌋ via length(bin(n))−1 (the
+    // m63 idiom), so both engines replay the score bit-for-bit with no
+    // libm anywhere. Oracle builds adjacency positionally off the
+    // token array (the t44 range-lateral pattern).
+    Q("t86_surprisal", Some(
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |uni AS MATERIALIZED (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+        |dp AS MATERIALIZED (
+        |  SELECT doc_id, arr[CAST(i AS BIGINT)] AS prev,
+        |         arr[CAST(i AS BIGINT) + 1] AS cur
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS arr
+        |        FROM documents),
+        |       unnest(range(1, CAST(len(arr) AS BIGINT))) AS t(i)),
+        |bi AS MATERIALIZED (
+        |  SELECT prev, cur, count(*) AS c2 FROM dp GROUP BY prev, cur),
+        |per AS (
+        |  SELECT d.doc_id, count(*) AS n_bigrams,
+        |         CAST(sum((length(bin(u.c1)) - 1)
+        |                - (length(bin(b.c2)) - 1)) AS BIGINT) AS sum_bits
+        |  FROM dp d
+        |  JOIN bi b ON b.prev = d.prev AND b.cur = d.cur
+        |  JOIN uni u ON u.w = d.prev
+        |  GROUP BY d.doc_id)
+        |SELECT doc.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p.sum_bits, 0) AS surprisal_bits,
+        |  COALESCE(CAST(p.sum_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE),
+        |           0.0e0) AS bits_per_bigram
+        |FROM documents doc LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin),
+      (s, d) => graft.operators.Vocab.surprisal(docs(s, d))),
+
     // blocklist screening (t82): per-doc whole-word occurrence counts
     // for a keyword list in ONE regex pass + the integer cross-
     // multiplied density flag (rule 17). The pattern interpolates from

@@ -4,8 +4,10 @@ import scala.util.Random
 
 /** Differential SQL fuzz for the parity dialect (VERDICT r9 directive
   * #6; grammar extended r11 with derived tables / HAVING aliases /
-  * IS TRUE / COUNT DISTINCT, and r12 with the self-join output-naming
-  * collision shape, RIGHT JOIN, and join→aggregate composites): a
+  * IS TRUE / COUNT DISTINCT, r12 with the self-join output-naming
+  * collision shape, RIGHT JOIN, and join→aggregate composites, and r13
+  * with FULL JOIN under collisions and IN-subqueries fed by joined
+  * derived tables): a
   * seeded generator over the SURVEY.md §2 grammar fence —
   * projection / filter / join / group+having / distinct / order+limit /
   * IN- and scalar subqueries / join-naming collisions, with the
@@ -196,8 +198,39 @@ object ParityFuzz {
 
   private def genCase(rnd: Random, idx: Int): FuzzCase = {
     val t = pick(rnd, tables)
-    val shape = rnd.nextInt(12)
+    val shape = rnd.nextInt(14)
     val q: R = shape match {
+      case 12 => // FULL JOIN under output-naming collisions (r12
+        // directive #6): a self FULL JOIN on two DIFFERENT int columns,
+        // so BOTH sides carry unmatched rows (null-extended on the
+        // other side) AND every output name collides — the two §2
+        // behaviors (JoinNaming + full-outer null extension) composed.
+        val st = pick(rnd, tables)
+        val k1 = st.pk
+        val k2 = pick(rnd, st.ints)
+        val c = pick(rnd, st.strs)
+        R(
+          s"SELECT a.$k1, b.$k1, a.$c, b.$c FROM ${st.name} AS a " +
+            s"FULL JOIN ${st.name} AS b ON a.$k1 = b.$k2",
+          s"SELECT a.$k1 AS `a.$k1`, b.$k1 AS `b.$k1`, " +
+            s"a.$c AS `a.$c`, b.$c AS `b.$c` FROM fz_${st.name} AS a " +
+            s"FULL JOIN fz_${st.name} AS b ON a.$k1 = b.$k2",
+          s"""SELECT a.$k1 AS "a.$k1", b.$k1 AS "b.$k1", """ +
+            s"""a.$c AS "a.$c", b.$c AS "b.$c" FROM ${st.name} AS a """ +
+            s"FULL JOIN ${st.name} AS b ON a.$k1 = b.$k2")
+      case 13 => // IN (subquery) whose subquery is itself a JOIN fed
+        // through a derived table (r12 directive #6): the s5 semi-join
+        // composed with the s8 derived-table shape — alias scoping
+        // inside the IN subquery is the fiddly part.
+        val p = pred(rnd, region)
+        val items = joinList(aliased(Seq(selectItem(rnd, customer))))
+        same(s"SELECT ${customer.pk} AS pk, ") + items +
+          same(" FROM ") + customer.ref +
+          same(" WHERE c_nationkey IN (SELECT nk FROM " +
+            "(SELECT n_nationkey AS nk, r_name FROM ") + nation.ref +
+          same(" JOIN ") + region.ref +
+          same(" ON n_regionkey = r_regionkey WHERE ") + p +
+          same(") t)")
       case 10 => // self-join output-naming collision (r11 directive #6):
         // both sides expose the SAME column names, so the facade must
         // emit `alias.col` for every collided output (JoinNaming;

@@ -143,7 +143,8 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch) " +
       s"us_per_event=$usPerEvent (~${600000000L / usPerEvent} events in the 10-min state window)")
-    // optional 4th arg: comma-separated stage keys (join,cdc,q153,q154,q158,q161,s67)
+    // optional 4th arg: comma-separated stage keys
+    // (join,cdc,q153,q154,q158,q161,s67,s68,s70)
     // — the r9 stages (join/cdc) are ~6 min at 10M events; per-stage
     // runs let the new ingest loops be measured without re-paying them
     val stageFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
@@ -163,10 +164,14 @@ object StreamScaleProbe {
     if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
     if (on("q158")) q158Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
     // s68 runs the delete→compact lifecycle against the store s67 just
-    // built, so asking for s68 implies building/ingesting it first
-    if (on("s67") || on("s68"))
+    // built, so asking for s68 implies building/ingesting it first;
+    // s70 retrains the store s68 left compacted (the lived-in state a
+    // real retrain fires on), so it implies both
+    if (on("s67") || on("s68") || on("s70"))
       s67Stage(spark, collector, out, nVec = math.max(100000L, n / 20L))
-    if (on("s68")) s68Stage(spark, out, nVec = math.max(100000L, n / 20L))
+    if (on("s68") || on("s70"))
+      s68Stage(spark, out, nVec = math.max(100000L, n / 20L))
+    if (on("s70")) s70Stage(spark, out, nVec = math.max(100000L, n / 20L))
 
     spark.streams.removeListener(collector)
     spark.stop()
@@ -566,7 +571,14 @@ object StreamScaleProbe {
         else if (f.getName.endsWith(".parquet")) 1L else 0L
       walk(new java.io.File(s"$index/cells"))
     }
-    val before = timedSearch("pre-delete search (k=20)", 20)
+    // The serving-cost readout compares k=10 against k=10 (VERDICT r12
+    // #3: the r12 numbers compared pre-delete k=20 vs post-delete k=10,
+    // confounding the tombstone anti-join cost with the k difference).
+    // The k=20 scan below is NOT a serving-cost number — it exists to
+    // derive the expected post-delete ranking (top-20 minus deleted,
+    // cut at 10).
+    timedSearch("pre-delete search (k=10, the serving baseline)", 10)
+    val before = timedSearch("pre-delete expected-set scan (k=20)", 20)
     // tombstone 10% of the BASE postings
     val dels = spark.range(nVec).filter(col("id") % 10 === 3)
       .select(col("id").as("vec_id"))
@@ -616,6 +628,119 @@ object StreamScaleProbe {
     println(s"[sprobe] s68 live postings=$live (deleted remaining=$expectedLive), " +
       "pre/post-compact rankings identical — OK")
     require(expectedLive == 0, s"compaction kept tombstoned postings: $expectedLive")
+  }
+
+  /** s70 at volume (VERDICT r12 directive #2 — retrain was the one
+    * lifecycle verb with spec-only evidence): quantizer retrain against
+    * the lived-in s67/s68 store (streamed-in arrivals, tombstoned,
+    * compacted) UNDER A LIVE QUERY BATCH. Measured claims:
+    * (1) retrain ≡ from-scratch — the retrained store must serve
+    * BIT-identical rankings to a fresh [[Similarity.writeIvfIndex]]
+    * over the same live vectors with the same (nBits, seed), re-proven
+    * at the ~650k-posting store, not the 500-row spec corpus;
+    * (2) blue/green — a reader polling THROUGHOUT the retrain keeps
+    * being served: every successful read is classified against the
+    * pre-retrain and post-retrain result sets (old / new / other);
+    * readers see "old" for the whole rebuild phase and flip at the
+    * swap. "other" can only occur inside the four-rename swap window
+    * (the docstring's honest non-atomic caveat) — observed counts are
+    * printed, and the stage requires at least one "old" read (served
+    * during rebuild) and zero reads that are neither old, new, nor an
+    * in-window transient;
+    * (3) wall cost — the retrain (full re-assignment + centroid
+    * rebuild + swap) is timed, the number a maintenance scheduler
+    * budgets against;
+    * (4) serving latency before vs after at matched k. */
+  private def s70Stage(spark: SparkSession, out: String, nVec: Long): Unit = {
+    val index = s"$out/s67_ivf"
+    require(new java.io.File(s"$index/cells").exists(), "s67 store missing")
+    val dims = sequence(lit(1), lit(64))
+    def comp(seed: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
+        - lit(1.0)).cast("float")
+    val queries = spark.range(nVec).filter(col("id") % 5081 === 17)
+      .select(col("id").as("vec_id"),
+        transform(dims, i => comp(col("id") * 64 + i)).as("embedding"))
+      .localCheckpoint()
+    val nQ = queries.count()
+    def resultSet(dir: String): Set[(Long, Long, Int, Double)] =
+      graft.operators.Similarity
+        .searchIvfIndex(spark, queries, dir, k = 10, nProbe = 32)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2)))
+        .toSet
+    def timed(tag: String)(body: => Set[(Long, Long, Int, Double)]) = {
+      val t0 = System.nanoTime()
+      val s = body
+      println(f"[sprobe] s70 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"($nQ queries, ${s.size} result rows)")
+      s
+    }
+    // live content snapshot BEFORE retrain — the from-scratch arm's input
+    val live = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/cells").drop("cell").localCheckpoint()
+    val nLive = live.count()
+    val before = timed("pre-retrain search (k=10)")(resultSet(index))
+    // live readers: poll the store continuously while the retrain runs
+    val reads =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Boolean, Set[(Long, Long, Int, Double)])]()
+    @volatile var retraining = true
+    val reader = new Thread(() => {
+      while (retraining) {
+        try reads.add((true, resultSet(index)))
+        catch { case _: Throwable => reads.add((false, Set.empty)) }
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    val t0 = System.nanoTime()
+    graft.operators.Similarity.retrainIvfIndex(
+      spark, index, nBits = 5, seed = 11L)
+    val retrainSec = (System.nanoTime() - t0) / 1e9
+    retraining = false
+    reader.join(120000)
+    println(f"[sprobe] s70 retrain of $nLive%d live postings " +
+      f"(4->5 bit quantizer, re-assign + centroids + blue/green swap): " +
+      f"$retrainSec%.2f s")
+    // blue/green left no debris and the new quantizer is live
+    Seq("cells_old", "centroids_old", "retrain_cells", "retrain_centroids",
+      "tombstones").foreach(d => require(
+        !new java.io.File(s"$index/$d").exists(), s"retrain left $d"))
+    val after = timed("post-retrain search (k=10)")(resultSet(index))
+    // classify every mid-retrain read
+    val rs = reads.toArray(Array.empty[(Boolean, Set[(Long, Long, Int, Double)])])
+    val nOld = rs.count { case (ok, s) => ok && s == before }
+    val nNew = rs.count { case (ok, s) => ok && s == after }
+    val nErr = rs.count(!_._1)
+    val nOther = rs.length - nOld - nNew - nErr
+    println(s"[sprobe] s70 live-reader reads during retrain: ${rs.length} " +
+      s"(old=$nOld new=$nNew transient-error=$nErr mid-swap-other=$nOther)")
+    require(nOld >= 1,
+      "no reader was served the old index during the rebuild phase " +
+        "(retrain too fast relative to a read? widen the store)")
+    // the non-atomic swap window is 4 renames (~ms); anything beyond a
+    // couple of affected reads means readers were starved, not raced
+    require(nErr + nOther <= 2,
+      s"too many non-old/new reads for a 4-rename swap window: " +
+        s"err=$nErr other=$nOther")
+    // retrain ≡ from-scratch at volume, bit-for-bit
+    val freshDir = s"$out/s70_fresh"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(freshDir))
+    time("s70 from-scratch rebuild (the reference arm)")(
+      graft.operators.Similarity.writeIvfIndex(
+        live, freshDir, nBits = 5, seed = 11L))
+    val fresh = timed("from-scratch search (k=10)")(resultSet(freshDir))
+    require(after == fresh,
+      s"retrained store diverged from the from-scratch rebuild at volume: " +
+        s"${(after -- fresh).take(3)} vs ${(fresh -- after).take(3)}")
+    val maxCell = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/cells").agg(max(col("cell"))).head().getLong(0)
+    require(maxCell > 15L, s"retrained cells still 4-bit: max=$maxCell")
+    println(s"[sprobe] s70 retrain ≡ from-scratch at $nLive postings, " +
+      s"max cell=$maxCell (5-bit quantizer live) — OK")
   }
 
   /** q158 at volume (r10 verdict #5 — the last ingest loop without a

@@ -25,7 +25,7 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // 3-digit skip count and rotation offset.
     val results = Bench.headline.map(_ -> 999.999) :+ ("zz_total_pad" -> 9999.999)
     val line = Bench.renderLine(results, Nil, warmed = false,
-      degraded = "headline", skipped = 999, sfDir = "/root/testdata/sf0.1",
+      degraded = "1samp+cut", skipped = 999, sfDir = "/root/testdata/sf0.1",
       hsMin = 3, rot = 999)
     // 1750: the observed driver tail window is ~2000 chars; this render
     // is pessimistic (99.999-clamped values are +1 char per query over
@@ -37,7 +37,7 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(line.length <= 1750,
       s"worst-case bench line ${line.length} chars (> 1750): trim Bench.headline " +
         s"(${Bench.headline.size} entries) before adding more")
-    assert(line.contains("\"degraded\":\"headline\"") && line.contains("\"skipped\":999"))
+    assert(line.contains("\"degraded\":\"1samp+cut\"") && line.contains("\"skipped\":999"))
     assert(line.contains("\"hs_min\":3") && line.contains("\"rot\":999"))
     // the display clamp IS the length bound: per-query values can never
     // render wider than 99.999 (total stays unclamped)
@@ -104,7 +104,7 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(bad.contains("\"value\":0.000"), s"failed query leaked into total: $bad")
   }
 
-  test("budget guard escalates monotonically and aborts when nearly out of time") {
+  test("sampling ladder escalates monotonically; the clock floor cuts the tail") {
     import Bench.escalateMode
     // plenty of budget: stays normal
     assert(escalateMode(0, remainingSec = 600, queriesLeft = 180) === 0)
@@ -115,10 +115,13 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(escalateMode(0, remainingSec = 320, queriesLeft = 293) === 2)
     // squeeze: 180 queries left, 150 s remaining -> all-1samp
     assert(escalateMode(0, remainingSec = 150, queriesLeft = 180) === 3)
-    // nearly out: headline-only
-    assert(escalateMode(0, remainingSec = 60, queriesLeft = 180) === 4)
-    // out: abort (must still print the line)
-    assert(escalateMode(0, remainingSec = 5, queriesLeft = 180) === 5)
-    assert(escalateMode(0, remainingSec = -3, queriesLeft = 1) === 5)
+    // 1samp is the terminal SAMPLING mode (r13): which queries still run
+    // is decided per-query by the greedy clock floor, never by skipping
+    // the whole remaining tail (the pre-r13 all-or-nothing modes left
+    // two independent r12 runs at <=79/338 timed queries)
+    assert(escalateMode(0, remainingSec = 60, queriesLeft = 180) === 3)
+    assert(escalateMode(0, remainingSec = -3, queriesLeft = 1) === 3)
+    // the floor covers worst query (~13 s on a 2.3x boot) + render/stop
+    assert(Bench.safetyFloorSec >= 20.0 && Bench.safetyFloorSec <= 60.0)
   }
 }

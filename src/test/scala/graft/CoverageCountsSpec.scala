@@ -40,6 +40,33 @@ class CoverageCountsSpec extends AnyFunSuite {
         s"${graft.tools.FuzzDump.GateN} seeded fuzz cases ...)")
   }
 
+  test("the full-gate sf0.1 status sentence is derived and doc-identical") {
+    // VERDICT r12 directive #4: README and ARCHITECTURE once described
+    // DIFFERENT sf0.1 runs (526/526 vs 536/536 — both true, neither
+    // derived). One canonical line now lives in BOTH docs; its counts
+    // are asserted against the live registry here, and the two files
+    // must carry the IDENTICAL line (the free-text round suffix
+    // included), so they can never again describe different runs.
+    val gate = SparkEntry.queries.size + graft.tools.FuzzDump.GateN
+    val prefix = s"Full-gate sf0.1 status: $gate/$gate " +
+      s"(= ${SparkEntry.queries.size} registered queries + " +
+      s"${graft.tools.FuzzDump.GateN} seeded fuzz cases) hash-matched " +
+      "at BOTH sf0.01 and sf0.1, last full sf0.1 replay round "
+    val arch = Files.readString(Paths.get("ARCHITECTURE.md"))
+    def statusLine(doc: String, name: String): String = {
+      val lines = doc.linesIterator
+        .filter(_.trim.startsWith("Full-gate sf0.1 status:")).toSeq
+      assert(lines.size == 1, s"$name must carry exactly one status line")
+      lines.head.trim
+    }
+    val r = statusLine(readme, "README.md")
+    val a = statusLine(arch, "ARCHITECTURE.md")
+    assert(r.startsWith(prefix),
+      s"status line counts stale — expected it to start with: $prefix")
+    assert(r == a,
+      "README.md and ARCHITECTURE.md carry different full-gate status lines")
+  }
+
   test("README suite-case count matches the test sources") {
     // every case in this repo is a funsuite `test(` at (indented) line
     // start — the same proxy as `grep -rc '^\s*test('`, which matches

@@ -873,4 +873,26 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((2L, 1L, 1.0)))
     assert(out(7L) === ((3L, 2L, 4.0 / 6.0)))
   }
+
+  test("linkPrediction ranks non-edges by common neighbors / AA / PA") {
+    // 4-cycle 1-2-4-3-1: non-edges (1,4) and (2,3), each with 2 common
+    // neighbors; all degrees 2 → per-neighbor AA term 1000 DIV 1 = 1000
+    // → aa=2000, pa=4; id tiebreak orders (1,4) before (2,3).
+    // Plus a pendant 4-5: candidate (2,5)/(3,5) via x=4 → cn=1,
+    // deg(4)=3 → ⌊log2 3⌋=1 → aa=1000, pa = 2*1 and 2*1.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.linkPrediction(pairs, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // deg: 1→2, 2→3? no: edges at 2 = (1,2),(2,4) → deg2=2; deg4=3
+    // cn(1,4) via x∈{2,3}: aa terms 1000 DIV ⌊log2 2⌋=1000 each
+    // cn(2,3) via x∈{1,4}: deg1=2, deg4=3 → 1000+1000 (⌊log2 3⌋=1)
+    assert(out.take(2).toSeq === Seq(
+      (1L, 4L, 2L, 2000L, 2L * 3L), (2L, 3L, 2L, 2000L, 2L * 2L)))
+    // the pendant candidates follow with cn=1 (via x=4, deg 3 → aa 1000)
+    val rest = out.drop(2).map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+    assert(rest === Set((2L, 5L, 1L, 1000L, 2L), (3L, 5L, 1L, 1000L, 2L)))
+    assert(out.length === 4)
+  }
 }

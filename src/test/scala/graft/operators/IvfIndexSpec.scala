@@ -216,6 +216,27 @@ class IvfIndexSpec extends SparkSpec {
       "retrained store diverged from the from-scratch rebuild")
   }
 
+  test("ivfCellBalance: exact histogram, integer ratios, tombstone-aware") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bal").toString
+    Similarity.writeIvfIndex(emb, dir)
+    val rows = Similarity.ivfCellBalance(spark, dir).collect()
+    val counts = rows.map(_.getLong(1))
+    val total = counts.sum
+    assert(total === emb.count())
+    val hot = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) === hot), "factor must be global")
+    assert(hot === counts.max * rows.length * 1000L / total)
+    assert(hot >= 1000L, "max/mean factor is >= 1 by construction")
+    rows.foreach(r => assert(r.getLong(2) === r.getLong(1) * 1000L / total))
+    // the audit describes the LIVE view: tombstoned postings drop out
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") < 10).select(col("vec_id")), dir)
+    val total2 = Similarity.ivfCellBalance(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(total2 === total - 10)
+  }
+
   // ---- mid-swap crash recovery (ADVICE r12, medium) ----
 
   test("a retry after a mid-swap crash restores the index, never destroys it") {

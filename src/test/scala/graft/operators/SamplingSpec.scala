@@ -169,4 +169,29 @@ class SamplingSpec extends SparkSpec {
     (0L until 19L).foreach(p =>
       assert(bySrcAt(p) != bySrcAt(p + 1), s"positions $p,${p + 1} same source"))
   }
+
+  test("htTokenEstimate: exact HT identities in both hash modes") {
+    // a certain row (w >= 2^(52-42) = 1024 tokens) + small docs
+    val big = Seq.fill(1500)("x").mkString(" ")
+    val df = ((1L to 40L).map(i => (i, "web", s"doc $i words " + ("t " * (i.toInt % 7 + 1)).trim))
+      :+ (99L, "books", big)).toDF("doc_id", "source", "text")
+    for (oracleMode <- Seq(true, false)) {
+      val out = Sampling.htTokenEstimate(df, oracleHash = oracleMode)
+        .collect().map(r => r.getString(0) -> r).toMap
+      // the certain row is ALWAYS kept and contributes its exact w
+      val books = out("books")
+      assert(books.getLong(2) === 1L, s"certain row dropped ($oracleMode)")
+      assert(books.getLong(4) === 1500L, "certain row must contribute w")
+      assert(books.getLong(3) === 1500L)
+      assert(books.getLong(5) === 0L, "certain-only source must have 0 error")
+      // HT identity for the sampled source: ht = certainMass + 1024 * kept
+      val web = out("web")
+      val kept = web.getLong(2)
+      assert(web.getLong(4) === kept * 1024L,
+        s"HT estimate must be 1024/kept-row for non-certain rows ($oracleMode)")
+      // err_permille is the truncating integer identity
+      val expectedErr = (web.getLong(4) - web.getLong(3)) * 1000L / web.getLong(3)
+      assert(web.getLong(5) === expectedErr)
+    }
+  }
 }

@@ -191,4 +191,23 @@ class VocabSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, "a a", "aa", 2L), (2L, "aa a", "aaa", 1L)))
   }
+
+  test("surprisal: hand-computed integer bigram bits") {
+    // corpus: d1 = "a b a b", d2 = "a b", d3 = "z q", d4 = "solo"
+    // unigrams: a=3, b=3, z=1, q=1, solo=1
+    // bigrams:  (a,b)=3, (b,a)=1, (z,q)=1
+    // bits(prev,pair) = ⌊log2 c1(prev)⌋ − ⌊log2 c2(pair)⌋:
+    //   (a,b): ⌊log2 3⌋−⌊log2 3⌋ = 1−1 = 0
+    //   (b,a): ⌊log2 3⌋−⌊log2 1⌋ = 1−0 = 1
+    //   (z,q): 0−0 = 0
+    // d1: pairs (a,b),(b,a),(a,b) → n=3, sum=1 ; d2: (a,b) → 0
+    // d3: (z,q) → 0 ; d4: no bigrams → zeros
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z q"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Vocab.surprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, 1.0 / 3.0), (2L, 1L, 0L, 0.0),
+      (3L, 1L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+  }
 }

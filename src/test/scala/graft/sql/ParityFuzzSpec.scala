@@ -49,11 +49,11 @@ class ParityFuzzSpec extends SparkSpec {
   test("seeded differential fuzz: facade dialect ≡ native Spark SQL (120 cases)") {
     val cases = ParityFuzz.cases(42L, 120)
     // cover every shape at least once — a generator regression that
-    // stopped emitting a shape would silently shrink coverage (12
-    // shapes since r12: +self-join output-naming collision,
-    // +join→aggregate composite; 10 since r11: +derived table,
-    // +group-by-expression with HAVING on the select ALIAS)
-    assert(cases.map(_.name.split("_s").last).distinct.size == 12,
+    // stopped emitting a shape would silently shrink coverage (14
+    // shapes since r13: +FULL JOIN under naming collisions,
+    // +IN-subquery fed by a joined derived table; 12 since r12:
+    // +self-join output-naming collision, +join→aggregate composite)
+    assert(cases.map(_.name.split("_s").last).distinct.size == 14,
       "shape coverage")
     cases.foreach { c =>
       val (fc, fr) = canon(ds.queryDF(c.dfsql))
