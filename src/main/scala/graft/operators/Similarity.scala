@@ -679,23 +679,40 @@ object Similarity {
     // LIVE view, so deleted postings drop out of the new files and the
     // tombstone set can be cleared in the same swap
     val live = livePostings(spark, path)
-    // Layout sized to the DATA, never a constant (the repo's own 100 TB
-    // rule applied to its own maintenance verb): the original fixed
-    // 4-file rewrite produced single-row-group files, and a parquet
-    // scan cannot split below a row group — post-compaction search ran
-    // 3.6x SLOWER than the fragmented store it replaced (measured, r12
-    // s68 probe at 650k live postings: 42 fragments ≈ 32 scan tasks,
-    // 4 monolithic files ≈ 4). ~128k postings per file keeps files
-    // real-sized while the 8 MB row-group cap keeps every file
-    // splittable, so maxSplitBytes-driven parallelism survives the
-    // rewrite; sortWithinPartitions(cell) clusters each file by cell
-    // for row-group min/max pruning on probed-cell scans.
+    // Layout sized to the DATA AND the CLUSTER, never a constant (the
+    // repo's own 100 TB rule applied to its own maintenance verb): the
+    // original fixed 4-file rewrite produced single-row-group files,
+    // and a parquet scan cannot split below a row group —
+    // post-compaction search ran 3.6x SLOWER than the fragmented store
+    // it replaced (measured, r12 s68 probe at 650k live postings). The
+    // r12 fix sized files from the row count (~128k postings/file +
+    // 8 MB row groups), but the r13 matched-k re-measure showed the
+    // residual cost: 5 × ~35 MB files stay BELOW maxPartitionBytes, so
+    // they never split and a 32-way scan runs on 5 tasks (21.9 s vs
+    // the fragmented store's 8-12 s at identical k/nProbe). A store
+    // that every query scans should carry at least one file per core:
+    // file count = max(defaultParallelism, rows/128k). At probe scale
+    // that is 32 × ~5 MB files (the small-file problem stays solved —
+    // compaction's job is collapsing THOUSANDS of micro-batch
+    // fragments, not reaching a minimal file count); at 100 TB the
+    // rows/128k term dominates and files exceed maxPartitionBytes, so
+    // split-driven parallelism returns regardless.
+    // sortWithinPartitions(cell) still clusters each file by cell for
+    // row-group min/max pruning on probed-cell scans.
     val nFiles =
       if (files > 0) files
-      else math.max(4L, (live.count() + (1L << 17) - 1) >> 17).toInt
+      else math.max(spark.sparkContext.defaultParallelism.toLong,
+        (live.count() + (1L << 17) - 1) >> 17).toInt
     live
-      .repartition(nFiles, col("cell"))
-      .sortWithinPartitions(col("cell"))
+      // RANGE partition on (cell, vec_id), not hash on cell: hash
+      // partitioning caps non-empty files at the DISTINCT CELL count
+      // (16 under the 4-bit quantizer — the parallelism floor above
+      // was silently unreachable, measured 42→13 files), while ranges
+      // hit the exact file count AND keep each file a contiguous cell
+      // interval, so row-group min/max pruning on probed-cell scans
+      // still sees tight cell bounds.
+      .repartitionByRange(nFiles, col("cell"), col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("parquet.block.size", (8L << 20).toString)
       .parquet(tmp)

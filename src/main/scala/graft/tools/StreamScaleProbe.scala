@@ -556,12 +556,23 @@ object StreamScaleProbe {
         transform(dims, i => comp(col("id") * 64 + i)).as("embedding"))
       .localCheckpoint()
     val nQ = queries.count()
+    // min-of-2 with a GC nudge before each sample (the Bench protocol,
+    // rule 15): single-sample store searches on this VM swing 3-10x
+    // with page-cache/GC state (measured r13: 38.8 s vs 7.6 s for the
+    // SAME search on the same store minutes apart), which would make
+    // any quoted serving-cost comparison meaningless.
     def timedSearch(tag: String, k: Int): Array[org.apache.spark.sql.Row] = {
-      val t0 = System.nanoTime()
-      val rows = graft.operators.Similarity
-        .searchIvfIndex(spark, queries, index, k = k, nProbe = 16)
-        .collect()
-      println(f"[sprobe] s68 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      var best = Double.MaxValue
+      var rows: Array[org.apache.spark.sql.Row] = Array.empty
+      (1 to 2).foreach { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        rows = graft.operators.Similarity
+          .searchIvfIndex(spark, queries, index, k = k, nProbe = 16)
+          .collect()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[sprobe] s68 $tag: min-of-2 $best%.2f s " +
         s"($nQ queries, ${rows.length} result rows)")
       rows
     }
@@ -663,16 +674,31 @@ object StreamScaleProbe {
         transform(dims, i => comp(col("id") * 64 + i)).as("embedding"))
       .localCheckpoint()
     val nQ = queries.count()
+    // nProbe = 4 (quantizer-SENSITIVE serving): probing every cell
+    // would make the search exhaustive and quantizer-INVARIANT — the
+    // first r13 run compared retrained vs from-scratch through an
+    // all-cells search that could not tell them apart (before == after
+    // bit-for-bit). At nProbe=4 the probe order, and therefore the
+    // result, depends on the planes AND the centroids — the equality
+    // below actually tests the rebuilt quantizer.
     def resultSet(dir: String): Set[(Long, Long, Int, Double)] =
       graft.operators.Similarity
-        .searchIvfIndex(spark, queries, dir, k = 10, nProbe = 32)
+        .searchIvfIndex(spark, queries, dir, k = 10, nProbe = 4)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2)))
         .toSet
     def timed(tag: String)(body: => Set[(Long, Long, Int, Double)]) = {
+      // min-of-2 + GC nudge, same rationale as s68's timedSearch
+      System.gc()
       val t0 = System.nanoTime()
+      val s1 = body
+      val dt1 = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val t1 = System.nanoTime()
       val s = body
-      println(f"[sprobe] s70 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      val dt = math.min(dt1, (System.nanoTime() - t1) / 1e9)
+      require(s == s1, s"s70 $tag: search not deterministic run-to-run")
+      println(f"[sprobe] s70 $tag: min-of-2 $dt%.2f s " +
         s"($nQ queries, ${s.size} result rows)")
       s
     }
@@ -707,12 +733,17 @@ object StreamScaleProbe {
       "tombstones").foreach(d => require(
         !new java.io.File(s"$index/$d").exists(), s"retrain left $d"))
     val after = timed("post-retrain search (k=10)")(resultSet(index))
-    // classify every mid-retrain read
+    // classify every mid-retrain read — if-else so a read can only
+    // land in ONE bucket (the first r13 run double-counted a read that
+    // matched both sides of a quantizer-invariant search)
     val rs = reads.toArray(Array.empty[(Boolean, Set[(Long, Long, Int, Double)])])
-    val nOld = rs.count { case (ok, s) => ok && s == before }
-    val nNew = rs.count { case (ok, s) => ok && s == after }
-    val nErr = rs.count(!_._1)
-    val nOther = rs.length - nOld - nNew - nErr
+    var (nOld, nNew, nErr, nOther) = (0, 0, 0, 0)
+    rs.foreach { case (ok, s) =>
+      if (!ok) nErr += 1
+      else if (s == before) nOld += 1
+      else if (s == after) nNew += 1
+      else nOther += 1
+    }
     println(s"[sprobe] s70 live-reader reads during retrain: ${rs.length} " +
       s"(old=$nOld new=$nNew transient-error=$nErr mid-swap-other=$nOther)")
     require(nOld >= 1,
