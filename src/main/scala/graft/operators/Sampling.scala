@@ -204,6 +204,17 @@ object Sampling {
 
   def htTokenEstimate(
       docs: DataFrame, rShift: Int = HtShift, salt: String = "ht",
+      oracleHash: Boolean = false): DataFrame =
+    htFinish(htTallies(docs, rShift, salt, oracleHash))
+
+  /** Per-source PARTIAL tallies of the q221 accounting — the
+    * sum-mergeable state the streaming accountant (q223) persists per
+    * micro-batch: every column is an exact int64 SUM (or count), so
+    * partials over ANY partition of the corpus merge to the corpus
+    * answer by plain addition — the mergeable-summary contract with
+    * no approximation to reason about. */
+  def htTallies(
+      docs: DataFrame, rShift: Int = HtShift, salt: String = "ht",
       oracleHash: Boolean = false): DataFrame = {
     require(rShift > 0 && rShift < 52, s"rShift out of range: $rShift")
     val certainAt = 1L << (52 - rShift) // w >= this -> always kept
@@ -213,23 +224,34 @@ object Sampling {
         conv(substring(md5(key), 1, 13), 16, 10).cast("long")
       else
         pmod(xxhash64(key), lit(1L << 52))
-    val scored = docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long").as("w"))
       .withColumn("kept", u52 < col("w") * lit(1L << rShift))
-    scored.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
         sum(col("w")).as("true_tokens"),
         sum(when(!col("kept"), 0L)
           .when(col("w") >= certainAt, col("w"))
           .otherwise(lit(certainAt))).as("ht_tokens"))
+  }
+
+  /** Merge partial tallies (sum per source) and attach the signed
+    * per-mille error — the serve-time half of the q221/q223 pair.
+    * Re-aggregating an already-final tally is the identity, so the
+    * batch path composes through the same function. */
+  def htFinish(tallies: DataFrame): DataFrame =
+    tallies.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_sampled")).as("n_sampled"),
+        sum(col("true_tokens")).as("true_tokens"),
+        sum(col("ht_tokens")).as("ht_tokens"))
       .select(col("source"), col("n_docs"), col("n_sampled"),
         col("true_tokens"), col("ht_tokens"),
         expr("(ht_tokens - true_tokens) * 1000 DIV true_tokens")
           .as("err_permille"))
       .orderBy(col("source"))
-  }
 
   def systematicSample(
       df: DataFrame, id: String, weightCol: String, target: Long,

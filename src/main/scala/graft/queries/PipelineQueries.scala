@@ -1318,6 +1318,42 @@ object PipelineQueries {
       (s, d) => Sampling.htTokenEstimate(
         Tables.load(s, d, "documents"), oracleHash = true)),
 
+    // the HT accountant as a STREAM (q223): document batches arrive as
+    // files, each reduces to per-source integer tallies in a
+    // batchId-keyed partial store, the report sums the partials.
+    // Stream ≡ batch EXACTLY (integer sums over any batch partition of
+    // the corpus equal the corpus sums), so the gate reuses q221's
+    // batch oracle verbatim — the q153/q161 proof shape with the
+    // sketch replaced by exact arithmetic.
+    Q("q223_stream_ht_accounting", Some(htEstimateOracle),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val root = Files.createTempDirectory("graft_q223")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val all = Tables.load(s, d, "documents")
+        // three file batches (doc_id mod 3), q153's single-part move
+        (0 to 2).foreach { m =>
+          val tmp = Files.createTempDirectory(s"graft_q223_b$m")
+          all.filter(col("doc_id") % 3 === m)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q223 batch $m produced no parquet part"))
+          Files.move(part.toPath, Paths.get(in, s"batch_$m.parquet"))
+        }
+        val q = graft.streaming.StreamingAccounting.start(
+          s, in, s"$root/tallies", oracleHash = true)
+        try q.processAllAvailable() finally q.stop()
+        graft.streaming.StreamingAccounting.reportFromStore(s, s"$root/tallies")
+      }),
+
     // link prediction on the near-dup graph (q222): common-neighbor /
     // integer Adamic–Adar / preferential-attachment ranking of
     // NON-edges — the "which pair should the verifier look at next"
