@@ -19,6 +19,75 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract table formats automate. */
 object Maintenance {
 
+  /** Atomic versioned publish (q224) — the manifest-commit primitive
+    * every multi-directory swap in this repo points at ("a real
+    * deployment commits via a manifest"): data lands in a fresh
+    * `root/v_N` directory, fully written BEFORE one atomic rename
+    * flips `root/MANIFEST` (a one-line version pointer) — so a reader
+    * resolves the manifest and opens a version that is either
+    * entirely old or entirely new, never a mix and never mid-write,
+    * with NO window (contrast the IVF store's documented four-rename
+    * caveat, which this primitive removes for any store that adopts
+    * it). Crash anywhere before the flip leaves the old version
+    * served and the half-written `v_N` as debris the next publish
+    * overwrites (version numbers only advance on a successful flip).
+    * This is the exact commit shape table formats (Iceberg/Delta)
+    * automate; here it is the plain-filesystem core, POSIX-atomic via
+    * `Files.move(..., ATOMIC_MOVE)`.
+    *
+    * Scale shape: the data write is whatever the caller's frame costs;
+    * the commit itself is O(1) driver-side metadata. Old versions stay
+    * until [[pruneVersions]] — which is what makes readers of version
+    * N-1 safe while N publishes (snapshot isolation by retention). */
+  def publishVersion(df: DataFrame, root: String): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(root))
+    val next = currentVersion(root).getOrElse(0L) + 1
+    df.write.mode("overwrite").parquet(s"$root/v_$next")
+    val tmp = Paths.get(root, s".manifest_$next.tmp")
+    Files.write(tmp, next.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(root, "MANIFEST"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** The committed version, or None for an unpublished root. */
+  def currentVersion(root: String): Option[Long] = {
+    val m = new java.io.File(root, "MANIFEST")
+    if (!m.exists()) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toLong)
+  }
+
+  /** Read the committed version's data — resolves the manifest FIRST,
+    * then opens only that version's directory. */
+  def readPublished(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"readPublished: no MANIFEST under $root"))
+    spark.read.parquet(s"$root/v_$v")
+  }
+
+  /** Drop versions older than the committed one minus `keep` — the
+    * retention knob that bounds storage while leaving in-flight
+    * readers of recent versions safe. Never touches the committed
+    * version or anything newer (a half-written v_{N+1} belongs to the
+    * publisher). */
+  def pruneVersions(root: String, keep: Int = 1): Unit = {
+    val cur = currentVersion(root).getOrElse(return)
+    val re = """v_(\d+)""".r
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        f.getName match {
+          case re(n) if n.toLong < cur - keep =>
+            def rm(g: java.io.File): Unit = {
+              Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(); ()
+            }
+            rm(f)
+          case _ => ()
+        }
+      }
+  }
+
   /** Rewrite the parquet directory `src` into `dst` with file count
     * ⌈total bytes / targetFileBytes⌉ (min 1). Returns the output file
     * count. Data is byte-for-byte the same rows; only layout changes. */

@@ -1039,6 +1039,30 @@ object PipelineQueries {
         formatRoundtripAgg(s.read.parquet(compacted))
       }),
 
+    // atomic versioned publish (q224): two publishes under a manifest
+    // commit, the reader resolving the manifest, a CRASHED third
+    // publish planted (v_3 fully written, manifest never flipped) —
+    // the reader must still serve v2. The oracle aggregates the
+    // original table: v2 holds the full corpus projection, and the
+    // crashed version being INVISIBLE is exactly what makes them
+    // equal — the atomicity property IS the hash match.
+    Q("q224_versioned_publish", Some(formatRoundtripOracle),
+      (s, d) => {
+        import graft.operators.Maintenance
+        val root = Staging.sinkDir(
+          "pub_" + d.replaceAll("[^A-Za-z0-9]", "_")) + "/docs_pub"
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        Maintenance.publishVersion(docs.filter(col("doc_id") % 2 === 0), root)
+        Maintenance.publishVersion(docs, root)
+        // a publisher that died after writing its data but BEFORE the
+        // manifest flip: served state must be untouched
+        docs.filter(col("doc_id") < 10).write.mode("overwrite")
+          .parquet(s"$root/v_3")
+        Maintenance.pruneVersions(root, keep = 0) // v_1 goes, v_2 stays
+        formatRoundtripAgg(Maintenance.readPublished(s, root))
+      }),
+
     Q("q94_csv_roundtrip", Some(formatRoundtripOracle),
       (s, d) => {
         val p = Staging.sinkDir("csv_" + d.replaceAll("[^A-Za-z0-9]", "_")) +

@@ -71,4 +71,31 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Maintenance.mergeAggDelta(keysOnly, keysOnly, Seq("k")))
   }
+
+  test("publishVersion: manifest-commit atomicity, crash invisibility, prune safety") {
+    val root = java.nio.file.Files.createTempDirectory("pub_spec").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val v2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    assert(Maintenance.currentVersion(root).isEmpty)
+    assert(Maintenance.publishVersion(v1, root) === 1L)
+    assert(Maintenance.currentVersion(root) === Some(1L))
+    assert(Maintenance.readPublished(spark, root).count() === 2L)
+    assert(Maintenance.publishVersion(v2, root) === 2L)
+    assert(Maintenance.readPublished(spark, root).count() === 3L)
+    // a publisher that crashed AFTER writing data, BEFORE the flip:
+    // invisible to readers, and the next publish reclaims its number
+    Seq((9L, "z")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$root/v_3")
+    assert(Maintenance.currentVersion(root) === Some(2L))
+    assert(Maintenance.readPublished(spark, root).count() === 3L)
+    assert(Maintenance.publishVersion(v1, root) === 3L,
+      "retry must overwrite the crashed version's debris")
+    assert(Maintenance.readPublished(spark, root).count() === 2L)
+    // prune: committed version (3) and keep-window survive, older go
+    Maintenance.pruneVersions(root, keep = 1)
+    assert(!new java.io.File(s"$root/v_1").exists())
+    assert(new java.io.File(s"$root/v_2").exists(), "keep=1 retains N-1")
+    assert(new java.io.File(s"$root/v_3").exists())
+    assert(Maintenance.readPublished(spark, root).count() === 2L)
+  }
 }
