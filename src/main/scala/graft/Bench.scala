@@ -350,7 +350,12 @@ object Bench {
     // resume the tail walk where the last round's timed tail ended
     // (round-robin coverage under slow boots — see nextRotation)
     val rot = nextRotation(tailSorted.size)
-    System.err.println(s"[bench] tail rotation offset=$rot of ${tailSorted.size}")
+    // resume arithmetic = sweep closure: the walk starts at the first
+    // slot the previous round did NOT time, so the union of consecutive
+    // rounds covers the registry once their timed-tail counts sum past
+    // the tail size — log the handoff so a round's log shows it
+    System.err.println(s"[bench] tail rotation offset=$rot of ${tailSorted.size}" +
+      s" (this walk covers the previous round's skipped suffix first)")
     val sorted = headline.map(n => n -> byName(n)) ++
       tailSorted.drop(rot) ++ tailSorted.take(rot)
     sorted.zipWithIndex.foreach { case ((name, fn), idx) =>

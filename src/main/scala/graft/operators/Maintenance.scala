@@ -39,16 +39,36 @@ object Maintenance {
     * the commit itself is O(1) driver-side metadata. Old versions stay
     * until [[pruneVersions]] — which is what makes readers of version
     * N-1 safe while N publishes (snapshot isolation by retention). */
-  def publishVersion(df: DataFrame, root: String): Long = {
+  def publishVersion(df: DataFrame, root: String): Long =
+    commitVersion(root)(dir => df.write.mode("overwrite").parquet(dir))
+
+  /** The multi-artifact form of [[publishVersion]]: the caller writes
+    * ANY layout (several datasets, subdirectories) under the fresh
+    * version directory, and the commit is the same single atomic
+    * manifest rename — so a store whose state spans multiple artifacts
+    * (the IVF index's postings + centroids) flips them together with
+    * no mixed-read window, which four sequential directory renames can
+    * never guarantee. Debris from a crashed previous attempt at the
+    * same version number is cleared BEFORE the write callback (version
+    * numbers only advance on a successful flip, so a retry lands on
+    * the same v_N). Returns the committed version. */
+  def commitVersion(root: String)(write: String => Unit): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(root))
     val next = currentVersion(root).getOrElse(0L) + 1
-    df.write.mode("overwrite").parquet(s"$root/v_$next")
+    rmTree(new java.io.File(s"$root/v_$next"))
+    write(s"$root/v_$next")
     val tmp = Paths.get(root, s".manifest_$next.tmp")
     Files.write(tmp, next.toString.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(root, "MANIFEST"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     next
+  }
+
+  /** Recursive delete (local-FS maintenance helper, shared by the
+    * versioned-store verbs). */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** The committed version, or None for an unpublished root. */
@@ -78,11 +98,7 @@ object Maintenance {
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .foreach { f =>
         f.getName match {
-          case re(n) if n.toLong < cur - keep =>
-            def rm(g: java.io.File): Unit = {
-              Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(); ()
-            }
-            rm(f)
+          case re(n) if n.toLong < cur - keep => rmTree(f)
           case _ => ()
         }
       }

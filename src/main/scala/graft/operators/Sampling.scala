@@ -227,7 +227,15 @@ object Sampling {
     docs.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long").as("w"))
-      .withColumn("kept", u52 < col("w") * lit(1L << rShift))
+      // Clamp w at certainAt BEFORE the multiply: for w >= certainAt the
+      // decision is already certain (product >= 2^52 > any u52), and the
+      // clamped product maxes at exactly 2^52 — without it the int64
+      // product w·2^rShift overflows under ANSI (rule 21a) once one
+      // document reaches 2^(63−rShift) tokens (~2.1M at the default
+      // shift; a book-length doc), while the DuckDB oracle rides HUGEINT
+      // and never sees the throw. Identical kept-set by construction.
+      .withColumn("kept",
+        u52 < least(col("w"), lit(certainAt)) * lit(1L << rShift))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),

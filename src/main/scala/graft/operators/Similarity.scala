@@ -524,14 +524,64 @@ object Similarity {
     * re-assigning the corpus: at 100 TB the assignment pass (a full
     * corpus scan + the centroid aggregate) is the cost an online
     * serving path cannot afford per query batch. Index size = corpus
-    * rows (vec_id, embedding, cell) + 16 centroid rows. */
+    * rows (vec_id, embedding, cell) + 16 centroid rows.
+    *
+    * Store layout (since r14): MANIFEST-versioned — both artifacts land
+    * under a fresh `path/v_N/{cells,centroids}` and ONE atomic manifest
+    * rename commits them together ([[Maintenance.commitVersion]], the
+    * q224 primitive). A reader resolves the manifest first and then
+    * opens a version that is entirely one index — the pre-r14
+    * four-rename swap's documented mixed-quantizer read window is gone.
+    * Old versions stay until [[Maintenance.pruneVersions]] (snapshot
+    * isolation by retention: prune with keep ≥ 1, or keep 0 only once
+    * in-flight readers of the previous version have drained). */
   def writeIvfIndex(
       corpus: DataFrame, path: String, dim: Int = 64,
       nBits: Int = 4, seed: Long = 7L): Unit = {
     val planes = hyperplanes(nBits, dim, seed)
-    writeIndexFiles(corpus.drop("cell"), planes, dim,
-      s"$path/cells", s"$path/centroids")
+    Maintenance.commitVersion(path) { dir =>
+      writeIndexFiles(corpus.drop("cell"), planes, dim,
+        s"$dir/cells", s"$dir/centroids")
+    }
+    ()
   }
+
+  /** The directory holding the CURRENT committed index artifacts: the
+    * manifest-resolved `v_N` for a versioned store, or the root itself
+    * for a pre-r14 flat layout (read-only compatibility — the first
+    * maintenance verb migrates it). Probes and specs that inspect the
+    * physical layout resolve through this. */
+  def ivfVersionDir(path: String): String =
+    Maintenance.currentVersion(path).map(v => s"$path/v_$v").getOrElse(path)
+
+  /** Writer-side resolution: like [[ivfVersionDir]], but a legacy flat
+    * store is MIGRATED — any pre-manifest mid-swap crash state is
+    * restored first ([[restoreIfMidSwap]], kept exactly for this), then
+    * the existing artifacts move into `v_1` and a manifest commit
+    * adopts them. One-time, on the single-writer maintenance path;
+    * readers of a store being migrated should be drained first (the
+    * legacy layout had no isolation guarantee to lose). */
+  private def ensureVersioned(path: String): String =
+    Maintenance.currentVersion(path) match {
+      case Some(v) => s"$path/v_$v"
+      case None =>
+        import java.nio.file.{Files, Paths}
+        restoreIfMidSwap(path, "cells")
+        restoreIfMidSwap(path, "centroids")
+        require(new java.io.File(s"$path/cells").exists(),
+          s"ensureVersioned: no IVF index at $path")
+        val v = Maintenance.commitVersion(path) { dir =>
+          Files.createDirectories(Paths.get(dir))
+          Seq("cells", "centroids", "tombstones").foreach { d =>
+            if (Files.exists(Paths.get(s"$path/$d")))
+              Files.move(Paths.get(s"$path/$d"), Paths.get(s"$dir/$d"))
+          }
+        }
+        // legacy rebuild debris that can no longer serve anything
+        Seq("retrain_cells", "retrain_centroids", "cells_compacting")
+          .foreach(d => Maintenance.rmTree(new java.io.File(s"$path/$d")))
+        s"$path/v_$v"
+    }
 
   /** Assign cells under `planes` and write the postings + centroid
     * files — the shared write path of [[writeIvfIndex]] (fresh build)
@@ -552,65 +602,47 @@ object Similarity {
     * (s66) deliberately never retrains on the write path; when enough
     * drift/growth accumulates, THIS verb rebuilds the planes with a
     * new (nBits, seed), re-assigns the LIVE postings (tombstones apply
-    * physically, as in compaction), and swaps the versioned rebuild in
-    * blue/green. The swap is four sequential renames, so — like
-    * compaction — it is a plain-filesystem stand-in for a manifest
-    * commit: single-writer, and a reader racing between the cells move
-    * and the centroids move can observe new cells with the old
-    * quantizer's centroids (acceptable on the single-writer
-    * maintenance path; a real deployment commits both in one manifest
-    * swap). Crash-re-entrant: a retry detects a mid-swap state (live
-    * dir missing, `_old` present) and restores the old index before
-    * clearing rebuild debris, so no crash point loses the only copy
-    * of the postings. Result ≡ a from-scratch [[writeIvfIndex]] over the
-    * live vectors with the same (nBits, seed) — the spec-pinned
-    * contract (IvfIndexSpec), the retrain analog of d53's
-    * store ≡ recompute. */
+    * physically, as in compaction), and publishes the rebuild as ONE
+    * manifest commit over a fresh `v_N/{cells,centroids}` pair
+    * ([[Maintenance.commitVersion]]) — a reader resolves either the
+    * old version or the new one, never a mix: the pre-r14 four-rename
+    * swap's documented mixed-quantizer window is gone (the r13 s70
+    * probe measured its predicted ≤1 transient reader error; the r14
+    * rerun requires exactly 0). Crash-re-entrant for free: a crash
+    * anywhere before the flip leaves the old version served and a
+    * half-written `v_N` the retry overwrites. Result ≡ a from-scratch
+    * [[writeIvfIndex]] over the live vectors with the same
+    * (nBits, seed) — the spec-pinned contract (IvfIndexSpec), the
+    * retrain analog of d53's store ≡ recompute. The superseded version
+    * stays on disk for in-flight readers until the caller prunes
+    * ([[Maintenance.pruneVersions]]). */
   def retrainIvfIndex(spark: SparkSession, path: String, dim: Int = 64,
       nBits: Int = 5, seed: Long = 11L): Unit = {
-    import java.nio.file.{Files, Paths}
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    val cur = ensureVersioned(path)
+    // the rebuild reads the CURRENT version (live view: tombstones
+    // applied) while writing the next — never in place
+    val live = livePostings(spark, cur).drop("cell")
+    Maintenance.commitVersion(path) { dir =>
+      writeIndexFiles(live, hyperplanes(nBits, dim, seed), dim,
+        s"$dir/cells", s"$dir/centroids")
     }
-    // Re-entrancy, as in compaction — but NEVER delete `_old` while it
-    // may be the only copy: a crash between the swap renames leaves the
-    // live dir missing and `_old` holding the index, and the previous
-    // unconditional cleanup would have destroyed it on retry (ADVICE
-    // r12, medium). Restore any mid-swap state FIRST, then clear
-    // rebuild debris. (If the crash landed after the cells move of the
-    // new index, the restored pair can mix old/new assignments — the
-    // retrain below recomputes every cell from the posting CONTENT
-    // (vec_id, embedding), which is invariant under assignment, so the
-    // rebuilt index is still exactly from-scratch-equal.)
-    restoreIfMidSwap(path, "cells")
-    restoreIfMidSwap(path, "centroids")
-    Seq("retrain_cells", "retrain_centroids", "cells_old", "centroids_old")
-      .foreach(d => rm(new java.io.File(s"$path/$d")))
-    writeIndexFiles(livePostings(spark, path).drop("cell"),
-      hyperplanes(nBits, dim, seed), dim,
-      s"$path/retrain_cells", s"$path/retrain_centroids")
-    Files.move(Paths.get(s"$path/cells"), Paths.get(s"$path/cells_old"))
-    Files.move(Paths.get(s"$path/centroids"),
-      Paths.get(s"$path/centroids_old"))
-    Files.move(Paths.get(s"$path/retrain_cells"), Paths.get(s"$path/cells"))
-    Files.move(Paths.get(s"$path/retrain_centroids"),
-      Paths.get(s"$path/centroids"))
-    Seq("cells_old", "centroids_old", "tombstones")
-      .foreach(d => rm(new java.io.File(s"$path/$d")))
+    ()
   }
 
-  /** Mid-swap crash recovery shared by [[retrainIvfIndex]] and
-    * [[compactIvfIndex]]: if the live dir is missing and its `_old`
-    * sibling exists, the previous run died between the two swap
-    * renames and `_old` is the ONLY copy — move it back before any
-    * debris cleanup may touch it. Renames are atomic per-directory, so
-    * exactly one of (live, old) can hold the data. */
+  /** Pre-manifest (r13) crash recovery, kept for MIGRATING legacy flat
+    * stores: if the live dir is missing and its `_old` sibling exists,
+    * a pre-r14 run died between its two swap renames and `_old` is the
+    * ONLY copy — move it back before [[ensureVersioned]] adopts the
+    * layout. Versioned stores can no longer reach such a state (the
+    * manifest flip is one atomic rename). */
   private def restoreIfMidSwap(path: String, dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val live = new java.io.File(s"$path/$dir")
     val old = new java.io.File(s"$path/${dir}_old")
-    if (!live.exists() && old.exists())
+    if (!live.exists() && old.exists()) {
       Files.move(Paths.get(old.getPath), Paths.get(live.getPath))
+      ()
+    }
   }
 
   /** Incremental IVF insert WITHOUT retraining the coarse quantizer
@@ -629,6 +661,12 @@ object Similarity {
       subdir: Option[String] = None): Unit = {
     val planes = hyperplanes(4, dim, seed = 7L)
     val assigned = delta.withColumn("cell", signature(col("embedding"), planes))
+    // appends land INSIDE the current committed version (they extend its
+    // postings set; no new version — the write path stays one parquet
+    // write, the q153 flatness property). Maintenance rewrites
+    // (compact/retrain) racing an append remain single-writer territory,
+    // exactly as before the manifest layout.
+    val dir = ensureVersioned(path)
     subdir match {
       // batch-keyed subdir, OVERWRITE: a replayed micro-batch rewrites
       // its own postings instead of duplicating them — at-least-once
@@ -636,9 +674,9 @@ object Similarity {
       // vector index). searchIvfIndex reads recursively, so nested
       // batch dirs serve like the flat layout.
       case Some(sd) =>
-        assigned.write.mode("overwrite").parquet(s"$path/cells/$sd")
+        assigned.write.mode("overwrite").parquet(s"$dir/cells/$sd")
       case None =>
-        assigned.write.mode("append").parquet(s"$path/cells")
+        assigned.write.mode("append").parquet(s"$dir/cells")
     }
   }
 
@@ -649,36 +687,22 @@ object Similarity {
     * rewritten cell-clustered (repartition on `cell`), so a probe
     * after compaction touches contiguous row groups instead of one
     * fragment per historical batch; content is untouched — search
-    * before ≡ search after is the spec-pinned contract. The swap is
-    * write-to-temp + directory rename; on a real deployment the
-    * rename is the metastore/manifest commit, same shape. Crash
-    * safety: a retry first restores a mid-swap state (live `cells`
-    * missing, `cells_old` present → move it back; a crash between the
-    * renames leaves `_old` as the ONLY copy, so it must never be
-    * treated as debris), then deletes stale
-    * `cells_old`/`cells_compacting`; between the two moves there is a brief
-    * window with no `cells` dir — a plain-filesystem stand-in for
-    * what a manifest commit makes atomic, acceptable because
-    * compaction is the single-writer maintenance path. */
+    * before ≡ search after is the spec-pinned contract. The rewrite
+    * publishes as a manifest commit ([[Maintenance.commitVersion]]):
+    * the compacted postings land in a fresh `v_N/cells` beside a
+    * byte-copied `v_N/centroids` (the quantizer is untouched) and one
+    * atomic rename flips the manifest — no window with a missing or
+    * half-swapped `cells` dir, which the pre-r14 two-rename swap
+    * carried. Crash-re-entrant for free: a crash before the flip
+    * leaves the old version served and `v_N` as debris the retry
+    * overwrites. */
   def compactIvfIndex(spark: SparkSession, path: String,
       files: Int = 0): Unit = {
-    import java.nio.file.{Files, Paths}
-    val cellsDir = s"$path/cells"
-    val tmp = s"$path/cells_compacting"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    // Re-entrancy: restore a mid-swap state FIRST (a crash between the
-    // two renames leaves `cells` missing and `cells_old` as the only
-    // copy — deleting it here would destroy the index, ADVICE r12),
-    // THEN clear debris so the moves below can't hit FileAlreadyExists.
-    restoreIfMidSwap(path, "cells")
-    rm(new java.io.File(s"$path/cells_old"))
-    rm(new java.io.File(tmp))
+    val cur = ensureVersioned(path)
     // compaction applies tombstones physically: the rewrite reads the
-    // LIVE view, so deleted postings drop out of the new files and the
-    // tombstone set can be cleared in the same swap
-    val live = livePostings(spark, path)
+    // LIVE view of the current version, so deleted postings drop out of
+    // the new files and the new version carries no tombstone set at all
+    val live = livePostings(spark, cur)
     // Layout sized to the DATA AND the CLUSTER, never a constant (the
     // repo's own 100 TB rule applied to its own maintenance verb): the
     // original fixed 4-file rewrite produced single-row-group files,
@@ -703,24 +727,40 @@ object Similarity {
       if (files > 0) files
       else math.max(spark.sparkContext.defaultParallelism.toLong,
         (live.count() + (1L << 17) - 1) >> 17).toInt
-    live
-      // RANGE partition on (cell, vec_id), not hash on cell: hash
-      // partitioning caps non-empty files at the DISTINCT CELL count
-      // (16 under the 4-bit quantizer — the parallelism floor above
-      // was silently unreachable, measured 42→13 files), while ranges
-      // hit the exact file count AND keep each file a contiguous cell
-      // interval, so row-group min/max pruning on probed-cell scans
-      // still sees tight cell bounds.
-      .repartitionByRange(nFiles, col("cell"), col("vec_id"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite")
-      .option("parquet.block.size", (8L << 20).toString)
-      .parquet(tmp)
-    val old = Paths.get(s"$path/cells_old")
-    Files.move(Paths.get(cellsDir), old)
-    Files.move(Paths.get(tmp), Paths.get(cellsDir))
-    rm(old.toFile)
-    rm(new java.io.File(s"$path/tombstones"))
+    Maintenance.commitVersion(path) { dir =>
+      live
+        // RANGE partition on (cell, vec_id), not hash on cell: hash
+        // partitioning caps non-empty files at the DISTINCT CELL count
+        // (16 under the 4-bit quantizer — the parallelism floor above
+        // was silently unreachable, measured 42→13 files), while ranges
+        // hit the exact file count AND keep each file a contiguous cell
+        // interval, so row-group min/max pruning on probed-cell scans
+        // still sees tight cell bounds.
+        .repartitionByRange(nFiles, col("cell"), col("vec_id"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(s"$dir/cells")
+      // the quantizer is untouched: byte-copy the centroid artifact so
+      // the committed version is self-contained (a reader resolves ONE
+      // version dir for both artifacts)
+      copyTree(new java.io.File(s"$cur/centroids"),
+        new java.io.File(s"$dir/centroids"))
+    }
+    ()
+  }
+
+  /** Recursive byte-copy (centroid carry-over between versions). */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).foreach(_.foreach(c =>
+        copyTree(c, new java.io.File(dst, c.getName))))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 
   /** IVF search against a PERSISTED index (s51) — identical output to
@@ -731,11 +771,16 @@ object Similarity {
     * contract. */
   def searchIvfIndex(
       spark: SparkSession, queries: DataFrame, path: String,
-      k: Int, nProbe: Int = 2): DataFrame =
+      k: Int, nProbe: Int = 2): DataFrame = {
+    // resolve the manifest FIRST, then open only that version's
+    // artifacts — both from ONE version dir, so a concurrent
+    // compaction/retrain commit can never serve mixed state
+    val dir = ivfVersionDir(path)
     ivfSearchCore(
-      livePostings(spark, path),
-      spark.read.parquet(s"$path/centroids"),
+      livePostings(spark, dir),
+      spark.read.parquet(s"$dir/centroids"),
       queries, k, nProbe)
+  }
 
   /** IVF cell-balance audit (s71): postings-per-cell histogram of a
     * persisted index plus the hot-cell factor (max·cells/total,
@@ -750,7 +795,7 @@ object Similarity {
     * combined, ≤ 2^nBits rows out) + a 1-row broadcast of totals —
     * the cheapest possible full-index pass. */
   def ivfCellBalance(spark: SparkSession, path: String): DataFrame = {
-    val per = livePostings(spark, path)
+    val per = livePostings(spark, ivfVersionDir(path))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_postings"))
     val tot = per.agg(sum(col("n_postings")).as("t"),
       max(col("n_postings")).as("mx"), count(lit(1)).as("nc"))
@@ -761,8 +806,10 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
-  /** The index's live postings: cells minus tombstones (s68). The
-    * tombstone set is tiny relative to the postings (deletes between
+  /** The index's live postings: cells minus tombstones (s68). Takes
+    * the already-RESOLVED version dir ([[ivfVersionDir]]) so one
+    * resolution covers every artifact a caller touches. The tombstone
+    * set is tiny relative to the postings (deletes between
     * compactions), so the anti-join broadcasts; an index with no
     * tombstone dir reads exactly as before. */
   private def livePostings(spark: SparkSession, path: String): DataFrame = {
@@ -780,12 +827,15 @@ object Similarity {
     * the standard LSM-ish tombstone pattern): deleted ids append to a
     * tombstone set that [[searchIvfIndex]] anti-joins at read time; no
     * postings rewrite on the delete path. [[compactIvfIndex]] later
-    * applies tombstones physically and clears them. Idempotent by
-    * construction (the tombstone set is a set — re-deleting an id, or
-    * an at-least-once retry, changes nothing a reader can observe). */
+    * applies tombstones physically (the compacted version simply has
+    * no tombstone set). Idempotent by construction (the tombstone set
+    * is a set — re-deleting an id, or an at-least-once retry, changes
+    * nothing a reader can observe). Like appends, deletes extend the
+    * CURRENT version's state rather than committing a new version —
+    * the delete path stays one tiny parquet append. */
   def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
     ids.select(col("vec_id")).write.mode("append")
-      .parquet(s"$path/tombstones")
+      .parquet(s"${ensureVersioned(path)}/tombstones")
 
   private def ivfSearchCore(
       cells: DataFrame, centroids: DataFrame, queries: DataFrame,

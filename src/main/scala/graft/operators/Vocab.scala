@@ -382,8 +382,10 @@ object Vocab {
         posexplode(graft.functions.TextFunctions.tokens(text))
           .as(Seq("pos", "w")))
       .materializeOnce() // feeds the unigram model AND the pair stream
-    val uni = broadcast(
-      toks.groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    // unigram model unhinted, like the bigram join below: distinct-token
+    // counts reach 10^8–10^9 rows at corpus scale, so a forced broadcast
+    // would OOM the driver — AQE broadcasts it while it is small
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val pairs = toks
       .withColumn("prev", lag(col("w"), 1).over(byDoc))

@@ -258,7 +258,11 @@ object AnalyticsQueries {
     // unchanged (no new arithmetic → hash-safe). Hour floors compose
     // exactly across engines (CLAUDE.md rule 2).
     Q("q120_gapfill", Some(
-      """WITH gapped AS (
+      // `gapped` feeds BOTH the spine bounds and the join — MATERIALIZED
+      // or DuckDB re-runs the whole events scan per consumer (rule 22;
+      // flagged by the r13 oracle-cost watchdog on a contended judge
+      // machine at 9.46 s — measured bit-identical here either way)
+      """WITH gapped AS MATERIALIZED (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_obs,
         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
         |  FROM events WHERE value > 90 GROUP BY 1, 2),

@@ -1056,10 +1056,17 @@ object PipelineQueries {
         Maintenance.publishVersion(docs.filter(col("doc_id") % 2 === 0), root)
         Maintenance.publishVersion(docs, root)
         // a publisher that died after writing its data but BEFORE the
-        // manifest flip: served state must be untouched
+        // manifest flip: served state must be untouched. The debris
+        // version is derived FROM the manifest (current + 1), not a
+        // literal — the staged root persists across bench samples in
+        // the same JVM, so a hardcoded v_3 would land at or below the
+        // committed version on re-invocation and silently stop
+        // exercising the crash-invisibility property.
+        val crashedV = Maintenance.currentVersion(root)
+          .getOrElse(sys.error("q224: no manifest after two publishes")) + 1
         docs.filter(col("doc_id") < 10).write.mode("overwrite")
-          .parquet(s"$root/v_3")
-        Maintenance.pruneVersions(root, keep = 0) // v_1 goes, v_2 stays
+          .parquet(s"$root/v_$crashedV")
+        Maintenance.pruneVersions(root, keep = 0) // older versions go
         formatRoundtripAgg(Maintenance.readPublished(s, root))
       }),
 
@@ -1412,9 +1419,10 @@ object PipelineQueries {
        |  FROM scored),
        |agg AS (
        |  SELECT source, count(*) AS n_docs,
-       |    sum(CASE WHEN u52 < w * $rate THEN 1 ELSE 0 END) AS n_sampled,
+       |    sum(CASE WHEN u52 < least(w, $certainAt) * $rate THEN 1 ELSE 0 END)
+       |      AS n_sampled,
        |    sum(w) AS t,
-       |    sum(CASE WHEN u52 >= w * $rate THEN 0
+       |    sum(CASE WHEN u52 >= least(w, $certainAt) * $rate THEN 0
        |             WHEN w >= $certainAt THEN w
        |             ELSE $certainAt END) AS h
        |  FROM u GROUP BY source)

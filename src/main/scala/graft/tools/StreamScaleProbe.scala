@@ -511,7 +511,8 @@ object StreamScaleProbe {
     }
     collector.report("s67 vector ingest")
     val total = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$index/cells").count()
+      .parquet(s"${graft.operators.Similarity.ivfVersionDir(index)}/cells")
+      .count()
     require(total == nVec + batches * (bSize + 1),
       s"s67 postings count off (not exactly-once?): $total")
     // nProbe = 16 (all cells): this asserts the arrivals are PRESENT
@@ -544,7 +545,8 @@ object StreamScaleProbe {
     * parquet exactly; compaction may only re-layout). */
   private def s68Stage(spark: SparkSession, out: String, nVec: Long): Unit = {
     val index = s"$out/s67_ivf"
-    require(new java.io.File(s"$index/cells").exists(), "s67 store missing")
+    def vdir() = graft.operators.Similarity.ivfVersionDir(index)
+    require(new java.io.File(s"${vdir()}/cells").exists(), "s67 store missing")
     val dims = sequence(lit(1), lit(64))
     def comp(seed: org.apache.spark.sql.Column) =
       (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
@@ -580,7 +582,7 @@ object StreamScaleProbe {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
         else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(s"$index/cells"))
+      walk(new java.io.File(s"${vdir()}/cells")) // re-resolve: compaction commits a new version
     }
     // The serving-cost readout compares k=10 against k=10 (VERDICT r12
     // #3: the r12 numbers compared pre-delete k=20 vs post-delete k=10,
@@ -618,15 +620,15 @@ object StreamScaleProbe {
     val filesAfter = parquetFiles()
     println(f"[sprobe] s68 compaction: ${(System.nanoTime() - t1) / 1e9}%.2f s; " +
       s"files $filesBefore -> $filesAfter; tombstones cleared=" +
-      s"${!new java.io.File(s"$index/tombstones").exists()}")
+      s"${!new java.io.File(s"${vdir()}/tombstones").exists()}")
     require(filesAfter < filesBefore,
       s"compaction did not shrink the file count: $filesBefore -> $filesAfter")
-    require(!new java.io.File(s"$index/tombstones").exists(),
-      "compaction left the tombstone set in place")
+    require(!new java.io.File(s"${vdir()}/tombstones").exists(),
+      "the compacted version carries a tombstone set")
     val live = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$index/cells").count()
+      .parquet(s"${vdir()}/cells").count()
     val expectedLive = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$index/cells").filter(col("vec_id") % 10 === 3 &&
+      .parquet(s"${vdir()}/cells").filter(col("vec_id") % 10 === 3 &&
         col("vec_id") < nVec).count() // must be 0, checked via the total below
     val after = timedSearch("post-compact search", 10)
     // search invariance, bit-for-bit (q_id, vec_id, rank, cos)
@@ -649,22 +651,27 @@ object StreamScaleProbe {
     * BIT-identical rankings to a fresh [[Similarity.writeIvfIndex]]
     * over the same live vectors with the same (nBits, seed), re-proven
     * at the ~650k-posting store, not the 500-row spec corpus;
-    * (2) blue/green — a reader polling THROUGHOUT the retrain keeps
-    * being served: every successful read is classified against the
-    * pre-retrain and post-retrain result sets (old / new / other);
-    * readers see "old" for the whole rebuild phase and flip at the
-    * swap. "other" can only occur inside the four-rename swap window
-    * (the docstring's honest non-atomic caveat) — observed counts are
-    * printed, and the stage requires at least one "old" read (served
-    * during rebuild) and zero reads that are neither old, new, nor an
-    * in-window transient;
+    * (2) blue/green under the MANIFEST commit (r14: the q224 primitive
+    * adopted inside the store — VERDICT r13 directive #2): a reader
+    * polling THROUGHOUT the retrain keeps being served, and every
+    * successful read is classified against the pre-retrain and
+    * post-retrain result sets (old / new / other). The pre-r14
+    * four-rename swap had a measured ≤1 transient reader error in its
+    * window; with (cells, centroids) committed as one versioned
+    * directory + atomic manifest flip, and the superseded version
+    * retained until an explicit prune, the stage now requires ZERO
+    * transient errors and ZERO mixed (other) reads — at least one
+    * "old" read proves readers really overlapped the rebuild;
     * (3) wall cost — the retrain (full re-assignment + centroid
-    * rebuild + swap) is timed, the number a maintenance scheduler
+    * rebuild + commit) is timed, the number a maintenance scheduler
     * budgets against;
-    * (4) serving latency before vs after at matched k. */
+    * (4) serving latency before vs after at matched k;
+    * (5) retention — pruning after the flip drops the superseded
+    * version without touching the served one. */
   private def s70Stage(spark: SparkSession, out: String, nVec: Long): Unit = {
     val index = s"$out/s67_ivf"
-    require(new java.io.File(s"$index/cells").exists(), "s67 store missing")
+    def vdir() = graft.operators.Similarity.ivfVersionDir(index)
+    require(new java.io.File(s"${vdir()}/cells").exists(), "s67 store missing")
     val dims = sequence(lit(1), lit(64))
     def comp(seed: org.apache.spark.sql.Column) =
       (pmod(xxhash64(seed), lit(2000001L)).cast("double") / lit(1000000.0)
@@ -703,8 +710,9 @@ object StreamScaleProbe {
       s
     }
     // live content snapshot BEFORE retrain — the from-scratch arm's input
+    val preVdir = vdir()
     val live = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$index/cells").drop("cell").localCheckpoint()
+      .parquet(s"$preVdir/cells").drop("cell").localCheckpoint()
     val nLive = live.count()
     val before = timed("pre-retrain search (k=10)")(resultSet(index))
     // live readers: poll the store continuously while the retrain runs
@@ -726,12 +734,17 @@ object StreamScaleProbe {
     retraining = false
     reader.join(120000)
     println(f"[sprobe] s70 retrain of $nLive%d live postings " +
-      f"(4->5 bit quantizer, re-assign + centroids + blue/green swap): " +
+      f"(4->5 bit quantizer, re-assign + centroids + manifest commit): " +
       f"$retrainSec%.2f s")
-    // blue/green left no debris and the new quantizer is live
-    Seq("cells_old", "centroids_old", "retrain_cells", "retrain_centroids",
-      "tombstones").foreach(d => require(
-        !new java.io.File(s"$index/$d").exists(), s"retrain left $d"))
+    // the commit flipped to a fresh self-contained version (no
+    // tombstones carried) and retained the superseded one for
+    // in-flight readers
+    val postVdir = vdir()
+    require(postVdir != preVdir, "retrain did not commit a new version")
+    require(!new java.io.File(s"$postVdir/tombstones").exists(),
+      "the retrained version carries a tombstone set")
+    require(new java.io.File(s"$preVdir/cells").exists(),
+      "commit destroyed the superseded version before any prune")
     val after = timed("post-retrain search (k=10)")(resultSet(index))
     // classify every mid-retrain read — if-else so a read can only
     // land in ONE bucket (the first r13 run double-counted a read that
@@ -745,15 +758,23 @@ object StreamScaleProbe {
       else nOther += 1
     }
     println(s"[sprobe] s70 live-reader reads during retrain: ${rs.length} " +
-      s"(old=$nOld new=$nNew transient-error=$nErr mid-swap-other=$nOther)")
+      s"(old=$nOld new=$nNew transient-error=$nErr mixed-other=$nOther)")
     require(nOld >= 1,
       "no reader was served the old index during the rebuild phase " +
         "(retrain too fast relative to a read? widen the store)")
-    // the non-atomic swap window is 4 renames (~ms); anything beyond a
-    // couple of affected reads means readers were starved, not raced
-    require(nErr + nOther <= 2,
-      s"too many non-old/new reads for a 4-rename swap window: " +
+    // THE r14 claim: the manifest commit has no window at all — a
+    // reader resolves the manifest first and opens a version that is
+    // entirely old or entirely new. Zero transient errors, zero mixed
+    // reads (the pre-r14 four-rename swap measured ≤1 here).
+    require(nErr == 0 && nOther == 0,
+      s"manifest commit must leave no reader window: " +
         s"err=$nErr other=$nOther")
+    // retention: pruning now drops the superseded version and cannot
+    // touch the served one (readers have drained — the thread joined)
+    graft.operators.Maintenance.pruneVersions(index, keep = 0)
+    require(!new java.io.File(preVdir).exists(),
+      "prune left the superseded version")
+    require(resultSet(index) == after, "prune changed the served results")
     // retrain ≡ from-scratch at volume, bit-for-bit
     val freshDir = s"$out/s70_fresh"
     def rm(f: java.io.File): Unit = {
@@ -768,7 +789,7 @@ object StreamScaleProbe {
       s"retrained store diverged from the from-scratch rebuild at volume: " +
         s"${(after -- fresh).take(3)} vs ${(fresh -- after).take(3)}")
     val maxCell = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$index/cells").agg(max(col("cell"))).head().getLong(0)
+      .parquet(s"${vdir()}/cells").agg(max(col("cell"))).head().getLong(0)
     require(maxCell > 15L, s"retrained cells still 4-bit: max=$maxCell")
     println(s"[sprobe] s70 retrain ≡ from-scratch at $nLive postings, " +
       s"max cell=$maxCell (5-bit quantizer live) — OK")

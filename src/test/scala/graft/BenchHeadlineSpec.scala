@@ -80,6 +80,44 @@ class BenchHeadlineSpec extends AnyFunSuite {
     dir.listFiles().foreach(_.delete()); dir.delete()
   }
 
+  test("r13 artifact + resume arithmetic close the registry sweep (r13 #3)") {
+    // VERDICT r13 directive #3: r13 timed 266/345 (rot=121, 79 skipped);
+    // prove from the COMMITTED artifact that r14's walk starts exactly
+    // at the start of the skipped suffix, so any r14 run timing ≥79
+    // tail queries covers the full registry across the two rounds.
+    val src = new java.io.File("BENCH_r13.json")
+    assume(src.exists(), "BENCH_r13.json not present in this checkout")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(src)
+    val node = if (root.has("parsed")) root.get("parsed") else root
+    val rot = node.path("rot").asInt(-1)
+    val timedHeadline = node.path("queries").size()
+    val timedTail = node.path("n_queries").asInt(0) - timedHeadline
+    val skipped = node.path("skipped").asInt(0)
+    // every r13 tail slot was either timed or skipped — the registry
+    // partitioned cleanly into headline + timed tail + skipped suffix
+    val r13Tail = timedTail + skipped
+    assert(rot === 121 && timedTail === 205 && skipped === 79,
+      s"r13 artifact drifted: rot=$rot timed=$timedTail skipped=$skipped")
+    // pin the resolution to the r13 file alone (the repo root will gain
+    // BENCH_r14.json later; this invariant is about the r13→r14 handoff)
+    val dir = java.nio.file.Files.createTempDirectory("benchrot13").toFile
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "BENCH_r13.json").toPath)
+    val resume = Bench.nextRotation(r13Tail, dir)
+    assert(resume === (rot + timedTail) % r13Tail)
+    // the resume point IS the start of the skipped suffix: r13 timed
+    // [121, 121+205) mod 284 = [121,284)∪[0,42); the gap [42,121) has
+    // size 79 — exactly the skip count — and r14 walks it FIRST
+    assert((rot - resume + r13Tail) % r13Tail === skipped,
+      "resume point is not the start of the r13 skipped suffix")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    // the live registry must still contain at least the r13 surface
+    // (61 headline + 284 tail); growth only appends, shifting the
+    // alphabetical walk by at most the insertion count
+    assert(SparkEntry.queries.size - Bench.headline.size >= r13Tail)
+  }
+
   test("hs_min field is omitted when no headline query was timed") {
     val line = Bench.renderLine(Seq("q01_projection" -> 0.1), Nil,
       warmed = true, degraded = "none", skipped = 0, sfDir = "x", hsMin = 0)

@@ -30,7 +30,7 @@ class IvfIndexSpec extends SparkSpec {
 
   private def centroidBytes(dir: String): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir, "centroids")
+    val p = java.nio.file.Paths.get(Similarity.ivfVersionDir(dir), "centroids")
     val walk = java.nio.file.Files.walk(p)
     try walk.iterator().asScala
       .filter(f => java.nio.file.Files.isRegularFile(f))
@@ -44,12 +44,12 @@ class IvfIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf_ins_a").toString
     Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 100), dir)
     val before = centroidBytes(dir)
-    val beforeHash = java.nio.file.Files.walk(
-      java.nio.file.Paths.get(dir, "centroids")).count()
+    val beforeHash = java.nio.file.Files.walk(java.nio.file.Paths.get(
+      Similarity.ivfVersionDir(dir), "centroids")).count()
     Similarity.appendIvfIndex(emb.filter(col("vec_id") < 100), dir)
     assert(centroidBytes(dir) === before, "append must not touch centroids")
-    assert(java.nio.file.Files.walk(
-      java.nio.file.Paths.get(dir, "centroids")).count() === beforeHash)
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(
+      Similarity.ivfVersionDir(dir), "centroids")).count() === beforeHash)
   }
 
   test("append path equals bulk assignment under the same frozen quantizer") {
@@ -66,12 +66,12 @@ class IvfIndexSpec extends SparkSpec {
     // logical index reached by a different code path
     val dirB = java.nio.file.Files.createTempDirectory("ivf_ins_c").toString
     Similarity.writeIvfIndex(emb, dirB)
-    val cb = java.nio.file.Paths.get(dirB, "centroids")
+    val cb = java.nio.file.Paths.get(Similarity.ivfVersionDir(dirB), "centroids")
     org.apache.commons.io.FileUtils.deleteDirectory(cb.toFile)
     val baseOnly = java.nio.file.Files.createTempDirectory("ivf_ins_d").toString
     Similarity.writeIvfIndex(base, baseOnly)
-    org.apache.commons.io.FileUtils.copyDirectory(
-      java.nio.file.Paths.get(baseOnly, "centroids").toFile, cb.toFile)
+    org.apache.commons.io.FileUtils.copyDirectory(java.nio.file.Paths.get(
+      Similarity.ivfVersionDir(baseOnly), "centroids").toFile, cb.toFile)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val a = rows(Similarity.searchIvfIndex(spark, queries, dirA, k = 10))
@@ -115,8 +115,9 @@ class IvfIndexSpec extends SparkSpec {
         dir, subdir = Some(s"batch_$i"))
     }
     def parquetFiles(): Int = {
+      // resolve per call: compaction commits a NEW version
       val walk = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(dir, "cells"))
+        java.nio.file.Paths.get(Similarity.ivfVersionDir(dir), "cells"))
       try walk.iterator().asScala
         .count(_.toString.endsWith(".parquet"))
       finally walk.close()
@@ -154,13 +155,15 @@ class IvfIndexSpec extends SparkSpec {
     // idempotent: re-deleting changes nothing a reader can observe
     Similarity.deleteFromIvfIndex(Seq(88888L).toDF("vec_id"), dir)
     assert(rows() === afterDelete)
-    // compaction applies the tombstones physically and clears them
+    // compaction applies the tombstones physically: the new committed
+    // version carries no tombstone set at all
     Similarity.compactIvfIndex(spark, dir, files = 2)
-    assert(!new java.io.File(s"$dir/tombstones").exists(),
-      "compaction must clear the tombstone set")
+    val v = Similarity.ivfVersionDir(dir)
+    assert(!new java.io.File(s"$v/tombstones").exists(),
+      "the compacted version must carry no tombstone set")
     assert(rows() === afterDelete, "compaction changed the live view")
     val remaining = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$dir/cells").filter(col("vec_id") === 88888L).count()
+      .parquet(s"$v/cells").filter(col("vec_id") === 88888L).count()
     assert(remaining === 0L, "compaction left the deleted posting on disk")
   }
 
@@ -198,12 +201,13 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.deleteFromIvfIndex(
       emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), dir)
     Similarity.retrainIvfIndex(spark, dir, nBits = 5, seed = 11L)
-    // retrain applies tombstones physically and clears them
-    assert(!new java.io.File(s"$dir/tombstones").exists(),
-      "retrain left the tombstone set")
+    val v = Similarity.ivfVersionDir(dir)
+    // retrain applies tombstones physically: the committed version has none
+    assert(!new java.io.File(s"$v/tombstones").exists(),
+      "the retrained version carries a tombstone set")
     val live = emb.filter(col("vec_id") % 7 =!= 3)
     val total = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$dir/cells")
+      .parquet(s"$v/cells")
     assert(total.count() === live.count())
     // the new quantizer really is new: 5 planes -> cells beyond 4-bit
     assert(total.agg(max(col("cell"))).head().getLong(0) > 15L,
@@ -237,9 +241,9 @@ class IvfIndexSpec extends SparkSpec {
     assert(total2 === total - 10)
   }
 
-  // ---- mid-swap crash recovery (ADVICE r12, medium) ----
+  // ---- crash recovery: manifest commit + legacy-store migration ----
 
-  test("a retry after a mid-swap crash restores the index, never destroys it") {
+  test("a crashed maintenance commit is invisible; the retry overwrites it") {
     import java.nio.file.{Files, Paths}
     val emb = graft.Tables.load(spark, sf0001, "embeddings")
     val queries = emb.filter(col("vec_id") < 7)
@@ -248,33 +252,51 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getInt(3))).toSeq
 
-    // compaction: simulate a crash between the two swap renames —
-    // `cells` gone, `cells_old` the only copy, `cells_compacting`
-    // half-written debris. The pre-r13 entry cleanup deleted BOTH
-    // copies here; the retry must instead restore and succeed.
-    val cDir = java.nio.file.Files.createTempDirectory("ivf_crash_c").toString
+    // a compaction that died mid-write: next-version data partially on
+    // disk, manifest never flipped — the q224 planted-crash shape. The
+    // reader must serve the committed version untouched, and the retry
+    // must land on the same version number, overwriting the debris.
+    val cDir = Files.createTempDirectory("ivf_crash_c").toString
     Similarity.writeIvfIndex(emb, cDir)
     val before = rows(cDir)
-    Files.move(Paths.get(s"$cDir/cells"), Paths.get(s"$cDir/cells_old"))
-    Files.createDirectories(Paths.get(s"$cDir/cells_compacting"))
-    Files.write(Paths.get(s"$cDir/cells_compacting/_partial"),
+    val v1 = Similarity.ivfVersionDir(cDir)
+    val crashedV = Maintenance.currentVersion(cDir).get + 1
+    Files.createDirectories(Paths.get(s"$cDir/v_$crashedV/cells"))
+    Files.write(Paths.get(s"$cDir/v_$crashedV/cells/_partial"),
       Array[Byte](1, 2, 3))
+    assert(rows(cDir) === before, "crashed-commit debris leaked into reads")
     Similarity.compactIvfIndex(spark, cDir, files = 2)
+    assert(Maintenance.currentVersion(cDir).contains(crashedV),
+      "retry must commit the version the crash reserved")
     assert(rows(cDir) === before,
       "post-crash compaction retry changed (or lost) the index")
+    // snapshot isolation by retention: the superseded version is intact
+    // for in-flight readers until an explicit prune
+    assert(new java.io.File(s"$v1/cells").exists(),
+      "commit must not destroy the superseded version")
+    Maintenance.pruneVersions(cDir, keep = 0)
+    assert(!new java.io.File(v1).exists(), "prune must drop the old version")
+    assert(rows(cDir) === before, "prune touched the committed version")
 
-    // retrain: crash with BOTH live dirs swapped out — `_old` holds the
-    // only copy of cells and centroids; retrain debris is present.
-    val rDir = java.nio.file.Files.createTempDirectory("ivf_crash_r").toString
+    // a legacy (pre-manifest) store that crashed mid-swap: flat layout
+    // with `cells`/`centroids` swapped out to `_old` (the ONLY copies)
+    // plus rebuild debris — the first maintenance verb must restore it
+    // (restoreIfMidSwap) and adopt the store under a manifest.
+    val rDir = Files.createTempDirectory("ivf_crash_r").toString
     Similarity.writeIvfIndex(emb, rDir)
+    val rv1 = Similarity.ivfVersionDir(rDir)
+    Seq("cells", "centroids").foreach(d =>
+      Files.move(Paths.get(s"$rv1/$d"), Paths.get(s"$rDir/$d")))
+    Files.delete(Paths.get(rv1))
+    Files.delete(Paths.get(s"$rDir/MANIFEST"))
     Files.move(Paths.get(s"$rDir/cells"), Paths.get(s"$rDir/cells_old"))
     Files.move(Paths.get(s"$rDir/centroids"),
       Paths.get(s"$rDir/centroids_old"))
     Files.createDirectories(Paths.get(s"$rDir/retrain_cells"))
     Similarity.retrainIvfIndex(spark, rDir, nBits = 5, seed = 11L)
-    val fresh = java.nio.file.Files.createTempDirectory("ivf_crash_f").toString
+    val fresh = Files.createTempDirectory("ivf_crash_f").toString
     Similarity.writeIvfIndex(emb, fresh, nBits = 5, seed = 11L)
     assert(rows(rDir) === rows(fresh),
-      "post-crash retrain retry diverged from the from-scratch rebuild")
+      "legacy migration + retrain diverged from the from-scratch rebuild")
   }
 }

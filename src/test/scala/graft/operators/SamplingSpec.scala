@@ -194,4 +194,28 @@ class SamplingSpec extends SparkSpec {
       assert(web.getLong(5) === expectedErr)
     }
   }
+
+  test("htTokenEstimate: a book-length (>2^21-token) document must not throw") {
+    // Before the least(w, certainAt) clamp, the kept predicate computed
+    // w * 2^42 in int64 and ANSI mode threw SparkArithmeticException for
+    // any w >= 2^21 (~2.1M tokens) — the MomentTermSpec overflow class.
+    // Plant one such document and assert the exact certain-row identity
+    // still holds (the clamp must not change any decision).
+    val wBig = (1 << 21) + 137 // 2,097,289 tokens
+    val book = "t " * wBig
+    val df = Seq(
+      (1L, "books", book.trim),
+      (2L, "web", "a small doc here"),
+      (3L, "web", "another tiny document")).toDF("doc_id", "source", "text")
+    for (oracleMode <- Seq(true, false)) {
+      val out = Sampling.htTokenEstimate(df, oracleHash = oracleMode)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val books = out("books")
+      assert(books.getLong(2) === 1L, s"book row must be certain ($oracleMode)")
+      assert(books.getLong(3) === wBig.toLong)
+      assert(books.getLong(4) === wBig.toLong,
+        s"certain row must contribute exact w ($oracleMode)")
+      assert(books.getLong(5) === 0L)
+    }
+  }
 }
