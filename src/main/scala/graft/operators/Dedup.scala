@@ -1572,6 +1572,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Edge embeddedness of the near-dup pair graph (d74): per EDGE, the
+    * common-neighbor count and neighborhood Jaccard — the structural
+    * sparsifier run BEFORE connected components at corpus scale. A
+    * template-spam clique's edges are deeply embedded (every endpoint
+    * pair shares the clique); the spurious bridge edges that chain
+    * unrelated clusters into one giant component have embeddedness 0 —
+    * dropping them before the CC walk is what keeps cluster diameters
+    * (and the iteration count of every label-propagating algorithm)
+    * bounded at 100 TB. Complements q175 (per-NODE closure) at edge
+    * grain, where the cut decision actually lives.
+    *
+    * Cost shape: one wedge join (bounded by the upstream hub cap — the
+    * same Σdeg² bound every triangle consumer in this file rides) plus
+    * a stub-grain degree aggregate. cn, degrees are exact int64; jacc
+    * is one int/int double division (rule 17) with the isolated-edge
+    * denominator guarded (rule 21a). */
+  def edgeEmbeddedness(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .materializeOnce() // directed stubs, wedge sides, degree agg
+    val d = e.select(col("a").as("s"), col("b").as("t"))
+      .unionByName(e.select(col("b").as("s"), col("a").as("t")))
+    val deg = d.groupBy(col("s").as("v")).agg(count(lit(1)).as("degree"))
+    // common neighbors of (a, b): c with c ~ a and c ~ b
+    val cn = e
+      .join(d.select(col("s").as("a2"), col("t").as("c")), col("a") === col("a2"))
+      .join(d.select(col("s").as("b2"), col("t").as("c2")),
+        col("b") === col("b2") && col("c") === col("c2"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    e.join(cn, Seq("a", "b"), "left")
+      .join(deg.select(col("v").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("deg_a"), col("deg_b"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      // union of N(a)\{b} and N(b)\{a}: deg_a + deg_b - cn - 2
+      .withColumn("jacc",
+        when(col("deg_a") + col("deg_b") - col("cn") === 2, lit(0.0))
+          .otherwise(col("cn").cast("double")
+            / (col("deg_a") + col("deg_b") - col("cn") - 2).cast("double")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Duplicate-cluster label purity: for each dup cluster, member
     * count, distinct label values, and the majority label's share — the
     * curation diagnostic separating intra-source duplication (scraper

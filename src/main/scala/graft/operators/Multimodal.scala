@@ -1041,6 +1041,92 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 32-point DCT-II basis in Q14 fixed point for the m64 pHash:
+    * `PhashCos(k)(n) = round(cos(π(2n+1)k/64) · 2^14)`, k ∈ 0..7 (only
+    * the low-frequency block is ever needed). The doubles exist only
+    * here at class-init; the oracle receives the SAME integer literals
+    * (rule 12/14 — no floating point crosses an engine boundary). */
+  val PhashCos: Array[Array[Long]] = Array.tabulate(8, 32) { (k, n) =>
+    math.round(math.cos(math.Pi * (2 * n + 1) * k / 64.0) * 16384.0)
+  }
+
+  /** 64-bit perceptual DCT hash (pHash) of a decoded image — the
+    * near-dup fingerprint that survives RESAMPLING, which breaks dHash
+    * (m51): dHash compares adjacent samples of a fixed grid, so a
+    * rescale that shifts sample phase flips gradient bits, while the
+    * low-frequency DCT block is a property of the image's coarse
+    * structure. All arithmetic is integer-exact so the DuckDB oracle
+    * replays it from the pattern definition: a 32×32 nearest-neighbor
+    * luminance grid (the m51 sample-coordinate idiom at 32 points),
+    * separable DCT-II through the Q14 integer basis `PhashCos` (row
+    * pass then column pass, |F| < 2^48 — no overflow, no rounding),
+    * then one bit per low-frequency coefficient: 1 iff F(k,l) exceeds
+    * the integer mean of the 8×8 block excluding DC. The 63 AC bits
+    * fold MSB-first in (k,l) order — 63 bits, so the fold stays
+    * positive int64 and needs no unsigned re-sign on either engine. */
+  def phashOfImage(img: java.awt.image.BufferedImage): Long = {
+    def gray(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val w = img.getWidth
+    val h = img.getHeight
+    // 32×32 luminance sample grid, nearest-neighbor
+    val g = Array.tabulate(32, 32)((i, j) => gray(i * w / 32, j * h / 32).toLong)
+    // row pass: R(k, j) = Σ_i C(k,i) · g(i, j), k ∈ 0..7
+    val r = Array.tabulate(8, 32) { (k, j) =>
+      var s = 0L; var i = 0
+      while (i < 32) { s += PhashCos(k)(i) * g(i)(j); i += 1 }
+      s
+    }
+    // column pass: F(k, l) = Σ_j C(l,j) · R(k, j), l ∈ 0..7
+    val f = Array.tabulate(8, 8) { (k, l) =>
+      var s = 0L; var j = 0
+      while (j < 32) { s += PhashCos(l)(j) * r(k)(j); j += 1 }
+      s
+    }
+    val sum = f.map(_.sum).sum
+    val m = (sum - f(0)(0)) / 63 // JVM and SQL DIV both truncate to zero
+    var hash = 0L
+    var k = 0
+    while (k < 8) {
+      var l = 0
+      while (l < 8) {
+        if (k != 0 || l != 0) // DC excluded: 63 bits, positive fold
+          hash = hash * 2 + (if (f(k)(l) > m) 1L else 0L)
+        l += 1
+      }
+      k += 1
+    }
+    hash
+  }
+
+  /** One DCT perceptual-hash row (m64). */
+  final case class ImagePHash(
+      media_id: Long, width: Long, height: Long, phash: Long)
+
+  /** DCT pHash over the REAL codec path (m64): encode the deterministic
+    * pattern to actual PNG bytes, decode via javax.imageio, fingerprint
+    * the DECODED image — m51's contract with the DCT hash. PNG is
+    * lossless, so the result must equal the arithmetic pHash of the
+    * pattern, which the oracle recomputes in pure integer SQL through
+    * the same Q14 basis. Repartition first (rule 6). */
+  def imagePHashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = syntheticPngTextured(id, variant = false)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null)
+            throw new IllegalStateException(s"PNG decode failed for doc $id")
+          ImagePHash(id, img.getWidth.toLong, img.getHeight.toLong,
+            phashOfImage(img))
+        }
+      }.toDF()
+  }
+
   /** 256-bit wide dHash of a decoded image, as 4 int64 words: a 16-row
     * × 17-column luminance sample grid (nearest-neighbor, same exact
     * integer coordinates as the 64-bit grid but 4× denser in each

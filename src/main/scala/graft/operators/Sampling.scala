@@ -375,4 +375,176 @@ object Sampling {
           .as("global_pos"))
       .orderBy(col("global_pos"))
   }
+
+  // ---- q226: Poisson-bootstrap confidence intervals ----
+
+  /** Poisson(1) inverse-CDF thresholds on the 52-bit hash ring:
+    * `T(j) = ⌊P(X ≤ j)·2^52⌋` for j = 0..6. A replicate's multiplicity
+    * is `k(u52) = #{j : u52 ≥ T(j)} ∈ [0, 7]` (the residual tail
+    * P(X > 7) ≈ 1e-5 folds into k = 7). The doubles live only HERE, at
+    * class-init time — both engines receive the same INTEGER literals,
+    * so rule 14's decimal-literal drift cannot arise and the replay is
+    * bit-exact by construction. */
+  val PoissonCdf52: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var c = 0.0
+    (0 to 6).map { j =>
+      if (j > 0) p /= j
+      c += p
+      math.floor(c * 4503599627370496.0).toLong // · 2^52
+    }
+  }
+
+  /** The k(u52) threshold-count chain, generated for the DuckDB oracle
+    * from the SAME constants (rule 12: one definition, two engines). */
+  def poissonKSql(u52: String): String =
+    PoissonCdf52.map(t => s"(CASE WHEN $u52 >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** q226: per-source mean tokens/doc with a Poisson-bootstrap
+    * confidence interval — the error bar every corpus datasheet number
+    * should carry, computed WITHOUT resampling passes: each (doc,
+    * replicate b) pair draws a Poisson(1) weight from a seeded hash
+    * (Kleiner et al.'s streaming bootstrap shape), so all `reps`
+    * replicates ride ONE scan. The explode-by-replicate feeds straight
+    * into a map-side-combining hash aggregate: the shuffle carries
+    * |sources|·reps partial rows, never the corpus — at 100 TB the
+    * amplification exists only inside the scan stage's pipeline.
+    * Replicate means are ranked per source (a reps-bounded window) and
+    * the CI is the (loRank, hiRank) order statistics — every value is
+    * either an exact integer sum or a single int/int double division,
+    * bit-equal cross-engine (q121 idiom). Deterministic by
+    * construction: same corpus, same CI, any cluster size. */
+  def poissonBootstrapCI(
+      docs: DataFrame, reps: Int = 40, loRank: Int = 2, hiRank: Int = 39,
+      salt: String = "bs", oracleHash: Boolean = false): DataFrame = {
+    require(reps >= 4 && loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"bad bootstrap ranks: reps=$reps lo=$loRank hi=$hiRank")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("w"))
+    val point = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tw"))
+    val key = concat(lit(salt + ":"), col("doc_id").cast("string"),
+      lit(":"), col("b").cast("string"))
+    val u52 =
+      if (oracleHash) conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+      else pmod(xxhash64(key), lit(1L << 52))
+    val k = PoissonCdf52.map(t => when(u52 >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = toks
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("k", k)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("k") * col("w")).as("kw"), sum(col("k")).as("kn"))
+      // kn = 0 needs the explicit NaN guard (rule 21a: ANSI throws on
+      // DOUBLE x/0) — reachable only for a source whose every doc drew
+      // k = 0 in one replicate, i.e. tiny strata
+      .select(col("source"), col("b"),
+        when(col("kn") === 0, lit(Double.NaN))
+          .otherwise(col("kw").cast("double") / col("kn").cast("double"))
+          .as("m"))
+    val byMean = Window.partitionBy(col("source"))
+      .orderBy(col("m"), col("b")) // b tiebreak: deterministic ranks
+    val ci = means.withColumn("rn", row_number().over(byMean))
+      .groupBy(col("source"))
+      .agg(max(when(col("rn") === loRank, col("m"))).as("ci_lo"),
+        max(when(col("rn") === hiRank, col("m"))).as("ci_hi"))
+    point.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        (col("tw").cast("double") / col("n_docs").cast("double"))
+          .as("point_mean"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(col("source"))
+  }
+
+  // ---- q227: budgeted mixture allocation by water-filling ----
+
+  /** q227: allocate a token budget across sources proportionally to
+    * priority weights, capped by per-source availability — the discrete
+    * water-filling step a mixture plan runs between "weights chosen"
+    * (DoReMi-style, out of scope) and "rows drawn" (q90/q215): sources
+    * whose availability floods below the water level are taken WHOLE
+    * (saturated), the rest split the remaining budget by weight with
+    * Hamilton largest-remainder rounding (the q215 idiom), so the
+    * budget is conserved EXACTLY and every step is integer/decimal
+    * arithmetic both engines replay bit-for-bit.
+    *
+    * Algorithm (all per-source frames are bounded by the source
+    * catalog, so the global-order windows carry ≤ |sources| rows —
+    * curriculumInterleave's source-grain exception to rule 23):
+    *   1. rank sources by availability-per-weight (a·2^20 div w, ties
+    *      by name) — saturation order;
+    *   2. a rank-k source saturates iff taking ranks ≤ k whole leaves
+    *      the suffix at least its own ratio: a_k·W_{>k} ≤ (T−A_k)·w_k,
+    *      prefix-closed via a cumulative min;
+    *   3. unsaturated sources split B = T − A_K by weight: floor shares
+    *      via the exact-remainder decimal division (rule 25), the
+    *      leftover L = Σrem/W_rem (exactly divisible) goes +1 to the L
+    *      largest remainders.
+    * Every cross product rides DECIMAL(38,0)/HUGEINT (rule 18) — at
+    * 100 TB, availability·weight products pass 2^63 long before the
+    * allocation itself does. The truncated ranking key can, on
+    * adversarial near-tie ratios, mark a source unsaturated whose exact
+    * ratio is marginally below the water level; shares are therefore
+    * clamped at availability (`least`), which on such inputs trades ≤
+    * |sources| units of budget for the cap invariant. Σalloc = T
+    * exactly otherwise (spec-asserted on the gate corpus).
+    *
+    * `perSource`: one row per source with `source`, `avail`, `weight`
+    * (weight > 0). Returns (source, avail, weight, saturated, alloc). */
+  def waterfillAlloc(
+      perSource: DataFrame, budgetPermille: Int = 600): DataFrame = {
+    require(budgetPermille > 0 && budgetPermille < 1000,
+      s"budgetPermille out of (0, 1000): $budgetPermille")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def floorDiv(p: Column, q: Column): Column = (p - pmod(p, q)) / q
+    val base = perSource.select(col("source"),
+      col("avail").cast(dec).as("a"), col("weight").cast(dec).as("w"))
+    val tot = base.agg(sum(col("a")).as("ta"), sum(col("w")).as("tw"))
+      .select(col("ta"), col("tw"),
+        floorDiv(col("ta") * lit(budgetPermille), lit(1000).cast(dec))
+          .cast(dec).as("t0"))
+    val wOrd = Window.orderBy(col("r"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base.crossJoin(broadcast(tot))
+      .withColumn("bt", least(col("t0"), col("ta")))
+      .withColumn("r", floorDiv(col("a") * lit(1048576L), col("w")).cast(dec))
+      .withColumn("pa", sum(col("a")).over(wOrd))
+      .withColumn("pw", sum(col("w")).over(wOrd))
+      .withColumn("c",
+        when(col("a") * (col("tw") - col("pw")) <=
+          (col("bt") - col("pa")) * col("w"), 1L).otherwise(0L))
+      .withColumn("sat", min(col("c")).over(wOrd) === 1)
+    val cut = ranked.agg(
+      coalesce(max(when(col("sat"), col("pa"))), lit(0).cast(dec)).as("ak"),
+      coalesce(max(when(col("sat"), col("pw"))), lit(0).cast(dec)).as("wk"))
+    val shared = ranked.crossJoin(broadcast(cut))
+      .withColumn("bb", col("bt") - col("ak"))
+      .withColumn("wrem", col("tw") - col("wk"))
+      .withColumn("shr",
+        when(col("sat"), lit(null).cast(dec))
+          .otherwise(floorDiv(col("bb") * col("w"), col("wrem")).cast(dec)))
+      .withColumn("rem",
+        when(col("sat"), lit(-1).cast(dec))
+          .otherwise(pmod(col("bb") * col("w"), col("wrem")).cast(dec)))
+    val lv = shared.agg(
+      max(col("wrem")).as("wr2"),
+      sum(when(!col("sat"), col("rem")).otherwise(lit(0).cast(dec))).as("sr"))
+      .select(when(col("wr2") === 0, lit(0).cast(dec))
+        .otherwise(floorDiv(col("sr"), col("wr2")).cast(dec)).as("lvl"))
+    shared.crossJoin(broadcast(lv))
+      .withColumn("brk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("a").cast("long").as("avail"),
+        col("w").cast("long").as("weight"), col("sat").as("saturated"),
+        when(col("sat"), col("a"))
+          .otherwise(least(col("a"),
+            col("shr") + when(col("brk").cast(dec) <= col("lvl"), 1L)
+              .otherwise(0L)))
+          .cast("long").as("alloc"))
+      .orderBy(col("source"))
+  }
 }

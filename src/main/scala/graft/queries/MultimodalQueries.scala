@@ -44,18 +44,22 @@ object MultimodalQueries {
     * comparison (~12 evaluations of t per bit); this chain plus the
     * adjacent-point self-join for bits cut the image family from 24.2 s
     * of the 69 s sf0.01 DuckDB gate (VERDICT r10 directive #6).
+    * r14: the grid now comes from CROSS JOINs against range() table
+    * functions — the previous chained `unnest(range(...))` projections
+    * were row-at-a-time in DuckDB and dominated the replay (m64's
+    * 32×32 grid alone: 7.8 s chained vs 0.2 s cross-join, identical
+    * checksums).
     * Emits `lum$tag(doc_id, $ic, $jc, g_o, g_v)` over the sample points
     * x = $ic·w DIV nx ($ic ∈ [0, nx)), y = $jc·h DIV ny ($jc ∈ [0, ny))
     * — the same points the cell comparisons used textually (cell i
     * compares points i and i+1, so an n-cell row has n+1 points). */
   private def lumCtesFor(tag: String, ic: String, jc: String,
       nx: Int, ny: Int): String =
-    s"""p${tag}i AS (SELECT doc_id, w, h, unnest(range(0, $nx)) AS $ic FROM dims),
-       |p${tag}j AS (SELECT doc_id, w, h, $ic, unnest(range(0, $ny)) AS $jc
-       |             FROM p${tag}i),
-       |p$tag AS (SELECT doc_id, $ic, $jc,
-       |            ($ic*w)//$nx AS x, ($jc*h)//$ny AS y FROM p${tag}j),
-       |c$tag AS (SELECT doc_id, $ic, $jc, x, y, unnest([0,1,2]) AS c FROM p$tag),
+    s"""p$tag AS (SELECT d.doc_id, gi.range AS $ic, gj.range AS $jc,
+       |            (gi.range*d.w)//$nx AS x, (gj.range*d.h)//$ny AS y
+       |          FROM dims d, range(0, $nx) gi, range(0, $ny) gj),
+       |c$tag AS (SELECT doc_id, $ic, $jc, x, y, gc.range AS c
+       |          FROM p$tag, range(0, 3) gc),
        |t$tag AS (SELECT doc_id, $ic, $jc, x, y,
        |            ((doc_id*2654435761) % 65536 + 131*x + 197*y + 31*x*y
        |             + 101*c) AS t
@@ -117,6 +121,46 @@ object MultimodalQueries {
        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
        |  CAST($reSign AS BIGINT) AS dhash
        |FROM fp JOIN dims d USING (doc_id) ORDER BY media_id""".stripMargin
+
+  /** m64's oracle: the DCT pHash replayed in pure integer SQL — the
+    * 32×32 luminance grid through the shared point-grain chain, the
+    * separable DCT through the SAME Q14 basis the operator uses
+    * (`Multimodal.PhashCos` rendered as a 256-row literal CTE, rules
+    * 12/14), the integer mean threshold, and the 63-bit AC fold (stays
+    * positive — no re-sign). */
+  private lazy val m64Sql = {
+    val ctabRows = (0 until 8).flatMap(k => (0 until 32).map(n =>
+      s"($k, $n, ${graft.operators.Multimodal.PhashCos(k)(n)})"))
+      .mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 18 + (doc_id % 14) AS w, 18 + ((doc_id // 14) % 14) AS h
+       |  FROM documents),
+       |${lumCtesFor("32", "i3", "j3", 32, 32)},
+       |ctab(k, n, c) AS MATERIALIZED (VALUES $ctabRows),
+       |rowp AS MATERIALIZED (
+       |  SELECT l.doc_id, t.k, l.j3, sum(t.c * l.g_o) AS r
+       |  FROM lum32 l JOIN ctab t ON t.n = l.i3
+       |  GROUP BY l.doc_id, t.k, l.j3),
+       |colp AS MATERIALIZED (
+       |  SELECT p.doc_id, p.k, t.k AS ll, sum(t.c * p.r) AS f
+       |  FROM rowp p JOIN ctab t ON t.n = p.j3
+       |  GROUP BY p.doc_id, p.k, t.k),
+       |mean AS (
+       |  SELECT doc_id,
+       |    (sum(f) - max(CASE WHEN k = 0 AND ll = 0 THEN f END)) // 63 AS m
+       |  FROM colp GROUP BY doc_id),
+       |bits64 AS (
+       |  SELECT c.doc_id, c.k, c.ll,
+       |    CASE WHEN c.f > mean.m THEN 1 ELSE 0 END AS bit
+       |  FROM colp c JOIN mean USING (doc_id)
+       |  WHERE NOT (c.k = 0 AND c.ll = 0)),
+       |fp64 AS (SELECT doc_id, ${foldSql("bit", "k, ll")} AS hu
+       |         FROM bits64 GROUP BY doc_id)
+       |SELECT d.doc_id AS media_id,
+       |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       |  CAST(hu AS BIGINT) AS phash
+       |FROM fp64 JOIN dims d USING (doc_id) ORDER BY media_id""".stripMargin
+  }
 
   /** Σ over the four 64-bit words × four 16-bit chunks of
     * popcount(xor) — the 256-bit Hamming distance between unsigned
@@ -664,6 +708,17 @@ object MultimodalQueries {
     // flips bits and hash-fails.
     Q("m51_image_dhash", Some(m51Sql),
       (s, d) => Multimodal.imageDHashes(s, docs(s, d))
+        .orderBy(col("media_id"))),
+
+    // DCT perceptual hash (m64): the fingerprint that survives
+    // RESAMPLING — dHash's adjacent-sample gradients flip when a
+    // rescale shifts sample phase, while the low-frequency DCT block is
+    // a property of coarse structure. Real PNG encode→decode on the
+    // Spark side; the oracle replays the 32×32 luminance grid, the
+    // separable DCT through the SAME Q14 integer basis (rules 12/14),
+    // the integer mean threshold, and the 63-bit AC fold in pure SQL.
+    Q("m64_image_phash", Some(m64Sql),
+      (s, d) => Multimodal.imagePHashes(s, docs(s, d))
         .orderBy(col("media_id"))),
 
     // Image NEAR-DUP pairs via banded Hamming join on dHash (m52): each

@@ -610,6 +610,47 @@ object PipelineQueries {
         graft.operators.Dedup.minhashVerifiedPairs(
           Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
 
+    // edge embeddedness (d74): q175's closure statistic moved to EDGE
+    // grain — the sparsifier cut decision. Common neighbors per edge via
+    // the wedge join, neighborhood Jaccard as one guarded int/int double
+    // division; bridge edges (cn = 0) are the ones a 100 TB CC run drops
+    // first. Pair set under the brute-force exact-Jaccard oracle
+    // (rule 13); (id_a, id_b) is a unique total order.
+    Q("d74_edge_embeddedness", Some(
+      s"""WITH ${DedupQueries.ngramPairCtes},
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+         |d AS MATERIALIZED (
+         |      SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT s AS v, count(*) AS degree FROM d GROUP BY 1),
+         |cn AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS cn
+         |  FROM pairs p
+         |  JOIN d na ON na.s = p.id_a
+         |  WHERE EXISTS (SELECT 1 FROM d nb
+         |                WHERE nb.s = p.id_b AND nb.t = na.t)
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a, p.id_b, da.degree AS deg_a, db.degree AS deg_b,
+         |       COALESCE(cn.cn, 0) AS cn,
+         |       CASE WHEN da.degree + db.degree - COALESCE(cn.cn, 0) = 2
+         |            THEN 0.0e0
+         |            ELSE CAST(COALESCE(cn.cn, 0) AS DOUBLE)
+         |               / CAST(da.degree + db.degree
+         |                      - COALESCE(cn.cn, 0) - 2 AS DOUBLE)
+         |       END AS jacc
+         |FROM pairs p
+         |LEFT JOIN cn ON cn.id_a = p.id_a AND cn.id_b = p.id_b
+         |JOIN deg da ON da.v = p.id_a
+         |JOIN deg db ON db.v = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin),
+      (s, d) => graft.operators.Dedup.edgeEmbeddedness(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          Tables.load(s, d, "documents"), threshold = 0.5, maxDf = 20))),
+
     // duplicate-cluster source purity (q176): is duplication intra-
     // source (scraper echo, purity 1) or cross-source syndication?
     // Composes the d44 recursive-CC oracle chain with a label join;
@@ -854,6 +895,67 @@ object PipelineQueries {
     // so Σ alloc = budget EXACTLY (the property a shipped mixture
     // needs). All-integer after the one floor-scaled sqrt; products in
     // DECIMAL(38,0)/HUGEINT (rule 18).
+    // budgeted mixture water-filling (q227): allocate 60% of the corpus
+    // token budget across sources by doc-count weight, capped by what
+    // each source actually has — saturated sources taken whole, the
+    // rest splitting the remainder by weight with Hamilton rounding.
+    // Saturation order, the prefix-closed cut, the exact-remainder
+    // floor shares (rule 25), and the remainder ranks all replay as the
+    // same integer/HUGEINT arithmetic (rule 18); conservation
+    // Σalloc = budget is spec-asserted.
+    Q("q227_mixture_waterfill", Some(
+      """WITH src AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS HUGEINT) AS a,
+        |    CAST(count(*) AS HUGEINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(a) AS ta, sum(w) AS tw,
+        |               (sum(a) * 600) // 1000 AS t0 FROM src),
+        |rk AS (SELECT s.source, s.a, s.w, t.ta, t.tw,
+        |         least(t.t0, t.ta) AS bt,
+        |         (s.a * 1048576) // s.w AS r
+        |       FROM src s, tot t),
+        |pre AS (SELECT *,
+        |          sum(a) OVER wnd AS pa, sum(w) OVER wnd AS pw
+        |        FROM rk
+        |        WINDOW wnd AS (ORDER BY r, source ROWS UNBOUNDED PRECEDING)),
+        |sat AS (SELECT *,
+        |          min(CASE WHEN a * (tw - pw) <= (bt - pa) * w
+        |                   THEN 1 ELSE 0 END)
+        |            OVER (ORDER BY r, source ROWS UNBOUNDED PRECEDING) AS sall
+        |        FROM pre),
+        |kk AS (SELECT coalesce(max(CASE WHEN sall = 1 THEN pa END),
+        |                       CAST(0 AS HUGEINT)) AS ak,
+        |              coalesce(max(CASE WHEN sall = 1 THEN pw END),
+        |                       CAST(0 AS HUGEINT)) AS wk
+        |       FROM sat),
+        |ph AS (SELECT s.*, s.bt - k.ak AS bb, s.tw - k.wk AS wrem
+        |       FROM sat s, kk k),
+        |shares AS (SELECT *,
+        |    CASE WHEN sall = 1 THEN NULL ELSE (bb * w) // wrem END AS shr,
+        |    CASE WHEN sall = 1 THEN CAST(-1 AS HUGEINT)
+        |         ELSE (bb * w) % wrem END AS rem
+        |  FROM ph),
+        |lv AS (SELECT CASE WHEN max(wrem) = 0 THEN CAST(0 AS HUGEINT)
+        |                   ELSE sum(CASE WHEN sall <> 1 THEN rem
+        |                                 ELSE CAST(0 AS HUGEINT) END)
+        |                        // max(wrem) END AS lvl
+        |       FROM shares),
+        |rkk AS (SELECT *,
+        |          row_number() OVER (ORDER BY rem DESC, source) AS brk
+        |        FROM shares)
+        |SELECT k.source, CAST(k.a AS BIGINT) AS avail,
+        |  CAST(k.w AS BIGINT) AS weight, k.sall = 1 AS saturated,
+        |  CAST(CASE WHEN k.sall = 1 THEN k.a
+        |       ELSE least(k.a, k.shr + CASE WHEN k.brk <= l.lvl
+        |                                    THEN 1 ELSE 0 END) END
+        |       AS BIGINT) AS alloc
+        |FROM rkk k, lv l ORDER BY k.source""".stripMargin),
+      (s, d) => Sampling.waterfillAlloc(
+        Tables.load(s, d, "documents").groupBy(col("source"))
+          .agg(sum(tokenCount(col("text")).cast("long")).as("avail"),
+            count(lit(1)).as("weight")))),
+
     Q("q215_hamilton_alloc", Some(
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
         |w AS (SELECT source, n_docs,
@@ -1349,6 +1451,19 @@ object PipelineQueries {
       (s, d) => Sampling.htTokenEstimate(
         Tables.load(s, d, "documents"), oracleHash = true)),
 
+    // Poisson-bootstrap confidence intervals (q226): the error bar for
+    // every per-source corpus statistic, with all replicates riding one
+    // scan — each (doc, replicate) draws a Poisson(1) weight from a
+    // seeded hash through the shared inverse-CDF thresholds
+    // (Sampling.PoissonCdf52 — integer literals in BOTH engines, rules
+    // 12/14), replicate means are a single int/int double division
+    // (q121 idiom), and the CI is order statistics over the
+    // reps-bounded per-source rank window. Deterministic: same corpus,
+    // same CI, any cluster size.
+    Q("q226_bootstrap_ci", Some(bootstrapCiOracle),
+      (s, d) => Sampling.poissonBootstrapCI(
+        Tables.load(s, d, "documents"), oracleHash = true)),
+
     // the HT accountant as a STREAM (q223): document batches arrive as
     // files, each reduces to per-source integer tallies in a
     // batchId-keyed partial store, the report sums the partials.
@@ -1400,6 +1515,57 @@ object PipelineQueries {
     * threshold compare, and the power-of-two HT arithmetic — every
     * constant interpolated from the SAME Scala values the operator
     * uses (rule 12). */
+  /** q226's oracle: the Poisson(1) draw replayed through the SAME
+    * integer thresholds the operator uses (`Sampling.PoissonCdf52`,
+    * rule 12), on the md5 52-bit ring (q221's proven hex-fold idiom);
+    * replicate means and the point mean are single int/int double
+    * divisions; CI = rank-2 / rank-39 order statistics of the 40
+    * replicate means per source. */
+  private lazy val bootstrapCiOracle: String = {
+    val reps = 40
+    val kSql = Sampling.poissonKSql("u52")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+       |  FROM documents),
+       |point AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS tw
+       |  FROM toks GROUP BY source),
+       |draws AS (
+       |  SELECT source, b, w, $kSql AS k FROM (
+       |    SELECT t.source, r.b, t.w,
+       |      list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, 14),
+       |            i -> CAST(strpos('0123456789abcdef',
+       |                   md5('bs:' || CAST(t.doc_id AS VARCHAR) || ':' ||
+       |                       CAST(r.b AS VARCHAR))[i]) - 1 AS BIGINT))),
+       |        (acc, x) -> acc * 16 + x) AS u52
+       |    FROM toks t, range(0, $reps) r(b)) u),
+       |means AS (
+       |  SELECT source, b,
+       |    CASE WHEN kn = 0 THEN CAST('nan' AS DOUBLE)
+       |         ELSE CAST(CAST(kw AS BIGINT) AS DOUBLE)
+       |              / CAST(CAST(kn AS BIGINT) AS DOUBLE) END AS m
+       |  FROM (
+       |    SELECT source, b, sum(k * w) AS kw, sum(k) AS kn
+       |    FROM draws GROUP BY source, b) g),
+       |ranked AS (
+       |  SELECT source, b, m,
+       |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn
+       |  FROM means),
+       |ci AS (
+       |  SELECT source,
+       |    max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+       |    max(CASE WHEN rn = 39 THEN m END) AS ci_hi
+       |  FROM ranked GROUP BY source)
+       |SELECT p.source, p.n_docs,
+       |  CAST(p.tw AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS point_mean,
+       |  c.ci_lo, c.ci_hi
+       |FROM point p JOIN ci c ON p.source = c.source
+       |ORDER BY p.source""".stripMargin
+  }
+
   private lazy val htEstimateOracle: String = {
     val rShift = Sampling.HtShift
     val rate = 1L << rShift // w * rate vs u52

@@ -39,6 +39,56 @@ object ScaleQueries {
           .orderBy(col("w_start"), col("event_type"))
       }),
 
+    // native session windows as a STREAM under the gate (q225): the
+    // session-window state machine merges a user's events across
+    // micro-batches until the watermark closes the session — unlike
+    // q68 (the same islands semantics computed in batch with
+    // lag/cumsum), the Spark side here is the real stateful streaming
+    // operator, so the oracle's gaps-and-islands replay is a genuine
+    // cross-implementation differential. Emission contract mirrors
+    // q51/q113: a session is emitted once its END (last event + the
+    // 30-minute gap) clears the final watermark (max ts − 10 min); the
+    // oracle applies the same cutoff. Session breaks at diff ≥ gap
+    // (session windows are [start, end) — an event landing exactly at
+    // the end starts a new session, q68's proven `>=`). Value sums
+    // ride DECIMAL(18,2) (order-independent), doubles only at the
+    // output cast (rule 1). (user_id, s_start) is a unique total order:
+    // a user's sessions are disjoint by construction.
+    Q("q225_stream_sessions", Some(
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sids AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS s_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |         count(*) AS n_events,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  FROM sids GROUP BY user_id, sid)
+        |SELECT s.s_start, s.s_end, s.user_id, s.n_events,
+        |       CAST(s.total_value AS DOUBLE) AS total_value
+        |FROM sess s, wm WHERE s.s_end <= wm.w
+        |ORDER BY s.user_id, s.s_start""".stripMargin),
+      (s, d) => {
+        val name = "graft_stream_q225"
+        val q = graft.streaming.EventPipeline.startSessionsQuery(
+          s, graft.queries.Staging.eventsDir(d), name)
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("s_start"), col("s_end"), col("user_id"),
+            col("n_events"), col("total_value").cast("double").as("total_value"))
+          .orderBy(col("user_id"), col("s_start"))
+      }),
+
     // hopping-window streaming aggregation under the gate: 10-minute
     // windows sliding every 5 — each event lands in exactly two
     // windows, which the oracle reproduces by unnesting the two bucket

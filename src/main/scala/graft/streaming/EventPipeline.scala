@@ -40,12 +40,15 @@ object EventPipeline {
         col("event_type"), col("n"), col("total_value"))
 
   /** Native session windows: activity sessions per user closed by a
-    * 30-minute gap. */
+    * 30-minute gap. Decimal value sum for the same reason as
+    * [[windowedCounts]]: exact and partition-order-independent, so the
+    * streamed append-mode output can hash-match a batch oracle. */
   def sessions(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("total_value"))
@@ -322,6 +325,18 @@ object EventPipeline {
       spark: SparkSession, eventsDir: String, queryName: String) =
     withStreamPartitions(spark, 8) {
       toMemorySink(hoppingCounts(eventsStream(spark, eventsDir)), queryName)
+    }
+
+  /** [[sessions]] as a real stream (q225): the session-window state
+    * machine merges a user's events ACROSS micro-batches until the
+    * watermark passes the session's end — the statefulness the batch
+    * spec can't exercise. Append mode emits a session once its end
+    * (last event + gap) clears the final watermark, which is exactly
+    * the cutoff the gaps-and-islands oracle replays. */
+  def startSessionsQuery(
+      spark: SparkSession, eventsDir: String, queryName: String) =
+    withStreamPartitions(spark, 8) {
+      toMemorySink(sessions(eventsStream(spark, eventsDir)), queryName)
     }
 
   def startDedupQuery(

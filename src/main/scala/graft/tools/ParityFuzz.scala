@@ -7,7 +7,9 @@ import scala.util.Random
   * IS TRUE / COUNT DISTINCT, r12 with the self-join output-naming
   * collision shape, RIGHT JOIN, and join→aggregate composites, and r13
   * with FULL JOIN under collisions and IN-subqueries fed by joined
-  * derived tables): a
+  * derived tables, and r14 with the §2.5 dialect rewrites generated in
+  * PREDICATE position — `^`-power comparisons, pandas-CAST-then-LIKE,
+  * `bool`-cast predicates — plus the int32/int16 cast names): a
   * seeded generator over the SURVEY.md §2 grammar fence —
   * projection / filter / join / group+having / distinct / order+limit /
   * IN- and scalar subqueries / join-naming collisions, with the
@@ -99,15 +101,26 @@ object ParityFuzz {
     }
   }
 
-  /** The dialect-quirk items: `^` power, pandas CAST names. */
+  /** The dialect-quirk items: `^` power, pandas/numpy CAST names
+    * (r14: the full §2.5 name table — int32/int16 added; both legs
+    * cast to the SAME width so the parquet/pandas dtypes agree
+    * cross-engine, the symmetric-cast discipline of CLAUDE.md rule 1). */
   private def quirkExpr(rnd: Random, t: Tbl): R = {
     val c = pick(rnd, t.ints)
-    rnd.nextInt(3) match {
+    rnd.nextInt(5) match {
       case 0 =>
         val k = 2 + rnd.nextInt(2)
         R(s"($c ^ $k)", s"POWER($c, $k)", s"POWER($c, $k)")
       case 1 =>
         R(s"CAST($c AS str)", s"CAST($c AS STRING)", s"CAST($c AS VARCHAR)")
+      case 2 =>
+        R(s"CAST($c AS int32)", s"CAST($c AS INT)", s"CAST($c AS INTEGER)")
+      case 3 => // int16 stays on the bounded keys (regionkey ≤ 4,
+        // nationkey ≤ 24) so no SF regen can overflow it under ANSI
+        val sc = pick(rnd, Seq("r_regionkey", "n_nationkey", "n_regionkey",
+          "c_nationkey").filter(t.ints.contains))
+        R(s"CAST($sc AS int16)", s"CAST($sc AS SMALLINT)",
+          s"CAST($sc AS SMALLINT)")
       case _ =>
         R(s"CAST($c AS float64)", s"CAST($c AS DOUBLE)", s"CAST($c AS DOUBLE)")
     }
@@ -126,7 +139,30 @@ object ParityFuzz {
   private val regexPats = Seq("A.*", "C.*", "[A-M].*", ".*a.*", "I.*N.*")
 
   private def pred(rnd: Random, t: Tbl, depth: Int = 0): R =
-    rnd.nextInt(if (depth >= 2) 5 else 7) match {
+    rnd.nextInt(if (depth >= 2) 5 else 10) match {
+      case 7 => // `^`-as-power INSIDE a comparison (r13 directive #5:
+        // the Dialect rewrite exercised in predicate position, where a
+        // mis-lowered `^` would silently become XOR and flip rows
+        // rather than break the schema)
+        val c = pick(rnd, t.ints)
+        val k = 1 + rnd.nextInt(400)
+        val op = pick(rnd, Seq("<", "<=", ">", ">="))
+        R(s"($c ^ 2) $op $k", s"POWER($c, 2) $op $k", s"POWER($c, 2) $op $k")
+      case 8 => // pandas CAST name composed with anchored-regex LIKE:
+        // the int column goes through `str` and the match runs on its
+        // decimal rendering — two §2.5 rewrites on one path
+        val c = pick(rnd, t.ints)
+        val p = pick(rnd, Seq("1.*", "2.*", "[0-9]", ".*0"))
+        R(s"CAST($c AS str) LIKE '$p'",
+          s"CAST($c AS STRING) RLIKE '^(?:$p)'",
+          s"regexp_matches(CAST($c AS VARCHAR), '^(?:$p)')")
+      case 9 => // `bool` cast name as the predicate itself (nonzero →
+        // true in both engines; the operand is a % so it is 0/1-valued
+        // and no SF regen changes the truth set shape)
+        val c = pick(rnd, t.ints)
+        val m = 2 + rnd.nextInt(3)
+        R(s"CAST($c % $m AS bool)", s"CAST($c % $m AS BOOLEAN)",
+          s"CAST($c % $m <> 0 AS BOOLEAN)")
       case 0 =>
         val a = intExpr(rnd, t)
         val op = pick(rnd, Seq("=", "!=", "<", "<=", ">", ">="))
@@ -394,6 +430,17 @@ object FuzzDump {
     val hist = cases.groupBy(_.name.split("_s").last).toSeq
       .sortBy(_._1.toInt).map { case (s, cs) => s"s$s=${cs.size}" }
     System.err.println(s"[fuzz] shape histogram: ${hist.mkString(" ")}")
+    // dialect-rewrite feature counts (r13 directive #5's Done
+    // criterion): how many cases exercise each §2.5 lowering path —
+    // counted on the dfsql leg, i.e. BEFORE Dialect.lower runs
+    val feat = Seq(
+      "power^" -> cases.count(_.dfsql.contains(" ^ ")),
+      "castName" -> cases.count(c => Seq("AS str", "AS float64", "AS int32",
+        "AS int16", "AS bool").exists(c.dfsql.contains)),
+      "likeRegex" -> cases.count(_.dfsql.contains(" LIKE ")),
+      "concat||" -> cases.count(_.dfsql.contains("||")))
+    System.err.println("[fuzz] dialect features: " +
+      feat.map { case (k, v) => s"$k=$v" }.mkString(" "))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.foreach { c =>
       try ds.queryDF(c.dfsql).coalesce(1).write.mode("overwrite")

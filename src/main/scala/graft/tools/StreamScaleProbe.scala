@@ -144,7 +144,7 @@ object StreamScaleProbe {
     println(s"[sprobe] n_events=$n chunks=$chunks (~${n / chunks} events/micro-batch) " +
       s"us_per_event=$usPerEvent (~${600000000L / usPerEvent} events in the 10-min state window)")
     // optional 4th arg: comma-separated stage keys
-    // (join,cdc,q153,q154,q158,q161,s67,s68,s70)
+    // (join,cdc,q153,q154,q158,q161,q223,s67,s68,s70)
     // — the r9 stages (join/cdc) are ~6 min at 10M events; per-stage
     // runs let the new ingest loops be measured without re-paying them
     val stageFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
@@ -163,6 +163,7 @@ object StreamScaleProbe {
     if (on("q153")) q153Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
     if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
     if (on("q158")) q158Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
+    if (on("q223")) q223Stage(spark, collector, out, nDocs = math.max(200000L, n / 50L))
     // s68 runs the delete→compact lifecycle against the store s67 just
     // built, so asking for s68 implies building/ingesting it first;
     // s70 retrains the store s68 left compacted (the lived-in state a
@@ -793,6 +794,149 @@ object StreamScaleProbe {
     require(maxCell > 15L, s"retrained cells still 4-bit: max=$maxCell")
     println(s"[sprobe] s70 retrain ≡ from-scratch at $nLive postings, " +
       s"max cell=$maxCell (5-bit quantizer live) — OK")
+  }
+
+  /** q223 at volume (VERDICT r13 directive #6): the streaming HT token
+    * accountant over 10 document micro-batches at probe scale, with a
+    * FORCED batch replay mid-stream driven through the CHECKPOINT — the
+    * query is stopped after ~half the batches, the newest commit marker
+    * is deleted, and the restart re-executes that batch from the offset
+    * log before draining the rest: the real at-least-once redelivery
+    * path, not the spec's hand-rewrite of a partial. Claims measured:
+    * (1) stream ≡ batch EXACT at volume, across a stop/replay/resume —
+    *     every tally is an integer sum and every write is batchId-keyed
+    *     overwrite, so the merged report equals the one-shot batch
+    *     accounting bit-for-bit;
+    * (2) per-batch cost — the corpus text is read once at the door and
+    *     reduced map-side; trigger latency must stay flat as partials
+    *     accumulate (state lives in the store, not the stream);
+    * (3) state growth = batch count × |sources| rows, independent of
+    *     corpus volume;
+    * (4) the r13 ANSI watch item at its trigger scale: one planted
+    *     book-length document (2.2M tokens > 2^21) rides the clamped
+    *     kept-predicate without a throw and lands in its source's
+    *     true_tokens exactly (pre-clamp this stage would die with
+    *     SparkArithmeticException the moment chunk 5 arrived). */
+  private def q223Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      out: String, nDocs: Long): Unit = {
+    import graft.operators.Sampling
+    val docsDir = s"$out/acct_docs"
+    val store = s"$out/acct_tallies"
+    val ckpt = s"$out/acct_ckpt"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq(docsDir, store, ckpt).foreach(d => rm(new java.io.File(d)))
+    // varied sources and lengths: 5 sources, 20..416 tokens per doc
+    // (independent seeded hashes per attribute — rule 19), plus ONE
+    // book-length outlier: 2.2M tokens, past the pre-clamp ANSI throw
+    // threshold 2^21 and far past certainAt = 2^10 (always sampled,
+    // HT contribution exactly w — no estimate variance from one
+    // monster doc)
+    val srcCol = element_at(
+      array(lit("web"), lit("books"), lit("code"), lit("wiki"), lit("forums")),
+      (pmod(xxhash64(col("doc_id"), lit(1)), lit(5)) + 1).cast("int"))
+    val base = spark.range(nDocs).toDF("doc_id")
+      .select(col("doc_id"), srcCol.as("source"),
+        (pmod(xxhash64(col("doc_id"), lit(2)), lit(100)) + 5).cast("int")
+          .as("reps"))
+      // functions.repeat only takes a literal count — the column-count
+      // form goes through the SQL function
+      .select(col("doc_id"), col("source"),
+        expr("repeat('lorem ipsum dolor sit ', reps)").as("text"))
+    val giant = spark.range(nDocs, nDocs + 1).toDF("doc_id")
+      .select(col("doc_id"), lit("books").as("source"),
+        repeat(lit("tok "), 2200000).as("text"))
+    val chunk = nDocs / 10
+    time("q223 doc chunk staging") {
+      stageFrames((0 until 10).map { i =>
+        val part = base.filter(
+          col("doc_id") >= i * chunk && col("doc_id") < (i + 1) * chunk)
+        if (i == 5) part.unionByName(giant) else part
+      }, docsDir)
+    }
+    println(s"[sprobe] q223 corpus=${nDocs + 1} docs over 10 micro-batches " +
+      s"(chunk 5 carries the 2.2M-token outlier)")
+    def commitIds(): Seq[Long] =
+      Option(new java.io.File(s"$ckpt/commits").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted.toSeq
+    def offsetIds(): Seq[Long] =
+      Option(new java.io.File(s"$ckpt/offsets").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted.toSeq
+    // leg 1: run until ~half the batches have committed, then stop
+    time("q223 accountant leg 1 (stop after ~5 commits)") {
+      val q = graft.streaming.StreamingAccounting.start(
+        spark, docsDir, store, checkpoint = Some(ckpt))
+      try {
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (commitIds().size < 5 && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        require(commitIds().size >= 5,
+          s"leg 1 never reached 5 commits: ${commitIds()}")
+      } finally q.stop()
+    }
+    // force the replay: drop the newest commit marker covered by the
+    // offset log — on restart the engine re-executes exactly that batch
+    // from its planned offsets (the at-least-once contract), and the
+    // batchId-keyed overwrite makes the re-execution invisible
+    val replayId = offsetIds().max
+    val marker = new java.io.File(s"$ckpt/commits/$replayId")
+    if (marker.exists()) require(marker.delete(), s"could not drop $marker")
+    // Hadoop's ChecksumFileSystem keeps a hidden .N.crc sibling per
+    // commit file; leaving it behind makes the re-commit's rename throw
+    // FileAlreadyExistsException (surfaced as a bogus "multiple
+    // streaming queries" error) — drop it with the marker
+    val crc = new java.io.File(s"$ckpt/commits/.$replayId.crc")
+    if (crc.exists()) require(crc.delete(), s"could not drop $crc")
+    val partialDir = new java.io.File(s"$store/batch_$replayId")
+    val mtimeBefore = if (partialDir.exists()) partialDir.lastModified() else -1L
+    println(s"[sprobe] q223 forcing replay of batch $replayId " +
+      s"(commit marker dropped; partial ${if (mtimeBefore >= 0) "present" else "absent"})")
+    time("q223 accountant leg 2 (replay + drain)") {
+      val q = graft.streaming.StreamingAccounting.start(
+        spark, docsDir, store, checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    collector.report("q223 accountant")
+    require(commitIds().max >= 9 && commitIds().size >= 10,
+      s"accountant did not drain all 10 batches: ${commitIds()}")
+    require(partialDir.exists() && partialDir.lastModified() > mtimeBefore,
+      s"batch $replayId was not re-executed on restart " +
+        s"(mtime ${partialDir.lastModified()} vs $mtimeBefore)")
+    // state growth: one row per (batch, source present in the batch) —
+    // bounded by batches × |sources|, independent of nDocs
+    val batchDirs = Option(new java.io.File(store).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    val partialRows = spark.read
+      .parquet(batchDirs.map(_.getAbsolutePath).toIndexedSeq: _*).count()
+    println(s"[sprobe] q223 partial store: ${batchDirs.length} batch dirs, " +
+      s"$partialRows rows total (bound ${batchDirs.length * 5})")
+    require(partialRows <= batchDirs.length * 5L,
+      s"partial store grew past batches × sources: $partialRows")
+    // stream ≡ batch EXACT at volume, across the stop/replay/resume
+    val allDocs = base.unionByName(giant)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val streamed = rows(
+      graft.streaming.StreamingAccounting.reportFromStore(spark, store))
+    val batch = rows(Sampling.htTokenEstimate(allDocs))
+    require(streamed == batch,
+      s"stream-merged accounting diverged from batch at volume:\n" +
+        s"  stream=$streamed\n  batch =$batch")
+    val books = streamed.find(_._1 == "books").get
+    require(books._4 > 2200000L,
+      s"the book-length doc's tokens are missing from true_tokens: $books")
+    streamed.foreach { case (src, nd, ns, tt, ht, pm) =>
+      println(f"[sprobe] q223 $src%-7s docs=$nd%7d sampled=$ns%6d " +
+        f"true_tokens=$tt%9d ht_tokens=$ht%9d err_permille=$pm%3d")
+    }
+    println(s"[sprobe] q223 stream ≡ batch across a forced batch-$replayId " +
+      "replay; 2.2M-token doc survived the clamped kept-predicate — OK")
   }
 
   /** q158 at volume (r10 verdict #5 — the last ingest loop without a

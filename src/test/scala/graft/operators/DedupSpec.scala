@@ -662,6 +662,23 @@ class DedupSpec extends SparkSpec {
       4L -> ((3L, 3L, 1.0)), 5L -> ((1L, 0L, 0.0))))
   }
 
+  test("edgeEmbeddedness: clique edges embed, bridge edges score zero") {
+    import spark.implicits._
+    // triangle {1,2,3} with a bridge (3,4): clique edges share one
+    // neighbor; the bridge shares none and must be the sparsifier cut
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.edgeEmbeddedness(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out === Map(
+      (1L, 2L) -> ((2L, 2L, 1L, 1.0)),
+      (1L, 3L) -> ((2L, 3L, 1L, 1.0 / 2.0)),
+      (2L, 3L) -> ((2L, 3L, 1L, 1.0 / 2.0)),
+      (3L, 4L) -> ((3L, 1L, 0L, 0.0))))
+  }
+
   test("clusterPurity separates intra-source from cross-source clusters") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))

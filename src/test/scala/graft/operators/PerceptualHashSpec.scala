@@ -71,6 +71,66 @@ class PerceptualHashSpec extends SparkSpec {
     }
   }
 
+  /** Arithmetic pHash straight from the pattern definition — what the
+    * m64 oracle computes; the codec path must agree bit-for-bit. */
+  private def arithmeticPhash(id: Long): Long = {
+    val (w, h) = Multimodal.texturedDims(id)
+    def gray(x: Int, y: Int) =
+      (0 until 3).map(c => Multimodal.texturedPixelValue(id, x, y, c, false)).sum
+    val g = Array.tabulate(32, 32)((i, j) => gray(i * w / 32, j * h / 32).toLong)
+    val r = Array.tabulate(8, 32)((k, j) =>
+      (0 until 32).map(i => Multimodal.PhashCos(k)(i) * g(i)(j)).sum)
+    val f = Array.tabulate(8, 8)((k, l) =>
+      (0 until 32).map(j => Multimodal.PhashCos(l)(j) * r(k)(j)).sum)
+    val m = (f.map(_.sum).sum - f(0)(0)) / 63
+    var hash = 0L
+    for (k <- 0 until 8; l <- 0 until 8 if k != 0 || l != 0)
+      hash = hash * 2 + (if (f(k)(l) > m) 1L else 0L)
+    hash
+  }
+
+  test("pHash of the real-decoded PNG equals the arithmetic pHash (m64 contract)") {
+    for (id <- sampleIds) {
+      val viaCodec =
+        Multimodal.phashOfImage(decode(Multimodal.syntheticPngTextured(id, false)))
+      assert(viaCodec === arithmeticPhash(id), s"id=$id")
+      assert(viaCodec >= 0L, "63-bit AC fold must stay positive")
+    }
+  }
+
+  test("pHash survives a phase-shifting 3/2 resample; images stay separable") {
+    // decode → nearest-neighbor resample to 3/2 size (shifts sample
+    // phase — an exact-power-of-two rescale cancels through the nested
+    // floor divisions and moves NOTHING, so 3/2 is the honest probe) →
+    // pHash. Self-drift must stay under the resolve threshold while
+    // cross-image separation dominates, so a resampled image still
+    // resolves to its source and nothing else.
+    def resample(img: java.awt.image.BufferedImage) = {
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth * 3 / 2, img.getHeight * 3 / 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until out.getHeight; x <- 0 until out.getWidth)
+        out.setRGB(x, y, img.getRGB(x * 2 / 3, y * 2 / 3))
+      out
+    }
+    val base = sampleIds.map(id =>
+      id -> decode(Multimodal.syntheticPngTextured(id, false))).toMap
+    val pOrig = base.map { case (id, img) => id -> Multimodal.phashOfImage(img) }
+    val pUp = base.map { case (id, img) => id -> Multimodal.phashOfImage(resample(img)) }
+    val drifts = sampleIds.map(id =>
+      id -> java.lang.Long.bitCount(pOrig(id) ^ pUp(id)))
+    info(s"3/2-resample pHash drift bits: " +
+      drifts.map { case (i, d) => s"$i=$d" }.mkString(" "))
+    for ((id, drift) <- drifts) {
+      assert(drift <= 24, s"id=$id: resample moved $drift/63 pHash bits")
+      for (other <- sampleIds if other != id) {
+        val sep = java.lang.Long.bitCount(pOrig(other) ^ pUp(id))
+        assert(sep > drift,
+          s"resampled($id) closer to pHash($other) [$sep] than to its own [$drift]")
+      }
+    }
+  }
+
   test("audio energy fingerprint matches the arithmetic fold (m53 contract)") {
     import spark.implicits._
     val ids = Seq(0L, 3L, 17L, 100L, 191L, 5000L)

@@ -218,4 +218,80 @@ class SamplingSpec extends SparkSpec {
       assert(books.getLong(5) === 0L)
     }
   }
+
+  test("poissonBootstrapCI: ordered CI around the point mean, both hash modes") {
+    for (oracleMode <- Seq(true, false)) {
+      val out = Sampling.poissonBootstrapCI(docs, oracleHash = oracleMode)
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val (src, n, point, lo, hi) = (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        assert(n > 0, src)
+        assert(lo <= hi, s"$src: CI inverted ($oracleMode)")
+        // with ~100 docs per source the 2.5/97.5 bootstrap CI straddles
+        // the sample mean (deterministic given the seeded draws, so
+        // this is a fixed property of the fixture, not a flaky bound)
+        assert(lo <= point && point <= hi,
+          s"$src: point $point outside [$lo, $hi] ($oracleMode)")
+        assert(!lo.isNaN && !hi.isNaN, s"$src: degenerate replicate")
+      }
+      // deterministic run-to-run
+      val again = Sampling.poissonBootstrapCI(docs, oracleHash = oracleMode)
+        .collect()
+      assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    }
+  }
+
+  test("waterfillAlloc: conservation, caps, and the saturation frontier") {
+    val perSource = Seq(
+      // (source, avail, weight): "tiny" floods at any level near 60%
+      ("tiny", 10L, 5L),
+      ("small", 900L, 3L),
+      ("big", 10000L, 10L),
+      ("huge", 50000L, 8L)).toDF("source", "avail", "weight")
+    val out = Sampling.waterfillAlloc(perSource, budgetPermille = 600)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    val totalAvail = 10L + 900L + 10000L + 50000L
+    val budget = totalAvail * 600L / 1000L
+    assert(out.values.map(_._4).sum === budget,
+      s"budget not conserved: $out")
+    out.foreach { case (src, (a, _, sat, alloc)) =>
+      assert(alloc <= a, s"$src allocated past availability")
+      if (sat) assert(alloc === a, s"$src saturated but not taken whole")
+    }
+    // tiny floods: 10 avail vs a fair share of 5/26 · 36546 ≈ 7028
+    assert(out("tiny")._3 && out("tiny")._4 === 10L)
+    // huge cannot saturate at a 60% budget
+    assert(!out("huge")._3)
+    // deterministic
+    val again = Sampling.waterfillAlloc(perSource, budgetPermille = 600)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(again === out.map { case (k, v) => k -> v._4 })
+  }
+
+  test("waterfillAlloc: budget above availability takes everything") {
+    val perSource = Seq(("a", 100L, 1L), ("b", 50L, 9L))
+      .toDF("source", "avail", "weight")
+    val out = Sampling.waterfillAlloc(perSource, budgetPermille = 999)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // T = 149 of 150 available: b saturates (ratio 50/9 < 100/1),
+    // a gets the remaining 99
+    assert(out === Map("a" -> 99L, "b" -> 50L))
+  }
+
+  test("poissonBootstrapCI: Poisson thresholds match the analytic CDF") {
+    // T(j)/2^52 must reproduce P(X <= j) for X ~ Poisson(1); k = 7 tail
+    // mass below 1e-4 (folded), thresholds strictly increasing
+    val cdf = Sampling.PoissonCdf52.map(_.toDouble / 4503599627370496.0)
+    var p = math.exp(-1.0); var c = 0.0
+    (0 to 6).foreach { j =>
+      if (j > 0) p /= j
+      c += p
+      assert(math.abs(cdf(j) - c) < 1e-12, s"threshold $j drifted")
+    }
+    assert(Sampling.PoissonCdf52 === Sampling.PoissonCdf52.sorted)
+    assert(1.0 - cdf.last < 1e-4)
+  }
 }

@@ -312,4 +312,31 @@ class EventPipelineSpec extends SparkSpec {
         Seq("w_start", "w_end", "event_type", "n", "total_value"))
     } finally q.stop()
   }
+
+  test("streamed sessions equal batch sessions under the final watermark") {
+    // the q225 contract at spec grain: the streaming session_window
+    // state machine, drained over the staged file, must emit exactly
+    // the batch sessions whose end clears the final watermark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventPipeline.startSessionsQuery(spark, dir.toString, "ep_sess")
+    try {
+      q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.select($"user_id", $"s_start", $"s_end", $"n_events",
+          $"total_value".cast("double"))
+          .collect().map(_.toString).sorted.toSeq
+      val streamed = keyed(spark.table("ep_sess"))
+      val wm = events.agg(org.apache.spark.sql.functions.max($"ts"))
+        .head().getTimestamp(0).toInstant
+        .minusSeconds(600) // 10-minute watermark delay
+      val batch = keyed(EventPipeline.sessions(events)
+        .filter($"s_end" <= org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.from(wm))))
+      assert(streamed.nonEmpty && streamed === batch,
+        s"stream emitted ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
