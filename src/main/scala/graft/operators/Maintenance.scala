@@ -65,6 +65,67 @@ object Maintenance {
     next
   }
 
+  /** Optimistic-concurrency variant of [[commitVersion]] (r14) — the
+    * multi-WRITER contract the plain verb documents away: two
+    * concurrent `commitVersion` calls both derive `next = base + 1`
+    * and both write `v_next` CONCURRENTLY, corrupting the directory
+    * before either flips. This variant takes an atomic CLAIM on the
+    * version number BEFORE any data is written —
+    * `Files.createFile` is O_CREAT|O_EXCL, the same create-if-absent
+    * commit shape Delta's log protocol uses — so exactly one writer
+    * can ever produce a given `v_N`; the loser returns None (no
+    * partial state anywhere) and must re-read the manifest, re-derive
+    * its write, and retry. `expectedBase` is the optimistic-read
+    * guard: if the store advanced since the caller planned its write,
+    * the commit refuses before claiming (a publish derived from stale
+    * state must not land even if its version number happens to be
+    * free).
+    *
+    * Liveness: a writer that dies between claim and flip leaves its
+    * claim blocking that version number. Breaking it is an explicit
+    * OPERATOR verb ([[breakStaleClaim]]), not something racers do
+    * implicitly on a timeout — the filesystem has no lease clock, and
+    * a "stale" writer might be a live slow one (an object-store
+    * deployment replaces the claim file with a conditional put and
+    * this decision disappears). Spent claims (≤ the committed
+    * version) are garbage-collected by [[pruneVersions]]. */
+  def commitVersionExclusive(root: String, expectedBase: Option[Long])
+      (write: String => Unit): Option[Long] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(root))
+    val base = currentVersion(root).getOrElse(0L)
+    if (expectedBase.exists(_ != base)) return None // stale plan
+    val next = base + 1
+    try Files.createFile(Paths.get(root, s".claim_$next"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => return None
+    }
+    // sole claim holder from here: debris can only be a broken claim
+    // this same verb released via breakStaleClaim
+    rmTree(new java.io.File(s"$root/v_$next"))
+    write(s"$root/v_$next")
+    val tmp = Paths.get(root, s".manifest_$next.tmp")
+    Files.write(tmp, next.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(root, "MANIFEST"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Some(next)
+  }
+
+  /** Release the claim of a DEAD writer (crashed between claim and
+    * manifest flip) so the version number becomes claimable again;
+    * also clears its half-written data. Refuses when the version is
+    * already committed (the claim is spent, not stale) — returns
+    * whether a claim was actually broken. Operator-invoked by
+    * design: see [[commitVersionExclusive]]'s liveness note. */
+  def breakStaleClaim(root: String, version: Long): Boolean = {
+    val cur = currentVersion(root).getOrElse(0L)
+    if (version <= cur) return false
+    val claim = new java.io.File(root, s".claim_$version")
+    if (!claim.exists()) return false
+    rmTree(new java.io.File(s"$root/v_$version"))
+    claim.delete()
+  }
+
   /** Recursive delete (local-FS maintenance helper, shared by the
     * versioned-store verbs). */
   private[graft] def rmTree(f: java.io.File): Unit = {
@@ -95,10 +156,14 @@ object Maintenance {
   def pruneVersions(root: String, keep: Int = 1): Unit = {
     val cur = currentVersion(root).getOrElse(return)
     val re = """v_(\d+)""".r
+    val claimRe = """\.claim_(\d+)""".r
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .foreach { f =>
         f.getName match {
           case re(n) if n.toLong < cur - keep => rmTree(f)
+          // spent claims (≤ committed) are garbage; a claim for
+          // cur + 1 may belong to an in-flight writer — never touched
+          case claimRe(n) if n.toLong <= cur => f.delete(); ()
           case _ => ()
         }
       }

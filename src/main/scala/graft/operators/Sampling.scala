@@ -499,10 +499,17 @@ object Sampling {
     require(budgetPermille > 0 && budgetPermille < 1000,
       s"budgetPermille out of (0, 1000): $budgetPermille")
     import org.apache.spark.sql.expressions.Window
+    import graft.operators.Materialize.Ops
     val dec = "decimal(38,0)"
     def floorDiv(p: Column, q: Column): Column = (p - pmod(p, q)) / q
+    // the per-source frame feeds every downstream consumer (totals,
+    // ranking, the cut, shares, the leftover level) — without a hard
+    // lineage cut each one re-derives it from the CALLER'S plan, i.e.
+    // re-scans the corpus: the ExplainAudit first cut showed 8 full
+    // table scans for a |sources|-row computation (rule 5)
     val base = perSource.select(col("source"),
       col("avail").cast(dec).as("a"), col("weight").cast(dec).as("w"))
+      .materializeOnce()
     val tot = base.agg(sum(col("a")).as("ta"), sum(col("w")).as("tw"))
       .select(col("ta"), col("tw"),
         floorDiv(col("ta") * lit(budgetPermille), lit(1000).cast(dec))

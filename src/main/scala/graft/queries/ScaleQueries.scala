@@ -48,9 +48,13 @@ object ScaleQueries {
     // cross-implementation differential. Emission contract mirrors
     // q51/q113: a session is emitted once its END (last event + the
     // 30-minute gap) clears the final watermark (max ts − 10 min); the
-    // oracle applies the same cutoff. Session breaks at diff ≥ gap
-    // (session windows are [start, end) — an event landing exactly at
-    // the end starts a new session, q68's proven `>=`). Value sums
+    // oracle applies the same cutoff. Session breaks at diff > gap
+    // STRICTLY — measured (2-event exact-gap repro + a 5-session delta
+    // at the 10M-event probe): Spark MERGES an event landing exactly
+    // at the window end into the session, so the islands break must be
+    // `>`, not q68's self-consistent-both-sides `>=`; with `>` the
+    // oracle stays tie-proof under any testdata regen (rule 2's
+    // philosophy — current SFs carry no exact-gap ties). Value sums
     // ride DECIMAL(18,2) (order-independent), doubles only at the
     // output cast (rule 1). (user_id, s_start) is a unique total order:
     // a user's sessions are disjoint by construction.
@@ -60,7 +64,7 @@ object ScaleQueries {
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= INTERVAL 30 MINUTE
+        |              > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |sids AS (

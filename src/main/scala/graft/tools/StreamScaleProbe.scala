@@ -164,6 +164,13 @@ object StreamScaleProbe {
     if (on("q154")) q154Stage(spark, collector, out, nImg = math.max(10000L, n / 200L))
     if (on("q158")) q158Stage(spark, collector, out, nDocs = math.max(20000L, n / 50L))
     if (on("q223")) q223Stage(spark, collector, out, nDocs = math.max(200000L, n / 50L))
+    if (on("q225")) {
+      if (!on("join") && !on("cdc") && !on("q161"))
+        time("event gen + chunk staging (q225)") {
+          stageChunks(spark, events(spark, n, usPerEvent), n, chunksDir, chunks)
+        }
+      q225Stage(spark, collector, chunksDir, out, n)
+    }
     // s68 runs the delete→compact lifecycle against the store s67 just
     // built, so asking for s68 implies building/ingesting it first;
     // s70 retrains the store s68 left compacted (the lived-in state a
@@ -794,6 +801,79 @@ object StreamScaleProbe {
     require(maxCell > 15L, s"retrained cells still 4-bit: max=$maxCell")
     println(s"[sprobe] s70 retrain ≡ from-scratch at $nLive postings, " +
       s"max cell=$maxCell (5-bit quantizer live) — OK")
+  }
+
+  /** q225 at volume (r14): the native session_window state machine at
+    * 10M events / ~50k concurrent user sessions. The gate (q225) and
+    * spec pin correctness at fixture scale; this stage measures what
+    * only volume shows: (1) stream ≡ batch EXACT — the union of
+    * append-mode emissions across 10 micro-batches equals the batch
+    * islands computation filtered by the final watermark, checksummed
+    * without collecting either side (sessions MERGE across batch
+    * boundaries in state, and boundary-spanning sessions are asserted
+    * present, so the equality exercises the merge path, not just
+    * intra-batch grouping); (2) state growth tracks OPEN sessions
+    * (~|users|), not event volume — the session-window analog of the
+    * q83 bounded-state contract; (3) per-batch trigger cost as state
+    * accumulates. */
+  private def q225Stage(
+      spark: SparkSession, collector: ProgressCollector,
+      chunksDir: String, out: String, n: Long): Unit = {
+    import graft.streaming.EventPipeline
+    val sinkDir = s"$out/sessions_sink"
+    time("q225 streaming sessions, 10 micro-batches") {
+      val q = EventPipeline.withStreamPartitions(spark, 8) {
+        EventPipeline.sessions(
+          EventPipeline.eventsStream(spark, chunksDir,
+            maxFilesPerTrigger = Some(1)))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$sinkDir/batch_$id"); ()
+          }
+          .start()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    collector.report("q225 sessions")
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("user_id"), col("s_start").cast("long"),
+          col("s_end").cast("long"), col("n_events"))
+          .cast("decimal(38,0)")),
+        sum((col("total_value") * 100).cast("long"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getLong(2))
+    }
+    val streamed = checksum(spark.read.parquet(s"$sinkDir/batch_*"))
+    val events = spark.read.parquet(s"$chunksDir/chunk_*").localCheckpoint()
+    val wm = events.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+      .minusSeconds(600)
+    // the lineage cut between the session aggregate and the cutoff
+    // filter is LOAD-BEARING (CLAUDE.md rule 30, found BY this stage):
+    // composed, Catalyst pushes `s_end <= wm` through the aggregation
+    // as a per-EVENT `ts + gap <= wm`, truncating every
+    // cutoff-straddling session and then counting its shrunken end as
+    // emitted — 310,429 vs the true 266,690 at this volume
+    val batchSessions = EventPipeline.sessions(events)
+      .localCheckpoint()
+      .filter(col("s_end") <= lit(java.sql.Timestamp.from(wm)))
+    val batch = checksum(batchSessions)
+    println(s"[sprobe] q225 sessions: streamed=${streamed._1} batch=${batch._1}")
+    require(streamed == batch,
+      s"streamed sessions diverged from batch islands: $streamed vs $batch")
+    // the merge path was actually exercised: sessions spanning a
+    // micro-batch boundary exist (chunks split at event_id = k·n/10,
+    // whose ts is the boundary instant)
+    val bounds = (1 until 10).map(k => events
+      .filter(col("event_id") === k * n / 10)
+      .select(col("ts")).head().getTimestamp(0))
+    val spanning = batchSessions.filter(
+      bounds.map(b => col("s_start") < lit(b) && col("s_end") > lit(b))
+        .reduce(_ || _)).count()
+    println(s"[sprobe] q225 boundary-spanning sessions=$spanning " +
+      s"(state merged across micro-batches) — OK")
+    require(spanning > 0, "no session spanned a batch boundary — " +
+      "the stage no longer exercises cross-batch state merge")
   }
 
   /** q223 at volume (VERDICT r13 directive #6): the streaming HT token

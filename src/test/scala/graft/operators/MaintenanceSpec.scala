@@ -98,4 +98,78 @@ class MaintenanceSpec extends SparkSpec {
     assert(new java.io.File(s"$root/v_3").exists())
     assert(Maintenance.readPublished(spark, root).count() === 2L)
   }
+
+  test("commitVersionExclusive: racing writers never share a version, no lost updates") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cas").toString + "/store"
+    val rounds = 40
+    val wins = Array(new java.util.concurrent.atomic.AtomicLong(0),
+      new java.util.concurrent.atomic.AtomicLong(0))
+    def runWriter(id: Int): Thread = {
+      val t = new Thread(() => {
+        var committed = 0
+        var spins = 0
+        while (committed < rounds && spins < 100000) {
+          val base = graft.operators.Maintenance.currentVersion(root)
+            .getOrElse(0L)
+          val won = graft.operators.Maintenance
+            .commitVersionExclusive(root, Some(base)) { dir =>
+              Files.createDirectories(Paths.get(dir))
+              // non-atomic two-file write: a racer sharing the dir
+              // would interleave and break the completeness check
+              Files.write(Paths.get(dir, "who"), s"w$id".getBytes)
+              Thread.sleep(0, 50000)
+              Files.write(Paths.get(dir, "seal"), s"w$id".getBytes)
+            }
+          if (won.isDefined) { committed += 1; wins(id).incrementAndGet() }
+          else spins += 1
+        }
+      })
+      t.start(); t
+    }
+    val ts = Seq(runWriter(0), runWriter(1))
+    ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive), "writers did not finish")
+    val finalV = graft.operators.Maintenance.currentVersion(root).get
+    // every claim produced exactly one committed version: no number
+    // was ever double-written, and no win was lost
+    assert(finalV === wins(0).get + wins(1).get,
+      s"committed $finalV != wins ${wins(0).get}+${wins(1).get}")
+    assert(wins(0).get === rounds.toLong && wins(1).get === rounds.toLong)
+    (1L to finalV).foreach { v =>
+      val who = new String(Files.readAllBytes(Paths.get(s"$root/v_$v/who")))
+      val seal = new String(Files.readAllBytes(Paths.get(s"$root/v_$v/seal")))
+      assert(who === seal, s"v_$v interleaved two writers: $who vs $seal")
+    }
+  }
+
+  test("commitVersionExclusive: stale plan refused; dead claim blocks until broken") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cas2").toString + "/store"
+    def commit(base: Option[Long]) =
+      graft.operators.Maintenance.commitVersionExclusive(root, base) { dir =>
+        Files.createDirectories(Paths.get(dir))
+        Files.write(Paths.get(dir, "d"), "x".getBytes)
+      }
+    assert(commit(Some(0L)) === Some(1L))
+    // a plan derived before that commit must refuse, even though its
+    // target version number (2) is free
+    assert(commit(Some(0L)) === None, "stale expectedBase must refuse")
+    // a writer that died after claiming v2 blocks the number...
+    Files.createFile(Paths.get(root, ".claim_2"))
+    Files.createDirectories(Paths.get(s"$root/v_2"))
+    Files.write(Paths.get(s"$root/v_2/d"), "half".getBytes)
+    assert(commit(Some(1L)) === None, "a held claim must exclude")
+    // ...until the operator breaks it: debris cleared, number reusable
+    assert(graft.operators.Maintenance.breakStaleClaim(root, 2L))
+    assert(!new java.io.File(s"$root/v_2").exists(), "break clears debris")
+    assert(commit(Some(1L)) === Some(2L))
+    // a SPENT claim is not breakable (the version is committed)
+    assert(!graft.operators.Maintenance.breakStaleClaim(root, 2L))
+    // prune garbage-collects spent claims, never the in-flight one
+    Files.createFile(Paths.get(root, ".claim_3"))
+    graft.operators.Maintenance.pruneVersions(root, keep = 0)
+    assert(!new java.io.File(root, ".claim_2").exists(), "spent claim gc'd")
+    assert(new java.io.File(root, ".claim_3").exists(), "in-flight claim kept")
+  }
 }

@@ -313,6 +313,38 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rule 30: a filter on session_window.end must sit behind a lineage cut") {
+    // Minimal repro of the engine sharp edge the 10M-event stage
+    // found: Catalyst pushes a predicate on the session window's END
+    // through the aggregation as a per-EVENT `ts + gap <= cut`
+    // (PushPredicateThroughNonJoin sees the window struct as a
+    // row-local function — sound for tumbling windows, UNSOUND for
+    // sessions, whose end depends on OTHER rows via merging). Two
+    // events 20 min apart merge into one session ending t0+50min; a
+    // cutoff at t0+40min must therefore select NOTHING — but composed,
+    // the pushed filter drops the second event, the truncated session
+    // ends at t0+30min, and one row comes back.
+    import org.apache.spark.sql.functions.{lit, col}
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:20:00")
+    val cut = java.sql.Timestamp.valueOf("2024-01-01 00:40:00")
+    val two = Seq((1L, t0, 7L, "click", 1.0), (2L, t1, 7L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val mitigated = EventPipeline.sessions(two).localCheckpoint()
+      .filter(col("s_end") <= lit(cut)).count()
+    assert(mitigated === 0L,
+      "the merged session ends at t0+50min and must not pass the cutoff")
+    // pin the ENGINE behavior the mitigation exists for: if a Spark
+    // upgrade makes this 0, the pushdown got fixed and the
+    // localCheckpoint cuts can be revisited (this assertion documents
+    // Spark, not our contract)
+    val composed = EventPipeline.sessions(two)
+      .filter(col("s_end") <= lit(cut)).count()
+    assert(composed === 1L,
+      "Spark no longer pushes the end-predicate through session_window — " +
+        "rule 30's mitigation may be removable")
+  }
+
   test("streamed sessions equal batch sessions under the final watermark") {
     // the q225 contract at spec grain: the streaming session_window
     // state machine, drained over the staged file, must emit exactly
@@ -332,7 +364,11 @@ class EventPipelineSpec extends SparkSpec {
       val wm = events.agg(org.apache.spark.sql.functions.max($"ts"))
         .head().getTimestamp(0).toInstant
         .minusSeconds(600) // 10-minute watermark delay
-      val batch = keyed(EventPipeline.sessions(events)
+      // localCheckpoint BEFORE the cutoff filter — composed, the filter
+      // pushes through the session aggregate as a per-event predicate
+      // and truncates straddling sessions (rule 30; the volume stage
+      // measured 310,429 vs the true 266,690)
+      val batch = keyed(EventPipeline.sessions(events).localCheckpoint()
         .filter($"s_end" <= org.apache.spark.sql.functions.lit(
           java.sql.Timestamp.from(wm))))
       assert(streamed.nonEmpty && streamed === batch,
