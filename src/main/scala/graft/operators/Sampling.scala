@@ -459,6 +459,48 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // ---- q228: sequence packing with document splitting ----
+
+  /** q228: GPT-style sequence packing WITH document splitting — the
+    * packer that actually feeds a trainer: documents are laid
+    * head-to-tail in doc_id order and cut into fixed-length training
+    * sequences at exact token offsets, so every sequence except the
+    * global tail is EXACTLY `seqLen` tokens (q87/packBins packs WHOLE
+    * documents into capacity bins and pads; this is the
+    * no-padding-waste packer). Output: one row per (sequence, document
+    * slice) — `seq_id`, `doc_id`, the in-document token offset
+    * `slice_start`, and `slice_len`; a document long enough to cross
+    * boundaries contributes one row per covered sequence.
+    *
+    * Scale shape: one scan + the rule-23 bucketed prefix sum
+    * (`Prefix.cumsum` — no global window anywhere) for the exclusive
+    * token offset, then a per-row explode bounded by w/seqLen + 1
+    * slices. The explode lower/upper bounds satisfy s1 ≥ s0 because
+    * w ≥ 1 is enforced — rule 16's descending-sequence trap cannot
+    * arise. Offsets are cast to int64 right after the prefix sum:
+    * 2^63 tokens is ~4000× the largest corpus ever tokenized. */
+  def packTokenSpans(docs: DataFrame, seqLen: Int = 512): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("w"))
+      .filter(col("w") > 0)
+    val off = Prefix.cumsum(toks, "doc_id", Seq("w" -> "off_end_d"),
+        inclusive = true)
+      .withColumn("off_end", col("off_end_d").cast("long"))
+      .withColumn("off_start", col("off_end") - col("w"))
+    val l = lit(seqLen.toLong)
+    off
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off_start DIV $seqLen"), expr(s"(off_end - 1) DIV $seqLen"))))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * l - col("off_start"))
+          .as("slice_start"),
+        (least(col("off_end"), (col("seq_id") + 1) * l) -
+          greatest(col("off_start"), col("seq_id") * l)).as("slice_len"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   // ---- q227: budgeted mixture allocation by water-filling ----
 
   /** q227: allocate a token budget across sources proportionally to

@@ -1451,6 +1451,38 @@ object PipelineQueries {
       (s, d) => Sampling.htTokenEstimate(
         Tables.load(s, d, "documents"), oracleHash = true)),
 
+    // GPT-style sequence packing with document SPLITTING (q228): docs
+    // laid head-to-tail in doc_id order and cut into exact 512-token
+    // sequences — one row per (sequence, document slice). The global
+    // token offset rides Prefix.cumsum (rule 23 — the oracle keeps the
+    // plain window, the decomposition is exact); slice bounds are pure
+    // int64 min/max arithmetic; the per-doc explode is rule-16-safe
+    // because w ≥ 1 is enforced. (seq_id, doc_id) is a unique total
+    // order.
+    Q("q228_token_pack_spans", Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off_end
+        |  FROM toks WHERE w > 0),
+        |spans AS (
+        |  SELECT doc_id, w, off_end,
+        |    unnest(range(CAST((off_end - w) // 512 AS BIGINT),
+        |                 CAST((off_end - 1) // 512 + 1 AS BIGINT)))
+        |      AS seq_id
+        |  FROM off)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(0, seq_id * 512 - (off_end - w)) AS BIGINT)
+        |    AS slice_start,
+        |  CAST(least(off_end, (seq_id + 1) * 512)
+        |       - greatest(off_end - w, seq_id * 512) AS BIGINT) AS slice_len
+        |FROM spans ORDER BY seq_id, doc_id""".stripMargin),
+      (s, d) => Sampling.packTokenSpans(
+        Tables.load(s, d, "documents"), seqLen = 512)),
+
     // Poisson-bootstrap confidence intervals (q226): the error bar for
     // every per-source corpus statistic, with all replicates riding one
     // scan — each (doc, replicate) draws a Poisson(1) weight from a

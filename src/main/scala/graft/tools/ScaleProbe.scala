@@ -146,7 +146,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] n_base=$n n_planted_dups=${n / 20}")
     // optional 3rd arg: comma-separated stage keys (d38,d44,d53,d54,d56,d57,d57b,d59,d62,d63,d65,d68,s65,q183,s43,s55,t54,t59,
-    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166,q212,d67,d69,q213,q214) — a full run at large n is
+    // codec,m52,m55,curation,q155,q148,q201,q203,q204,q206,prefix,r11ops,t56,q166,q212,d67,d69,q213,q214,q226,d74) — a full run at large n is
     // codec-bound (~17 min at 2.1M), so per-stage runs let a 4x point
     // be re-measured for one family without paying for the rest.
     // d44 implies d38 (it consumes the verified pairs).
@@ -755,6 +755,85 @@ object ScaleProbe {
       require(diff == 0, "distributed prefix sum diverged from sequential")
       require(picks <= target && picks >= target * 9 / 10,
         s"pick count drifted: $picks vs target $target")
+    }
+    if (on("q226")) time("q226: Poisson bootstrap, one-scan replicates at n docs") {
+      // the cost claim at volume: 40 replicates must not cost 40
+      // scans — the explode-by-replicate feeds a map-side-combining
+      // aggregate, so the shuffle carries |sources|·reps rows and the
+      // wall grows far sublinearly in reps. Same corpus, same plan
+      // shape, reps 4 vs 40 (10×).
+      // vary the lengths (60..156 tokens, seeded) — the base corpus is
+      // uniform 60-word docs, which makes every replicate mean exactly
+      // 60 and the CI degenerately tight
+      val srcd = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(8)).cast("string")))
+        .withColumn("text", concat(col("text"),
+          expr("repeat(' pad', CAST(pmod(xxhash64(doc_id, 9L), 97) AS INT))")))
+        .localCheckpoint()
+      def run(reps: Int, lo: Int, hi: Int) = {
+        def once = {
+          System.gc()
+          val t0 = System.nanoTime()
+          val r = graft.operators.Sampling
+            .poissonBootstrapCI(srcd, reps, lo, hi).collect()
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        once // warm
+        val (wa, ra) = once
+        val (wb, _) = once
+        (math.min(wa, wb), ra)
+      }
+      val (w4, _) = run(4, 1, 4)
+      val (w40, r40) = run(40, 2, 39)
+      println(f"[probe]   reps=4: $w4%.2f s   reps=40: $w40%.2f s   " +
+        f"ratio ${w40 / w4}%.2f for 10x the replicates")
+      r40.foreach(r => println(f"[probe]   ${r.getString(0)}%-3s " +
+        f"n=${r.getLong(1)}%8d mean=${r.getDouble(2)}%8.3f " +
+        f"ci=[${r.getDouble(3)}%8.3f, ${r.getDouble(4)}%8.3f]"))
+      require(r40.forall(r =>
+        r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4)),
+        "a source's bootstrap CI does not straddle its point mean at volume")
+      require(w40 < w4 * 4,
+        f"replicate scaling is not sublinear: $w4%.2f -> $w40%.2f")
+    }
+    if (on("d74")) time("d74: edge embeddedness, planted cliques + bridge chain") {
+      // synthetic graph at volume — the exact sparsifier shape: n/8
+      // disjoint 5-cliques (every internal edge deeply embedded)
+      // chained into ONE giant component by bridge edges between
+      // consecutive clique anchors (cn = 0 by construction). The
+      // operator must give every clique edge cn = 3 and every bridge
+      // jacc = 0 — cutting the jacc-0 edges is precisely what restores
+      // the clique components before a CC walk.
+      val k = math.max(1000L, n / 8)
+      val pairIdx = array((for {
+        i <- 0 to 4; j <- (i + 1) to 4
+      } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+      val cliques = spark.range(k)
+        .withColumn("p", explode(pairIdx))
+        .select((col("id") * 5 + col("p.i")).as("id_a"),
+          (col("id") * 5 + col("p.j")).as("id_b"))
+      val bridges = spark.range(k - 1)
+        .select((col("id") * 5).as("id_a"), ((col("id") + 1) * 5).as("id_b"))
+      val edges = cliques.unionByName(bridges).localCheckpoint()
+      val t0 = System.nanoTime()
+      val emb = graft.operators.Dedup.edgeEmbeddedness(edges)
+        .localCheckpoint()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nE = emb.count()
+      val bridgeRows = emb.filter(col("id_b") - col("id_a") === 5)
+      val cliqueRows = emb.filter(col("id_b") - col("id_a") < 5)
+      val badBridge = bridgeRows
+        .filter(col("cn") =!= 0 || col("jacc") =!= 0.0).count()
+      val badClique = cliqueRows.filter(col("cn") =!= 3).count()
+      println(f"[probe]   edges=$nE%d (cliques=${10 * k}%d bridges=${k - 1}%d) " +
+        f"wall=$wall%.2f s; bad bridges=$badBridge bad clique edges=$badClique")
+      require(nE == 10 * k + (k - 1), s"edge rows drifted: $nE")
+      require(badBridge == 0, "a bridge edge scored nonzero embeddedness")
+      require(badClique == 0, "a clique edge lost common neighbors")
+      // the cut itself: dropping jacc-0 edges leaves exactly the
+      // 10·k clique edges — the giant chained component dissolves
+      require(emb.filter(col("jacc") > 0).count() == 10 * k,
+        "the jacc-0 cut does not isolate the cliques")
     }
     if (on("prefix")) time("Prefix.cumsum: bucket/group invariance at corpus-scale support") {
       // the r11 directive-#2 cure, measured where it matters: a

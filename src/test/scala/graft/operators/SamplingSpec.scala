@@ -281,6 +281,38 @@ class SamplingSpec extends SparkSpec {
     assert(out === Map("a" -> 99L, "b" -> 50L))
   }
 
+  test("packTokenSpans: exact-length sequences, doc partition, conservation") {
+    val out = Sampling.packTokenSpans(docs, seqLen = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = docs
+      .select(graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+      .collect().map(_.getLong(0)).sum
+    // conservation: every token lands in exactly one slice
+    assert(out.map(_._4).sum === totalTokens)
+    // every sequence except the global tail is EXACTLY seqLen tokens
+    val bySeq = out.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._4).sum }
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, len) =>
+      if (s < lastSeq) assert(len === 128L, s"seq $s has $len tokens")
+      else assert(len >= 1L && len <= 128L)
+    }
+    // the slices of one document tile [0, w) contiguously in seq order
+    out.groupBy(_._2).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._1)
+      assert(sorted.head._3 === 0L, s"doc $doc does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 === b._3, s"doc $doc slices not contiguous")
+          assert(a._1 + 1 === b._1, s"doc $doc skips a sequence")
+        case _ => ()
+      }
+    }
+    // a long document really does split: with 128-token sequences the
+    // fixture must produce at least one multi-slice doc
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "no document crossed a sequence boundary — shrink seqLen")
+  }
+
   test("poissonBootstrapCI: Poisson thresholds match the analytic CDF") {
     // T(j)/2^52 must reproduce P(X <= j) for X ~ Poisson(1); k = 7 tail
     // mass below 1e-4 (folded), thresholds strictly increasing

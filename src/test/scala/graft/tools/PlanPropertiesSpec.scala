@@ -484,6 +484,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!unpartitionedOverId, specs)
   }
 
+  test("q228 token packing: the offset cumsum window is bucket-partitioned") {
+    // the rule-23 pin every new Prefix.cumsum consumer gets: the
+    // window that sees document rows partitions by the id-range
+    // bucket; no window may order raw doc_ids unpartitioned
+    val plan = PlanInspect.formatted(run("q228_token_pack_spans"))
+    val specs = "windowspecdefinition\\(([^)]*?)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.exists(_.contains("bkt")), specs)
+    val unpartitionedOverId = specs.exists(s =>
+      !s.contains("bkt#") && s.contains("doc_id#") && !s.contains("partition"))
+    assert(!unpartitionedOverId, specs)
+  }
+
   test("q204 consistent sharding assigns with NO join and no window — a per-row scan") {
     val names = PlanInspect.nodeNames(run("q204_consistent_sharding"))
     assert(!names.exists(_.contains("Join")), names)
