@@ -383,9 +383,25 @@ object Bench {
               t.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
               false
           }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // Free the sample's materialized blocks NOW (r14 harness
+          // hygiene): localCheckpoint/persist blocks are otherwise
+          // reclaimed only after driver GC + ContextCleaner lag, and over
+          // a 350-query suite the backlog inflated mid/tail queries 2-4×
+          // (q182: 8.65 s in-suite vs 2.3 s isolated-warm — pure storage
+          // pressure from PRIOR queries' blocks). Queries never share
+          // persisted RDDs across invocations (Staging caches are disk
+          // dirs; the catalog MemoryCache keeps lineage, so a later hit
+          // just recomputes), so dropping everything between samples is
+          // safe and makes each sample measure the QUERY, not the
+          // suite's history. The unpersist wall-time is excluded from
+          // the sample (measured: ~ms), exactly like the GC nudge below.
+          try spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          catch { case _: Throwable => }
           // a throw's elapsed time is not a measurement — reporting it
           // would make a broken query look fast in the queries map / total
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          if (ok) Some(elapsed) else None
         }
         val first = sample()
         // the periodic nudge runs BETWEEN a query's samples: the second

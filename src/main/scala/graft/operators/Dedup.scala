@@ -32,11 +32,16 @@ object Dedup {
   private def spread(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
 
+  /** (doc_id, token array) — the shared pre-shingle stage: spread +
+    * tokenize once, explode per shingle width downstream. */
+  private[graft] def tokensTable(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+
   /** (doc_id, shingle) exploded table. Tokenizes into a materialized
     * column first — see TextFunctions.shinglesFromTokens for why. */
   private def shingleTable(docs: DataFrame, n: Int): DataFrame =
-    spread(docs)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    tokensTable(docs)
       .select(col("doc_id"),
         explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh"))
 
@@ -1470,11 +1475,23 @@ object Dedup {
   def pairEvidence(
       docs: DataFrame, pairs: DataFrame, n: Int = 3, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the pair pipeline (often a full LSH+verify run) feeds the id set
+    // AND the evidence join — materialize it once, not twice (rule 5)
+    val p = pairs.select(col("id_a"), col("id_b")).materializeOnce()
     val ex = shingleTable(docs, n).materializeOnce() // both pair sides + DF agg
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val shared = pairs.select(col("id_a"), col("id_b"))
-      .join(ex.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+    // evidence is pair-scoped: only shingles of docs that appear in some
+    // pair are ever read, so semi-join the exploded table down to those
+    // docs BEFORE the (id, sh) joins — the full corpus shingle table is
+    // then never shuffled by (id_b, sh) (the operator's largest
+    // shuffle). df stays the CORPUS-WIDE aggregate above; restricting
+    // the join inputs does not change any df value.
+    val ids = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id"))).distinct()
+    val exC = ex.join(ids, Seq("doc_id"), "left_semi")
+    val shared = p
+      .join(exC.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(exC.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .join(dfreq, Seq("sh"))
     val w = Window.partitionBy(col("id_a"), col("id_b"))
       .orderBy(col("df"), col("sh"))
@@ -1778,36 +1795,44 @@ object Dedup {
       .union(e.select(col("dst"))).distinct().materializeOnce()
     var hv = nodes.select(col("v"), lit(scale).as("h"))
     var av = nodes.select(col("v"), lit(scale).as("a"))
+    // One raw-sum frame per half-round, with its max riding the SAME
+    // checkpoint job as an Observation metric (the connectedComponents
+    // fixpoint-probe pattern) and the rescale left as a lazy projection
+    // over the checkpoint — 2 jobs per round instead of the previous 6
+    // (raw checkpoint + separate max aggregate + rescaled checkpoint,
+    // twice). The rescale is a cheap map over an already-materialized
+    // frame, so its two consumers (the next half-round's join and the
+    // final select) re-project instead of paying a third checkpoint.
+    def rawWithMax(raw: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = raw.observe(obs, max(col("x")).as("mx")).materializeOnce()
+      val mx = Option(obs.get("mx").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      (ck, mx)
+    }
+    def rescaled(raw: DataFrame, mx: java.math.BigDecimal, out: String): DataFrame =
+      raw.select(col("v"),
+        (if (mx.signum > 0)
+          expr(s"CAST($scale AS DECIMAL(38,0)) * x DIV CAST('${mx.toPlainString}' AS DECIMAL(38,0))")
+        else lit(0L).cast("decimal(38,0)")).cast("long").as(out))
     for (_ <- 1 to rounds) {
       // raw authority = Σ hub over in-edges; raw hub = Σ auth over
       // out-edges — the classic update order: auth first, then hubs
       // from the just-updated auth vector (Kleinberg JACM '99)
-      val rawA = nodes.join(
+      val (rawA, maxA) = rawWithMax(nodes.join(
           e.join(hv, col("v") === col("src"))
             .groupBy(col("dst")).agg(sum(D(col("h"))).as("s")),
           col("v") === col("dst"), "left")
         .select(col("v"),
-          coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("x"))
-        .materializeOnce() // feeds its own max AND the rescale
-      val maxA = rawA.agg(max(col("x")).as("mx"))
-      av = rawA.crossJoin(broadcast(maxA))
-        .select(col("v"),
-          when(col("mx") > 0, expr(s"CAST($scale AS DECIMAL(38,0)) * x DIV mx"))
-            .otherwise(lit(0L)).cast("long").as("a"))
-        .materializeOnce()
-      val rawH = nodes.join(
+          coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("x")))
+      av = rescaled(rawA, maxA, "a")
+      val (rawH, maxH) = rawWithMax(nodes.join(
           e.join(av, col("v") === col("dst"))
             .groupBy(col("src")).agg(sum(D(col("a"))).as("s")),
           col("v") === col("src"), "left")
         .select(col("v"),
-          coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("x"))
-        .materializeOnce()
-      val maxH = rawH.agg(max(col("x")).as("mx"))
-      hv = rawH.crossJoin(broadcast(maxH))
-        .select(col("v"),
-          when(col("mx") > 0, expr(s"CAST($scale AS DECIMAL(38,0)) * x DIV mx"))
-            .otherwise(lit(0L)).cast("long").as("h"))
-        .materializeOnce()
+          coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("x")))
+      hv = rescaled(rawH, maxH, "h")
     }
     nodes.join(hv, Seq("v")).join(av, Seq("v"))
       .select(col("v").as("doc_id"), col("h").as("hub"), col("a").as("auth"))
@@ -2238,11 +2263,22 @@ object Dedup {
 
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100): DataFrame =
+    ngramJaccardPairsFromToks(tokensTable(docs), n, threshold, maxDf)
+
+  /** [[ngramJaccardPairs]] over an already-tokenized (doc_id, toks)
+    * frame — lets a multi-knob sweep (d60's n ∈ {2,3,5} curve) share
+    * ONE corpus scan + tokenize across shingle widths instead of
+    * re-reading and re-splitting the text per knob value. */
+  private[graft] def ngramJaccardPairsFromToks(
+      toks: DataFrame, n: Int, threshold: Double,
+      maxDf: Int): DataFrame = {
     // materialize the exploded shingle table once — it feeds four
     // branches (doc sizes, shingle DF, and both join sides); recomputing
     // the explode per branch dominated the whole operator (measured 4×).
-    val ex = shingleTable(docs, n).materializeOnce()
+    val ex = toks.select(col("doc_id"),
+      explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh"))
+      .materializeOnce()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val filtered = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -2286,10 +2322,15 @@ object Dedup {
     * t = 1/2 that's ~half the shingle table, and rare-first ordering
     * means boilerplate (high-DF) shingles fall OUT of short prefixes,
     * so Σdf² over indexed shingles collapses without any lossy cap.
-    * Verification is candidate-scoped: two equi-joins keyed on
-    * (doc_id) then (doc_id, shingle), never a second full self-join.
-    * The rank window partitions by doc_id — per-document state, no
-    * global sort. */
+    * Candidates carry both set sizes out of the prefix join, so the
+    * AllPairs length bound prunes before the distinct. Verification is
+    * candidate-scoped and row-bounded: each candidate doc's full
+    * shingle set travels as ONE array row (two equi-joins keyed on
+    * doc id) and |A∩B| is computed in-task by array_intersect — no
+    * pair×shingle row amplification (the exploded form was measured at
+    * 21M intermediate rows for 310k candidates at sf0.1). The rank
+    * window partitions by doc_id — per-document state, no global
+    * sort. */
   def prefixJaccardJoin(
       docs: DataFrame, n: Int = 3,
       thresholdNum: Long = 1, thresholdDen: Long = 2): DataFrame = {
@@ -2305,22 +2346,52 @@ object Dedup {
     // gates the Spark-side candidate step — the output never sees it.
     val plen = col("sz") - floor((col("sz") * thresholdNum + (thresholdDen - 1))
       / lit(thresholdDen.toDouble)) + 1
+    // prefix rows CARRY the doc's set size: the sizes join is already
+    // paid for the prefix length, so the candidate join below can apply
+    // the AllPairs length bound (J ≤ min(sz)/max(sz) < num/den ⟹ the
+    // pair provably cannot verify — exact integers, and the final
+    // threshold re-checks) BEFORE the distinct, instead of a separate
+    // post-distinct size-attach pass.
     val prefix = ex.join(dfreq, Seq("sh"))
       .withColumn("rn", row_number().over(rankW))
       .join(sizes, Seq("doc_id"))
       .filter(col("rn") <= plen)
-      .select(col("sh"), col("doc_id"))
-    val cand = prefix.select(col("sh"), col("doc_id").as("id_a"))
-      .join(prefix.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val inter = cand
-      .join(ex.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("sh"), col("doc_id"), col("sz"))
+    // Candidate pairs with sizes, length-bound pruned, deduped.
+    // Materialized once: feeds the candidate-doc id set, the verify
+    // join, and the final projection (rule 5).
+    val bounded = prefix
+      .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("sh"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) * lit(thresholdDen)
+          >= lit(thresholdNum) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+      .materializeOnce()
+    // Verification fetches each candidate doc's FULL shingle set as one
+    // array row and intersects per pair IN-TASK (array_intersect over
+    // distinct sets = exact |A∩B|). The previous shape joined every
+    // candidate pair against the exploded shingle table — at sf0.1 that
+    // join output was measured at 21.1M rows (310k surviving candidates
+    // × ~53 shingles each) shuffled by (id_b, sh) and re-aggregated;
+    // per-pair work is now two array fetches + one hash-set
+    // intersection, and nothing row-amplifies. The doc-set table is
+    // semi-joined down to candidate docs first, so at scale only
+    // candidate docs' sets are built or shuffled.
+    val candIds = bounded.select(col("id_a").as("doc_id"))
+      .union(bounded.select(col("id_b").as("doc_id")))
+      .distinct()
+    val docSets = ex.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+    bounded
+      .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")),
+        Seq("id_a"))
+      .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"))
       .filter(lit(thresholdDen + thresholdNum) * col("inter")
         >= lit(thresholdNum) * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),

@@ -75,19 +75,19 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val wh = w.toLong * h
+      // one bulk sRGB read (identical values to per-pixel getRGB, one
+      // call instead of w·h color-model dispatches); row-major index
+      // i = y·w + x makes the position weight 1 + i
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
       var cs = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y) // sRGB regardless of storage format
-          val pos = 1L + x + w.toLong * y
-          cs += ((rgb >> 16) & 0xff) * pos
-          cs += ((rgb >> 8) & 0xff) * (pos + wh)
-          cs += (rgb & 0xff) * (pos + 2 * wh)
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < rgbs.length) {
+        val rgb = rgbs(i)
+        val pos = 1L + i
+        cs += ((rgb >> 16) & 0xff) * pos
+        cs += ((rgb >> 8) & 0xff) * (pos + wh)
+        cs += (rgb & 0xff) * (pos + 2 * wh)
+        i += 1
       }
       Some((w, h, cs))
     }
@@ -98,16 +98,13 @@ object Multimodal {
   private def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
     val bins = new Array[Long](8)
     val n = img.getWidth.toLong * img.getHeight
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-        bins(lum >> 5) += 1
-        x += 1
-      }
-      y += 1
+    val rgbs = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    var i = 0
+    while (i < rgbs.length) {
+      val rgb = rgbs(i)
+      val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      bins(lum >> 5) += 1
+      i += 1
     }
     bins.map(b => (b.toDouble / n).toFloat)
   }
@@ -213,6 +210,36 @@ object Multimodal {
   def videoGray(id: Long, f: Int, x: Int, y: Int): Int =
     math.floorMod(id * 31 + f * 17 + x * 7 + y * 13, 256).toInt
 
+  /** Row-major gray plane (the blue channel, exactly what
+    * `getRGB(x,y) & 0xff` reads) of a decoded frame in ONE raster
+    * read. Per-pixel `BufferedImage.getRGB` routes every pixel through
+    * the color model with a method call each — the dominant decode
+    * cost for the real-codec operators (m49/m50/m60/m61). For the
+    * indexed images every GIF decode produces, the palette's blue map
+    * is applied to the raw index plane directly; anything else falls
+    * back to one bulk getRGB (same values, one call). */
+  private def grayPlane(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel
+          if img.getRaster.getNumDataElements == 1 &&
+            img.getRaster.getTransferType == java.awt.image.DataBuffer.TYPE_BYTE =>
+        val idx = img.getRaster.getDataElements(0, 0, w, h, null)
+          .asInstanceOf[Array[Byte]]
+        val blues = new Array[Byte](icm.getMapSize)
+        icm.getBlues(blues)
+        var i = 0
+        while (i < out.length) { out(i) = blues(idx(i) & 0xff) & 0xff; i += 1 }
+      case _ =>
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < out.length) { out(i) = rgb(i) & 0xff; i += 1 }
+    }
+    out
+  }
+
   /** Frame geometry of the synthetic video for doc id: 8–19 px sides,
     * 2–8 frames. */
   def videoDims(id: Long): (Int, Int, Int) = (
@@ -240,16 +267,22 @@ object Multimodal {
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      // write the index plane in one raster call: with the identity
+      // 256-gray palette the palette index IS the gray value, so this
+      // produces byte-identical frames to the per-pixel setRGB it
+      // replaces (setRGB's inverse-palette lookup resolved gray g to
+      // index g) without paying that lookup per pixel
+      val px = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val g = videoGray(id, f, x, y)
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          px(y * w + x) = videoGray(id, f, x, y).toByte
           x += 1
         }
         y += 1
       }
+      img.getRaster.setDataElements(0, 0, w, h, px)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       f += 1
     }
@@ -285,17 +318,16 @@ object Multimodal {
             var f = 0
             while (f < n) {
               val img = if (f == 0) first else reader.read(f)
+              // one raster read per frame; row-major index i = y·w + x,
+              // so the position weight (1 + x + w·y) is exactly 1 + i
+              val px = grayPlane(img)
               var acc = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val g = img.getRGB(x, y) & 0xff
-                  acc += g.toLong * (1L + x + w.toLong * y)
-                  bins(g >> 5) += 1
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < px.length) {
+                val g = px(i)
+                acc += g.toLong * (1L + i)
+                bins(g >> 5) += 1
+                i += 1
               }
               cs(f) = acc
               f += 1
@@ -417,16 +449,20 @@ object Multimodal {
     val h = 8 + math.floorMod(math.floorDiv(id, 16), 16).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk sRGB write (identical pixels to per-pixel setRGB, one
+    // call instead of w·h color-model dispatches)
+    val rgbs = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (pixelValue(id, x, y, 0) << 16)
-          | (pixelValue(id, x, y, 1) << 8) | pixelValue(id, x, y, 2))
+        rgbs(y * w + x) = (pixelValue(id, x, y, 0) << 16) |
+          (pixelValue(id, x, y, 1) << 8) | pixelValue(id, x, y, 2)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, rgbs, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -533,11 +569,12 @@ object Multimodal {
           val ph = (h + patch - 1) / patch
           val sums = Array.ofDim[Long](ph, pw)
           val cnts = Array.ofDim[Long](ph, pw)
+          val rgbs = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = rgbs(y * w + x)
               sums(y / patch)(x / patch) +=
                 ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               cnts(y / patch)(x / patch) += 3L
@@ -757,18 +794,7 @@ object Multimodal {
       val w = first.getWidth
       val h = first.getHeight
       val frames = Array.tabulate(n) { f =>
-        val img = if (f == 0) first else reader.read(f)
-        val px = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            px(y * w + x) = img.getRGB(x, y) & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        px
+        grayPlane(if (f == 0) first else reader.read(f))
       }
       (w, h, frames)
     } finally reader.dispose()
@@ -952,18 +978,21 @@ object Multimodal {
     val (w, h) = texturedDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk sRGB write — identical pixels, one color-model dispatch
+    val rgbs = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y,
-          (texturedPixelValue(id, x, y, 0, variant) << 16)
-            | (texturedPixelValue(id, x, y, 1, variant) << 8)
-            | texturedPixelValue(id, x, y, 2, variant))
+        rgbs(y * w + x) =
+          (texturedPixelValue(id, x, y, 0, variant) << 16) |
+            (texturedPixelValue(id, x, y, 1, variant) << 8) |
+            texturedPixelValue(id, x, y, 2, variant)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, rgbs, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -982,12 +1011,13 @@ object Multimodal {
     * 2^64: the m45/m49 HUGEINT replay pattern. Luminance is the raw
     * channel sum r+g+b (no /3 — stays integer-exact). */
   def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
-    def gray(x: Int, y: Int): Int = {
-      val rgb = img.getRGB(x, y)
-      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-    }
     val w = img.getWidth
     val h = img.getHeight
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+    def gray(x: Int, y: Int): Int = {
+      val rgb = rgbs(y * w + x)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
     var hash = 0L
     var j = 0
     while (j < 8) {
@@ -1065,12 +1095,13 @@ object Multimodal {
     * fold MSB-first in (k,l) order — 63 bits, so the fold stays
     * positive int64 and needs no unsigned re-sign on either engine. */
   def phashOfImage(img: java.awt.image.BufferedImage): Long = {
-    def gray(x: Int, y: Int): Int = {
-      val rgb = img.getRGB(x, y)
-      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-    }
     val w = img.getWidth
     val h = img.getHeight
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+    def gray(x: Int, y: Int): Int = {
+      val rgb = rgbs(y * w + x)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
     // 32×32 luminance sample grid, nearest-neighbor
     val g = Array.tabulate(32, 32)((i, j) => gray(i * w / 32, j * h / 32).toLong)
     // row pass: R(k, j) = Σ_i C(k,i) · g(i, j), k ∈ 0..7
@@ -1138,12 +1169,13 @@ object Multimodal {
     * after MinHash banding). Dims ≥ 18 keep all 17 column samples on
     * distinct pixels. */
   def wideDHashOfImage(img: java.awt.image.BufferedImage): Array[Long] = {
-    def gray(x: Int, y: Int): Int = {
-      val rgb = img.getRGB(x, y)
-      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-    }
     val w = img.getWidth
     val h = img.getHeight
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+    def gray(x: Int, y: Int): Int = {
+      val rgb = rgbs(y * w + x)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
     Array.tabulate(4) { k =>
       var word = 0L
       var j = 4 * k

@@ -1243,16 +1243,26 @@ object Similarity {
       .materializeOnce() // every iteration joins it
     val is = corpus.sparkSession.range(dim).select(col("id").cast("int").as("i"))
     var v = is.withColumn("v", lit(256L))
+    // per iteration: ONE job — the 64-row w frame checkpoints with its
+    // renormalizer max riding the same job as an Observation metric
+    // (the CC fixpoint-probe pattern), and the rescale stays a lazy
+    // projection over the checkpoint. The previous shape paid 3 jobs
+    // per iteration (w checkpoint, separate max aggregate via a
+    // broadcast build, rescaled checkpoint) — pure per-job overhead on
+    // a 64-row state vector. The max is global, so branching on it
+    // driver-side is the identical function.
     for (_ <- 1 to iters) {
+      val obs = org.apache.spark.sql.Observation()
       val w = g.join(v, Seq("i"))
         .groupBy(col("j")).agg(sum(col("g") * col("v")).as("w"))
         .select(col("j").as("i"), col("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m)) // 1-row normalizer
-        .select(col("i"),
-          when(col("m") === 0L, lit(0L))
-            .otherwise(intDiv(col("w") * lit(256L), col("m"))).as("v"))
+        .observe(obs, max(abs(col("w"))).as("m"))
         .materializeOnce() // linear chain, not an exponential re-plan
+      val m = Option(obs.get("m").asInstanceOf[java.lang.Long])
+        .map(_.longValue).getOrElse(0L)
+      v =
+        if (m == 0L) w.select(col("i"), lit(0L).as("v"))
+        else w.select(col("i"), intDiv(col("w") * lit(256L), lit(m)).as("v"))
     }
     v.select(col("i").cast("long").as("i"), col("v")).orderBy(col("i"))
   }

@@ -235,18 +235,24 @@ object DedupQueries {
     // floor-scaled before summation (rule 17). One row per knob value:
     // the table a user reads before picking d38's shingle width.
     Q("d60_shingle_curve", Some(shingleCurveOracle),
-      (s, d) => Seq(2, 3, 5).map { n =>
-        graft.operators.Dedup.ngramJaccardPairs(docs(s, d), n = n,
-          threshold = 0.5, maxDf = 20)
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(floor(col("jaccard") * 1000000L).cast("long")).as("s6"))
-          .select(lit(n.toLong).as("n_shingle"), col("n_pairs"),
-            coalesce(col("s6"), lit(0L)).as("sum_j6"),
-            when(col("n_pairs") === 0, lit(0.0))
-              .otherwise(coalesce(col("s6"), lit(0L)).cast("double")
-                / (col("n_pairs") * lit(1000000L)).cast("double"))
-              .as("mean_j"))
-      }.reduce(_ unionByName _).orderBy(col("n_shingle"))),
+      (s, d) => {
+        // one corpus scan + tokenize shared by all three shingle widths
+        // (r14: the three knob arms re-read and re-split the text —
+        // the only part of the sweep that doesn't depend on n)
+        val toks = Dedup.tokensTable(docs(s, d)).materializeOnce()
+        Seq(2, 3, 5).map { n =>
+          graft.operators.Dedup.ngramJaccardPairsFromToks(toks, n = n,
+            threshold = 0.5, maxDf = 20)
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(floor(col("jaccard") * 1000000L).cast("long")).as("s6"))
+            .select(lit(n.toLong).as("n_shingle"), col("n_pairs"),
+              coalesce(col("s6"), lit(0L)).as("sum_j6"),
+              when(col("n_pairs") === 0, lit(0.0))
+                .otherwise(coalesce(col("s6"), lit(0L)).cast("double")
+                  / (col("n_pairs") * lit(1000000L)).cast("double"))
+                .as("mean_j"))
+        }.reduce(_ unionByName _).orderBy(col("n_shingle"))
+      }),
 
     // cluster-level train/val split (q198): the FIX for what q134's
     // leakage audit measures — whole dup-clusters (singletons = their

@@ -14,10 +14,14 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // mirror Bench's between-sample hygiene unless disabled
+    val unpersist = !sys.env.get("TIMEONE_NO_UNPERSIST").contains("1")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val c = fn(spark, sfDir).count()
       println(f"[time] $name run$i rows=$c ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (unpersist)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
