@@ -281,10 +281,7 @@ object Dedup {
     // df is a CORPUS-WIDE property (one map-side-combined aggregate),
     // but the intersection only ever reads shingles of docs that appear
     // in a surviving candidate pair — so restrict ex to those docs with
-    // a semi-join BEFORE the df-cap join. The full exploded table is
-    // then never shuffled by sh (previously its largest shuffle); only
-    // the candidate docs' shingles move. AQE turns the semi-join into a
-    // broadcast when the candidate set is small (the common case).
+    // a semi-join. The full exploded table is never shuffled by sh.
     val candIds = bounded.select(col("id_a").as("doc_id"))
       .union(bounded.select(col("id_b").as("doc_id")))
       .distinct()
@@ -294,16 +291,29 @@ object Dedup {
     val keep = precomputedKeep.getOrElse(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select(col("sh")))
-    val filtered = ex.join(candIds, Seq("doc_id"), "left_semi")
-      .join(keep, Seq("sh"))
-    val inter = bounded.select(col("id_a"), col("id_b"))
-      .join(filtered.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(filtered.select(col("doc_id").as("id_b"), col("sh")),
-        Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    // Each candidate doc's CAPPED shingle set travels as ONE array row
+    // and |A∩B| is computed per pair IN-TASK by array_intersect — the
+    // prefixJaccardJoin verification shape. The exploded form joined
+    // every bounded pair against the (doc, sh) rows, amplifying to
+    // Σ_pairs sz rows, and the optimizer was measured BROADCASTING the
+    // ~|ex| "filtered" subtree twice (once per join side) with a
+    // sort-merge semi under each — ~4 s of d43's 4.4 s warm verify at
+    // sf0.1. Shingles per doc are distinct, so the distinct-set
+    // intersection count is the exact df-capped intersection; a doc
+    // whose shingles are all capped away simply has no set row, and the
+    // explicit inter ≥ 1 filter reproduces the old inner-join behavior
+    // (pairs with zero capped overlap never surface) for ANY threshold.
+    val docSets = ex.join(candIds, Seq("doc_id"), "left_semi")
+      .join(keep, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+    bounded
+      .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")),
+        Seq("id_a"))
+      .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"))
+      .filter(col("inter") >= 1)
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

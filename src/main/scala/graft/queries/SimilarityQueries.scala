@@ -134,9 +134,12 @@ object SimilarityQueries {
           e, e.filter(col("vec_id") < 5), k = 10)
           .select(col("q_id"), col("vec_id"))
           .materializeOnce() // feeds the hit join + total in all 3 arms
+        // one cell map + ONE centroid aggregate shared by all three
+        // knob arms (r14 — each arm used to rebuild the whole index)
+        val (cells, cents) = Similarity.ivfPrepared(e)
         Seq(1, 2, 4).map { np =>
-          val approx = Similarity.ivfSearch(
-            e, e.filter(col("vec_id") < 5), k = 10, nProbe = np)
+          val approx = Similarity.ivfSearchFrom(
+            cells, cents, e.filter(col("vec_id") < 5), k = 10, nProbe = np)
             .select(col("q_id"), col("vec_id"))
           exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
             .agg(count(lit(1)).as("n_hit"))

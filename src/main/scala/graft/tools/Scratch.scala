@@ -139,6 +139,57 @@ object Scratch {
       t("m60: video neardup count") {
         graft.SparkEntry.queries("m60_video_neardup")(spark, sfDir).count()
       }
+      t("d43a: simhashPairs count") {
+        graft.operators.Dedup.simhashPairs(docs, maxHamming = 8,
+          oracleHash = true).count()
+      }
+      t("d43b: simhash only count") {
+        noop(graft.operators.Dedup.simhash(docs, oracleHash = true))
+      }
+      t("d43: simhashVerified count") {
+        graft.SparkEntry.queries("d43_simhash_verified")(spark, sfDir).count()
+      }
+      locally {
+        val cands43 = graft.operators.Dedup.simhashPairs(docs, 8,
+          oracleHash = true).select(col("id_a"), col("id_b"))
+        t("d43x: cands.noop")(noop(cands43))
+        val ex43 = t("d43x: ex+mat") {
+          graft.operators.Dedup.shingleHashTable(docs, 3).materializeOnce()
+        }
+        t("d43x: verify.noop") {
+          noop(graft.operators.Dedup.verifyFromShingles(ex43, cands43, 0.5, 20))
+        }
+        val sizes43 = t("d43x: sizes+mat") {
+          ex43.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).materializeOnce()
+        }
+        val bounded43 = t("d43x: bounded+mat") {
+          cands43
+            .join(sizes43.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+            .join(sizes43.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+            .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+              greatest(col("sz_a"), col("sz_b")) >= 0.5)
+            .materializeOnce()
+        }
+        val candIds43 = bounded43.select(col("id_a").as("doc_id"))
+          .union(bounded43.select(col("id_b").as("doc_id"))).distinct()
+        val keep43 = ex43.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select(col("sh"))
+        t("d43x: keep.noop")(noop(keep43))
+        val filtered43 = ex43.join(candIds43, Seq("doc_id"), "left_semi")
+          .join(keep43, Seq("sh"))
+        t("d43x: filtered.noop")(noop(filtered43))
+        val inter43 = bounded43.select(col("id_a"), col("id_b"))
+          .join(filtered43.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+          .join(filtered43.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+        t("d43x: inter.noop")(noop(inter43))
+        inter43.collect()
+        println(inter43.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      t("s60: nprobe curve count") {
+        graft.SparkEntry.queries("s60_ivf_nprobe_curve")(spark, sfDir).count()
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
