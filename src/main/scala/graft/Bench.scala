@@ -330,6 +330,12 @@ object Bench {
     // the log. Failures are collected, reported in the JSON, and fail the
     // process.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // A/B switch for the r14 between-sample unpersist (VERDICT r14 #1):
+    // SPARK_GRAFT_BENCH_NO_UNPERSIST=1 restores the pre-r14 behavior
+    // (no unpersist between samples) so the hygiene change can be
+    // A/B'd at local[32] under the driver protocol on identical code.
+    // Default (unset) keeps the committed r14 behavior.
+    val noUnpersist = sys.env.get("SPARK_GRAFT_BENCH_NO_UNPERSIST").contains("1")
     val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val sampleCounts = scala.collection.mutable.Map.empty[String, Int]
     var skipped = 0
@@ -375,6 +381,16 @@ object Bench {
         sinceGc += 1
         val tq0 = System.nanoTime()
         def sample(): Option[Double] = {
+          // ADVICE r14 #1: scope the between-sample unpersist to RDDs
+          // persisted DURING this sample. Today the snapshot is empty
+          // (the previous sample already cleaned up), so behavior is
+          // identical — but a future legitimately cross-invocation
+          // cache (a lazy-val store, a cached index) can no longer be
+          // yanked out from under a query mid-bench: anything persisted
+          // before the sample started survives.
+          val preexisting =
+            try spark.sparkContext.getPersistentRDDs.keySet
+            catch { case _: Throwable => Set.empty[Int] }
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
             case t: Throwable =>
@@ -396,9 +412,11 @@ object Bench {
           // safe and makes each sample measure the QUERY, not the
           // suite's history. The unpersist wall-time is excluded from
           // the sample (measured: ~ms), exactly like the GC nudge below.
-          try spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          catch { case _: Throwable => }
+          if (!noUnpersist)
+            try spark.sparkContext.getPersistentRDDs
+              .filterNot { case (id, _) => preexisting.contains(id) }
+              .values.foreach(_.unpersist(blocking = false))
+            catch { case _: Throwable => }
           // a throw's elapsed time is not a measurement — reporting it
           // would make a broken query look fast in the queries map / total
           if (ok) Some(elapsed) else None

@@ -255,11 +255,39 @@ object Dedup {
     verifyFromShingles(shingleHashTable(docs, n).materializeOnce(), cands,
       threshold, maxDf)
 
+  /** Per-doc shingle-set size above which the array-set verification
+    * (one collect_list row per doc, duplicated once per candidate pair)
+    * falls back to the exploded join for pairs touching that doc — the
+    * scale guard for a pathological multi-MB document (VERDICT r14 #5).
+    * 2^16 hashes = 512 KB per array row; both verification shapes are
+    * exact, so the branch NEVER changes results (DedupSpec pins
+    * equality; tools.ScaleProbe's giant-doc stage proves the fallback
+    * at real size). The branch itself is decided from an Observation
+    * max riding the `bounded` checkpoint, so the common all-small case
+    * keeps today's plan with zero extra jobs. */
+  private[graft] val maxArrayDocShingles: Long = 1L << 16
+
+  /** Test-visible record of the last verification-shape decision
+    * (verifyFromShingles / prefixJaccardJoin): the measured max doc-set
+    * size and the branch taken ("array" | "hybrid"). Written at builder
+    * time (the Observation is read right after the bounded checkpoint),
+    * read ONLY by specs/probes — never used for control flow. */
+  private[graft] object VerifySplitProbe {
+    val lastMaxSz = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val lastBranch =
+      new java.util.concurrent.atomic.AtomicReference[String]("unprobed")
+    def record(maxSz: Long, maxArraySz: Long): Unit = {
+      lastMaxSz.set(maxSz)
+      lastBranch.set(if (maxSz <= maxArraySz) "array" else "hybrid")
+    }
+  }
+
   private[graft] def verifyFromShingles(
       ex: DataFrame, cands: DataFrame,
       threshold: Double, maxDf: Int,
       precomputedSizes: Option[DataFrame] = None,
-      precomputedKeep: Option[DataFrame] = None): DataFrame = {
+      precomputedKeep: Option[DataFrame] = None,
+      maxArraySz: Long = maxArrayDocShingles): DataFrame = {
     // (doc_id, sz): either ride-along output of the signature groupBy
     // (already materialized — zero extra jobs) or a dedicated aggregate
     val sizes = precomputedSizes.getOrElse(
@@ -270,21 +298,21 @@ object Dedup {
     // verify — prune it BEFORE paying |cands|·shingles join rows. Pure
     // optimization: the surviving output set is identical (the computed
     // jaccard uses df-capped intersections, which only lowers J further).
+    // The max doc size over surviving pairs rides the checkpoint as an
+    // Observation metric — it picks the verification shape below.
+    val obs = org.apache.spark.sql.Observation()
     val bounded = cands
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") /
         greatest(col("sz_a"), col("sz_b")) >= threshold)
+      .observe(obs, max(greatest(col("sz_a"), col("sz_b"))).as("mx"))
       // read twice below (the candidate-doc id set AND the intersection
       // chain) — without this the entire candidate stage runs twice
       .materializeOnce()
-    // df is a CORPUS-WIDE property (one map-side-combined aggregate),
-    // but the intersection only ever reads shingles of docs that appear
-    // in a surviving candidate pair — so restrict ex to those docs with
-    // a semi-join. The full exploded table is never shuffled by sh.
-    val candIds = bounded.select(col("id_a").as("doc_id"))
-      .union(bounded.select(col("id_b").as("doc_id")))
-      .distinct()
+    val maxSz = Option(obs.get("mx"))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    VerifySplitProbe.record(maxSz, maxArraySz)
     // `keep` is the surviving (df ≤ cap) shingle set. The df count is a
     // CORPUS-WIDE property; callers with a persisted index pass it in
     // (precomputedKeep) instead of paying the full-corpus aggregate here.
@@ -303,21 +331,66 @@ object Dedup {
     // whose shingles are all capped away simply has no set row, and the
     // explicit inter ≥ 1 filter reproduces the old inner-join behavior
     // (pairs with zero capped overlap never surface) for ANY threshold.
-    val docSets = ex.join(candIds, Seq("doc_id"), "left_semi")
-      .join(keep, Seq("sh"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
-    bounded
-      .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")),
-        Seq("id_a"))
-      .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"))
-      .filter(col("inter") >= 1)
+    // Pairs touching a doc above maxArraySz (never at gate SF —
+    // Observation-probed above, so the common case pays nothing) verify
+    // through the exploded join instead: same exact intersection, no
+    // multi-MB array row (rule: both shapes are exact, the split is
+    // performance-only).
+    val inter = splitVerifiedInter(ex, bounded, keep, maxSz, maxArraySz)
+    inter
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** (id_a, id_b, sz_a, sz_b, inter ≥ 1) for every bounded candidate
+    * pair — array-set verification for pairs of small docs, exploded
+    * join for pairs touching a doc above `maxArraySz`. Both shapes
+    * compute the exact df-capped |A∩B| (ex is distinct per doc), so the
+    * split never changes the result set. `maxSz` is the pre-measured
+    * max doc size over `bounded` (an Observation ride-along): when it
+    * says no big docs exist, the plan is exactly the pure array shape. */
+  private def splitVerifiedInter(
+      ex: DataFrame, bounded: DataFrame, keep: DataFrame,
+      maxSz: Long, maxArraySz: Long): DataFrame = {
+    def arrayInter(pairs: DataFrame): DataFrame = {
+      val candIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      val docSets = ex.join(candIds, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+      pairs
+        .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")),
+          Seq("id_a"))
+        .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"))
+        .filter(col("inter") >= 1)
+    }
+    def explodedInter(pairs: DataFrame): DataFrame = {
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      val exBig = ex.join(ids, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("sh"), "left_semi")
+      pairs
+        .join(exBig.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(exBig.select(col("doc_id").as("id_b"), col("sh")),
+          Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          col("inter"))
+    }
+    if (maxSz <= maxArraySz) arrayInter(bounded)
+    else {
+      val big = col("sz_a") > maxArraySz || col("sz_b") > maxArraySz
+      arrayInter(bounded.filter(!big))
+        .unionByName(explodedInter(bounded.filter(big)))
+    }
   }
 
   /** The full candidates→verify MinHash-LSH dedup: banded LSH generates
@@ -1093,13 +1166,54 @@ object Dedup {
     * a batch run MUST use the same values (signatures of different k
     * never collide in a band join; fail loudly rather than silently). */
   def writeSignatureStore(
-      corpus: DataFrame, path: String, k: Int = 16, shingleN: Int = 3): Unit = {
-    val ex = shingleHashTable(corpus, shingleN).materializeOnce()
-    ex.write.mode("overwrite").parquet(s"$path/shingles")
-    signaturesFromShingles(ex, k)
-      .write.mode("overwrite").parquet(s"$path/signatures")
-    ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
+      corpus: DataFrame, path: String, k: Int = 16, shingleN: Int = 3): Unit =
+    writeStoreTables(shingleHashTable(corpus, shingleN), k, path,
+      sub = "", mode = "overwrite")
+
+  /** Target rows per parquet file for store writes (rule-26 shape:
+    * enough rows that scan parallelism never collapses to file count,
+    * small enough that one file is one healthy task). */
+  private[graft] val storeRowsPerFile: Long = 131072L
+
+  /** Coalesce `df` to a ROW-COUNT-derived file count before a write
+    * (guide §6: store writes were inheriting the session's shuffle
+    * partitions — 8 under streams — so every micro-batch appended a
+    * fixed number of near-empty files regardless of its size; at 100 TB
+    * that is file-count explosion plus per-batch open/commit cost).
+    * coalesce never RAISES the partition count, so when a batch is
+    * genuinely larger than files×rowsPerFile the session's partitioning
+    * still governs parallelism — this only collapses the tiny-file
+    * direction. */
+  private[graft] def sizedForWrite(
+      df: DataFrame, rows: Long,
+      rowsPerFile: Long = storeRowsPerFile): DataFrame =
+    df.coalesce(
+      math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
+        .min(Int.MaxValue.toLong).toInt)
+
+  /** Shared store-table writer: one shingle explode feeds all three
+    * tables (the minhashVerifiedPairs sharing), and every write's file
+    * count derives from its own row count. The counts ride the
+    * materialization as Observation metrics (count + two approx
+    * distincts — zero extra jobs; approximate is fine for a FILE-COUNT
+    * decision, never for data). */
+  private def writeStoreTables(exRaw: DataFrame, k: Int, path: String,
+      sub: String, mode: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    val ex = exRaw.observe(obs,
+        count(lit(1)).as("n_sh"),
+        approx_count_distinct(col("doc_id")).as("n_docs"),
+        approx_count_distinct(col("sh")).as("n_distinct"))
+      .materializeOnce()
+    def metric(name: String): Long =
+      Option(obs.get(name)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val nSh = metric("n_sh")
+    sizedForWrite(ex, nSh).write.mode(mode).parquet(s"$path/shingles$sub")
+    sizedForWrite(signaturesFromShingles(ex, k), metric("n_docs"))
+      .write.mode(mode).parquet(s"$path/signatures$sub")
+    sizedForWrite(ex.groupBy(col("sh")).agg(count(lit(1)).as("df")),
+        metric("n_distinct"))
+      .write.mode(mode).parquet(s"$path/df$sub")
   }
 
   /** Dedup an incoming batch against a PERSISTED signature store — the
@@ -1222,12 +1336,7 @@ object Dedup {
       case Some(t) => (s"/$t", "overwrite")
       case None    => ("", "append")
     }
-    val ex = shingleHashTable(survivors, shingleN).materializeOnce()
-    ex.write.mode(mode).parquet(s"$path/shingles$sub")
-    signaturesFromShingles(ex, k)
-      .write.mode(mode).parquet(s"$path/signatures$sub")
-    ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$path/df$sub")
+    writeStoreTables(shingleHashTable(survivors, shingleN), k, path, sub, mode)
   }
 
   // ---- duplicate clustering ----
@@ -2343,7 +2452,8 @@ object Dedup {
     * sort. */
   def prefixJaccardJoin(
       docs: DataFrame, n: Int = 3,
-      thresholdNum: Long = 1, thresholdDen: Long = 2): DataFrame = {
+      thresholdNum: Long = 1, thresholdDen: Long = 2,
+      maxArraySz: Long = maxArrayDocShingles): DataFrame = {
     require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
       "threshold num/den must satisfy 0 < num/den <= 1")
     import org.apache.spark.sql.expressions.Window
@@ -2370,6 +2480,10 @@ object Dedup {
     // Candidate pairs with sizes, length-bound pruned, deduped.
     // Materialized once: feeds the candidate-doc id set, the verify
     // join, and the final projection (rule 5).
+    // (the max doc size over surviving pairs rides the checkpoint as an
+    // Observation metric — it picks the verification shape below, the
+    // same scale guard as verifyFromShingles)
+    val obs = org.apache.spark.sql.Observation()
     val bounded = prefix
       .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
       .join(prefix.select(col("sh"), col("doc_id").as("id_b"),
@@ -2379,7 +2493,11 @@ object Dedup {
           >= lit(thresholdNum) * greatest(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .distinct()
+      .observe(obs, max(greatest(col("sz_a"), col("sz_b"))).as("mx"))
       .materializeOnce()
+    val maxSz = Option(obs.get("mx"))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    VerifySplitProbe.record(maxSz, maxArraySz)
     // Verification fetches each candidate doc's FULL shingle set as one
     // array row and intersects per pair IN-TASK (array_intersect over
     // distinct sets = exact |A∩B|). The previous shape joined every
@@ -2389,19 +2507,52 @@ object Dedup {
     // per-pair work is now two array fetches + one hash-set
     // intersection, and nothing row-amplifies. The doc-set table is
     // semi-joined down to candidate docs first, so at scale only
-    // candidate docs' sets are built or shuffled.
-    val candIds = bounded.select(col("id_a").as("doc_id"))
-      .union(bounded.select(col("id_b").as("doc_id")))
-      .distinct()
-    val docSets = ex.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
-    bounded
-      .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")),
-        Seq("id_a"))
-      .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"))
+    // candidate docs' sets are built or shuffled. Pairs touching a doc
+    // above maxArrayDocShingles (never at gate SF — Observation-probed,
+    // so the common case pays nothing) verify through the exploded join
+    // instead of carrying a multi-MB array row per pair; both shapes
+    // are exact, so the split never changes the result set.
+    def arrayInter(pairs: DataFrame): DataFrame = {
+      val candIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      val docSets = ex.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+      pairs
+        .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")),
+          Seq("id_a"))
+        .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"))
+    }
+    def explodedInter(pairs: DataFrame): DataFrame = {
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      val exBig = ex.join(ids, Seq("doc_id"), "left_semi")
+      pairs
+        .join(exBig.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(exBig.select(col("doc_id").as("id_b"), col("sh")),
+          Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+          col("inter"))
+    }
+    // NOTE the exploded arm's inner join only surfaces inter ≥ 1 pairs;
+    // the array arm emits inter = 0 rows, but the threshold filter below
+    // kills them identically (num ≥ 1 forces inter > 0), so the arms
+    // stay row-equivalent after the filter.
+    val inter =
+      if (maxSz <= maxArraySz) arrayInter(bounded)
+      else {
+        val big = col("sz_a") > maxArraySz ||
+          col("sz_b") > maxArraySz
+        arrayInter(bounded.filter(!big))
+          .unionByName(explodedInter(bounded.filter(big)))
+      }
+    inter
       .filter(lit(thresholdDen + thresholdNum) * col("inter")
         >= lit(thresholdNum) * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),

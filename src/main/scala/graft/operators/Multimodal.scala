@@ -1270,10 +1270,17 @@ object Multimodal {
     * not the hash math, is what a 100 TB media lake cannot afford to
     * repeat). */
   def writeImageSignatureStore(
-      spark: SparkSession, docs: DataFrame, path: String): Unit =
-    imageHashRows(spark,
-      docs.select(col("doc_id"), lit(false).as("variant")))
+      spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    val h = imageHashRows(spark,
+        docs.select(col("doc_id"), lit(false).as("variant")))
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = Option(obs.get("n"))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    graft.operators.Dedup.sizedForWrite(h, n)
       .write.mode("overwrite").parquet(s"$path/hashes")
+  }
 
   /** Dedup an incoming image batch against a PERSISTED signature store
     * (m55) — image dedup-at-the-door, the Dedup.dedupBatchAgainstStore
@@ -1347,7 +1354,16 @@ object Multimodal {
       case Some(t) => (s"/$t", "overwrite")
       case None    => ("", "append")
     }
-    hashes.write.mode(mode).parquet(s"$path/hashes$sub")
+    // file count derives from the row count riding the materialization
+    // (guide §6 — per-batch appends otherwise inherit the stream's 8
+    // shuffle partitions and explode the store's file count at scale)
+    val obs = org.apache.spark.sql.Observation()
+    val h = hashes.observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = Option(obs.get("n"))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    graft.operators.Dedup.sizedForWrite(h, n)
+      .write.mode(mode).parquet(s"$path/hashes$sub")
   }
 
   /** Samples per synthetic audio TRACK (m56): 65 frames of 16 → a full

@@ -45,11 +45,24 @@ object IngestDecontam {
       checkpoint.foreach(c => writer.option("checkpointLocation", c))
       writer
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val b = batch.localCheckpoint() // read by shingles AND clean join
+          // sink file counts derive from row counts riding the
+          // localCheckpoints as Observation metrics (guide §6 — the
+          // writes were inheriting the stream's 8 shuffle partitions)
+          val bObs = org.apache.spark.sql.Observation()
+          val b = batch.observe(bObs, count(lit(1)).as("n"))
+            .localCheckpoint() // read by shingles AND clean join
+          def metric(o: org.apache.spark.sql.Observation): Long =
+            Option(o.get("n")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          val fObs = org.apache.spark.sql.Observation()
           val flags = Dedup.decontaminateAgainst(b, benchSh, n, fpp = fpp)
+            .observe(fObs, count(lit(1)).as("n"))
             .localCheckpoint() // feeds the flag sink AND the clean anti-join
-          flags.write.mode("overwrite").parquet(s"$sinkRoot/flags/batch_$batchId")
-          b.join(flags.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          Dedup.sizedForWrite(flags, metric(fObs))
+            .write.mode("overwrite").parquet(s"$sinkRoot/flags/batch_$batchId")
+          // clean rows ≤ batch rows; the batch count is the right bound
+          Dedup.sizedForWrite(
+              b.join(flags.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+              metric(bObs))
             .write.mode("overwrite").parquet(s"$sinkRoot/clean/batch_$batchId")
           ()
         }

@@ -62,16 +62,29 @@ object IngestDedup {
           // the batch source is re-read by several join branches inside
           // the dedup; pin it once
           val b = batch.localCheckpoint()
+          // sink file counts derive from each frame's ROW count (guide
+          // §6 / rule 26 in reverse: the writes were inheriting the
+          // stream's 8 shuffle partitions, so every micro-batch wrote a
+          // fixed number of near-empty files). The counts ride the
+          // localCheckpoints as Observation metrics — zero extra jobs.
+          val resObs = org.apache.spark.sql.Observation()
           val res = Dedup
             .dedupBatchAgainstStore(spark, b, storePath, threshold, maxDf)
+            .observe(resObs, count(lit(1)).as("n"))
             // decisions feed the sink AND the survivor semi-join; and
             // they MUST be fully materialized before the store append
             // below mutates what dedupBatchAgainstStore reads
             .localCheckpoint()
-          res.write.mode("overwrite").parquet(s"$sinkRoot/decisions/batch_$batchId")
+          def metric(o: org.apache.spark.sql.Observation): Long =
+            Option(o.get("n")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          Dedup.sizedForWrite(res, metric(resObs))
+            .write.mode("overwrite").parquet(s"$sinkRoot/decisions/batch_$batchId")
+          val survObs = org.apache.spark.sql.Observation()
           val survivors = b.join(res.filter(col("keep")).select(col("doc_id")),
-            Seq("doc_id"), "left_semi").localCheckpoint()
-          survivors.write.mode("overwrite").parquet(s"$sinkRoot/clean/batch_$batchId")
+            Seq("doc_id"), "left_semi")
+            .observe(survObs, count(lit(1)).as("n")).localCheckpoint()
+          Dedup.sizedForWrite(survivors, metric(survObs))
+            .write.mode("overwrite").parquet(s"$sinkRoot/clean/batch_$batchId")
           Dedup.appendBatchToStore(survivors, storePath,
             tag = Some(f"batch_$batchId%05d"))
           ()

@@ -50,11 +50,18 @@ object IngestImageDedup {
           // ONE codec pass: the hash frame feeds decisions AND append
           val hashes = Multimodal.imageHashRows(spark, spec).localCheckpoint()
           // decisions must be fully materialized before the append
-          // below mutates what the store read sees
+          // below mutates what the store read sees; the row count rides
+          // the checkpoint so the sink write's file count is row-derived
+          // (guide §6) instead of the stream's 8 shuffle partitions
+          val resObs = org.apache.spark.sql.Observation()
           val res = Multimodal
             .dedupImageHashesAgainstStore(spark, hashes, storePath)
+            .observe(resObs, count(lit(1)).as("n"))
             .localCheckpoint()
-          res.write.mode("overwrite")
+          val nRes = Option(resObs.get("n"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          graft.operators.Dedup.sizedForWrite(res, nRes)
+            .write.mode("overwrite")
             .parquet(s"$sinkRoot/decisions/batch_$batchId")
           val kept = hashes.join(
             res.filter(col("keep")).select(col("media_id")),

@@ -239,6 +239,59 @@ object ScaleProbe {
       require(planted == n / 20,
         s"prefix join lost planted pairs on boilerplate: $planted/${n / 20}")
     }
+    if (on("giant")) time("giant: doc-set array scale guard") {
+      // VERDICT r14 #5: the array-set verification collects a doc's full
+      // (capped) shingle set into ONE row — a pathological multi-MB
+      // document would make a multi-MB row duplicated per candidate
+      // pair. This stage plants TWO ~70k-token near-dup giants (termSz
+      // ≈ 70k shingles > maxArrayDocShingles = 65,536) in a 50k-doc
+      // corpus and proves (a) the hybrid fallback actually fires, (b)
+      // the giant pair verifies with the EXACT jaccard of a direct
+      // per-pair recount, and (c) no row/OOM cliff. Seeded like the
+      // base corpus; the two giants differ in their last word only.
+      val nb = math.min(n, 50000L)
+      val base = corpusAt(spark, 0L, nb)
+      val giants = spark.range(2).toDF("g")
+        .withColumn("vocab", vocabLit)
+        .withColumn("words",
+          transform(sequence(lit(1), lit(70000)), i =>
+            element_at(col("vocab"),
+              (pmod(xxhash64(lit(424242L) + i +
+                when(col("g") === 1 && i > lit(69999), lit(7777777L))
+                  .otherwise(lit(0L))), lit(1000)) + 1).cast("int"))))
+        .select((col("g") + lit(nb)).cast("long").as("doc_id"),
+          concat_ws(" ", col("words")).as("text"),
+          lit("probe").as("source"))
+      val gdocs = base.unionByName(giants)
+      gdocs.write.mode("overwrite").parquet(s"$out/documents_giant.parquet")
+      val gread = spark.read.parquet(s"$out/documents_giant.parquet")
+      // maxDf high enough that giant-doc shingles survive the cap
+      val t0 = System.nanoTime()
+      val p = graft.operators.Dedup.minhashVerifiedPairs(
+        gread, threshold = 0.5, maxDf = 200)
+      val giantPair = p.filter(col("id_a") === nb && col("id_b") === nb + 1)
+        .collect()
+      println(f"[probe]   verify: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"branch=${graft.operators.Dedup.VerifySplitProbe.lastBranch.get} " +
+        s"maxSz=${graft.operators.Dedup.VerifySplitProbe.lastMaxSz.get}")
+      require(graft.operators.Dedup.VerifySplitProbe.lastBranch.get == "hybrid",
+        "giant docs did not trigger the exploded fallback")
+      require(giantPair.length == 1, "giant near-dup pair not found")
+      // independent exact recount of the giant pair's jaccard
+      val gsh = graft.operators.Dedup.shingleHashTable(
+        gread.filter(col("doc_id") >= nb), 3).localCheckpoint()
+      val szs = gsh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inter = gsh.filter(col("doc_id") === nb).select(col("sh"))
+        .intersect(gsh.filter(col("doc_id") === nb + 1).select(col("sh")))
+        .count()
+      val expected =
+        inter.toDouble / (szs(nb) + szs(nb + 1) - inter).toDouble
+      val got = giantPair.head.getDouble(2)
+      println(s"[probe]   giant pair jaccard: got=$got expected=$expected")
+      require(got == expected,
+        s"giant-pair jaccard mismatch: $got vs $expected")
+    }
     if (on("q183")) time("q183: interval overlap join at volume") {
       // n·20 usage intervals (hash-spread over a year, len < 1 day) ×
       // 1000 one-day billing windows. Correctness witness at volume:

@@ -17,11 +17,16 @@ object TimeOne {
     // mirror Bench's between-sample hygiene unless disabled
     val unpersist = !sys.env.get("TIMEONE_NO_UNPERSIST").contains("1")
     (1 to n).foreach { i =>
+      // scoped like Bench (ADVICE r14 #1): only RDDs persisted during
+      // this run are dropped; anything persisted before it survives
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val c = fn(spark, sfDir).count()
       println(f"[time] $name run$i rows=$c ${(System.nanoTime() - t0) / 1e9}%.3f s")
       if (unpersist)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -632,6 +632,60 @@ class DedupSpec extends SparkSpec {
     assert(fast.map(t => (t._1, t._2, t._4)) === brute)
   }
 
+  test("prefixJaccardJoin: exploded fallback (maxArraySz) is row-identical " +
+      "to the array-set path") {
+    import spark.implicits._
+    // two length classes so a finite bound genuinely splits the corpus:
+    // docs < 20 have 8 tokens (6 shingles), docs >= 20 have 12 (10)
+    val base = (0 until 40).map { i =>
+      val len = if (i < 20) 8 else 12
+      val toks = (0 until len).map(j => s"w${(i * 7 + j * j) % 23}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val dups = (0 until 6).map { k =>
+      val (_, t) = base(k * 7) // k*7 spans both length classes
+      (100L + k, t.replaceFirst("\\w+$", "zz"))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def rows(maxArraySz: Long) =
+      Dedup.prefixJaccardJoin(docs, maxArraySz = maxArraySz).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+    val arrayPath = rows(Dedup.maxArrayDocShingles) // every doc small
+    assert(Dedup.VerifySplitProbe.lastBranch.get === "array")
+    val explodedPath = rows(1L)                     // every pair falls back
+    assert(Dedup.VerifySplitProbe.lastBranch.get === "hybrid")
+    assert(arrayPath.nonEmpty, "corpus must contain near-dup pairs")
+    assert(arrayPath === explodedPath)
+    // mixed: only the 10-shingle docs exceed the bound — both arms run
+    val mixed = rows(8L)
+    assert(Dedup.VerifySplitProbe.lastBranch.get === "hybrid")
+    assert(mixed === arrayPath)
+  }
+
+  test("verifyFromShingles: exploded fallback (maxArraySz) is row-identical " +
+      "to the array-set path") {
+    val sh = graft.operators.Dedup.shingleHashTable(planted, 3)
+      .localCheckpoint()
+    import spark.implicits._
+    val cands = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    def rows(maxArraySz: Long) =
+      Dedup.verifyFromShingles(sh, cands, 0.4, 100, maxArraySz = maxArraySz)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val arrayPath = rows(Dedup.maxArrayDocShingles)
+    assert(Dedup.VerifySplitProbe.lastBranch.get === "array")
+    val explodedPath = rows(1L)
+    assert(Dedup.VerifySplitProbe.lastBranch.get === "hybrid")
+    assert(arrayPath.nonEmpty)
+    assert(arrayPath === explodedPath)
+    // mixed split: docs 0-2 have 12 shingles (big at bound 10), docs
+    // 3-4 have 8 (small) — both arms run and union
+    assert(rows(10L) === arrayPath)
+    assert(Dedup.VerifySplitProbe.lastBranch.get === "hybrid")
+  }
+
   test("containmentPairs: asymmetric threshold keeps only the contained side") {
     import spark.implicits._
     // doc1 ⊂ doc2 shingle-wise: inter=3, C(1→2)=3/3=1, C(2→1)=3/5=0.6
