@@ -55,11 +55,16 @@ object Dedup {
     * string-keyed, so tools.RecallCheck keeps an independent witness
     * that the hashed pipeline loses nothing. */
   private[graft] def shingleHashTable(docs: DataFrame, n: Int): DataFrame =
-    spread(docs)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(
-        transform(TextFunctions.shinglesFromTokens(col("toks"), n),
-          s => xxhash64(s))).as("sh"))
+    shingleHashTableFromToks(tokensTable(docs), n)
+
+  /** [[shingleHashTable]] from an existing (doc_id, toks) frame — lets
+    * a pipeline that also word-hashes (SimHash verify) share one
+    * spread+tokenize. */
+  private[graft] def shingleHashTableFromToks(
+      toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc_id"), explode(
+      transform(TextFunctions.shinglesFromTokens(col("toks"), n),
+        s => xxhash64(s))).as("sh"))
 
   /** Exact dedup: one surviving row id per distinct canonical content.
     * `fp` is any fingerprint column (md5, canonical md5, rolling hash). */
@@ -148,85 +153,47 @@ object Dedup {
     * before trusting those gates. */
   val defaultMaxBucket = 4096
 
-  /** Above this population the window-cap path would sort/buffer an
-    * entire degenerate bucket inside one task (the window shuffles by
-    * the bucket key, so a bucket never splits); past it the
-    * groupBy-count route — map-side combined, then a broadcast
-    * anti-join on the (tiny) overfull-key set — is strictly better. */
-  private[graft] val windowableBucket = 1 << 18
-
-  /** Hybrid bucket cap, chosen by a measured bucket maximum.
+  /** Bucket cap as ONE lazy plan shape: a broadcast anti-join of the
+    * (materialized) banded table against its own overfull-key list.
     *
-    * The input is materialized once (it feeds the probe, the chosen cap
-    * path, and ultimately both sides of the caller's candidate
-    * self-join — rule 5), then ONE map-side-combined count probe reads
-    * the bucket maximum:
-    *   - max ≤ maxBucket (every gate SF today): the cap is a provable
-    *     no-op — return the materialized table untouched. Cheaper than
-    *     the unconditional window pass this replaces: the probe's
-    *     partial aggregate beats a full shuffle+sort-by-key.
-    *   - moderately overfull: the window cap — its shuffle partitions by
-    *     exactly the key the candidate join needs anyway.
-    *   - degenerate (> windowableBucket): groupBy-count + broadcast
-    *     anti-join on the overfull keys, so no single task ever buffers
-    *     a runaway bucket.
-    * Returns a materialized frame either way; callers must NOT
-    * checkpoint again.
+    * The input is materialized once (it feeds the overfull-key count
+    * and ultimately both sides of the caller's candidate self-join —
+    * rule 5). The overfull-key list is a map-side-combined groupBy
+    * count FILTERED to keys over the cap — at most rows/maxBucket keys
+    * by construction and in practice the handful of degenerate
+    * boilerplate buckets, so the broadcast stays tiny at any corpus
+    * size — and it executes INSIDE the consumer's plan as a
+    * BroadcastExchange (deduped across the self-join's two references
+    * by ReuseExchange). No bucket is ever sorted or buffered inside a
+    * task, and no eager probe job runs at DataFrame-construction time:
+    * the pre-r15 design paid one extra count job per LSH query (and a
+    * second checkpoint when the cap bit) to pick between three
+    * execution strategies with identical results; the anti-join is the
+    * scale-safe one of the three, so the probe bought nothing.
     *
-    * EAGER: this builder runs real Spark jobs (the materialization and
-    * the count probe) at DataFrame-CONSTRUCTION time — it is not lazy
-    * like a plain transformation, so plan-only tooling (ExplainAudit /
-    * PlanInspect / plan specs) pays the probe just by building the
-    * query, and the probe re-runs on every builder call. Acceptable for
-    * the batch LSH paths it serves; do NOT put it on a streaming or
-    * explain-only path. Both overfull branches DROP overfull buckets
-    * entirely (a degenerate bucket is boilerplate, not signal — MMDS
-    * §3.4 stop-shingle argument); they differ only in execution
-    * strategy, so branch choice never changes results. */
+    * When no bucket exceeds the cap (every gate SF today) the overfull
+    * list is empty and the anti-join passes everything through —
+    * results are IDENTICAL across capped/uncapped corpora by
+    * construction (overfull buckets are dropped entirely: a degenerate
+    * bucket is boilerplate, not signal — MMDS §3.4 stop-shingle
+    * argument). The returned frame re-derives from the checkpoint in
+    * O(rows) per reference; callers must NOT checkpoint it again. */
   private[graft] def capBuckets(
-      banded: DataFrame, keys: Seq[String], maxBucket: Int,
-      windowable: Int = windowableBucket): DataFrame = {
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val raw = banded.materializeOnce()
     val keyCols = keys.map(col)
-    def counts = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("__bc"))
-    val probe = counts.agg(max(col("__bc"))).first()
-    val maxCount = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-    CapProbe.lastMax.set(maxCount)
-    if (maxCount <= maxBucket) {
-      CapProbe.lastBranch.set("noop")
-      raw
-    } else if (maxCount <= windowable) {
-      CapProbe.lastBranch.set("window")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
-      raw.withColumn("__bc", count(lit(1)).over(w))
-        .filter(col("__bc") <= maxBucket)
-        .drop("__bc")
-        .materializeOnce()
-    } else {
-      CapProbe.lastBranch.set("antijoin")
-      val over = counts.filter(col("__bc") > maxBucket).select(keyCols: _*)
-      raw.join(broadcast(over), keys, "left_anti").materializeOnce()
-    }
-  }
-
-  /** Test-visible record of capBuckets' last measured bucket maximum and
-    * chosen branch ("noop" | "window" | "antijoin"). Written at builder
-    * time (the probe is eager), read ONLY by specs (SkewedCorpusSpec)
-    * to assert the skew paths genuinely execute on data; never used for
-    * control flow. */
-  private[graft] object CapProbe {
-    val lastBranch = new java.util.concurrent.atomic.AtomicReference[String]("unprobed")
-    val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val over = raw.groupBy(keyCols: _*).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket).select(keyCols: _*)
+    raw.join(broadcast(over), keys, "left_anti")
   }
 
   /** Candidate pairs from banded signatures — the bucket equi-join only,
     * no estimator filter. */
   private[graft] def candidatesFromSignatures(
       sigs: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = defaultMaxBucket,
-      windowable: Int = windowableBucket): DataFrame = {
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     val rows = k / bands
-    // capBuckets materializes ONCE (probe + cap + both sides of the
+    // capBuckets materializes ONCE (the cap and both sides of the
     // bucket self-join all read that checkpoint — rule: shared
     // self-join subtrees are checkpointed once), so the signature
     // pipeline runs once end-to-end with no inner checkpoint here.
@@ -234,7 +201,7 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "band_hash"))),
-      Seq("band", "band_hash"), maxBucket, windowable)
+      Seq("band", "band_hash"), maxBucket)
     banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band", "band_hash"))
@@ -401,8 +368,7 @@ object Dedup {
   def minhashVerifiedPairs(
       docs: DataFrame, threshold: Double = 0.5, k: Int = 16,
       bands: Int = 4, shingleN: Int = 3, maxDf: Int = 100,
-      maxBucket: Int = defaultMaxBucket,
-      windowable: Int = windowableBucket): DataFrame = {
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     // ONE shingle explode shared by the signature build and the exact
     // verification (they were two separate explode+checkpoint pipelines;
     // sharing halves the operator's heavy stage). The signature groupBy
@@ -413,7 +379,7 @@ object Dedup {
     val sigs = signaturesFromShingles(ex, k)
       .materializeOnce() // feeds the candidate stage AND four size joins
     val cands = candidatesFromSignatures(
-      sigs.select(col("doc_id"), col("sig")), k, bands, maxBucket, windowable)
+      sigs.select(col("doc_id"), col("sig")), k, bands, maxBucket)
     verifyFromShingles(ex, cands, threshold, maxDf,
       precomputedSizes = Some(sigs.select(col("doc_id"), col("sz"))))
   }
@@ -589,23 +555,51 @@ object Dedup {
   private def wordHash(w: org.apache.spark.sql.Column, oracleHash: Boolean) =
     if (oracleHash) graft.expressions.RollingHash(w) else xxhash64(w)
 
-  /** 64-bit SimHash per document: per-word hash, each bit votes ±1,
-    * fingerprint bit set where the vote sum is positive. Single
-    * explode+groupBy; the 64 bit-sums are one wide aggregate. */
-  def simhash(docs: DataFrame, oracleHash: Boolean = false): DataFrame = {
-    val words = spread(docs).select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("w"))
-      .withColumn("h", wordHash(col("w"), oracleHash))
-    val votes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+  /** Packed ±1 vote fold shared by [[simhash]] and [[simhashSet]]:
+    * bits g and g+32 of each word hash ride ONE long sum in 32-bit
+    * lanes (`shiftrightunsigned(h, g) & 0x1_0000_0001`), so the groupBy
+    * aggregates 32 lane-sums + one count instead of 64 conditional
+    * sums — half the aggregate buffer and partial-agg shuffle bytes,
+    * and the per-row update is one shift+mask+add per lane pair with
+    * no branch (guide §2.3 narrower aggregates / §4 codegen-friendly
+    * expressions). Decode: bit g's set count is the low lane, bit
+    * g+32's the high lane; the classic ±1 vote v_i = 2·set_i − n is
+    * positive iff 2·set_i > n, so the fingerprint is BIT-IDENTICAL to
+    * the 64-column conditional-sum formulation this replaces (the
+    * d39/d42/d43 oracles replay the same sign rule). Lanes cannot
+    * carry: each row adds ≤ 1 per lane, so corrupting the low lane
+    * needs 2^32 rows in one doc (a 4-billion-token document), and the
+    * long total ANSI-throws loudly at 2^31 rows long before that. */
+  private def simhashFromVotes(words: DataFrame): DataFrame = {
+    val lanes = (0 until 32).map { g =>
+      sum(shiftrightunsigned(col("h"), g).bitwiseAND(lit(0x100000001L)))
+        .as(s"s$g")
     }
     words.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+      .agg(count(lit(1)).as("n"), lanes: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until 32).map { g =>
+          val lo = col(s"s$g").bitwiseAND(lit(0xffffffffL))
+          val hi = shiftrightunsigned(col(s"s$g"), 32)
+          when(lo * 2 > col("n"), lit(1L << g)).otherwise(lit(0L)) +
+            when(hi * 2 > col("n"), lit(1L << (g + 32))).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
+
+  /** (doc_id, word, h) exploded word-hash table from a (doc_id, toks)
+    * frame — lets SimHash callers share one spread+tokenize with the
+    * shingle verification table. */
+  private def wordHashTableFromToks(
+      toks: DataFrame, oracleHash: Boolean): DataFrame =
+    toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .withColumn("h", wordHash(col("w"), oracleHash))
+
+  /** 64-bit SimHash per document: per-word hash, each bit votes ±1,
+    * fingerprint bit set where the vote sum is positive. Single
+    * explode+groupBy; the 64 bit-sums ride 32 packed lane aggregates
+    * ([[simhashFromVotes]]). */
+  def simhash(docs: DataFrame, oracleHash: Boolean = false): DataFrame =
+    simhashFromVotes(wordHashTableFromToks(tokensTable(docs), oracleHash))
 
   /** Set-SimHash: each DISTINCT token votes ±1 exactly once, however
     * often it repeats. The occurrence-voting `simhash` above is
@@ -617,21 +611,12 @@ object Dedup {
     * repeated boilerplate cannot dominate the fingerprint, so two docs
     * with the same vocabulary collide regardless of repetition counts.
     * Same two-shuffle shape, with a distinct before the bit-sums. */
-  def simhashSet(docs: DataFrame, oracleHash: Boolean = false): DataFrame = {
-    val words = spread(docs).select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("w"))
-      .distinct()
-      .withColumn("h", wordHash(col("w"), oracleHash))
-    val votes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
-    }
-    words.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  def simhashSet(docs: DataFrame, oracleHash: Boolean = false): DataFrame =
+    simhashFromVotes(
+      tokensTable(docs)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .distinct()
+        .withColumn("h", wordHash(col("w"), oracleHash)))
 
   /** Near-dup pairs by SimHash: 4 bands of 16 bits — any shared band is a
     * candidate (catches all pairs with Hamming distance ≤ 3 for sure, most
@@ -639,11 +624,21 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, maxHamming: Int = 8,
       oracleHash: Boolean = false,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
+    simhashPairsFromFp(simhash(docs, oracleHash), maxHamming, maxBucket)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[simhashPairs]] from an already-built (doc_id, simhash)
+    * fingerprint frame, WITHOUT the final total order — the internal
+    * candidate feed for verification pipelines (d43), whose joins
+    * destroy order anyway; d39's declared query keeps the sorted
+    * public wrapper. */
+  private[graft] def simhashPairsFromFp(
+      sh: DataFrame, maxHamming: Int,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     // ONE materialization, done inside capBuckets (rule 5): it feeds
-    // the cap probe and both sides of the candidate self-join, and the
-    // fingerprint build runs exactly once.
-    val sh = simhash(docs, oracleHash)
+    // the overfull-key list and both sides of the candidate self-join,
+    // and the fingerprint build runs exactly once.
     val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -664,7 +659,6 @@ object Dedup {
       // identical result
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Candidates→verify SimHash dedup: banded SimHash collision (within
@@ -674,8 +668,15 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 8, threshold: Double = 0.5,
       shingleN: Int = 3, maxDf: Int = 100,
       oracleHash: Boolean = false): DataFrame =
+    // The candidate feed skips simhashPairs' final total order — the
+    // verify joins destroy it anyway. (r15 measured-and-rejected:
+    // sharing ONE tokensTable checkpoint between the fingerprint vote
+    // and the shingle table — flat at bench SF, and at scale it holds
+    // the tokenized corpus AND the shingle checkpoint resident at
+    // once, where re-tokenizing streams with no storage footprint.)
     verifyPairsByJaccard(docs,
-      simhashPairs(docs, maxHamming, oracleHash).select(col("id_a"), col("id_b")),
+      simhashPairsFromFp(simhash(docs, oracleHash), maxHamming)
+        .select(col("id_a"), col("id_b")),
       shingleN, threshold, maxDf)
 
   // ---- substring-span dedup ----
@@ -1391,6 +1392,11 @@ object Dedup {
         .union(l.select(col("id").as("src"), col("label")))
         .groupBy(col("src")).agg(min(col("label")).as("label"))
         .select(col("src").as("id"), col("label"))
+    // (r15 measured-and-rejected: a pointer-jump `l ⋈ l` path-
+    // compression step per round — it did NOT reduce the round count on
+    // the deepest gate graph (winnowing pairs: 5 rounds with or without)
+    // and added one join per round, ~15-25% slower per round. The
+    // 2-step round below stays.)
     // convergence metric: sum of labels, monotonically non-increasing.
     // Summed as DECIMAL(38,0): a LONG sum overflows (ANSI exception) once
     // ids·nodes pass 2^63 — e.g. 2^40-range ids on a ~10M-node graph.
@@ -2457,8 +2463,7 @@ object Dedup {
     require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
       "threshold num/den must satisfy 0 < num/den <= 1")
     import org.apache.spark.sql.expressions.Window
-    val ex = shingleTable(docs, n).materializeOnce() // feeds DF agg, sizes, prefix, verify
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ex = shingleTable(docs, n).materializeOnce() // feeds DF agg, prefix, verify
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     // prefix length p = sz − ⌈num·sz/den⌉ + 1; ceil via (a+den−1) div den.
@@ -2466,15 +2471,21 @@ object Dedup {
     // gates the Spark-side candidate step — the output never sees it.
     val plen = col("sz") - floor((col("sz") * thresholdNum + (thresholdDen - 1))
       / lit(thresholdDen.toDouble)) + 1
-    // prefix rows CARRY the doc's set size: the sizes join is already
-    // paid for the prefix length, so the candidate join below can apply
-    // the AllPairs length bound (J ≤ min(sz)/max(sz) < num/den ⟹ the
-    // pair provably cannot verify — exact integers, and the final
-    // threshold re-checks) BEFORE the distinct, instead of a separate
-    // post-distinct size-attach pass.
+    // prefix rows CARRY the doc's set size, and the size itself RIDES
+    // the rank window's exchange as a second window expression over the
+    // same doc_id partitioning (count over the unordered partition ==
+    // the old groupBy(doc_id) aggregate, exactly) — one full aggregate
+    // pass over ex plus its join back are gone (guide §2.4: two
+    // operations keyed the same way share one exchange). The candidate
+    // join below can then apply the AllPairs length bound
+    // (J ≤ min(sz)/max(sz) < num/den ⟹ the pair provably cannot
+    // verify — exact integers, and the final threshold re-checks)
+    // BEFORE the distinct, instead of a separate post-distinct
+    // size-attach pass.
+    val szW = Window.partitionBy(col("doc_id"))
     val prefix = ex.join(dfreq, Seq("sh"))
       .withColumn("rn", row_number().over(rankW))
-      .join(sizes, Seq("doc_id"))
+      .withColumn("sz", count(lit(1)).over(szW))
       .filter(col("rn") <= plen)
       .select(col("sh"), col("doc_id"), col("sz"))
     // Candidate pairs with sizes, length-bound pruned, deduped.

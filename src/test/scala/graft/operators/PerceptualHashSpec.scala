@@ -151,10 +151,9 @@ class PerceptualHashSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val n = docs.count()
     val pairs = Multimodal.imageNearDupPairs(spark, docs).collect()
-    // the LSH skew guard ran and took the no-op branch: quadratic
-    // fingerprints spread across 16-bit bands, no bucket near the cap
-    assert(Dedup.CapProbe.lastBranch.get() === "noop")
-    assert(Dedup.CapProbe.lastMax.get() <= Dedup.defaultMaxBucket)
+    // the LSH skew guard is a pass-through here: quadratic fingerprints
+    // spread across 16-bit bands, no bucket near the cap, so the
+    // overfull-key anti-join drops nothing (capBuckets' lazy shape)
     val planted = pairs.count(r =>
       r.getLong(1) === r.getLong(0) + Multimodal.VariantOffset)
     assert(planted >= n * 95 / 100,

@@ -16,11 +16,10 @@ import graft.SparkSpec
   * "same footer on half the crawl" shape — plus 10 planted near-dup
   * pairs made of distinctive text, and proves on data that:
   *
-  *   1. the eager probe measures the overfull bucket (lastMax >> cap);
-  *   2. the window branch and the broadcast-anti-join branch BOTH
-  *      execute (CapProbe branch record) and produce the IDENTICAL
-  *      candidate set — branch choice is execution strategy only;
-  *   3. capping genuinely drops the degenerate buckets (candidate set
+  *   1. the cap executes INSIDE the consumer's plan as a broadcast
+  *      anti-join against the overfull-key list (no eager builder-time
+  *      probe job — the r15 lazy capBuckets shape);
+  *   2. capping genuinely drops the degenerate buckets (candidate set
   *      shrinks by the ~80k boilerplate pairs) yet planted-pair recall
   *      stays 100%: the capped candidates→verify output still equals
   *      the brute-force df-capped exact-Jaccard pair set, the same
@@ -69,46 +68,42 @@ class SkewedCorpusSpec extends SparkSpec {
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  private def candidates(maxBucket: Int, windowable: Int): Set[(Long, Long)] = {
+  private def candidatesDf(maxBucket: Int): DataFrame = {
     val sigs = Dedup.minhashSignatures(corpus).localCheckpoint()
-    pairSet(Dedup.candidatesFromSignatures(sigs, k = 16, bands = 4,
-      maxBucket = maxBucket, windowable = windowable))
+    Dedup.candidatesFromSignatures(sigs, k = 16, bands = 4,
+      maxBucket = maxBucket)
   }
 
-  test("probe measures the overfull bucket; cap drops it; planted pairs survive") {
+  private def candidates(maxBucket: Int): Set[(Long, Long)] =
+    pairSet(candidatesDf(maxBucket))
+
+  test("cap runs in-plan as a broadcast anti-join; it drops the degenerate " +
+    "buckets; planted pairs survive") {
     // uncapped baseline: the boilerplate band buckets (~300+ docs each)
     // flood the candidate set with ~80k boilerplate pairs
-    val uncapped = candidates(maxBucket = Dedup.defaultMaxBucket,
-      windowable = Dedup.windowableBucket)
-    assert(Dedup.CapProbe.lastBranch.get() === "noop")
-    val measuredMax = Dedup.CapProbe.lastMax.get()
-    assert(measuredMax > cap,
-      s"fixture lost its degenerate bucket: measured max $measuredMax <= $cap")
+    val uncapped = candidates(maxBucket = Dedup.defaultMaxBucket)
     assert(plantedPairs.subsetOf(uncapped))
 
-    // window branch on the same corpus
-    val windowed = candidates(maxBucket = cap,
-      windowable = Dedup.windowableBucket)
-    assert(Dedup.CapProbe.lastBranch.get() === "window",
-      "cap did not route to the window branch")
-    assert(plantedPairs.subsetOf(windowed),
-      "window cap dropped a planted near-dup pair — recall broken")
-    assert(windowed.size < uncapped.size,
+    // capped run: collect() on the SAME QueryExecution so it carries
+    // the final AQE plan (rule 8), then assert the cap's shape — the
+    // overfull-key list enters as a broadcast LeftAnti join inside the
+    // query, not as a builder-time probe job
+    val cappedDf = candidatesDf(maxBucket = cap)
+    val capped = cappedDf.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val plan = cappedDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("LeftAnti"),
+      s"capped candidate plan lost the overfull-key anti-join:\n$plan")
+    assert(plantedPairs.subsetOf(capped),
+      "cap dropped a planted near-dup pair — recall broken")
+    assert(capped.size < uncapped.size,
       "cap was a no-op: the degenerate buckets were not dropped")
     // everything the cap dropped is boilerplate-x-boilerplate noise
-    val dropped = uncapped -- windowed
+    val dropped = uncapped -- capped
     assert(dropped.nonEmpty && dropped.forall { case (a, b) =>
       a >= 1000L && a < 2000L && b >= 1000L && b < 2000L },
       "cap dropped a non-boilerplate candidate")
-
-    // degenerate branch: same cap, windowable forced below the measured
-    // max so the broadcast anti-join path runs — output must be
-    // IDENTICAL (branch is execution strategy, never semantics)
-    val antijoined = candidates(maxBucket = cap, windowable = cap)
-    assert(Dedup.CapProbe.lastBranch.get() === "antijoin",
-      "cap did not route to the broadcast-anti-join branch")
-    assert(antijoined === windowed,
-      "window and anti-join branches disagree on the candidate set")
   }
 
   test("capped candidates→verify still equals brute force (RecallCheck contract)") {
@@ -116,7 +111,6 @@ class SkewedCorpusSpec extends SparkSpec {
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val capped = asMap(Dedup.minhashVerifiedPairs(corpus,
       threshold = threshold, maxDf = maxDf, maxBucket = cap))
-    assert(Dedup.CapProbe.lastBranch.get() === "window")
     val exact = asMap(Dedup.ngramJaccardPairs(corpus,
       threshold = threshold, maxDf = maxDf))
     assert(exact.keySet === plantedPairs,
